@@ -1,0 +1,20 @@
+"""rusty_timeseries_db_spark — a PySpark-native analytics engine with the
+query/data-processing capabilities of bbartling/rusty-timeseries-db
+(reference, read-only snapshot), re-architected Spark-first.
+
+Layering:
+- ``session``    tuned SparkSession factory
+- ``schema``     canonical schemas + ingest normalization
+- ``api``        engine facade (ingest / query_by_id / FDD / overlay update)
+- ``operators``  as-of join, resample/LOCF/rolling, top-k, dedup,
+                 similarity search, overlay, multimodal plumbing
+- ``functions``  vector + text expression libraries
+- ``sources``    TESTDATA registry, parquet/json IO
+- ``streaming``  structured-streaming ingest + FDD
+- ``plans``      physical-plan inspection helpers
+"""
+
+from .api import TimeseriesEngine
+from .session import get_spark, tune_existing
+
+__all__ = ["TimeseriesEngine", "get_spark", "tune_existing"]

@@ -1,0 +1,238 @@
+"""Engine facade: the reference's live surface, re-expressed on Spark.
+
+Covers (SURVEY.md §2.1):
+- R1  insert/append            → ``ingest_rows`` / ``ingest_df``
+- R2  point update by key      → ``update_rows`` (overlay, §7.4)
+- R3  filtered range scan      → ``query_by_id``
+- R4  threshold FDD rule       → ``run_fault_detection``
+- R11 client-side fault count  → ``fault_count``
+
+Storage model: immutable Parquet, partitioned by ``series_bucket`` (and
+``ds`` date at scale), files sorted by ``(timeseries_id, ts)`` within
+partitions so Parquet row-group min/max stats make range queries behave
+like index seeks. Appends write new files — never the reference's
+whole-file rewrite (main.rs:81-90,101). Point updates (main.rs:106-117)
+become an *overlay* table merged at read time (operators/overlay.py),
+since Parquet files are immutable.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Mapping
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.overlay import apply_overlay
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from .schema import (
+    TELEMETRY_INGEST_SCHEMA,
+    TELEMETRY_SCHEMA,
+    normalize_ingest,
+    series_bucket,
+)
+
+#: On-disk telemetry schema = canonical schema + the physical bucket
+#: partition column. Built as a fresh StructType (StructType.add mutates
+#: in place — never call it on the shared schema).
+STORED_TELEMETRY_SCHEMA = StructType(
+    list(TELEMETRY_SCHEMA.fields) + [StructField("series_bucket", IntegerType(), True)]
+)
+
+#: FDD defaults from the reference (main.rs:388,399).
+DEFAULT_FAULT_THRESHOLD = 0.95
+DEFAULT_FLAG_VALUE = 1
+
+
+class TimeseriesEngine:
+    """A telemetry store + query surface over a Parquet warehouse dir.
+
+    Unlike the reference's 3,900-row cap (main.rs:21) there is no
+    capacity limit; ``max_rows`` exists only as an optional quota guard
+    so the fidelity test for "Table Full" (main.rs:438-461) has a home.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        max_rows: Optional[int] = None,
+    ) -> None:
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.telemetry_path = os.path.join(warehouse_dir, "telemetry")
+        self.overlay_path = os.path.join(warehouse_dir, "telemetry_overlay")
+        self.max_rows = max_rows
+        self._seq = 0
+
+    # ---------------------------------------------------------- reads
+
+    def _read_base(self) -> DataFrame:
+        if not os.path.isdir(self.telemetry_path):
+            return self.spark.createDataFrame([], STORED_TELEMETRY_SCHEMA)
+        return self.spark.read.schema(STORED_TELEMETRY_SCHEMA).parquet(
+            self.telemetry_path
+        )
+
+    def _read_overlay(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.overlay_path):
+            return None
+        try:
+            return self.spark.read.parquet(self.overlay_path)
+        except Exception:
+            return None
+
+    def telemetry(self) -> DataFrame:
+        """The public telemetry view: base ∪ overlay, last-write-wins."""
+        base = self._read_base()
+        overlay = self._read_overlay()
+        df = apply_overlay(base, overlay) if overlay is not None else base
+        return df.drop("series_bucket")
+
+    # --------------------------------------------------------- writes
+
+    def count(self) -> int:
+        return self._read_base().count()
+
+    def ingest_rows(self, rows: Iterable[Mapping]) -> int:
+        """R1 (main.rs:92-104): append rows; returns rows written.
+
+        Raises ``RuntimeError("Table Full")`` only when the optional
+        quota guard is configured and exceeded — reproducing the
+        reference's capacity error message (main.rs:95) as opt-in
+        behavior rather than a hard 3,900-row cap.
+        """
+        rows = list(rows)
+        payload = [
+            (
+                r["sensor_name"],
+                r.get("timestamp", r.get("ts_raw")),
+                float(r["value"]),
+                r.get("fc1_flag"),
+                r["timeseries_id"],
+            )
+            for r in rows
+        ]
+        df = self.spark.createDataFrame(payload, TELEMETRY_INGEST_SCHEMA)
+        return self.ingest_df(df)
+
+    def ingest_df(self, raw: DataFrame) -> int:
+        n = raw.count()
+        if self.max_rows is not None and self.count() + n > self.max_rows:
+            raise RuntimeError("Table Full")
+        # Dense, deterministic ingest_seq: arrival order is observable in
+        # the reference (rows return in insertion order, main.rs:126-137).
+        normalized = normalize_ingest(raw.coalesce(1), seq_offset=self._seq)
+        self._seq += n
+        (
+            normalized.withColumn("series_bucket", series_bucket(F.col("timeseries_id")))
+            .sortWithinPartitions("timeseries_id", "ts")
+            .write.mode("append")
+            .partitionBy("series_bucket")
+            .parquet(self.telemetry_path)
+        )
+        return n
+
+    def update_rows(self, rows: Iterable[Mapping]) -> int:
+        """R2 (main.rs:106-117): overwrite the row keyed by
+        ``(timestamp, timeseries_id)``. The reference updates only the
+        *first* matching row (insertion order); the overlay targets the
+        minimum ``ingest_seq`` match, preserving that semantics.
+        """
+        from .operators.overlay import build_overlay_for_updates
+
+        rows = list(rows)
+        payload = [
+            (
+                r["sensor_name"],
+                r.get("timestamp", r.get("ts_raw")),
+                float(r["value"]),
+                r.get("fc1_flag"),
+                r["timeseries_id"],
+            )
+            for r in rows
+        ]
+        updates = normalize_ingest(
+            self.spark.createDataFrame(payload, TELEMETRY_INGEST_SCHEMA).coalesce(1)
+        ).drop("ingest_seq")
+        overlay = build_overlay_for_updates(self._read_base(), updates)
+        n = overlay.count()
+        overlay.write.mode("append").parquet(self.overlay_path)
+        return n
+
+    # -------------------------------------------------------- queries
+
+    def query_by_id(self, timeseries_id: str, start: str, end: str) -> DataFrame:
+        """R3 (main.rs:119-139): ``timeseries_id = ? AND ts BETWEEN ? AND ?``,
+        both bounds inclusive, results in insertion order.
+
+        The reference compares ISO-8601 strings lexicographically
+        (main.rs:132-133); we filter on ``ts_raw`` for bit-exact fidelity
+        (identical for valid fixed-width ISO-8601 UTC) and additionally
+        constrain ``series_bucket`` so the Parquet scan prunes partitions.
+
+        Probe normalization: stored ids are 32-char-truncated
+        (main.rs:179) but the reference compares the *raw* query param
+        (main.rs:131), so a >32-char id (any 36-char UUID!) can never
+        match — its own round-trip test intent (main.rs:412-436) is
+        unsatisfiable as written. We truncate the probe identically,
+        preserving the intent instead of the bug.
+        """
+        timeseries_id = timeseries_id[:32]
+        bucket = series_bucket(F.lit(timeseries_id))
+        base = self._read_base()
+        overlay = self._read_overlay()
+        df = base.filter(F.col("series_bucket") == bucket)
+        if overlay is not None:
+            df = apply_overlay(df, overlay)
+        return (
+            df.filter(
+                (F.col("timeseries_id") == timeseries_id)
+                & (F.col("ts_raw") >= start)
+                & (F.col("ts_raw") <= end)
+            )
+            .drop("series_bucket")
+            .orderBy("ingest_seq")
+        )
+
+    def fault_count(
+        self, df: DataFrame, threshold: float = DEFAULT_FAULT_THRESHOLD
+    ) -> int:
+        """R11 (py_client.py:40-49): count rows with value strictly above
+        the threshold (boundary value == threshold is NOT a fault)."""
+        return df.filter(F.col("value") > threshold).count()
+
+    def run_fault_detection(
+        self,
+        timeseries_id: str,
+        start: str,
+        end: str,
+        threshold: float = DEFAULT_FAULT_THRESHOLD,
+        flag_value: int = DEFAULT_FLAG_VALUE,
+    ) -> int:
+        """R4 (main.rs:384-406): flag rows with ``value > threshold`` in
+        the window by setting ``fc1_flag``; returns rows flagged.
+
+        Implemented as a flag overlay append — the declarative analog of
+        the reference's read-modify-write loop (main.rs:397-405) — so no
+        data file is rewritten.
+        """
+        hits = self.query_by_id(timeseries_id, start, end).filter(
+            F.col("value") > threshold
+        )
+        overlay = hits.select(
+            "sensor_name",
+            "ts",
+            "ts_raw",
+            "value",
+            F.lit(flag_value).cast("tinyint").alias("fc1_flag"),
+            "timeseries_id",
+            "ingest_seq",
+        )
+        n = overlay.count()
+        if n:
+            overlay.write.mode("append").parquet(self.overlay_path)
+        return n

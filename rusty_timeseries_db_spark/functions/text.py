@@ -1,0 +1,97 @@
+"""Text-analysis expressions for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting. All built-in-function
+compositions (regexp/length/aggregate) — JVM-side, oracle-checkable in
+SQL where the same functions exist in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# language-ID heuristic. Deliberately minimal + deterministic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"],
+    "es": ["el", "la", "y", "de", "que", "en", "un", "una", "es", "por"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def token_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (cheap, exact)."""
+    return F.size(token_array(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword proxy: count word chunks + digits + punctuation
+    runs, the standard ~heuristic for LLM token estimation when no real
+    tokenizer is available. Regex split keeps it JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda t: F.trim(t) != ""))
+
+
+def stopword_ratio(col: Column | str, lang: str) -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = token_array(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def detect_language(col: Column | str) -> Column:
+    """Argmax of stopword ratios over known languages; 'und' when no
+    stopword hits at all. Deterministic tie-break: language order."""
+    ratios = [(lang, stopword_ratio(col, lang)) for lang in STOPWORDS]
+    best_lang = F.lit("und")
+    best_ratio = F.lit(0.0)
+    # fold right-to-left so earlier languages win ties
+    for lang, ratio in reversed(ratios):
+        cond = ratio > best_ratio
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(cond, ratio).otherwise(best_ratio)
+    return best_lang
+
+
+def quality_score(col: Column | str) -> Column:
+    """[0,1] document-quality heuristic: mean of
+    - length score: min(1, n_chars / 200)
+    - word-length sanity: 1 if mean token length in [3, 12] else 0
+    - alpha ratio: letters / chars
+    All pure expressions; mirrors the usual Gopher/C4-style filters."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = token_array(c)
+    mean_tok = F.when(
+        F.size(toks) > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_chars / F.lit(200.0))
+    tok_score = F.when((mean_tok >= 3) & (mean_tok <= 12), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / n_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (len_score + tok_score + alpha_ratio) / F.lit(3.0)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Stable document fingerprint: md5 over normalized text (md5 exists
+    in both Spark and DuckDB → oracle-checkable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))

@@ -1,0 +1,12 @@
+from .asof import asof_join, asof_join_tolerance
+from .dedup import (
+    content_hash,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .overlay import apply_overlay, build_overlay_for_updates, compact
+from .resample import cumulative_agg, locf_fill, resample, rolling_agg, time_spine
+from .similarity import cosine_topk, lsh_cosine_topk
+from .topk import topk, topk_per_group

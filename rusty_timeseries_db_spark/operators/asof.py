@@ -1,0 +1,129 @@
+"""As-of join — the canonical TSDB operator the reference lacks
+(SURVEY §2.2, §7.5). Two implementations with different scale envelopes:
+
+1. ``asof_join`` (union + window): one shuffle on the key, no join
+   blow-up, O(n log n) per key — the general/large case. This is the
+   pattern Flink/kdb-style engines use for temporal joins, expressed
+   purely with DataFrame ops so Catalyst/Tungsten execute it JVM-side.
+2. ``asof_join_tolerance`` (range join + rank): for bounded lookback
+   windows; lets Spark prune the join to ``[t-τ, t]`` and is
+   broadcast-friendly when the right side is small.
+
+Correctness is cross-checked against ``pandas.merge_asof`` in
+tests/test_asof.py and a SQL oracle in the declared-query manifest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    right_order: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` key (backward as-of,
+    inclusive). Left rows with no prior right row keep NULL payloads.
+
+    ``right_order`` breaks ties among right rows sharing (key, ts):
+    the row with the greatest ``right_order`` wins (deterministic).
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in on and c != right_ts
+        ]
+    payload = [f"{c}{suffix}" for c in right_cols]
+
+    # Tag and union: right rows sort before left rows at equal ts so an
+    # exact-timestamp right row is visible to the left row (inclusive).
+    order_col = (
+        F.col(right_order) if right_order is not None else F.lit(0)
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        order_col.cast("long").alias("_asof_tie"),
+        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast("long").alias("_asof_tie"),
+        *[F.lit(None).cast(r.schema[p].dataType).alias(p) for p in payload],
+    )
+    unioned = l.unionByName(r.select(*on, "_asof_ts", "_asof_side", "_asof_tie", *payload), allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc(), F.col("_asof_tie").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in payload],
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    return filled.filter(F.col("_asof_side") == 1).drop(
+        "_asof_ts", "_asof_side", "_asof_tie"
+    )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    tolerance_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    right_order: str | None = None,
+    suffix: str = "_right",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Bounded-lookback as-of: latest right row in
+    ``[left.ts - tolerance, left.ts]`` per key. Range join + pick-latest;
+    set ``broadcast_right`` when the right side fits in memory."""
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    payload = [f"{c}{suffix}" for c in right_cols]
+
+    r = right.select(
+        *[F.col(c).alias(f"_r_{c}") for c in on],
+        F.col(right_ts).alias("_r_ts"),
+        (F.col(right_order).cast("long") if right_order else F.lit(0)).alias("_r_tie"),
+        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+    )
+    if broadcast_right:
+        r = F.broadcast(r)
+    # Unique left-row identity so duplicate left rows each keep a match.
+    lhs = left.withColumn("_l_uid", F.monotonically_increasing_id())
+    cond = F.lit(True)
+    for c in on:
+        cond = cond & (lhs[c] == F.col(f"_r_{c}"))
+    cond = (
+        cond
+        & (F.col("_r_ts") <= lhs[left_ts])
+        & (F.col("_r_ts") >= lhs[left_ts] - F.expr(f"INTERVAL {tolerance_seconds} SECOND"))
+    )
+    joined = lhs.join(r, cond, "left")
+    w = Window.partitionBy("_l_uid").orderBy(
+        F.col("_r_ts").desc_nulls_last(), F.col("_r_tie").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_l_uid", "_r_ts", "_r_tie", *[f"_r_{c}" for c in on])
+    )

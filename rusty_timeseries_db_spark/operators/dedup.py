@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and n-gram Jaccard (north-star mandated;
+the reference has no dedup — it permits duplicate keys on insert,
+main.rs:92-104).
+
+Everything here is built from Spark SQL higher-order functions
+(``transform`` / ``aggregate`` / ``zip_with``) and ``xxhash64`` so the
+hot path stays inside whole-stage codegen — no Python UDFs. The LSH
+band join is the textbook shuffle-bounded plan: candidates are generated
+by an equi-join on (band_index, band_hash), never an all-pairs cross
+join, so it scales to billions of documents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame,
+    cols: Sequence[str],
+    order: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Keep one row per distinct ``cols`` value. With ``order`` given,
+    keeps the first row in that order (deterministic); otherwise an
+    arbitrary representative (plain ``dropDuplicates`` — cheaper, one
+    hash aggregate)."""
+    if order is None:
+        return df.dropDuplicates(list(cols))
+    w = Window.partitionBy(*cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def content_hash(col: Column | str, normalize: bool = True) -> Column:
+    """Stable content fingerprint: md5 of whitespace-normalized,
+    lowercased text. md5 exists in both Spark and DuckDB, so this exact
+    recipe is oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(c)
+
+
+# ------------------------------------------------------------ shingles
+
+def word_tokens(col: Column | str) -> Column:
+    """Lowercased word tokens (non-empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a token array (JVM-side)."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k))
+        )
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    ``xxhash64(shingle, i)``. One array column, all codegen."""
+    sigs = [
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH.
+
+    Plan shape (scale-critical):
+      1. signature per doc — narrow, no shuffle;
+      2. explode ``bands`` band-hashes per doc — narrow;
+      3. self-equi-join on (band, band_hash) — ONE shuffle, bounded by
+         bucket sizes, never all-pairs;
+      4. estimate Jaccard from signature agreement; filter ≥ threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(
+            word_shingles(word_tokens(text_col), shingle_k), num_hashes
+        ).alias("_sig"),
+    )
+    banded = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("_band"),
+    ).select("_id", "_sig", "_band.band", "_band.bhash")
+
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"), "band", "bhash"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"), "band", "bhash"
+    )
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sig_a", "_sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with(
+                "_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array, as one codegen'd expression:
+    per-bit signed vote across token hashes, then sign → bit fold.
+    """
+    # votes[j] = sum over tokens of (2*bit_j(xxhash64(t)) - 1)
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("long"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # fold: bit j set iff votes[j] > 0
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into ``bands``
+    16-bit chunks (pigeonhole: any pair within hamming ≤ bands-1 shares
+    ≥1 exact band), equi-join on (band, chunk), verify with
+    ``bit_count(xor)``. Same shuffle-bounded shape as MinHash LSH."""
+    width = 64 // bands
+    hashed = df.select(
+        F.col(id_col).alias("_id"), simhash64(word_tokens(text_col)).alias("_sh")
+    )
+    banded = hashed.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.shiftright(F.col("_sh"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", "_sh", "_b.band", "_b.chunk")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "band", "chunk")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "band", "chunk")
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word n-gram sets, for all
+    pairs sharing ≥1 n-gram (posting-list join — the inverted-index
+    plan, not a cross join). SQL-expressible, so oracle-checked.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(word_tokens(text_col), n)).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = grams.select(F.col("_id").alias("id_a"), "gram")
+    b = grams.select(F.col("_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

