@@ -1,0 +1,82 @@
+"""Bench harness: runs the headline declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Timing protocol: each query plan is executed to completion with a
+count-style action that forces full materialization of the result
+(``df.foreach`` no-op would skip codegen of the final project, so we use
+``count`` on the cached-free plan — results are small aggregates or
+mid-size row sets, and the driver never collects them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rusty_timeseries_db_spark import queries as _q
+from rusty_timeseries_db_spark.session import get_spark
+
+#: Headline queries — one per operator family (SURVEY §2.2).
+HEADLINE = [
+    "q_filter_range",
+    "q_agg_pricing_summary",
+    "q_agg_stats",
+    "q_join_inner_broadcast",
+    "q_join_left_outer",
+    "q_asof_join",
+    "q_window_topk_per_group",
+    "q_window_rolling_time",
+    "q_topk_global",
+    "q_union_distinct",
+    "q_tumbling_window",
+    "q_dedup_exact",
+    "q_minhash_pairs",
+    "q_similarity_bruteforce",
+    "q_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="rtsdb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM / file listing once so the first timed query isn't
+    # charged for session start and codegen compilation of the scan path.
+    for t in ("lineitem", "orders", "events", "documents", "embeddings", "customer"):
+        _q.T(spark, sf_dir, t).count()
+
+    fns = _q.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = fns[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -74,13 +74,43 @@ def word_shingles(tokens: Column, k: int = 3) -> Column:
 # ------------------------------------------------------------- minhash
 
 def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    ``xxhash64(shingle, i)``. One array column, all codegen."""
+    """MinHash signature as a single array expression. NOTE: evaluating
+    this inlines the shingle expression once per hash — prefer
+    ``minhash_signatures_df`` (explode + aggregate) in pipelines; this
+    form is kept for expression-level composition on small inputs."""
     sigs = [
         F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
         for i in range(num_hashes)
     ]
     return F.array(*sigs)
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """(id, sig array) via explode → single hash-aggregate.
+
+    Tokenization/shingling runs ONCE per document (not once per hash
+    function — Catalyst does not share subexpressions across array
+    elements), then ``num_hashes`` ``min(xxhash64(shingle, i))`` aggs
+    run in one partial+final hash-agg pass. One shuffle on the doc id,
+    map-side combined — the scale-correct plan for billions of docs.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(word_tokens(text_col), shingle_k)).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("_id").agg(*aggs).select(
+        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
+    )
 
 
 def minhash_dedup_pairs(
@@ -104,12 +134,7 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(
-            word_shingles(word_tokens(text_col), shingle_k), num_hashes
-        ).alias("_sig"),
-    )
+    sigs = minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
     banded = sigs.select(
         "_id",
         "_sig",
@@ -161,6 +186,7 @@ def simhash64(tokens: Column) -> Column:
     per-bit signed vote across token hashes, then sign → bit fold.
     """
     # votes[j] = sum over tokens of (2*bit_j(xxhash64(t)) - 1)
+    # (getbit accepts a column bit position; shiftright does not)
     votes = F.aggregate(
         tokens,
         F.array_repeat(F.lit(0).cast("long"), 64),
@@ -168,25 +194,46 @@ def simhash64(tokens: Column) -> Column:
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
-                lambda j: (
-                    F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1
-                ).cast("long"),
+                lambda j: (F.getbit(F.xxhash64(t), j) * 2 - 1).cast("long"),
             ),
             lambda x, y: x + y,
         ),
     )
-    # fold: bit j set iff votes[j] > 0
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    # fold MSB-first: acc*2 + bit reconstructs the 64-bit word exactly
+    bits = F.transform(
+        votes, lambda v: F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
     )
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
+    )
+
+
+def simhash64_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, 64-bit simhash) via explode → one hash-aggregate pass.
+
+    Each exploded token is hashed ONCE (``xxhash64``), then 64 per-bit
+    signed-vote sums run in a single partial+final aggregate; the bit
+    fold back to a long happens post-agg. Same scale profile as
+    ``minhash_signatures_df``."""
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_tokens(text_col)).alias("_t"),
+    ).select("_id", F.xxhash64(F.col("_t")).alias("_h"))
+    votes = exploded.groupBy("_id").agg(
+        *[
+            F.sum(F.getbit(F.col("_h"), F.lit(j)) * 2 - 1).alias(f"_v{j}")
+            for j in range(64)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for j in range(63, -1, -1):
+        bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = F.shiftleft(sh, 1).bitwiseOR(bit)
+    return votes.select("_id", sh.alias("_sh"))
 
 
 def simhash_pairs(
@@ -201,21 +248,21 @@ def simhash_pairs(
     ≥1 exact band), equi-join on (band, chunk), verify with
     ``bit_count(xor)``. Same shuffle-bounded shape as MinHash LSH."""
     width = 64 // bands
-    hashed = df.select(
-        F.col(id_col).alias("_id"), simhash64(word_tokens(text_col)).alias("_sh")
-    )
+    hashed = simhash64_df(df, id_col, text_col)
     banded = hashed.select(
         "_id",
         "_sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftright(F.col("_sh"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("chunk"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("_sh"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for bi in range(bands)
+                ]
             )
         ).alias("_b"),
     ).select("_id", "_sh", "_b.band", "_b.chunk")

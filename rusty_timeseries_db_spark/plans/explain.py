@@ -39,5 +39,26 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def executed_plan(df: DataFrame) -> str:
+    """Final physical plan *after* execution — with AQE on, the
+    pre-execution formatted plan hides the adaptively-chosen plan
+    (and its WholeStageCodegen spans)."""
+    df.collect()  # count() would build a *separate* query execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen spans in the final plan.
+    In compact plan strings a span shows as a ``*(N)`` operator prefix;
+    the verbose form spells out ``WholeStageCodegen``."""
+    import re
+
+    plan = formatted_plan(df)
+    n = plan.count("WholeStageCodegen")
+    if n == 0 and "AdaptiveSparkPlan" in plan:
+        ex = executed_plan(df)
+        n = max(
+            ex.count("WholeStageCodegen"),
+            len(set(re.findall(r"\*\((\d+)\)", ex))),
+        )
+    return n

@@ -1,0 +1,1728 @@
+"""Declared-query manifest (SURVEY §2.2/§2.3): every operator surface
+the engine claims, as a (Spark callable, DuckDB oracle SQL) pair. The
+driver runs both at sf0.01 and hash-compares row values with columns
+sorted by name — so every computed column is aliased identically on
+both sides, and every float output is made *deterministic* on both
+engines:
+
+- money sums (2-dp doubles) go through ``decimal(18,2)`` so the sum is
+  exact and order-independent, then cast to double at the end;
+- stddev/variance are computed from exact decimal sums with identical
+  double arithmetic on both sides (single-pass formula), not the
+  engines' internal accumulators;
+- remaining float outputs are ``round(x, 6)`` on both sides.
+
+Queries with no SQL-expressible oracle (xxhash64-based MinHash/SimHash,
+LSH, multimodal stubs) are declared with ``oracle=None`` → the driver
+records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join, asof_join_tolerance
+from .operators.dedup import (
+    content_hash,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+    word_tokens,
+)
+from .operators.similarity import cosine_topk, lsh_cosine_topk
+from .operators.topk import topk, topk_per_group
+from .functions.text import detect_language, quality_score, token_array
+from .functions.vectors import cosine
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: list[QuerySpec] = []
+
+
+def declare(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn: QueryFn) -> QueryFn:
+        _REGISTRY.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in _REGISTRY}
+
+
+def all_oracles() -> dict[str, str]:
+    return {q.name: q.oracle for q in _REGISTRY if q.oracle is not None}
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a TESTDATA table, normalizing timestamp precision.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark's TimestampType is
+    µs and refuses nanos. We read nanos as long (legacy conf) and
+    floor-divide to µs, which matches DuckDB's own ns→µs truncation on
+    read, so both engines see identical values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+# helpers -----------------------------------------------------------------
+
+def dec(col, scale: int = 2):
+    """Exact-decimal view of a 2-dp double (order-independent sums)."""
+    return col.cast(f"decimal(18,{scale})")
+
+
+def dsum(col, scale: int = 2):
+    """Exact decimal sum of a fixed-scale double, as double."""
+    return F.sum(dec(col, scale)).cast("double")
+
+
+# ======================================================================
+# Fidelity queries (reference semantics, VALUES-based — no table reads)
+# ======================================================================
+
+_TELEMETRY_VALUES_SQL = """
+(VALUES
+  ('Sa_FanSpeed', '2024-08-28T12:00:00Z', 0.8, CAST(NULL AS TINYINT), '8f541ba4-c437-43ba-ba1d-5c946583'),
+  ('Sa_FanSpeed', '2024-08-28T12:01:00Z', 0.9, CAST(NULL AS TINYINT), '8f541ba4-c437-43ba-ba1d-5c946583'),
+  ('Sa_FanSpeed', '2024-08-28T12:02:00Z', 1.0, CAST(NULL AS TINYINT), '8f541ba4-c437-43ba-ba1d-5c946583'),
+  ('Oa_DamperPos', '2024-08-28T12:00:30Z', 0.4, CAST(1 AS TINYINT), '11111111-2222-3333-4444-55556666')
+) AS telemetry_fixture(sensor_name, ts_raw, value, fc1_flag, timeseries_id)
+"""
+
+_FIXTURE_ROWS = [
+    ("Sa_FanSpeed", "2024-08-28T12:00:00Z", 0.8, None, "8f541ba4-c437-43ba-ba1d-5c946583"),
+    ("Sa_FanSpeed", "2024-08-28T12:01:00Z", 0.9, None, "8f541ba4-c437-43ba-ba1d-5c946583"),
+    ("Sa_FanSpeed", "2024-08-28T12:02:00Z", 1.0, None, "8f541ba4-c437-43ba-ba1d-5c946583"),
+    ("Oa_DamperPos", "2024-08-28T12:00:30Z", 0.4, 1, "11111111-2222-3333-4444-55556666"),
+]
+
+
+def _fixture_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _FIXTURE_ROWS,
+        "sensor_name string, ts_raw string, value double, fc1_flag tinyint, timeseries_id string",
+    )
+
+
+@declare(
+    "q_r3_query_by_id",
+    f"""
+    SELECT sensor_name, ts_raw, value, fc1_flag, timeseries_id
+    FROM {_TELEMETRY_VALUES_SQL}
+    WHERE timeseries_id = '8f541ba4-c437-43ba-ba1d-5c946583'
+      AND ts_raw >= '2024-08-28T12:00:00Z' AND ts_raw <= '2024-08-28T12:01:00Z'
+    """,
+    doc="R3 filtered range scan, inclusive bounds (main.rs:119-139)",
+)
+def q_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _fixture_df(spark)
+    return df.filter(
+        (F.col("timeseries_id") == "8f541ba4-c437-43ba-ba1d-5c946583")
+        & (F.col("ts_raw") >= "2024-08-28T12:00:00Z")
+        & (F.col("ts_raw") <= "2024-08-28T12:01:00Z")
+    )
+
+
+@declare(
+    "q_r4_fdd_overlay",
+    f"""
+    SELECT sensor_name, ts_raw, value,
+           CASE WHEN value > 0.95 THEN CAST(1 AS TINYINT) ELSE fc1_flag END AS fc1_flag,
+           timeseries_id
+    FROM {_TELEMETRY_VALUES_SQL}
+    """,
+    doc="R4 threshold flag overlay (main.rs:384-406), strict >",
+)
+def q_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _fixture_df(spark)
+    return df.withColumn(
+        "fc1_flag",
+        F.when(F.col("value") > 0.95, F.lit(1).cast("tinyint")).otherwise(
+            F.col("fc1_flag")
+        ),
+    )
+
+
+@declare(
+    "q_r11_fault_count",
+    f"""
+    SELECT timeseries_id, CAST(count(*) FILTER (WHERE value > 0.95) AS BIGINT) AS fault_count
+    FROM {_TELEMETRY_VALUES_SQL}
+    GROUP BY timeseries_id
+    """,
+    doc="R11 client-side fault count (py_client.py:40-49)",
+)
+def q_r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _fixture_df(spark)
+    return df.groupBy("timeseries_id").agg(
+        F.sum(F.when(F.col("value") > 0.95, 1).otherwise(0))
+        .cast("long")
+        .alias("fault_count")
+    )
+
+
+# ======================================================================
+# Projection / filter
+# ======================================================================
+
+@declare(
+    "q_filter_range",
+    """
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE user_id = 7
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    doc="R3-analog equality + inclusive time range on events",
+)
+def q_filter_range(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") == 7)
+            & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+        )
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+@declare(
+    "q_filter_compound",
+    """
+    SELECT event_id, user_id, event_type, value, props
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND value BETWEEN 5.0 AND 50.0
+      AND (props LIKE '%"k": 1%' OR user_id < 10)
+      AND props IS NOT NULL
+    """,
+    doc="compound AND/OR, isin, LIKE, null checks",
+)
+def q_filter_compound(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").between(5.0, 50.0)
+            & (F.col("props").like('%"k": 1%') | (F.col("user_id") < 10))
+            & F.col("props").isNotNull()
+        )
+        .select("event_id", "user_id", "event_type", "value", "props")
+    )
+
+
+@declare(
+    "q_project_compute",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DOUBLE) AS disc_price,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_quantity >= 45
+    """,
+    doc="projection with computed columns (exact decimal arithmetic)",
+)
+def q_project_compute(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_quantity") >= 45)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("disc_price"),
+        F.col("l_quantity").cast("long").alias("qty_int"),
+    )
+
+
+# ======================================================================
+# Aggregations
+# ======================================================================
+
+@declare(
+    "q_agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style grouped agg (partial+final hash agg)",
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-06-01 00:00:00"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        F.sum(dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(F.sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+        F.round(dsum(F.col("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@declare(
+    "q_agg_stats",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, min_value, max_value,
+           ROUND(sv / n, 6) AS avg_value,
+           ROUND(SQRT((svv - sv * sv / n) / (n - 1)), 6) AS stddev_value
+    FROM s
+    """,
+    doc="min/max/avg/stddev from exact decimal sums (engine-agnostic)",
+)
+def q_agg_stats(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("sv"),
+        F.sum(dec(F.col("value")) * dec(F.col("value"))).cast("double").alias("svv"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "min_value",
+        "max_value",
+        F.round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+        F.round(
+            F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)),
+            6,
+        ).alias("stddev_value"),
+    )
+
+
+@declare(
+    "q_count_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="exact count distinct per group",
+)
+def q_count_distinct(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@declare(
+    "q_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+    doc="exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)",
+)
+def q_percentiles(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+    )
+
+
+@declare(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical rollup with grouping ids",
+)
+def q_rollup(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@declare(
+    "q_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="cube over status × priority",
+)
+def q_cube(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@declare(
+    "q_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="explicit grouping sets (SQL surface)",
+)
+def q_grouping_sets(spark, sf_dir):
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@declare(
+    "q_having",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    doc="grouped agg + having filter",
+)
+def q_having(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@declare(
+    "q_collect_set",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_seen,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+    doc="collect_set → canonical sorted string (engine-agnostic form)",
+)
+def q_collect_set(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+                "types_seen"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ======================================================================
+# Joins
+# ======================================================================
+
+@declare(
+    "q_join_inner_broadcast",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="fact ⋈ broadcast dims, grouped revenue (Catalyst → BroadcastHashJoin)",
+)
+def q_join_inner_broadcast(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@declare(
+    "q_join_left_outer",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="left outer join keeping customers with zero orders",
+)
+def q_join_left_outer(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@declare(
+    "q_join_full_outer",
+    """
+    WITH cn AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    doc="full outer join of per-nation customer/supplier counts",
+)
+def q_join_full_outer(spark, sf_dir):
+    c = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c["nk"] == s["nk"], "outer")
+        .select(
+            F.coalesce(c["nk"], s["nk"]).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@declare(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    doc="left semi join (EXISTS)",
+)
+def q_join_semi(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@declare(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left anti join (NOT EXISTS) — customers with no orders",
+)
+def q_join_anti(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@declare(
+    "q_join_range_bands",
+    """
+    SELECT b.band_name, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 1e9))
+         AS b(band_name, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_name
+    """,
+    doc="non-equi (theta/range) join against value bands",
+)
+def q_join_range_bands(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 1e9)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e["value"] >= bands["lo"]) & (e["value"] < bands["hi"]),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@declare(
+    "q_join_cross",
+    """
+    SELECT r.r_name, p.o_orderpriority
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    """,
+    doc="guarded cross join (small × small)",
+)
+def q_join_cross(spark, sf_dir):
+    r = T(spark, sf_dir, "region").select("r_name")
+    p = T(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(p)
+
+
+@declare(
+    "q_asof_join",
+    """
+    WITH j AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+             e.ts AS ev_ts, e.value AS ev_value, e.event_id,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM orders o
+      JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           j.ev_value AS value_right
+    FROM orders o
+    LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.o_orderkey = o.o_orderkey
+    """,
+    doc="as-of join: latest event per customer at or before order date "
+    "(union+window implementation, operators/asof.py)",
+)
+def q_asof_join(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = T(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"), "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        o,
+        e,
+        on=["o_custkey"],
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_cols=["value"],
+        right_order="event_id",
+    )
+    return joined.select("o_orderkey", "o_custkey", "value_right")
+
+
+@declare(
+    "q_asof_tolerance",
+    """
+    WITH j AS (
+      SELECT o.o_orderkey, e.value AS ev_value,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM orders o
+      JOIN events e ON e.user_id = o.o_custkey
+                   AND e.ts <= o.o_orderdate
+                   AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+    )
+    SELECT o.o_orderkey, j.ev_value AS value_right
+    FROM orders o
+    LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.o_orderkey = o.o_orderkey
+    """,
+    doc="bounded-lookback as-of join (range join + pick-latest)",
+)
+def q_asof_tolerance(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = T(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"), "ts", "value", "event_id"
+    )
+    joined = asof_join_tolerance(
+        o,
+        e,
+        on=["o_custkey"],
+        tolerance_seconds=7 * 24 * 3600,
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_cols=["value"],
+        right_order="event_id",
+        broadcast_right=True,
+    )
+    return joined.select("o_orderkey", "value_right")
+
+
+@declare(
+    "q_interval_overlap_join",
+    """
+    SELECT w.window_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM (VALUES
+            (1, TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+            (2, TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-11 00:00:00'),
+            (3, TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-27 00:00:00')
+         ) AS w(window_id, w_start, w_end)
+    LEFT JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id
+    """,
+    doc="interval/overlap join: maintenance windows × event stream",
+)
+def q_interval_overlap_join(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = spark.createDataFrame(
+        [
+            (1, "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+            (2, "2024-01-10 12:00:00", "2024-01-11 00:00:00"),
+            (3, "2024-01-20 00:00:00", "2024-01-27 00:00:00"),
+        ],
+        "window_id int, w_start string, w_end string",
+    ).select(
+        "window_id",
+        F.to_timestamp("w_start").alias("w_start"),
+        F.to_timestamp("w_end").alias("w_end"),
+    )
+    return (
+        F.broadcast(w)
+        .join(e, (e["ts"] >= w["w_start"]) & (e["ts"] < w["w_end"]), "left")
+        .groupBy("window_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ======================================================================
+# Window functions
+# ======================================================================
+
+@declare(
+    "q_window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+    doc="per-group top-k via ranking window",
+)
+def q_window_topk_per_group(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).withColumn("rn", F.col("rn").cast("int"))
+
+
+@declare(
+    "q_window_lag_lead",
+    """
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           ROUND(value - COALESCE(lag(value) OVER w, value), 6) AS delta
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead analytics per series in event order",
+)
+def q_window_lag_lead(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 6
+        ).alias("delta"),
+    )
+
+
+@declare(
+    "q_window_cumulative",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+    FROM events
+    WHERE user_id < 30
+    """,
+    doc="cumulative aggregates per series",
+)
+def q_window_cumulative(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("cum_value"),
+        F.count("*").over(w).alias("cum_n"),
+    )
+
+
+@declare(
+    "q_window_rank_ntile",
+    """
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+    doc="rank / dense_rank / ntile per brand",
+)
+def q_window_rank_ntile(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@declare(
+    "q_window_rolling_time",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                                  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 6) AS rolling_avg_1d,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_n_1d
+    FROM events
+    WHERE user_id < 20
+    """,
+    doc="event-time rolling window (RANGE frame over epoch seconds)",
+)
+def q_window_rolling_time(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    epoch = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-86400, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg_1d"),
+        F.count("*").over(w).alias("rolling_n_1d"),
+    )
+
+
+@declare(
+    "q_window_first_last",
+    """
+    SELECT user_id,
+           MIN(first_v) AS first_value_overall,
+           MIN(last_v) AS last_value_overall
+    FROM (
+      SELECT user_id,
+             first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+             last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+      FROM events
+    ) t GROUP BY user_id
+    """,
+    doc="first/last value per series over full frame",
+)
+def q_window_first_last(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("value").over(w).alias("first_v"),
+            F.last("value").over(w).alias("last_v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("first_v").alias("first_value_overall"),
+            F.min("last_v").alias("last_value_overall"),
+        )
+    )
+
+
+# ======================================================================
+# Set operations
+# ======================================================================
+
+@declare(
+    "q_union_all",
+    """
+    SELECT c_custkey AS custkey, 'builder' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey AS custkey, 'machine' AS src FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    doc="union all preserving duplicates",
+)
+def q_union_all(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"), F.lit("builder").alias("src")
+    )
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey"), F.lit("machine").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@declare(
+    "q_union_distinct",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="union distinct",
+)
+def q_union_distinct(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@declare(
+    "q_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="intersect (distinct)",
+)
+def q_intersect(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@declare(
+    "q_except",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="except (distinct)",
+)
+def q_except(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)
+
+
+@declare(
+    "q_intersect_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc="intersect all (bag semantics)",
+)
+def q_intersect_all(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+# ======================================================================
+# Sort / limit / top-k
+# ======================================================================
+
+@declare(
+    "q_topk_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="global top-k (Catalyst → TakeOrderedAndProject, no full sort)",
+)
+def q_topk_global(spark, sf_dir):
+    return topk(
+        T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=10,
+    )
+
+
+# ======================================================================
+# Scalar function families
+# ======================================================================
+
+@declare(
+    "q_scalar_string",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           lower(p_type) AS type_lo,
+           substring(p_name, 1, 10) AS name10,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           trim(concat(p_brand, ' ', p_type)) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+           CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS INTEGER) AS n_words
+    FROM part WHERE p_partkey <= 500
+    """,
+    doc="string function family (concat/substr/trim/pad/regexp/replace)",
+)
+def q_scalar_string(spark, sf_dir):
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.trim(F.concat(F.col("p_brand"), F.lit(" "), F.col("p_type"))).alias(
+            "brand_type"
+        ),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+        (
+            F.length("p_name")
+            - F.length(F.regexp_replace("p_name", " ", ""))
+            + 1
+        )
+        .cast("int")
+        .alias("n_words"),
+    )
+
+
+@declare(
+    "q_scalar_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch_start,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_ts,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+    doc="date/time family (extract, trunc, diff, arithmetic, epoch)",
+)
+def q_scalar_datetime(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+@declare(
+    "q_scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 0) AS price_round,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           abs(l_discount - 0.05) AS disc_dev,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(l_quantity * l_quantity, 6) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           greatest(l_quantity, 25.0) AS qty_hi,
+           least(l_quantity, 25.0) AS qty_lo
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    doc="math family (round/floor/ceil/abs/sqrt/pow/ln/exp/sign/greatest)",
+)
+def q_scalar_math(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_round"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.col("l_quantity") * F.col("l_quantity"), 6).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@declare(
+    "q_scalar_conditional",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'jumbo'
+                WHEN o_totalprice > 150000 THEN 'large'
+                ELSE 'standard' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS real_priority,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS finished_value
+    FROM orders WHERE o_orderkey <= 5000
+    """,
+    doc="conditional/null family (CASE, coalesce, nullif)",
+)
+def q_scalar_conditional(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "jumbo")
+        .when(F.col("o_totalprice") > 150000, "large")
+        .otherwise("standard")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias(
+            "real_priority"
+        ),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(0.0)
+        .alias("finished_value"),
+    )
+
+
+@declare(
+    "q_scalar_json",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events WHERE event_id < 2000
+    """,
+    doc="JSON extraction (HTTP body handling analog, main.rs:329)",
+)
+def q_scalar_json(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+@declare(
+    "q_array_ops",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="array family (split/size/distinct/contains/sort/slice)",
+)
+def q_array_ops(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.concat_ws(",", F.slice(F.sort_array(F.array_distinct(toks)), 1, 3)).alias(
+            "first3"
+        ),
+    )
+
+
+@declare(
+    "q_hash_functions",
+    """
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="hash family (md5 / sha2-256; xxhash64 is Spark-only → rows-only ops)",
+)
+def q_hash_functions(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
+# ======================================================================
+# Time-series ops (batch forms; streaming variants in streaming/)
+# ======================================================================
+
+@declare(
+    "q_tumbling_window",
+    """
+    SELECT event_type,
+           CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY event_type, floor(epoch(ts) / 300)
+    """,
+    doc="5-minute tumbling window aggregation (window() ≡ epoch bucketing)",
+)
+def q_tumbling_window(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-03 00:00:00")
+    return (
+        e.groupBy("event_type", F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@declare(
+    "q_resample_1d",
+    """
+    SELECT user_id, date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events WHERE user_id < 10
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+    doc="daily resample per series (downsampling)",
+)
+def q_resample_1d(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(dsum(F.col("value")) / F.count("*"), 6).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@declare(
+    "q_locf_gapfill",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, MAX(value) AS v
+      FROM events WHERE user_id < 5 AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM obs GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds b
+    )
+    SELECT s.user_id, s.hr,
+           last_value(o.v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.hr
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.hr = s.hr
+    """,
+    doc="LOCF gap-fill on an hourly generated spine (operators/resample.py)",
+)
+def q_locf_gapfill(spark, sf_dir):
+    from .operators.resample import locf_fill
+
+    e = T(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 5) & (F.col("ts") < "2024-01-08 00:00:00")
+    )
+    obs = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.max("value").alias("v")
+    )
+    filled = locf_fill(
+        obs, keys=["user_id"], ts="hr", value_cols=["v"], step="1 hour"
+    )
+    return filled.select("user_id", "hr", F.col("v").alias("v_filled"))
+
+
+@declare(
+    "q_gaps_islands_runs",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value > 20 THEN 1 ELSE 0 END AS is_hot,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             SUM(CASE WHEN value > 20 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hot_cum
+    FROM events
+    )
+    SELECT user_id, CAST(rn - hot_cum AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS run_length,
+           MIN(ts) AS run_start, MAX(ts) AS run_end
+    FROM marked WHERE is_hot = 1
+    GROUP BY user_id, rn - hot_cum
+    HAVING COUNT(*) >= 3
+    """,
+    doc="gaps-and-islands: runs of ≥3 consecutive over-threshold readings "
+    "(streaming/fdd.py consecutive_faults)",
+)
+def q_gaps_islands_runs(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.withColumn("is_hot", (F.col("value") > 20).cast("int")).withColumn(
+        "grp",
+        (F.row_number().over(w) - F.sum("is_hot").over(wcum)).cast("long"),
+    )
+    return (
+        marked.filter(F.col("is_hot") == 1)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count("*").alias("run_length"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+        )
+        .filter(F.col("run_length") >= 3)
+    )
+
+
+# ======================================================================
+# LLM-data-pipeline: dedup
+# ======================================================================
+
+@declare(
+    "q_dedup_exact",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="exact dedup via normalized content hash (keep-first)",
+)
+def q_dedup_exact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", content_hash(F.col("text")))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@declare(
+    "q_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               array_to_string(ws[i:i+2], ' ') AS gram
+        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+        WHERE i <= greatest(len(ws) - 2, 1)
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+    """,
+    doc="exact n-gram Jaccard near-dup pairs (inverted-index join)",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.35)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@declare(
+    "q_minhash_pairs",
+    None,
+    doc="MinHash+LSH near-dup candidates (xxhash64 — no SQL oracle; "
+    "validated against q_ngram_jaccard in tests)",
+)
+def q_minhash_pairs(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        d, "doc_id", "text", shingle_k=3, num_hashes=128, bands=32, threshold=0.35
+    )
+
+
+@declare(
+    "q_simhash_pairs",
+    None,
+    doc="SimHash near-dup candidates (xxhash64 — no SQL oracle)",
+)
+def q_simhash_pairs(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=8, bands=4)
+
+
+# ======================================================================
+# LLM-data-pipeline: text analysis
+# ======================================================================
+
+@declare(
+    "q_token_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(ws) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(ws)) AS INTEGER) AS n_unique,
+           ROUND(list_aggregate(list_transform(ws, x -> CAST(len(x) AS DOUBLE)), 'sum') / len(ws), 6) AS avg_token_len
+    FROM t
+    """,
+    doc="token counting + lexical stats per document",
+)
+def q_token_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    toks = token_array(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@declare(
+    "q_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS DOUBLE) AS nc,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((least(1.0, nc / 200.0)
+                + (CASE WHEN len(ws) > 0
+                        AND list_aggregate(list_transform(ws, x -> CAST(len(x) AS DOUBLE)), 'sum') / len(ws) BETWEEN 3 AND 12
+                        THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN nc > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nc ELSE 0.0 END)
+               ) / 3.0, 6) AS quality
+    FROM t
+    """,
+    doc="document quality heuristic (length/token/alpha ratios)",
+)
+def q_quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@declare(
+    "q_langid",
+    """
+    WITH t AS (
+      SELECT doc_id, lang AS lang_true,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang_true, len(ws) AS n,
+        CAST(len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','that','for','it'], x))) AS DOUBLE) / len(ws) AS r_en,
+        CAST(len(list_filter(ws, x -> list_contains(['le','la','et','de','un','une','est','que','pour','dans'], x))) AS DOUBLE) / len(ws) AS r_fr,
+        CAST(len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','ein'], x))) AS DOUBLE) / len(ws) AS r_de,
+        CAST(len(list_filter(ws, x -> list_contains(['el','la','y','de','que','en','un','una','es','por'], x))) AS DOUBLE) / len(ws) AS r_es,
+        CAST(len(list_filter(ws, x -> list_contains(['的','了','是','在','我','有','和','就','不','人'], x))) AS DOUBLE) / len(ws) AS r_zh
+      FROM t WHERE len(ws) > 0
+    )
+    SELECT doc_id, lang_true,
+           CASE WHEN greatest(r_en, r_fr, r_de, r_es, r_zh) <= 0 THEN 'und'
+                WHEN r_en >= greatest(r_fr, r_de, r_es, r_zh) THEN 'en'
+                WHEN r_fr >= greatest(r_de, r_es, r_zh) THEN 'fr'
+                WHEN r_de >= greatest(r_es, r_zh) THEN 'de'
+                WHEN r_es >= r_zh THEN 'es'
+                ELSE 'zh' END AS lang_pred
+    FROM r
+    """,
+    doc="stopword-ratio language ID heuristic",
+)
+def q_langid(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    toks = token_array(F.col("text"))
+    return (
+        d.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.col("lang").alias("lang_true"),
+            detect_language(F.col("text")).alias("lang_pred"),
+        )
+    )
+
+
+# ======================================================================
+# LLM-data-pipeline: similarity search
+# ======================================================================
+
+@declare(
+    "q_similarity_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_aggregate(list_transform(list_zip(c.embedding, q.qv),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cs
+      FROM embeddings c, q
+    )
+    SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim, CAST(rank
+      AS INTEGER) AS rank
+    FROM (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="exact brute-force cosine top-k (correctness baseline for ANN)",
+)
+def q_similarity_bruteforce(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, q, k=10, corpus_id="vec_id", corpus_vec="embedding",
+                      query_id="query_id", query_vec="embedding")
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@declare(
+    "q_similarity_lsh",
+    None,
+    doc="LSH-bucketed approximate cosine top-k (scale path; recall "
+    "validated against q_similarity_bruteforce in tests)",
+)
+def q_similarity_lsh(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(emb, q, k=10, dim=64, n_planes=4, n_tables=16)
+
+
+@declare(
+    "q_embedding_knn_classify",
+    None,
+    doc="kNN majority-vote label prediction over embeddings (composite)",
+)
+def q_embedding_knn_classify(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = cosine_topk(emb, q, k=6, corpus_id="vec_id")
+    nn = nn.filter(F.col("vec_id") != F.col("query_id")).filter(F.col("rank") <= 6)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    voted = (
+        nn.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        voted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+# ======================================================================
+# Multimodal (binary payload plumbing; decode stubbed — no codec libs)
+# ======================================================================
+
+@declare(
+    "q_multimodal_features",
+    None,
+    doc="binary asset wrap + Arrow-batched feature extraction "
+    "(deterministic fake decoder; real decode stubbed)",
+)
+def q_multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_features, make_assets
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    assets = make_assets(
+        d.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        id_col="doc_id",
+        payload_col="payload",
+        mime="text/plain",
+    )
+    feats = extract_features(assets, fake=True)
+    return feats.select(
+        "asset_id",
+        "mime",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").cast("int").alias("dim"),
+    )

@@ -95,15 +95,10 @@ def normalize_flag(col: Column) -> Column:
     return F.nullif(col.cast(ByteType()), F.lit(0).cast(ByteType()))
 
 
-def normalize_ingest(df: DataFrame, seq_offset: int = 0) -> DataFrame:
-    """Raw ingest payload → canonical telemetry rows.
-
-    Adds ``ingest_seq`` via a zipWithIndex-free monotonic id; callers
-    that need *strictly dense* sequence numbers (fidelity tests) pass a
-    pre-ordered single-partition frame or use ``api.ingest_rows``.
-    """
-    return (
-        df.select(
+def normalize_payload(df: DataFrame) -> DataFrame:
+    """Raw ingest payload → canonical columns, without ``ingest_seq``
+    (streaming-safe: usable on streaming DataFrames)."""
+    return df.select(
             truncate32(F.col("sensor_name"), SENSOR_NAME_SIZE).alias("sensor_name"),
             F.to_timestamp(truncate32(F.col("timestamp"), TIMESTAMP_SIZE)).alias("ts"),
             truncate32(F.col("timestamp"), TIMESTAMP_SIZE).alias("ts_raw"),
@@ -113,9 +108,18 @@ def normalize_ingest(df: DataFrame, seq_offset: int = 0) -> DataFrame:
                 "timeseries_id"
             ),
         )
-        .withColumn(
-            "ingest_seq", (F.monotonically_increasing_id() + F.lit(seq_offset)).cast(LongType())
-        )
+
+
+def normalize_ingest(df: DataFrame, seq_offset: int = 0) -> DataFrame:
+    """Raw ingest payload → canonical telemetry rows (batch path).
+
+    Adds ``ingest_seq`` via a monotonic id; callers that need *strictly
+    dense* sequence numbers (fidelity tests) pass a pre-ordered
+    single-partition frame or use ``api.ingest_rows``.
+    """
+    return normalize_payload(df).withColumn(
+        "ingest_seq",
+        (F.monotonically_increasing_id() + F.lit(seq_offset)).cast(LongType()),
     )
 
 

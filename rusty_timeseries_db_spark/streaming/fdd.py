@@ -57,7 +57,9 @@ def start_fdd_stream(
     out_path = os.path.join(warehouse_dir, "telemetry_flagged")
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        flagged = flag_faults(batch, threshold)
+        from .ingest import normalize_batch
+
+        flagged = flag_faults(normalize_batch(batch, batch_id), threshold)
         if sink is not None:
             sink(flagged, batch_id)
         else:

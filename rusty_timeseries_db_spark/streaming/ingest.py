@@ -16,19 +16,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..schema import TELEMETRY_INGEST_SCHEMA, normalize_ingest, series_bucket
+from ..schema import (
+    TELEMETRY_INGEST_SCHEMA,
+    normalize_ingest,
+    normalize_payload,
+    series_bucket,
+)
+
+
+def normalized_stream(stream: DataFrame) -> DataFrame:
+    """Streaming-safe canonical view (no ingest_seq) for windowed
+    aggregations and dedup on the live stream."""
+    return normalize_payload(stream)
 
 
 def read_telemetry_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """JSON-lines drop-dir source with the POST /telemetry schema."""
-    raw = (
+    """JSON-lines drop-dir source with the POST /telemetry schema.
+
+    Returns the *raw* stream; normalization (which assigns ``ingest_seq``
+    via ``monotonically_increasing_id`` — unsupported on streaming
+    frames) happens per micro-batch inside the sink's ``foreachBatch``.
+    """
+    return (
         spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
         .option("maxFilesPerTrigger", "16")
         .json(source_dir)
     )
-    return normalize_ingest(raw).withColumn(
-        "series_bucket", series_bucket(F.col("timeseries_id"))
-    )
+
+
+#: ingest_seq for streaming rows: batch_id * 1e12 + within-batch monotonic
+#: id (partition-prefixed, < 2.8e11 at 32 partitions) — preserves arrival
+#: order across micro-batches without any global coordination.
+_BATCH_SEQ_STRIDE = 10**12
+
+
+def normalize_batch(batch: DataFrame, batch_id: int) -> DataFrame:
+    """Apply the shared ingest normalization to one micro-batch."""
+    return normalize_ingest(batch).withColumn(
+        "ingest_seq",
+        (F.lit(batch_id) * F.lit(_BATCH_SEQ_STRIDE) + F.col("ingest_seq")).cast(
+            "long"
+        ),
+    ).withColumn("series_bucket", series_bucket(F.col("timeseries_id")))
 
 
 def start_telemetry_sink(
@@ -41,13 +70,23 @@ def start_telemetry_sink(
     per micro-batch via checkpoint. ``trigger_seconds`` mirrors the
     reference's configurable FDD/ingest cadence (R5/R6, main.rs:233-240,
     285-299) — but correctly re-arming every interval, unlike the
-    reference's run-once bug (SURVEY §2.1 R6)."""
-    writer = (
-        stream.writeStream.format("parquet")
-        .option("path", os.path.join(warehouse_dir, "telemetry"))
-        .option("checkpointLocation", os.path.join(warehouse_dir, "_checkpoints/ingest"))
-        .partitionBy("series_bucket")
-        .outputMode("append")
+    reference's run-once bug (SURVEY §2.1 R6).
+
+    Implemented as ``foreachBatch`` so each micro-batch runs the shared
+    batch normalization (incl. ``ingest_seq`` assignment)."""
+    path = os.path.join(warehouse_dir, "telemetry")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        (
+            normalize_batch(batch, batch_id)
+            .sortWithinPartitions("timeseries_id", "ts")
+            .write.mode("append")
+            .partitionBy("series_bucket")
+            .parquet(path)
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", os.path.join(warehouse_dir, "_checkpoints/ingest")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -1,0 +1,114 @@
+"""As-of join correctness vs pandas.merge_asof (SURVEY §5.3 #4)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.operators.asof import asof_join, asof_join_tolerance
+
+
+def _mk(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:30", 1),
+            ("a", "2024-01-01 00:02:00", 2),
+            ("a", "2024-01-01 00:00:00", 3),  # before any right row
+            ("b", "2024-01-01 00:01:00", 4),
+            ("c", "2024-01-01 00:01:00", 5),  # key with no right rows
+        ],
+        "k string, ts_s string, lid int",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:10", 10.0, 1),
+            ("a", "2024-01-01 00:01:00", 20.0, 2),
+            ("a", "2024-01-01 00:02:00", 30.0, 3),  # exact-match ts
+            ("b", "2024-01-01 00:00:50", 40.0, 4),
+        ],
+        "k string, ts_s string, v double, rid int",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v", "rid")
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _mk(spark)
+    out = asof_join(
+        left, right, on=["k"], right_cols=["v"], right_order="rid"
+    ).toPandas().sort_values("lid")
+    got = dict(zip(out["lid"], out["v_right"]))
+    assert got[1] == 10.0  # 00:00:30 → 00:00:10
+    assert got[2] == 30.0  # exact ts matches (inclusive)
+    assert pd.isna(got[3])  # before any right row
+    assert got[4] == 40.0
+    assert pd.isna(got[5])  # no right rows for key c
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 400, 300
+    lk = rng.integers(0, 5, n_l)
+    rk = rng.integers(0, 5, n_r)
+    lts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 10**6, n_l), unit="s"
+    )
+    rts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 10**6, n_r), unit="s"
+    )
+    lpd = pd.DataFrame({"k": lk.astype(str), "ts": lts, "lid": range(n_l)})
+    rpd = pd.DataFrame(
+        {"k": rk.astype(str), "ts": rts, "v": rng.random(n_r), "rid": range(n_r)}
+    )
+    # pandas wants sorted inputs; dedupe equal (k, ts) to keep oracle unique
+    rpd = rpd.sort_values(["ts", "rid"]).drop_duplicates(["k", "ts"], keep="last")
+    expected = pd.merge_asof(
+        lpd.sort_values("ts"),
+        rpd.sort_values("ts")[["k", "ts", "v"]],
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("lid")
+
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+    out = (
+        asof_join(left, right, on=["k"], right_cols=["v"], right_order="rid")
+        .toPandas()
+        .sort_values("lid")
+    )
+    a = expected["v"].reset_index(drop=True)
+    b = out["v_right"].reset_index(drop=True)
+    assert ((a == b) | (a.isna() & b.isna())).all()
+
+
+def test_asof_tolerance(spark):
+    left, right = _mk(spark)
+    out = (
+        asof_join_tolerance(
+            left, right, on=["k"], tolerance_seconds=30,
+            right_cols=["v"], right_order="rid",
+        )
+        .toPandas()
+        .sort_values("lid")
+    )
+    got = dict(zip(out["lid"], out["v_right"]))
+    assert got[1] == 10.0  # 20 s back — inside 30 s window
+    assert got[2] == 30.0  # exact match
+    assert pd.isna(got[3])
+    assert got[4] == 40.0  # 10 s back
+    assert pd.isna(got[5])
+    # tighter tolerance drops the 20-s-old match
+    out2 = (
+        asof_join_tolerance(
+            left, right, on=["k"], tolerance_seconds=5,
+            right_cols=["v"], right_order="rid",
+        )
+        .toPandas()
+        .sort_values("lid")
+    )
+    got2 = dict(zip(out2["lid"], out2["v_right"]))
+    assert pd.isna(got2[1])
+    assert got2[2] == 30.0

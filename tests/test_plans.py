@@ -1,0 +1,71 @@
+"""Physical-plan shape assertions: pushdown reaches the scan, dims are
+broadcast, hot paths stay in whole-stage codegen ("measure, don't
+guess" — these lock in the 100 TB-relevant plan properties)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.plans.explain import (
+    formatted_plan,
+    scan_read_schema,
+    uses_broadcast_join,
+    whole_stage_codegen_spans,
+)
+from rusty_timeseries_db_spark.queries import (
+    T,
+    q_agg_pricing_summary,
+    q_filter_range,
+    q_join_inner_broadcast,
+)
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = q_filter_range(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    # the user_id equality must be pushed, not evaluated post-scan only
+    assert "EqualTo(user_id,7)" in plan.replace(" ", "").replace("`", ""), plan
+
+
+def test_column_pruning(spark):
+    df = T(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    rs = scan_read_schema(df)
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs and "l_extendedprice" not in rs
+
+
+def test_dim_join_is_broadcast(spark):
+    df = q_join_inner_broadcast(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_agg_uses_codegen_and_partial_agg(spark):
+    df = q_agg_pricing_summary(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert whole_stage_codegen_spans(df) >= 1
+    # partial (map-side) + final aggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_is_take_ordered(spark):
+    df = (
+        T(spark, SF_DIR, "orders")
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(5)
+    )
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_bucket_pruning_on_query_by_id(spark, tmp_path):
+    """query_by_id must hit only the probe series' bucket partition."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from tests.conftest import CANONICAL_ROWS, SERIES_ID
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS)
+    df = eng.query_by_id(SERIES_ID, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "series_bucket" in plan

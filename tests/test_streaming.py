@@ -1,0 +1,82 @@
+"""Structured-streaming tests: JSON drop-dir ingest → parquet sink,
+FDD foreachBatch flagging, windowed aggregation (SURVEY §5.3 #3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.streaming.fdd import (
+    consecutive_faults,
+    flag_faults,
+    start_fdd_stream,
+)
+from rusty_timeseries_db_spark.streaming.ingest import (
+    read_telemetry_stream,
+    start_telemetry_sink,
+)
+from tests.conftest import CANONICAL_ROWS
+
+
+def _write_batch(src_dir: str, rows, name: str) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_ingest_to_parquet(spark, tmp_path):
+    src = str(tmp_path / "drop")
+    wh = str(tmp_path / "wh")
+    _write_batch(src, CANONICAL_ROWS[:2], "b1.jsonl")
+    _write_batch(src, CANONICAL_ROWS[2:], "b2.jsonl")
+
+    stream = read_telemetry_stream(spark, src)
+    q = start_telemetry_sink(stream, wh, available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(os.path.join(wh, "telemetry"))
+    assert got.count() == 3
+    assert set(got.columns) >= {
+        "sensor_name", "ts", "ts_raw", "value", "fc1_flag", "timeseries_id",
+    }
+    # normalization applied on the stream path too
+    assert got.filter(F.col("fc1_flag").isNotNull()).count() == 0
+
+
+def test_stream_fdd_foreachbatch(spark, tmp_path):
+    src = str(tmp_path / "drop")
+    wh = str(tmp_path / "wh")
+    _write_batch(src, CANONICAL_ROWS, "b1.jsonl")
+
+    stream = read_telemetry_stream(spark, src)
+    q = start_fdd_stream(stream, wh, threshold=0.95, available_now=True)
+    q.awaitTermination(120)
+
+    flagged = spark.read.parquet(os.path.join(wh, "telemetry_flagged"))
+    assert flagged.count() == 3
+    hits = flagged.filter(F.col("fc1_flag") == 1).collect()
+    assert len(hits) == 1 and hits[0].value == 1.0
+
+
+def test_flag_faults_preserves_existing(spark):
+    df = spark.createDataFrame(
+        [(0.5, 7), (0.99, None)], "value double, fc1_flag tinyint"
+    )
+    out = {r.value: r.fc1_flag for r in flag_faults(df).collect()}
+    assert out[0.5] == 7  # untouched below threshold
+    assert out[0.99] == 1
+
+
+def test_consecutive_faults_runs(spark):
+    rows = []
+    for i, v in enumerate([0.99, 0.99, 0.99, 0.5, 0.99, 0.99]):
+        rows.append(("s1", f"2024-01-01 00:0{i}:00", v, i))
+    df = spark.createDataFrame(
+        rows, "timeseries_id string, ts_s string, value double, ingest_seq long"
+    ).select("timeseries_id", F.to_timestamp("ts_s").alias("ts"), "value", "ingest_seq")
+    runs = consecutive_faults(df, min_run=3).collect()
+    assert len(runs) == 1
+    assert runs[0].run_length == 3
