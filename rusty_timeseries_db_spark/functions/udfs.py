@@ -1,0 +1,89 @@
+"""UDF/UDAF/UDTF surface (SURVEY §2.2 UDF rows — capability extension;
+the reference has no UDFs).
+
+Policy: built-in expressions first, Arrow-batched pandas UDFs only where
+per-group/model-style Python logic is genuinely needed. Row-at-a-time
+Python UDFs are deliberately absent from every hot path; one is
+registered here solely to cover the ``spark.udf.register`` SQL surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+# ---------------------------------------------------- scalar pandas UDF
+
+@pandas_udf(DoubleType())
+def minmax_scale(v: pd.Series) -> pd.Series:
+    """Vectorized scalar pandas UDF (Arrow batches): clip to [0, 1]."""
+    return v.clip(lower=0.0, upper=1.0)
+
+
+# ------------------------------------------------- grouped-agg pandas UDF
+
+@pandas_udf(DoubleType())
+def median_udaf(v: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF: exact median per group."""
+    return float(v.median())
+
+
+# --------------------------------------------------- grouped-map (apply)
+
+def zscore_per_group(
+    df: DataFrame, keys: list[str], value_col: str = "value"
+) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` — the grouped-map shape
+    used for per-series model fits. Sample stddev (ddof=1) to match the
+    SQL ``stddev_samp`` oracle; single-member groups yield NULL."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", zscore double"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf[value_col].std(ddof=1)
+        mu = pdf[value_col].mean()
+        pdf = pdf.copy()
+        pdf["zscore"] = (pdf[value_col] - mu) / sd if sd and sd > 0 else None
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fit, schema)
+
+
+# -------------------------------------------------------- mapInPandas
+
+def clip_outliers_stream(
+    df: DataFrame, value_col: str = "value", lo: float = 0.0, hi: float = 100.0
+) -> DataFrame:
+    """Iterator-style ``mapInPandas``: batch-wise transformation with
+    constant memory (the shape for large per-partition Python work)."""
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[value_col] = pdf[value_col].clip(lower=lo, upper=hi)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+# ------------------------------------------------------ SQL registration
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    """Register the SQL-callable UDF surface (``spark.udf.register``).
+
+    ``fault_band`` intentionally demonstrates the *slow* row-at-a-time
+    path — documented as such; everything performance-relevant uses
+    built-ins or pandas UDFs."""
+    spark.udf.register(
+        "fault_band",
+        lambda v: "high" if v is not None and v > 0.95 else "ok",
+        "string",
+    )
+    spark.udf.register("minmax_scale", minmax_scale)

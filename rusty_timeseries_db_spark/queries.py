@@ -1726,3 +1726,240 @@ def q_multimodal_features(spark, sf_dir):
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.size("features").cast("int").alias("dim"),
     )
+
+
+# ======================================================================
+# UDF surface (pandas UDFs — Arrow-batched; oracle-checked where the
+# semantics are SQL-expressible, proving the UDF path is correct)
+# ======================================================================
+
+@declare(
+    "q_udf_zscore_per_group",
+    """
+    SELECT event_id, user_id, value,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zscore_r
+    FROM events WHERE user_id < 20
+    """,
+    doc="grouped-map applyInPandas z-score == SQL window z-score",
+)
+def q_udf_zscore_per_group(spark, sf_dir):
+    from .functions.udfs import zscore_per_group
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 20).select(
+        "event_id", "user_id", "value"
+    )
+    out = zscore_per_group(e, keys=["user_id"], value_col="value")
+    return out.select(
+        "event_id", "user_id", "value", F.round("zscore", 6).alias("zscore_r")
+    )
+
+
+@declare(
+    "q_udf_grouped_agg_median",
+    """
+    SELECT user_id, ROUND(quantile_cont(value, 0.5), 6) AS med
+    FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+    doc="grouped-agg pandas UDF (median) == quantile_cont oracle",
+)
+def q_udf_grouped_agg_median(spark, sf_dir):
+    from .functions.udfs import median_udaf
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return e.groupBy("user_id").agg(
+        F.round(median_udaf(F.col("value")), 6).alias("med")
+    )
+
+
+@declare(
+    "q_udf_mapinpandas_clip",
+    """
+    SELECT event_id, least(greatest(value, 2.0), 40.0) AS value
+    FROM events WHERE user_id < 10
+    """,
+    doc="iterator mapInPandas batch transform == least/greatest oracle",
+)
+def q_udf_mapinpandas_clip(spark, sf_dir):
+    from .functions.udfs import clip_outliers_stream
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 10).select(
+        "event_id", "value"
+    )
+    return clip_outliers_stream(e, "value", lo=2.0, hi=40.0)
+
+
+@declare(
+    "q_udf_sql_registered",
+    """
+    SELECT event_id,
+           CASE WHEN value > 30.0 THEN 'high' ELSE 'ok' END AS band
+    FROM events WHERE event_id < 1000
+    """,
+    doc="spark.udf.register SQL surface (row-at-a-time — demo only, "
+    "documented as the slow path)",
+)
+def q_udf_sql_registered(spark, sf_dir):
+    spark.udf.register(
+        "band30", lambda v: "high" if v is not None and v > 30.0 else "ok", "string"
+    )
+    T(spark, sf_dir, "events").filter(F.col("event_id") < 1000).createOrReplaceTempView(
+        "_udf_events"
+    )
+    return spark.sql("SELECT event_id, band30(value) AS band FROM _udf_events")
+
+
+# ======================================================================
+# Rules-driven FDD (fdd_rules table, FIXTURES.md §3)
+# ======================================================================
+
+@declare(
+    "q_fdd_rules_join",
+    """
+    WITH rules(rule_id, user_id, threshold, w_start, w_end, flag_value) AS (VALUES
+      ('r1', 7,  20.0, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-20 00:00:00', CAST(1 AS TINYINT)),
+      ('r2', 7,  40.0, TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-31 00:00:00', CAST(2 AS TINYINT)),
+      ('r3', 12, 10.0, TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-06 00:00:00', CAST(3 AS TINYINT))
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           CAST(MIN(r.flag_value) AS TINYINT) AS fc1_flag,
+           CAST(COUNT(r.rule_id) AS BIGINT) AS n_rules_matched
+    FROM (SELECT * FROM events WHERE user_id IN (7, 12)) e
+    LEFT JOIN rules r
+      ON e.user_id = r.user_id AND e.ts >= r.w_start AND e.ts <= r.w_end
+         AND e.value > r.threshold
+    GROUP BY e.event_id, e.user_id, e.value
+    """,
+    doc="rules-table-driven FDD: interval+threshold broadcast join "
+    "(streaming/fdd.py apply_rules; generalizes main.rs:388-395)",
+)
+def q_fdd_rules_join(spark, sf_dir):
+    from .streaming.fdd import apply_rules
+
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id").isin(7, 12))
+        .select(
+            "event_id",
+            F.col("user_id").alias("timeseries_id"),
+            "ts",
+            "value",
+            F.lit(None).cast("tinyint").alias("fc1_flag"),
+        )
+    )
+    rules = spark.createDataFrame(
+        [
+            ("r1", 7, 20.0, "2024-01-01 00:00:00", "2024-01-20 00:00:00", 1),
+            ("r2", 7, 40.0, "2024-01-10 00:00:00", "2024-01-31 00:00:00", 2),
+            ("r3", 12, 10.0, "2024-01-05 00:00:00", "2024-01-06 00:00:00", 3),
+        ],
+        "rule_id string, timeseries_id int, threshold double, ws string, we string, flag int",
+    ).select(
+        "rule_id",
+        "timeseries_id",
+        "threshold",
+        F.to_timestamp("ws").alias("window_start"),
+        F.to_timestamp("we").alias("window_end"),
+        F.col("flag").cast("tinyint").alias("flag_value"),
+    )
+    out = apply_rules(e, rules)
+    return out.select(
+        "event_id",
+        F.col("timeseries_id").alias("user_id"),
+        "value",
+        "fc1_flag",
+        "n_rules_matched",
+    )
+
+
+# ======================================================================
+# Approximate aggregates (rows-only: engine-specific sketches)
+# ======================================================================
+
+@declare(
+    "q_approx_aggregates",
+    None,
+    doc="approx_count_distinct (HLL) + percentile_approx sketches — "
+    "accuracy vs exact checked in tests, no cross-engine oracle",
+)
+def q_approx_aggregates(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_approx"),
+        F.percentile_approx("value", [0.25, 0.75]).alias("quartiles_approx"),
+    )
+
+
+# ======================================================================
+# Extra scalar / window coverage
+# ======================================================================
+
+@declare(
+    "q_levenshtein",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(levenshtein(p_brand, 'brand_1') AS INTEGER) AS dist
+    FROM part WHERE p_partkey <= 300
+    """,
+    doc="string distance (levenshtein) — identical semantics both engines",
+)
+def q_levenshtein(spark, sf_dir):
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.levenshtein(F.col("p_brand"), F.lit("brand_1")).cast("int").alias("dist"),
+    )
+
+
+@declare(
+    "q_window_nth_cume",
+    """
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
+           ROUND(cume_dist() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+           ROUND(percent_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders WHERE o_custkey < 100
+    """,
+    doc="nth_value / cume_dist / percent_rank analytics",
+)
+def q_window_nth_cume(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w_time = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w_time).alias("second_price"),
+        F.round(F.cume_dist().over(w_price), 6).alias("cd"),
+        F.round(F.percent_rank().over(w_price), 6).alias("pr"),
+    )
+
+
+@declare(
+    "q_global_sort_multi",
+    """
+    SELECT n_name, c_acctbal, c_custkey
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9000
+    ORDER BY n_name ASC, c_acctbal DESC, c_custkey
+    """,
+    doc="multi-key global sort (range-partitioned exchange)",
+)
+def q_global_sort_multi(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = T(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", "c_acctbal", "c_custkey")
+        .orderBy(F.col("n_name").asc(), F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )

@@ -75,6 +75,47 @@ def start_fdd_stream(
     return writer.start()
 
 
+def apply_rules(telemetry: DataFrame, rules: DataFrame) -> DataFrame:
+    """Rules-driven FDD (generalizes the reference's single hard-coded
+    rule, main.rs:388-395, via the FIXTURES.md §3 ``fdd_rules`` table).
+
+    Interval + threshold join: a reading matches a rule when it is in
+    the rule's series and time window with ``value > threshold``; the
+    matched reading gets the rule's ``flag_value`` (lowest flag wins on
+    overlapping rules, deterministically). Rules are broadcast — the
+    telemetry side never shuffles."""
+    r = F.broadcast(
+        rules.select(
+            F.col("rule_id").alias("_r_rule_id"),
+            F.col("timeseries_id").alias("_r_sid"),
+            F.col("threshold").alias("_r_thr"),
+            F.col("window_start").alias("_r_ws"),
+            F.col("window_end").alias("_r_we"),
+            F.col("flag_value").alias("_r_flag"),
+        )
+    )
+    cond = (
+        (telemetry["timeseries_id"] == F.col("_r_sid"))
+        & (telemetry["ts"] >= F.col("_r_ws"))
+        & (telemetry["ts"] <= F.col("_r_we"))
+        & (telemetry["value"] > F.col("_r_thr"))
+    )
+    joined = telemetry.join(r, cond, "left")
+    keys = [c for c in telemetry.columns]
+    return (
+        joined.groupBy(*keys)
+        .agg(
+            F.min("_r_flag").alias("_new_flag"),
+            F.count("_r_rule_id").alias("n_rules_matched"),
+        )
+        .withColumn(
+            "fc1_flag",
+            F.coalesce(F.col("_new_flag"), F.col("fc1_flag")).cast("tinyint"),
+        )
+        .drop("_new_flag")
+    )
+
+
 def consecutive_faults(
     df: DataFrame,
     min_run: int = 3,

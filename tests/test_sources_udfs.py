@@ -1,0 +1,103 @@
+"""JSON/CSV source scans, pandas-UDF surface, rules-FDD, approx-agg
+accuracy vs exact."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.queries import T
+from rusty_timeseries_db_spark.sources.io import append_parquet, read_csv, read_json
+from tests.conftest import SF_DIR
+
+
+def test_json_scan_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as f:
+        f.write(
+            '{"sensor_name": "s1", "timestamp": "2024-08-28T12:00:00Z",'
+            ' "value": 0.5, "fc1_flag": null, "timeseries_id": "t1"}\n'
+        )
+    df = read_json(spark, p)
+    row = df.collect()[0]
+    assert row.sensor_name == "s1" and row.value == 0.5 and row.fc1_flag is None
+
+
+def test_csv_scan_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("sensor_name,timestamp,value,fc1_flag,timeseries_id\n")
+        f.write("s1,2024-08-28T12:00:00Z,0.75,,t1\n")
+    df = read_csv(spark, p)
+    row = df.collect()[0]
+    assert row.value == 0.75 and row.fc1_flag is None
+
+
+def test_append_parquet_never_rewrites(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = spark.range(5).withColumnRenamed("id", "x")
+    append_parquet(df, out)
+    files1 = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    append_parquet(df, out)
+    files2 = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    assert files1 < files2  # old files untouched, new files added
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_approx_count_distinct_accuracy(spark):
+    e = T(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+
+
+def test_percentile_approx_accuracy(spark):
+    e = T(spark, SF_DIR, "events")
+    exact = e.agg(F.expr("percentile(value, 0.5)").alias("p")).collect()[0].p
+    approx = e.agg(F.percentile_approx("value", 0.5).alias("p")).collect()[0].p
+    assert abs(exact - approx) <= 0.05 * max(1.0, abs(exact))
+
+
+def test_scalar_pandas_udf(spark):
+    from rusty_timeseries_db_spark.functions.udfs import minmax_scale
+
+    df = spark.createDataFrame([(-1.0,), (0.5,), (2.0,)], "v double")
+    got = sorted(r.s for r in df.select(minmax_scale("v").alias("s")).collect())
+    assert got == [0.0, 0.5, 1.0]
+
+
+def test_rules_fdd_multiple_rules_lowest_flag_wins(spark):
+    from rusty_timeseries_db_spark.streaming.fdd import apply_rules
+
+    tel = spark.createDataFrame(
+        [("s1", "2024-01-01 00:05:00", 0.99, None)],
+        "timeseries_id string, ts_s string, value double, fc1_flag tinyint",
+    ).select("timeseries_id", F.to_timestamp("ts_s").alias("ts"), "value", "fc1_flag")
+    rules = spark.createDataFrame(
+        [
+            ("a", "s1", 0.9, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 5),
+            ("b", "s1", 0.5, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 2),
+            ("c", "s1", 0.999, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 1),
+        ],
+        "rule_id string, timeseries_id string, threshold double, ws string, we string, fv int",
+    ).select(
+        "rule_id", "timeseries_id", "threshold",
+        F.to_timestamp("ws").alias("window_start"),
+        F.to_timestamp("we").alias("window_end"),
+        F.col("fv").cast("tinyint").alias("flag_value"),
+    )
+    out = apply_rules(tel, rules).collect()[0]
+    assert out.fc1_flag == 2  # rules a,b match (not c: 0.99 < 0.999); min flag
+    assert out.n_rules_matched == 2
