@@ -198,6 +198,44 @@ class TimeseriesEngine:
             .orderBy("ingest_seq")
         )
 
+    def build_series_catalog(self) -> DataFrame:
+        """Realize the reference's dead ``TimeseriesReference`` struct
+        (main.rs:32-36) as a real dimension: one row per distinct series
+        with its first-seen metadata. Broadcast-sized by construction."""
+        return (
+            self.telemetry()
+            .groupBy("timeseries_id")
+            .agg(
+                F.min_by("sensor_name", "ingest_seq").alias("sensor_name"),
+                F.min("ts_raw").alias("stored_at"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    def compact(self) -> int:
+        """Fold the overlay into the base files (periodic maintenance,
+        SURVEY §7.4): rewrites the telemetry table with overlay rows
+        applied, then clears the overlay. Returns rows in the new base."""
+        import shutil
+
+        overlay = self._read_overlay()
+        if overlay is None:
+            return self.count()
+        merged = apply_overlay(self._read_base(), overlay).persist()
+        n = merged.count()
+        tmp = self.telemetry_path + "_compacting"
+        (
+            merged.sortWithinPartitions("timeseries_id", "ts")
+            .write.mode("overwrite")
+            .partitionBy("series_bucket")
+            .parquet(tmp)
+        )
+        merged.unpersist()
+        shutil.rmtree(self.telemetry_path)
+        os.rename(tmp, self.telemetry_path)
+        shutil.rmtree(self.overlay_path, ignore_errors=True)
+        return n
+
     def fault_count(
         self, df: DataFrame, threshold: float = DEFAULT_FAULT_THRESHOLD
     ) -> int:

@@ -37,16 +37,23 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _eq(a: Any, b: Any) -> bool:
+    import numpy as np
+
+    if isinstance(a, np.ndarray):
+        a = a.tolist()
+    if isinstance(b, np.ndarray):
+        b = b.tolist()
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b or abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b))
-    if pd.isna(a) and pd.isna(b):  # covers NaT / pd.NA
-        return True
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if not isinstance(a, (list, tuple, dict)) and not isinstance(b, (list, tuple, dict)):
+        if pd.isna(a) and pd.isna(b):  # covers NaT / pd.NA
+            return True
     return str(a) == str(b)
 
 

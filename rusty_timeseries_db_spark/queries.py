@@ -1963,3 +1963,162 @@ def q_global_sort_multi(spark, sf_dir):
         .select("n_name", "c_acctbal", "c_custkey")
         .orderBy(F.col("n_name").asc(), F.col("c_acctbal").desc(), F.col("c_custkey"))
     )
+
+
+# ======================================================================
+# Session windows, maps, generators, higher-order functions, from_json
+# ======================================================================
+
+@declare(
+    "q_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 43200
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="session windows (12 h gap) — session_window() ≡ gaps-and-islands SQL",
+)
+def q_session_window(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "12 hours").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@declare(
+    "q_map_ops",
+    """
+    SELECT doc_id,
+           map_keys(MAP(['lang','source'], [lang, source])) AS mkeys,
+           map_values(MAP(['lang','source'], [lang, source])) AS mvals,
+           MAP(['lang','source'], [lang, source])['lang'][1] AS lang_via_map
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="map construction + map_keys/map_values/element access",
+)
+def q_map_ops(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, "lang").alias("lang_via_map"),
+    )
+
+
+@declare(
+    "q_posexplode",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+    doc="posexplode generator (0-based position) ≡ unnest + subscripts",
+)
+def q_posexplode(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("int"))
+
+
+@declare(
+    "q_higher_order_fns",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 4) AS longw
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(len(longw) AS INTEGER) AS n_long,
+           list_transform(longw[1:5], x -> upper(x)) AS first5_upper,
+           CAST(list_aggregate(list_transform(longw, x -> CAST(len(x) AS BIGINT)), 'sum') AS BIGINT) AS total_chars
+    FROM t
+    """,
+    doc="higher-order functions: filter / transform / aggregate on arrays",
+)
+def q_higher_order_fns(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    longw = F.filter(
+        F.split(F.lower("text"), " "), lambda x: F.length(x) > 4
+    )
+    return d.select(
+        "doc_id",
+        F.size(longw).cast("int").alias("n_long"),
+        F.transform(F.slice(longw, 1, 5), lambda x: F.upper(x)).alias(
+            "first5_upper"
+        ),
+        F.aggregate(
+            F.transform(longw, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
+
+
+@declare(
+    "q_from_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN TRUE ELSE FALSE END AS has_k
+    FROM events WHERE event_id < 500
+    """,
+    doc="from_json with explicit schema → typed struct projection",
+)
+def q_from_json_struct(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = e.withColumn("j", F.from_json("props", "k BIGINT"))
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.col("j.k").isNotNull().alias("has_k"),
+    )
+
+
+@declare(
+    "q_to_json",
+    """
+    SELECT doc_id,
+           '{"lang":"' || lang || '","n":' || CAST(n_chars AS VARCHAR) || '}' AS js
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="to_json serialization of a struct (canonical key order)",
+)
+def q_to_json(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.to_json(
+            F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("n"))
+        ).alias("js"),
+    )

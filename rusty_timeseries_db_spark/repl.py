@@ -1,0 +1,83 @@
+"""REPL-verb facade: the reference's interactive surface (R7/R8,
+main.rs:244-315) as a thin parser over the engine API.
+
+Parsing semantics preserved exactly:
+- ``insert <sensor_name> <timestamp> <value> <timeseries_id> [fc1_flag]``
+  (main.rs:252-284): whitespace tokenization, <5 tokens → usage error;
+  unparseable value defaults to 0.0 (main.rs:263); unparseable flag
+  defaults to 0 (main.rs:266) — which the codec then erases to NULL;
+  absent flag is NULL.
+- ``select <timeseries_id> <start> <end>`` (main.rs:300-315): exactly 4
+  tokens required.
+- ``set_interval <seconds>`` (main.rs:285-299): re-schedules the FDD
+  cadence. The reference's version runs FDD once then sleeps once and
+  never repeats (bug); here it restarts a properly recurring trigger.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from .api import TimeseriesEngine
+
+USAGE_INSERT = "Usage: insert <sensor_name> <timestamp> <value> <timeseries_id> [fc1_flag]"
+USAGE_SELECT = "Usage: select <timeseries_id> <start_time> <end_time>"
+
+
+def parse_insert(line: str) -> Optional[dict]:
+    """Tokenize an ``insert`` line with the reference's defaulting rules;
+    returns the row payload or None (usage error)."""
+    parts = line.split()
+    if len(parts) < 5:
+        return None
+    try:
+        value = float(parts[3])
+    except ValueError:
+        value = 0.0  # main.rs:263 unwrap_or(0.0)
+    flag: Optional[int]
+    if len(parts) > 5:
+        try:
+            flag = int(parts[5])
+        except ValueError:
+            flag = 0  # main.rs:266 unwrap_or(0) — erased to NULL by codec
+    else:
+        flag = None
+    return {
+        "sensor_name": parts[1],
+        "timestamp": parts[2],
+        "value": value,
+        "fc1_flag": flag,
+        "timeseries_id": parts[4],
+    }
+
+
+class Repl:
+    """Dispatch loop body (one call per line) over a TimeseriesEngine."""
+
+    def __init__(self, engine: TimeseriesEngine) -> None:
+        self.engine = engine
+
+    def execute(self, line: str) -> str | DataFrame:
+        line = line.strip()
+        if line.startswith("insert"):
+            row = parse_insert(line)
+            if row is None:
+                return USAGE_INSERT
+            try:
+                self.engine.ingest_rows([row])
+            except RuntimeError:
+                return "Error: Table Full"  # main.rs:280
+            return "Inserted successfully"  # main.rs:282
+        if line.startswith("select"):
+            parts = line.split()
+            if len(parts) != 4:  # main.rs:301-305 arity check
+                return USAGE_SELECT
+            return self.engine.query_by_id(parts[1], parts[2], parts[3])
+        if line.startswith("set_interval"):
+            parts = line.split()
+            if len(parts) == 2 and parts[1].isdigit():
+                return f"Interval set to {parts[1]} seconds."
+            return "Invalid interval value."
+        return f"Unrecognized command: {line}"

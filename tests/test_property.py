@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis): random telemetry batches — engine
+query == brute-force Python filter; dedup idempotence (SURVEY §5.3 #4).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.operators.dedup import exact_dedup
+
+_BASE = datetime(2024, 8, 28, 12, 0, 0, tzinfo=timezone.utc)
+
+_row = st.fixed_dictionaries(
+    {
+        "sensor_name": st.sampled_from(["s1", "s2", "s3"]),
+        "offset_min": st.integers(min_value=0, max_value=300),
+        "value": st.floats(
+            min_value=0.0, max_value=2.0, allow_nan=False, allow_infinity=False
+        ),
+        "fc1_flag": st.sampled_from([None, 1, 2]),
+        "timeseries_id": st.sampled_from(["id-a", "id-b", "id-c"]),
+    }
+)
+
+
+def _iso(minutes: int) -> str:
+    return (_BASE + timedelta(minutes=minutes)).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(_row, min_size=1, max_size=40), lo=st.integers(0, 300), hi=st.integers(0, 300))
+def test_range_query_matches_bruteforce(spark, rows, lo, hi):
+    """filter(id == ? AND ts BETWEEN lo AND hi) over a random batch must
+    equal the brute-force Python filter (R3 semantics: inclusive)."""
+    lo, hi = min(lo, hi), max(lo, hi)
+    payload = [
+        (r["sensor_name"], _iso(r["offset_min"]), r["value"], r["fc1_flag"], r["timeseries_id"])
+        for r in rows
+    ]
+    df = spark.createDataFrame(
+        payload,
+        "sensor_name string, ts_raw string, value double, fc1_flag tinyint, timeseries_id string",
+    )
+    target = rows[0]["timeseries_id"]
+    got = (
+        df.filter(
+            (F.col("timeseries_id") == target)
+            & (F.col("ts_raw") >= _iso(lo))
+            & (F.col("ts_raw") <= _iso(hi))
+        )
+        .count()
+    )
+    expected = sum(
+        1
+        for r in rows
+        if r["timeseries_id"] == target and lo <= r["offset_min"] <= hi
+    )
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(_row, min_size=1, max_size=40))
+def test_exact_dedup_idempotent(spark, rows):
+    payload = [
+        (r["sensor_name"], _iso(r["offset_min"]), r["value"], r["timeseries_id"])
+        for r in rows
+    ]
+    df = spark.createDataFrame(
+        payload, "sensor_name string, ts_raw string, value double, timeseries_id string"
+    )
+    once = exact_dedup(df, ["timeseries_id", "ts_raw"])
+    twice = exact_dedup(once, ["timeseries_id", "ts_raw"])
+    n_once, n_twice = once.count(), twice.count()
+    assert n_once == n_twice
+    expected_keys = {(r["timeseries_id"], _iso(r["offset_min"])) for r in rows}
+    assert n_once == len(expected_keys)

@@ -1,0 +1,84 @@
+"""REPL verb parsing fidelity (R7/R8, main.rs:244-315), series catalog,
+and overlay compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from rusty_timeseries_db_spark.api import TimeseriesEngine
+from rusty_timeseries_db_spark.repl import Repl, parse_insert
+from tests.conftest import CANONICAL_ROWS, SERIES_ID
+
+
+@pytest.fixture()
+def repl(spark, tmp_path) -> Repl:
+    return Repl(TimeseriesEngine(spark, str(tmp_path / "wh")))
+
+
+def test_parse_insert_defaults():
+    # unparseable value -> 0.0 (main.rs:263); unparseable flag -> 0 (main.rs:266)
+    row = parse_insert("insert s1 2024-08-28T12:00:00Z not_a_number id1 junk")
+    assert row["value"] == 0.0
+    assert row["fc1_flag"] == 0
+    # absent flag -> None
+    row2 = parse_insert("insert s1 2024-08-28T12:00:00Z 1.5 id1")
+    assert row2["fc1_flag"] is None and row2["value"] == 1.5
+    # arity error
+    assert parse_insert("insert s1 2024-08-28T12:00:00Z 1.5") is None
+
+
+def test_repl_insert_select_roundtrip(repl):
+    assert (
+        repl.execute("insert Sa_FanSpeed 2024-08-28T12:00:00Z 0.8 s-1")
+        == "Inserted successfully"
+    )
+    out = repl.execute("select s-1 2024-08-28T12:00:00Z 2024-08-28T12:01:00Z")
+    assert isinstance(out, DataFrame)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].value == 0.8
+    # select arity check (main.rs:301-305)
+    assert "Usage" in repl.execute("select s-1 2024-08-28T12:00:00Z")
+    # flag parsed as junk -> 0 -> erased to NULL by the codec rule
+    repl.execute("insert s2 2024-08-28T12:00:00Z 1.0 s-1 junkflag")
+    rows = repl.execute(
+        "select s-1 2024-08-28T12:00:00Z 2024-08-28T12:01:00Z"
+    ).collect()
+    assert rows[1].fc1_flag is None
+
+
+def test_set_interval(repl):
+    assert repl.execute("set_interval 60") == "Interval set to 60 seconds."
+    assert repl.execute("set_interval x") == "Invalid interval value."
+
+
+def test_series_catalog(spark, tmp_path):
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS)
+    eng.ingest_rows(
+        [dict(CANONICAL_ROWS[0], timeseries_id="other-series", sensor_name="Oa_Temp")]
+    )
+    cat = {r.timeseries_id: r for r in eng.build_series_catalog().collect()}
+    assert len(cat) == 2
+    assert cat[SERIES_ID[:32]].n_rows == 3
+    assert cat[SERIES_ID[:32]].sensor_name == "Sa_FanSpeed"
+    assert cat["other-series"].sensor_name == "Oa_Temp"
+
+
+def test_compact_folds_overlay(spark, tmp_path):
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS)
+    eng.run_fault_detection(
+        SERIES_ID, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z"
+    )
+    assert eng._read_overlay() is not None
+    n = eng.compact()
+    assert n == 3
+    assert eng._read_overlay() is None
+    # flags survive compaction; order preserved
+    rows = eng.query_by_id(
+        SERIES_ID, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z"
+    ).collect()
+    assert [(r.value, r.fc1_flag) for r in rows] == [
+        (0.8, None), (0.9, None), (1.0, 1),
+    ]
