@@ -49,12 +49,20 @@ def main() -> None:
     spark = get_spark(app_name="rtsdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM / file listing once so the first timed query isn't
-    # charged for session start and codegen compilation of the scan path.
-    for t in ("lineitem", "orders", "events", "documents", "embeddings", "customer"):
-        _q.T(spark, sf_dir, t).count()
-
     fns = _q.all_queries()
+
+    # Steady-state protocol: run every headline plan once at the tiny
+    # scale factor first. Whole-stage codegen compilation is cached by
+    # generated code (schema-dependent, not data-dependent), so this
+    # removes JIT/compile noise from the timed sf run without touching
+    # the timed data.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                fns[name](spark, warm_dir).count()
+            except Exception:
+                pass
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = fns[name]

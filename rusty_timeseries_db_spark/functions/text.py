@@ -20,9 +20,11 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def token_array(col: Column | str) -> Column:
+def token_array(col: Column | str, delimiter: str = " ") -> Column:
+    """Non-empty lowercased tokens; literal-space split by default (see
+    operators/dedup.py word_tokens for the rationale)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0)
+    return F.filter(F.split(F.lower(c), delimiter), lambda t: F.length(t) > 0)
 
 
 def token_count(col: Column | str) -> Column:

@@ -2122,3 +2122,55 @@ def q_to_json(spark, sf_dir):
             F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("n"))
         ).alias("js"),
     )
+
+
+@declare(
+    "q_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="except all (bag semantics)",
+)
+def q_except_all(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+@declare(
+    "q_scalar_datetime_parts",
+    """
+    SELECT o_orderkey,
+           CAST(hour(o_orderdate) AS INTEGER) AS hr,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_month,
+           CAST(date_add(CAST(o_orderdate AS DATE), 10) AS TIMESTAMP) AS plus_10d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="date-part extraction + interval/day arithmetic "
+    "(dow: Spark 1=Sunday vs DuckDB 0=Sunday, aligned via +1)",
+)
+def q_scalar_datetime_parts(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.hour("o_orderdate").cast("int").alias("hr"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.weekofyear("o_orderdate").cast("int").alias("woy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH")).alias("plus_month"),
+        F.date_add(F.col("o_orderdate").cast("date"), 10)
+        .cast("timestamp")
+        .alias("plus_10d"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+    )

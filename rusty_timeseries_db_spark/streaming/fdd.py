@@ -75,6 +75,71 @@ def start_fdd_stream(
     return writer.start()
 
 
+def stateful_fault_runs(
+    stream: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    min_run: int = 3,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    tracks, per series, the current run of consecutive over-threshold
+    readings **across micro-batches**, emitting a row whenever a run
+    reaches ``min_run``. This is the escalation path beyond the
+    reference's stateless per-batch rule (main.rs:384-406) — state the
+    reference cannot express at all.
+
+    Input must have columns (timeseries_id, ts, value). State per key:
+    (run_length, run_start_epoch_us).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "timeseries_id string, run_length bigint, run_start timestamp, "
+        "run_end timestamp"
+    )
+    state_schema = "run_length bigint, run_start_us bigint"
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (series_id,) = key
+        run_len, run_start_us = (
+            state.get if state.exists else (0, 0)
+        )
+        emitted = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                if value > threshold:
+                    if run_len == 0:
+                        run_start_us = int(pd.Timestamp(ts).value // 1000)
+                    run_len += 1
+                    if run_len == min_run:
+                        emitted.append(
+                            (
+                                series_id,
+                                run_len,
+                                pd.Timestamp(run_start_us * 1000),
+                                pd.Timestamp(ts),
+                            )
+                        )
+                else:
+                    run_len, run_start_us = 0, 0
+        state.update((run_len, run_start_us))
+        if emitted:
+            yield pd.DataFrame(
+                emitted,
+                columns=["timeseries_id", "run_length", "run_start", "run_end"],
+            )
+
+    return stream.groupBy("timeseries_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def apply_rules(telemetry: DataFrame, rules: DataFrame) -> DataFrame:
     """Rules-driven FDD (generalizes the reference's single hard-coded
     rule, main.rs:388-395, via the FIXTURES.md §3 ``fdd_rules`` table).
