@@ -147,3 +147,53 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: candidates from
+    shared LSH buckets (equi-join, never all-pairs), exact cosine
+    rerank, threshold filter. Returns (id_a, id_b, cos_sim), id_a<id_b.
+
+    Recall is tunable via (n_planes, n_tables); the exact all-pairs
+    baseline (q_embedding_neardup_exact) is the correctness oracle."""
+    tables = _hyperplanes(dim, n_planes, n_tables, seed)
+    keyed = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket_col(F.col("_vec"), tables[t]).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = keyed.select("_id", "_vec", F.explode(buckets).alias("_b")).select(
+        "_id", "_vec", "_b.table", "_b.bucket"
+    )
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), "table", "bucket"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from ..functions.vectors import cosine as _cos
+
+    return (
+        cand.select("id_a", "id_b", _cos(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )

@@ -2174,3 +2174,49 @@ def q_scalar_datetime_parts(spark, sf_dir):
         .alias("plus_10d"),
         F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
     )
+
+
+@declare(
+    "q_embedding_neardup_exact",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cs
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+    FROM pairs WHERE cs >= 0.4
+    """,
+    doc="embedding-cosine near-dup pairs, exact all-pairs baseline "
+    "(correctness oracle for the LSH-bucketed scale path)",
+)
+def q_embedding_neardup_exact(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", cosine(F.col("_ea"), F.col("_eb")).alias("cs")
+    )
+    return scored.filter(F.col("cs") >= 0.4).select(
+        "id_a", "id_b", F.round("cs", 6).alias("cos_sim")
+    )
+
+
+@declare(
+    "q_embedding_neardup_lsh",
+    None,
+    doc="embedding-cosine near-dup via LSH buckets + exact rerank "
+    "(scale path; recall vs exact checked in tests)",
+)
+def q_embedding_neardup_lsh(spark, sf_dir):
+    from .operators.similarity import lsh_near_dup_pairs
+
+    emb = T(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", dim=64,
+        threshold=0.4, n_planes=6, n_tables=16,
+    )
