@@ -97,3 +97,17 @@ def fingerprint(col: Column | str) -> Column:
     in both Spark and DuckDB → oracle-checkable)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def rolling_hash_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive rolling document fingerprint: left fold of the
+    token stream through ``xxhash64(acc, token)`` (hash chaining). Same
+    text → same fp; any reorder/edit → different fp (unlike the
+    set-based md5/MinHash fingerprints). Pure bitwise hashing — no
+    arithmetic, so it is ANSI-overflow-proof by construction."""
+    toks = token_array(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )
