@@ -85,12 +85,26 @@ class TimeseriesEngine:
         except Exception:
             return None
 
-    def telemetry(self) -> DataFrame:
-        """The public telemetry view: base ∪ overlay, last-write-wins."""
+    def telemetry(self, as_of_seq: Optional[int] = None) -> DataFrame:
+        """The public telemetry view: base ∪ overlay, last-write-wins.
+
+        ``as_of_seq`` gives a snapshot read: only rows ingested at or
+        before that sequence number (append-only storage makes time
+        travel a filter, not a file operation). Overlay updates are
+        ignored for snapshot reads — they represent later mutations.
+        """
         base = self._read_base()
+        if as_of_seq is not None:
+            return base.filter(F.col("ingest_seq") <= as_of_seq).drop(
+                "series_bucket"
+            )
         overlay = self._read_overlay()
         df = apply_overlay(base, overlay) if overlay is not None else base
         return df.drop("series_bucket")
+
+    def current_seq(self) -> int:
+        """Highest assigned ingest_seq (snapshot handle for readers)."""
+        return self._seq - 1
 
     # --------------------------------------------------------- writes
 

@@ -30,15 +30,43 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     right_order: str | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row with
-    ``right.ts <= left.ts`` within the same ``on`` key (backward as-of,
-    inclusive). Left rows with no prior right row keep NULL payloads.
+    """For each left row, attach the payload of the matching right row
+    within the same ``on`` key. Directions (pandas.merge_asof parity):
 
-    ``right_order`` breaks ties among right rows sharing (key, ts):
-    the row with the greatest ``right_order`` wins (deterministic).
+    - ``backward`` (default): latest right row with ``rts <= lts``;
+    - ``forward``: earliest right row with ``rts >= lts``;
+    - ``nearest``: whichever of the two is closer in time (backward wins
+      exact ties, matching pandas).
+
+    Left rows with no match keep NULL payloads. ``right_order`` breaks
+    ties among right rows sharing (key, ts) deterministically.
     """
     on = list(on)
+    if direction == "forward":
+        # mirror time: forward-asof on t ≡ backward-asof on -t.
+        neg = lambda df, c: df.withColumn(  # noqa: E731
+            "_asof_negts", -F.col(c).cast("double")
+        )
+        out = asof_join(
+            neg(left, left_ts),
+            neg(right, right_ts),
+            on=on,
+            left_ts="_asof_negts",
+            right_ts="_asof_negts",
+            right_cols=right_cols,
+            right_order=right_order,
+            suffix=suffix,
+            direction="backward",
+        )
+        return out.drop("_asof_negts")
+    if direction == "nearest":
+        return asof_join_nearest(
+            left, right, on, left_ts, right_ts, right_cols, right_order, suffix
+        )
+    if direction != "backward":
+        raise ValueError(f"unknown direction: {direction}")
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in on and c != right_ts
@@ -78,6 +106,57 @@ def asof_join(
     return filled.filter(F.col("_asof_side") == 1).drop(
         "_asof_ts", "_asof_side", "_asof_tie"
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    right_order: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Nearest-in-time as-of: backward and forward candidates per left
+    row, keep the closer one (backward wins exact-distance ties —
+    pandas.merge_asof semantics). Two union+window passes → still no
+    join blow-up."""
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    # carry the matched right timestamp so we can compare distances
+    carry = list(right_cols) + ([right_ts] if right_ts not in right_cols else [])
+    lid = left.withColumn("_n_uid", F.monotonically_increasing_id())
+    back = asof_join(
+        lid, right, on, left_ts, right_ts, carry, right_order, "_bk", "backward"
+    )
+    fwd = asof_join(
+        lid, right, on, left_ts, right_ts, carry, right_order, "_fw", "forward"
+    )
+    fsel = fwd.select(
+        "_n_uid", *[F.col(f"{c}_fw").alias(f"_fw_{c}") for c in carry]
+    )
+    j = back.join(fsel, "_n_uid")
+    bdist = F.abs(
+        F.col(left_ts).cast("double") - F.col(f"{right_ts}_bk").cast("double")
+    )
+    fdist = F.abs(
+        F.col(f"_fw_{right_ts}").cast("double") - F.col(left_ts).cast("double")
+    )
+    use_back = F.when(
+        F.col(f"{right_ts}_bk").isNull(), F.lit(False)
+    ).otherwise(F.col(f"_fw_{right_ts}").isNull() | (bdist <= fdist))
+    out = j.select(
+        *[c for c in left.columns],
+        *[
+            F.when(use_back, F.col(f"{c}_bk"))
+            .otherwise(F.col(f"_fw_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return out
 
 
 def asof_join_tolerance(

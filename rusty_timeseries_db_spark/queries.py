@@ -2377,3 +2377,78 @@ def q_rolling_hash_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id", rolling_hash_fingerprint(F.col("text")).alias("fp")
     )
+
+
+@declare(
+    "q_quality_filter_pipeline",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             CAST(length(text) AS DOUBLE) AS nc,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             len(ws) AS n_tok,
+             list_aggregate(list_transform(ws, x -> CAST(len(x) AS DOUBLE)), 'sum') / len(ws) AS mean_tok,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM t WHERE len(ws) > 0
+    ),
+    keep_first AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM scored
+    )
+    SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok,
+           ROUND(mean_tok, 6) AS mean_tok, ROUND(uniq_ratio, 6) AS uniq_ratio
+    FROM keep_first
+    WHERE rn = 1                -- exact-dup removal (keep first)
+      AND n_tok BETWEEN 20 AND 1000   -- length gate
+      AND mean_tok BETWEEN 3 AND 12   -- word-length sanity
+      AND uniq_ratio >= 0.2           -- repetition gate
+    """,
+    doc="C4/Gopher-style end-to-end quality+dedup filter pipeline "
+    "(length, word-length, repetition gates + exact dedup), one plan",
+)
+def q_quality_filter_pipeline(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    ws = token_array(F.col("text"))
+    scored = (
+        d.select("doc_id", "lang", "text")
+        .withColumn("_ws", ws)
+        .filter(F.size("_ws") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("_ws").alias("n_tok"),
+            (
+                F.aggregate(
+                    F.transform("_ws", lambda x: F.length(x).cast("double")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.size("_ws")
+            ).alias("mean_tok"),
+            (F.size(F.array_distinct("_ws")).cast("double") / F.size("_ws")).alias(
+                "uniq_ratio"
+            ),
+            content_hash(F.col("text")).alias("fp"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("n_tok").between(20, 1000)
+            & F.col("mean_tok").between(3, 12)
+            & (F.col("uniq_ratio") >= 0.2)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tok").cast("int").alias("n_tok"),
+            F.round("mean_tok", 6).alias("mean_tok"),
+            F.round("uniq_ratio", 6).alias("uniq_ratio"),
+        )
+    )

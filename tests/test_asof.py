@@ -112,3 +112,55 @@ def test_asof_tolerance(spark):
     got2 = dict(zip(out2["lid"], out2["v_right"]))
     assert pd.isna(got2[1])
     assert got2[2] == 30.0
+
+
+def test_asof_forward_and_nearest_match_pandas(spark):
+    import numpy as np
+    from rusty_timeseries_db_spark.operators.asof import asof_join_nearest
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 200
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_l).astype(str),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n_l), unit="s"),
+            "lid": range(n_l),
+        }
+    )
+    rpd = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, n_r).astype(str),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10**6, n_r), unit="s"),
+                "v": rng.random(n_r),
+                "rid": range(n_r),
+            }
+        )
+        .sort_values(["ts", "rid"])
+        .drop_duplicates(["k", "ts"], keep="last")
+    )
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+
+    for direction in ["forward", "nearest"]:
+        expected = pd.merge_asof(
+            lpd.sort_values("ts"),
+            rpd.sort_values("ts")[["k", "ts", "v"]],
+            on="ts", by="k", direction=direction,
+        ).sort_values("lid")
+        if direction == "forward":
+            got = asof_join(
+                left, right, on=["k"], right_cols=["v"],
+                right_order="rid", direction="forward",
+            )
+        else:
+            got = asof_join_nearest(
+                left, right, on=["k"], right_cols=["v"], right_order="rid"
+            )
+        out = got.toPandas().sort_values("lid")
+        a = expected["v"].reset_index(drop=True)
+        b = out["v_right"].reset_index(drop=True)
+        ok = (a == b) | (a.isna() & b.isna())
+        assert ok.all(), f"{direction}: {int((~ok).sum())} mismatches"

@@ -82,3 +82,23 @@ def test_compact_folds_overlay(spark, tmp_path):
     assert [(r.value, r.fc1_flag) for r in rows] == [
         (0.8, None), (0.9, None), (1.0, 1),
     ]
+
+
+def test_snapshot_read_as_of_seq(spark, tmp_path):
+    """Append-only storage makes time travel a filter: reads at an old
+    ingest_seq see only the rows that existed then."""
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS[:2])
+    snap = eng.current_seq()
+    assert snap == 1
+    eng.ingest_rows(CANONICAL_ROWS[2:])
+    assert eng.telemetry().count() == 3
+    old = eng.telemetry(as_of_seq=snap)
+    assert old.count() == 2
+    assert {r.value for r in old.collect()} == {0.8, 0.9}
+    # snapshot ignores later overlay mutations
+    eng.run_fault_detection(
+        SERIES_ID, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z"
+    )
+    assert eng.telemetry(as_of_seq=snap).filter("fc1_flag = 1").count() == 0
+    assert eng.telemetry().filter("fc1_flag = 1").count() == 1
