@@ -1,0 +1,77 @@
+"""Regenerate QUERIES.md from the declared-query registry."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+from rusty_timeseries_db_spark import queries as Q  # noqa: E402
+
+GROUPS = [
+    ("Reference fidelity (R3/R4/R11)", ["q_r3", "q_r4", "q_r11"]),
+    ("Projection / filter", ["q_filter", "q_project"]),
+    ("Aggregation", ["q_agg", "q_count_distinct", "q_percentiles", "q_rollup",
+                     "q_cube", "q_grouping", "q_having", "q_collect",
+                     "q_multi_count", "q_correlation", "q_string_agg",
+                     "q_approx", "q_pivot", "q_unpivot"]),
+    ("Joins", ["q_join", "q_asof", "q_interval", "q_tpch"]),
+    ("Window functions", ["q_window"]),
+    ("Sort / limit / top-k", ["q_topk", "q_global_sort"]),
+    ("Set operations", ["q_union", "q_intersect", "q_except"]),
+    ("Scalar function families", ["q_scalar", "q_levenshtein", "q_hash",
+                                  "q_array", "q_map", "q_posexplode",
+                                  "q_higher", "q_from_json", "q_to_json"]),
+    ("Time-series ops", ["q_tumbling", "q_resample", "q_locf", "q_gaps",
+                         "q_session"]),
+    ("UDF surface", ["q_udf"]),
+    ("FDD", ["q_fdd"]),
+    ("LLM-pipeline: dedup", ["q_dedup", "q_ngram", "q_minhash", "q_simhash",
+                             "q_embedding_neardup", "q_quality_filter"]),
+    ("LLM-pipeline: similarity / embeddings", ["q_similarity", "q_embedding_knn"]),
+    ("LLM-pipeline: text analysis", ["q_token", "q_quality_score", "q_langid",
+                                     "q_rolling_hash"]),
+    ("Multimodal", ["q_multimodal"]),
+]
+
+
+def group_of(name: str) -> str:
+    for title, prefixes in GROUPS:
+        if any(name.startswith(p) for p in prefixes):
+            return title
+    return "Other"
+
+
+def main() -> None:
+    specs = Q._REGISTRY
+    n_oracle = sum(1 for s in specs if s.oracle is not None)
+    lines = [
+        "# QUERIES — declared-operator manifest",
+        "",
+        f"{len(specs)} declared queries; {n_oracle} hash-checked against a",
+        "DuckDB oracle at sf0.01 (the rest are rows-only: engine-specific",
+        "sketches/hashes with accuracy or invariant tests instead).",
+        "Generated from `rusty_timeseries_db_spark/queries.py` by",
+        "`gen_queries_md.py` — regenerate after adding queries.",
+        "",
+    ]
+    by_group: dict[str, list] = {}
+    for s in specs:
+        by_group.setdefault(group_of(s.name), []).append(s)
+    for title, _ in GROUPS + [("Other", [])]:
+        items = by_group.get(title)
+        if not items:
+            continue
+        lines.append(f"## {title}")
+        lines.append("")
+        lines.append("| query | oracle | what it covers |")
+        lines.append("| --- | --- | --- |")
+        for s in items:
+            mode = "DuckDB" if s.oracle is not None else "rows-only"
+            doc = " ".join(s.doc.split())
+            lines.append(f"| `{s.name}` | {mode} | {doc} |")
+        lines.append("")
+    with open("/root/repo/QUERIES.md", "w") as f:
+        f.write("\n".join(lines))
+    print(f"QUERIES.md: {len(specs)} queries, {n_oracle} with oracles")
+
+
+if __name__ == "__main__":
+    main()

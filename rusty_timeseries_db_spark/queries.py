@@ -2452,3 +2452,163 @@ def q_quality_filter_pipeline(spark, sf_dir):
             F.round("uniq_ratio", 6).alias("uniq_ratio"),
         )
     )
+
+
+# ======================================================================
+# Pivot / unpivot / correlation / ordered string agg
+# ======================================================================
+
+@declare(
+    "q_pivot",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup
+    FROM events WHERE user_id < 50
+    GROUP BY user_id
+    """,
+    doc="pivot (wide per-category counts) — df.groupBy().pivot()",
+)
+def q_pivot(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .count()
+    )
+    # pivot leaves NULL for absent categories; oracle COUNT FILTER gives 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ["click", "view", "purchase", "error", "signup"]],
+    )
+
+
+@declare(
+    "q_unpivot",
+    """
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="unpivot/melt wide→long — df.unpivot()",
+)
+def q_unpivot(spark, sf_dir):
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@declare(
+    "q_correlation",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(user_id AS DECIMAL(18,0)) * CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_vu,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_vu
+    FROM s
+    """,
+    doc="Pearson correlation + sample covariance from exact decimal "
+    "moments (engine-agnostic; equals corr()/covar_samp())",
+)
+def q_correlation(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("sx"),
+        F.sum(F.col("user_id").cast("decimal(18,0)")).cast("double").alias("sy"),
+        F.sum(dec(F.col("value")) * F.col("user_id").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(dec(F.col("value")) * dec(F.col("value"))).cast("double").alias("sxx"),
+        F.sum(
+            F.col("user_id").cast("decimal(18,0)")
+            * F.col("user_id").cast("decimal(18,0)")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = [F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]]
+    return s.select(
+        "event_type",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_vu"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_vu"),
+    )
+
+
+@declare(
+    "q_string_agg_ordered",
+    """
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_custkey < 30
+    GROUP BY o_custkey
+    """,
+    doc="deterministic ordered string aggregation per group",
+)
+def q_string_agg_ordered(spark, sf_dir):
+    e = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    return e.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("o_orderkey", "o_orderstatus"))
+                ),
+                lambda s: s["o_orderstatus"],
+            ),
+            ",",
+        ).alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@declare(
+    "q_multi_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_order
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="multiple count-distincts in one aggregate (Expand-based plan)",
+)
+def q_multi_count_distinct(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.countDistinct("l_orderkey").alias("nd_order"),
+    )

@@ -138,3 +138,29 @@ def streaming_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFra
     return stream.withWatermark("ts", watermark).dropDuplicates(
         ["timeseries_id", "ts"]
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with watermarks + a time-range condition
+    (SURVEY §2.2 streaming ext). The range bound lets Spark expire join
+    state: right rows older than ``left.ts - max_lag`` are dropped from
+    state once the watermark passes — state stays O(window), not O(stream).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} - INTERVAL {max_lag} "
+            f"AND r.{right_ts} <= l.{left_ts}"
+        ),
+        "inner",
+    )

@@ -84,3 +84,37 @@ def test_sliding_window(spark, tmp_path):
     # windows overlap
     windows_for_s1 = {r.window_start.strftime("%H:%M") for r in out}
     assert {"12:00", "12:05"} <= windows_for_s1
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Two live streams (telemetry + 'commands') joined on series with a
+    bounded time-range condition."""
+    from rusty_timeseries_db_spark.streaming.ingest import stream_stream_join
+
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    _drop(src_a, ROWS, "a1.jsonl")  # readings at 12:00:10, 12:01:10, 12:06
+    _drop(src_b, [
+        {"sensor_name": "cmd", "timestamp": "2024-08-28T12:00:00Z", "value": 0.0,
+         "fc1_flag": None, "timeseries_id": "s1"},
+        {"sensor_name": "cmd", "timestamp": "2024-08-28T11:30:00Z", "value": 0.0,
+         "fc1_flag": None, "timeseries_id": "s1"},  # too old for any reading
+    ], "b1.jsonl")
+
+    a = normalized_stream(read_telemetry_stream(spark, src_a)).select(
+        "timeseries_id", "ts", "value"
+    )
+    b = normalized_stream(read_telemetry_stream(spark, src_b)).select(
+        F.col("timeseries_id").alias("timeseries_id_r"),
+        F.col("ts").alias("cmd_ts"),
+    ).withColumnRenamed("timeseries_id_r", "timeseries_id")
+    joined = stream_stream_join(
+        a, b, key="timeseries_id", left_ts="ts", right_ts="cmd_ts",
+        watermark="30 minutes", max_lag="5 minutes",
+    )
+    out = _run_to_memory(spark, joined.select("l.ts", "value", "cmd_ts"), "ss_join")
+    rows = out.collect()
+    # readings at 12:00:10 and 12:01:10 match the 12:00 command (within
+    # 5 min); 12:06 does not; the 11:30 command matches nothing
+    assert len(rows) == 2
+    assert {r.value for r in rows} == {1.0, 3.0}
