@@ -2612,3 +2612,65 @@ def q_multi_count_distinct(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("nd_supp"),
         F.countDistinct("l_orderkey").alias("nd_order"),
     )
+
+
+@declare(
+    "q_join_right_outer",
+    """
+    SELECT c.c_custkey, o.o_orderkey
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 100
+    """,
+    doc="right outer join (kept rows from the right side)",
+)
+def q_join_right_outer(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@declare(
+    "q_filter_rlike",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE regexp_matches(p_name, '^(red|blue) .*(bolt|gear)$')
+    """,
+    doc="regex predicate filter (rlike / regexp_matches)",
+)
+def q_filter_rlike(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike(r"^(red|blue) .*(bolt|gear)$")).select(
+        "p_partkey", "p_name"
+    )
+
+
+@declare(
+    "q_python_udtf",
+    None,
+    doc="Python UDTF (table function) exploding docs to (pos, token) "
+    "rows — verified equal to the built-in posexplode in tests",
+)
+def q_python_udtf(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            if text:
+                for i, t in enumerate(text.split(" ")):
+                    yield i, t
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    T(spark, sf_dir, "documents").filter(F.col("doc_id") < 10).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t
+        """
+    )

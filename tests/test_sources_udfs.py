@@ -101,3 +101,19 @@ def test_rules_fdd_multiple_rules_lowest_flag_wins(spark):
     out = apply_rules(tel, rules).collect()[0]
     assert out.fc1_flag == 2  # rules a,b match (not c: 0.99 < 0.999); min flag
     assert out.n_rules_matched == 2
+
+
+def test_python_udtf_matches_posexplode(spark):
+    from rusty_timeseries_db_spark.queries import q_python_udtf, q_posexplode
+
+    udtf_rows = {
+        (r.doc_id, r.pos, r.token)
+        for r in q_python_udtf(spark, SF_DIR).collect()
+    }
+    pos_rows = {
+        (r.doc_id, r.pos, r.token)
+        for r in q_posexplode(spark, SF_DIR)
+        .filter("doc_id < 10")
+        .collect()
+    }
+    assert udtf_rows == pos_rows
