@@ -40,6 +40,10 @@ HEADLINE = [
     "q_minhash_pairs",
     "q_similarity_bruteforce",
     "q_token_stats",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_supplier",
+    "q_quality_filter_pipeline",
+    "q_session_window",
 ]
 
 

@@ -78,7 +78,10 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     floor-divide to µs, which matches DuckDB's own ns→µs truncation on
     read, so both engines see identical values.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down — only events (nanos) reads would be affected
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

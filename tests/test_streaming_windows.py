@@ -118,3 +118,21 @@ def test_stream_stream_join(spark, tmp_path):
     # 5 min); 12:06 does not; the 11:30 command matches nothing
     assert len(rows) == 2
     assert {r.value for r in rows} == {1.0, 3.0}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window() on a live stream (not just batch)."""
+    from pyspark.sql import functions as FF
+
+    src = str(tmp_path / "drop")
+    _drop(src, ROWS, "b1.jsonl")  # 12:00:10, 12:01:10 (one session), 12:06 (next)
+    stream = normalized_stream(read_telemetry_stream(spark, src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("timeseries_id", FF.session_window("ts", "3 minutes").alias("sw"))
+        .agg(FF.count("*").alias("n"))
+        .select("timeseries_id", FF.col("sw.start").alias("s"), "n")
+    )
+    out = _run_to_memory(spark, agg, "sess_stream", mode="complete").collect()
+    got = {(r.s.strftime("%H:%M:%S"), r.n) for r in out}
+    assert got == {("12:00:10", 2), ("12:06:00", 1)}
