@@ -133,14 +133,25 @@ class TimeseriesEngine:
         df = self.spark.createDataFrame(payload, TELEMETRY_INGEST_SCHEMA)
         return self.ingest_df(df)
 
-    def ingest_df(self, raw: DataFrame) -> int:
+    def ingest_df(self, raw: DataFrame, dense_seq: bool = True) -> int:
+        """Append a batch. ``dense_seq=True`` (default, fidelity mode)
+        assigns strictly dense ``ingest_seq`` by coalescing to one
+        partition — correct arrival-order observability (main.rs:126-137)
+        but single-writer. For bulk loads pass ``dense_seq=False``:
+        sequence numbers stay unique and batch-monotonic (offset +
+        partition-prefixed monotonic id) while the write remains fully
+        parallel — the 100 TB path, where global arrival order within a
+        batch is not observable anyway."""
         n = raw.count()
         if self.max_rows is not None and self.count() + n > self.max_rows:
             raise RuntimeError("Table Full")
-        # Dense, deterministic ingest_seq: arrival order is observable in
-        # the reference (rows return in insertion order, main.rs:126-137).
-        normalized = normalize_ingest(raw.coalesce(1), seq_offset=self._seq)
-        self._seq += n
+        src = raw.coalesce(1) if dense_seq else raw
+        normalized = normalize_ingest(src, seq_offset=self._seq)
+        # Bulk mode: monotonic id = (partitionId << 33) + row, so a fixed
+        # 2^53 stride keeps batches collision-free up to 2^20 partitions
+        # and ~1000 bulk batches per engine instance (compaction can
+        # re-densify); dense mode stays exactly sequential.
+        self._seq += n if dense_seq else (1 << 53)
         (
             normalized.withColumn("series_bucket", series_bucket(F.col("timeseries_id")))
             .sortWithinPartitions("timeseries_id", "ts")
@@ -211,6 +222,15 @@ class TimeseriesEngine:
             .drop("series_bucket")
             .orderBy("ingest_seq")
         )
+
+    def register_views(self, name: str = "telemetry") -> DataFrame:
+        """Expose the telemetry view to ``spark.sql`` (the SQL surface:
+        ``SELECT ... FROM telemetry``). Returns the registered frame."""
+        df = self.telemetry()
+        df.createOrReplaceTempView(name)
+        catalog = self.build_series_catalog()
+        catalog.createOrReplaceTempView(f"{name}_series_catalog")
+        return df
 
     def build_series_catalog(self) -> DataFrame:
         """Realize the reference's dead ``TimeseriesReference`` struct
