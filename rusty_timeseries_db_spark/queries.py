@@ -2677,3 +2677,110 @@ def q_python_udtf(spark, sf_dir):
         FROM _udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t
         """
     )
+
+
+# ======================================================================
+# Behavioral analytics: funnel + cohort retention
+# ======================================================================
+
+@declare(
+    "q_funnel",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_viewed,
+      CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS BIGINT) AS n_clicked_after,
+      CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click) AS BIGINT) AS n_purchased_after
+    FROM stages
+    """,
+    doc="ordered funnel (view -> click -> purchase) via per-stage first-seen times",
+)
+def q_funnel(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stages.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+            )
+        ).alias("n_clicked_after"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_purchased_after"),
+    )
+
+
+@declare(
+    "q_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week
+      FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', CAST(f.cohort_week AS DATE), CAST(a.active_week AS DATE)) / 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+    doc="cohort retention: first-seen week × activity-week matrix",
+)
+def q_cohort_retention(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@declare(
+    "q_approx_top_k",
+    None,
+    doc="approximate heavy-hitters per event type (engine sketch; exact "
+    "top-k equivalence asserted in tests at this cardinality)",
+)
+def q_approx_top_k(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_top_k(user_id, 5)").alias("top_users")
+    )

@@ -117,3 +117,25 @@ def test_python_udtf_matches_posexplode(spark):
         .collect()
     }
     assert udtf_rows == pos_rows
+
+
+def test_approx_top_k_matches_exact_at_low_cardinality(spark):
+    """approx_top_k at 150-user cardinality must equal the exact top-5."""
+    from rusty_timeseries_db_spark.queries import T, q_approx_top_k
+
+    e = T(spark, SF_DIR, "events")
+    exact = {}
+    for r in (
+        e.groupBy("event_type", "user_id")
+        .count()
+        .collect()
+    ):
+        exact.setdefault(r.event_type, []).append((r["count"], r.user_id))
+    approx = {r.event_type: r.top_users for r in q_approx_top_k(spark, SF_DIR).collect()}
+    for et, counts in exact.items():
+        top_exact = {u for _, u in sorted(counts, key=lambda t: (-t[0], t[1]))[:5]}
+        got = {item.item for item in approx[et]}
+        # sketch is exact at this cardinality up to count ties at rank 5
+        boundary = sorted(counts, key=lambda t: -t[0])[4][0]
+        tied = {u for c, u in counts if c >= boundary}
+        assert got <= tied and len(got) == 5
