@@ -100,7 +100,10 @@ def normalize_payload(df: DataFrame) -> DataFrame:
     (streaming-safe: usable on streaming DataFrames)."""
     return df.select(
             truncate32(F.col("sensor_name"), SENSOR_NAME_SIZE).alias("sensor_name"),
-            F.to_timestamp(truncate32(F.col("timestamp"), TIMESTAMP_SIZE)).alias("ts"),
+            # try_to_timestamp: the reference never validates timestamps
+            # (main.rs:160-166) — unparseable input must store (ts NULL,
+            # ts_raw kept), not raise (ANSI to_timestamp throws).
+            F.try_to_timestamp(truncate32(F.col("timestamp"), TIMESTAMP_SIZE)).alias("ts"),
             truncate32(F.col("timestamp"), TIMESTAMP_SIZE).alias("ts_raw"),
             F.col("value").cast(DoubleType()).alias("value"),
             normalize_flag(F.col("fc1_flag")).alias("fc1_flag"),
