@@ -78,10 +78,17 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     floor-divide to µs, which matches DuckDB's own ns→µs truncation on
     read, so both engines see identical values.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # conf locked down — only events (nanos) reads would be affected
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # deterministic regardless of the host session's defaults:
+        # timestamp literals/arrow conversion in UTC, sane shuffle width
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.shuffle.partitions", "32"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down — degrade gracefully
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
