@@ -87,6 +87,39 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     ]
 
 
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8, fake: bool = False
+) -> DataFrame:
+    """Video/audio frame sampling plumbing via ``mapInPandas``: one
+    output row per sampled frame, Arrow-batched. The real decoder
+    (ffmpeg) is STUBBED — ``fake=True`` slices the payload at fixed
+    offsets so partitioning/fan-out behavior is testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame extraction requires ffmpeg — not in this env"
+                    )
+                data = bytes(payload)
+                for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    out.append((aid, i, data[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "frame_payload"])
+
+    return assets.mapInPandas(run, _FRAMES_SCHEMA)
+
+
 def extract_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over asset payloads via
     ``mapInPandas`` — the correct shape for heavy per-asset Python work

@@ -103,3 +103,36 @@ def test_mllib_minhash_agrees_with_native(spark):
     }
     missed = truth - ml_pairs
     assert len(missed) <= max(1, len(truth) // 5), missed
+
+
+def test_streaming_exactly_once_across_restarts(spark, tmp_path):
+    """Checkpoint resume: re-running the sink over the same source must
+    not duplicate rows (exactly-once per micro-batch); new files are
+    picked up incrementally."""
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    os.makedirs(src)
+
+    def drop(rows, name):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    drop(CANONICAL_ROWS[:2], "b1.jsonl")
+    q1 = start_telemetry_sink(read_telemetry_stream(spark, src), wh, available_now=True)
+    q1.awaitTermination(120)
+    eng = TimeseriesEngine(spark, wh)
+    assert eng.telemetry().count() == 2
+
+    # restart with the SAME checkpoint, same source files → no dups
+    q2 = start_telemetry_sink(read_telemetry_stream(spark, src), wh, available_now=True)
+    q2.awaitTermination(120)
+    assert eng.telemetry().count() == 2
+
+    # new file arrives → only the delta is ingested
+    drop(CANONICAL_ROWS[2:], "b2.jsonl")
+    q3 = start_telemetry_sink(read_telemetry_stream(spark, src), wh, available_now=True)
+    q3.awaitTermination(120)
+    tel = eng.telemetry()
+    assert tel.count() == 3
+    assert tel.select("ingest_seq").distinct().count() == 3
