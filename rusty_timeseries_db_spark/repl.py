@@ -75,6 +75,8 @@ class Repl:
             if len(parts) != 4:  # main.rs:301-305 arity check
                 return USAGE_SELECT
             return self.engine.query_by_id(parts[1], parts[2], parts[3])
+        if line == ".exit":
+            return "Exiting..."  # main.rs:316-318
         if line.startswith("set_interval"):
             parts = line.split()
             if len(parts) == 2 and parts[1].isdigit():

@@ -102,3 +102,23 @@ def test_snapshot_read_as_of_seq(spark, tmp_path):
     )
     assert eng.telemetry(as_of_seq=snap).filter("fc1_flag = 1").count() == 0
     assert eng.telemetry().filter("fc1_flag = 1").count() == 1
+
+
+def test_py_client_scenario_end_to_end(spark, tmp_path):
+    """SURVEY §7.2 exit criterion — the reference's own demo script
+    (py_client.py:52-65) replayed verbatim against the client facade."""
+    from rusty_timeseries_db_spark.client import TelemetryClient
+
+    c = TelemetryClient(TimeseriesEngine(spark, str(tmp_path / "wh")))
+    sid = "8f541ba4-c437-43ba-ba1d-5c946583fe54"
+    assert c.insert_telemetry("Sa_FanSpeed", "2024-08-28T12:00:00Z", 0.8, sid)
+    assert c.insert_telemetry("Sa_FanSpeed", "2024-08-28T12:01:00Z", 0.9, sid)
+    assert c.insert_telemetry("Sa_FanSpeed", "2024-08-28T12:02:00Z", 1.0, sid)
+    data = c.query_telemetry(sid, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z")
+    assert [d["value"] for d in data] == [0.8, 0.9, 1.0]  # insertion order
+    assert data[0]["timestamp"] == "2024-08-28T12:00:00Z"  # JSON field shape
+    assert c.check_for_fault(data, fault_threshold=0.95) == 1
+
+
+def test_repl_exit(repl):
+    assert repl.execute(".exit") == "Exiting..."
