@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.overlay import apply_overlay
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import DateType, IntegerType, StructField, StructType
 
 from .schema import (
     TELEMETRY_INGEST_SCHEMA,
@@ -60,22 +60,37 @@ class TimeseriesEngine:
         spark: SparkSession,
         warehouse_dir: str,
         max_rows: Optional[int] = None,
+        partition_by_date: bool = False,
     ) -> None:
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.telemetry_path = os.path.join(warehouse_dir, "telemetry")
         self.overlay_path = os.path.join(warehouse_dir, "telemetry_overlay")
         self.max_rows = max_rows
+        #: production layout: bucket + event-date partitions (prunes both
+        #: point-series and time-range scans); off by default for small
+        #: fixtures where per-day dirs would mean one tiny file each.
+        self.partition_by_date = partition_by_date
+        self._partition_cols = (
+            ["series_bucket", "ds"] if partition_by_date else ["series_bucket"]
+        )
         self._seq = 0
 
     # ---------------------------------------------------------- reads
 
-    def _read_base(self) -> DataFrame:
+    def _read_base(self, keep_ds: bool = False) -> DataFrame:
+        schema = STORED_TELEMETRY_SCHEMA
+        if self.partition_by_date:
+            schema = StructType(
+                list(schema.fields) + [StructField("ds", DateType(), True)]
+            )
         if not os.path.isdir(self.telemetry_path):
-            return self.spark.createDataFrame([], STORED_TELEMETRY_SCHEMA)
-        return self.spark.read.schema(STORED_TELEMETRY_SCHEMA).parquet(
-            self.telemetry_path
-        )
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(self.telemetry_path)
+        if self.partition_by_date and not keep_ds:
+            df = df.drop("ds")
+        return df
 
     def _read_overlay(self) -> Optional[DataFrame]:
         if not os.path.isdir(self.overlay_path):
@@ -147,6 +162,10 @@ class TimeseriesEngine:
             raise RuntimeError("Table Full")
         src = raw.coalesce(1) if dense_seq else raw
         normalized = normalize_ingest(src, seq_offset=self._seq)
+        if self.partition_by_date:
+            normalized = normalized.withColumn(
+                "ds", F.coalesce(F.to_date("ts"), F.lit("9999-12-31").cast("date"))
+            )
         # Bulk mode: monotonic id = (partitionId << 33) + row, so a fixed
         # 2^53 stride keeps batches collision-free up to 2^20 partitions
         # and ~1000 bulk batches per engine instance (compaction can
@@ -156,7 +175,7 @@ class TimeseriesEngine:
             normalized.withColumn("series_bucket", series_bucket(F.col("timeseries_id")))
             .sortWithinPartitions("timeseries_id", "ts")
             .write.mode("append")
-            .partitionBy("series_bucket")
+            .partitionBy(*self._partition_cols)
             .parquet(self.telemetry_path)
         )
         return n
@@ -208,9 +227,25 @@ class TimeseriesEngine:
         """
         timeseries_id = timeseries_id[:32]
         bucket = series_bucket(F.lit(timeseries_id))
-        base = self._read_base()
+        base = self._read_base(keep_ds=True) if self.partition_by_date else self._read_base()
         overlay = self._read_overlay()
         df = base.filter(F.col("series_bucket") == bucket)
+        if self.partition_by_date:
+            import datetime as _dt
+
+            try:
+                d1 = _dt.date.fromisoformat(start[:10])
+                d2 = _dt.date.fromisoformat(end[:10])
+                # rows with unparseable ts live in the 9999-12-31 sentinel
+                # partition but may still match the lexicographic range —
+                # always include that partition (fidelity, main.rs:131-134)
+                df = df.filter(
+                    F.col("ds").between(F.lit(d1), F.lit(d2))
+                    | (F.col("ds") == F.lit("9999-12-31").cast("date"))
+                )
+            except ValueError:
+                pass  # non-ISO bounds: no date pruning, full fidelity scan
+            df = df.drop("ds")
         if overlay is not None:
             df = apply_overlay(df, overlay)
         return (
@@ -255,13 +290,18 @@ class TimeseriesEngine:
         overlay = self._read_overlay()
         if overlay is None:
             return self.count()
-        merged = apply_overlay(self._read_base(), overlay).persist()
+        merged = apply_overlay(self._read_base(), overlay)
+        if self.partition_by_date:
+            merged = merged.withColumn(
+                "ds", F.coalesce(F.to_date("ts"), F.lit("9999-12-31").cast("date"))
+            )
+        merged = merged.persist()
         n = merged.count()
         tmp = self.telemetry_path + "_compacting"
         (
             merged.sortWithinPartitions("timeseries_id", "ts")
             .write.mode("overwrite")
-            .partitionBy("series_bucket")
+            .partitionBy(*self._partition_cols)
             .parquet(tmp)
         )
         merged.unpersist()

@@ -122,3 +122,45 @@ def test_py_client_scenario_end_to_end(spark, tmp_path):
 
 def test_repl_exit(repl):
     assert repl.execute(".exit") == "Exiting..."
+
+
+def test_date_partitioned_layout(spark, tmp_path):
+    """Production layout: series_bucket + ds partitions; date pruning in
+    query_by_id; garbage-timestamp rows stay reachable (sentinel ds)."""
+    import os as _os
+
+    eng = TimeseriesEngine(
+        spark, str(tmp_path / "wh"), partition_by_date=True
+    )
+    eng.ingest_rows(CANONICAL_ROWS)
+    eng.ingest_rows(
+        [dict(CANONICAL_ROWS[0], timestamp="2024-09-15T08:00:00Z", value=2.0)]
+    )
+    eng.ingest_rows(
+        [dict(CANONICAL_ROWS[0], timestamp="zzz-garbage", value=3.0)]
+    )
+    # physical layout has nested ds= dirs
+    bucket_dirs = [
+        d for d in _os.listdir(eng.telemetry_path) if d.startswith("series_bucket=")
+    ]
+    assert bucket_dirs
+    assert any(
+        x.startswith("ds=")
+        for x in _os.listdir(_os.path.join(eng.telemetry_path, bucket_dirs[0]))
+    )
+    # pruned query: only the August day
+    aug = eng.query_by_id(SERIES_ID, "2024-08-28T00:00:00Z", "2024-08-28T23:59:59Z")
+    assert [r.value for r in aug.collect()] == [0.8, 0.9, 1.0]
+    from rusty_timeseries_db_spark.plans.explain import formatted_plan
+
+    assert "ds" in formatted_plan(aug)
+    # lexicographic catch-all range still reaches the garbage row
+    allr = eng.query_by_id(SERIES_ID, "2", "{").collect()
+    assert 3.0 in {r.value for r in allr}
+    # full view + compaction keep all rows
+    assert eng.telemetry().count() == 5
+    eng.run_fault_detection(SERIES_ID, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z")
+    assert eng.compact() == 5
+    assert eng.query_by_id(
+        SERIES_ID, "2024-08-28T12:02:00Z", "2024-08-28T12:02:00Z"
+    ).collect()[0].fc1_flag == 1
