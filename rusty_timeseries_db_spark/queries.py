@@ -2791,3 +2791,46 @@ def q_approx_top_k(spark, sf_dir):
     return e.groupBy("event_type").agg(
         F.expr("approx_top_k(user_id, 5)").alias("top_users")
     )
+
+
+@declare(
+    "q_bool_aggs",
+    """
+    SELECT user_id,
+           bool_and(value > 0.0) AS all_positive,
+           bool_or(value > 45.0) AS any_large,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE user_id < 40
+    GROUP BY user_id
+    """,
+    doc="boolean aggregates (every/some)",
+)
+def q_bool_aggs(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return e.groupBy("user_id").agg(
+        F.every(F.col("value") > 0.0).alias("all_positive"),
+        F.some(F.col("value") > 45.0).alias("any_large"),
+        F.count("*").alias("n"),
+    )
+
+
+@declare(
+    "q_scalar_subquery",
+    """
+    SELECT o_orderkey,
+           ROUND(o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                                 FROM orders), 6) AS price_vs_avg
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="scalar subquery (ratio to global average, exact-decimal mean)",
+)
+def q_scalar_subquery(spark, sf_dir):
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                                     FROM _sq_orders), 6) AS price_vs_avg
+        FROM _sq_orders WHERE o_orderkey <= 2000
+        """
+    )
