@@ -202,10 +202,16 @@ class TimeseriesEngine:
         updates = normalize_ingest(
             self.spark.createDataFrame(payload, TELEMETRY_INGEST_SCHEMA).coalesce(1)
         ).drop("ingest_seq")
-        overlay = build_overlay_for_updates(self._read_base(), updates)
+        overlay = build_overlay_for_updates(self._read_base(), updates).withColumn(
+            "overlay_version", F.lit(self._next_overlay_version())
+        )
         n = overlay.count()
         overlay.write.mode("append").parquet(self.overlay_path)
         return n
+
+    def _next_overlay_version(self) -> int:
+        self._overlay_ver = getattr(self, "_overlay_ver", 0) + 1
+        return self._overlay_ver
 
     # -------------------------------------------------------- queries
 
@@ -343,7 +349,7 @@ class TimeseriesEngine:
             F.lit(flag_value).cast("tinyint").alias("fc1_flag"),
             "timeseries_id",
             "ingest_seq",
-        )
+        ).withColumn("overlay_version", F.lit(self._next_overlay_version()))
         n = overlay.count()
         if n:
             overlay.write.mode("append").parquet(self.overlay_path)

@@ -23,19 +23,30 @@ _PAYLOAD = ["sensor_name", "ts", "ts_raw", "value", "fc1_flag", "timeseries_id"]
 
 def apply_overlay(base: DataFrame, overlay: DataFrame) -> DataFrame:
     """Return the logical table: base rows with the latest overlay row
-    (if any) substituted, keyed by ``ingest_seq``."""
+    (if any) substituted, keyed by ``ingest_seq``.
+
+    "Latest" is decided by the explicit ``overlay_version`` column
+    stamped at write time — NOT by any scan-order artifact (a
+    monotonically_increasing_id at read time follows file enumeration
+    order, which is not write order; caught by the overlay property
+    test)."""
+    version = (
+        F.col("overlay_version")
+        if "overlay_version" in overlay.columns
+        else F.lit(0)
+    )
     latest = (
         overlay.withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy("ingest_seq").orderBy(
-                    F.monotonically_increasing_id().desc()
-                )
+                Window.partitionBy("ingest_seq").orderBy(version.desc())
             ),
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if "overlay_version" in overlay.columns:
+        latest = latest.drop("overlay_version")
     o = latest.select(
         F.col("ingest_seq").alias("_o_seq"),
         *[F.col(c).alias(f"_o_{c}") for c in _PAYLOAD],

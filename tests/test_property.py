@@ -77,3 +77,51 @@ def test_exact_dedup_idempotent(spark, rows):
     assert n_once == n_twice
     expected_keys = {(r["timeseries_id"], _iso(r["offset_min"])) for r in rows}
     assert n_once == len(expected_keys)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    updates=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(1.0, 9.0, allow_nan=False)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_overlay_updates_match_dict_replay(spark, tmp_path_factory, updates):
+    """Random sequences of point updates must equal a dict-replay oracle
+    (last write wins per key, first-match row semantics)."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    eng = TimeseriesEngine(
+        spark, str(tmp_path_factory.mktemp("ov") / "wh")
+    )
+    base_rows = [
+        {
+            "sensor_name": "s",
+            "timestamp": _iso(m),
+            "value": float(m),
+            "fc1_flag": None,
+            "timeseries_id": "k1",
+        }
+        for m in range(4)
+    ]
+    eng.ingest_rows(base_rows)
+    expected = {m: float(m) for m in range(4)}
+    for key_minute, new_value in updates:
+        eng.update_rows(
+            [
+                {
+                    "sensor_name": "s",
+                    "timestamp": _iso(key_minute),
+                    "value": new_value,
+                    "fc1_flag": None,
+                    "timeseries_id": "k1",
+                }
+            ]
+        )
+        expected[key_minute] = new_value
+    got = {
+        r.ts_raw: r.value
+        for r in eng.query_by_id("k1", _iso(0), _iso(10)).collect()
+    }
+    assert got == {_iso(m): v for m, v in expected.items()}
