@@ -164,3 +164,54 @@ def test_asof_forward_and_nearest_match_pandas(spark):
         b = out["v_right"].reset_index(drop=True)
         ok = (a == b) | (a.isna() & b.isna())
         assert ok.all(), f"{direction}: {int((~ok).sum())} mismatches"
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    """Random data: tolerance-bounded as-of vs pandas merge_asof with
+    the same tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 250, 180
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_l).astype(str),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, n_l), unit="s"),
+            "lid": range(n_l),
+        }
+    )
+    rpd = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, n_r).astype(str),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10**5, n_r), unit="s"),
+                "v": rng.random(n_r),
+                "rid": range(n_r),
+            }
+        )
+        .sort_values(["ts", "rid"])
+        .drop_duplicates(["k", "ts"], keep="last")
+    )
+    tol_s = 3600
+    expected = pd.merge_asof(
+        lpd.sort_values("ts"),
+        rpd.sort_values("ts")[["k", "ts", "v"]],
+        on="ts", by="k", direction="backward",
+        tolerance=pd.Timedelta(seconds=tol_s),
+    ).sort_values("lid")
+    out = (
+        asof_join_tolerance(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on=["k"], tolerance_seconds=tol_s,
+            right_cols=["v"], right_order="rid",
+        )
+        .toPandas()
+        .sort_values("lid")
+    )
+    a = expected["v"].reset_index(drop=True)
+    b = out["v_right"].reset_index(drop=True)
+    ok = (a == b) | (a.isna() & b.isna())
+    assert ok.all(), int((~ok).sum())

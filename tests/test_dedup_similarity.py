@@ -108,3 +108,74 @@ def test_bruteforce_self_similarity(spark):
     for r in top1:
         assert r.vec_id == r.query_id  # self is its own nearest neighbor
         assert abs(r.cos_sim - 1.0) < 1e-9
+
+
+def test_locf_matches_pandas_ffill(spark):
+    """LOCF gap-fill vs pandas reindex+ffill on random sparse series."""
+    import numpy as np
+    import pandas as pd
+    from rusty_timeseries_db_spark.operators.resample import locf_fill
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for key in ["a", "b", "c"]:
+        minutes = sorted(rng.choice(200, size=25, replace=False))
+        for m in minutes:
+            rows.append((key, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=int(m)),
+                         float(rng.random())))
+    pdf = pd.DataFrame(rows, columns=["k", "hr", "v"])
+    df = spark.createDataFrame(pdf)
+    filled = locf_fill(df, keys=["k"], ts="hr", value_cols=["v"], step="1 minute")
+    got = filled.toPandas().sort_values(["k", "hr"]).reset_index(drop=True)
+
+    expected_parts = []
+    for key, grp in pdf.groupby("k"):
+        idx = pd.date_range(grp["hr"].min(), grp["hr"].max(), freq="1min")
+        e = grp.set_index("hr").reindex(idx)["v"].ffill().rename_axis("hr").reset_index()
+        e["k"] = key
+        expected_parts.append(e)
+    expected = (
+        pd.concat(expected_parts)[["k", "hr", "v"]]
+        .sort_values(["k", "hr"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected)
+    assert (got["v"].values == expected["v"].values).all()
+
+
+def test_rolling_agg_matches_pandas_rolling(spark):
+    """Event-time rolling mean vs pandas time-window rolling."""
+    import numpy as np
+    import pandas as pd
+    from rusty_timeseries_db_spark.operators.resample import rolling_agg
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for key in ["x", "y"]:
+        secs = np.sort(rng.choice(50_000, size=60, replace=False))
+        for s_ in secs:
+            rows.append((key, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(s_)),
+                         float(rng.random())))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    out = (
+        rolling_agg(
+            spark.createDataFrame(pdf), keys=["k"], ts="ts", value="v",
+            window_seconds=3600, aggs=("avg", "count"),
+        )
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    parts = []
+    for key, grp in pdf.groupby("k"):
+        g = grp.sort_values("ts").set_index("ts")
+        # pandas '3600s' window is (t-3600, t]; our rangeBetween is
+        # [t-3600, t] — closed='both' matches
+        r = g["v"].rolling("3600s", closed="both").agg(["mean", "count"])
+        r["k"] = key
+        parts.append(r.reset_index())
+    expected = (
+        pd.concat(parts).sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert np.allclose(out["rolling_avg"].values, expected["mean"].values)
+    assert (out["rolling_count"].values == expected["count"].values).all()
