@@ -144,3 +144,39 @@ def extract_features(assets: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return assets.mapInPandas(run, _FEATURES_SCHEMA)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """Image resize plumbing (``mapInPandas``): same asset schema out,
+    with meta.width/height set and the payload replaced by the resized
+    encoding. Real decode/resize (PIL) is STUBBED; ``fake=True``
+    deterministically truncates/pads the payload to width*height bytes
+    so downstream batch shapes are testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not in this env"
+                )
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                data = bytes(p)[:target].ljust(target, b"\0")
+                payloads.append(data)
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "duration_ms": m["duration_ms"] if m is not None else None,
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            pdf["meta"] = metas
+            yield pdf
+
+    return assets.mapInPandas(run, ASSET_SCHEMA)

