@@ -2850,3 +2850,43 @@ def q_similarity_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_cosine_topk(emb, q, k=10, n_clusters=16, n_probe=4)
+
+
+@declare(
+    "q_sliding_window_batch",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS floor5
+      FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ),
+    expanded AS (
+      SELECT event_type, value,
+             unnest([floor5 - 300, floor5]) AS ws
+      FROM e
+    )
+    SELECT event_type,
+           CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY event_type, ws
+    """,
+    doc="batch sliding windows (10 min / 5 min slide): each event lands "
+    "in two overlapping windows",
+)
+def q_sliding_window_batch(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-02 00:00:00")
+    return (
+        e.groupBy("event_type", F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
