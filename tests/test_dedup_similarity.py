@@ -198,3 +198,56 @@ def test_ivf_recall_vs_bruteforce(spark):
     # self-match always found (query vectors are corpus members)
     top1 = {r.query_id: r.vec_id for r in approx.filter("rank = 1").collect()}
     assert all(qid == vid for qid, vid in top1.items())
+
+
+def test_resample_matches_pandas(spark):
+    """Tumbling-bucket resample vs pandas.resample on random data."""
+    import numpy as np
+    import pandas as pd
+    from rusty_timeseries_db_spark.operators.resample import resample
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for key in ["a", "b"]:
+        for s_ in np.sort(rng.choice(20_000, size=80, replace=False)):
+            rows.append((key, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(s_)),
+                         float(rng.integers(0, 100))))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    out = resample(
+        spark.createDataFrame(pdf), keys=["k"], ts="ts", interval="5 minutes",
+        aggs={"n": F.count("*"), "s": F.sum("v"), "mx": F.max("v")},
+    ).toPandas().sort_values(["k", "bucket_start"]).reset_index(drop=True)
+    parts = []
+    for key, grp in pdf.groupby("k"):
+        r = grp.set_index("ts")["v"].resample("5min").agg(["count", "sum", "max"]).dropna()
+        r = r[r["count"] > 0]
+        r["k"] = key
+        parts.append(r.reset_index())
+    expected = pd.concat(parts).sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(out) == len(expected)
+    assert (out["n"].values == expected["count"].values).all()
+    assert (out["s"].values == expected["sum"].values).all()
+    assert (out["mx"].values == expected["max"].values).all()
+
+
+def test_topk_per_group_matches_pandas_nlargest(spark):
+    import numpy as np
+    import pandas as pd
+    from rusty_timeseries_db_spark.operators.topk import topk_per_group
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 6, 300).astype(str),
+        "uid": range(300),
+        "score": rng.integers(0, 50, 300).astype(float),
+    })
+    out = topk_per_group(
+        spark.createDataFrame(pdf), keys=["g"],
+        order=[F.col("score").desc(), F.col("uid")], k=4,
+    ).toPandas()
+    for g, grp in pdf.groupby("g"):
+        expected = set(
+            grp.sort_values(["score", "uid"], ascending=[False, True]).head(4)["uid"]
+        )
+        got = set(out[out["g"] == g]["uid"])
+        assert got == expected, g
