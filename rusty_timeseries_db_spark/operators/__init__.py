@@ -10,3 +10,11 @@ from .overlay import apply_overlay, build_overlay_for_updates, compact
 from .resample import cumulative_agg, locf_fill, resample, rolling_agg, time_spine
 from .similarity import cosine_topk, lsh_cosine_topk
 from .topk import topk, topk_per_group
+
+__all__ = [
+    "asof_join", "asof_join_tolerance", "content_hash", "exact_dedup",
+    "minhash_dedup_pairs", "ngram_jaccard_pairs", "simhash_pairs",
+    "apply_overlay", "build_overlay_for_updates", "compact",
+    "cumulative_agg", "locf_fill", "resample", "rolling_agg", "time_spine",
+    "cosine_topk", "lsh_cosine_topk", "topk", "topk_per_group",
+]

@@ -15,9 +15,7 @@ All vector math is JVM-side (functions/vectors.py).
 
 from __future__ import annotations
 
-import math
 import random
-from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -222,7 +220,7 @@ def ivf_cosine_topk(
     moderate or data is clustered (see SCALE.md).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec")

@@ -32,8 +32,6 @@ from .operators.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
-    word_shingles,
-    word_tokens,
 )
 from .operators.similarity import cosine_topk, lsh_cosine_topk
 from .operators.topk import topk, topk_per_group
