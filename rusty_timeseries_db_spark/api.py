@@ -185,6 +185,12 @@ class TimeseriesEngine:
         ``(timestamp, timeseries_id)``. The reference updates only the
         *first* matching row (insertion order); the overlay targets the
         minimum ``ingest_seq`` match, preserving that semantics.
+
+        Batch semantics: all rows in one ``update_rows`` call share one
+        ``overlay_version`` — two updates to the SAME key in a single
+        call resolve arbitrarily (the reference would apply them
+        sequentially; issue separate calls for that). Across calls,
+        later versions win deterministically.
         """
         from .operators.overlay import build_overlay_for_updates
 

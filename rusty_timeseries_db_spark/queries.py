@@ -2888,3 +2888,30 @@ def q_sliding_window_batch(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@declare(
+    "q_correlated_subquery",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+    doc="correlated scalar subquery (orders above 2x the customer's own "
+    "average) — Catalyst decorrelates to a join",
+)
+def q_correlated_subquery(spark, sf_dir):
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM _corr_orders o
+        WHERE o.o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM _corr_orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
