@@ -2915,3 +2915,63 @@ def q_correlated_subquery(spark, sf_dir):
         )
         """
     )
+
+
+@declare(
+    "q_scd2_merge",
+    """
+    WITH dim(k, addr, valid_from, valid_to) AS (VALUES
+      ('k1', 'addr_old', TIMESTAMP '2023-01-01 00:00:00', TIMESTAMP '2023-06-01 00:00:00'),
+      ('k1', 'addr_v2',  TIMESTAMP '2023-06-01 00:00:00', CAST(NULL AS TIMESTAMP)),
+      ('k2', 'addr_b',   TIMESTAMP '2023-01-01 00:00:00', CAST(NULL AS TIMESTAMP))
+    ),
+    ch(k, addr, cts) AS (VALUES
+      ('k1', 'addr_v3',  TIMESTAMP '2024-01-01 00:00:00'),
+      ('k2', 'addr_b',   TIMESTAMP '2024-01-01 00:00:00'),
+      ('k3', 'addr_new', TIMESTAMP '2024-01-01 00:00:00')
+    ),
+    cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+    hist AS (SELECT * FROM dim WHERE valid_to IS NOT NULL),
+    j AS (
+      SELECT cur.k AS ck, cur.addr AS ca, cur.valid_from AS cvf,
+             ch.k AS nk, ch.addr AS na, ch.cts
+      FROM cur FULL OUTER JOIN ch ON cur.k = ch.k
+    )
+    SELECT k, addr, valid_from, valid_to FROM hist
+    UNION ALL
+    SELECT ck, ca, cvf, CAST(NULL AS TIMESTAMP)
+    FROM j WHERE ck IS NOT NULL AND (nk IS NULL OR ca IS NOT DISTINCT FROM na)
+    UNION ALL
+    SELECT ck, ca, cvf, cts
+    FROM j WHERE ck IS NOT NULL AND nk IS NOT NULL AND ca IS DISTINCT FROM na
+    UNION ALL
+    SELECT nk, na, cts, CAST(NULL AS TIMESTAMP)
+    FROM j WHERE nk IS NOT NULL AND (ck IS NULL OR ca IS DISTINCT FROM na)
+    """,
+    doc="SCD2/CDC merge without MERGE INTO: close-out + insert + no-op "
+    "idempotence via full-outer join + union (operators/scd2.py)",
+)
+def q_scd2_merge(spark, sf_dir):
+    from .operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            ("k1", "addr_old", "2023-01-01 00:00:00", "2023-06-01 00:00:00"),
+            ("k1", "addr_v2", "2023-06-01 00:00:00", None),
+            ("k2", "addr_b", "2023-01-01 00:00:00", None),
+        ],
+        "k string, addr string, vf string, vt string",
+    ).select(
+        "k", "addr",
+        F.to_timestamp("vf").alias("valid_from"),
+        F.to_timestamp("vt").alias("valid_to"),
+    )
+    ch = spark.createDataFrame(
+        [
+            ("k1", "addr_v3", "2024-01-01 00:00:00"),
+            ("k2", "addr_b", "2024-01-01 00:00:00"),
+            ("k3", "addr_new", "2024-01-01 00:00:00"),
+        ],
+        "k string, addr string, cts string",
+    ).select("k", "addr", F.to_timestamp("cts").alias("change_ts"))
+    return scd2_apply(dim, ch, key="k", tracked=["addr"])
