@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,7 +54,7 @@ def content_hash(col: Column | str, normalize: bool = True) -> Column:
 # ------------------------------------------------------------ shingles
 
 def word_tokens(col: Column | str, delimiter: str = " ") -> Column:
-    """Lowercased word tokens (non-empty). Default split is the literal
+    r"""Lowercased word tokens (non-empty). Default split is the literal
     single space — ~1.7× faster than the ``\s+`` regex in codegen and
     equivalent after the empty-token filter for space-separated text;
     pass ``delimiter=r"\s+"`` for tab/newline-delimited corpora."""
@@ -107,8 +108,10 @@ def minhash_signatures_df(
        array/concat allocations (which dominated the string-based
        plan); trailing positions fold missing leads like short
        shingles;
-    3. distinct shingle hashes, then ``num_hashes`` mins over the
-       derived hash family in one partial+final aggregate.
+    3. ``num_hashes`` mins over the derived hash family in one
+       partial+final aggregate — no distinct pass: ``min`` is
+       multiset-invariant, so duplicate shingles cannot change any
+       signature position and set semantics hold for free.
 
     The window and the aggregate share the doc-id partitioning → ONE
     shuffle total. 64-bit shingle-hash collisions are negligible for
@@ -133,7 +136,6 @@ def minhash_signatures_df(
             F.xxhash64(*leads).alias("_h0"),
         )
         .filter(F.col("_lk").isNotNull() | (F.col("_pos") == 0))
-        .dropDuplicates(["_id", "_h0"])
     )
     aggs = [
         F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_h{i}")
@@ -156,19 +158,27 @@ def minhash_dedup_pairs(
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
     Plan shape (scale-critical):
-      1. signature per doc — narrow, no shuffle;
-      2. explode ``bands`` band-hashes per doc — narrow;
-      3. self-equi-join on (band, band_hash) — ONE shuffle, bounded by
-         bucket sizes, never all-pairs;
-      4. estimate Jaccard from signature agreement; filter ≥ threshold.
+      1. signature per doc — ONE shuffle, then persisted (MEMORY_AND_DISK;
+         ≈1 KB/doc, far smaller than the corpus) so the expensive
+         signature pipeline is computed exactly once — without the
+         persist, Catalyst re-derives it for every join branch (the
+         broadcast side of the band join cannot ReusedExchange a shuffle);
+      2. explode ``bands`` (band, band_hash) rows per doc — narrow, and
+         **id-only**: the 1 KB signature array never rides the band-join
+         shuffle (32 copies/doc otherwise);
+      3. self-equi-join on (band, band_hash) — bounded by bucket sizes,
+         never all-pairs; dedup pairs while rows are still 16 B;
+      4. re-attach the two signatures from the persisted table
+         (AQE broadcasts it when small, SMJ at scale) and estimate
+         Jaccard from positionwise agreement; filter ≥ threshold.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "_id",
-        "_sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -180,30 +190,36 @@ def minhash_dedup_pairs(
                 ),
             )
         ).alias("_band"),
-    ).select("_id", "_sig", "_band.band", "_band.bhash")
+    ).select("_id", "_band.band", "_band.bhash")
 
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"), "band", "bhash"
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"), "band", "bhash"
-    )
+    a = banded.select(F.col("_id").alias("id_a"), "band", "bhash")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "bhash")
     cand = (
         a.join(b, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sig_a", "_sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = cand.withColumn(
-        "est_jaccard",
-        F.aggregate(
-            F.zip_with(
-                "_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
+    est = (
+        cand.join(
+            sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a")),
+            "id_a",
         )
-        / F.lit(num_hashes),
+        .join(
+            sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b")),
+            "id_b",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with(
+                    "_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(num_hashes),
+        )
     )
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b", "est_jaccard"
