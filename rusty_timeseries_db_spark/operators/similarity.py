@@ -17,10 +17,11 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
 
 
 def cosine_topk(
@@ -31,26 +32,59 @@ def cosine_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per query vector by cosine.
 
-    The query side is broadcast — the corpus never shuffles; ranking is
-    a window over the (small) per-query candidate set.
+    The query side is broadcast — the corpus never shuffles to score.
+    Norms are precomputed ONCE per side before the cross product (a
+    naive ``cosine(c, q)`` per pair re-evaluates the corpus norm per
+    query and the query norm per corpus row — |Q|+|C| redundant HOF
+    folds per pair); per pair only the dot product remains.
+
+    ``salt_partitions``: with few queries and a huge corpus, a single
+    ``row_number`` window serializes each query's reduction onto one
+    reducer. Passing e.g. 64 switches to a two-phase top-k — a
+    per-(query, salt-of-corpus-id) local cut feeding a global top-k
+    over ≤ salt·k rows per query — identical results (every global
+    top-k row survives its salt-local cut), one extra (tiny) shuffle.
+    Default None: the single window wins while per-query candidate
+    sets fit one reducer comfortably.
     Returns (query_id, vec_id, cos_sim, rank).
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+            F.col(query_id).alias("_qid"),
+            F.col(query_vec).alias("_qvec"),
+            norm(F.col(query_vec)).alias("_qnorm"),
         )
     )
-    scored = corpus.crossJoin(q).select(
+    c = corpus.select(
+        F.col(corpus_id).alias(corpus_id),
+        F.col(corpus_vec).alias("_cvec"),
+        norm(F.col(corpus_vec)).alias("_cnorm"),
+    )
+    scored = c.crossJoin(q).select(
         F.col("_qid").alias(query_id),
         F.col(corpus_id).alias(corpus_id),
-        cosine(F.col(corpus_vec), F.col("_qvec")).alias("cos_sim"),
+        F.when(
+            (F.col("_cnorm") > 0) & (F.col("_qnorm") > 0),
+            dot(F.col("_cvec"), F.col("_qvec"))
+            / (F.col("_cnorm") * F.col("_qnorm")),
+        ).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cos_sim").desc(), F.col(corpus_id).asc()
-    )
+    order = [F.col("cos_sim").desc(), F.col(corpus_id).asc()]
+    if salt_partitions:
+        local = Window.partitionBy(
+            query_id,
+            F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(salt_partitions)),
+        ).orderBy(*order)
+        scored = (
+            scored.withColumn("_lrank", F.row_number().over(local))
+            .filter(F.col("_lrank") <= k)
+            .drop("_lrank")
+        )
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -59,7 +93,8 @@ def cosine_topk(
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> list[list[list[float]]]:
     """Deterministic Gaussian hyperplanes, driver-side (no numpy needed
-    on executors; shipped as literal arrays)."""
+    on executors; shipped as literal arrays). Kept for the literal-plane
+    variant; the hot paths use ``lsh_bucket_hash_col`` (see below)."""
     rng = random.Random(seed)
     return [
         [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
@@ -84,6 +119,48 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
     return out
 
 
+def lsh_bucket_hash_col(vec_col, table: int, n_planes: int, seed: int = 42):
+    """Sign-LSH bucket key with **hash-derived Rademacher hyperplanes**:
+    plane component s(table, i, d) = ±1 from one bit of
+    ``xxhash64(seed, table, i, d)``; bucket bit_i = 1[Σ_d v_d·s(·) > 0].
+
+    Versus literal Gaussian planes this keeps the expression tree
+    constant-size — tables×planes×dim literal arrays made Catalyst
+    optimization and per-AQE-stage re-optimization the dominant cost
+    (measured: seconds of driver time at 16×4×64) — while the sign-flip
+    collision bound P[bit differs] ≈ θ/π still holds to CLT accuracy at
+    dim ≥ ~32 (Rademacher projections; Achlioptas-style sparse/±1
+    random projections are the standard database variant). Fully
+    deterministic: same (seed, table, i, d) → same plane, no driver
+    state shipped at all.
+    """
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    dims = F.sequence(F.lit(0), F.size(vec_col) - 1)
+
+    def dot_sign(i):
+        return F.aggregate(
+            F.zip_with(
+                vec_col,
+                dims,
+                lambda v, d: F.when(
+                    F.xxhash64(F.lit(seed), F.lit(table), i, d).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 0,
+                    v.cast("double"),
+                ).otherwise(-v.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.aggregate(
+        planes,
+        F.lit(0),
+        lambda acc, i: acc * 2 + F.when(dot_sign(i) > 0, 1).otherwise(0),
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -100,43 +177,64 @@ def lsh_cosine_topk(
     """Approximate top-k: candidates = corpus rows sharing an LSH bucket
     with the query in ≥1 of ``n_tables`` tables; exact cosine rerank.
 
-    Shuffle profile: corpus is scanned once per plan, bucket keys are
-    computed map-side, and the candidate join is an equi-join on
-    (table, bucket) — no all-pairs work. Recall is tunable via
-    n_planes/n_tables.
+    Shuffle profile: bucket keys are computed map-side and the candidate
+    join is an equi-join on (table, bucket) — no all-pairs work. The
+    candidate join moves **id-only** rows: with multi-probe tables a
+    corpus row can collide with the same query in every table, and
+    carrying the two vector payloads through that ×n_tables-duplicated
+    join (then deduping 1 KB rows) dominated the runtime. Pairs are
+    deduped at 16 B, then vectors re-attached once from the pre-normed
+    corpus and the broadcast query side, so the rerank computes one dot
+    product per unique pair. Buckets come from hash-derived Rademacher
+    planes (``lsh_bucket_hash_col``) — constant-size expression tree.
     """
-    tables = _hyperplanes(dim, n_planes, n_tables, seed)
 
-    def with_buckets(df: DataFrame, id_col: str, vec_alias: str, id_alias: str) -> DataFrame:
-        keyed = df.select(
-            F.col(id_col).alias(id_alias), F.col(vec_alias).alias(f"_{id_alias}_vec")
-        )
+    def bucket_rows(df: DataFrame, id_col: str, vec_col: str, id_alias: str) -> DataFrame:
         buckets = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("table"),
-                    lsh_bucket_col(F.col(f"_{id_alias}_vec"), tables[t]).alias("bucket"),
+                    lsh_bucket_hash_col(
+                        F.col(vec_col), t, n_planes, seed
+                    ).alias("bucket"),
                 )
                 for t in range(n_tables)
             ]
         )
-        return keyed.select(
-            id_alias, f"_{id_alias}_vec", F.explode(buckets).alias("_b")
-        ).select(id_alias, f"_{id_alias}_vec", "_b.table", "_b.bucket")
+        return df.select(
+            F.col(id_col).alias(id_alias), F.explode(buckets).alias("_b")
+        ).select(id_alias, "_b.table", "_b.bucket")
 
-    c = with_buckets(corpus.select(F.col(corpus_id), F.col(corpus_vec)), corpus_id, corpus_vec, "_cid")
-    q = F.broadcast(
-        with_buckets(queries.select(F.col(query_id), F.col(query_vec)), query_id, query_vec, "_qid")
+    c_keyed = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(corpus_vec).alias("_cvec"),
+        norm(F.col(corpus_vec)).alias("_cnorm"),
     )
+    q_keyed = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(query_vec).alias("_qvec"),
+        norm(F.col(query_vec)).alias("_qnorm"),
+    )
+
+    c = bucket_rows(corpus, corpus_id, corpus_vec, "_cid")
+    q = F.broadcast(bucket_rows(queries, query_id, query_vec, "_qid"))
     cand = (
         c.join(q, ["table", "bucket"])
-        .select("_qid", "_cid", "__cid_vec", "__qid_vec")
+        .select("_qid", "_cid")
         .dropDuplicates(["_qid", "_cid"])
     )
-    scored = cand.select(
-        F.col("_qid").alias(query_id),
-        F.col("_cid").alias(corpus_id),
-        cosine(F.col("__cid_vec"), F.col("__qid_vec")).alias("cos_sim"),
+    scored = (
+        cand.join(c_keyed, "_cid")
+        .join(F.broadcast(q_keyed), "_qid")
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            F.when(
+                (F.col("_cnorm") > 0) & (F.col("_qnorm") > 0),
+                dot(F.col("_cvec"), F.col("_qvec"))
+                / (F.col("_cnorm") * F.col("_qnorm")),
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
@@ -163,35 +261,60 @@ def lsh_near_dup_pairs(
 
     Recall is tunable via (n_planes, n_tables); the exact all-pairs
     baseline (q_embedding_neardup_exact) is the correctness oracle."""
-    tables = _hyperplanes(dim, n_planes, n_tables, seed)
-    keyed = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        norm(F.col(vec_col)).alias("_norm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = F.array(
         *[
             F.struct(
                 F.lit(t).alias("table"),
-                lsh_bucket_col(F.col("_vec"), tables[t]).alias("bucket"),
+                lsh_bucket_hash_col(F.col("_vec"), t, n_planes, seed).alias(
+                    "bucket"
+                ),
             )
             for t in range(n_tables)
         ]
     )
-    banded = keyed.select("_id", "_vec", F.explode(buckets).alias("_b")).select(
-        "_id", "_vec", "_b.table", "_b.bucket"
+    # id-only band rows: vector payloads never ride the ×n_tables
+    # candidate shuffle (see lsh_cosine_topk); pairs dedup at 16 B and
+    # vectors re-attach once from the persisted pre-normed table.
+    banded = keyed.select("_id", F.explode(buckets).alias("_b")).select(
+        "_id", "_b.table", "_b.bucket"
     )
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), "table", "bucket"
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), "table", "bucket"
-    )
+    a = banded.select(F.col("_id").alias("id_a"), "table", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), "table", "bucket")
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    from ..functions.vectors import cosine as _cos
-
+    sides = cand.join(
+        keyed.select(
+            F.col("_id").alias("id_a"),
+            F.col("_vec").alias("_va"),
+            F.col("_norm").alias("_na"),
+        ),
+        "id_a",
+    ).join(
+        keyed.select(
+            F.col("_id").alias("id_b"),
+            F.col("_vec").alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        ),
+        "id_b",
+    )
     return (
-        cand.select("id_a", "id_b", _cos(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        sides.select(
+            "id_a",
+            "id_b",
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .withColumn("cos_sim", F.round("cos_sim", 6))
     )
