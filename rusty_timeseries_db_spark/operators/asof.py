@@ -44,6 +44,14 @@ def asof_join(
     ties among right rows sharing (key, ts) deterministically.
     """
     on = list(on)
+    # Resolve the payload default BEFORE any direction recursion so
+    # backward/forward produce identical schemas (the forward mirror
+    # renames the right ts column, which would otherwise leak into the
+    # default payload as an extra column).
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in on and c != right_ts
+        ]
     if direction == "forward":
         # mirror time: forward-asof on t ≡ backward-asof on -t.
         neg = lambda df, c: df.withColumn(  # noqa: E731
@@ -67,14 +75,16 @@ def asof_join(
         )
     if direction != "backward":
         raise ValueError(f"unknown direction: {direction}")
-    if right_cols is None:
-        right_cols = [
-            c for c in right.columns if c not in on and c != right_ts
-        ]
     payload = [f"{c}{suffix}" for c in right_cols]
+    if not payload:
+        return left
 
     # Tag and union: right rows sort before left rows at equal ts so an
     # exact-timestamp right row is visible to the left row (inclusive).
+    # The payload travels as ONE struct so every output column comes from
+    # the SAME matched right row — per-column last(ignorenulls) would
+    # blend fields from different right rows whenever the matched row
+    # holds a NULL (pandas.merge_asof parity requires row-wise carry).
     order_col = (
         F.col(right_order) if right_order is not None else F.lit(0)
     )
@@ -83,28 +93,38 @@ def asof_join(
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
         order_col.cast("long").alias("_asof_tie"),
-        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+        F.struct(
+            *[F.col(c).alias(p) for c, p in zip(right_cols, payload)]
+        ).alias("_asof_payload"),
     )
     l = left.select(
         *left.columns,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
         F.lit(None).cast("long").alias("_asof_tie"),
-        *[F.lit(None).cast(r.schema[p].dataType).alias(p) for p in payload],
+        F.lit(None)
+        .cast(r.schema["_asof_payload"].dataType)
+        .alias("_asof_payload"),
     )
-    unioned = l.unionByName(r.select(*on, "_asof_ts", "_asof_side", "_asof_tie", *payload), allowMissingColumns=True)
+    unioned = l.unionByName(
+        r.select(*on, "_asof_ts", "_asof_side", "_asof_tie", "_asof_payload"),
+        allowMissingColumns=True,
+    )
 
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc(), F.col("_asof_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        *[c for c in unioned.columns if c not in payload],
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    filled = unioned.withColumn(
+        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("_asof_side") == 1).drop(
-        "_asof_ts", "_asof_side", "_asof_tie"
+    return (
+        filled.filter(F.col("_asof_side") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_asof_payload.{p}").alias(p) for p in payload],
+        )
     )
 
 

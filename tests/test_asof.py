@@ -215,3 +215,39 @@ def test_asof_tolerance_matches_pandas(spark):
     b = out["v_right"].reset_index(drop=True)
     ok = (a == b) | (a.isna() & b.isna())
     assert ok.all(), int((~ok).sum())
+
+
+def test_asof_null_payload_not_blended(spark):
+    """The matched right row's NULLs must carry through — not be
+    backfilled from an older right row (ADVICE r1: per-column
+    last(ignorenulls) blended fields across right rows)."""
+    left = spark.createDataFrame(
+        [("a", 3)], "k string, ts int"
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 5.0, None), ("a", 2, None, 7.0)],
+        "k string, ts int, x double, y double",
+    )
+    out = asof_join(left, right, on=["k"], right_cols=["x", "y"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    # matched right row is ts=2 → (x=NULL, y=7.0); NOT (5.0, 7.0)
+    assert row["x_right"] is None
+    assert row["y_right"] == 7.0
+
+
+def test_asof_direction_schema_symmetry(spark):
+    """Default right_cols must yield identical output schemas for
+    backward and forward (forward used to leak a ts_right column)."""
+    left, right = _mk(spark)
+    back = asof_join(left, right, on=["k"], direction="backward")
+    fwd = asof_join(left, right, on=["k"], direction="forward")
+    assert back.columns == fwd.columns
+    got = {
+        r["lid"]: (r["v_right"], r["rid_right"])
+        for r in fwd.collect()
+    }
+    assert got[1] == (20.0, 2)   # 00:00:30 → next right at 00:01:00
+    assert got[2] == (30.0, 3)   # exact inclusive
+    assert got[3] == (10.0, 1)   # 00:00:00 → 00:00:10
+    assert got[5] == (None, None)
