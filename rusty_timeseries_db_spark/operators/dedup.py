@@ -99,8 +99,9 @@ def minhash_signatures_df(
     shingle_k: int = 3,
     num_hashes: int = 128,
 ) -> DataFrame:
-    """(id, sig array) — the scale plan, measured 6× faster than
-    string-shingle construction:
+    """(id, sig array) via one-permutation hashing (OPH) with rotation
+    densification — ONE hash evaluation per shingle instead of a
+    ``num_hashes``-function family:
 
     1. posexplode tokens, hash each token ONCE (narrow);
     2. shingle hash = ``xxhash64(h_i, h_{i+1}, …)`` over a per-doc
@@ -108,10 +109,19 @@ def minhash_signatures_df(
        array/concat allocations (which dominated the string-based
        plan); trailing positions fold missing leads like short
        shingles;
-    3. ``num_hashes`` mins over the derived hash family in one
-       partial+final aggregate — no distinct pass: ``min`` is
-       multiset-invariant, so duplicate shingles cannot change any
-       signature position and set semantics hold for free.
+    3. OPH: bucket = ``pmod(h, num_hashes)``; signature position i is
+       the min shingle hash landing in bucket i (one conditional-min
+       aggregate — the previous ``num_hashes``-member xxhash64 family
+       cost 128 hash evaluations per shingle row; this costs one pmod
+       plus integer compares). ``min`` is multiset-invariant, so
+       duplicate shingles cannot change any position and set semantics
+       hold for free;
+    4. empty buckets are densified by circular rotation (Shrivastava &
+       Li 2014): position i borrows the nearest non-empty bucket to its
+       right — a pure array expression over the 128-slot signature, so
+       short documents (fewer shingles than buckets) still produce full
+       signatures and the positionwise-agreement Jaccard estimator
+       stays unbiased.
 
     The window and the aggregate share the doc-id partitioning → ONE
     shuffle total. 64-bit shingle-hash collisions are negligible for
@@ -137,12 +147,33 @@ def minhash_signatures_df(
         )
         .filter(F.col("_lk").isNotNull() | (F.col("_pos") == 0))
     )
+    bucketed = sh.withColumn(
+        "_b", F.pmod(F.col("_h0"), F.lit(num_hashes)).cast("int")
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_h{i}")
+        F.min(F.when(F.col("_b") == i, F.col("_h0"))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("_id").agg(*aggs).select(
-        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
+    raw = bucketed.groupBy("_id").agg(*aggs).select(
+        "_id",
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_raw"),
+    )
+    # Rotation densification: each empty slot borrows the first
+    # non-empty slot to its right, wrapping around (hence the doubled
+    # array). A doc with ≥1 shingle has ≥1 non-empty bucket, so the
+    # coalesce always resolves.
+    return raw.withColumn("_dbl", F.concat("_raw", "_raw")).select(
+        "_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.coalesce(
+                F.get("_raw", i),
+                F.get(
+                    F.array_compact(F.slice("_dbl", i + 2, num_hashes - 1)),
+                    F.lit(0),
+                ),
+            ),
+        ).alias("_sig"),
     )
 
 
