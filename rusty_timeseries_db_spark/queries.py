@@ -61,36 +61,44 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver's CORRECTNESS check records only the FIRST 50 entries of
-# all_queries(). These names already earned green rows in
-# CORRECTNESS_r01.json, so they rotate to the back this round and the
-# 50 previously-unchecked queries surface first — the union of rounds
-# covers the whole declared surface.
-_DRIVER_CHECKED_PRIOR: frozenset[str] = frozenset({
-    "q_r3_query_by_id", "q_r4_fdd_overlay", "q_r11_fault_count",
-    "q_filter_range", "q_filter_compound", "q_project_compute",
-    "q_agg_pricing_summary", "q_agg_stats", "q_count_distinct",
-    "q_percentiles", "q_rollup", "q_cube", "q_grouping_sets",
-    "q_having", "q_collect_set", "q_join_inner_broadcast",
-    "q_join_left_outer", "q_join_full_outer", "q_join_semi",
-    "q_join_anti", "q_join_range_bands", "q_join_cross", "q_asof_join",
-    "q_asof_tolerance", "q_interval_overlap_join",
-    "q_window_topk_per_group", "q_window_lag_lead",
-    "q_window_cumulative", "q_window_rank_ntile",
-    "q_window_rolling_time", "q_window_first_last", "q_union_all",
-    "q_union_distinct", "q_intersect", "q_except", "q_intersect_all",
-    "q_topk_global", "q_scalar_string", "q_scalar_datetime",
-    "q_scalar_math", "q_scalar_conditional", "q_scalar_json",
-    "q_array_ops", "q_hash_functions", "q_tumbling_window",
-    "q_resample_1d", "q_locf_gapfill", "q_gaps_islands_runs",
-    "q_dedup_exact", "q_ngram_jaccard",
+# all_queries(). Every query now has a green row across r01∪r02, so the
+# window rule this round is the reviewer's: ANY query whose underlying
+# operator/oracle changed in the CURRENT round must sit inside the
+# checked window so a regression in just-modified code cannot escape
+# external verification. `_ROUND_MODIFIED` lists this round's touched
+# surfaces (array-output serialization, new oracles, TPC-H de-hinting,
+# MinHash densification rewrite, SCD2 plan split, as-of payload
+# extraction, overlay blend, multimodal codec) plus the remaining
+# oracle-less queries so their rows-only status is re-recorded on
+# current code. Everything else keeps declaration order behind them.
+_ROUND_MODIFIED: frozenset[str] = frozenset({
+    # array-output serialization (canonicalizer safety)
+    "q_approx_aggregates", "q_map_ops", "q_higher_order_fns",
+    "q_approx_top_k",
+    # newly-added oracles
+    "q_embedding_knn_classify", "q_python_udtf",
+    # broadcast de-hinting
+    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier",
+    "q_tpch_q10_returned_items", "q_join_inner_broadcast",
+    # operator rewrites touched this round
+    "q_minhash_pairs", "q_scd2_merge", "q_asof_join",
+    "q_asof_tolerance", "q_r4_fdd_overlay", "q_multimodal_features",
+    # remaining oracle-less (rows-only re-recorded on current code)
+    "q_simhash_pairs", "q_similarity_lsh", "q_embedding_neardup_lsh",
+    "q_similarity_ivf", "q_rolling_hash_fingerprint",
 })
 
 
 def _ordered_registry() -> list[QuerySpec]:
-    """Declaration order, but prior-round driver-checked names last."""
+    """This round's modified queries first (inside the driver-checked
+    window), then declaration order."""
+    assert _ROUND_MODIFIED <= {q.name for q in _REGISTRY}, (
+        "stale name in _ROUND_MODIFIED: "
+        f"{_ROUND_MODIFIED - {q.name for q in _REGISTRY}}"
+    )
     return sorted(
         _REGISTRY,
-        key=lambda q: (q.name in _DRIVER_CHECKED_PRIOR,),
+        key=lambda q: (q.name not in _ROUND_MODIFIED,),
     )
 
 
@@ -546,14 +554,18 @@ def q_collect_set(spark, sf_dir):
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
-    doc="fact ⋈ broadcast dims, grouped revenue (Catalyst → BroadcastHashJoin)",
+    doc="fact ⋈ dims, grouped revenue. Only `nation` (25 rows at every "
+    "sf) carries an explicit broadcast hint; `customer` scales with sf "
+    "(15M rows at sf100), so its join strategy is left to AQE + "
+    "autoBroadcastJoinThreshold — a forced hint would OOM executors at "
+    "cluster scale.",
 )
 def q_join_inner_broadcast(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
@@ -1717,8 +1729,39 @@ def q_similarity_lsh(spark, sf_dir):
 
 @declare(
     "q_embedding_knn_classify",
-    None,
-    doc="kNN majority-vote label prediction over embeddings (composite)",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.label,
+             list_aggregate(list_transform(list_zip(c.embedding, q.qv),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cs
+      FROM embeddings c, q
+    ),
+    nn AS (
+      SELECT query_id, vec_id, label
+      FROM (
+        SELECT query_id, vec_id, label,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= 6 AND vec_id <> query_id
+    ),
+    voted AS (
+      SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM nn GROUP BY query_id, label
+    )
+    SELECT query_id, label AS pred_label, votes
+    FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+      FROM voted
+    ) WHERE rn = 1
+    """,
+    doc="kNN majority-vote label prediction over embeddings (composite). "
+    "Oracle reproduces the exact double-arithmetic cosine (list_zip sum "
+    "formula, same as q_similarity_bruteforce) and the identical "
+    "(cos DESC, vec_id) / (votes DESC, label) tie-breaks.",
 )
 def q_embedding_knn_classify(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
@@ -1922,15 +1965,18 @@ def q_fdd_rules_join(spark, sf_dir):
     "q_approx_aggregates",
     None,
     doc="approx_count_distinct (HLL) + percentile_approx sketches — "
-    "accuracy vs exact checked in tests, no cross-engine oracle",
+    "accuracy vs exact checked in tests, no cross-engine oracle. The "
+    "quartile array is JSON-serialized in the final select so external "
+    "canonicalizers (pandas sort_values) never see an unhashable list.",
 )
 def q_approx_aggregates(spark, sf_dir):
     e = T(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    out = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("p50_approx"),
         F.percentile_approx("value", [0.25, 0.75]).alias("quartiles_approx"),
     )
+    return out.withColumn("quartiles_approx", F.to_json("quartiles_approx"))
 
 
 # ======================================================================
@@ -2056,12 +2102,15 @@ def q_session_window(spark, sf_dir):
     "q_map_ops",
     """
     SELECT doc_id,
-           map_keys(MAP(['lang','source'], [lang, source])) AS mkeys,
-           map_values(MAP(['lang','source'], [lang, source])) AS mvals,
+           array_to_string(map_keys(MAP(['lang','source'], [lang, source])), '|') AS mkeys,
+           array_to_string(map_values(MAP(['lang','source'], [lang, source])), '|') AS mvals,
            MAP(['lang','source'], [lang, source])['lang'][1] AS lang_via_map
     FROM documents WHERE doc_id < 100
     """,
-    doc="map construction + map_keys/map_values/element access",
+    doc="map construction + map_keys/map_values/element access; key/value "
+    "arrays are '|'-joined in the final select on BOTH engines so the "
+    "output schema is flat (list-typed outputs break external "
+    "canonicalizers).",
 )
 def q_map_ops(spark, sf_dir):
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -2070,8 +2119,8 @@ def q_map_ops(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.concat_ws("|", F.map_keys(m)).alias("mkeys"),
+        F.concat_ws("|", F.map_values(m)).alias("mvals"),
         F.element_at(m, "lang").alias("lang_via_map"),
     )
 
@@ -2102,11 +2151,13 @@ def q_posexplode(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(len(longw) AS INTEGER) AS n_long,
-           list_transform(longw[1:5], x -> upper(x)) AS first5_upper,
+           array_to_string(list_transform(longw[1:5], x -> upper(x)), '|') AS first5_upper,
            CAST(list_aggregate(list_transform(longw, x -> CAST(len(x) AS BIGINT)), 'sum') AS BIGINT) AS total_chars
     FROM t
     """,
-    doc="higher-order functions: filter / transform / aggregate on arrays",
+    doc="higher-order functions: filter / transform / aggregate on arrays; "
+    "the transformed array is '|'-joined on BOTH engines so the output "
+    "schema is flat (list-typed outputs break external canonicalizers).",
 )
 def q_higher_order_fns(spark, sf_dir):
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -2116,9 +2167,9 @@ def q_higher_order_fns(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(longw).cast("int").alias("n_long"),
-        F.transform(F.slice(longw, 1, 5), lambda x: F.upper(x)).alias(
-            "first5_upper"
-        ),
+        F.concat_ws(
+            "|", F.transform(F.slice(longw, 1, 5), lambda x: F.upper(x))
+        ).alias("first5_upper"),
         F.aggregate(
             F.transform(longw, lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),
@@ -2285,7 +2336,11 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     LIMIT 10
     """,
     doc="TPC-H Q3 shape: segment filter -> 3-way join -> agg -> top-k "
-    "(exact decimal revenue makes the LIMIT boundary engine-stable)",
+    "(exact decimal revenue makes the LIMIT boundary engine-stable). "
+    "No broadcast hint on customer: it scales with sf (15M rows at "
+    "sf100), so the join strategy is left to AQE + "
+    "autoBroadcastJoinThreshold, which broadcasts at small sf and "
+    "shuffle-joins at cluster scale.",
 )
 def q_tpch_q3(spark, sf_dir):
     c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -2297,7 +2352,7 @@ def q_tpch_q3(spark, sf_dir):
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum(
@@ -2328,7 +2383,10 @@ def q_tpch_q3(spark, sf_dir):
       AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n.n_name
     """,
-    doc="TPC-H Q5 shape: 6-way snowflake join with same-nation predicate",
+    doc="TPC-H Q5 shape: 6-way snowflake join with same-nation predicate. "
+    "Broadcast hints only on nation/region (fixed 25/5 rows at every "
+    "sf); customer and supplier scale with sf, so their join strategy "
+    "is left to AQE + autoBroadcastJoinThreshold.",
 )
 def q_tpch_q5(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
@@ -2342,9 +2400,9 @@ def q_tpch_q5(spark, sf_dir):
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )
@@ -2378,7 +2436,9 @@ def q_tpch_q5(spark, sf_dir):
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20
     """,
-    doc="TPC-H Q10 shape: returned-item revenue per customer, top-20",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top-20. "
+    "Broadcast hint only on nation; customer scales with sf, so its "
+    "join strategy is left to AQE + autoBroadcastJoinThreshold.",
 )
 def q_tpch_q10(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
@@ -2390,7 +2450,7 @@ def q_tpch_q10(spark, sf_dir):
     n = T(spark, sf_dir, "nation")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
@@ -2692,9 +2752,17 @@ def q_filter_rlike(spark, sf_dir):
 
 @declare(
     "q_python_udtf",
-    None,
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 10 AND text IS NOT NULL AND text <> ''
+    """,
     doc="Python UDTF (table function) exploding docs to (pos, token) "
-    "rows — verified equal to the built-in posexplode in tests",
+    "rows. Oracle: unnest+subscripts over the same explicit-separator "
+    "split; the UDTF's `if text:` guard (drops NULL/empty docs) is "
+    "mirrored by the oracle's WHERE clause.",
 )
 def q_python_udtf(spark, sf_dir):
     from pyspark.sql.functions import udtf
@@ -2816,13 +2884,16 @@ def q_cohort_retention(spark, sf_dir):
     "q_approx_top_k",
     None,
     doc="approximate heavy-hitters per event type (engine sketch; exact "
-    "top-k equivalence asserted in tests at this cardinality)",
+    "top-k equivalence asserted in tests at this cardinality). The "
+    "sketch's array<struct> output is JSON-serialized in the final "
+    "select so external canonicalizers never see an unhashable list.",
 )
 def q_approx_top_k(spark, sf_dir):
     e = T(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    out = e.groupBy("event_type").agg(
         F.expr("approx_top_k(user_id, 5)").alias("top_users")
     )
+    return out.withColumn("top_users", F.to_json("top_users"))
 
 
 @declare(

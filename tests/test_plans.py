@@ -41,6 +41,41 @@ def test_dim_join_is_broadcast(spark):
     assert uses_broadcast_join(df)
 
 
+def test_no_forced_broadcast_of_sf_scaling_tables(spark):
+    """customer/supplier grow with sf (15M customer rows at sf100) — a
+    forced broadcast hint on them OOMs executors at cluster scale. Only
+    the fixed-size dims (nation=25, region=5 rows) may carry hints.
+    Asserted on the *optimized logical* plan: ResolvedHint survives
+    there for hinted relations, so its absence proves no forced hint
+    (AQE may still choose broadcast at tiny sf — that is the point)."""
+    from rusty_timeseries_db_spark.queries import (
+        q_tpch_q3,
+        q_tpch_q5,
+        q_tpch_q10,
+    )
+
+    for qfn in (q_join_inner_broadcast, q_tpch_q3, q_tpch_q5, q_tpch_q10):
+        df = qfn(spark, SF_DIR)
+        lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+        hinted = 0
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line:
+                continue
+            hinted += 1
+            # the hint wraps the next Relation below it; customer carries
+            # c_custkey, supplier carries s_suppkey — neither may appear
+            rel = next(
+                (l for l in lines[i + 1 : i + 6] if "Relation" in l), ""
+            )
+            assert "c_custkey" not in rel and "s_suppkey" not in rel, (
+                f"{qfn.__name__} force-broadcasts an sf-scaling table: {rel}"
+            )
+        if qfn is not q_tpch_q3:  # q3 joins no fixed-size dim at all
+            assert hinted >= 1, (
+                f"{qfn.__name__}: expected a nation/region broadcast hint"
+            )
+
+
 def test_agg_uses_codegen_and_partial_agg(spark):
     df = q_agg_pricing_summary(spark, SF_DIR)
     plan = formatted_plan(df)
