@@ -4,11 +4,13 @@
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}``.
 
-Timing protocol: each query plan is executed to completion with a
-count-style action that forces full materialization of the result
-(``df.foreach`` no-op would skip codegen of the final project, so we use
-``count`` on the cached-free plan — results are small aggregates or
-mid-size row sets, and the driver never collects them).
+Timing protocol: each query plan is executed to completion with the
+``noop`` batch sink (``df.write.format("noop")``), which materializes
+EVERY output row including final-project expressions. A ``count``
+action would let Catalyst prune expressions that only feed the final
+select, under-measuring projection-heavy queries; the noop sink
+evaluates them all and discards the rows executor-side (nothing is
+collected to the driver).
 """
 
 from __future__ import annotations
@@ -64,7 +66,9 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             try:
-                fns[name](spark, warm_dir).count()
+                fns[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             except Exception:
                 pass
     timings: dict[str, float] = {}
@@ -72,9 +76,9 @@ def main() -> None:
         fn = fns[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

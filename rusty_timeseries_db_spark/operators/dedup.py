@@ -84,7 +84,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     """MinHash signature as a single array expression. NOTE: evaluating
     this inlines the shingle expression once per hash — prefer
     ``minhash_signatures_df`` (explode + aggregate) in pipelines; this
-    form is kept for expression-level composition on small inputs."""
+    form is kept for expression-level composition on small inputs.
+
+    INCOMPATIBLE with ``minhash_signatures_df``: this is the classic
+    per-index ``xxhash64(s, i)`` hash family; the DataFrame form uses
+    one-permutation hashing over a single hash. Signatures from the two
+    schemes must never be mixed — positionwise agreement between them
+    is meaningless."""
     sigs = [
         F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
         for i in range(num_hashes)
@@ -118,14 +124,32 @@ def minhash_signatures_df(
        hold for free;
     4. empty buckets are densified by circular rotation (Shrivastava &
        Li 2014): position i borrows the nearest non-empty bucket to its
-       right — a pure array expression over the 128-slot signature, so
-       short documents (fewer shingles than buckets) still produce full
-       signatures and the positionwise-agreement Jaccard estimator
-       stays unbiased.
+       right (cyclically), via a log2(num_hashes) jump-fill — see
+       below — so short documents (fewer shingles than buckets) still
+       produce full signatures. Caveat: the densified positionwise
+       estimator is *approximately* unbiased; for short documents
+       (far fewer shingles than buckets) rotation introduces extra
+       variance and positionwise correlation, which shifts effective
+       LSH band thresholds slightly vs the classic k-hash family.
+       Tests cross-validate candidate recall against the exact n-gram
+       Jaccard oracle at the operative threshold.
 
     The window and the aggregate share the doc-id partitioning → ONE
     shuffle total. 64-bit shingle-hash collisions are negligible for
     an estimator that already carries MinHash variance.
+
+    Densification is a fill-forward over the doubled signature array
+    computed in ceil(log2(num_hashes)) chained projections with
+    doubling strides (1,2,4,…): after the stride-s pass, slot i holds
+    the first non-empty bucket in [i, i+2s-1]; the passes compose to
+    cover the full wrap-around window. Each pass is one small
+    ``transform`` lambda, so the codegen'd expression tree is O(log k)
+    — the previous per-position ``array_compact(slice(...))`` form was
+    an O(k²) expression tree whose one-off codegen (~2 s) dominated
+    cold-start latency. Chained ``withColumn`` projections are NOT
+    collapsed by Catalyst (each array is referenced twice downstream,
+    so CollapseProject keeps the intermediate), guaranteeing each pass
+    materializes once per row.
     """
     toks = word_tokens(text_col)
     ex = df.select(
@@ -150,31 +174,49 @@ def minhash_signatures_df(
     bucketed = sh.withColumn(
         "_b", F.pmod(F.col("_h0"), F.lit(num_hashes)).cast("int")
     )
-    aggs = [
-        F.min(F.when(F.col("_b") == i, F.col("_h0"))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    raw = bucketed.groupBy("_id").agg(*aggs).select(
-        "_id",
-        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_raw"),
+    # Two-level aggregate. A single 128-column min(when(_b==i, h)) agg
+    # evaluates 128 branches per SHINGLE row and its 128 agg columns
+    # exceed spark.sql.codegen.maxFields (100), dropping the whole
+    # stage out of codegen. Instead: (a) min per (_id, bucket) — O(1)
+    # hash-agg work per shingle row; (b) assemble the per-doc bucket→min
+    # map. Both grouping keys start with _id, and HashPartitioning(_id)
+    # from the shingle window satisfies ClusteredDistribution for both,
+    # so neither agg adds an exchange — still ONE shuffle total.
+    bmin = bucketed.groupBy("_id", "_b").agg(F.min("_h0").alias("_mh"))
+    # Scatter the sorted (bucket, min) entries into a 128-slot array in
+    # ONE pass over the entries (pad nulls up to each bucket index,
+    # append the value, pad the tail). O(occupied buckets) per doc —
+    # a per-position map lookup (256 × O(entries) scans/doc) measured
+    # ~25× more element-ops and dominated the signature stage.
+    entries = F.sort_array(F.collect_list(F.struct("_b", "_mh")))
+    raw = bmin.groupBy("_id").agg(entries.alias("_e"))
+    nulls = lambda n: F.array_repeat(F.lit(None).cast("long"), n)  # noqa: E731
+    scatter = F.aggregate(
+        "_e",
+        F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+        lambda acc, e: F.concat(
+            acc, nulls(e["_b"] - F.size(acc)), F.array(e["_mh"])
+        ),
+        lambda acc: F.concat(acc, nulls(F.lit(num_hashes) - F.size(acc))),
     )
-    # Rotation densification: each empty slot borrows the first
-    # non-empty slot to its right, wrapping around (hence the doubled
-    # array). A doc with ≥1 shingle has ≥1 non-empty bucket, so the
-    # coalesce always resolves.
-    return raw.withColumn("_dbl", F.concat("_raw", "_raw")).select(
-        "_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.coalesce(
-                F.get("_raw", i),
-                F.get(
-                    F.array_compact(F.slice("_dbl", i + 2, num_hashes - 1)),
-                    F.lit(0),
-                ),
+    filled = raw.select("_id", scatter.alias("_r")).select(
+        "_id", F.concat("_r", "_r").alias("_f")
+    )
+    # Rotation densification via doubling-stride fill-forward over the
+    # doubled array (wrap-around window). A doc with ≥1 shingle has ≥1
+    # non-empty bucket, so every slot resolves within num_hashes steps.
+    stride = 1
+    while stride < num_hashes:
+        s = stride
+        filled = filled.withColumn(
+            "_f",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2 * num_hashes - 1)),
+                lambda i: F.coalesce(F.get("_f", i), F.get("_f", i + F.lit(s))),
             ),
-        ).alias("_sig"),
-    )
+        )
+        stride *= 2
+    return filled.select("_id", F.slice("_f", 1, num_hashes).alias("_sig"))
 
 
 def minhash_dedup_pairs(
