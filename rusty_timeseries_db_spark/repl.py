@@ -11,16 +11,21 @@ Parsing semantics preserved exactly:
   tokens required.
 - ``set_interval <seconds>`` (main.rs:285-299): re-schedules the FDD
   cadence. The reference's version runs FDD once then sleeps once and
-  never repeats (bug); here it restarts a properly recurring trigger.
+  never repeats (bug); here it restarts a properly recurring trigger
+  via the attached ``FddScheduler`` (streaming/fdd.py) — stop + restart
+  on the same checkpoint with the new processing-time trigger.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import TYPE_CHECKING, Optional
 
 from pyspark.sql import DataFrame
 
 from .api import TimeseriesEngine
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .streaming.fdd import FddScheduler
 
 USAGE_INSERT = "Usage: insert <sensor_name> <timestamp> <value> <timeseries_id> [fc1_flag]"
 USAGE_SELECT = "Usage: select <timeseries_id> <start_time> <end_time>"
@@ -54,10 +59,16 @@ def parse_insert(line: str) -> Optional[dict]:
 
 
 class Repl:
-    """Dispatch loop body (one call per line) over a TimeseriesEngine."""
+    """Dispatch loop body (one call per line) over a TimeseriesEngine.
 
-    def __init__(self, engine: TimeseriesEngine) -> None:
+    ``fdd``: optional ``FddScheduler`` owning the live FDD stream;
+    when attached, ``set_interval`` re-arms its trigger for real."""
+
+    def __init__(
+        self, engine: TimeseriesEngine, fdd: "FddScheduler | None" = None
+    ) -> None:
         self.engine = engine
+        self.fdd = fdd
 
     def execute(self, line: str) -> str | DataFrame:
         line = line.strip()
@@ -80,6 +91,14 @@ class Repl:
         if line.startswith("set_interval"):
             parts = line.split()
             if len(parts) == 2 and parts[1].isdigit():
-                return f"Interval set to {parts[1]} seconds."
+                if self.fdd is not None:
+                    self.fdd.set_interval(int(parts[1]))
+                    return f"Interval set to {parts[1]} seconds."
+                # no live FDD stream to re-arm — still record intent via
+                # the same reply the reference prints, but say so
+                return (
+                    f"Interval set to {parts[1]} seconds. "
+                    "(no FDD stream attached)"
+                )
             return "Invalid interval value."
         return f"Unrecognized command: {line}"

@@ -75,6 +75,58 @@ def start_fdd_stream(
     return writer.start()
 
 
+class FddScheduler:
+    """R5/R6 cadence owner for a running FDD stream.
+
+    The reference's ``set_interval`` (main.rs:285-299) spawns a task
+    that sleeps once, runs FDD once, and never re-arms (the R6 bug
+    SURVEY §2.1 documents). Here the scheduler owns the live
+    ``StreamingQuery``: ``set_interval`` stops it and restarts against
+    the SAME checkpoint directory with the new processing-time trigger,
+    so processed-offset state carries over and every future micro-batch
+    fires at the new cadence.
+    """
+
+    def __init__(
+        self,
+        stream: DataFrame,
+        warehouse_dir: str,
+        threshold: float = DEFAULT_THRESHOLD,
+        trigger_seconds: int = 300,
+        sink: Callable[[DataFrame, int], None] | None = None,
+    ) -> None:
+        self.stream = stream
+        self.warehouse_dir = warehouse_dir
+        self.threshold = threshold
+        self.trigger_seconds = int(trigger_seconds)
+        self.sink = sink
+        self.query: StreamingQuery | None = None
+
+    def start(self) -> StreamingQuery:
+        self.query = start_fdd_stream(
+            self.stream,
+            self.warehouse_dir,
+            self.threshold,
+            trigger_seconds=self.trigger_seconds,
+            sink=self.sink,
+        )
+        return self.query
+
+    def set_interval(self, seconds: int) -> StreamingQuery:
+        """Re-arm the FDD cadence (R6). Stops the active query (if any)
+        and restarts it with the new trigger on the same checkpoint."""
+        self.trigger_seconds = int(seconds)
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+            self.query.awaitTermination()
+        return self.start()
+
+    def stop(self) -> None:
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+            self.query.awaitTermination()
+
+
 def stateful_fault_runs(
     stream: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,

@@ -4,8 +4,18 @@ The reference accepts one JSON row per POST and rewrites the whole data
 file per insert (main.rs:101). Here the stream is a JSON-lines drop
 directory (exactly the POST body shape, py_client.py:10-16) read by
 Structured Streaming, normalized with the same ingest expressions as the
-batch path, and appended to the telemetry Parquet sink exactly-once per
-micro-batch (checkpointed).
+batch path, and appended to the telemetry Parquet sink.
+
+Delivery semantics: **at-least-once**. ``foreachBatch`` + blind
+``append`` means a micro-batch that crashes after writing but before
+the checkpoint commit is re-run and appended again on restart.
+Replayed rows are identifiable: ``ingest_seq`` embeds the (stable)
+batch_id in its high bits, so a replayed batch writes the same
+``(timeseries_id, ts, ingest_seq)`` keys and readers that need
+effectively-once can ``dropDuplicates(["timeseries_id", "ts",
+"ingest_seq"])``. True exactly-once needs a transactional table format
+(e.g. batch-id-keyed overwrite), deliberately out of scope for a plain
+Parquet sink.
 """
 
 from __future__ import annotations
@@ -66,8 +76,9 @@ def start_telemetry_sink(
     trigger_seconds: int | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
-    """Append stream → partitioned Parquet telemetry table, exactly-once
-    per micro-batch via checkpoint. ``trigger_seconds`` mirrors the
+    """Append stream → partitioned Parquet telemetry table, at-least-once
+    per micro-batch (checkpointed offsets; see module docstring for the
+    replay story). ``trigger_seconds`` mirrors the
     reference's configurable FDD/ingest cadence (R5/R6, main.rs:233-240,
     285-299) — but correctly re-arming every interval, unlike the
     reference's run-once bug (SURVEY §2.1 R6).

@@ -48,8 +48,76 @@ def test_repl_insert_select_roundtrip(repl):
 
 
 def test_set_interval(repl):
-    assert repl.execute("set_interval 60") == "Interval set to 60 seconds."
+    # no FDD stream attached -> the reply says so instead of claiming
+    # a cadence change that never happened
+    out = repl.execute("set_interval 60")
+    assert out.startswith("Interval set to 60 seconds.")
+    assert "no FDD stream attached" in out
     assert repl.execute("set_interval x") == "Invalid interval value."
+
+
+def test_set_interval_rearms_live_stream(spark, tmp_path):
+    """R6 for real: set_interval on a live FDD stream restarts it with
+    the new processing-time trigger — observed as multiple micro-batches
+    landing within a window far shorter than the original cadence."""
+    import time
+
+    from rusty_timeseries_db_spark.streaming.fdd import FddScheduler
+
+    src = str(tmp_path / "drop")
+    wh = str(tmp_path / "wh")
+    import json
+    import os
+
+    os.makedirs(src, exist_ok=True)
+
+    def drop(name, n):
+        with open(os.path.join(src, name), "w") as f:
+            for i in range(n):
+                f.write(json.dumps({
+                    "sensor_name": "Sa_FanSpeed",
+                    "timestamp": f"2024-08-28T12:00:{i:02d}Z",
+                    "value": 0.99,
+                    "fc1_flag": None,
+                    "timeseries_id": "s-1",
+                }) + "\n")
+
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_telemetry_stream,
+    )
+
+    drop("a.jsonl", 3)
+    batches = []
+    sched = FddScheduler(
+        read_telemetry_stream(spark, src),
+        wh,
+        trigger_seconds=3600,  # absurdly slow original cadence
+        sink=lambda df, bid: batches.append((time.monotonic(), df.count())),
+    )
+    q1 = sched.start()
+    # first batch fires immediately regardless of trigger; wait for it
+    deadline = time.monotonic() + 30
+    while not batches and time.monotonic() < deadline:
+        time.sleep(0.2)
+    assert batches, "initial micro-batch never fired"
+    n_before = len(batches)
+
+    q2 = sched.set_interval(1)
+    assert sched.trigger_seconds == 1
+    # same query id (checkpoint identity carries over), new run
+    assert not q1.isActive and q2.isActive
+    assert q2.id == q1.id and q2.runId != q1.runId
+
+    # at 1 s cadence, newly dropped files are picked up within seconds;
+    # at the old 3600 s cadence nothing further would fire this decade
+    drop("b.jsonl", 2)
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        if sum(n for _, n in batches[n_before:]) >= 2:
+            break
+        time.sleep(0.2)
+    sched.stop()
+    assert sum(n for _, n in batches[n_before:]) >= 2, batches
 
 
 def test_series_catalog(spark, tmp_path):
