@@ -64,7 +64,9 @@ class TimeseriesEngine:
     ) -> None:
         self.spark = spark
         self.warehouse_dir = warehouse_dir
-        self.telemetry_path = os.path.join(warehouse_dir, "telemetry")
+        #: atomic-compaction pointer: when present, names the active
+        #: versioned base dir; absent -> the plain ``telemetry`` dir.
+        self._version_file = os.path.join(warehouse_dir, "telemetry.version")
         self.overlay_path = os.path.join(warehouse_dir, "telemetry_overlay")
         self.max_rows = max_rows
         #: production layout: bucket + event-date partitions (prunes both
@@ -75,6 +77,22 @@ class TimeseriesEngine:
             ["series_bucket", "ds"] if partition_by_date else ["series_bucket"]
         )
         self._seq = 0
+
+    def _active_version(self) -> Optional[int]:
+        try:
+            with open(self._version_file) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    @property
+    def telemetry_path(self) -> str:
+        """Active base-table directory, resolved through the version
+        pointer so compaction can swap bases atomically (§7.4)."""
+        v = self._active_version()
+        if v is None:
+            return os.path.join(self.warehouse_dir, "telemetry")
+        return os.path.join(self.warehouse_dir, f"telemetry__v{v}")
 
     # ---------------------------------------------------------- reads
 
@@ -296,12 +314,32 @@ class TimeseriesEngine:
     def compact(self) -> int:
         """Fold the overlay into the base files (periodic maintenance,
         SURVEY §7.4): rewrites the telemetry table with overlay rows
-        applied, then clears the overlay. Returns rows in the new base."""
+        applied, then clears the overlay. Returns rows in the new base.
+
+        Crash-safe by construction — the base is never deleted before
+        its replacement is live:
+
+        1. write the merged table to a NEW versioned dir
+           ``telemetry__v{N+1}`` (old base untouched);
+        2. atomically swap the version pointer (write tmp file +
+           ``os.replace`` — atomic on POSIX);
+        3. clear the overlay — a crash between 2 and 3 just means the
+           overlay is re-applied on top of a base that already contains
+           its values, which is idempotent (last-write-wins overlay
+           merge of identical rows);
+        4. best-effort delete the previous base dir (a crash leaves an
+           orphan dir that the next compact removes).
+        """
         import shutil
 
         overlay = self._read_overlay()
         if overlay is None:
             return self.count()
+        old_version = self._active_version()
+        new_version = 1 if old_version is None else old_version + 1
+        new_path = os.path.join(
+            self.warehouse_dir, f"telemetry__v{new_version}"
+        )
         merged = apply_overlay(self._read_base(), overlay)
         if self.partition_by_date:
             merged = merged.withColumn(
@@ -309,17 +347,31 @@ class TimeseriesEngine:
             )
         merged = merged.persist()
         n = merged.count()
-        tmp = self.telemetry_path + "_compacting"
         (
             merged.sortWithinPartitions("timeseries_id", "ts")
             .write.mode("overwrite")
             .partitionBy(*self._partition_cols)
-            .parquet(tmp)
+            .parquet(new_path)
         )
         merged.unpersist()
-        shutil.rmtree(self.telemetry_path)
-        os.rename(tmp, self.telemetry_path)
+        # -- the swap point: one atomic rename flips readers to the new
+        # base; everything before this line leaves the old base intact
+        tmp_ptr = self._version_file + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            f.write(str(new_version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_ptr, self._version_file)
         shutil.rmtree(self.overlay_path, ignore_errors=True)
+        # reclaim superseded bases (incl. orphans from crashed compacts)
+        for name in os.listdir(self.warehouse_dir):
+            full = os.path.join(self.warehouse_dir, name)
+            if full == new_path or not os.path.isdir(full):
+                continue
+            if name == "telemetry" or (
+                name.startswith("telemetry__v") and full != new_path
+            ):
+                shutil.rmtree(full, ignore_errors=True)
         return n
 
     def fault_count(

@@ -14,8 +14,20 @@ dimension:
 - unchanged-attr changes are no-ops (idempotent re-delivery safe);
 - history rows pass through untouched.
 
-Shuffle shape: one equi-join on the key + union — broadcast the change
-batch (CDC batches ≪ dimension at scale).
+Shuffle shape: the dimension NEVER shuffles. Spark cannot broadcast
+either side of a full-outer join, so the merge is decomposed into
+broadcast-able legs instead:
+
+1. ``cur LEFT OUTER broadcast(changes)`` — BroadcastHashJoin
+   (build-right supports left-outer); yields untouched/identical
+   current rows, closed-out rows, and the new version for every
+   *existing* key, all from one probe of the dimension;
+2. brand-new keys = ``changes LEFT ANTI broadcast(matched_keys)``
+   where ``matched_keys`` is the (≤ |changes|) key set that leg 1
+   matched — both sides tiny, also a BroadcastHashJoin.
+
+CDC batches ≪ dimension at scale, so every join builds on the small
+side and the big dimension is only ever the streamed probe side.
 """
 
 from __future__ import annotations
@@ -42,27 +54,30 @@ def scd2_apply(
     cur = dim.filter(F.col("valid_to").isNull())
     hist = dim.filter(F.col("valid_to").isNotNull())
 
-    ch = F.broadcast(
-        changes.select(
-            F.col(key).alias("_ck"),
-            F.col(change_ts).alias("_cts"),
-            *[F.col(c).alias(f"_c_{c}") for c in tracked],
-        )
+    ch_cols = changes.select(
+        F.col(key).alias("_ck"),
+        F.col(change_ts).alias("_cts"),
+        *[F.col(c).alias(f"_c_{c}") for c in tracked],
     )
-    joined = cur.join(ch, cur[key] == F.col("_ck"), "full_outer")
+    ch = F.broadcast(ch_cols)
+    # Leg 1: probe the big current-dimension side once; the broadcast
+    # hint is honored (left-outer + build-right is a supported
+    # BroadcastHashJoin shape — a full-outer join would silently fall
+    # back to SortMergeJoin and shuffle the whole dimension).
+    joined = cur.join(ch, cur[key] == F.col("_ck"), "left_outer")
 
     attrs_differ = F.lit(False)
     for c in tracked:
         attrs_differ = attrs_differ | ~F.col(c).eqNullSafe(F.col(f"_c_{c}"))
 
-    # 1. current rows with no change, or change with identical attrs
+    # 1a. current rows with no change, or change with identical attrs
     keep_cur = joined.filter(
-        F.col("_ck").isNull() | (cur[key].isNotNull() & ~attrs_differ)
+        F.col("_ck").isNull() | ~attrs_differ
     ).select(*dim.columns)
 
-    # 2. current rows closed out by a real change
+    # 1b. current rows closed out by a real change
     closed = (
-        joined.filter(cur[key].isNotNull() & F.col("_ck").isNotNull() & attrs_differ)
+        joined.filter(F.col("_ck").isNotNull() & attrs_differ)
         .select(
             *[cur[c] for c in dim.columns if c != "valid_to"],
             F.col("_cts").alias("valid_to"),
@@ -70,11 +85,9 @@ def scd2_apply(
         .select(*dim.columns)
     )
 
-    # 3. new current versions (changed keys + brand-new keys)
-    new_rows = (
-        joined.filter(
-            F.col("_ck").isNotNull() & (cur[key].isNull() | attrs_differ)
-        )
+    # 1c. new current versions for keys that already exist
+    changed_new = (
+        joined.filter(F.col("_ck").isNotNull() & attrs_differ)
         .select(
             F.col("_ck").alias(key),
             *[F.col(f"_c_{c}").alias(c) for c in tracked],
@@ -84,4 +97,26 @@ def scd2_apply(
         .select(*dim.columns)
     )
 
-    return hist.unionByName(keep_cur).unionByName(closed).unionByName(new_rows)
+    # Leg 2: brand-new keys — changes minus the keys leg 1 matched.
+    # matched_keys is ≤ |changes| rows, so both sides of this anti join
+    # broadcast; the dimension is not re-shuffled.
+    matched_keys = F.broadcast(
+        joined.filter(F.col("_ck").isNotNull()).select(F.col("_ck"))
+    )
+    brand_new = (
+        ch_cols.join(matched_keys, "_ck", "left_anti")
+        .select(
+            F.col("_ck").alias(key),
+            *[F.col(f"_c_{c}").alias(c) for c in tracked],
+            F.col("_cts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+        .select(*dim.columns)
+    )
+
+    return (
+        hist.unionByName(keep_cur)
+        .unionByName(closed)
+        .unionByName(changed_new)
+        .unionByName(brand_new)
+    )

@@ -152,6 +152,76 @@ def test_compact_folds_overlay(spark, tmp_path):
     ]
 
 
+EXPECTED_AFTER_FDD = [(0.8, None), (0.9, None), (1.0, 1)]
+
+
+def _flagged_rows(eng):
+    return [
+        (r.value, r.fc1_flag)
+        for r in eng.query_by_id(
+            SERIES_ID, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z"
+        ).collect()
+    ]
+
+
+def test_compact_crash_never_loses_table(spark, tmp_path, monkeypatch):
+    """Crash injection at every dangerous point of compact(): the table
+    must read back complete and correct afterwards, every time."""
+    import os as _os
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS)
+    eng.run_fault_detection(
+        SERIES_ID, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z"
+    )
+
+    # crash 1: during the pointer swap (before it takes effect)
+    def boom(*a, **k):
+        raise OSError("injected crash before pointer swap")
+
+    monkeypatch.setattr(_os, "replace", boom)
+    try:
+        eng.compact()
+        raise AssertionError("injected crash did not fire")
+    except OSError:
+        pass
+    monkeypatch.undo()
+    # old base + overlay still live -> full correct view
+    assert _flagged_rows(eng) == EXPECTED_AFTER_FDD
+
+    # crash 2: after the pointer swap, before overlay/old-base cleanup
+    import shutil as _shutil
+
+    def boom2(*a, **k):
+        raise OSError("injected crash after pointer swap")
+
+    monkeypatch.setattr(_shutil, "rmtree", boom2)
+    try:
+        eng.compact()
+        raise AssertionError("injected crash did not fire")
+    except OSError:
+        pass
+    monkeypatch.undo()
+    # new base is live; stale overlay re-applies idempotently
+    assert _flagged_rows(eng) == EXPECTED_AFTER_FDD
+
+    # recovery: a clean compact finishes the job and reclaims old dirs
+    assert eng.compact() == 3
+    assert eng._read_overlay() is None
+    assert _flagged_rows(eng) == EXPECTED_AFTER_FDD
+    leftovers = [
+        d
+        for d in _os.listdir(str(tmp_path / "wh"))
+        if d.startswith("telemetry")
+        and d not in (_os.path.basename(eng.telemetry_path),
+                      "telemetry.version", "telemetry_overlay")
+    ]
+    assert leftovers == [], leftovers
+    # appends after compaction land in the active versioned dir
+    eng.ingest_rows([dict(CANONICAL_ROWS[0], timestamp="2024-08-28T12:09:00Z")])
+    assert eng.telemetry().count() == 4
+
+
 def test_snapshot_read_as_of_seq(spark, tmp_path):
     """Append-only storage makes time travel a filter: reads at an old
     ingest_seq see only the rows that existed then."""

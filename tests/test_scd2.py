@@ -62,6 +62,21 @@ def test_scd2_noop_change_is_idempotent(spark):
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
 
 
+def test_scd2_plan_is_broadcast_no_sort_merge(spark):
+    """The dimension must never shuffle for a small change batch: every
+    join leg is a BroadcastHashJoin (a full-outer formulation silently
+    ignores the broadcast hint and sort-merges the whole dimension)."""
+    out = scd2_apply(
+        _dim(spark),
+        _changes(spark, [("k1", "addr_v3", "2024-01-01 00:00:00"),
+                         ("k3", "addr_new", "2024-01-01 00:00:00")]),
+        key="k", tracked=["addr"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
 def test_scd2_point_in_time_query(spark):
     """The payoff: as-of dimension lookups over validity intervals."""
     dim = _dim(spark)
