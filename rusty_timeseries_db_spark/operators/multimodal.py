@@ -3,16 +3,28 @@
 Assets are opaque ``binary`` payloads plus a typed metadata struct
 (mime, width/height or duration, sha256). The Spark-side plumbing —
 schema, partition-friendly layout, Arrow-batched UDF signatures — is
-real and tested; the actual decoders are STUBBED (this container has no
-image/audio libraries): ``decode_image``/``extract_frames`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake (seeded from the payload hash) exercises the full
-pipeline shape end-to-end.
+real and tested.
+
+Codecs: two formats are decoded FOR REAL with pure-stdlib parsers (no
+image/audio libraries exist in this container):
+
+- ``image/bmp`` — uncompressed 24-bpp Windows BMP
+  (``decode_bmp``/``encode_bmp``): header parse, bottom-up padded BGR
+  rows, nearest-neighbor resize;
+- ``audio/wav`` — 16-bit PCM RIFF/WAVE (``decode_wav``): chunk walk,
+  interleaved int16 samples.
+
+Every other mime (JPEG/PNG/MP4/...) still raises
+``NotImplementedError`` from the executor — a deliberate stub, since
+real codecs for those need PIL/ffmpeg. ``fake=True`` keeps the
+deterministic payload-hash fake for pipeline-shape tests independent of
+any format.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,6 +39,132 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+# ------------------------------------------------------- real codecs
+
+def decode_bmp(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse an uncompressed 24-bpp BMP → (width, height, rows of RGB
+    tuples, top-down). Pure stdlib; raises ValueError on other BMP
+    flavors."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    rows = []
+    for r in range(height):
+        src = height - 1 - r if bottom_up else r
+        off = pix_off + src * row_stride
+        row = [
+            (data[off + 3 * c + 2], data[off + 3 * c + 1], data[off + 3 * c])
+            for c in range(width)
+        ]
+        rows.append(row)
+    return width, height, rows
+
+
+def encode_bmp(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """RGB rows (top-down) → uncompressed 24-bpp BMP bytes."""
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    row_stride = (width * 3 + 3) & ~3
+    pix_bytes = bytearray()
+    for row in reversed(rows):  # stored bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\0" * (row_stride - len(line))
+        pix_bytes += line
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pix_bytes), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                    len(pix_bytes), 2835, 2835, 0, 0)
+    return bytes(header + pix_bytes)
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """Parse a 16-bit PCM RIFF/WAVE → (sample_rate, n_channels,
+    interleaved int16 samples). Pure stdlib chunk walk."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, channels, samples = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            samples = list(
+                struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2])
+            )
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, channels, samples
+
+
+def _bmp_features(data: bytes, dim: int = 16) -> list[float]:
+    """Real image features: dims, channel means, luma stats, and luma
+    quadrant means — deterministic, codec-backed, ``dim`` floats."""
+    width, height, rows = decode_bmp(data)
+    n = width * height
+    luma = [[0.299 * r + 0.587 * g + 0.114 * b for r, g, b in row] for row in rows]
+    flat = [v for row in luma for v in row]
+    mean = sum(flat) / n
+    var = sum((v - mean) ** 2 for v in flat) / n
+    sums = [0.0, 0.0, 0.0]
+    for row in rows:
+        for r, g, b in row:
+            sums[0] += r; sums[1] += g; sums[2] += b
+    quads = []
+    for qr in (range(0, height // 2 or 1), range(height // 2, height)):
+        for qc in (range(0, width // 2 or 1), range(width // 2, width)):
+            vals = [luma[i][j] for i in qr for j in qc] or [0.0]
+            quads.append(sum(vals) / len(vals) / 255.0)
+    feats = [
+        float(width), float(height),
+        sums[0] / n / 255.0, sums[1] / n / 255.0, sums[2] / n / 255.0,
+        mean / 255.0, var ** 0.5 / 255.0,
+        min(flat) / 255.0, max(flat) / 255.0,
+        *quads,
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def _wav_features(data: bytes, dim: int = 16) -> list[float]:
+    """Real audio features: rate/channels/duration, amplitude stats,
+    zero-crossing rate, and 8 windowed energies — ``dim`` floats."""
+    rate, channels, samples = decode_wav(data)
+    if not samples:
+        return [float(rate), float(channels)] + [0.0] * (dim - 2)
+    n = len(samples)
+    norm = [s / 32768.0 for s in samples]
+    mean = sum(norm) / n
+    rms = (sum(v * v for v in norm) / n) ** 0.5
+    zc = sum(
+        1 for a, b in zip(norm, norm[1:]) if (a < 0) != (b < 0)
+    ) / max(n - 1, 1)
+    win = max(n // 8, 1)
+    energies = [
+        (sum(v * v for v in norm[i * win : (i + 1) * win]) / win) ** 0.5
+        for i in range(8)
+    ]
+    feats = [
+        float(rate), float(channels), n / (rate * channels),
+        mean, rms, min(norm), max(norm), zc,
+        *energies,
+    ]
+    return (feats + [0.0] * dim)[:dim]
 
 #: Canonical multimodal asset schema.
 ASSET_SCHEMA = StructType(
@@ -100,21 +238,46 @@ def sample_frames(
     assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8, fake: bool = False
 ) -> DataFrame:
     """Video/audio frame sampling plumbing via ``mapInPandas``: one
-    output row per sampled frame, Arrow-batched. The real decoder
-    (ffmpeg) is STUBBED — ``fake=True`` slices the payload at fixed
-    offsets so partitioning/fan-out behavior is testable."""
+    output row per sampled frame, Arrow-batched.
+
+    Real path (``fake=False``): ``audio/wav`` payloads are decoded and
+    split into up to ``max_frames`` equal sample windows, each
+    re-emitted as raw little-endian int16 bytes (a genuine
+    decode→window→re-encode round trip). Video mimes raise
+    ``NotImplementedError`` (ffmpeg not in this env — documented stub).
+    ``fake=True`` slices the payload at fixed byte offsets so
+    partitioning/fan-out behavior is testable for any mime."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple] = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "real frame extraction requires ffmpeg — not in this env"
-                    )
+            for aid, mime, payload in zip(
+                pdf["asset_id"], pdf["mime"], pdf["payload"]
+            ):
                 data = bytes(payload)
-                for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
-                    out.append((aid, i, data[i * every_n_bytes : (i + 1) * every_n_bytes]))
+                if fake:
+                    for i in range(
+                        min(max_frames, max(1, len(data) // every_n_bytes))
+                    ):
+                        out.append(
+                            (aid, i, data[i * every_n_bytes : (i + 1) * every_n_bytes])
+                        )
+                elif mime in ("audio/wav", "audio/x-wav"):
+                    _, _, samples = decode_wav(data)
+                    n_frames = min(max_frames, max(1, len(samples)))
+                    win = max(len(samples) // n_frames, 1)
+                    for i in range(n_frames):
+                        chunk = samples[i * win : (i + 1) * win]
+                        if not chunk:
+                            break
+                        out.append(
+                            (aid, i, struct.pack(f"<{len(chunk)}h", *chunk))
+                        )
+                else:
+                    raise NotImplementedError(
+                        f"no frame codec for {mime!r}: only audio/wav "
+                        "samples for real (ffmpeg not in this env)"
+                    )
             yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "frame_payload"])
 
     return assets.mapInPandas(run, _FRAMES_SCHEMA)
@@ -125,16 +288,29 @@ def extract_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     ``mapInPandas`` — the correct shape for heavy per-asset Python work
     (decoders hold no Spark state; batches amortize Arrow transfer).
 
-    With ``fake=False`` this raises ``NotImplementedError`` from the
-    executors (no decode libraries in this environment — STUB)."""
+    Real decode paths (``fake=False``): ``image/bmp`` and ``audio/wav``
+    via the pure-stdlib codecs above. Any other mime raises
+    ``NotImplementedError`` from the executor (PIL/ffmpeg not in this
+    environment — documented stub). ``fake=True`` uses the payload-hash
+    fake regardless of mime (pipeline-shape tests)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image/audio decode requires PIL/ffmpeg — not in this env"
-                )
-            feats = [_fake_features(bytes(p)) for p in pdf["payload"]]
+            feats = []
+            for mime, p in zip(pdf["mime"], pdf["payload"]):
+                data = bytes(p)
+                if fake:
+                    feats.append(_fake_features(data))
+                elif mime == "image/bmp":
+                    feats.append(_bmp_features(data))
+                elif mime in ("audio/wav", "audio/x-wav"):
+                    feats.append(_wav_features(data))
+                else:
+                    raise NotImplementedError(
+                        f"no codec for {mime!r}: only image/bmp and "
+                        "audio/wav decode for real (PIL/ffmpeg not in "
+                        "this env)"
+                    )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -151,20 +327,36 @@ def resize_images(
 ) -> DataFrame:
     """Image resize plumbing (``mapInPandas``): same asset schema out,
     with meta.width/height set and the payload replaced by the resized
-    encoding. Real decode/resize (PIL) is STUBBED; ``fake=True``
-    deterministically truncates/pads the payload to width*height bytes
-    so downstream batch shapes are testable."""
+    encoding.
+
+    Real path (``fake=False``): ``image/bmp`` payloads are decoded,
+    nearest-neighbor resampled to ``width``×``height``, and re-encoded
+    as BMP. Other image formats raise ``NotImplementedError`` (PIL not
+    in this env — documented stub). ``fake=True`` truncates/pads the
+    payload to width*height bytes so downstream batch shapes are
+    testable for any mime."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL — not in this env"
-                )
             payloads, metas = [], []
-            for p, m in zip(pdf["payload"], pdf["meta"]):
-                data = bytes(p)[:target].ljust(target, b"\0")
+            for mime, p, m in zip(pdf["mime"], pdf["payload"], pdf["meta"]):
+                if fake:
+                    data = bytes(p)[:target].ljust(target, b"\0")
+                elif mime == "image/bmp":
+                    sw, sh, rows = decode_bmp(bytes(p))
+                    resized = [
+                        [rows[min(sh - 1, r * sh // height)]
+                             [min(sw - 1, c * sw // width)]
+                         for c in range(width)]
+                        for r in range(height)
+                    ]
+                    data = encode_bmp(resized)
+                else:
+                    raise NotImplementedError(
+                        f"no resize codec for {mime!r}: only image/bmp "
+                        "resizes for real (PIL not in this env)"
+                    )
                 payloads.append(data)
                 metas.append(
                     {

@@ -1790,25 +1790,55 @@ def q_embedding_knn_classify(spark, sf_dir):
 
 @declare(
     "q_multimodal_features",
-    None,
-    doc="binary asset wrap + Arrow-batched feature extraction "
-    "(deterministic fake decoder; real decode stubbed)",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           'audio/wav' AS mime,
+           8000.0 AS sample_rate,
+           ROUND((32 + doc_id % 32) / 8000.0, 6) AS duration_s,
+           16 AS dim
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="REAL multimodal decode end-to-end: a deterministic 16-bit PCM "
+    "WAV is synthesized per doc (distributed mapInPandas, no collect), "
+    "then decoded by the pure-stdlib RIFF/WAVE parser inside "
+    "extract_features(fake=False). The oracle recomputes the duration "
+    "from the synthesis rule — a wrong parser (bad chunk walk, wrong "
+    "sample width) yields a different sample count and fails the hash.",
 )
 def q_multimodal_features(spark, sf_dir):
+    import pandas as pd
+
     from .operators.multimodal import extract_features, make_assets
 
-    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    assets = make_assets(
-        d.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
-        id_col="doc_id",
-        payload_col="payload",
-        mime="text/plain",
-    )
-    feats = extract_features(assets, fake=True)
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id")
+
+    def synth(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = 32 + int(did) % 32
+                samples = [
+                    ((int(did) * 97 + i * 1024) % 32768) - 16384 for i in range(n)
+                ]
+                body = struct.pack(f"<{n}h", *samples)
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = d.mapInPandas(synth, "doc_id long, payload binary")
+    assets = make_assets(wavs, id_col="doc_id", payload_col="payload", mime="audio/wav")
+    feats = extract_features(assets, fake=False)
     return feats.select(
         "asset_id",
         "mime",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 1), 6).alias("sample_rate"),
+        F.round(F.element_at("features", 3), 6).alias("duration_s"),
         F.size("features").cast("int").alias("dim"),
     )
 
