@@ -123,7 +123,9 @@ def asof_join(
         filled.filter(F.col("_asof_side") == 1)
         .select(
             *[c for c in left.columns],
-            *[F.col(f"_asof_payload.{p}").alias(p) for p in payload],
+            # getField, not a dotted string path: a right column whose
+            # name contains '.' would mis-parse as nested access
+            *[F.col("_asof_payload").getField(p).alias(p) for p in payload],
         )
     )
 

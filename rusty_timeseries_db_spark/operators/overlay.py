@@ -54,12 +54,16 @@ def apply_overlay(base: DataFrame, overlay: DataFrame) -> DataFrame:
     joined = base.join(
         F.broadcast(o), base["ingest_seq"] == o["_o_seq"], "left"
     )
+    # Wholesale payload substitution: when an overlay row matches, EVERY
+    # payload column comes from it — including NULLs. A per-column
+    # coalesce would silently mix rows (e.g. an overlay with an
+    # unparseable timestamp carries ts=NULL + its own ts_raw; coalesce
+    # would keep the BASE ts next to the OVERLAY ts_raw — an
+    # inconsistent pair that never existed).
     cols = [
-        F.coalesce(F.col(f"_o_{c}"), F.col(c)).alias(c)
-        if c != "fc1_flag"
-        else F.when(F.col("_o_seq").isNotNull(), F.col("_o_fc1_flag"))
-        .otherwise(F.col("fc1_flag"))
-        .alias("fc1_flag")
+        F.when(F.col("_o_seq").isNotNull(), F.col(f"_o_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
         for c in _PAYLOAD
     ]
     extra = [c for c in base.columns if c not in _PAYLOAD]

@@ -13,25 +13,49 @@ operators are the explicit fallback for cases AQE can't fix:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: A salted aggregate: (partial-phase expression, final-phase combiner).
+#: The combiner is called with the partial column NAME and must return
+#: the re-aggregating Column — e.g. ``(F.count("*"), F.sum)``,
+#: ``(F.max("value"), F.max)``, ``(F.sum("x"), F.sum)``.
+SaltedAgg = tuple[Column, Callable[[str], Column]]
 
 
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, SaltedAgg],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase (salted) aggregation for decomposable aggregates.
 
-    Supported agg shapes: sum / count / min / max (anything where
-    final(partial(x)) == agg(x)). Callers pass partial-phase columns;
-    the final phase re-aggregates with sum for counts/sums and min/max
-    for extrema, inferred from the expression name.
+    Callers pass EXPLICIT (partial, final) pairs per output column —
+    the two phases are the caller's contract, not something inferred
+    from expression internals (the previous implementation dispatched
+    on the JVM expression's toString, which breaks under Spark Connect
+    and across Spark upgrades). Correct pairs satisfy
+    ``final(partial(x) per salt) == agg(x)``: count→sum, sum→sum,
+    min→min, max→max. Non-decomposable aggregates (avg, stddev,
+    percentiles) have no such pair — decompose them yourself (e.g. avg
+    = salted sum / salted count) or raise the salt into the key.
     """
+    for name, pair in aggs.items():
+        if isinstance(pair, Column) or not (
+            isinstance(pair, tuple)
+            and len(pair) == 2
+            and isinstance(pair[0], Column)
+            and callable(pair[1])
+        ):
+            raise ValueError(
+                "non-decomposable aggregate for salting (or missing "
+                f"final phase): pass {name!r} as an explicit "
+                "(partial: Column, final: name -> Column) pair, e.g. "
+                "(F.count('*'), F.sum)"
+            )
     # Salt by input partition: a hot key's rows already span many input
     # partitions, so this spreads them across n_salts partial groups
     # deterministically (no rand() → plan stays reproducible).
@@ -39,20 +63,11 @@ def salted_agg(
         "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
     )
     partial = salted.groupBy(*keys, "_salt").agg(
-        *[v.alias(k) for k, v in aggs.items()]
+        *[partial_expr.alias(k) for k, (partial_expr, _) in aggs.items()]
     )
-    finals = []
-    for name, expr in aggs.items():
-        op = expr._jc.toString().split("(")[0].lower() if hasattr(expr, "_jc") else ""
-        if "count" in op or "sum" in op:
-            finals.append(F.sum(name).alias(name))
-        elif "min" in op:
-            finals.append(F.min(name).alias(name))
-        elif "max" in op:
-            finals.append(F.max(name).alias(name))
-        else:
-            raise ValueError(f"non-decomposable aggregate for salting: {name}")
-    return partial.groupBy(*keys).agg(*finals)
+    return partial.groupBy(*keys).agg(
+        *[final(k).alias(k) for k, (_, final) in aggs.items()]
+    )
 
 
 def salted_join(

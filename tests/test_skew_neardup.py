@@ -24,7 +24,7 @@ def test_salted_agg_equals_plain_agg(spark):
         for r in salted_agg(
             e,
             ["event_type"],
-            {"n": F.count("*"), "mx": F.max("value")},
+            {"n": (F.count("*"), F.sum), "mx": (F.max("value"), F.max)},
             n_salts=8,
         ).collect()
     }
@@ -45,8 +45,17 @@ def test_salted_agg_rejects_non_decomposable(spark):
     import pytest
 
     e = T(spark, SF_DIR, "events")
+    # a bare Column has no explicit final phase -> rejected up front
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(e, ["event_type"], {"a": F.avg("value")})
+    # count salted correctly requires final=sum; the pair is explicit
+    out = salted_agg(
+        e, ["event_type"], {"n": (F.count("*"), F.sum)}, n_salts=4
+    )
+    plain = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    assert {(r.event_type, r.n) for r in out.collect()} == {
+        (r.event_type, r.n) for r in plain.collect()
+    }
 
 
 def test_embedding_neardup_lsh_recall(spark):
