@@ -46,10 +46,25 @@ def main() -> None:
         "# QUERIES — declared-operator manifest",
         "",
         f"{len(specs)} declared queries; {n_oracle} hash-checked against a",
-        "DuckDB oracle at sf0.01 (the rest are rows-only: engine-specific",
-        "sketches/hashes with accuracy or invariant tests instead).",
+        "DuckDB oracle at sf0.01.",
         "Generated from `rusty_timeseries_db_spark/queries.py` by",
         "`gen_queries_md.py` — regenerate after adding queries.",
+        "",
+        "The remaining rows-only queries are DELIBERATELY oracle-less:",
+        "every one is built on an engine-specific primitive with no",
+        "SQL-expressible equivalent — Spark's `xxhash64` seeds the",
+        "MinHash/SimHash/rolling-hash families and the LSH/IVF bucket",
+        "assignments, and DuckDB has no xxhash64, so a cross-engine",
+        "value hash cannot exist even in principle. Each instead",
+        "carries a stronger *semantic* check in `tests/`: candidate",
+        "recall against the exact oracles that DO hash-match",
+        "(`q_ngram_jaccard` for MinHash/SimHash,",
+        "`q_similarity_bruteforce` / `q_embedding_neardup_exact` for",
+        "LSH/IVF), plus invariant tests (signature length/determinism,",
+        "band containment). Approximate-sketch queries",
+        "(`q_approx_aggregates`, `q_approx_top_k`) are rows-only for",
+        "the same reason — HLL/quantile/heavy-hitter sketch internals",
+        "differ by engine — with accuracy-vs-exact assertions in tests.",
         "",
     ]
     by_group: dict[str, list] = {}
