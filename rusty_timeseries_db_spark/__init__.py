@@ -12,9 +12,16 @@ Layering:
 - ``sources``    TESTDATA registry, parquet/json IO
 - ``streaming``  structured-streaming ingest + FDD
 - ``plans``      physical-plan inspection helpers
+- ``server``     stdlib HTTP adapter for the reference's warp routes
 """
 
 from .api import TimeseriesEngine
+from .server import TelemetryHttpServer
 from .session import get_spark, tune_existing
 
-__all__ = ["TimeseriesEngine", "get_spark", "tune_existing"]
+__all__ = [
+    "TimeseriesEngine",
+    "TelemetryHttpServer",
+    "get_spark",
+    "tune_existing",
+]

@@ -1,0 +1,134 @@
+"""HTTP surface analog: the reference's warp routes (main.rs:325-375)
+served by a stdlib ``http.server`` adapter over ``TimeseriesEngine``,
+so the reference's own client (``py_client.py:8-37``) runs unmodified
+against this engine (pointed at the adapter's base URL).
+
+Routes, matching the reference exactly:
+
+- ``POST /telemetry`` — JSON body ``{sensor_name, timestamp, value,
+  fc1_flag, timeseries_id}`` → ingest one row; replies ``200
+  "Inserted"`` (log_and_store_telemetry, main.rs:347-363) or ``500
+  "Table Full"`` when the quota guard trips (main.rs:353-356).
+- ``GET /query_by_id?timeseries_id=&start_time=&end_time=`` — R3 range
+  scan; replies a JSON array of rows in the POST body shape, with
+  ``timestamp`` carrying the stored raw string (query_telemetry_by_id,
+  main.rs:365-375).
+
+Implementation notes: ``ThreadingHTTPServer`` on a daemon thread; the
+Spark driver is shared (py4j is thread-safe) and every request funnels
+into the same engine the REPL/batch surfaces use — one storage, many
+protocols. No third-party web framework (stdlib only, like the rest of
+the repo's non-Spark surface).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .api import TimeseriesEngine
+
+_ROW_FIELDS = ("sensor_name", "timestamp", "value", "fc1_flag", "timeseries_id")
+
+
+class TelemetryHttpServer:
+    """Serve the reference's two warp routes over a TimeseriesEngine.
+
+    ``port=0`` binds an ephemeral port; read ``self.port`` after
+    ``start()`` (tests). ``base_url`` is what the reference client's
+    ``BASE_URL`` should be set to.
+    """
+
+    def __init__(
+        self, engine: TimeseriesEngine, host: str = "127.0.0.1", port: int = 8000
+    ) -> None:
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    @property
+    def base_url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "TelemetryHttpServer":
+        engine = self.engine
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _reply(self, code: int, body: bytes, ctype: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self) -> None:
+                if urlparse(self.path).path != "/telemetry":
+                    self._reply(404, b"Not Found", "text/plain")
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    data = json.loads(self.rfile.read(length))
+                    row = {k: data.get(k) for k in _ROW_FIELDS}
+                except (json.JSONDecodeError, AttributeError):
+                    self._reply(400, b"Bad Request", "text/plain")
+                    return
+                try:
+                    engine.ingest_rows([row])
+                except RuntimeError:
+                    # quota guard ≙ the reference's fixed-capacity table
+                    # (main.rs:353-356)
+                    self._reply(500, b"Table Full", "text/plain")
+                    return
+                self._reply(200, b"Inserted", "text/plain")
+
+            def do_GET(self) -> None:
+                url = urlparse(self.path)
+                if url.path != "/query_by_id":
+                    self._reply(404, b"Not Found", "text/plain")
+                    return
+                qs = parse_qs(url.query)
+                try:
+                    sid = qs["timeseries_id"][0]
+                    start, end = qs["start_time"][0], qs["end_time"][0]
+                except (KeyError, IndexError):
+                    self._reply(400, b"Bad Request", "text/plain")
+                    return
+                rows = engine.query_by_id(sid, start, end).collect()
+                payload = [
+                    {
+                        "sensor_name": r.sensor_name,
+                        # the reference serializes the stored raw string
+                        "timestamp": r.ts_raw,
+                        "value": r.value,
+                        "fc1_flag": r.fc1_flag,
+                        "timeseries_id": r.timeseries_id,
+                    }
+                    for r in rows
+                ]
+                self._reply(
+                    200, json.dumps(payload).encode(), "application/json"
+                )
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
