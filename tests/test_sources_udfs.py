@@ -131,10 +131,17 @@ def test_approx_top_k_matches_exact_at_low_cardinality(spark):
         .collect()
     ):
         exact.setdefault(r.event_type, []).append((r["count"], r.user_id))
-    approx = {r.event_type: r.top_users for r in q_approx_top_k(spark, SF_DIR).collect()}
+    import json
+
+    # top_users is JSON-serialized in the final select (canonicalizer
+    # safety) — parse it back for the semantic comparison
+    approx = {
+        r.event_type: json.loads(r.top_users)
+        for r in q_approx_top_k(spark, SF_DIR).collect()
+    }
     for et, counts in exact.items():
         top_exact = {u for _, u in sorted(counts, key=lambda t: (-t[0], t[1]))[:5]}
-        got = {item.item for item in approx[et]}
+        got = {item["item"] for item in approx[et]}
         # sketch is exact at this cardinality up to count ties at rank 5
         boundary = sorted(counts, key=lambda t: -t[0])[4][0]
         tied = {u for c, u in counts if c >= boundary}
