@@ -20,7 +20,7 @@ GROUPS = [
                                   "q_array", "q_map", "q_posexplode",
                                   "q_higher", "q_from_json", "q_to_json"]),
     ("Time-series ops", ["q_tumbling", "q_resample", "q_locf", "q_gaps",
-                         "q_session"]),
+                         "q_session", "q_time_weighted", "q_counter"]),
     ("UDF surface", ["q_udf"]),
     ("FDD", ["q_fdd"]),
     ("LLM-pipeline: dedup", ["q_dedup", "q_ngram", "q_minhash", "q_simhash",

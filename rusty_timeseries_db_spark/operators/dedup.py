@@ -441,3 +441,83 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------- duplicate clusters
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → ``(doc_id,
+    cluster_id)`` with ``cluster_id`` = the minimum doc id in the
+    component. Dedup pipelines need GROUPS, not pairs: keeping one
+    representative per cluster requires the transitive closure (a~b,
+    b~c ⇒ {a,b,c} is one cluster even if (a,c) was never emitted).
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors, converging in
+    O(component diameter) rounds — near-dup clusters are shallow, so
+    this is a handful of rounds in practice. Scale shape:
+
+    - edges are symmetrized once and persisted, pre-partitioned on the
+      join key so every round's join reuses one exchange;
+    - labels are ``localCheckpoint``-ed each round: lineage (and the
+      codegen'd plan) stays O(1) across iterations instead of growing
+      by one join per round;
+    - the convergence check is a count of changed labels — one tiny
+      driver-side action per round (the standard loop for iterative
+      graph algorithms on DataFrames; the data itself never leaves the
+      executors).
+
+    The reference has no graph surface (single-table engine); this is
+    LLM-pipeline added value on top of the pair generators above.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("_nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_min_nl"))
+        )
+        new = (
+            labels.join(
+                neigh.select(F.col("src").alias("id"), "_min_nl"), "id", "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_min_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "_new")
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -131,3 +131,87 @@ def cumulative_agg(
     return df.withColumn("cum_sum", F.sum(value).over(w)).withColumn(
         "cum_count", F.count(F.lit(1)).over(w)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-series time-weighted average for irregularly-sampled series:
+    each observation is weighted by the duration until the NEXT
+    observation (the final observation carries no weight). The
+    arithmetic mean over-weights bursts of rapid samples; the
+    time-weighted mean is the honest "average level" statistic for
+    telemetry (cf. TimescaleDB ``time_weight('LOCF')``).
+
+    One ``lead`` window + one aggregate, both on the series-key
+    partitioning → a single shuffle. Weights are integer microseconds
+    and the weighted sum runs in exact decimal, so the result is
+    bit-reproducible across engines (oracle-checkable).
+
+    Returns (key, twa, total_us). Series whose observations all share
+    one timestamp (zero total weight) are dropped.
+    """
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    dt_us = F.unix_micros(F.lead(F.col(ts)).over(w)) - F.unix_micros(F.col(ts))
+    weighted = df.select(
+        F.col(key),
+        dt_us.alias("_dt_us"),
+        (F.col(value).cast("decimal(18,2)") * dt_us).alias("_wv"),
+    ).filter(F.col("_dt_us").isNotNull())
+    return (
+        weighted.groupBy(key)
+        .agg(
+            F.sum("_wv").alias("_swv"),
+            F.sum("_dt_us").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            F.col(key),
+            F.round(
+                F.col("_swv").cast("double") / F.col("_sw").cast("double"), 6
+            ).alias("twa"),
+            F.col("_sw").cast("long").alias("total_us"),
+        )
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Monotonic-counter total increase with reset detection (the
+    PromQL ``increase()`` semantic): per consecutive pair, the delta
+    when non-negative; when the counter dropped, a reset is assumed and
+    the post-reset absolute value counts as the increase. One ``lag``
+    window + one aggregate on the series key — a single shuffle.
+
+    Deltas run in exact decimal (value is 2-dp) so per-series totals
+    are order-independent and oracle-checkable. Returns
+    (key, total_increase, n_resets, n_samples).
+    """
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.col(value).cast("decimal(18,2)")).over(w)
+    cur = F.col(value).cast("decimal(18,2)")
+    delta = cur - prev
+    stepped = df.select(
+        F.col(key),
+        F.when(prev.isNull(), F.lit(None).cast("decimal(19,2)"))
+        .when(delta >= 0, delta)
+        .otherwise(cur)
+        .alias("_inc"),
+        F.when(prev.isNotNull() & (delta < 0), 1).otherwise(0).alias("_reset"),
+    )
+    return stepped.groupBy(key).agg(
+        F.coalesce(F.sum("_inc"), F.lit(0)).cast("double").alias("total_increase"),
+        F.sum("_reset").cast("long").alias("n_resets"),
+        F.count("*").cast("long").alias("n_samples"),
+    )

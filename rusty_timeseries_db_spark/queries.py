@@ -86,6 +86,8 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # remaining oracle-less (rows-only re-recorded on current code)
     "q_simhash_pairs", "q_similarity_lsh", "q_embedding_neardup_lsh",
     "q_similarity_ivf", "q_rolling_hash_fingerprint",
+    # NEW operators added this round
+    "q_time_weighted_avg", "q_counter_increase", "q_dedup_clusters",
 })
 
 
@@ -3110,3 +3112,130 @@ def q_scd2_merge(spark, sf_dir):
         "k string, addr string, cts string",
     ).select("k", "addr", F.to_timestamp("cts").alias("change_ts"))
     return scd2_apply(dim, ch, key="k", tracked=["addr"])
+
+
+# ======================================================================
+# Time-series statistics: time-weighted average, counter increase,
+# duplicate clustering (round-3 operator additions)
+# ======================================================================
+
+@declare(
+    "q_time_weighted_avg",
+    """
+    WITH obs AS (
+      SELECT user_id, value,
+             date_diff('microsecond', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dt_us
+      FROM events WHERE user_id < 50
+    ),
+    agg AS (
+      SELECT user_id,
+             SUM(CAST(value AS DECIMAL(18,2)) * dt_us) AS swv,
+             CAST(SUM(dt_us) AS BIGINT) AS sw
+      FROM obs WHERE dt_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id,
+           ROUND(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS twa,
+           sw AS total_us
+    FROM agg WHERE sw > 0
+    """,
+    doc="per-series time-weighted average over irregular samples "
+    "(duration-to-next weights in exact integer microseconds; weighted "
+    "sum in exact decimal -> engine-agnostic)",
+)
+def q_time_weighted_avg(spark, sf_dir):
+    from .operators.resample import time_weighted_avg
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return time_weighted_avg(
+        e, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
+    )
+
+
+@declare(
+    "q_counter_increase",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             lag(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM events WHERE user_id < 50
+    ),
+    s AS (
+      SELECT user_id,
+             CASE WHEN pv IS NULL THEN NULL
+                  WHEN v - pv >= 0 THEN v - pv
+                  ELSE v END AS inc,
+             CASE WHEN pv IS NOT NULL AND v - pv < 0 THEN 1 ELSE 0 END AS r
+      FROM d
+    )
+    SELECT user_id,
+           CAST(COALESCE(SUM(inc), 0) AS DOUBLE) AS total_increase,
+           CAST(SUM(r) AS BIGINT) AS n_resets,
+           CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM s GROUP BY user_id
+    """,
+    doc="PromQL-style counter increase() with reset detection (lag "
+    "window + conditional decimal deltas; one shuffle)",
+)
+def q_counter_increase(spark, sf_dir):
+    from .operators.resample import counter_increase
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return counter_increase(
+        e, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
+    )
+
+
+@declare(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               array_to_string(ws[i:i+2], ' ') AS gram
+        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+        WHERE i <= greatest(len(ws) - 2, 1)
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+    doc="connected components over exact n-gram near-dup pairs "
+    "(iterative min-label propagation with localCheckpoint'd lineage; "
+    "oracle = DuckDB recursive-CTE transitive closure over the same "
+    "pair predicate) — dup GROUPS, the step after pair generation",
+)
+def q_dedup_clusters(spark, sf_dir):
+    from .operators.dedup import dedup_clusters
+
+    d = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.35)
+    return dedup_clusters(pairs)

@@ -1,0 +1,98 @@
+"""Time-weighted average, counter increase (reset semantics), and
+duplicate clustering — hand-computed semantics on tiny fixtures plus
+convergence behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.operators.dedup import dedup_clusters
+from rusty_timeseries_db_spark.operators.resample import (
+    counter_increase,
+    time_weighted_avg,
+)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, ts_s string, value double, seq long"
+    ).select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "value", "seq"
+    )
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    df = _series(spark, [
+        ("a", "2024-01-01 00:00:00", 10.0, 0),
+        ("a", "2024-01-01 00:00:01", 20.0, 1),   # 10 held 1s
+        ("a", "2024-01-01 00:00:04", 99.0, 2),   # 20 held 3s; 99 unweighted
+        ("b", "2024-01-01 00:00:00", 5.0, 0),    # single obs -> dropped
+    ])
+    out = {r.k: (r.twa, r.total_us) for r in time_weighted_avg(
+        df, key="k", ts="ts", value="value", order_tiebreak="seq"
+    ).collect()}
+    assert set(out) == {"a"}
+    twa, total = out["a"]
+    assert abs(twa - (10 * 1 + 20 * 3) / 4) < 1e-9  # 17.5, not mean 43
+    assert total == 4_000_000
+
+
+def test_time_weighted_avg_zero_span_series_dropped(spark):
+    df = _series(spark, [
+        ("z", "2024-01-01 00:00:00", 1.0, 0),
+        ("z", "2024-01-01 00:00:00", 2.0, 1),  # same instant: weight 0
+    ])
+    assert time_weighted_avg(
+        df, key="k", ts="ts", value="value", order_tiebreak="seq"
+    ).count() == 0
+
+
+def test_counter_increase_with_reset(spark):
+    df = _series(spark, [
+        ("c", "2024-01-01 00:00:00", 0.0, 0),
+        ("c", "2024-01-01 00:00:01", 5.0, 1),    # +5
+        ("c", "2024-01-01 00:00:02", 10.0, 2),   # +5
+        ("c", "2024-01-01 00:00:03", 2.0, 3),    # reset -> +2
+        ("c", "2024-01-01 00:00:04", 4.0, 4),    # +2
+    ])
+    (r,) = counter_increase(
+        df, key="k", ts="ts", value="value", order_tiebreak="seq"
+    ).collect()
+    assert (r.total_increase, r.n_resets, r.n_samples) == (14.0, 1, 5)
+
+
+def test_counter_increase_single_sample_is_zero(spark):
+    df = _series(spark, [("s", "2024-01-01 00:00:00", 7.0, 0)])
+    (r,) = counter_increase(
+        df, key="k", ts="ts", value="value", order_tiebreak="seq"
+    ).collect()
+    assert (r.total_increase, r.n_resets, r.n_samples) == (0.0, 0, 1)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_dedup_clusters_transitive(spark):
+    # 1-2, 2-3 chain plus separate 5-6: {1,2,3} and {5,6}
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(
+        _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    ).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a path graph exercises multi-round propagation (diameter 9)
+    chain = [(i, i + 1) for i in range(10)]
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(
+        _pairs(spark, chain)
+    ).collect()}
+    assert set(out.values()) == {0} and len(out) == 11
+
+
+def test_dedup_clusters_two_components_meet(spark):
+    # two components merged by one bridging pair
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(
+        _pairs(spark, [(10, 11), (20, 21), (11, 20)])
+    ).collect()}
+    assert set(out.values()) == {10} and len(out) == 4
