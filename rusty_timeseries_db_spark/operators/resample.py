@@ -215,3 +215,95 @@ def counter_increase(
         F.sum("_reset").cast("long").alias("n_resets"),
         F.count("*").cast("long").alias("n_samples"),
     )
+
+
+def linear_interp_fill(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    step: str = "1 day",
+) -> DataFrame:
+    """Resample each series to a regular grid with LINEAR interpolation
+    between the surrounding observations — LOCF's smooth sibling for
+    gauges (temperatures, levels) where step-holding misrepresents the
+    signal. No extrapolation: grid points before the first or after the
+    last observation are dropped.
+
+    Plan shape: spine ∪ observations, then two window passes over the
+    SAME (key, ts) sort — last-non-null looking back (previous obs
+    value+ts) and first-non-null looking forward (next obs value+ts) —
+    so Spark plans one shuffle and one sort, two frame evaluations.
+    Determinism note: the interpolation weight is a ratio of exact
+    integer microseconds and the value delta is exact decimal cast to
+    double; one multiply + one add per grid point, no accumulation →
+    bit-identical across engines (oracle-checkable).
+
+    Returns (key, ts, value_interp) for grid points strictly inside the
+    observed span (plus exact hits on observations).
+    """
+    obs = df.select(
+        F.col(key),
+        F.col(ts),
+        F.col(value).cast("decimal(18,2)").alias("_v"),
+        F.lit(1).alias("_is_obs"),
+    )
+    spine = time_spine(df, [key], ts, step).select(
+        F.col(key),
+        F.col(ts),
+        F.lit(None).cast("decimal(18,2)").alias("_v"),
+        F.lit(0).alias("_is_obs"),
+    )
+    # observations sort BEFORE the grid point at the same instant, so an
+    # exact hit interpolates with ratio 0 → the observed value itself
+    u = obs.unionByName(spine)
+    back = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_is_obs").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_is_obs").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u.select(
+        F.col(key),
+        F.col(ts),
+        F.col("_is_obs"),
+        F.last("_v", ignorenulls=True).over(back).alias("_pv"),
+        F.last(F.when(F.col("_v").isNotNull(), F.col(ts)), ignorenulls=True)
+        .over(back)
+        .alias("_pt"),
+        F.first("_v", ignorenulls=True).over(fwd).alias("_nv"),
+        F.first(F.when(F.col("_v").isNotNull(), F.col(ts)), ignorenulls=True)
+        .over(fwd)
+        .alias("_nt"),
+    )
+    ratio = F.when(
+        F.unix_micros(F.col("_nt")) == F.unix_micros(F.col("_pt")), F.lit(0.0)
+    ).otherwise(
+        (F.unix_micros(F.col(ts)) - F.unix_micros(F.col("_pt")))
+        / (F.unix_micros(F.col("_nt")) - F.unix_micros(F.col("_pt")))
+    )
+    exact_hit = F.unix_micros(F.col("_pt")) == F.unix_micros(F.col(ts))
+    return (
+        filled.filter(
+            (F.col("_is_obs") == 0)
+            & F.col("_pv").isNotNull()
+            # an exact hit on the LAST observation has no forward
+            # neighbor but needs none — the observed value stands
+            & (F.col("_nv").isNotNull() | exact_hit)
+        )
+        .select(
+            F.col(key),
+            F.col(ts),
+            F.round(
+                F.when(exact_hit, F.col("_pv").cast("double")).otherwise(
+                    F.col("_pv").cast("double")
+                    + (F.col("_nv") - F.col("_pv")).cast("double") * ratio
+                ),
+                6,
+            ).alias("value_interp"),
+        )
+    )

@@ -88,6 +88,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_similarity_ivf", "q_rolling_hash_fingerprint",
     # NEW operators added this round
     "q_time_weighted_avg", "q_counter_increase", "q_dedup_clusters",
+    "q_linear_interp", "q_histogram",
 })
 
 
@@ -3239,3 +3240,83 @@ def q_dedup_clusters(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.35)
     return dedup_clusters(pairs)
+
+
+@declare(
+    "q_linear_interp",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, CAST(MAX(value) AS DECIMAL(18,2)) AS v, 1 AS is_obs
+      FROM events WHERE user_id < 10
+      GROUP BY user_id, ts
+    ),
+    bounds AS (SELECT user_id, MIN(ts) lo, MAX(ts) hi FROM obs GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS ts,
+             CAST(NULL AS DECIMAL(18,2)) AS v, 0 AS is_obs
+      FROM bounds
+    ),
+    u AS (SELECT * FROM obs UNION ALL SELECT * FROM spine),
+    filled AS (
+      SELECT user_id, ts, is_obs,
+             last_value(v IGNORE NULLS) OVER w_back AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER w_back AS pt,
+             first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER w_fwd AS nt
+      FROM u
+      WINDOW
+        w_back AS (PARTITION BY user_id ORDER BY ts, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY user_id ORDER BY ts, is_obs DESC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts,
+           ROUND(CASE WHEN pt = ts THEN CAST(pv AS DOUBLE)
+                 ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+                      (CASE WHEN date_diff('microsecond', pt, nt) = 0 THEN 0.0
+                            ELSE CAST(date_diff('microsecond', pt, ts) AS DOUBLE)
+                                 / CAST(date_diff('microsecond', pt, nt) AS DOUBLE) END)
+                 END, 6) AS value_interp
+    FROM filled
+    WHERE is_obs = 0 AND pv IS NOT NULL AND (nv IS NOT NULL OR pt = ts)
+    """,
+    doc="linear-interpolation resampling to a daily grid (LOCF's smooth "
+    "sibling): spine ∪ obs, back/forward ignore-nulls frames over ONE "
+    "sort; exact-µs ratio × exact-decimal delta → engine-agnostic",
+)
+def q_linear_interp(spark, sf_dir):
+    from .operators.resample import linear_interp_fill
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    # one observation per (user, instant): deterministic MAX reduce, so
+    # window tie-order cannot leak into the interpolation inputs
+    obs = e.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    return linear_interp_fill(obs, key="user_id", ts="ts", value="value",
+                              step="1 day")
+
+
+@declare(
+    "q_histogram",
+    """
+    SELECT event_type,
+           CAST(FLOOR(value / 5.0) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events
+    GROUP BY event_type, CAST(FLOOR(value / 5.0) AS INTEGER)
+    """,
+    doc="fixed-width value histogram per event type (binning + grouped "
+    "extrema; floor of an identical double division on both engines)",
+)
+def q_histogram(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (
+        e.withColumn("bin", F.floor(F.col("value") / 5.0).cast("int"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

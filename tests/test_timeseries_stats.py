@@ -96,3 +96,33 @@ def test_dedup_clusters_two_components_meet(spark):
         _pairs(spark, [(10, 11), (20, 21), (11, 20)])
     ).collect()}
     assert set(out.values()) == {10} and len(out) == 4
+
+
+def test_linear_interp_hand_computed(spark):
+    from rusty_timeseries_db_spark.operators.resample import linear_interp_fill
+
+    df = _series(spark, [
+        ("a", "2024-01-01 00:00:00", 10.0, 0),
+        ("a", "2024-01-03 00:00:00", 30.0, 1),  # 2-day gap
+        ("a", "2024-01-04 00:00:00", 10.0, 2),
+    ])
+    out = {
+        (r.k, str(r.ts)): r.value_interp
+        for r in linear_interp_fill(
+            df, key="k", ts="ts", value="value", step="1 day"
+        ).collect()
+    }
+    # grid: Jan1 (exact hit), Jan2 (midpoint 20), Jan3 (hit), Jan4 (hit)
+    assert out[("a", "2024-01-01 00:00:00")] == 10.0
+    assert out[("a", "2024-01-02 00:00:00")] == 20.0
+    assert out[("a", "2024-01-03 00:00:00")] == 30.0
+    assert out[("a", "2024-01-04 00:00:00")] == 10.0
+
+
+def test_linear_interp_no_extrapolation(spark):
+    from rusty_timeseries_db_spark.operators.resample import linear_interp_fill
+
+    # single observation: the spine collapses to one exact-hit point
+    df = _series(spark, [("s", "2024-01-01 00:00:00", 5.0, 0)])
+    out = linear_interp_fill(df, key="k", ts="ts", value="value").collect()
+    assert [(r.value_interp) for r in out] == [5.0]
