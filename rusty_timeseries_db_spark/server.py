@@ -42,11 +42,23 @@ class TelemetryHttpServer:
     """
 
     def __init__(
-        self, engine: TimeseriesEngine, host: str = "127.0.0.1", port: int = 8000
+        self,
+        engine: TimeseriesEngine,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        max_query_rows: int = 100_000,
     ) -> None:
         self.engine = engine
         self.host = host
         self.port = port
+        #: Row cap for GET /query_by_id. The reference serializes its whole
+        #: result Vec (main.rs:374) but its storage is hard-capped at 3,900
+        #: rows (main.rs:21), so an unbounded reply is safe *there*; this
+        #: engine has no storage cap, so the route bounds driver memory:
+        #: rows are pulled via ``toLocalIterator()`` (one partition at a
+        #: time, never a full collect) and a range wider than the cap gets
+        #: a 413 instead of an OOM.
+        self.max_query_rows = max_query_rows
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -56,6 +68,7 @@ class TelemetryHttpServer:
 
     def start(self) -> "TelemetryHttpServer":
         engine = self.engine
+        max_query_rows = self.max_query_rows
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet test output
@@ -100,18 +113,31 @@ class TelemetryHttpServer:
                 except (KeyError, IndexError):
                     self._reply(400, b"Bad Request", "text/plain")
                     return
-                rows = engine.query_by_id(sid, start, end).collect()
-                payload = [
-                    {
-                        "sensor_name": r.sensor_name,
-                        # the reference serializes the stored raw string
-                        "timestamp": r.ts_raw,
-                        "value": r.value,
-                        "fc1_flag": r.fc1_flag,
-                        "timeseries_id": r.timeseries_id,
-                    }
-                    for r in rows
-                ]
+                # Bounded driver memory: toLocalIterator pulls one
+                # partition at a time; stop at cap+1 and 413 rather than
+                # materialize an unbounded range on the driver.
+                payload = []
+                for r in engine.query_by_id(sid, start, end).toLocalIterator():
+                    if len(payload) >= max_query_rows:
+                        self._reply(
+                            413,
+                            (
+                                f"Result Too Large: > {max_query_rows} rows; "
+                                "narrow the time range"
+                            ).encode(),
+                            "text/plain",
+                        )
+                        return
+                    payload.append(
+                        {
+                            "sensor_name": r.sensor_name,
+                            # the reference serializes the stored raw string
+                            "timestamp": r.ts_raw,
+                            "value": r.value,
+                            "fc1_flag": r.fc1_flag,
+                            "timeseries_id": r.timeseries_id,
+                        }
+                    )
                 self._reply(
                     200, json.dumps(payload).encode(), "application/json"
                 )

@@ -91,6 +91,88 @@ def test_table_full_maps_to_500(server):
     assert (code, text) == (500, "Table Full")
 
 
+def test_reference_client_end_to_end(spark, tmp_path):
+    """Run the reference's OWN client file, unmodified, as a subprocess
+    against the adapter (py_client.py:52-65). BASE_URL is hardcoded to
+    localhost:8000 in the artifact, so the server must bind that exact
+    port — skip (never fail) if something else holds it."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    client = "/root/reference/py_client.py"
+    if not os.path.exists(client):
+        pytest.skip("reference client not present")
+    pytest.importorskip("requests")
+    with socket.socket() as s:
+        if s.connect_ex(("127.0.0.1", 8000)) == 0:
+            pytest.skip("port 8000 already in use")
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh_refclient"))
+    srv = TelemetryHttpServer(eng, port=8000).start()
+    try:
+        proc = subprocess.run(
+            [sys.executable, client],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+    finally:
+        srv.stop()
+
+    assert proc.returncode == 0, proc.stderr
+    out = proc.stdout
+    # three inserts (main flow lines 54-56), each acknowledged
+    assert out.count("Data inserted successfully") == 3
+    assert "Query successful. Data received:" in out
+    # check_for_fault at threshold 0.95: exactly the 12:02 value (1.0)
+    assert (
+        "Fault detected at timestamp 2024-08-28T12:02:00Z with value 1.0"
+        in out
+    )
+    assert "Total faults detected: 1" in out
+    assert "Failed to" not in out
+
+
+def test_query_row_cap_413(spark, tmp_path):
+    """server.py bounds driver memory: ranges wider than max_query_rows
+    get a 413, not an unbounded collect."""
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh_cap"))
+    eng.ingest_rows(
+        [
+            {
+                "sensor_name": "s",
+                "timestamp": f"2024-08-28T12:00:{i:02d}Z",
+                "value": 0.1,
+                "timeseries_id": SID,
+            }
+            for i in range(20)
+        ]
+    )
+    srv = TelemetryHttpServer(eng, port=0, max_query_rows=10).start()
+    try:
+        base = srv.base_url
+        with pytest.raises(urllib.error.HTTPError) as e:
+            qs = urllib.parse.urlencode(
+                {
+                    "timeseries_id": SID,
+                    "start_time": "2024-08-28T12:00:00Z",
+                    "end_time": "2024-08-28T12:01:00Z",
+                }
+            )
+            urllib.request.urlopen(f"{base}/query_by_id?{qs}")
+        assert e.value.code == 413
+        assert b"Result Too Large" in e.value.read()
+        # a range under the cap still succeeds
+        data = _query(
+            base, SID, "2024-08-28T12:00:00Z", "2024-08-28T12:00:04Z"
+        )
+        assert len(data) == 5
+    finally:
+        srv.stop()
+
+
 def test_unknown_routes_and_bad_requests(server):
     base = server.base_url
     with pytest.raises(urllib.error.HTTPError) as e1:
