@@ -450,6 +450,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    use_reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → ``(doc_id,
     cluster_id)`` with ``cluster_id`` = the minimum doc id in the
@@ -464,9 +465,17 @@ def dedup_clusters(
 
     - edges are symmetrized once and persisted, pre-partitioned on the
       join key so every round's join reuses one exchange;
-    - labels are ``localCheckpoint``-ed each round: lineage (and the
-      codegen'd plan) stays O(1) across iterations instead of growing
-      by one join per round;
+    - labels are checkpointed each round: lineage (and the codegen'd
+      plan) stays O(1) across iterations instead of growing by one join
+      per round. Default ``localCheckpoint`` stores blocks on executors
+      only — fast, but an executor loss mid-convergence fails the job
+      (no lineage to recompute from). ``use_reliable_checkpoint=True``
+      switches to ``checkpoint()`` against
+      ``spark.sparkContext.setCheckpointDir(...)``'s directory
+      (HDFS/object store on a cluster), trading one HDFS round-trip per
+      iteration for fault tolerance — the right default on a 1000-
+      executor run where losing one executor over O(diameter) rounds is
+      likely;
     - the convergence check is a count of changed labels — one tiny
       driver-side action per round (the standard loop for iterative
       graph algorithms on DataFrames; the data itself never leaves the
@@ -475,17 +484,27 @@ def dedup_clusters(
     The reference has no graph surface (single-table engine); this is
     LLM-pipeline added value on top of the pair generators above.
     """
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if use_reliable_checkpoint:
+            sc = df.sparkSession.sparkContext
+            if sc.getCheckpointDir() is None:
+                raise ValueError(
+                    "use_reliable_checkpoint=True requires "
+                    "spark.sparkContext.setCheckpointDir(<reliable storage>)"
+                )
+            return df.checkpoint()
+        return df.localCheckpoint()
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neigh = (
@@ -496,7 +515,7 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("_nl").alias("_min_nl"))
         )
-        new = (
+        new = _ckpt(
             labels.join(
                 neigh.select(F.col("src").alias("id"), "_min_nl"), "id", "left"
             )
@@ -506,7 +525,6 @@ def dedup_clusters(
                     F.col("label"), F.coalesce(F.col("_min_nl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new.withColumnRenamed("label", "_new")

@@ -98,6 +98,25 @@ def test_dedup_clusters_two_components_meet(spark):
     assert set(out.values()) == {10} and len(out) == 4
 
 
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """use_reliable_checkpoint=True: same result via checkpoint(dir)
+    (fault-tolerant lineage cut); raises without a checkpoint dir."""
+    import pytest
+
+    prev = spark.sparkContext.getCheckpointDir()
+    if prev is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            dedup_clusters(
+                _pairs(spark, [(1, 2)]), use_reliable_checkpoint=True
+            ).collect()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(
+        _pairs(spark, [(1, 2), (2, 3), (5, 6)]),
+        use_reliable_checkpoint=True,
+    ).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
 def test_linear_interp_hand_computed(spark):
     from rusty_timeseries_db_spark.operators.resample import linear_interp_fill
 
