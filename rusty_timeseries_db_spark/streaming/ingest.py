@@ -13,13 +13,22 @@ Replayed rows are identifiable: ``ingest_seq`` embeds the (stable)
 batch_id in its high bits, so a replayed batch writes the same
 ``(timeseries_id, ts, ingest_seq)`` keys and readers that need
 effectively-once can ``dropDuplicates(["timeseries_id", "ts",
-"ingest_seq"])``. True exactly-once needs a transactional table format
-(e.g. batch-id-keyed overwrite), deliberately out of scope for a plain
-Parquet sink.
+"ingest_seq"])``.
+
+**Opt-in exactly-once** (``start_telemetry_sink_exactly_once``): each
+micro-batch writes to its own ``batch_id=<id>`` directory (idempotent —
+a replay overwrites the same directory, never appends) and then commits
+the id to a manifest via atomic rename. Readers
+(``read_committed_telemetry``) list only manifest-committed batch dirs,
+so a torn write from a crash mid-batch is invisible and zero duplicate
+rows survive a replay — no reader-side dedup needed. Requires
+atomic-rename storage for the manifest (local fs / HDFS; on S3 use a
+consistent store for the manifest object).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +113,102 @@ def start_telemetry_sink(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# ------------------------------------------------ exactly-once sink
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_manifest.json")
+
+
+def committed_batch_ids(path: str) -> list[int]:
+    """Batch ids whose writes are committed (visible to readers)."""
+    try:
+        with open(_manifest_path(path)) as f:
+            return list(json.load(f)["batches"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        return []
+
+
+def commit_batch_exactly_once(
+    normalized: DataFrame, batch_id: int, path: str
+) -> bool:
+    """Write one normalized micro-batch with exactly-once visibility.
+
+    Protocol (runs on the driver inside ``foreachBatch``):
+
+    1. if ``batch_id`` is already in the manifest, the batch fully
+       committed before a crash — skip entirely (idempotent replay);
+    2. write to ``{path}/batch_id={batch_id}`` with ``overwrite`` — a
+       replay of a crashed half-written batch overwrites its own
+       directory, never appends beside it;
+    3. append the id to the manifest and ``os.replace`` it into place —
+       atomic on local fs/HDFS, so readers observe either the old or
+       the new manifest, never a torn one.
+
+    A crash between (2) and (3) leaves an uncommitted directory that is
+    invisible to ``read_committed_telemetry`` and overwritten on replay:
+    zero duplicates in every crash window. Returns True if this call
+    performed the write (False = replay skip).
+    """
+    ids = committed_batch_ids(path)
+    if batch_id in ids:
+        return False
+    (
+        normalized.sortWithinPartitions("timeseries_id", "ts")
+        .write.mode("overwrite")
+        .partitionBy("series_bucket")
+        .parquet(os.path.join(path, f"batch_id={batch_id}"))
+    )
+    tmp = _manifest_path(path) + ".tmp"
+    os.makedirs(path, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump({"batches": sorted(ids + [batch_id])}, f)
+    os.replace(tmp, _manifest_path(path))
+    return True
+
+
+def start_telemetry_sink_exactly_once(
+    stream: DataFrame,
+    warehouse_dir: str,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Exactly-once variant of :func:`start_telemetry_sink` (opt-in;
+    at-least-once append stays the default). Idempotent per-batch-id
+    directories + atomic manifest commit — see
+    :func:`commit_batch_exactly_once`."""
+    path = os.path.join(warehouse_dir, "telemetry_eo")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        commit_batch_exactly_once(normalize_batch(batch, batch_id), batch_id, path)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation",
+        os.path.join(warehouse_dir, "_checkpoints/ingest_eo"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def read_committed_telemetry(
+    spark: SparkSession, warehouse_dir: str
+) -> DataFrame | None:
+    """Read ONLY manifest-committed batches of the exactly-once sink
+    (uncommitted/torn directories are never listed). Returns None when
+    no batch has committed yet."""
+    path = os.path.join(warehouse_dir, "telemetry_eo")
+    ids = committed_batch_ids(path)
+    if not ids:
+        return None
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*(os.path.join(path, f"batch_id={i}") for i in ids))
+        .drop("batch_id")
+    )
 
 
 def windowed_series_stats(

@@ -14,8 +14,13 @@ from rusty_timeseries_db_spark.streaming.fdd import (
     start_fdd_stream,
 )
 from rusty_timeseries_db_spark.streaming.ingest import (
+    commit_batch_exactly_once,
+    committed_batch_ids,
+    normalize_batch,
+    read_committed_telemetry,
     read_telemetry_stream,
     start_telemetry_sink,
+    start_telemetry_sink_exactly_once,
 )
 from tests.conftest import CANONICAL_ROWS
 
@@ -44,6 +49,66 @@ def test_stream_ingest_to_parquet(spark, tmp_path):
     }
     # normalization applied on the stream path too
     assert got.filter(F.col("fc1_flag").isNotNull()).count() == 0
+
+
+def test_exactly_once_sink_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "drop")
+    wh = str(tmp_path / "wh")
+    _write_batch(src, CANONICAL_ROWS[:2], "b1.jsonl")
+    _write_batch(src, CANONICAL_ROWS[2:], "b2.jsonl")
+
+    stream = read_telemetry_stream(spark, src)
+    q = start_telemetry_sink_exactly_once(stream, wh, available_now=True)
+    q.awaitTermination(120)
+
+    got = read_committed_telemetry(spark, wh)
+    assert got is not None and got.count() == 3
+    assert "batch_id" not in got.columns
+    assert set(got.columns) >= {
+        "sensor_name", "ts", "ts_raw", "value", "fc1_flag", "timeseries_id",
+    }
+
+
+def test_exactly_once_replay_writes_zero_duplicates(spark, tmp_path):
+    """Crash-replay simulation: re-delivering the same micro-batch (same
+    batch_id — Spark's checkpointed offsets make the id stable across
+    restarts) must leave ZERO duplicate rows, with NO reader-side
+    ingest_seq dedup."""
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+    raw = spark.createDataFrame(
+        [(r["sensor_name"], r["timestamp"], r["value"], r.get("fc1_flag"),
+          r["timeseries_id"]) for r in CANONICAL_ROWS],
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string",
+    )
+
+    # batch 0 commits; a full replay of batch 0 must be a no-op
+    assert commit_batch_exactly_once(normalize_batch(raw, 0), 0, path) is True
+    assert commit_batch_exactly_once(normalize_batch(raw, 0), 0, path) is False
+    got = read_committed_telemetry(spark, wh)
+    assert got.count() == len(CANONICAL_ROWS)
+    assert (
+        got.select("timeseries_id", "ts", "ingest_seq").distinct().count()
+        == len(CANONICAL_ROWS)
+    )
+
+    # crash-between-write-and-manifest window: an orphan (uncommitted)
+    # batch dir is invisible to readers, and the replay overwrites it
+    orphan = os.path.join(path, "batch_id=1")
+    normalize_batch(raw, 1).write.mode("overwrite").partitionBy(
+        "series_bucket"
+    ).parquet(orphan)
+    assert committed_batch_ids(path) == [0]
+    assert read_committed_telemetry(spark, wh).count() == len(CANONICAL_ROWS)
+    assert commit_batch_exactly_once(normalize_batch(raw, 1), 1, path) is True
+    assert read_committed_telemetry(spark, wh).count() == 2 * len(CANONICAL_ROWS)
+    # still no (timeseries_id, ts, ingest_seq) duplicates: batch 1 rows
+    # carry a distinct batch-id-prefixed sequence range
+    n = read_committed_telemetry(spark, wh).select(
+        "timeseries_id", "ts", "ingest_seq"
+    ).distinct().count()
+    assert n == 2 * len(CANONICAL_ROWS)
 
 
 def test_stream_fdd_foreachbatch(spark, tmp_path):
