@@ -5,26 +5,30 @@ Assets are opaque ``binary`` payloads plus a typed metadata struct
 schema, partition-friendly layout, Arrow-batched UDF signatures — is
 real and tested.
 
-Codecs: two formats are decoded FOR REAL with pure-stdlib parsers (no
+Codecs: three formats are decoded FOR REAL with pure-stdlib parsers (no
 image/audio libraries exist in this container):
 
 - ``image/bmp`` — uncompressed 24-bpp Windows BMP
   (``decode_bmp``/``encode_bmp``): header parse, bottom-up padded BGR
   rows, nearest-neighbor resize;
+- ``image/png`` — non-interlaced 8-bit RGB/RGBA PNG
+  (``decode_png``/``encode_png``): chunk walk, ``zlib`` inflate (zlib
+  IS stdlib), full scanline unfiltering (None/Sub/Up/Average/Paeth);
+  encoder emits filter-0 RGB with correct CRCs;
 - ``audio/wav`` — 16-bit PCM RIFF/WAVE (``decode_wav``): chunk walk,
   interleaved int16 samples.
 
-Every other mime (JPEG/PNG/MP4/...) still raises
-``NotImplementedError`` from the executor — a deliberate stub, since
-real codecs for those need PIL/ffmpeg. ``fake=True`` keeps the
-deterministic payload-hash fake for pipeline-shape tests independent of
-any format.
+Every other mime (JPEG/MP4/...) still raises ``NotImplementedError``
+from the executor — a deliberate stub, since real codecs for those
+need PIL/ffmpeg. ``fake=True`` keeps the deterministic payload-hash
+fake for pipeline-shape tests independent of any format.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -89,6 +93,108 @@ def encode_bmp(rows: list[list[tuple[int, int, int]]]) -> bytes:
     return bytes(header + pix_bytes)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse a non-interlaced 8-bit RGB/RGBA PNG → (width, height, rows
+    of RGB tuples, top-down; alpha dropped). Pure stdlib: chunk walk,
+    ``zlib.decompress`` of the concatenated IDAT stream, and per-scanline
+    unfiltering for all five filter types (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth). Raises ValueError on other PNG flavors
+    (palette/grayscale/16-bit/interlaced)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        length = struct.unpack_from(">I", data, pos)[0]
+        ctype = data[pos + 4 : pos + 8]
+        if ctype == b"IHDR":
+            ihdr = data[pos + 8 : pos + 8 + length]
+        elif ctype == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + length]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={color}, "
+            f"interlace={interlace}): only non-interlaced 8-bit RGB/RGBA"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows: list[list[tuple[int, int, int]]] = []
+    prev = bytearray(stride)
+    off = 0
+    for _ in range(height):
+        ftype = raw[off]
+        cur = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub: predictor = left
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif ftype == 2:  # Up: predictor = above
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average: floor((left + above)/2)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                cur[i] = (
+                    cur[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = cur
+        rows.append(
+            [(cur[ch * c], cur[ch * c + 1], cur[ch * c + 2]) for c in range(width)]
+        )
+    return width, height, rows
+
+
+def encode_png(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """RGB rows (top-down) → non-interlaced 8-bit RGB PNG bytes
+    (filter 0 scanlines, single zlib-compressed IDAT, correct CRCs)."""
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    raw = bytearray()
+    for row in rows:
+        raw.append(0)  # filter type None
+        for r, g, b in row:
+            raw += bytes((r, g, b))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     """Parse a 16-bit PCM RIFF/WAVE → (sample_rate, n_channels,
     interleaved int16 samples). Pure stdlib chunk walk."""
@@ -114,9 +220,23 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
 
 
 def _bmp_features(data: bytes, dim: int = 16) -> list[float]:
+    """Real image features from a BMP payload (see ``_rgb_features``)."""
+    return _rgb_features(*decode_bmp(data), dim=dim)
+
+
+def _png_features(data: bytes, dim: int = 16) -> list[float]:
+    """Real image features from a PNG payload (see ``_rgb_features``)."""
+    return _rgb_features(*decode_png(data), dim=dim)
+
+
+def _rgb_features(
+    width: int,
+    height: int,
+    rows: list[list[tuple[int, int, int]]],
+    dim: int = 16,
+) -> list[float]:
     """Real image features: dims, channel means, luma stats, and luma
     quadrant means — deterministic, codec-backed, ``dim`` floats."""
-    width, height, rows = decode_bmp(data)
     n = width * height
     luma = [[0.299 * r + 0.587 * g + 0.114 * b for r, g, b in row] for row in rows]
     flat = [v for row in luma for v in row]
@@ -288,11 +408,11 @@ def extract_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     ``mapInPandas`` — the correct shape for heavy per-asset Python work
     (decoders hold no Spark state; batches amortize Arrow transfer).
 
-    Real decode paths (``fake=False``): ``image/bmp`` and ``audio/wav``
-    via the pure-stdlib codecs above. Any other mime raises
-    ``NotImplementedError`` from the executor (PIL/ffmpeg not in this
-    environment — documented stub). ``fake=True`` uses the payload-hash
-    fake regardless of mime (pipeline-shape tests)."""
+    Real decode paths (``fake=False``): ``image/bmp``, ``image/png``
+    and ``audio/wav`` via the pure-stdlib codecs above. Any other mime
+    raises ``NotImplementedError`` from the executor (PIL/ffmpeg not in
+    this environment — documented stub). ``fake=True`` uses the
+    payload-hash fake regardless of mime (pipeline-shape tests)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -303,13 +423,15 @@ def extract_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                     feats.append(_fake_features(data))
                 elif mime == "image/bmp":
                     feats.append(_bmp_features(data))
+                elif mime == "image/png":
+                    feats.append(_png_features(data))
                 elif mime in ("audio/wav", "audio/x-wav"):
                     feats.append(_wav_features(data))
                 else:
                     raise NotImplementedError(
-                        f"no codec for {mime!r}: only image/bmp and "
-                        "audio/wav decode for real (PIL/ffmpeg not in "
-                        "this env)"
+                        f"no codec for {mime!r}: only image/bmp, "
+                        "image/png and audio/wav decode for real "
+                        "(PIL/ffmpeg not in this env)"
                     )
             yield pd.DataFrame(
                 {
@@ -329,15 +451,25 @@ def resize_images(
     with meta.width/height set and the payload replaced by the resized
     encoding.
 
-    Real path (``fake=False``): ``image/bmp`` payloads are decoded,
-    nearest-neighbor resampled to ``width``×``height``, and re-encoded
-    as BMP. Other image formats raise ``NotImplementedError`` (PIL not
+    Real path (``fake=False``): ``image/bmp`` / ``image/png`` payloads
+    are decoded, nearest-neighbor resampled to ``width``×``height``,
+    and re-encoded in their own format (PNG alpha is dropped — output
+    is RGB). Other image formats raise ``NotImplementedError`` (PIL not
     in this env — documented stub). ``fake=True`` truncates/pads the
     payload to width*height bytes so downstream batch shapes are
     testable for any mime."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
+
+        def nn_resize(rows, sw, sh):
+            return [
+                [rows[min(sh - 1, r * sh // height)]
+                     [min(sw - 1, c * sw // width)]
+                 for c in range(width)]
+                for r in range(height)
+            ]
+
         for pdf in batches:
             payloads, metas = [], []
             for mime, p, m in zip(pdf["mime"], pdf["payload"], pdf["meta"]):
@@ -345,17 +477,15 @@ def resize_images(
                     data = bytes(p)[:target].ljust(target, b"\0")
                 elif mime == "image/bmp":
                     sw, sh, rows = decode_bmp(bytes(p))
-                    resized = [
-                        [rows[min(sh - 1, r * sh // height)]
-                             [min(sw - 1, c * sw // width)]
-                         for c in range(width)]
-                        for r in range(height)
-                    ]
-                    data = encode_bmp(resized)
+                    data = encode_bmp(nn_resize(rows, sw, sh))
+                elif mime == "image/png":
+                    sw, sh, rows = decode_png(bytes(p))
+                    data = encode_png(nn_resize(rows, sw, sh))
                 else:
                     raise NotImplementedError(
                         f"no resize codec for {mime!r}: only image/bmp "
-                        "resizes for real (PIL not in this env)"
+                        "and image/png resize for real (PIL not in "
+                        "this env)"
                     )
                 payloads.append(data)
                 metas.append(

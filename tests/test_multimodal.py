@@ -1,5 +1,5 @@
 """Multimodal plumbing: asset wrapping, Arrow-batched feature
-extraction, frame sampling. BMP and WAV decode for REAL via the
+extraction, frame sampling. BMP, PNG and WAV decode for REAL via the
 pure-stdlib codecs; other formats stay stubbed."""
 
 from __future__ import annotations
@@ -11,8 +11,10 @@ from pyspark.sql import functions as F
 
 from rusty_timeseries_db_spark.operators.multimodal import (
     decode_bmp,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     extract_features,
     make_assets,
     sample_frames,
@@ -85,6 +87,160 @@ def test_bmp_codec_roundtrip():
     assert decode_bmp(encode_bmp(rows))[2] == rows
     odd = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)]]
     assert decode_bmp(encode_bmp(odd)) == (3, 1, odd)
+
+
+def _png_pixels():
+    """Deterministic 5×4 RGB image with enough gradient structure that
+    every filter type changes bytes."""
+    return [
+        [((r * 53 + c * 31) % 256, (r * 17 + c * 91) % 256, (r * 7 + c * 3) % 256)
+         for c in range(5)]
+        for r in range(4)
+    ]
+
+
+def _filtered_png(pixels, filters):
+    """Build a color-type-2 PNG applying the given per-row filter types
+    (a reference FORWARD filterer — decode must invert it exactly)."""
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    raw = bytearray()
+    prev = bytearray(w * 3)
+    for r, ftype in zip(range(h), filters):
+        cur = bytearray()
+        for px in pixels[r]:
+            cur += bytes(px)
+        out = bytearray([ftype])
+        for i in range(w * 3):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            out.append((cur[i] - pred) & 0xFF)
+        raw += out
+        prev = cur
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_codec_roundtrip():
+    pixels = _png_pixels()
+    w, h, rows = decode_png(encode_png(pixels))
+    assert (w, h) == (5, 4) and rows == pixels
+
+
+def test_png_unfiltering_all_filter_types():
+    """One row per filter type (None/Sub/Up/Paeth + Average): the
+    decoder must invert each predictor exactly."""
+    pixels = _png_pixels()
+    for filters in ([0, 1, 2, 4], [3, 4, 1, 2], [4, 4, 4, 4]):
+        w, h, rows = decode_png(_filtered_png(pixels, filters))
+        assert rows == pixels, f"filters {filters} mis-decoded"
+
+
+def test_png_rgba_decodes_dropping_alpha():
+    import zlib as _z
+
+    # 2×2 RGBA, filter 0: RGB recovered, alpha dropped
+    pix = [[(10, 20, 30, 255), (40, 50, 60, 128)],
+           [(70, 80, 90, 0), (100, 110, 120, 7)]]
+    raw = bytearray()
+    for row in pix:
+        raw.append(0)
+        for px in row:
+            raw += bytes(px)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    w, h, rows = decode_png(data)
+    assert (w, h) == (2, 2)
+    assert rows == [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]]
+
+
+def test_png_rejects_unsupported_flavors():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # palette (color type 3) must be refused, not mis-decoded
+    import zlib as _z
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(pal)
+
+
+def test_real_png_features_and_resize_through_pipeline(spark):
+    """fake=False end-to-end on image/png: decode inside mapInPandas,
+    features match the BMP path for identical pixels, and resize
+    round-trips through the PNG encoder."""
+    from rusty_timeseries_db_spark.operators.multimodal import resize_images
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)],
+        [(0, 0, 0), (128, 128, 128), (255, 255, 0), (0, 255, 255)],
+    ]
+    df = spark.createDataFrame(
+        [("p1", bytearray(encode_png(pixels)))], "id string, payload binary"
+    )
+    assets = make_assets(df, id_col="id", payload_col="payload", mime="image/png")
+    (row,) = extract_features(assets, fake=False).collect()
+    assert row.asset_id == "p1" and len(row.features) == 16
+    assert row.features[0] == 4.0 and row.features[1] == 2.0
+    # identical pixels ⇒ identical features as the BMP codec path
+    bmp_assets = make_assets(
+        spark.createDataFrame(
+            [("b1", bytearray(encode_bmp(pixels)))], "id string, payload binary"
+        ),
+        id_col="id", payload_col="payload", mime="image/bmp",
+    )
+    (brow,) = extract_features(bmp_assets, fake=False).collect()
+    assert row.features == brow.features
+
+    (rrow,) = resize_images(assets, width=2, height=1, fake=False).collect()
+    assert rrow.meta.width == 2 and rrow.meta.height == 1
+    w, h, rows = decode_png(bytes(rrow.payload))
+    assert (w, h) == (2, 1)
+    assert rows == [[(255, 0, 0), (0, 0, 255)]]
 
 
 def test_wav_codec():
