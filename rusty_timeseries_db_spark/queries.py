@@ -790,6 +790,44 @@ def q_asof_tolerance(spark, sf_dir):
 
 
 @declare(
+    "q_asof_sql",
+    """
+    WITH j AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+             e.ts AS ev_ts, e.value AS ev_value, e.event_id,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM orders o
+      JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           j.ev_value AS value_right
+    FROM orders o
+    LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.o_orderkey = o.o_orderkey
+    """,
+    doc="SQL surface for the as-of join (sql_ext.sql_with_asof rewrites "
+    "the DuckDB-style ASOF JOIN clause onto the union+window plan); "
+    "same result as q_asof_join",
+)
+def q_asof_sql(spark, sf_dir):
+    from .sql_ext import sql_with_asof
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = T(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"), "ts", "value", "event_id"
+    )
+    o.createOrReplaceTempView("_q_asof_sql_orders")
+    e.createOrReplaceTempView("_q_asof_sql_events")
+    return sql_with_asof(
+        spark,
+        "SELECT o.o_orderkey, o.o_custkey, value_right "
+        "FROM _q_asof_sql_orders AS o ASOF JOIN _q_asof_sql_events AS e "
+        "ON o.o_custkey = e.o_custkey AND o.o_orderdate >= e.ts",
+        right_order="event_id",
+    )
+
+
+@declare(
     "q_interval_overlap_join",
     """
     SELECT w.window_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
