@@ -2538,6 +2538,132 @@ def q_tpch_q10(spark, sf_dir):
 
 
 @declare(
+    "q_tpch_q18_large_volume",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customer): group-by-having IN "
+    "subquery decorrelated to a semi join that prunes orders BEFORE the "
+    "3-way join — the heavy-orders list is an aggregate of lineitem "
+    "only, so the big fact-fact join runs on the reduced order set. No "
+    "broadcast hints on sf-scaling tables.",
+)
+def q_tpch_q18(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(heavy, "o_orderkey", "left_semi")
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+@declare(
+    "q_tpch_q21_suppliers_who_wait",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name, n.n_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting), reshaped "
+    "onto this dataset's columns: late = shipped >60 days after an "
+    "F-status order date. Correlated EXISTS → left-semi join with a "
+    "non-equi term; NOT EXISTS → left-anti self-join of the late set. "
+    "Only fixed-size nation is broadcast-hinted; supplier scales with "
+    "sf and is left to AQE.",
+)
+def q_tpch_q21(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    cand = (
+        late.join(
+            l2,
+            (late["l_orderkey"] == l2["_ok2"])
+            & (late["l_suppkey"] != l2["_sk2"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3["_ok3"])
+            & (F.col("l_suppkey") != l3["_sk3"]),
+            "left_anti",
+        )
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cand.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+        .select("s_name", "n_name", "numwait")
+    )
+
+
+@declare(
     "q_rolling_hash_fingerprint",
     None,
     doc="polynomial rolling-hash document fingerprint over token hashes "
