@@ -61,47 +61,71 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver's CORRECTNESS check records only the FIRST 50 entries of
-# all_queries(). Every query now has a green row across r01∪r02, so the
-# window rule this round is the reviewer's: ANY query whose underlying
-# operator/oracle changed in the CURRENT round must sit inside the
+# all_queries(). Round-4 window rule (VERDICT r3 #3): (a) ANY query
+# whose underlying operator/oracle changed THIS round sits inside the
 # checked window so a regression in just-modified code cannot escape
-# external verification. `_ROUND_MODIFIED` lists this round's touched
-# surfaces (array-output serialization, new oracles, TPC-H de-hinting,
-# MinHash densification rewrite, SCD2 plan split, as-of payload
-# extraction, overlay blend, multimodal codec) plus the remaining
-# oracle-less queries so their rows-only status is re-recorded on
-# current code. Everything else keeps declaration order behind them.
+# external verification; (b) the remaining slots go to the STALEST
+# queries — those whose most recent driver row is oldest. Staleness is
+# the per-query max round over CORRECTNESS_r0{1,2,3}.json (computed
+# offline, frozen here): 22 queries were last driver-checked in r01,
+# 33 in r02, 50 in r03. Window = 5 round-modified + 22 r01-last + the
+# first 23 r02-last (declaration order); the other 10 r02-last queue
+# directly behind the boundary, so round 5's window picks them first.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # array-output serialization (canonicalizer safety)
-    "q_approx_aggregates", "q_map_ops", "q_higher_order_fns",
-    "q_approx_top_k",
-    # newly-added oracles
-    "q_embedding_knn_classify", "q_python_udtf",
-    # broadcast de-hinting
-    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier",
-    "q_tpch_q10_returned_items", "q_join_inner_broadcast",
-    # operator rewrites touched this round
-    "q_minhash_pairs", "q_scd2_merge", "q_asof_join",
-    "q_asof_tolerance", "q_r4_fdd_overlay", "q_multimodal_features",
-    # remaining oracle-less (rows-only re-recorded on current code)
-    "q_simhash_pairs", "q_similarity_lsh", "q_embedding_neardup_lsh",
-    "q_similarity_ivf", "q_rolling_hash_fingerprint",
-    # NEW operators added this round
-    "q_time_weighted_avg", "q_counter_increase", "q_dedup_clusters",
-    "q_linear_interp", "q_histogram",
+    # NEW this round: SQL ASOF surface, TPC-H Q18/Q21 shapes
+    "q_asof_sql", "q_tpch_q18_large_volume", "q_tpch_q21_suppliers_who_wait",
+    # operator surfaces touched this round (reliable-checkpoint path;
+    # shared RGB feature refactor for the PNG codec)
+    "q_dedup_clusters", "q_multimodal_features",
 })
+
+#: most recent driver-checked round per query, from CORRECTNESS_r0N.json
+#: (queries absent here were checked in r03, the freshest tier).
+_LAST_DRIVER_ROUND: dict[str, int] = {
+    **dict.fromkeys([
+        "q_array_ops", "q_dedup_exact", "q_except", "q_gaps_islands_runs",
+        "q_hash_functions", "q_intersect", "q_intersect_all",
+        "q_locf_gapfill", "q_ngram_jaccard", "q_resample_1d",
+        "q_scalar_conditional", "q_scalar_datetime", "q_scalar_json",
+        "q_scalar_math", "q_scalar_string", "q_topk_global",
+        "q_tumbling_window", "q_union_all", "q_union_distinct",
+        "q_window_first_last", "q_window_rank_ntile",
+        "q_window_rolling_time",
+    ], 1),
+    **dict.fromkeys([
+        "q_bool_aggs", "q_cohort_retention", "q_correlated_subquery",
+        "q_correlation", "q_embedding_neardup_exact", "q_except_all",
+        "q_fdd_rules_join", "q_filter_rlike", "q_from_json_struct",
+        "q_funnel", "q_global_sort_multi", "q_join_right_outer",
+        "q_langid", "q_levenshtein", "q_multi_count_distinct", "q_pivot",
+        "q_posexplode", "q_quality_filter_pipeline", "q_quality_score",
+        "q_scalar_datetime_parts", "q_scalar_subquery",
+        "q_session_window", "q_similarity_bruteforce",
+        "q_sliding_window_batch", "q_string_agg_ordered", "q_to_json",
+        "q_token_stats", "q_udf_grouped_agg_median",
+        "q_udf_mapinpandas_clip", "q_udf_sql_registered",
+        "q_udf_zscore_per_group", "q_unpivot", "q_window_nth_cume",
+    ], 2),
+}
 
 
 def _ordered_registry() -> list[QuerySpec]:
-    """This round's modified queries first (inside the driver-checked
-    window), then declaration order."""
-    assert _ROUND_MODIFIED <= {q.name for q in _REGISTRY}, (
-        "stale name in _ROUND_MODIFIED: "
-        f"{_ROUND_MODIFIED - {q.name for q in _REGISTRY}}"
+    """This round's modified queries first, then stalest-driver-row
+    first (r01-last, then r02-last, then r03-checked); declaration
+    order breaks ties (Python sort is stable)."""
+    names = {q.name for q in _REGISTRY}
+    assert _ROUND_MODIFIED <= names, (
+        f"stale name in _ROUND_MODIFIED: {_ROUND_MODIFIED - names}"
+    )
+    assert set(_LAST_DRIVER_ROUND) <= names, (
+        f"stale name in _LAST_DRIVER_ROUND: {set(_LAST_DRIVER_ROUND) - names}"
     )
     return sorted(
         _REGISTRY,
-        key=lambda q: (q.name not in _ROUND_MODIFIED,),
+        key=lambda q: (
+            q.name not in _ROUND_MODIFIED,
+            _LAST_DRIVER_ROUND.get(q.name, 3),
+        ),
     )
 
 
