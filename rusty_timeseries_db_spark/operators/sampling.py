@@ -1,0 +1,119 @@
+"""Deterministic sampling & dataset splitting — training-data pipeline
+operators (SURVEY §2.3 family; the reference has no sampling surface).
+
+Random sampling (``df.sample``/``TABLESAMPLE``) is seed- and
+partitioning-dependent: re-runs, engine changes, or repartitions move
+rows between splits, which silently leaks training data into eval
+sets. At 100 TB the industry-standard fix is CONTENT-deterministic
+assignment: hash a stable id, bucket the hash, assign by bucket range.
+Properties that matter at scale:
+
+- **pure map-side** — no shuffle, no driver state, no seed to ship;
+  the filter pushes into the scan stage and composes with partition
+  pruning;
+- **stable under re-partitioning / incremental loads** — a document's
+  split never changes when new data arrives (append-only pipelines can
+  re-derive splits at any time);
+- **engine-agnostic** — md5 is bit-identical everywhere (unlike
+  xxhash64, which is Spark-specific), so every function here is
+  oracle-checkable against DuckDB and reproducible by any downstream
+  consumer of the data.
+
+``salt`` decorrelates independent sampling decisions over the same ids
+(e.g. a 10% eval sample drawn independently from the train/test split).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: bucket space for split assignment: 1e4 buckets → 0.01% granularity.
+_SPLIT_BUCKETS = 10_000
+
+
+def hash_key(col: Column, salt: str = "") -> Column:
+    """The canonical sampling key: lowercase-hex md5 of
+    ``salt || string(col)`` — deterministic, engine-agnostic, uniform."""
+    return F.md5(F.concat(F.lit(salt), col.cast("string")))
+
+
+def hash_bucket(col: Column, buckets: int, salt: str = "") -> Column:
+    """Uniform bucket in [0, buckets) from the first 8 hex chars of the
+    md5 key (32 bits — non-negative, so ``%`` matches every engine's
+    modulo). JVM-side expression; no UDF, no shuffle."""
+    return (
+        F.conv(F.substring(hash_key(col, salt), 1, 8), 16, 10).cast("bigint")
+        % F.lit(buckets)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ``fraction`` of rows by id-hash bucket — same rows on every
+    engine, every run, every partitioning. Map-side filter only."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = int(round(fraction * _SPLIT_BUCKETS))
+    return df.filter(
+        hash_bucket(F.col(id_col), _SPLIT_BUCKETS, salt) < F.lit(cut)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by id-hash bucket range —
+    the train/val/test assignment for a training pipeline.
+
+    ``weights`` maps label → fraction (must sum to 1 within rounding;
+    default 90/5/5 train/val/test). Assignment is per-id stable: new
+    data never moves old rows between splits, and a given id lands in
+    the same split on any engine or cluster layout.
+    """
+    if weights is None:
+        weights = {"train": 0.90, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1: {dict(weights)}")
+    b = hash_bucket(F.col(id_col), _SPLIT_BUCKETS, salt)
+    expr = None
+    hi = 0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        hi += int(round(w * _SPLIT_BUCKETS))
+        clause = b < F.lit(hi)
+        expr = F.when(clause, label) if expr is None else expr.when(clause, label)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ``n`` rows per stratum: rank ids inside each
+    stratum by md5 order (a uniform deterministic shuffle) and keep the
+    first ``n``. One shuffle on the stratum key; the md5 sort order is
+    identical across engines so the selected set is oracle-checkable.
+    Ties are impossible (md5 of distinct ids collides only
+    cryptographically), but ``id_col`` is a formal tiebreaker so the
+    order is total even with duplicate ids."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_key(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_sample_rn", F.row_number().over(w))
+        .filter(F.col("_sample_rn") <= n_per_stratum)
+        .drop("_sample_rn")
+    )

@@ -72,8 +72,10 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # first 23 r02-last (declaration order); the other 10 r02-last queue
 # directly behind the boundary, so round 5's window picks them first.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # NEW this round: SQL ASOF surface, TPC-H Q18/Q21 shapes
+    # NEW this round: SQL ASOF surface, TPC-H Q18/Q21 shapes,
+    # deterministic sampling/splitting family
     "q_asof_sql", "q_tpch_q18_large_volume", "q_tpch_q21_suppliers_who_wait",
+    "q_hash_split", "q_deterministic_sample", "q_stratified_sample",
     # operator surfaces touched this round (reliable-checkpoint path;
     # shared RGB feature refactor for the PNG codec)
     "q_dedup_clusters", "q_multimodal_features",
@@ -2684,6 +2686,80 @@ def q_tpch_q21(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
         .select("s_name", "n_name", "numwait")
+    )
+
+
+@declare(
+    "q_hash_split",
+    """
+    SELECT doc_id,
+           CASE
+             WHEN bucket < 9000 THEN 'train'
+             WHEN bucket < 9500 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    """,
+    doc="deterministic train/val/test split by md5-id bucket "
+    "(operators/sampling.py): content-stable, engine-agnostic, "
+    "map-side-only — the split assignment a 100 TB training pipeline "
+    "needs (no seed, no shuffle, append-safe)",
+)
+def q_hash_split(spark, sf_dir):
+    from .operators.sampling import hash_split
+
+    d = T(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+@declare(
+    "q_deterministic_sample",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE CAST(('0x' || substr(md5('ev' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 500
+    """,
+    doc="deterministic 5% sample by id-hash bucket — same rows on every "
+    "engine/run/partitioning (vs seed-dependent TABLESAMPLE); pure "
+    "map-side filter that composes with scan pushdown",
+)
+def q_deterministic_sample(spark, sf_dir):
+    from .operators.sampling import deterministic_sample
+
+    e = T(spark, sf_dir, "events")
+    return deterministic_sample(e, "event_id", 0.05, salt="ev").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@declare(
+    "q_stratified_sample",
+    """
+    SELECT event_type, event_id
+    FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rn
+      FROM events
+    )
+    WHERE rn <= 20
+    """,
+    doc="deterministic stratified sample: 20 rows per event_type ranked "
+    "by md5 order (a uniform deterministic shuffle) — class-balanced "
+    "subset selection with one shuffle on the stratum key",
+)
+def q_stratified_sample(spark, sf_dir):
+    from .operators.sampling import stratified_sample
+
+    e = T(spark, sf_dir, "events")
+    return stratified_sample(e, "event_type", "event_id", 20).select(
+        "event_type", "event_id"
     )
 
 

@@ -1,0 +1,94 @@
+"""Deterministic sampling/splitting operators (operators/sampling.py):
+content-stable assignment invariants that seed-based sampling cannot
+give — same rows across runs, partitionings, and engines (the
+engine-agnosticism itself is covered by the DuckDB oracles of
+q_hash_split / q_deterministic_sample / q_stratified_sample)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+from rusty_timeseries_db_spark.queries import T
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def docs(spark):
+    return T(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def test_hash_split_partitions_completely_and_disjointly(docs):
+    out = hash_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()  # total, no dropped rows
+    # 90/5/5 within loose tolerance at n=500
+    assert counts["train"] > 0.8 * docs.count()
+
+
+def test_hash_split_stable_under_repartition(docs):
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(17), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_hash_split_stable_under_incremental_load(docs):
+    """Append-safety: the split of an existing id never changes when
+    the table grows — compute on a subset, then on the full set."""
+    sub = docs.filter(F.col("doc_id") < 100)
+    a = {r.doc_id: r.split for r in hash_split(sub, "doc_id").collect()}
+    full = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    assert all(full[k] == v for k, v in a.items())
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", weights={"a": 0.5, "b": 0.2})
+
+
+def test_deterministic_sample_fraction_and_salt(docs):
+    n = docs.count()
+    s10 = deterministic_sample(docs, "doc_id", 0.10)
+    got = s10.count()
+    assert 0.04 * n <= got <= 0.18 * n  # binomial-ish tolerance at n=500
+    # subset property: a smaller cut of the SAME salt is a subset
+    ids20 = {r.doc_id for r in
+             deterministic_sample(docs, "doc_id", 0.20).select("doc_id").collect()}
+    ids10 = {r.doc_id for r in s10.select("doc_id").collect()}
+    assert ids10 <= ids20
+    # a different salt draws an (almost surely) different set
+    other = {r.doc_id for r in
+             deterministic_sample(docs, "doc_id", 0.10, salt="x")
+             .select("doc_id").collect()}
+    assert other != ids10
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(docs, "doc_id", 1.5)
+
+
+def test_stratified_sample_exact_n_per_stratum(spark):
+    e = T(spark, SF_DIR, "events")
+    out = stratified_sample(e, "event_type", "event_id", 7)
+    per = out.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    avail = dict(
+        e.groupBy("event_type").agg(F.count("*").alias("n"))
+        .rdd.map(lambda r: (r.event_type, r.n)).collect()
+    )
+    for r in per:
+        assert r.n == min(7, avail[r.event_type])
+    # deterministic: same selection twice
+    a = sorted((r.event_type, r.event_id) for r in out.collect())
+    b = sorted(
+        (r.event_type, r.event_id)
+        for r in stratified_sample(e, "event_type", "event_id", 7).collect()
+    )
+    assert a == b
