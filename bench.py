@@ -46,6 +46,13 @@ HEADLINE = [
     "q_tpch_q5_local_supplier",
     "q_quality_filter_pipeline",
     "q_session_window",
+    # added round 4 (compare r04+ totals minus these four for an
+    # apples-to-apples r03 comparison): TPC-H Q18/Q21 shapes, the SQL
+    # ASOF surface, and the deterministic split family
+    "q_tpch_q18_large_volume",
+    "q_tpch_q21_suppliers_who_wait",
+    "q_asof_sql",
+    "q_hash_split",
 ]
 
 

@@ -121,13 +121,40 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, "_manifest.json")
 
 
-def committed_batch_ids(path: str) -> list[int]:
-    """Batch ids whose writes are committed (visible to readers)."""
+def _read_manifest(path: str) -> dict:
     try:
         with open(_manifest_path(path)) as f:
-            return list(json.load(f)["batches"])
+            m = json.load(f)
+        return {
+            "dirs": list(m["dirs"]),
+            "committed_ids": list(m["committed_ids"]),
+            "compact_seq": int(m.get("compact_seq", 0)),
+        }
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
-        return []
+        return {"dirs": [], "committed_ids": [], "compact_seq": 0}
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest swap (``os.replace``) — readers observe either
+    the old or the new manifest, never a torn one. Atomic on local
+    fs/HDFS; on S3 keep the manifest in a consistent store."""
+    os.makedirs(path, exist_ok=True)
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(path))
+
+
+def committed_batch_ids(path: str) -> list[int]:
+    """Every micro-batch id whose write has committed — the replay-skip
+    set. Survives compaction (ids stay listed after their directories
+    are folded away, or a replayed old batch would re-append)."""
+    return _read_manifest(path)["committed_ids"]
+
+
+def visible_batch_dirs(path: str) -> list[str]:
+    """Directory names (relative to ``path``) readers may scan."""
+    return _read_manifest(path)["dirs"]
 
 
 def commit_batch_exactly_once(
@@ -137,35 +164,98 @@ def commit_batch_exactly_once(
 
     Protocol (runs on the driver inside ``foreachBatch``):
 
-    1. if ``batch_id`` is already in the manifest, the batch fully
+    1. if ``batch_id`` is in ``committed_ids``, the batch fully
        committed before a crash — skip entirely (idempotent replay);
     2. write to ``{path}/batch_id={batch_id}`` with ``overwrite`` — a
        replay of a crashed half-written batch overwrites its own
        directory, never appends beside it;
-    3. append the id to the manifest and ``os.replace`` it into place —
-       atomic on local fs/HDFS, so readers observe either the old or
-       the new manifest, never a torn one.
+    3. add the directory and the id to the manifest atomically.
 
     A crash between (2) and (3) leaves an uncommitted directory that is
     invisible to ``read_committed_telemetry`` and overwritten on replay:
     zero duplicates in every crash window. Returns True if this call
     performed the write (False = replay skip).
     """
-    ids = committed_batch_ids(path)
-    if batch_id in ids:
+    man = _read_manifest(path)
+    if batch_id in man["committed_ids"]:
         return False
+    d = f"batch_id={batch_id}"
     (
         normalized.sortWithinPartitions("timeseries_id", "ts")
         .write.mode("overwrite")
         .partitionBy("series_bucket")
-        .parquet(os.path.join(path, f"batch_id={batch_id}"))
+        .parquet(os.path.join(path, d))
     )
-    tmp = _manifest_path(path) + ".tmp"
-    os.makedirs(path, exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump({"batches": sorted(ids + [batch_id])}, f)
-    os.replace(tmp, _manifest_path(path))
+    man["dirs"] = sorted(set(man["dirs"]) | {d})
+    man["committed_ids"] = sorted(set(man["committed_ids"]) | {batch_id})
+    _write_manifest(path, man)
     return True
+
+
+def compact_exactly_once(
+    spark: SparkSession, warehouse_dir: str, remove_old: bool = True
+) -> int:
+    """Fold all visible batch directories into ONE compacted directory.
+
+    Per-batch directories are the price of the exactly-once protocol —
+    at one micro-batch per few seconds that is tens of thousands of
+    small dirs/files per day, a classic small-files problem at scale.
+    Compaction restores O(1) listing cost without weakening the
+    guarantee:
+
+    1. read every visible dir, rewrite as ``compact=<seq>`` (bucketed,
+       sorted within partitions — also re-establishes row-group
+       locality across batch boundaries);
+    2. atomically swap the manifest to list only the compacted dir —
+       ``committed_ids`` is PRESERVED, so a later replay of an already-
+       folded micro-batch is still skipped (dropping the ids would
+       re-append old data);
+    3. only after the swap, delete the folded dirs (best-effort: a
+       crash here leaves unlisted orphans, invisible to readers and
+       harmless to re-delete).
+
+    Returns the number of directories folded (0 = nothing to do).
+    """
+    path = os.path.join(warehouse_dir, "telemetry_eo")
+    man = _read_manifest(path)
+    if len(man["dirs"]) <= 1:
+        return 0
+    old_dirs = list(man["dirs"])
+    seq = man["compact_seq"]
+    out = f"compact={seq}"
+    df = _read_dirs(spark, path, old_dirs)
+    (
+        df.sortWithinPartitions("timeseries_id", "ts")
+        .write.mode("overwrite")
+        .partitionBy("series_bucket")
+        .parquet(os.path.join(path, out))
+    )
+    _write_manifest(
+        path,
+        {
+            "dirs": [out],
+            "committed_ids": man["committed_ids"],
+            "compact_seq": seq + 1,
+        },
+    )
+    if remove_old:
+        import shutil
+
+        for d in old_dirs:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return len(old_dirs)
+
+
+def _read_dirs(spark: SparkSession, path: str, dirs: list[str]) -> DataFrame:
+    """Union the listed directories, each read as its own root (no
+    shared basePath: batch and compact dirs would otherwise infer
+    conflicting partition columns). ``series_bucket`` is recovered via
+    per-dir partition discovery."""
+    dfs = [spark.read.parquet(os.path.join(path, d)) for d in dirs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def start_telemetry_sink_exactly_once(
@@ -197,18 +287,14 @@ def start_telemetry_sink_exactly_once(
 def read_committed_telemetry(
     spark: SparkSession, warehouse_dir: str
 ) -> DataFrame | None:
-    """Read ONLY manifest-committed batches of the exactly-once sink
+    """Read ONLY manifest-listed directories of the exactly-once sink
     (uncommitted/torn directories are never listed). Returns None when
     no batch has committed yet."""
     path = os.path.join(warehouse_dir, "telemetry_eo")
-    ids = committed_batch_ids(path)
-    if not ids:
+    dirs = visible_batch_dirs(path)
+    if not dirs:
         return None
-    return (
-        spark.read.option("basePath", path)
-        .parquet(*(os.path.join(path, f"batch_id={i}") for i in ids))
-        .drop("batch_id")
-    )
+    return _read_dirs(spark, path, dirs)
 
 
 def windowed_series_stats(

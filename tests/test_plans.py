@@ -104,3 +104,45 @@ def test_bucket_pruning_on_query_by_id(spark, tmp_path):
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan
     assert "series_bucket" in plan
+
+
+def test_q18_semi_join_prunes_before_fat_join(spark):
+    """TPC-H Q18 shape: the HAVING-IN subquery must run as a semi join
+    (orders pruned by the heavy-order list BEFORE the 3-way join), not
+    as a full join + post-filter."""
+    from rusty_timeseries_db_spark.queries import q_tpch_q18
+
+    plan = formatted_plan(q_tpch_q18(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q21_semi_and_anti_joins(spark):
+    """Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti — both as
+    join operators, never a cartesian + filter."""
+    from rusty_timeseries_db_spark.queries import q_tpch_q21
+
+    plan = formatted_plan(q_tpch_q21(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_deterministic_sample_is_map_side_only(spark):
+    """The hash-bucket sample must add NO exchange: it's a filter in
+    the scan stage (the whole point of content-deterministic sampling
+    at 100 TB)."""
+    from rusty_timeseries_db_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    e = T(spark, SF_DIR, "events")
+    df = deterministic_sample(e, "event_id", 0.05).select("event_id")
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_hash_split_is_map_side_only(spark):
+    from rusty_timeseries_db_spark.operators.sampling import hash_split
+
+    d = T(spark, SF_DIR, "documents")
+    plan = formatted_plan(hash_split(d, "doc_id").select("doc_id", "split"))
+    assert "Exchange" not in plan, plan

@@ -16,11 +16,13 @@ from rusty_timeseries_db_spark.streaming.fdd import (
 from rusty_timeseries_db_spark.streaming.ingest import (
     commit_batch_exactly_once,
     committed_batch_ids,
+    compact_exactly_once,
     normalize_batch,
     read_committed_telemetry,
     read_telemetry_stream,
     start_telemetry_sink,
     start_telemetry_sink_exactly_once,
+    visible_batch_dirs,
 )
 from tests.conftest import CANONICAL_ROWS
 
@@ -109,6 +111,48 @@ def test_exactly_once_replay_writes_zero_duplicates(spark, tmp_path):
         "timeseries_id", "ts", "ingest_seq"
     ).distinct().count()
     assert n == 2 * len(CANONICAL_ROWS)
+
+
+def test_exactly_once_compaction_preserves_guarantee(spark, tmp_path):
+    """Compaction folds batch dirs into one (small-files control at
+    scale) WITHOUT weakening exactly-once: committed ids survive, so a
+    replay of an already-folded batch is still skipped."""
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+    raw = spark.createDataFrame(
+        [(r["sensor_name"], r["timestamp"], r["value"], r.get("fc1_flag"),
+          r["timeseries_id"]) for r in CANONICAL_ROWS],
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string",
+    )
+    n = len(CANONICAL_ROWS)
+    assert commit_batch_exactly_once(normalize_batch(raw, 0), 0, path)
+    assert commit_batch_exactly_once(normalize_batch(raw, 1), 1, path)
+
+    assert compact_exactly_once(spark, wh) == 2
+    assert visible_batch_dirs(path) == ["compact=0"]
+    assert not os.path.exists(os.path.join(path, "batch_id=0"))
+    assert read_committed_telemetry(spark, wh).count() == 2 * n
+
+    # replay of a folded batch: still a no-op, zero duplicates
+    assert commit_batch_exactly_once(normalize_batch(raw, 0), 0, path) is False
+    assert read_committed_telemetry(spark, wh).count() == 2 * n
+
+    # new batches land beside the compacted dir; a second compaction
+    # folds the mix (compact= + batch_id= dirs) correctly
+    assert commit_batch_exactly_once(normalize_batch(raw, 2), 2, path)
+    assert read_committed_telemetry(spark, wh).count() == 3 * n
+    assert compact_exactly_once(spark, wh) == 2
+    assert visible_batch_dirs(path) == ["compact=1"]
+    got = read_committed_telemetry(spark, wh)
+    assert got.count() == 3 * n
+    assert (
+        got.select("timeseries_id", "ts", "ingest_seq").distinct().count()
+        == 3 * n
+    )
+    assert committed_batch_ids(path) == [0, 1, 2]
+    # nothing left to fold
+    assert compact_exactly_once(spark, wh) == 0
 
 
 def test_stream_fdd_foreachbatch(spark, tmp_path):
