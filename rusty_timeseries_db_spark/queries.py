@@ -61,59 +61,56 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver's CORRECTNESS check records only the FIRST 50 entries of
-# all_queries(). Round-4 window rule (VERDICT r3 #3): (a) ANY query
-# whose underlying operator/oracle changed THIS round sits inside the
+# all_queries(). Window rule (VERDICT r3 #3): (a) ANY query whose
+# underlying operator/oracle changed THIS round sits inside the
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r0{1,2,3}.json (computed
-# offline, frozen here): 22 queries were last driver-checked in r01,
-# 33 in r02, 50 in r03. Window = 5 round-modified + 22 r01-last + the
-# first 23 r02-last (declaration order); the other 10 r02-last queue
-# directly behind the boundary, so round 5's window picks them first.
+# the per-query max round over CORRECTNESS_r0{1..5}.json (computed
+# offline, frozen here): entering round 6, 13 queries were last
+# driver-checked in r02, 48 in r03, 50 in r05 (rounds 4/5 re-ran the
+# same window). Round-6 window = round-6 new/modified + all 13
+# r02-last + the first ~(50 - new - 13) r03-last in declaration order.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # NEW this round: SQL ASOF surface, TPC-H Q18/Q21 shapes,
-    # deterministic sampling/splitting family
-    "q_asof_sql", "q_tpch_q18_large_volume", "q_tpch_q21_suppliers_who_wait",
-    "q_hash_split", "q_deterministic_sample", "q_stratified_sample",
-    # operator surfaces touched this round (reliable-checkpoint path;
-    # shared RGB feature refactor for the PNG codec)
-    "q_dedup_clusters", "q_multimodal_features",
+    # NEW in round 6 (declared below as they land)
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
-#: (queries absent here were checked in r03, the freshest tier).
+#: (queries absent here were checked in r05, the freshest tier).
 _LAST_DRIVER_ROUND: dict[str, int] = {
     **dict.fromkeys([
-        "q_array_ops", "q_dedup_exact", "q_except", "q_gaps_islands_runs",
-        "q_hash_functions", "q_intersect", "q_intersect_all",
-        "q_locf_gapfill", "q_ngram_jaccard", "q_resample_1d",
-        "q_scalar_conditional", "q_scalar_datetime", "q_scalar_json",
-        "q_scalar_math", "q_scalar_string", "q_topk_global",
-        "q_tumbling_window", "q_union_all", "q_union_distinct",
-        "q_window_first_last", "q_window_rank_ntile",
-        "q_window_rolling_time",
-    ], 1),
-    **dict.fromkeys([
         "q_bool_aggs", "q_cohort_retention", "q_correlated_subquery",
-        "q_correlation", "q_embedding_neardup_exact", "q_except_all",
-        "q_fdd_rules_join", "q_filter_rlike", "q_from_json_struct",
-        "q_funnel", "q_global_sort_multi", "q_join_right_outer",
-        "q_langid", "q_levenshtein", "q_multi_count_distinct", "q_pivot",
-        "q_posexplode", "q_quality_filter_pipeline", "q_quality_score",
-        "q_scalar_datetime_parts", "q_scalar_subquery",
-        "q_session_window", "q_similarity_bruteforce",
-        "q_sliding_window_batch", "q_string_agg_ordered", "q_to_json",
-        "q_token_stats", "q_udf_grouped_agg_median",
-        "q_udf_mapinpandas_clip", "q_udf_sql_registered",
-        "q_udf_zscore_per_group", "q_unpivot", "q_window_nth_cume",
+        "q_correlation", "q_filter_rlike", "q_funnel",
+        "q_join_right_outer", "q_multi_count_distinct", "q_pivot",
+        "q_scalar_subquery", "q_sliding_window_batch",
+        "q_string_agg_ordered", "q_unpivot",
     ], 2),
+    **dict.fromkeys([
+        "q_agg_pricing_summary", "q_agg_stats", "q_approx_aggregates",
+        "q_approx_top_k", "q_asof_join", "q_asof_tolerance",
+        "q_collect_set", "q_count_distinct", "q_counter_increase",
+        "q_cube", "q_embedding_knn_classify", "q_embedding_neardup_lsh",
+        "q_filter_compound", "q_filter_range", "q_grouping_sets",
+        "q_having", "q_higher_order_fns", "q_histogram",
+        "q_interval_overlap_join", "q_join_anti", "q_join_cross",
+        "q_join_full_outer", "q_join_inner_broadcast",
+        "q_join_left_outer", "q_join_range_bands", "q_join_semi",
+        "q_linear_interp", "q_map_ops", "q_minhash_pairs",
+        "q_percentiles", "q_project_compute", "q_python_udtf",
+        "q_r11_fault_count", "q_r3_query_by_id", "q_r4_fdd_overlay",
+        "q_rolling_hash_fingerprint", "q_rollup", "q_scd2_merge",
+        "q_simhash_pairs", "q_similarity_ivf", "q_similarity_lsh",
+        "q_time_weighted_avg", "q_tpch_q10_returned_items",
+        "q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier",
+        "q_window_cumulative", "q_window_lag_lead",
+        "q_window_topk_per_group",
+    ], 3),
 }
 
 
 def _ordered_registry() -> list[QuerySpec]:
-    """This round's modified queries first, then stalest-driver-row
-    first (r01-last, then r02-last, then r03-checked); declaration
+    """This round's new/modified queries first, then stalest-driver-row
+    first (r02-last, then r03-last, then r05-checked); declaration
     order breaks ties (Python sort is stable)."""
     names = {q.name for q in _REGISTRY}
     assert _ROUND_MODIFIED <= names, (
@@ -126,7 +123,7 @@ def _ordered_registry() -> list[QuerySpec]:
         _REGISTRY,
         key=lambda q: (
             q.name not in _ROUND_MODIFIED,
-            _LAST_DRIVER_ROUND.get(q.name, 3),
+            _LAST_DRIVER_ROUND.get(q.name, 5),
         ),
     )
 
@@ -142,10 +139,14 @@ def all_oracles() -> dict[str, str]:
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a TESTDATA table, normalizing timestamp precision.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark's TimestampType is
-    µs and refuses nanos. We read nanos as long (legacy conf) and
-    floor-divide to µs, which matches DuckDB's own ns→µs truncation on
-    read, so both engines see identical values.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some
+    testdata generations and TIMESTAMP(MICROS) in others. Spark's
+    TimestampType is µs and refuses nanos, so we keep the legacy
+    nanos-as-long conf on and normalize by the *observed* read dtype:
+    long → floor-divide ns→µs (matches DuckDB's own truncation on
+    read); timestamp/timestamp_ntz → cast to TimestampType (session
+    tz is pinned UTC, so the NTZ cast is value-identical to DuckDB's
+    naive read). Both engines see identical µs values either way.
     """
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -160,7 +161,12 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass  # conf locked down — degrade gracefully
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):  # TIMESTAMP(NANOS) via legacy conf
+            ts_col = F.timestamp_micros(F.expr("ts div 1000"))
+        else:  # TIMESTAMP(MICROS), tz-naive or instant
+            ts_col = F.col("ts").cast("timestamp")
+        df = df.withColumn("ts", ts_col)
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
 
