@@ -53,6 +53,12 @@ HEADLINE = [
     "q_tpch_q21_suppliers_who_wait",
     "q_asof_sql",
     "q_hash_split",
+    # added round 6 (subtract for apples-to-apples vs r05): sequence
+    # packing, TPC-H Q7 shape, closed-form EWMA, corpus TF-IDF
+    "q_sequence_packing",
+    "q_tpch_q7_volume_shipping",
+    "q_ewma",
+    "q_tfidf_top_terms",
 ]
 
 

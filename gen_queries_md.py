@@ -11,7 +11,9 @@ GROUPS = [
     ("Aggregation", ["q_agg", "q_count_distinct", "q_percentiles", "q_rollup",
                      "q_cube", "q_grouping", "q_having", "q_collect",
                      "q_multi_count", "q_correlation", "q_string_agg",
-                     "q_approx", "q_pivot", "q_unpivot"]),
+                     "q_approx", "q_pivot", "q_unpivot", "q_histogram",
+                     "q_linear_regression", "q_mode_per_group",
+                     "q_bool_aggs"]),
     ("Joins", ["q_join", "q_asof", "q_interval", "q_tpch"]),
     ("Window functions", ["q_window"]),
     ("Sort / limit / top-k", ["q_topk", "q_global_sort"]),
@@ -20,14 +22,21 @@ GROUPS = [
                                   "q_array", "q_map", "q_posexplode",
                                   "q_higher", "q_from_json", "q_to_json"]),
     ("Time-series ops", ["q_tumbling", "q_resample", "q_locf", "q_gaps",
-                         "q_session", "q_time_weighted", "q_counter"]),
+                         "q_session", "q_time_weighted", "q_counter",
+                         "q_linear_interp", "q_ewma", "q_sliding_window",
+                         "q_event_transitions", "q_funnel",
+                         "q_cohort_retention"]),
     ("UDF surface", ["q_udf"]),
     ("FDD", ["q_fdd"]),
     ("LLM-pipeline: dedup", ["q_dedup", "q_ngram", "q_minhash", "q_simhash",
                              "q_embedding_neardup", "q_quality_filter"]),
     ("LLM-pipeline: similarity / embeddings", ["q_similarity", "q_embedding_knn"]),
     ("LLM-pipeline: text analysis", ["q_token", "q_quality_score", "q_langid",
-                                     "q_rolling_hash"]),
+                                     "q_rolling_hash", "q_bigram_vocab",
+                                     "q_tfidf"]),
+    ("LLM-pipeline: sampling, splitting & packing",
+     ["q_hash_split", "q_deterministic_sample", "q_stratified_sample",
+      "q_weighted_domain_sample", "q_sequence_packing"]),
     ("Multimodal", ["q_multimodal"]),
 ]
 

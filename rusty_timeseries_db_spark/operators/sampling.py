@@ -95,6 +95,38 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-domain deterministic sampling — the "data mixture" operator
+    of a training pipeline (e.g. keep 100% of wiki, 25% of common-crawl,
+    10% of everything else). Each domain gets an independent id-hash
+    keep/drop decision at its own rate; rows from unlisted domains use
+    ``default_rate``. Still a pure map-side filter (the rate lookup is a
+    CASE chain on the domain column, the decision an md5-bucket
+    comparison), so it composes with scan pushdown and never shuffles —
+    the property that matters when the mixture is over 100 TB.
+    """
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {d!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    cut = None
+    for d, r in rates.items():
+        clause = F.col(domain_col) == F.lit(d)
+        lit = F.lit(int(round(r * _SPLIT_BUCKETS)))
+        cut = F.when(clause, lit) if cut is None else cut.when(clause, lit)
+    default_lit = F.lit(int(round(default_rate * _SPLIT_BUCKETS)))
+    cut = default_lit if cut is None else cut.otherwise(default_lit)
+    return df.filter(hash_bucket(F.col(id_col), _SPLIT_BUCKETS, salt) < cut)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -72,7 +72,12 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # same window). Round-6 window = round-6 new/modified + all 13
 # r02-last + the first ~(50 - new - 13) r03-last in declaration order.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # NEW in round 6 (declared below as they land)
+    # NEW in round 6: training-pipeline packing/mixture sampling,
+    # sequence analytics, corpus stats, exact-sum OLS, TPC-H Q7
+    "q_sequence_packing", "q_weighted_domain_sample",
+    "q_event_transitions", "q_tpch_q7_volume_shipping", "q_ewma",
+    "q_bigram_vocab", "q_linear_regression", "q_tfidf_top_terms",
+    "q_mode_per_group",
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
@@ -3589,4 +3594,411 @@ def q_histogram(spark, sf_dir):
             F.min("value").alias("lo"),
             F.max("value").alias("hi"),
         )
+    )
+
+
+# ======================================================================
+# Round 6: training-pipeline ops (packing, mixture sampling), sequence
+# analytics (transitions, EWMA), corpus stats (bigram vocab, TF-IDF),
+# exact-sum regression, deterministic mode, TPC-H Q7
+# ======================================================================
+
+@declare(
+    "q_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS n_tok,
+             CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+             md5('pack' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (
+                 PARTITION BY shard ORDER BY hk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / 512.0) AS BIGINT) AS pack_id
+      FROM t
+    )
+    SELECT shard, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tok) AS BIGINT) / 512.0, 6) AS fill_ratio
+    FROM packed GROUP BY shard, pack_id
+    """,
+    doc="sequence packing for LLM training: greedy sequential assignment "
+    "of docs into 512-token packs, sharded by id-hash so every sort is "
+    "shard-local (parallelism = #shards at any data size); md5 order "
+    "makes the assignment deterministic and oracle-replayable",
+)
+def q_sequence_packing(spark, sf_dir):
+    from .operators.packing import pack_stats
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "n_tok",
+        F.size(F.filter(F.split(F.lower(F.col("text")), " "),
+                        lambda x: F.length(x) > 0)),
+    )
+    return pack_stats(d, "doc_id", "n_tok", budget=512, shards=8)
+
+
+@declare(
+    "q_weighted_domain_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                        WHEN 'src2' THEN 2500 ELSE 1000 END
+    """,
+    doc="data-mixture sampling: per-domain keep rates (100%/50%/25%, "
+    "10% default) decided by an independent id-hash per row — a pure "
+    "map-side filter encoding the training-mixture recipe; composes "
+    "with scan pushdown, shuffles nothing",
+)
+def q_weighted_domain_sample(spark, sf_dir):
+    from .operators.sampling import weighted_sample
+
+    d = T(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, "source", "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1, salt="mix",
+    ).select("doc_id", "source")
+
+
+@declare(
+    "q_event_transitions",
+    """
+    WITH t AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="markov transition counts over per-user event sequences (lead "
+    "window + grouped count): the user-path/funnel-adjacency matrix; "
+    "one shuffle on user_id, one on the transition pair",
+)
+def q_event_transitions(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@declare(
+    "q_tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two nations): 4-way "
+    "fact join + two broadcast nation legs with an OR-pair predicate; "
+    "exact-decimal revenue. Refs SURVEY §2.2 join family.",
+)
+def q_tpch_q7(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum(
+                dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@declare(
+    "q_ewma",
+    """
+    WITH t AS (
+      SELECT event_id, event_type, value,
+             lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2,
+             lag(value, 3) OVER w AS x3, lag(value, 4) OVER w AS x4,
+             lag(value, 5) OVER w AS x5, lag(value, 6) OVER w AS x6,
+             lag(value, 7) OVER w AS x7,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type,
+           ROUND((0.5e0 * value + 0.25e0 * x1 + 0.125e0 * x2
+                  + 0.0625e0 * x3 + 0.03125e0 * x4 + 0.015625e0 * x5
+                  + 0.0078125e0 * x6 + 0.00390625e0 * x7) / 0.99609375e0,
+                 6) AS ewma
+    FROM t WHERE rn > 7
+    """,
+    doc="exponential moving average (alpha=0.5, 8-term truncated kernel) "
+    "per series: the closed-form windowed expression replaces the "
+    "sequential recurrence, so it runs as ONE window sort instead of a "
+    "stateful scan; power-of-two weights are exact doubles, making the "
+    "result bit-identical across engines",
+)
+def q_ewma(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    weights = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625,
+               0.0078125, 0.00390625]
+    x = [F.col("value")] + [F.lag("value", j).over(w) for j in range(1, 8)]
+    num = F.lit(weights[0]) * x[0]
+    for wj, xj in zip(weights[1:], x[1:]):
+        num = num + F.lit(wj) * xj
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .withColumn("ewma", F.round(num / F.lit(0.99609375), 6))
+        .filter(F.col("_rn") > 7)
+        .select("event_id", "event_type", "ewma")
+    )
+
+
+@declare(
+    "q_bigram_vocab",
+    """
+    WITH t AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+    """,
+    doc="corpus bigram vocabulary top-50 (tokenize -> adjacent-pair "
+    "HOF -> explode -> count -> deterministic top-k): the n-gram "
+    "statistics pass of a tokenizer-training pipeline, all JVM-side",
+)
+def q_bigram_vocab(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower(F.col("text")), " "),
+                 lambda s: F.length(s) > 0)
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i),
+                                  F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@declare(
+    "q_linear_regression",
+    """
+    WITH t AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - 1704067200 AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+    doc="per-group OLS (slope/intercept/R^2) of value vs time from "
+    "EXACT integer/decimal sufficient statistics — a single grouped "
+    "agg (map-side partials, no second pass), with the float division "
+    "deferred to the 5-row result so both engines round identically",
+)
+def q_linear_regression(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    x = (F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200)).alias("x")
+    y = dec(F.col("value")).alias("y")
+    s = (
+        e.select(F.col("event_type"), x, y)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(num / den, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - num / den * F.col("sx").cast("double"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )
+
+
+@declare(
+    "q_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> len(x) > 0)) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf AS DOUBLE)
+             * (CAST(nd.nd AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, ROUND(score, 6) AS score
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term
+             ) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="top-3 distinctive terms per doc by log-free TF-IDF "
+    "(tf * N/df — rational in exact ints, so cross-engine "
+    "deterministic where log() is not): df is a window count over the "
+    "tf rows, so ONE documents scan and one term exchange replace the "
+    "self-join re-aggregation; the doc-count side is a broadcast scalar",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "),
+                     lambda s: F.length(s) > 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf rows are unique per (doc, term), so the per-term row count IS
+    # the document frequency — a window count reuses tf's shuffle
+    # output instead of re-scanning documents for a df aggregate.
+    df_w = Window.partitionBy("term")
+    nd = d.agg(F.count("*").alias("nd"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(df_w))
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("nd").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", F.round("score", 6).alias("score"))
+    )
+
+
+@declare(
+    "q_mode_per_group",
+    """
+    SELECT event_type, user_id, n FROM (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id
+             ) AS rn
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rn = 1
+    """,
+    doc="deterministic mode: heaviest user per event type with a total "
+    "tie-break (count desc, id asc) — the tie rule engines' built-in "
+    "mode() leaves unspecified; grouped count + 1-row-per-group window",
+)
+def q_mode_per_group(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    g = e.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "user_id", "n")
     )

@@ -92,3 +92,43 @@ def test_stratified_sample_exact_n_per_stratum(spark):
         for r in stratified_sample(e, "event_type", "event_id", 7).collect()
     )
     assert a == b
+
+
+def test_weighted_sample_extreme_rates(spark):
+    from rusty_timeseries_db_spark.operators.sampling import weighted_sample
+
+    d = T(spark, SF_DIR, "documents")
+    n_src0 = d.filter(F.col("source") == "src0").count()
+    out = weighted_sample(d, "source", "doc_id", {"src0": 1.0},
+                          default_rate=0.0)
+    # rate-1.0 domain keeps every row; rate-0.0 default drops the rest
+    assert out.count() == n_src0
+    assert out.filter(F.col("source") != "src0").count() == 0
+
+
+def test_weighted_sample_deterministic_and_nested(spark):
+    from rusty_timeseries_db_spark.operators.sampling import weighted_sample
+
+    d = T(spark, SF_DIR, "documents")
+    rates = {"src0": 0.8, "src1": 0.4}
+    a = {r.doc_id for r in
+         weighted_sample(d, "source", "doc_id", rates, 0.2).collect()}
+    b = {r.doc_id for r in
+         weighted_sample(d.repartition(5), "source", "doc_id", rates, 0.2)
+         .collect()}
+    assert a == b
+    # halving every rate selects a SUBSET (bucket-threshold nesting):
+    half = {k: v / 2 for k, v in rates.items()}
+    c = {r.doc_id for r in
+         weighted_sample(d, "source", "doc_id", half, 0.1).collect()}
+    assert c <= a
+
+
+def test_weighted_sample_rejects_bad_rate(spark):
+    from rusty_timeseries_db_spark.operators.sampling import weighted_sample
+
+    d = T(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError):
+        weighted_sample(d, "source", "doc_id", {"src0": 1.5})
+    with pytest.raises(ValueError):
+        weighted_sample(d, "source", "doc_id", {}, default_rate=-0.1)
