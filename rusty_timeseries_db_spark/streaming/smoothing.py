@@ -1,0 +1,78 @@
+"""Streaming recursive EWMA — per-series exponential smoothing with
+state carried across micro-batches (``applyInPandasWithState``).
+
+The batch engine exposes EWMA as a closed-form truncated kernel
+(queries.py q_ewma): one window expression, fully parallel, the right
+shape for a 100 TB backfill. A LIVE stream needs the true recurrence
+``y_t = alpha*x_t + (1-alpha)*y_{t-1}`` instead — the kernel would
+have to re-read the tail of every series every batch, while the
+recurrence needs exactly ONE double of state per series. That makes
+this the textbook ``applyInPandasWithState`` operator:
+
+- state per key = (last_ewma, last_ts_us): O(#series), not O(#rows);
+- each micro-batch is processed as Arrow-batched pandas, sorted by ts
+  within the batch (inter-batch order is the source's append order —
+  late data is the watermark's job, upstream of this operator);
+- output = every input row + its smoothed value, append-mode.
+
+The reference has no streaming analytics at all (its FDD loop re-scans
+a fixed window each tick, main.rs:384-406); this is part of the
+capability-extension surface, like stateful_fault_runs (fdd.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def stateful_ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Attach a recursive per-series EWMA to a keyed stream.
+
+    Input columns: (timeseries_id, ts, value). Output adds ``ewma``.
+    The first reading of a series seeds the filter (``y_0 = x_0``).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "timeseries_id string, ts timestamp, value double, ewma double"
+    )
+    state_schema = "last_ewma double, last_ts_us bigint"
+
+    def smooth(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (series_id,) = key
+        last_ewma, last_ts_us = state.get if state.exists else (None, 0)
+        out_ts, out_val, out_ewma = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                if last_ewma is None:
+                    last_ewma = float(value)
+                else:
+                    last_ewma = alpha * float(value) + (1.0 - alpha) * last_ewma
+                last_ts_us = int(pd.Timestamp(ts).value // 1000)
+                out_ts.append(ts)
+                out_val.append(value)
+                out_ewma.append(last_ewma)
+        if last_ewma is not None:
+            state.update((last_ewma, last_ts_us))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "timeseries_id": series_id,
+                    "ts": out_ts,
+                    "value": out_val,
+                    "ewma": out_ewma,
+                }
+            )
+
+    return stream.groupBy("timeseries_id").applyInPandasWithState(
+        smooth,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
