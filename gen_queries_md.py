@@ -25,7 +25,7 @@ GROUPS = [
                          "q_session", "q_time_weighted", "q_counter",
                          "q_linear_interp", "q_ewma", "q_sliding_window",
                          "q_event_transitions", "q_funnel",
-                         "q_cohort_retention"]),
+                         "q_cohort_retention", "q_merge_intervals"]),
     ("UDF surface", ["q_udf"]),
     ("FDD", ["q_fdd"]),
     ("LLM-pipeline: dedup", ["q_dedup", "q_ngram", "q_minhash", "q_simhash",

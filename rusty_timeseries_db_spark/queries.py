@@ -77,7 +77,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_sequence_packing", "q_weighted_domain_sample",
     "q_event_transitions", "q_tpch_q7_volume_shipping", "q_ewma",
     "q_bigram_vocab", "q_linear_regression", "q_tfidf_top_terms",
-    "q_mode_per_group",
+    "q_mode_per_group", "q_merge_intervals",
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
@@ -4001,4 +4001,72 @@ def q_mode_per_group(spark, sf_dir):
         g.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("event_type", "user_id", "n")
+    )
+
+
+@declare(
+    "q_merge_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS lo,
+             ts + INTERVAL 10 MINUTE AS hi,
+             event_id
+      FROM events WHERE event_type = 'error'
+    ),
+    marked AS (
+      SELECT user_id, lo, hi, event_id,
+             CASE WHEN lo > max(hi) OVER (
+                    PARTITION BY user_id ORDER BY lo, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(hi) OVER (
+                    PARTITION BY user_id ORDER BY lo, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, lo, hi,
+             CAST(SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY lo, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS island
+      FROM marked
+    )
+    SELECT user_id, island, MIN(lo) AS win_start, MAX(hi) AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM islands GROUP BY user_id, island
+    """,
+    doc="interval coalescing (merge overlapping fault windows per key): "
+    "running-max island detection — a window cummax + cumsum replaces "
+    "the self-join formulation, one sort per key, linear not quadratic; "
+    "the arbitrary-overlap sibling of the regular-grid gaps-and-islands",
+)
+def q_merge_intervals(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_hi = F.max("hi").over(w_prev)
+    marked = iv.withColumn(
+        "new_island",
+        F.when((F.col("lo") > prev_hi) | prev_hi.isNull(), 1).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_cum))
+    return islands.groupBy("user_id", "island").agg(
+        F.min("lo").alias("win_start"),
+        F.max("hi").alias("win_end"),
+        F.count("*").alias("n_merged"),
     )
