@@ -28,8 +28,9 @@ GROUPS = [
                          "q_cohort_retention", "q_merge_intervals"]),
     ("UDF surface", ["q_udf"]),
     ("FDD", ["q_fdd"]),
-    ("LLM-pipeline: dedup", ["q_dedup", "q_ngram", "q_minhash", "q_simhash",
-                             "q_embedding_neardup", "q_quality_filter"]),
+    ("LLM-pipeline: dedup & decontamination",
+     ["q_dedup", "q_ngram", "q_minhash", "q_simhash",
+      "q_embedding_neardup", "q_quality_filter", "q_contamination"]),
     ("LLM-pipeline: similarity / embeddings", ["q_similarity", "q_embedding_knn"]),
     ("LLM-pipeline: text analysis", ["q_token", "q_quality_score", "q_langid",
                                      "q_rolling_hash", "q_bigram_vocab",

@@ -78,6 +78,9 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_event_transitions", "q_tpch_q7_volume_shipping", "q_ewma",
     "q_bigram_vocab", "q_linear_regression", "q_tfidf_top_terms",
     "q_mode_per_group", "q_merge_intervals",
+    "q_tpch_q6_forecast_revenue", "q_tpch_q14_promo_revenue",
+    "q_tpch_q19_disjunctive_join", "q_dedup_keep_canonical",
+    "q_contamination_check",
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
@@ -4069,4 +4072,251 @@ def q_merge_intervals(spark, sf_dir):
         F.min("lo").alias("win_start"),
         F.max("hi").alias("win_end"),
         F.count("*").alias("n_merged"),
+    )
+
+
+@declare(
+    "q_tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-side conjunctive filter + one exact "
+    "decimal agg — every predicate reaches the parquet scan, zero "
+    "joins, one shuffle of 1-row partials",
+)
+def q_tpch_q6(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec(F.col("l_extendedprice")) * dec(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@declare(
+    "q_tpch_q14_promo_revenue",
+    """
+    WITH j AS (
+      SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2)) AS dp
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    )
+    SELECT ROUND(100.0e0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN dp END) AS DOUBLE)
+                 / CAST(SUM(dp) AS DOUBLE), 6) AS promo_revenue
+    FROM j
+    """,
+    doc="TPC-H Q14 shape: fact-dim join + conditional exact-decimal "
+    "agg ratio (promo revenue share); part is un-hinted — AQE "
+    "broadcasts at test scale, degrades to shuffle join at 100 TB",
+)
+def q_tpch_q14(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-10-01 00:00:00")
+    )
+    p = T(spark, sf_dir, "part")
+    dp = dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount"))
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "p_type", dp.alias("dp")
+    )
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("dp"))).cast("double")
+            / F.sum("dp").cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+@declare(
+    "q_tpch_q19_disjunctive_join",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: equi-join with a 3-arm disjunctive residual "
+    "predicate mixing both sides — Catalyst keeps the equi-key for the "
+    "join and evaluates the OR as a post-join filter (never a "
+    "cartesian); per-arm single-side conjuncts are pushed to the scans",
+)
+def q_tpch_q19(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(arm("Brand#1", 15, 1, 11) | arm("Brand#2", 25, 10, 20)
+                | arm("Brand#3", 35, 20, 30))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice")) * dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@declare(
+    "q_dedup_keep_canonical",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               array_to_string(ws[i:i+2], ' ') AS gram
+        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+        WHERE i <= greatest(len(ws) - 2, 1)
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    dropped AS (
+      SELECT id FROM reach GROUP BY id HAVING CAST(MIN(r) AS BIGINT) <> id
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+    """,
+    doc="dedup DELETION (the step after clustering): keep the min-id "
+    "canonical doc per near-dup cluster, anti-join the rest out of the "
+    "corpus — identification (q_dedup_clusters) through removal as one "
+    "pipeline; the anti-join side is the tiny cluster-membership table",
+)
+def q_dedup_keep_canonical(spark, sf_dir):
+    from .operators.dedup import dedup_clusters
+
+    d = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.35)
+    clusters = dedup_clusters(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return d.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@declare(
+    "q_contamination_check",
+    """
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, split,
+             list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM split
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, split,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM toks, (SELECT unnest(range(1, 4000)) AS i) idx
+      WHERE i <= len(ws) - 2
+    ),
+    train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+    eval_grams AS (SELECT doc_id, gram FROM grams WHERE split = 'test')
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(t.gram) AS BIGINT) AS n_matched,
+           ROUND(CAST(COUNT(t.gram) AS DOUBLE) / COUNT(*), 6) AS containment
+    FROM eval_grams e LEFT JOIN train_grams t ON e.gram = t.gram
+    GROUP BY e.doc_id
+    """,
+    doc="train/eval contamination check (decontamination): 3-gram "
+    "shingle containment of each held-out doc against the TRAIN "
+    "shingle set — the published eval-leakage methodology as one "
+    "distinct + one equi-join + one grouped count; shingle keys are "
+    "plain token strings (engine-agnostic), split is the md5 "
+    "hash_split so both engines derive identical membership",
+)
+def q_contamination_check(spark, sf_dir):
+    from .operators.sampling import hash_split
+
+    d = hash_split(T(spark, sf_dir, "documents"), "doc_id")
+    t = F.filter(F.split(F.lower(F.col("text")), " "),
+                 lambda s: F.length(s) > 0)
+    n = F.size(t)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1),
+                F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = d.select(
+        "doc_id", "split", F.explode(grams).alias("gram")
+    ).distinct()
+    train_grams = (
+        with_grams.filter(F.col("split") == "train").select("gram").distinct()
+    )
+    eval_grams = with_grams.filter(F.col("split") == "test").select(
+        "doc_id", "gram"
+    )
+    hit = train_grams.withColumn("_hit", F.lit(1))
+    return (
+        eval_grams.join(hit, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_matched"),
+            F.round(F.count("_hit").cast("double") / F.count("*"), 6)
+            .alias("containment"),
+        )
     )
