@@ -146,3 +146,56 @@ def test_hash_split_is_map_side_only(spark):
     d = T(spark, SF_DIR, "documents")
     plan = formatted_plan(hash_split(d, "doc_id").select("doc_id", "split"))
     assert "Exchange" not in plan, plan
+
+
+def test_weighted_sample_is_map_side_only(spark):
+    """The mixture sampler is a CASE + hash filter — same zero-exchange
+    contract as the other samplers."""
+    from rusty_timeseries_db_spark.operators.sampling import weighted_sample
+
+    d = T(spark, SF_DIR, "documents")
+    plan = formatted_plan(
+        weighted_sample(d, "source", "doc_id", {"src0": 0.5}, 0.1)
+        .select("doc_id", "source")
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_no_global_sort(spark):
+    """Packing must sort per shard, never globally: exactly one
+    hash-partitioned exchange on the shard key and NO range exchange
+    (rangepartitioning = a global sort's signature)."""
+    from rusty_timeseries_db_spark.operators.packing import pack_stats
+
+    d = T(spark, SF_DIR, "documents").withColumn(
+        "n_tok", F.length("text")
+    )
+    plan = formatted_plan(pack_stats(d, "doc_id", "n_tok", 512, shards=8))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(shard" in plan.lower().replace("#", "(#").replace(
+        "(shard(", "(shard"
+    ) or "hashpartitioning" in plan.lower(), plan
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    from rusty_timeseries_db_spark.queries import q_tpch_q6
+
+    plan = formatted_plan(q_tpch_q6(spark, SF_DIR))
+    squashed = plan.replace(" ", "")
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity,24.0)" in squashed, plan
+
+
+def test_tfidf_single_documents_scan(spark):
+    """df-as-window-count must not re-scan documents: exactly ONE
+    parquet scan of documents in the plan (plus the broadcast scalar's
+    own scan) — the round-6 rewrite this test pins down."""
+    from rusty_timeseries_db_spark.queries import q_tfidf_top_terms
+
+    import re
+
+    plan = formatted_plan(q_tfidf_top_terms(spark, SF_DIR))
+    # formatted mode names each scan once in the detail section as
+    # "(<id>) Scan parquet" — count those, not tree-art repeats
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans <= 2, f"expected <=2 scans (tf + count scalar): {plan}"
