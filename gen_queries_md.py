@@ -25,7 +25,8 @@ GROUPS = [
                          "q_session", "q_time_weighted", "q_counter",
                          "q_linear_interp", "q_ewma", "q_sliding_window",
                          "q_event_transitions", "q_funnel",
-                         "q_cohort_retention", "q_merge_intervals"]),
+                         "q_cohort_retention", "q_merge_intervals",
+                         "q_rolling_corr"]),
     ("UDF surface", ["q_udf"]),
     ("FDD", ["q_fdd"]),
     ("LLM-pipeline: dedup & decontamination",
@@ -37,7 +38,8 @@ GROUPS = [
                                      "q_tfidf"]),
     ("LLM-pipeline: sampling, splitting & packing",
      ["q_hash_split", "q_deterministic_sample", "q_stratified_sample",
-      "q_weighted_domain_sample", "q_sequence_packing"]),
+      "q_weighted_domain_sample", "q_sequence_packing",
+      "q_training_corpus_pipeline"]),
     ("Multimodal", ["q_multimodal"]),
 ]
 
@@ -60,8 +62,8 @@ def main() -> None:
         "Generated from `rusty_timeseries_db_spark/queries.py` by",
         "`gen_queries_md.py` — regenerate after adding queries.",
         "",
-        "The remaining rows-only queries are DELIBERATELY oracle-less:",
-        "every one is built on an engine-specific primitive with no",
+        "The remaining rows-only queries are DELIBERATELY oracle-less.",
+        "All but one are built on an engine-specific primitive with no",
         "SQL-expressible equivalent — Spark's `xxhash64` seeds the",
         "MinHash/SimHash/rolling-hash families and the LSH/IVF bucket",
         "assignments, and DuckDB has no xxhash64, so a cross-engine",
@@ -75,6 +77,10 @@ def main() -> None:
         "(`q_approx_aggregates`, `q_approx_top_k`) are rows-only for",
         "the same reason — HLL/quantile/heavy-hitter sketch internals",
         "differ by engine — with accuracy-vs-exact assertions in tests.",
+        "The one composite (q_training_corpus_pipeline) is rows-only by",
+        "COMPOSITION: each of its seven stages is individually",
+        "oracle-checked (see its doc row), and tests/test_pipelines.py",
+        "asserts stage effects and partitioning-determinism end-to-end.",
         "",
     ]
     by_group: dict[str, list] = {}

@@ -1,0 +1,161 @@
+"""End-to-end training-corpus pipeline — the composition a 100 TB
+LLM-data run actually executes, wired from this engine's operators:
+
+    quality filter → exact dedup → near-dup keep-canonical →
+    decontamination vs held-out split → mixture sampling →
+    train/val/test split → sequence packing
+
+Each stage is an operator this repo already oracle-checks individually
+(queries.py: q_quality_filter_pipeline, q_dedup_exact,
+q_dedup_keep_canonical, q_contamination_check,
+q_weighted_domain_sample, q_hash_split, q_sequence_packing); this
+module owns only the WIRING, so the pipeline inherits every stage's
+scale properties (map-side filters stay map-side, the one window sort
+per packing shard, anti-joins on the small side). The lazy DataFrame
+composition means Catalyst optimizes ACROSS stages — e.g. the split
+and mixture filters reorder below the dedup anti-joins where legal.
+
+The reference has no document pipeline at all; this is the
+capability-extension layer mandated by SURVEY §2.2 "LLM-data-pipeline
+extensions".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators.dedup import content_hash, dedup_clusters, ngram_jaccard_pairs
+from .operators.packing import assign_packs
+from .operators.sampling import hash_split, weighted_sample
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), " "), lambda s: F.length(s) > 0)
+
+
+@dataclass
+class CorpusPipelineConfig:
+    min_tokens: int = 5
+    max_tokens: int = 100_000
+    near_dup_ngram: int = 3
+    near_dup_threshold: float = 0.35
+    contamination_ngram: int = 3
+    contamination_max: float = 0.8
+    mixture: Mapping[str, float] = field(default_factory=dict)
+    mixture_default: float = 1.0
+    split_weights: Mapping[str, float] | None = None
+    pack_budget: int = 512
+    pack_shards: int = 32
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    config: CorpusPipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Run the full pipeline; returns one row per surviving document
+    with columns ``(id, domain, n_tok, split, shard, pack_id,
+    pack_pos)`` — the manifest a sequence-assembly job consumes.
+
+    Stages (all lazy; nothing executes until the caller acts):
+
+    1. quality gate: token count in [min_tokens, max_tokens];
+    2. exact dedup: md5 content hash, keep the min-id doc per hash;
+    3. near-dup deletion: n-gram Jaccard pairs → connected components
+       → keep the min-id (canonical) doc per cluster;
+    4. decontamination: drop TRAIN docs whose shingle containment
+       against the held-out ('test') split exceeds
+       ``contamination_max`` (eval docs are never dropped here — the
+       held-out set defines the contract);
+    5. mixture sampling: per-domain deterministic keep rates;
+    6. split assignment (train/val/test by id hash);
+    7. sequence packing of the TRAIN split into ``pack_budget``-token
+       packs (val/test rows keep pack_id = NULL — eval sets are not
+       packed).
+    """
+    cfg = config or CorpusPipelineConfig()
+
+    toks = _tokens(F.col(text_col))
+    d = docs.withColumn("n_tok", F.size(toks))
+
+    # 1. quality gate — map-side, composes with scan pushdown
+    d = d.filter(
+        (F.col("n_tok") >= cfg.min_tokens) & (F.col("n_tok") <= cfg.max_tokens)
+    )
+
+    # 2. exact dedup, keep-first deterministically by id
+    h = d.withColumn("_h", content_hash(F.col(text_col)))
+    keep_ids = h.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
+    d = d.join(keep_ids, id_col, "left_semi")
+
+    # 3. near-dup deletion via connected components, keep canonical
+    pairs = ngram_jaccard_pairs(
+        d, id_col, text_col, n=cfg.near_dup_ngram,
+        threshold=cfg.near_dup_threshold,
+    )
+    clusters = dedup_clusters(pairs)
+    non_canonical = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    d = d.join(non_canonical, id_col, "left_anti")
+
+    # 6a. split assignment early (contamination needs it); the filter
+    # stages above commute with this map-side projection
+    d = hash_split(d, id_col, weights=cfg.split_weights)
+
+    # 4. decontamination: train docs too similar to the held-out set
+    grams = F.when(
+        F.col("n_tok") >= cfg.contamination_ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - (cfg.contamination_ngram - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(_tokens(F.col(text_col)), i + off)
+                    for off in range(cfg.contamination_ngram)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(id_col, "split", F.explode(grams).alias("gram")).distinct()
+    held_grams = (
+        g.filter(F.col("split") == "test").select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train_contam = (
+        g.filter(F.col("split") == "train")
+        .join(held_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            (F.count("_hit").cast("double") / F.count("*")).alias("_contam")
+        )
+        .filter(F.col("_contam") > cfg.contamination_max)
+        .select(id_col)
+    )
+    d = d.join(train_contam, id_col, "left_anti")
+
+    # 5. mixture sampling — map-side
+    if cfg.mixture:
+        d = weighted_sample(
+            d, domain_col, id_col, cfg.mixture, cfg.mixture_default
+        )
+
+    # 7. pack the train split only
+    train = d.filter(F.col("split") == "train")
+    rest = d.filter(F.col("split") != "train")
+    packed = assign_packs(
+        train, id_col, "n_tok", cfg.pack_budget, shards=cfg.pack_shards
+    )
+    out_cols = [id_col, domain_col, "n_tok", "split",
+                "shard", "pack_id", "pack_pos"]
+    rest = (
+        rest.withColumn("shard", F.lit(None).cast("bigint"))
+        .withColumn("pack_id", F.lit(None).cast("bigint"))
+        .withColumn("pack_pos", F.lit(None).cast("bigint"))
+    )
+    return packed.select(*out_cols).unionByName(rest.select(*out_cols))

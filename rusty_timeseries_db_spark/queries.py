@@ -80,7 +80,8 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_mode_per_group", "q_merge_intervals",
     "q_tpch_q6_forecast_revenue", "q_tpch_q14_promo_revenue",
     "q_tpch_q19_disjunctive_join", "q_dedup_keep_canonical",
-    "q_contamination_check",
+    "q_contamination_check", "q_rolling_corr",
+    "q_training_corpus_pipeline",
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
@@ -4320,3 +4321,95 @@ def q_contamination_check(spark, sf_dir):
             .alias("containment"),
         )
     )
+
+
+@declare(
+    "q_rolling_corr",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CAST(value AS DECIMAL(18,2)) AS y,
+             CAST(epoch_us(ts) // 1000000 - 1704067200 AS BIGINT) AS x
+      FROM events WHERE user_id < 5
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             CAST(COUNT(*)  OVER w AS BIGINT) AS n,
+             SUM(x)         OVER w AS sx,
+             SUM(y)         OVER w AS sy,
+             SUM(x * y)     OVER w AS sxy,
+             SUM(x * x)     OVER w AS sxx,
+             SUM(y * y)     OVER w AS syy
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr20
+    FROM s WHERE n = 20
+    """,
+    doc="rolling 20-row correlation of value vs time per user: EXACT "
+    "int/decimal sufficient statistics inside ONE window frame, float "
+    "math only on the final row — the deterministic form of a rolling "
+    "corr, same single-sort cost as any frame aggregate",
+)
+def q_rolling_corr(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    t = e.select(
+        "user_id", "ts", "event_id",
+        dec(F.col("value")).alias("y"),
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200))
+        .cast("bigint").alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    s = t.select(
+        "user_id", "event_id", "ts",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        s.filter(F.col("n") == 20)
+        .select(
+            "user_id", "event_id",
+            F.round(num / F.sqrt(denx * deny), 6).alias("corr20"),
+        )
+    )
+
+
+@declare(
+    "q_training_corpus_pipeline",
+    None,
+    doc="END-TO-END corpus pipeline (pipelines.py): quality gate -> "
+    "exact dedup -> near-dup keep-canonical -> decontamination -> "
+    "mixture -> split -> packing, as ONE lazy plan. Rows-only by "
+    "composition, not by primitive: every stage is individually "
+    "oracle-checked (q_quality_filter_pipeline, q_dedup_exact, "
+    "q_dedup_keep_canonical, q_contamination_check, "
+    "q_weighted_domain_sample, q_hash_split, q_sequence_packing); "
+    "tests/test_pipelines.py asserts stage effects + determinism",
+)
+def q_training_corpus_pipeline(spark, sf_dir):
+    from .pipelines import CorpusPipelineConfig, build_training_corpus
+
+    docs = T(spark, sf_dir, "documents")
+    cfg = CorpusPipelineConfig(
+        min_tokens=10,
+        mixture={"src0": 1.0, "src1": 0.5},
+        mixture_default=0.8,
+        pack_budget=256,
+        pack_shards=4,
+    )
+    return build_training_corpus(docs, cfg)
