@@ -13,7 +13,8 @@ GROUPS = [
                      "q_multi_count", "q_correlation", "q_string_agg",
                      "q_approx", "q_pivot", "q_unpivot", "q_histogram",
                      "q_linear_regression", "q_mode_per_group",
-                     "q_bool_aggs"]),
+                     "q_bool_aggs", "q_quantile_buckets",
+                     "q_running_distinct"]),
     ("Joins", ["q_join", "q_asof", "q_interval", "q_tpch"]),
     ("Window functions", ["q_window"]),
     ("Sort / limit / top-k", ["q_topk", "q_global_sort"]),

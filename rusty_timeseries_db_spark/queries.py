@@ -81,7 +81,8 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_tpch_q6_forecast_revenue", "q_tpch_q14_promo_revenue",
     "q_tpch_q19_disjunctive_join", "q_dedup_keep_canonical",
     "q_contamination_check", "q_rolling_corr",
-    "q_training_corpus_pipeline",
+    "q_training_corpus_pipeline", "q_quantile_buckets",
+    "q_running_distinct",
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
@@ -4413,3 +4414,74 @@ def q_training_corpus_pipeline(spark, sf_dir):
         pack_shards=4,
     )
     return build_training_corpus(docs, cfg)
+
+
+@declare(
+    "q_quantile_buckets",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS decile
+      FROM events
+    )
+    SELECT event_type, decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo, MAX(value) AS hi,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_value
+    FROM b GROUP BY event_type, decile
+    """,
+    doc="equal-frequency binning (decile summary stats per group): "
+    "ntile + grouped extrema/exact-decimal mean — the histogram's "
+    "quantile-spaced sibling; ties broken by id so bucket membership "
+    "is total-ordered and engine-identical",
+)
+def q_quantile_buckets(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = e.withColumn("decile", F.ntile(10).over(w))
+    return b.groupBy("event_type", "decile").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.round(dsum(F.col("value")) / F.count("*"), 6).alias("mean_value"),
+    )
+
+
+@declare(
+    "q_running_distinct",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+    doc="cumulative distinct users by day: windows cannot COUNT "
+    "DISTINCT over a running frame, so reduce to each user's FIRST "
+    "day (one agg), then a cumulative sum over the tiny per-day "
+    "series — the classic scale rewrite of running-distinct",
+)
+def q_running_distinct(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return per_day.withColumn(
+        "cumulative_users", F.sum("new_users").over(w).cast("bigint")
+    ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))

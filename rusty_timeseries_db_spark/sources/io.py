@@ -46,3 +46,26 @@ def append_parquet(df: DataFrame, path: str, partition_by: list[str] | None = No
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (Spark-native columnar alternative; same append-only
+    discipline as parquet). ORC carries its own stripe-level min/max
+    indexes, so the layout guidance in operators/layout.py applies
+    unchanged."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan. Schema optional: ORC is self-describing with typed
+    footers (no inference pass over data, unlike JSON/CSV), but passing
+    one pins the contract and enables column pruning before listing."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

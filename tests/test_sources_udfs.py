@@ -146,3 +146,19 @@ def test_approx_top_k_matches_exact_at_low_cardinality(spark):
         boundary = sorted(counts, key=lambda t: -t[0])[4][0]
         tied = {u for c, u in counts if c >= boundary}
         assert got <= tied and len(got) == 5
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from rusty_timeseries_db_spark.sources.io import read_orc, write_orc
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    e = T(spark, SF_DIR, "events").limit(100)
+    path = str(tmp_path / "events_orc")
+    write_orc(e, path)
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert set(back.columns) == set(e.columns)
+    # append discipline: second write adds, never rewrites
+    write_orc(e, path)
+    assert read_orc(spark, path).count() == 200
