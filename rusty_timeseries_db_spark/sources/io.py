@@ -69,3 +69,23 @@ def read_orc(
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file footer
+    (``mergeSchema``) so batches written before a column was added
+    surface it as NULL instead of failing the scan. The reference's
+    fixed 105-byte row codec (main.rs:152-188) cannot evolve at all —
+    appended fields are an explicit capability extension.
+
+    Passing ``schema`` instead PINS the contract (preferred once the
+    evolved schema is known): no footer-merging pass over file
+    metadata, and unexpected extra columns are dropped rather than
+    silently widening downstream plans.
+    """
+    r = spark.read
+    if schema is not None:
+        return r.schema(schema).parquet(path)
+    return r.option("mergeSchema", "true").parquet(path)

@@ -162,3 +162,31 @@ def test_orc_round_trip(spark, tmp_path):
     # append discipline: second write adds, never rewrites
     write_orc(e, path)
     assert read_orc(spark, path).count() == 200
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Old files lack a column added later: the evolving read surfaces
+    it as NULL for old rows; a pinned schema also works and prunes."""
+    from pyspark.sql import functions as F
+    from rusty_timeseries_db_spark.sources.io import read_parquet_evolving
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.range(3).select(
+        F.col("id"), F.lit(1.0).alias("value")
+    )
+    v1.write.mode("append").parquet(path)
+    v2 = spark.range(3, 6).select(
+        F.col("id"), F.lit(2.0).alias("value"),
+        F.lit("site-a").alias("site")
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"id", "value", "site"}
+    assert merged.count() == 6
+    # old rows surface the new column as NULL
+    assert merged.filter(F.col("site").isNull()).count() == 3
+
+    pinned = read_parquet_evolving(spark, path, schema=merged.schema)
+    assert pinned.count() == 6
+    assert set(pinned.columns) == {"id", "value", "site"}
