@@ -36,7 +36,7 @@ GROUPS = [
     ("LLM-pipeline: similarity / embeddings", ["q_similarity", "q_embedding_knn"]),
     ("LLM-pipeline: text analysis", ["q_token", "q_quality_score", "q_langid",
                                      "q_rolling_hash", "q_bigram_vocab",
-                                     "q_tfidf"]),
+                                     "q_tfidf", "q_unigram_surprisal"]),
     ("LLM-pipeline: sampling, splitting & packing",
      ["q_hash_split", "q_deterministic_sample", "q_stratified_sample",
       "q_weighted_domain_sample", "q_sequence_packing",

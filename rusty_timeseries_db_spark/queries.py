@@ -82,7 +82,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_tpch_q19_disjunctive_join", "q_dedup_keep_canonical",
     "q_contamination_check", "q_rolling_corr",
     "q_training_corpus_pipeline", "q_quantile_buckets",
-    "q_running_distinct",
+    "q_running_distinct", "q_unigram_surprisal",
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
@@ -4493,3 +4493,66 @@ def q_running_distinct(spark, sf_dir):
     return per_day.withColumn(
         "cumulative_users", F.sum("new_users").over(w).cast("bigint")
     ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+@declare(
+    "q_unigram_surprisal",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> len(x) > 0)) AS term
+      FROM documents
+    ),
+    freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tc FROM tok GROUP BY term
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(ROUND(CAST(total.n AS DOUBLE) / CAST(freq.tc AS DOUBLE), 9)
+                  AS DECIMAL(28,9)) AS inv_p
+      FROM tok JOIN freq USING (term) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND(CAST(SUM(inv_p) AS DOUBLE) / COUNT(*), 6) AS mean_inv_prob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="rare-token density scoring (perplexity proxy without log(): "
+    "mean inverse unigram probability N/count(term), exact rational in "
+    "doubles so cross-engine deterministic where ln() is not) — the "
+    "corpus-LM quality signal of a filtering pipeline; term counts "
+    "reuse ONE shuffle, the total is a broadcast scalar. Addends are "
+    "9-dp decimals (identical IEEE division then a boundary-free "
+    "round: N/tc either terminates within 6 digits or repeats, never "
+    "landing on a half) so per-doc sums are order-INDEPENDENT — a "
+    "plain double SUM would vary with partition count",
+)
+def q_unigram_surprisal(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "),
+                     lambda s: F.length(s) > 0)
+        ).alias("term"),
+    )
+    freq = tok.groupBy("term").agg(F.count("*").alias("tc"))
+    total = tok.agg(F.count("*").alias("n"))
+    scored = (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "inv_p",
+            F.round(
+                F.col("n").cast("double") / F.col("tc").cast("double"), 9
+            ).cast("decimal(28,9)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.round(
+            F.sum("inv_p").cast("double") / F.count("*"), 6
+        ).alias("mean_inv_prob"),
+    )
