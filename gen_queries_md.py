@@ -27,7 +27,8 @@ GROUPS = [
                          "q_linear_interp", "q_ewma", "q_sliding_window",
                          "q_event_transitions", "q_funnel",
                          "q_cohort_retention", "q_merge_intervals",
-                         "q_rolling_corr"]),
+                         "q_rolling_corr", "q_seasonal_residuals",
+                         "q_dense_grid"]),
     ("UDF surface", ["q_udf"]),
     ("FDD", ["q_fdd"]),
     ("LLM-pipeline: dedup & decontamination",

@@ -83,6 +83,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_contamination_check", "q_rolling_corr",
     "q_training_corpus_pipeline", "q_quantile_buckets",
     "q_running_distinct", "q_unigram_surprisal",
+    "q_seasonal_residuals", "q_dense_grid",
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
@@ -4555,4 +4556,118 @@ def q_unigram_surprisal(spark, sf_dir):
         F.round(
             F.sum("inv_p").cast("double") / F.count("*"), 6
         ).alias("mean_inv_prob"),
+    )
+
+
+@declare(
+    "q_seasonal_residuals",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER)
+    ),
+    season AS (
+      SELECT event_type, hod, sv / n AS mu,
+             SQRT((svv - sv * sv / n) / (n - 1)) AS sigma
+      FROM base WHERE n > 1
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value - s.mu, 6) AS residual,
+           CAST(CASE WHEN ABS(e.value - s.mu) > 3.0e0 * s.sigma
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM events e
+    JOIN season s
+      ON s.event_type = e.event_type
+     AND s.hod = CAST(EXTRACT(hour FROM e.ts) AS INTEGER)
+    """,
+    doc="seasonal-baseline anomaly detection: hour-of-day mean/stddev "
+    "per series from EXACT decimal sums (one agg), broadcast back onto "
+    "the stream of readings, flag |value - mu| > 3 sigma — the "
+    "profile-based FDD rule, a deseasonalized upgrade of the "
+    "reference's fixed threshold (main.rs:388); baseline table is "
+    "groups x 24 rows, always broadcastable",
+)
+def q_seasonal_residuals(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("int")
+    base = (
+        e.groupBy(F.col("event_type").alias("_bt"), hod.alias("hod"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("sv"),
+            F.sum(dec(F.col("value")) * dec(F.col("value")))
+            .cast("double")
+            .alias("svv"),
+        )
+        .filter(F.col("n") > 1)
+        .select(
+            "_bt", "hod",
+            (F.col("sv") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+    )
+    return (
+        e.join(
+            F.broadcast(base),
+            (F.col("event_type") == F.col("_bt"))
+            & (F.hour("ts").cast("int") == F.col("hod")),
+        )
+        .select(
+            "event_id", "event_type",
+            F.round(F.col("value") - F.col("mu"), 6).alias("residual"),
+            F.when(
+                F.abs(F.col("value") - F.col("mu")) > F.lit(3.0) * F.col("sigma"),
+                1,
+            ).otherwise(0).cast("int").alias("is_anomaly"),
+        )
+    )
+
+
+@declare(
+    "q_dense_grid",
+    """
+    WITH days AS (
+      SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, t.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+    FROM days d CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    """,
+    doc="dimension densification (zero-fill the day x type grid): "
+    "distinct-dims cross join + left join + coalesce — the reporting "
+    "pattern that makes absent group combinations explicit; both dim "
+    "sides are tiny aggregates, the cross product stays "
+    "|days| x |types| regardless of fact size",
+)
+def q_dense_grid(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    days = e.select(day.alias("day")).distinct()
+    types = e.select("event_type").distinct()
+    actual = (
+        e.groupBy(day.alias("day"), "event_type")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        days.crossJoin(types)
+        .join(F.broadcast(actual), ["day", "event_type"], "left")
+        .select(
+            "day", "event_type",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n"),
+        )
     )
