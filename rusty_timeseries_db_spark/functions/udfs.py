@@ -72,6 +72,28 @@ def clip_outliers_stream(
     return df.mapInPandas(run, schema)
 
 
+def scale_values_arrow(
+    df: DataFrame, value_col: str = "value", factor: float = 2.0
+) -> DataFrame:
+    """Iterator-style ``mapInArrow``: like ``mapInPandas`` but the
+    batches stay ``pyarrow.RecordBatch`` end-to-end — no Arrow→pandas
+    materialization, so columnar kernels (pyarrow.compute) run with
+    zero conversion overhead. The right boundary when the Python work
+    is itself vectorized-columnar rather than pandas-shaped."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = df.schema
+    idx = df.columns.index(value_col)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            scaled = pc.multiply(rb.column(idx), pa.scalar(factor))
+            yield rb.set_column(idx, rb.schema.field(idx), scaled)
+
+    return df.mapInArrow(run, schema)
+
+
 # ------------------------------------------------------ SQL registration
 
 def register_sql_udfs(spark: SparkSession) -> None:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from rusty_timeseries_db_spark.queries import T
@@ -190,3 +191,18 @@ def test_schema_evolution_read(spark, tmp_path):
     pinned = read_parquet_evolving(spark, path, schema=merged.schema)
     assert pinned.count() == 6
     assert set(pinned.columns) == {"id", "value", "site"}
+
+
+def test_map_in_arrow_scaling(spark):
+    from pyspark.sql import functions as F
+    from rusty_timeseries_db_spark.functions.udfs import scale_values_arrow
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    e = T(spark, SF_DIR, "events").select("event_id", "value").limit(50)
+    out = scale_values_arrow(e, "value", 3.0)
+    rows = {r.event_id: r.value for r in out.collect()}
+    base = {r.event_id: r.value for r in e.collect()}
+    assert rows.keys() == base.keys()
+    for k in base:
+        assert rows[k] == pytest.approx(base[k] * 3.0)
