@@ -8,7 +8,8 @@ from rusty_timeseries_db_spark import queries as Q  # noqa: E402
 GROUPS = [
     ("Reference fidelity (R3/R4/R11)", ["q_r3", "q_r4", "q_r11"]),
     ("Projection / filter", ["q_filter", "q_project"]),
-    ("Aggregation", ["q_agg", "q_count_distinct", "q_percentiles", "q_rollup",
+    ("Aggregation", ["q_agg", "q_count_distinct", "q_percentiles",
+                     "q_percentile_disc", "q_rollup",
                      "q_cube", "q_grouping", "q_having", "q_collect",
                      "q_multi_count", "q_correlation", "q_string_agg",
                      "q_approx", "q_pivot", "q_unpivot", "q_histogram",

@@ -374,6 +374,49 @@ class TimeseriesEngine:
                 shutil.rmtree(full, ignore_errors=True)
         return n
 
+    def optimize_storage(self, target_files: int | None = None) -> int:
+        """Rewrite the base range-clustered and sorted on
+        ``(timeseries_id, ts)`` (operators/layout.py) behind the same
+        crash-safe versioned-dir + atomic-pointer-swap protocol as
+        ``compact()`` — the OPTIMIZE maintenance job that restores
+        per-file min/max disjointness after many small appends have
+        interleaved series across files. Folds any pending overlay
+        first (an optimized base with a stale overlay on top would
+        re-fragment reads). Returns rows in the new base."""
+        import shutil
+
+        from .operators.layout import optimize_layout
+
+        self.compact()  # folds overlay; no-op if none pending
+        old_version = self._active_version()
+        new_version = 1 if old_version is None else old_version + 1
+        new_path = os.path.join(
+            self.warehouse_dir, f"telemetry__v{new_version}"
+        )
+        base = self._read_base(keep_ds=self.partition_by_date).persist()
+        n = base.count()
+        optimize_layout(
+            base,
+            new_path,
+            sort_cols=["timeseries_id", "ts"],
+            partition_cols=list(self._partition_cols) or None,
+            target_files=target_files,
+        )
+        base.unpersist()
+        tmp_ptr = self._version_file + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            f.write(str(new_version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_ptr, self._version_file)
+        for name in os.listdir(self.warehouse_dir):
+            full = os.path.join(self.warehouse_dir, name)
+            if full == new_path or not os.path.isdir(full):
+                continue
+            if name == "telemetry" or name.startswith("telemetry__v"):
+                shutil.rmtree(full, ignore_errors=True)
+        return n
+
     def fault_count(
         self, df: DataFrame, threshold: float = DEFAULT_FAULT_THRESHOLD
     ) -> int:

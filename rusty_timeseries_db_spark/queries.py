@@ -83,7 +83,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_contamination_check", "q_rolling_corr",
     "q_training_corpus_pipeline", "q_quantile_buckets",
     "q_running_distinct", "q_unigram_surprisal",
-    "q_seasonal_residuals", "q_dense_grid",
+    "q_seasonal_residuals", "q_dense_grid", "q_percentile_disc",
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
@@ -4670,4 +4670,48 @@ def q_dense_grid(spark, sf_dir):
             "day", "event_type",
             F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n"),
         )
+    )
+
+
+@declare(
+    "q_percentile_disc",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5e0 * n) AS BIGINT) THEN value END) AS p50_disc,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9e0 * n) AS BIGINT) THEN value END) AS p90_disc,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99e0 * n) AS BIGINT) THEN value END) AS p99_disc
+    FROM ranked GROUP BY event_type
+    """,
+    doc="discrete percentiles (PERCENTILE_DISC semantics: an actual "
+    "data value, never interpolated) via rank selection — one window "
+    "sort + conditional agg, total-ordered ties so the selected row "
+    "is engine-identical; complements the interpolated q_percentiles",
+)
+def q_percentile_disc(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    pick = lambda p: F.max(
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("value"),
+        )
+    )
+    return ranked.groupBy("event_type").agg(
+        pick(0.5).alias("p50_disc"),
+        pick(0.9).alias("p90_disc"),
+        pick(0.99).alias("p99_disc"),
     )

@@ -65,3 +65,33 @@ def test_sort_cols_required(spark, tmp_path):
     e = T(spark, SF_DIR, "events")
     with pytest.raises(ValueError):
         optimize_layout(e, str(tmp_path / "x"), sort_cols=[])
+
+
+def test_engine_optimize_storage_round_trip(spark, tmp_path):
+    """optimize_storage must preserve every row and query result while
+    re-clustering the base; the version pointer swap keeps reads
+    atomic (same protocol as compact)."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from tests.conftest import CANONICAL_ROWS, SERIES_ID
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS)
+    # a pending overlay must be folded in, not dropped
+    eng.update_rows([
+        {**CANONICAL_ROWS[0], "value": 0.42}
+    ])
+    before = eng.query_by_id(
+        SERIES_ID, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z"
+    ).collect()
+
+    n = eng.optimize_storage(target_files=2)
+    assert n == eng.count()
+
+    after = eng.query_by_id(
+        SERIES_ID, "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z"
+    ).collect()
+    assert sorted(r.value for r in before) == sorted(r.value for r in after)
+    assert after and any(r.value == 0.42 for r in after)
+    # overlay was folded by the pre-pass compact
+    import os
+    assert not os.path.isdir(eng.overlay_path)
