@@ -84,6 +84,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_training_corpus_pipeline", "q_quantile_buckets",
     "q_running_distinct", "q_unigram_surprisal",
     "q_seasonal_residuals", "q_dense_grid", "q_percentile_disc",
+    "q_null_safe_join", "q_asof_nearest",
 })
 
 #: most recent driver-checked round per query, from CORRECTNESS_r0N.json
@@ -4714,4 +4715,88 @@ def q_percentile_disc(spark, sf_dir):
         pick(0.5).alias("p50_disc"),
         pick(0.9).alias("p90_disc"),
         pick(0.99).alias("p99_disc"),
+    )
+
+
+@declare(
+    "q_null_safe_join",
+    """
+    WITH a AS (
+      SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 7 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 7 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of dropping — the join-family variant "
+    "plain equality silently loses rows on; still hash-joinable "
+    "(null-safe equality is an equi-key to Catalyst, not a theta join)",
+)
+def q_null_safe_join(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    k = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 7
+    )
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(k.alias("ka"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["ka"])).select("k", "n_a", "n_b")
+
+
+@declare(
+    "q_asof_nearest",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'view' AND user_id < 20
+    ),
+    r AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id,
+           (SELECT r.value FROM r
+             WHERE r.user_id = l.user_id
+             ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)),
+                      (r.ts > l.ts)
+             LIMIT 1) AS nearest_value
+    FROM l
+    """,
+    doc="as-of join, NEAREST direction (operators/asof.py): closest "
+    "purchase in time per view, backward winning exact ties (pandas "
+    "merge_asof parity); right side deduped to one obs per (key, ts) "
+    "so the choice is total-ordered. Oracle = per-row min |delta| "
+    "scalar subquery; the engine path is the union + window form",
+)
+def q_asof_nearest(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    l = (
+        e.filter((F.col("event_type") == "view") & (F.col("user_id") < 20))
+        .select("event_id", "user_id", "ts")
+    )
+    r = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        l, r, on=["user_id"], right_cols=["value"], direction="nearest"
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value_right").alias("nearest_value")
     )
