@@ -3896,18 +3896,27 @@ def q_linear_regression(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     x = (F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200)).alias("x")
     y = dec(F.col("value")).alias("y")
+    # every sum is decimal(38,*): x ~ 2.6e6 s, so BIGINT sum(x*x) is
+    # already ~9e18 at sf0.01 — within 3% of the long limit — and the
+    # n*sxx product overflows outright at sf0.1 under ANSI mode.
+    # DuckDB's integer sums are 128-bit (hugeint), so only this side
+    # needs the widening; the exact values are unchanged.
     s = (
         e.select(F.col("event_type"), x, y)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("x").alias("sx"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,2)")).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
         )
     )
+    # the n*S and S*S products stay EXACT: Spark caps decimal multiply
+    # precision at 38, which only rounds if the VALUE outgrows 38
+    # digits — these stay ~1e21-1e25 at any realistic sf. Cast to
+    # double happens once, after exact arithmetic, same as the oracle.
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
