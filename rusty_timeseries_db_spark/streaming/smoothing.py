@@ -76,3 +76,76 @@ def stateful_ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithState`` ships a protobuf-based state-server
+    protocol; this container has no usable ``google.protobuf``, so the
+    API is ENV-BLOCKED here (same class of gap as the PIL/ffmpeg
+    multimodal codecs — the operator code below is real and the test
+    runs it wherever protobuf exists)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def stateful_series_stats_tws(stream: DataFrame):
+    """Per-series running (count, min, max) via ``transformWithState``
+    (Spark 4's successor to ``applyInPandasWithState``: typed state
+    handles, per-key value/list/map state, timers). Kept alongside the
+    classic operators as the forward-looking stateful surface; same
+    O(#series) state discipline. ENV-BLOCKED in this container — see
+    ``transform_with_state_available``; ``stateful_fault_runs`` and
+    ``stateful_ewma`` (applyInPandasWithState) are the executable
+    stateful operators here.
+
+    Input: (timeseries_id, ts, value). Output one row per series per
+    micro-batch: (timeseries_id, n, min_value, max_value) reflecting
+    state AFTER that batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SeriesStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, mn double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mn, mx = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                for v in pdf["value"]:
+                    v = float(v)
+                    n += 1
+                    mn = v if mn is None else min(mn, v)
+                    mx = v if mx is None else max(mx, v)
+            self._state.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "timeseries_id": [key[0]],
+                    "n": [n],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("timeseries_id").transformWithStateInPandas(
+        SeriesStats(),
+        outputStructType=(
+            "timeseries_id string, n long, min_value double, max_value double"
+        ),
+        outputMode="append",
+        timeMode="none",
+    )

@@ -104,3 +104,41 @@ def test_ewma_rejects_bad_alpha(spark):
         stateful_ewma(df, alpha=0.0)
     with pytest.raises(ValueError):
         stateful_ewma(df, alpha=1.5)
+
+
+def test_transform_with_state_series_stats(spark, tmp_path):
+    """Spark-4 transformWithState surface: running per-series stats
+    must accumulate across micro-batches (one output row per key per
+    batch, last row reflects all input)."""
+    from rusty_timeseries_db_spark.streaming.smoothing import (
+        stateful_series_stats_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable — transformWithState "
+                    "is env-blocked in this container")
+
+    src = str(tmp_path / "drop")
+    _drop(src, [_row(0, 0.3), _row(1, 0.9)], "b1.jsonl")
+    _drop(src, [_row(2, 0.1)], "b2.jsonl")
+    stream = normalize_payload(read_telemetry_stream(spark, src)).select(
+        "timeseries_id", "ts", "value"
+    )
+    q = (
+        stateful_series_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from tws_stats order by n"
+    ).collect()
+    assert rows, "no output rows"
+    final = rows[-1]
+    assert final.n == 3
+    assert final.min_value == pytest.approx(0.1)
+    assert final.max_value == pytest.approx(0.9)
