@@ -125,3 +125,38 @@ def test_overlay_updates_match_dict_replay(spark, tmp_path_factory, updates):
         for r in eng.query_by_id("k1", _iso(0), _iso(10)).collect()
     }
     assert got == {_iso(m): v for m, v in expected.items()}
+
+
+# ---- pure-Python packing assignment model (no Spark in the loop) ----
+
+@given(
+    toks=st.lists(st.integers(1, 300), min_size=1, max_size=200),
+    budget=st.integers(16, 512),
+)
+@settings(max_examples=200, deadline=None)
+def test_packing_closed_form_matches_sequential_model(toks, budget):
+    """The window closed form pack = floor((cumsum - tok)/budget) must
+    equal the sequential greedy-with-spillover walk for ANY token
+    sequence and budget — the property that lets the operator run as
+    one cumsum instead of stateful iteration."""
+    # sequential model: open a new pack when the running total has
+    # crossed a budget boundary before this doc arrives
+    packs_model = []
+    total = 0
+    for t in toks:
+        packs_model.append(total // budget)
+        total += t
+    # closed form
+    cum = 0
+    packs_closed = []
+    for t in toks:
+        cum += t
+        packs_closed.append((cum - t) // budget)
+    assert packs_closed == packs_model
+    # spillover bound: dropping each pack's last doc leaves it under
+    # budget
+    by_pack = {}
+    for t, p in zip(toks, packs_closed):
+        by_pack.setdefault(p, []).append(t)
+    for p, members in by_pack.items():
+        assert sum(members[:-1]) < budget
