@@ -7,7 +7,9 @@ Layering:
 - ``schema``     canonical schemas + ingest normalization
 - ``api``        engine facade (ingest / query_by_id / FDD / overlay update)
 - ``operators``  as-of join, resample/LOCF/rolling, top-k, dedup,
-                 similarity search, overlay, multimodal plumbing
+                 similarity search, overlay, sampling/splitting,
+                 sequence packing, layout optimizer, multimodal codecs
+- ``pipelines``  end-to-end training-corpus composition
 - ``functions``  vector + text expression libraries
 - ``sources``    TESTDATA registry, parquet/json IO
 - ``streaming``  structured-streaming ingest + FDD
@@ -16,12 +18,15 @@ Layering:
 """
 
 from .api import TimeseriesEngine
+from .pipelines import CorpusPipelineConfig, build_training_corpus
 from .server import TelemetryHttpServer
 from .session import get_spark, tune_existing
 
 __all__ = [
     "TimeseriesEngine",
     "TelemetryHttpServer",
+    "CorpusPipelineConfig",
+    "build_training_corpus",
     "get_spark",
     "tune_existing",
 ]
