@@ -79,19 +79,36 @@ def scale_values_arrow(
     batches stay ``pyarrow.RecordBatch`` end-to-end — no Arrow→pandas
     materialization, so columnar kernels (pyarrow.compute) run with
     zero conversion overhead. The right boundary when the Python work
-    is itself vectorized-columnar rather than pandas-shaped."""
+    is itself vectorized-columnar rather than pandas-shaped.
+
+    The value column is declared ``double`` in the OUTPUT schema and the
+    Arrow batch is cast to float64 before the multiply — ``pc.multiply``
+    widens int × float to double, so emitting it under the input field's
+    type would be an Arrow schema mismatch for non-double columns."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    schema = df.schema
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(f.name, DoubleType(), f.nullable)
+            if f.name == value_col
+            else f
+            for f in df.schema.fields
+        ]
+    )
     idx = df.columns.index(value_col)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            scaled = pc.multiply(rb.column(idx), pa.scalar(factor))
-            yield rb.set_column(idx, rb.schema.field(idx), scaled)
+            col = pc.cast(rb.column(idx), pa.float64())
+            scaled = pc.multiply(col, pa.scalar(factor, pa.float64()))
+            yield rb.set_column(
+                idx, pa.field(value_col, pa.float64()), scaled
+            )
 
-    return df.mapInArrow(run, schema)
+    return df.mapInArrow(run, out_schema)
 
 
 # ------------------------------------------------------ SQL registration

@@ -450,7 +450,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    use_reliable_checkpoint: bool = False,
+    use_reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → ``(doc_id,
     cluster_id)`` with ``cluster_id`` = the minimum doc id in the
@@ -467,15 +467,14 @@ def dedup_clusters(
       join key so every round's join reuses one exchange;
     - labels are checkpointed each round: lineage (and the codegen'd
       plan) stays O(1) across iterations instead of growing by one join
-      per round. Default ``localCheckpoint`` stores blocks on executors
-      only — fast, but an executor loss mid-convergence fails the job
-      (no lineage to recompute from). ``use_reliable_checkpoint=True``
-      switches to ``checkpoint()`` against
-      ``spark.sparkContext.setCheckpointDir(...)``'s directory
-      (HDFS/object store on a cluster), trading one HDFS round-trip per
-      iteration for fault tolerance — the right default on a 1000-
-      executor run where losing one executor over O(diameter) rounds is
-      likely;
+      per round. ``use_reliable_checkpoint=None`` (default) AUTO-DETECTS:
+      when ``sparkContext.setCheckpointDir(...)`` is configured the loop
+      uses reliable ``checkpoint()`` (HDFS/object store on a cluster —
+      an executor loss mid-convergence survives), otherwise
+      ``localCheckpoint`` (executor-block storage: fast, but no lineage
+      to recompute from on executor loss — fine on local mode). Pass
+      ``True``/``False`` to force either; ``True`` without a configured
+      checkpoint dir raises;
     - the convergence check is a count of changed labels — one tiny
       driver-side action per round (the standard loop for iterative
       graph algorithms on DataFrames; the data itself never leaves the
@@ -485,7 +484,12 @@ def dedup_clusters(
     LLM-pipeline added value on top of the pair generators above.
     """
     def _ckpt(df: DataFrame) -> DataFrame:
-        if use_reliable_checkpoint:
+        reliable = use_reliable_checkpoint
+        if reliable is None:  # auto: reliable iff a checkpoint dir is set
+            reliable = (
+                df.sparkSession.sparkContext.getCheckpointDir() is not None
+            )
+        if reliable:
             sc = df.sparkSession.sparkContext
             if sc.getCheckpointDir() is None:
                 raise ValueError(

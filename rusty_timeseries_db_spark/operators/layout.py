@@ -84,7 +84,18 @@ def file_stats(
                 continue
             fp = os.path.join(root, f)
             md = pq.ParquetFile(fp).metadata
-            idx = md.schema.to_arrow_schema().get_field_index(column)
+            # Row-group columns are parquet LEAF-ordered, not top-level
+            # Arrow-field-ordered: a nested column (map/struct/list)
+            # earlier in the schema contributes several leaves and shifts
+            # every later index. Resolve via the leaf path instead.
+            idx = next(
+                (
+                    i
+                    for i in range(len(md.schema))
+                    if md.schema.column(i).path == column
+                ),
+                -1,
+            )
             if idx < 0:
                 continue
             lo = hi = None

@@ -4411,14 +4411,117 @@ def q_rolling_corr(spark, sf_dir):
 
 @declare(
     "q_training_corpus_pipeline",
-    None,
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    q AS (  -- stage 1: quality gate on token count
+      SELECT doc_id, source, text, ws, len(ws) AS n_tok
+      FROM base WHERE len(ws) BETWEEN 10 AND 100000
+    ),
+    keep_exact AS (  -- stage 2: exact dedup, keep min-id per content hash
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM q
+      ) GROUP BY fp
+    ),
+    d2 AS (SELECT q.* FROM q JOIN keep_exact USING (doc_id)),
+    grams AS (  -- stage 3: near-dup 3-gram shingles over survivors
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        FROM d2, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+        WHERE i <= greatest(len(ws) - 2, 1)
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (  -- connected components (transitive closure)
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    dropped AS (SELECT id FROM reach GROUP BY id HAVING MIN(r) <> id),
+    d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT id FROM dropped)),
+    d4 AS (  -- stage 6a: split assignment (default 90/5/5, salt 'split')
+      SELECT *,
+        CASE WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'train'
+             WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9500 THEN 'val'
+             ELSE 'test' END AS split
+      FROM d3
+    ),
+    cg AS (  -- stage 4: contamination 3-grams (pre-mixture corpus)
+      SELECT DISTINCT doc_id, split,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM d4, (SELECT unnest(range(1, 4000)) AS i) idx
+      WHERE n_tok >= 3 AND i <= n_tok - 2
+    ),
+    held AS (SELECT DISTINCT gram FROM cg WHERE split = 'test'),
+    contam AS (
+      SELECT c.doc_id FROM cg c LEFT JOIN held h ON c.gram = h.gram
+      WHERE c.split = 'train'
+      GROUP BY c.doc_id
+      HAVING CAST(COUNT(h.gram) AS DOUBLE) / COUNT(*) > 0.8
+    ),
+    d5 AS (SELECT * FROM d4
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    d6 AS (  -- stage 5: mixture sampling (src0 100%, src1 50%, 80% default)
+      SELECT * FROM d5
+      WHERE CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+            < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                          ELSE 8000 END
+    ),
+    tp AS (  -- stage 7: pack the train split (budget 256, 4 shards)
+      SELECT doc_id, source, n_tok, split, shard, hk,
+             CAST(FLOOR((SUM(n_tok) OVER (
+                 PARTITION BY shard ORDER BY hk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / 256.0) AS BIGINT) AS pack_id
+      FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+               md5('pack' || CAST(doc_id AS VARCHAR)) AS hk
+        FROM d6 WHERE split = 'train'
+      )
+    )
+    SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, split,
+           CAST(shard AS BIGINT) AS shard, pack_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard, pack_id ORDER BY hk, doc_id
+           ) - 1 AS BIGINT) AS pack_pos
+    FROM tp
+    UNION ALL
+    SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, split,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pack_id,
+           CAST(NULL AS BIGINT) AS pack_pos
+    FROM d6 WHERE split <> 'train'
+    """,
     doc="END-TO-END corpus pipeline (pipelines.py): quality gate -> "
     "exact dedup -> near-dup keep-canonical -> decontamination -> "
-    "mixture -> split -> packing, as ONE lazy plan. Rows-only by "
-    "composition, not by primitive: every stage is individually "
-    "oracle-checked (q_quality_filter_pipeline, q_dedup_exact, "
-    "q_dedup_keep_canonical, q_contamination_check, "
-    "q_weighted_domain_sample, q_hash_split, q_sequence_packing); "
+    "mixture -> split -> packing, as ONE lazy plan. The oracle is the "
+    "CTE composition of the seven individually-verified stage oracles "
+    "(q_quality_filter_pipeline, q_dedup_exact, q_dedup_clusters, "
+    "q_hash_split, q_contamination_check, q_weighted_domain_sample, "
+    "q_sequence_packing) — stage order and salts mirror "
+    "CorpusPipelineConfig(min_tokens=10, mixture src0=1.0/src1=0.5/"
+    "default=0.8, pack_budget=256, pack_shards=4); "
     "tests/test_pipelines.py asserts stage effects + determinism",
 )
 def q_training_corpus_pipeline(spark, sf_dir):
@@ -4809,3 +4912,153 @@ def q_asof_nearest(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.col("value_right").alias("nearest_value")
     )
+
+
+# ======================================================================
+# Round 7: oracle-paired source readers (ORC, schema evolution),
+# mapInArrow transform, QUALIFY SQL surface
+# ======================================================================
+
+@declare(
+    "q_arrow_transform",
+    """
+    SELECT event_id, value * 3.0 AS scaled
+    FROM events WHERE user_id < 50
+    """,
+    doc="mapInArrow transform oracle-paired (functions/udfs.py "
+    "scale_values_arrow): batches stay pyarrow.RecordBatch end-to-end "
+    "(no pandas materialization), effect = one IEEE double multiply — "
+    "bit-identical to the SQL expression on any engine. Lifts D5 "
+    "(mapInArrow) from test-only to driver-green",
+)
+def q_arrow_transform(spark, sf_dir):
+    from .functions.udfs import scale_values_arrow
+
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("event_id", "value")
+    )
+    return scale_values_arrow(e, "value", 3.0).select(
+        "event_id", F.col("value").alias("scaled")
+    )
+
+
+@declare(
+    "q_orc_roundtrip",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE user_id < 20
+    GROUP BY event_type
+    """,
+    doc="ORC round-trip oracle-paired (sources/io.py write_orc/"
+    "read_orc): a deterministic events subset is written to ORC "
+    "in-fixture, read back through the ORC scan, and aggregated — the "
+    "oracle computes the same aggregate from the parquet originals, so "
+    "a hash match proves the ORC sink+scan preserve values exactly. "
+    "Lifts S3 from test-only to driver-green",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from .sources.io import read_orc, write_orc
+
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("event_id", "event_type", "value")
+    )
+    path = tempfile.mkdtemp(prefix="q_orc_roundtrip_")
+    write_orc(e, path)
+    back = read_orc(spark, path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@declare(
+    "q_schema_evolution",
+    """
+    SELECT CASE WHEN user_id < 10 THEN '__missing__' ELSE event_type END
+             AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE user_id < 20
+    GROUP BY 1
+    """,
+    doc="schema-evolution read oracle-paired (sources/io.py "
+    "read_parquet_evolving): generation 1 files lack event_type, "
+    "generation 2 adds it; the mergeSchema read surfaces the missing "
+    "column as NULL for old rows (coalesced to a sentinel), then a "
+    "PINNED-schema read of the same files produces the final result — "
+    "the oracle derives identical groups from the original events "
+    "table. Lifts S4 from test-only to driver-green",
+)
+def q_schema_evolution(spark, sf_dir):
+    import tempfile
+
+    from .sources.io import read_parquet_evolving
+
+    e = T(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="q_schema_evolution_")
+    # generation 1: before event_type existed
+    (
+        e.filter(F.col("user_id") < 10)
+        .select("event_id", "user_id", "value")
+        .write.mode("append").parquet(path)
+    )
+    # generation 2: the evolved schema
+    (
+        e.filter((F.col("user_id") >= 10) & (F.col("user_id") < 20))
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("append").parquet(path)
+    )
+    merged = read_parquet_evolving(spark, path)
+    # pin the evolved contract for the production read path
+    pinned = read_parquet_evolving(spark, path, schema=merged.schema)
+    return (
+        pinned.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("__missing__"))
+            .alias("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@declare(
+    "q_qualify_sql",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+             ) AS rn
+      FROM events WHERE event_type = 'purchase' AND user_id < 30
+    ) WHERE rn <= 3
+    """,
+    doc="QUALIFY SQL surface (sql_ext.sql_with_qualify): the DuckDB/"
+    "Snowflake window-filter clause rewritten onto the nested-subquery "
+    "plan Spark natively optimizes (WindowGroupLimit applies to the "
+    "rewritten row_number filter); oracle is the explicit subquery form",
+)
+def q_qualify_sql(spark, sf_dir):
+    from .sql_ext import sql_with_qualify
+
+    e = T(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_q_qualify_events")
+    return sql_with_qualify(
+        spark,
+        """
+        SELECT user_id, event_id, value
+        FROM _q_qualify_events
+        WHERE event_type = 'purchase' AND user_id < 30
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id ORDER BY value DESC, event_id
+        ) <= 3
+        """,
+    ).select("user_id", "event_id", "value")

@@ -1,4 +1,4 @@
-"""SQL surface for the as-of join (SURVEY §2.2 J6).
+"""SQL dialect extensions: ASOF JOIN (SURVEY §2.2 J6) and QUALIFY.
 
 Spark SQL has no ``ASOF JOIN`` syntax, so REPL/SQL users could only
 reach ``operators/asof.py`` through the Python API. ``sql_with_asof``
@@ -8,6 +8,11 @@ rewrites that clause into the union+window as-of plan, and hands the
 rest of the statement to ``spark.sql`` unchanged — the operator runs
 on the same single-shuffle plan as the Python path (parity-tested in
 tests/test_asof.py).
+
+``sql_with_qualify`` accepts the DuckDB/Snowflake/BigQuery ``QUALIFY``
+clause (filter on window-function results without a subquery) and
+rewrites it to the equivalent nested form; ``sql`` applies both
+rewrites — the entry point for pasted DuckDB-dialect statements.
 
 Supported grammar (deliberately narrow and documented; anything else
 raises ``ValueError`` rather than mis-parsing):
@@ -134,3 +139,96 @@ def sql_with_asof(
         query[: m.start()] + f"FROM {view}{alias}" + query[m.end("cond"):]
     )
     return spark.sql(rewritten)
+
+
+# --------------------------------------------------------------- QUALIFY
+
+_QUALIFY_KW = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_TRAILING_KW = re.compile(r"(?:ORDER\s+BY|LIMIT|WINDOW)\b", re.IGNORECASE)
+
+
+def _split_qualify_pred(rest: str) -> tuple[str, str]:
+    """Split text after QUALIFY into (predicate, trailing clauses).
+
+    The predicate ends at the first PAREN-DEPTH-0 ORDER BY / LIMIT /
+    WINDOW keyword — an ``ORDER BY`` inside the predicate's own
+    ``OVER (...)`` must not terminate it, so a plain regex lookahead
+    can't do this.
+    """
+    depth = 0
+    i = 0
+    while i < len(rest):
+        c = rest[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "'":  # skip string literals
+            j = rest.find("'", i + 1)
+            i = len(rest) if j < 0 else j
+        elif depth == 0 and c.isalpha():
+            m = _TRAILING_KW.match(rest, i)
+            # keyword must start at a word boundary
+            if m and (i == 0 or not (rest[i - 1].isalnum() or rest[i - 1] == "_")):
+                return rest[:i], rest[i:]
+            while i + 1 < len(rest) and (rest[i + 1].isalnum() or rest[i + 1] == "_"):
+                i += 1
+        i += 1
+    return rest, ""
+
+
+def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
+    """Run a SQL statement that may end in a ``QUALIFY <predicate>``
+    clause (DuckDB/Snowflake/BigQuery syntax Spark lacks): filter on
+    window-function results without writing the subquery yourself.
+
+    Rewrite: the statement minus QUALIFY becomes a subquery — its output
+    is exactly the row set QUALIFY's windows are defined over — then the
+    predicate is evaluated in an outer projection (window functions are
+    legal there, unlike in ``WHERE``) and filtered on:
+
+        SELECT <cols of q> FROM (
+          SELECT *, (<predicate>) AS __qualify FROM (<q minus QUALIFY>)
+        ) WHERE __qualify [trailing ORDER BY/LIMIT]
+
+    The predicate may reference select-list aliases (``rn = 1``) or
+    inline window functions (``row_number() OVER (...) = 1``) — both
+    are columns/expressions over the subquery's output, matching the
+    standard QUALIFY evaluation order (after WHERE/GROUP BY/HAVING).
+
+    Exactly one top-level QUALIFY is supported; a QUALIFY inside a
+    subquery is not (raises rather than mis-parsing). Statements
+    without the clause pass straight to ``spark.sql``.
+    """
+    matches = list(_QUALIFY_KW.finditer(query))
+    if not matches:
+        return spark.sql(query)
+    if len(matches) > 1:
+        raise ValueError("only one QUALIFY clause is supported")
+    m = matches[0]
+    pred, tail = _split_qualify_pred(query[m.end():])
+    pred = pred.strip().rstrip(";")
+    tail = tail.strip().rstrip(";")
+    if not pred:
+        raise ValueError("empty QUALIFY predicate")
+    head = query[: m.start()].strip()
+    inner = (
+        f"SELECT *, ({pred}) AS __qualify FROM ({head}) __qualify_base"
+    )
+    outer = f"SELECT * FROM ({inner}) __qualify_filtered WHERE __qualify"
+    if tail:
+        outer += " " + tail
+    return spark.sql(outer).drop("__qualify")
+
+
+def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:
+    """DuckDB-dialect entry point: applies the ASOF JOIN rewrite, then
+    QUALIFY, then plain ``spark.sql``. Statements using neither pass
+    through unchanged."""
+    if re.search(r"\bQUALIFY\b", query, re.IGNORECASE):
+        if re.search(r"\bASOF\b", query, re.IGNORECASE):
+            raise ValueError(
+                "ASOF JOIN and QUALIFY in one statement are not supported"
+            )
+        return sql_with_qualify(spark, query)
+    return sql_with_asof(spark, query, right_order=right_order)

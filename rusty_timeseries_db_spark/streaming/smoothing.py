@@ -46,8 +46,17 @@ def stateful_ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
         (series_id,) = key
         last_ewma, last_ts_us = state.get if state.exists else (None, 0)
         out_ts, out_val, out_ewma = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # A key's micro-batch may arrive as SEVERAL Arrow chunks
+        # (spark.sql.execution.arrow.maxRecordsPerBatch); the recurrence
+        # is order-sensitive, so concatenate first and sort ONCE —
+        # per-chunk sorting would process chunks in arrival order.
+        chunks = list(pdfs)
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values("ts")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 if last_ewma is None:
                     last_ewma = float(value)

@@ -325,3 +325,74 @@ def test_sql_asof_rejects_bad_grammar(spark):
     # plain SQL passes through untouched
     n = sql_with_asof(spark, "SELECT COUNT(*) AS n FROM asof_l").collect()[0].n
     assert n == 5
+
+
+def test_sql_qualify_inline_window(spark):
+    """QUALIFY with an inline window function (the ORDER BY inside
+    OVER(...) must not terminate the predicate parse)."""
+    from rusty_timeseries_db_spark.sql_ext import sql, sql_with_qualify
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+         ("b", 4, 5.0), ("b", 5, 7.0)],
+        "k string, id int, v double",
+    )
+    df.createOrReplaceTempView("qualify_t")
+    out = sql_with_qualify(
+        spark,
+        "SELECT k, id, v FROM qualify_t "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) = 1",
+    ).collect()
+    assert {(r.k, r.id) for r in out} == {("a", 2), ("b", 5)}
+    assert {c for r in out for c in r.asDict()} == {"k", "id", "v"}
+
+    # the combined dialect entry point routes to the same rewrite
+    out2 = sql(
+        spark,
+        "SELECT k, id, v FROM qualify_t "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) = 1",
+    ).collect()
+    assert {(r.k, r.id) for r in out2} == {("a", 2), ("b", 5)}
+
+
+def test_sql_qualify_alias_and_trailing_clauses(spark):
+    """QUALIFY on a select-list alias, with trailing ORDER BY/LIMIT
+    applying AFTER the qualify filter."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+         ("b", 4, 5.0), ("b", 5, 7.0)],
+        "k string, id int, v double",
+    )
+    df.createOrReplaceTempView("qualify_t2")
+    out = sql_with_qualify(
+        spark,
+        "SELECT k, id, v, rank() OVER (PARTITION BY k ORDER BY v DESC) AS r "
+        "FROM qualify_t2 QUALIFY r <= 2 ORDER BY v DESC LIMIT 3",
+    ).toPandas()
+    assert list(out["id"]) == [2, 3, 5]
+
+    # matches the hand-written nested form
+    expect = spark.sql(
+        "SELECT * FROM (SELECT k, id, v, rank() OVER (PARTITION BY k "
+        "ORDER BY v DESC) AS r FROM qualify_t2) WHERE r <= 2 "
+        "ORDER BY v DESC LIMIT 3"
+    ).toPandas()
+    assert list(out["id"]) == list(expect["id"])
+
+
+def test_sql_qualify_errors_and_passthrough(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("qualify_p")
+    # no QUALIFY → plain spark.sql
+    assert sql_with_qualify(spark, "SELECT COUNT(*) AS n FROM qualify_p") \
+        .collect()[0].n == 1
+    with pytest.raises(ValueError, match="one QUALIFY"):
+        sql_with_qualify(
+            spark,
+            "SELECT * FROM qualify_p QUALIFY x = 1 QUALIFY x = 2",
+        )

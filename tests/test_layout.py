@@ -55,10 +55,13 @@ def test_hive_partitioned_layout(spark, tmp_path):
     )
     read = spark.read.parquet(out)
     assert read.count() == e.count()
-    # partition pruning: filtering one event_type lists only its dir
+    # partition pruning: the partition predicate must appear in the
+    # scan's PartitionFilters (plan-level assertion — a count()>0
+    # fallback would make this vacuous).
     one = read.filter(F.col("event_type") == "click")
     plan = one._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or one.count() > 0
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
 
 
 def test_sort_cols_required(spark, tmp_path):
@@ -95,3 +98,19 @@ def test_engine_optimize_storage_round_trip(spark, tmp_path):
     # overlay was folded by the pre-pass compact
     import os
     assert not os.path.isdir(eng.overlay_path)
+
+
+def test_file_stats_nested_column_before_target(spark, tmp_path):
+    """A nested column (map) EARLIER in the schema contributes several
+    parquet leaves; file_stats must resolve the target by leaf path,
+    not by top-level Arrow field index (which silently reads the wrong
+    column's stats)."""
+    df = spark.createDataFrame(
+        [(F"k{i}", i) for i in range(100)], "name string, v long"
+    ).selectExpr("map('a', name) AS props", "v")
+    out = str(tmp_path / "nested")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    stats = file_stats(spark, out, "v")
+    assert len(stats) == 1
+    _, lo, hi = stats[0]
+    assert (lo, hi) == (0, 99)

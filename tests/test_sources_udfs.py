@@ -206,3 +206,12 @@ def test_map_in_arrow_scaling(spark):
     assert rows.keys() == base.keys()
     for k in base:
         assert rows[k] == pytest.approx(base[k] * 3.0)
+
+    # an INT value column must widen to double, not crash on an Arrow
+    # schema mismatch (pc.multiply(int64, float64) yields float64)
+    i = e.select("event_id", (F.col("event_id") % 7).alias("value"))
+    out_i = scale_values_arrow(i, "value", 2.5)
+    assert dict(out_i.dtypes)["value"] == "double"
+    got = {r.event_id: r.value for r in out_i.collect()}
+    for k in got:
+        assert got[k] == pytest.approx((k % 7) * 2.5)

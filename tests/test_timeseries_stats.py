@@ -117,6 +117,28 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
 
+def test_dedup_clusters_auto_reliable_checkpoint(spark, tmp_path):
+    """Default (None) auto-detects: with a checkpoint dir configured the
+    loop uses reliable checkpoint() — observable as RDD checkpoint data
+    written under the dir; forcing False stays local."""
+    import os
+
+    ckpt = str(tmp_path / "auto_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(
+        _pairs(spark, [(1, 2), (2, 3)])
+    ).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+    written = [fs for _, _, fs in os.walk(ckpt) for fs in fs]
+    assert written, "auto mode did not write reliable checkpoint data"
+
+    # forcing local still works with a dir configured
+    out2 = {r.doc_id: r.cluster_id for r in dedup_clusters(
+        _pairs(spark, [(1, 2), (2, 3)]), use_reliable_checkpoint=False
+    ).collect()}
+    assert out2 == out
+
+
 def test_linear_interp_hand_computed(spark):
     from rusty_timeseries_db_spark.operators.resample import linear_interp_fill
 
