@@ -59,6 +59,10 @@ HEADLINE = [
     "q_tpch_q7_volume_shipping",
     "q_ewma",
     "q_tfidf_top_terms",
+    # added round 7 (subtract for apples-to-apples vs r06): the
+    # end-to-end training-corpus pipeline — the flagship composition,
+    # regression-gated now that it is oracle-checked
+    "q_training_corpus_pipeline",
 ]
 
 

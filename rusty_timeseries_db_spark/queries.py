@@ -66,57 +66,68 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r0{1..5}.json (computed
-# offline, frozen here): entering round 6, 13 queries were last
-# driver-checked in r02, 48 in r03, 50 in r05 (rounds 4/5 re-ran the
-# same window). Round-6 window = round-6 new/modified + all 13
-# r02-last + the first ~(50 - new - 13) r03-last in declaration order.
+# the per-query max round over CORRECTNESS_r0{1..6}.json (computed
+# offline, frozen here): entering round 7, 36 queries were last
+# driver-checked in r03, 50 in r05, 50 in r06. Round-7 window =
+# round-7 new/modified (9) + all 36 r03-last + the first 5 r05-last in
+# declaration order.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # NEW in round 6: training-pipeline packing/mixture sampling,
-    # sequence analytics, corpus stats, exact-sum OLS, TPC-H Q7
-    "q_sequence_packing", "q_weighted_domain_sample",
-    "q_event_transitions", "q_tpch_q7_volume_shipping", "q_ewma",
-    "q_bigram_vocab", "q_linear_regression", "q_tfidf_top_terms",
-    "q_mode_per_group", "q_merge_intervals",
-    "q_tpch_q6_forecast_revenue", "q_tpch_q14_promo_revenue",
-    "q_tpch_q19_disjunctive_join", "q_dedup_keep_canonical",
-    "q_contamination_check", "q_rolling_corr",
-    "q_training_corpus_pipeline", "q_quantile_buckets",
-    "q_running_distinct", "q_unigram_surprisal",
-    "q_seasonal_residuals", "q_dense_grid", "q_percentile_disc",
-    "q_null_safe_join", "q_asof_nearest",
+    # NEW in round 7: oracle-paired ORC/schema-evolution readers,
+    # mapInArrow transform, QUALIFY SQL surface
+    "q_arrow_transform", "q_orc_roundtrip", "q_schema_evolution",
+    "q_qualify_sql",
+    # MODIFIED in round 7: the pipeline gained its end-to-end CTE
+    # oracle; tfidf/surprisal swapped the 1-row crossJoin for the
+    # attach_scalar broadcast equi-join; dedup_clusters' checkpoint
+    # default is now auto-detected (affects both cluster queries)
+    "q_training_corpus_pipeline", "q_tfidf_top_terms",
+    "q_unigram_surprisal", "q_dedup_clusters", "q_dedup_keep_canonical",
 })
 
-#: most recent driver-checked round per query, from CORRECTNESS_r0N.json
-#: (queries absent here were checked in r05, the freshest tier).
+#: most recent driver-checked round per query, rebuilt from
+#: CORRECTNESS_r0{1..6}.json entering round 7: 36 queries last ran in
+#: r03 (listed, =3), 50 in r06 (listed, =6), the remaining 50 in r05
+#: (the dict default). Round-7's window = the modified set above + all
+#: 36 r03-tier + the first r05-tier queries in declaration order; after
+#: r07 no query's latest driver row is older than r05.
 _LAST_DRIVER_ROUND: dict[str, int] = {
     **dict.fromkeys([
-        "q_bool_aggs", "q_cohort_retention", "q_correlated_subquery",
-        "q_correlation", "q_filter_rlike", "q_funnel",
-        "q_join_right_outer", "q_multi_count_distinct", "q_pivot",
-        "q_scalar_subquery", "q_sliding_window_batch",
-        "q_string_agg_ordered", "q_unpivot",
-    ], 2),
-    **dict.fromkeys([
-        "q_agg_pricing_summary", "q_agg_stats", "q_approx_aggregates",
-        "q_approx_top_k", "q_asof_join", "q_asof_tolerance",
-        "q_collect_set", "q_count_distinct", "q_counter_increase",
-        "q_cube", "q_embedding_knn_classify", "q_embedding_neardup_lsh",
-        "q_filter_compound", "q_filter_range", "q_grouping_sets",
-        "q_having", "q_higher_order_fns", "q_histogram",
-        "q_interval_overlap_join", "q_join_anti", "q_join_cross",
-        "q_join_full_outer", "q_join_inner_broadcast",
+        "q_approx_aggregates", "q_approx_top_k", "q_asof_join",
+        "q_asof_tolerance", "q_collect_set", "q_counter_increase",
+        "q_embedding_knn_classify", "q_embedding_neardup_lsh",
+        "q_grouping_sets", "q_having", "q_higher_order_fns",
+        "q_histogram", "q_interval_overlap_join", "q_join_anti",
+        "q_join_cross", "q_join_full_outer", "q_join_inner_broadcast",
         "q_join_left_outer", "q_join_range_bands", "q_join_semi",
         "q_linear_interp", "q_map_ops", "q_minhash_pairs",
-        "q_percentiles", "q_project_compute", "q_python_udtf",
-        "q_r11_fault_count", "q_r3_query_by_id", "q_r4_fdd_overlay",
-        "q_rolling_hash_fingerprint", "q_rollup", "q_scd2_merge",
+        "q_python_udtf", "q_rolling_hash_fingerprint", "q_scd2_merge",
         "q_simhash_pairs", "q_similarity_ivf", "q_similarity_lsh",
         "q_time_weighted_avg", "q_tpch_q10_returned_items",
         "q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier",
         "q_window_cumulative", "q_window_lag_lead",
         "q_window_topk_per_group",
     ], 3),
+    **dict.fromkeys([
+        "q_agg_pricing_summary", "q_agg_stats", "q_asof_nearest",
+        "q_bigram_vocab", "q_bool_aggs", "q_cohort_retention",
+        "q_contamination_check", "q_correlated_subquery",
+        "q_correlation", "q_count_distinct", "q_cube",
+        "q_dedup_keep_canonical", "q_dense_grid", "q_event_transitions",
+        "q_ewma", "q_filter_compound", "q_filter_range",
+        "q_filter_rlike", "q_funnel", "q_join_right_outer",
+        "q_linear_regression", "q_merge_intervals", "q_mode_per_group",
+        "q_multi_count_distinct", "q_null_safe_join",
+        "q_percentile_disc", "q_percentiles", "q_pivot",
+        "q_project_compute", "q_quantile_buckets", "q_r11_fault_count",
+        "q_r3_query_by_id", "q_r4_fdd_overlay", "q_rolling_corr",
+        "q_rollup", "q_running_distinct", "q_scalar_subquery",
+        "q_seasonal_residuals", "q_sequence_packing",
+        "q_sliding_window_batch", "q_string_agg_ordered",
+        "q_tfidf_top_terms", "q_tpch_q14_promo_revenue",
+        "q_tpch_q19_disjunctive_join", "q_tpch_q6_forecast_revenue",
+        "q_tpch_q7_volume_shipping", "q_training_corpus_pipeline",
+        "q_unigram_surprisal", "q_unpivot", "q_weighted_domain_sample",
+    ], 6),
 }
 
 
@@ -193,6 +204,31 @@ def dec(col, scale: int = 2):
 def dsum(col, scale: int = 2):
     """Exact decimal sum of a fixed-scale double, as double."""
     return F.sum(dec(col, scale)).cast("double")
+
+
+def attach_scalar(df: DataFrame, scalar: DataFrame) -> DataFrame:
+    """Attach a 1-row aggregate (a scalar like a global count) to every
+    row via a constant-key BROADCAST equi-join. Plans as a
+    BroadcastHashJoin instead of the BroadcastNestedLoopJoin a
+    ``crossJoin`` produces — same cost for one broadcast row, but the
+    cartesian-shaped operator never appears in plans users will copy.
+
+    Both keys must be expressions Catalyst cannot fold to a literal
+    (a ``lit(1)`` key — or any branch-free rewrite of it — is
+    constant-folded and the then-trivially-true condition planned right
+    back into a nested-loop join), so the key derives a constant 1
+    from an actual column value."""
+    k = "_scalar_key"
+    one = lambda c: F.least(  # noqa: E731
+        F.lit(1), F.greatest(F.lit(1), F.length(F.col(c).cast("string")))
+    )
+    return (
+        df.withColumn(k, one(df.columns[0]))
+        .join(
+            F.broadcast(scalar.withColumn(k, one(scalar.columns[0]))), k
+        )
+        .drop(k)
+    )
 
 
 # ======================================================================
@@ -3986,8 +4022,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     df_w = Window.partitionBy("term")
     nd = d.agg(F.count("*").alias("nd"))
     scored = (
-        tf.withColumn("df", F.count("*").over(df_w))
-        .crossJoin(F.broadcast(nd))
+        attach_scalar(tf.withColumn("df", F.count("*").over(df_w)), nd)
         .withColumn(
             "score",
             F.col("tf").cast("double")
@@ -4655,8 +4690,7 @@ def q_unigram_surprisal(spark, sf_dir):
     freq = tok.groupBy("term").agg(F.count("*").alias("tc"))
     total = tok.agg(F.count("*").alias("n"))
     scored = (
-        tok.join(freq, "term")
-        .crossJoin(F.broadcast(total))
+        attach_scalar(tok.join(freq, "term"), total)
         .withColumn(
             "inv_p",
             F.round(

@@ -136,3 +136,78 @@ def test_streaming_session_window(spark, tmp_path):
     out = _run_to_memory(spark, agg, "sess_stream", mode="complete").collect()
     got = {(r.s.strftime("%H:%M:%S"), r.n) for r in out}
     assert got == {("12:00:10", 2), ("12:06:00", 1)}
+
+
+def test_streaming_tumbling_matches_batch_oracle(spark, tmp_path):
+    """Batch/stream semantic loop for ST1: the same rows, replayed as
+    MULTIPLE micro-batches (maxFilesPerTrigger=1), must produce exactly
+    the tumbling-window aggregate the batch engine computes with
+    F.window over one DataFrame — window boundaries, counts, and
+    extrema all identical."""
+    import itertools
+
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+
+    rows = [
+        {
+            "sensor_name": "x",
+            "timestamp": f"2024-08-28T12:{mm:02d}:{ss:02d}Z",
+            "value": float(i % 7) + 0.25,
+            "fc1_flag": None,
+            "timeseries_id": sid,
+        }
+        for i, (sid, (mm, ss)) in enumerate(
+            itertools.product(
+                ["s1", "s2", "s3"],
+                [(0, 10), (1, 40), (4, 59), (5, 0), (7, 30), (12, 5)],
+            )
+        )
+    ]
+    src = str(tmp_path / "drop")
+    # four files → four micro-batches at maxFilesPerTrigger=1
+    for b in range(4):
+        _drop(src, rows[b::4], f"b{b}.jsonl")
+
+    raw = (
+        spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    agg = windowed_series_stats(
+        normalized_stream(raw), window="5 minutes", watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_vs_batch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 4, "expected one progress per file"
+    got = {
+        (r.timeseries_id, str(r.window_start), str(r.window_end)):
+        (r.n, r.avg_value, r.min_value, r.max_value)
+        for r in spark.sql("SELECT * FROM stream_vs_batch").collect()
+    }
+
+    from rusty_timeseries_db_spark.streaming.ingest import normalize_payload
+
+    batch = normalize_payload(
+        spark.read.schema(TELEMETRY_INGEST_SCHEMA).json(src)
+    )
+    expect = {
+        (r.timeseries_id, str(r.w.start), str(r.w.end)):
+        (r.n, r.avg_value, r.min_value, r.max_value)
+        for r in batch.groupBy(
+            "timeseries_id", F.window("ts", "5 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == expect
