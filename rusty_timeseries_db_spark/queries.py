@@ -73,9 +73,14 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # declaration order.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
     # NEW in round 7: oracle-paired ORC/schema-evolution readers,
-    # mapInArrow transform, QUALIFY SQL surface
+    # mapInArrow transform, QUALIFY SQL surface, TPC-H Q4/Q12/Q13/
+    # Q17/Q22 shapes (EXISTS-semi, CASE-agg join, zero-preserving
+    # outer distribution, decorrelated per-group threshold, anti-join
+    # + global scalar)
     "q_arrow_transform", "q_orc_roundtrip", "q_schema_evolution",
-    "q_qualify_sql",
+    "q_qualify_sql", "q_tpch_q4_order_priority",
+    "q_tpch_q12_priority_class", "q_tpch_q13_custdist",
+    "q_tpch_q17_small_qty_revenue", "q_tpch_q22_global_sales_opportunity",
     # MODIFIED in round 7: the pipeline gained its end-to-end CTE
     # oracle; tfidf/surprisal swapped the 1-row crossJoin for the
     # attach_scalar broadcast equi-join; dedup_clusters' checkpoint
@@ -5096,3 +5101,215 @@ def q_qualify_sql(spark, sf_dir):
         ) <= 3
         """,
     ).select("user_id", "event_id", "value")
+
+
+@declare(
+    "q_tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): orders in one "
+    "quarter having >=1 late-shipped line (EXISTS with a CORRELATED "
+    "non-equi predicate -> left-semi join; the schema has no "
+    "commitdate/receiptdate, so 'late' = shipped >30 days after the "
+    "order date). The semi-join probes lineitem with only (orderkey, "
+    "shipdate) columns — nothing wider rides the shuffle",
+)
+def q_tpch_q4(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-04-01 00:00:00")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"]
+           > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@declare(
+    "q_tpch_q12_priority_class",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipping-class priority split): fact-fact "
+    "equi-join with conditional-sum aggregation (CASE inside SUM — the "
+    "pivoted two-counter form; l_returnflag stands in for the absent "
+    "l_shipmode). Ship-date filter pushes to the lineitem scan, so the "
+    "join input is one year of lines",
+)
+def q_tpch_q12(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@declare(
+    "q_tpch_q13_custdist",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT "
+    "OUTER join with an ON-clause filter (predicate must apply to the "
+    "join, NOT the customer side — customers with zero qualifying "
+    "orders survive as c_count=0), per-customer count, then the "
+    "second aggregation over counts. Two shuffles: custkey, then the "
+    "tiny c_count key",
+)
+def q_tpch_q13(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@declare(
+    "q_tpch_q17_small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size < 10
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated per-part average becomes ONE grouped aggregate joined "
+    "back to the fact on partkey — the decorrelated plan Spark/DuckDB "
+    "both want; threshold avg is an exact decimal sum / count so the "
+    "0.2x cut is engine-identical. Part filter prunes before the join; "
+    "grouped by brand (vs Q17's single scalar) to exercise the final "
+    "agg",
+)
+def q_tpch_q17(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey", "p_brand"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(pa, li["l_partkey"] == pa["pa_partkey"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(dsum(F.col("l_extendedprice")) / 7.0, 6)
+            .alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@declare(
+    "q_tpch_q22_global_sales_opportunity",
+    """
+    WITH ab AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c CROSS JOIN ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (lapsed customers likely to buy): "
+    "global-average scalar (attach_scalar broadcast — exact decimal "
+    "mean) -> filter -> NOT EXISTS as LEFT ANTI against RECENT orders "
+    "(every customer in this testdata has ordered at some point, so "
+    "the classic never-ordered predicate is vacuous; 'no order since "
+    "2000' keeps the result non-empty) -> grouped count/sum per "
+    "nation (c_nationkey stands in for the absent phone country "
+    "code). The anti-join probe carries only o_custkey",
+)
+def q_tpch_q22(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01 00:00:00")
+        .select("o_custkey")
+    )
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal")
+    )
+    rich = attach_scalar(c, ab).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    never = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return never.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
