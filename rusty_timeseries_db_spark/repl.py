@@ -88,6 +88,13 @@ class Repl:
             return self.engine.query_by_id(parts[1], parts[2], parts[3])
         if line == ".exit":
             return "Exiting..."  # main.rs:316-318
+        if line.startswith("sql "):
+            # capability extension beyond the reference's 3 verbs: full
+            # SQL with the dialect rewrites (ASOF JOIN, QUALIFY) —
+            # sql_ext routes plain statements straight to spark.sql
+            from .sql_ext import sql as _dialect_sql
+
+            return _dialect_sql(self.engine.spark, line[4:])
         if line.startswith("set_interval"):
             parts = line.split()
             if len(parts) == 2 and parts[1].isdigit():

@@ -199,3 +199,48 @@ def test_tfidf_single_documents_scan(spark):
     # "(<id>) Scan parquet" — count those, not tree-art repeats
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans <= 2, f"expected <=2 scans (tf + count scalar): {plan}"
+
+
+def test_attach_scalar_plans_hash_join_not_nested_loop(spark):
+    """attach_scalar (the 1-row-aggregate broadcast) must survive
+    Catalyst as a BroadcastHashJoin: a foldable key would be
+    constant-folded and the join re-planned as a nested-loop/cartesian
+    node — the exact shape the helper exists to avoid."""
+    from rusty_timeseries_db_spark.queries import (
+        q_tfidf_top_terms,
+        q_unigram_surprisal,
+        q_tpch_q22,
+    )
+
+    for fn in (q_tfidf_top_terms, q_unigram_surprisal, q_tpch_q22):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_q4_exists_is_semi_join(spark):
+    """Q4's EXISTS must plan as a left-semi join (never a full join +
+    distinct), with only (orderkey, shipdate) read from lineitem."""
+    from rusty_timeseries_db_spark.queries import q_tpch_q4
+
+    plan = formatted_plan(q_tpch_q4(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    import re
+
+    m = re.search(r"ReadSchema:.*l_orderkey.*", plan)
+    assert m and "l_extendedprice" not in m.group(0), plan
+
+
+def test_q13_left_join_preserves_zero_count_customers(spark):
+    """The ON-clause filter must stay in the JOIN (outer rows with zero
+    qualifying orders survive as c_count=0) — pushing it to a WHERE
+    would silently drop them."""
+    from rusty_timeseries_db_spark.queries import q_tpch_q13
+
+    # sf0.01: the smoke sf has no customer without qualifying orders
+    rows = {
+        r.c_count: r.custdist
+        for r in q_tpch_q13(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert 0 in rows and rows[0] > 0

@@ -302,3 +302,19 @@ def test_date_partitioned_layout(spark, tmp_path):
     assert eng.query_by_id(
         SERIES_ID, "2024-08-28T12:02:00Z", "2024-08-28T12:02:00Z"
     ).collect()[0].fc1_flag == 1
+
+
+def test_repl_sql_verb_with_qualify(repl):
+    """The `sql` verb (capability extension) runs dialect SQL: plain
+    statements, and QUALIFY via the sql_ext rewriter."""
+    out = repl.execute("sql SELECT 1 AS one")
+    assert isinstance(out, DataFrame) and out.collect()[0].one == 1
+
+    repl.engine.spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 2.0)], "k string, v double"
+    ).createOrReplaceTempView("repl_sql_t")
+    top = repl.execute(
+        "sql SELECT k, v FROM repl_sql_t "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1"
+    )
+    assert {(r.k, r.v) for r in top.collect()} == {("a", 3.0), ("b", 2.0)}
