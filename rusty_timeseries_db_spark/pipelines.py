@@ -25,6 +25,7 @@ from __future__ import annotations
 from collections.abc import Mapping
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from .operators.dedup import content_hash, dedup_clusters, ngram_jaccard_pairs
@@ -49,6 +50,19 @@ class CorpusPipelineConfig:
     split_weights: Mapping[str, float] | None = None
     pack_budget: int = 512
     pack_shards: int = 32
+    #: persist the quality-gated, exact-deduped corpus
+    #: (MEMORY_AND_DISK) before the branching stages. Five downstream
+    #: consumers re-derive it otherwise (near-dup grams, contamination
+    #: grams ×2, the train and eval output branches). Measured at
+    #: sf0.1: NO local difference (the re-derivation is a small
+    #: columnar scan + map-side filters; gram joins and clustering
+    #: iterations dominate), and persisting materializes ALL columns —
+    #: including full text — defeating the per-branch column pruning
+    #: each consumer otherwise gets. Default False; turn on only when
+    #: the upstream of this pipeline is genuinely expensive to replay
+    #: (e.g. the corpus arrives through a decode/transform stage, not a
+    #: plain parquet scan).
+    persist_intermediate: bool = False
 
 
 def build_training_corpus(
@@ -92,6 +106,11 @@ def build_training_corpus(
     h = d.withColumn("_h", content_hash(F.col(text_col)))
     keep_ids = h.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
     d = d.join(keep_ids, id_col, "left_semi")
+    if cfg.persist_intermediate:
+        # materialized once by the clustering stage's first action, then
+        # reused by every later branch instead of re-running the
+        # upstream per consumer (see config docstring for the trade-off)
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
 
     # 3. near-dup deletion via connected components, keep canonical
     pairs = ngram_jaccard_pairs(

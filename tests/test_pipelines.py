@@ -74,3 +74,22 @@ def test_pipeline_deterministic(spark, manifest):
     a = sorted(map(tuple, manifest.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b
+
+
+def test_persist_intermediate_identical_results(spark, manifest):
+    """persist_intermediate only changes materialization, never the
+    manifest: byte-identical output with the cache on."""
+    docs = T(spark, SF_DIR, "documents")
+    cfg = CorpusPipelineConfig(
+        min_tokens=10,
+        mixture={"src0": 1.0, "src1": 0.5},
+        mixture_default=0.8,
+        pack_budget=256,
+        pack_shards=4,
+        persist_intermediate=True,
+    )
+    cached = build_training_corpus(docs, cfg)
+    a = sorted(map(tuple, manifest.collect()))
+    b = sorted(map(tuple, cached.collect()))
+    assert a == b
+    spark.catalog.clearCache()
