@@ -14,6 +14,13 @@ Routes, matching the reference exactly:
   ``timestamp`` carrying the stored raw string (query_telemetry_by_id,
   main.rs:365-375).
 
+Capability extension beyond the reference's two routes:
+
+- ``POST /sql`` — JSON body ``{"query": "..."}`` → run a dialect SQL
+  statement (sql_ext: plain Spark SQL plus the ASOF JOIN / QUALIFY
+  rewrites) and reply a JSON array of row objects. Same bounded-output
+  discipline as /query_by_id: ``toLocalIterator`` + row cap + 413.
+
 Implementation notes: ``ThreadingHTTPServer`` on a daemon thread; the
 Spark driver is shared (py4j is thread-safe) and every request funnels
 into the same engine the REPL/batch surfaces use — one storage, many
@@ -31,6 +38,17 @@ from urllib.parse import parse_qs, urlparse
 from .api import TimeseriesEngine
 
 _ROW_FIELDS = ("sensor_name", "timestamp", "value", "fc1_flag", "timeseries_id")
+
+
+def _json_default(o):
+    """JSON fallback for /sql results: exact SQL DECIMALs surface as
+    numbers, everything else non-native (timestamps, dates, bytes)
+    as its string form."""
+    import decimal
+
+    if isinstance(o, decimal.Decimal):
+        return float(o)
+    return str(o)
 
 
 class TelemetryHttpServer:
@@ -82,7 +100,11 @@ class TelemetryHttpServer:
                 self.wfile.write(body)
 
             def do_POST(self) -> None:
-                if urlparse(self.path).path != "/telemetry":
+                path = urlparse(self.path).path
+                if path == "/sql":
+                    self._do_sql()
+                    return
+                if path != "/telemetry":
                     self._reply(404, b"Not Found", "text/plain")
                     return
                 length = int(self.headers.get("Content-Length", 0))
@@ -100,6 +122,46 @@ class TelemetryHttpServer:
                     self._reply(500, b"Table Full", "text/plain")
                     return
                 self._reply(200, b"Inserted", "text/plain")
+
+            def _do_sql(self) -> None:
+                from .sql_ext import sql as _dialect_sql
+
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(length))
+                    query = body["query"]
+                    assert isinstance(query, str) and query.strip()
+                except (json.JSONDecodeError, AssertionError, KeyError,
+                        TypeError, AttributeError):
+                    self._reply(400, b"Bad Request", "text/plain")
+                    return
+                try:
+                    df = _dialect_sql(engine.spark, query)
+                except Exception as e:  # parse/analysis errors → 400
+                    self._reply(
+                        400,
+                        f"SQL Error: {type(e).__name__}: {e}"[:2000].encode(),
+                        "text/plain",
+                    )
+                    return
+                payload = []
+                for r in df.toLocalIterator():
+                    if len(payload) >= max_query_rows:
+                        self._reply(
+                            413,
+                            (
+                                f"Result Too Large: > {max_query_rows} "
+                                "rows; add a LIMIT"
+                            ).encode(),
+                            "text/plain",
+                        )
+                        return
+                    payload.append(r.asDict(recursive=True))
+                self._reply(
+                    200,
+                    json.dumps(payload, default=_json_default).encode(),
+                    "application/json",
+                )
 
             def do_GET(self) -> None:
                 url = urlparse(self.path)

@@ -181,3 +181,45 @@ def test_unknown_routes_and_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e2:
         urllib.request.urlopen(f"{base}/query_by_id?timeseries_id=x")
     assert e2.value.code == 400
+
+
+def test_sql_route(server):
+    """POST /sql (capability extension): dialect SQL over HTTP with the
+    same bounded-output discipline; bad SQL → 400, not a 500 stack."""
+    base = server.base_url
+
+    def post_sql(query):
+        req = urllib.request.Request(
+            f"{base}/sql",
+            data=json.dumps({"query": query}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    code, rows = post_sql("SELECT 1 AS one, 'a' AS s")
+    assert code == 200 and rows == [{"one": 1, "s": "a"}]
+
+    # QUALIFY goes through the dialect rewriter
+    code, rows = post_sql(
+        "SELECT * FROM (VALUES ('a', 1.0), ('a', 3.0), ('b', 2.0)) "
+        "AS t(k, v) "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1"
+    )
+    assert code == 200
+    assert {(r["k"], r["v"]) for r in rows} == {("a", 3.0), ("b", 2.0)}
+
+    code, err = post_sql("SELEC nonsense")
+    assert code == 400 and "SQL Error" in err
+
+    # malformed body
+    req = urllib.request.Request(
+        f"{base}/sql", data=b"{not json", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
