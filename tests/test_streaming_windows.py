@@ -211,3 +211,72 @@ def test_streaming_tumbling_matches_batch_oracle(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_streaming_sliding_matches_batch_oracle(spark, tmp_path):
+    """ST2's batch/stream loop: multi-micro-batch replay of a SLIDING
+    window (10 min window, 5 min slide — each row lands in two windows)
+    equals the batch F.window(slide) aggregate."""
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+
+    rows = [
+        {
+            "sensor_name": "x",
+            "timestamp": f"2024-08-28T12:{mm:02d}:{ss:02d}Z",
+            "value": float((mm * 7 + ss) % 11) + 0.5,
+            "fc1_flag": None,
+            "timeseries_id": sid,
+        }
+        for sid in ["s1", "s2"]
+        for (mm, ss) in [(0, 5), (2, 30), (6, 0), (9, 59), (11, 11), (14, 0)]
+    ]
+    src = str(tmp_path / "drop")
+    for b in range(3):
+        _drop(src, rows[b::3], f"b{b}.jsonl")
+
+    raw = (
+        spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    agg = windowed_series_stats(
+        normalized_stream(raw),
+        window="10 minutes", slide="5 minutes", watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_vs_batch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.timeseries_id, str(r.window_start), str(r.window_end)):
+        (r.n, r.avg_value, r.min_value, r.max_value)
+        for r in spark.sql("SELECT * FROM slide_vs_batch").collect()
+    }
+
+    from rusty_timeseries_db_spark.streaming.ingest import normalize_payload
+
+    batch = normalize_payload(
+        spark.read.schema(TELEMETRY_INGEST_SCHEMA).json(src)
+    )
+    expect = {
+        (r.timeseries_id, str(r.w.start), str(r.w.end)):
+        (r.n, r.avg_value, r.min_value, r.max_value)
+        for r in batch.groupBy(
+            "timeseries_id",
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == expect
+    # every row appears in exactly two sliding windows
+    assert sum(v[0] for v in expect.values()) == 2 * len(rows)
