@@ -15,12 +15,14 @@ Layering:
 - ``streaming``  structured-streaming ingest + FDD
 - ``plans``      physical-plan inspection helpers
 - ``server``     stdlib HTTP adapter for the reference's warp routes
+- ``sql_ext``    SQL dialect rewrites (ASOF JOIN, QUALIFY)
 """
 
 from .api import TimeseriesEngine
 from .pipelines import CorpusPipelineConfig, build_training_corpus
 from .server import TelemetryHttpServer
 from .session import get_spark, tune_existing
+from .sql_ext import sql, sql_with_asof, sql_with_qualify
 
 __all__ = [
     "TimeseriesEngine",
@@ -29,4 +31,7 @@ __all__ = [
     "build_training_corpus",
     "get_spark",
     "tune_existing",
+    "sql",
+    "sql_with_asof",
+    "sql_with_qualify",
 ]
