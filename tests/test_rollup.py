@@ -1,0 +1,107 @@
+"""Continuous aggregate (operators/rollup.py): incremental refresh via
+dynamic partition overwrite must equal a full recompute; the read()
+union view must be complete BETWEEN refreshes; refresh is idempotent."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.operators.rollup import ContinuousRollup
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "series string, ts_raw string, value double"
+    ).select("series", F.to_timestamp("ts_raw").alias("ts"), "value")
+    df.write.mode("append").parquet(path)
+
+
+def _rows(day, series, minutes_values):
+    return [
+        (series, f"2024-03-{day:02d} 12:{mm:02d}:00", v)
+        for mm, v in minutes_values
+    ]
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "base"), str(tmp_path / "rollup")
+
+
+def _full_recompute(roll):
+    return roll._aggregate(roll._base())
+
+
+def _as_set(df):
+    return {
+        (r.series, str(r.window_start), r.n, r.sum_value, r.min_value,
+         r.max_value)
+        for r in df.collect()
+    }
+
+
+def test_refresh_then_read_equals_full_recompute(spark, paths):
+    base, rollup = paths
+    _write_batch(spark, base, _rows(1, "a", [(0, 1.0), (2, 3.0), (7, 5.0)]))
+    _write_batch(spark, base, _rows(2, "a", [(0, 2.0)]) +
+                 _rows(2, "b", [(1, 4.0)]))
+    _write_batch(spark, base, _rows(5, "a", [(0, 9.0)]))
+
+    roll = ContinuousRollup(spark, base, rollup, ["series"])
+    n = roll.refresh()
+    assert n > 0
+    # materialized-final days exist on disk, partitioned by window_day
+    assert any(
+        d.startswith("window_day=") for d in os.listdir(rollup)
+    )
+    assert _as_set(roll.read()) == _as_set(_full_recompute(roll))
+
+
+def test_incremental_append_and_idempotent_refresh(spark, paths):
+    base, rollup = paths
+    _write_batch(spark, base, _rows(1, "a", [(0, 1.0), (6, 2.0)]))
+    roll = ContinuousRollup(spark, base, rollup, ["series"])
+    roll.refresh()
+
+    # append rows for a LATER day and a row in the current hot day
+    _write_batch(spark, base, _rows(3, "a", [(0, 7.0)]) +
+                 _rows(4, "b", [(2, 8.0)]))
+    # read() is already complete BEFORE the refresh (tail aggregation)
+    assert _as_set(roll.read()) == _as_set(_full_recompute(roll))
+
+    roll.refresh()
+    after_once = _as_set(roll.read())
+    assert after_once == _as_set(_full_recompute(roll))
+
+    # re-running refresh rewrites the same partitions with the same
+    # content — byte-level idempotency observable as identical results
+    roll.refresh()
+    assert _as_set(roll.read()) == after_once
+
+
+def test_full_refresh_folds_late_data(spark, paths):
+    base, rollup = paths
+    _write_batch(spark, base, _rows(1, "a", [(0, 1.0)]) +
+                 _rows(5, "a", [(0, 2.0)]))
+    roll = ContinuousRollup(spark, base, rollup, ["series"])
+    roll.refresh()
+
+    # late row for the long-materialized day 1: invisible to an
+    # incremental refresh (documented), folded in by full=True
+    _write_batch(spark, base, _rows(1, "a", [(1, 100.0)]))
+    roll.refresh()
+    full = _as_set(_full_recompute(roll))
+    assert _as_set(roll.read()) != full
+    roll.refresh(full=True)
+    assert _as_set(roll.read()) == full
+
+
+def test_window_must_divide_day(spark, paths):
+    base, rollup = paths
+    with pytest.raises(ValueError, match="divide 24 hours"):
+        ContinuousRollup(spark, base, rollup, ["series"], window="7 minutes")
+    with pytest.raises(ValueError, match="seconds|minutes|hours"):
+        ContinuousRollup(spark, base, rollup, ["series"], window="1 day")
