@@ -95,6 +95,16 @@ class Repl:
             from .sql_ext import sql as _dialect_sql
 
             return _dialect_sql(self.engine.spark, line[4:])
+        if line.startswith("explain "):
+            # physical plan of a dialect statement — what a user checks
+            # before running something expensive
+            from .sql_ext import sql as _dialect_sql
+
+            df = _dialect_sql(self.engine.spark, line[8:])
+            return df._jdf.queryExecution().explainString(
+                self.engine.spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
         if line.startswith("set_interval"):
             parts = line.split()
             if len(parts) == 2 and parts[1].isdigit():

@@ -318,3 +318,8 @@ def test_repl_sql_verb_with_qualify(repl):
         "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1"
     )
     assert {(r.k, r.v) for r in top.collect()} == {("a", 3.0), ("b", 2.0)}
+
+
+def test_repl_explain_verb(repl):
+    out = repl.execute("explain SELECT 1 AS one")
+    assert isinstance(out, str) and "Physical Plan" in out
