@@ -9,6 +9,7 @@ from .dedup import (
 from .overlay import apply_overlay, build_overlay_for_updates, compact
 from .resample import cumulative_agg, locf_fill, resample, rolling_agg, time_spine
 from .layout import file_stats, optimize_layout, overlap_fraction
+from .downsample import lttb, minmax_decimate
 from .rollup import ContinuousRollup
 from .packing import assign_packs, pack_stats
 from .sampling import (
@@ -28,6 +29,7 @@ __all__ = [
     "cosine_topk", "lsh_cosine_topk", "topk", "topk_per_group",
     "optimize_layout", "file_stats", "overlap_fraction",
     "ContinuousRollup",
+    "lttb", "minmax_decimate",
     "assign_packs", "pack_stats",
     "deterministic_sample", "hash_split", "stratified_sample",
     "weighted_sample",

@@ -69,10 +69,10 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # the per-query max round over CORRECTNESS_r0{1..6}.json (computed
 # offline, frozen here): entering round 7, 36 queries were last
 # driver-checked in r03, 50 in r05, 50 in r06. Round-7 window =
-# round-7 new/modified (22 — rule (a) is absolute) + the first 28
-# r03-last in declaration order; the remaining 8 r03-tier queries are
+# round-7 new/modified (24 — rule (a) is absolute) + the first 26
+# r03-last in declaration order; the remaining 10 r03-tier queries are
 # the stalest survivors and form the head of round 8's non-modified
-# slots. (Deliberate trade-off: completing the 22-query TPC-H suite
+# slots (rebuild with gen_rotation.py). (Deliberate trade-off: completing the 22-query TPC-H suite
 # this round grew the modified set past 14; every query outside the
 # driver window is still verified by the judge's full-registry parity
 # sweep each round.)
@@ -90,6 +90,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_tpch_q9_product_profit", "q_tpch_q11_important_stock",
     "q_tpch_q15_top_supplier", "q_tpch_q16_supplier_count",
     "q_tpch_q20_excess_stock", "q_continuous_rollup",
+    "q_minmax_decimate", "q_lttb_downsample",
     # MODIFIED in round 7: the pipeline gained its end-to-end CTE
     # oracle; tfidf/surprisal swapped the 1-row crossJoin for the
     # attach_scalar broadcast equi-join; dedup_clusters' checkpoint
@@ -5770,3 +5771,59 @@ def q_continuous_rollup(spark, sf_dir):
         "event_type", "window_start", "n", "sum_value",
         "min_value", "max_value",
     )
+
+
+@declare(
+    "q_minmax_decimate",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, value,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP) AS bucket_start,
+             row_number() OVER (
+               PARTITION BY event_type, floor(epoch(ts) / 3600)
+               ORDER BY value ASC, event_id
+             ) AS lo,
+             row_number() OVER (
+               PARTITION BY event_type, floor(epoch(ts) / 3600)
+               ORDER BY value DESC, event_id
+             ) AS hi
+      FROM events
+    )
+    SELECT event_id, event_type, bucket_start, value
+    FROM b WHERE lo = 1 OR hi = 1
+    """,
+    doc="min-max decimation (operators/downsample.py): per (series, "
+    "hour-bucket) keep the rows achieving the bucket min and max value "
+    "— the relational, oracle-checkable downsampler a plotting UI "
+    "calls (every extreme survives; <=2 rows/bucket). One window rank "
+    "over the bucket key, ties total-ordered by id",
+)
+def q_minmax_decimate(spark, sf_dir):
+    from .operators.downsample import minmax_decimate
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return minmax_decimate(
+        e, ["event_type"], id_col="event_id", bucket_seconds=3600
+    ).select("event_id", "event_type", "bucket_start", "value")
+
+
+@declare(
+    "q_lttb_downsample",
+    None,
+    doc="LTTB downsampling (operators/downsample.py, Steinarsson 2013): "
+    "per-series largest-triangle-three-buckets to 25 points via "
+    "applyInPandas (the trailing previous-pick dependency is "
+    "inherently sequential per series — the grouped-map shape). "
+    "Rows-only: the pick depends on float triangle areas with no SQL "
+    "equivalent; endpoint/spike/determinism invariants are covered in "
+    "tests/test_downsample.py",
+)
+def q_lttb_downsample(spark, sf_dir):
+    from .operators.downsample import lttb
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 10).select(
+        F.col("user_id").cast("string").alias("series"), "ts", "value"
+    )
+    return lttb(e, ["series"], n_out=25)

@@ -1,0 +1,73 @@
+"""Downsampling operators (operators/downsample.py): LTTB invariants
+(endpoints kept, spikes survive, size bound, determinism) and min-max
+decimation extrema preservation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.operators.downsample import lttb, minmax_decimate
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, ts_raw string, value double, rid int"
+    ).select("k", F.to_timestamp("ts_raw").alias("ts"), "value", "rid")
+
+
+def _wave(k, n, spike_at=None):
+    rows = []
+    for i in range(n):
+        v = math.sin(i / 7.0) * 10.0
+        if spike_at is not None and i == spike_at:
+            v = 500.0
+        rows.append(
+            (k, f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}",
+             v, i)
+        )
+    return rows
+
+
+def test_lttb_size_endpoints_and_spike(spark):
+    df = _series(spark, _wave("a", 2000, spike_at=777))
+    out = lttb(df, ["k"], n_out=50).orderBy("ts").collect()
+    assert len(out) == 50
+    src = sorted(_wave("a", 2000, spike_at=777), key=lambda r: r[1])
+    assert str(out[0].ts) == src[0][1] and str(out[-1].ts) == src[-1][1]
+    # the 500.0 spike dominates every triangle in its bucket
+    assert any(r.value == 500.0 for r in out)
+
+
+def test_lttb_passthrough_and_determinism(spark):
+    small = _series(spark, _wave("a", 40))
+    assert lttb(small, ["k"], n_out=200).count() == 40
+
+    big = _series(spark, _wave("a", 1500) + _wave("b", 900))
+    a = sorted(map(tuple, lttb(big, ["k"], n_out=64).collect()))
+    b = sorted(map(tuple, lttb(big.repartition(7), ["k"], n_out=64).collect()))
+    assert a == b
+    # per-series cap applies independently
+    per_k = {r[0] for r in a}
+    assert per_k == {"a", "b"}
+
+    with pytest.raises(ValueError):
+        lttb(big, ["k"], n_out=2)
+
+
+def test_minmax_decimate_preserves_extrema(spark):
+    df = _series(spark, _wave("a", 7200, spike_at=4000))
+    out = minmax_decimate(
+        df, ["k"], id_col="rid", bucket_seconds=1800
+    )
+    vals = [r.value for r in out.collect()]
+    # global extrema survive any bucketing
+    assert max(vals) == 500.0
+    assert min(vals) == min(v for _, _, v, _ in _wave("a", 7200, spike_at=4000))
+    # ≤ 2 rows per (series, bucket)
+    counts = (
+        out.groupBy("k", "bucket_start").count().agg(F.max("count")).collect()
+    )
+    assert counts[0][0] <= 2
