@@ -69,8 +69,8 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # the per-query max round over CORRECTNESS_r0{1..6}.json (computed
 # offline, frozen here): entering round 7, 36 queries were last
 # driver-checked in r03, 50 in r05, 50 in r06. Round-7 window =
-# round-7 new/modified (24 — rule (a) is absolute) + the first 26
-# r03-last in declaration order; the remaining 10 r03-tier queries are
+# round-7 new/modified (25 — rule (a) is absolute) + the first 25
+# r03-last in declaration order; the remaining 11 r03-tier queries are
 # the stalest survivors and form the head of round 8's non-modified
 # slots (rebuild with gen_rotation.py). (Deliberate trade-off: completing the 22-query TPC-H suite
 # this round grew the modified set past 14; every query outside the
@@ -90,7 +90,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_tpch_q9_product_profit", "q_tpch_q11_important_stock",
     "q_tpch_q15_top_supplier", "q_tpch_q16_supplier_count",
     "q_tpch_q20_excess_stock", "q_continuous_rollup",
-    "q_minmax_decimate", "q_lttb_downsample",
+    "q_minmax_decimate", "q_lttb_downsample", "q_hll_distinct_rollup",
     # MODIFIED in round 7: the pipeline gained its end-to-end CTE
     # oracle; tfidf/surprisal swapped the 1-row crossJoin for the
     # attach_scalar broadcast equi-join; dedup_clusters' checkpoint
@@ -5827,3 +5827,24 @@ def q_lttb_downsample(spark, sf_dir):
         F.col("user_id").cast("string").alias("series"), "ts", "value"
     )
     return lttb(e, ["series"], n_out=25)
+
+
+@declare(
+    "q_hll_distinct_rollup",
+    None,
+    doc="mergeable HLL distinct-count rollup (functions/sketches.py, "
+    "Spark-native DataSketches): per-(event_type, day) sketches "
+    "UNIONED up to per-event_type cells — the re-aggregation exact "
+    "COUNT DISTINCT cannot do, which is how 100 TB rollups serve "
+    "distinct counts. Rows-only (the sketch binary is Spark-specific); "
+    "tests/test_sketches.py pins <5% error vs exact, merge==whole-"
+    "range equality, and parquet round-trip of the sketch column",
+)
+def q_hll_distinct_rollup(spark, sf_dir):
+    from .functions.sketches import distinct_rollup, merge_rollup
+
+    e = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = distinct_rollup(e, ["event_type", "day"], "user_id")
+    return merge_rollup(daily, ["event_type"]).select(
+        "event_type", "n_rows", "distinct_est"
+    )
