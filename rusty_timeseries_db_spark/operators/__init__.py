@@ -8,7 +8,12 @@ from .dedup import (
 )
 from .overlay import apply_overlay, build_overlay_for_updates, compact
 from .resample import cumulative_agg, locf_fill, resample, rolling_agg, time_spine
-from .layout import file_stats, optimize_layout, overlap_fraction
+from .layout import (
+    file_stats,
+    optimize_layout,
+    overlap_fraction,
+    zorder_layout,
+)
 from .downsample import lttb, minmax_decimate
 from .rollup import ContinuousRollup
 from .packing import assign_packs, pack_stats
@@ -27,7 +32,7 @@ __all__ = [
     "apply_overlay", "build_overlay_for_updates", "compact",
     "cumulative_agg", "locf_fill", "resample", "rolling_agg", "time_spine",
     "cosine_topk", "lsh_cosine_topk", "topk", "topk_per_group",
-    "optimize_layout", "file_stats", "overlap_fraction",
+    "optimize_layout", "file_stats", "overlap_fraction", "zorder_layout",
     "ContinuousRollup",
     "lttb", "minmax_decimate",
     "assign_packs", "pack_stats",

@@ -127,3 +127,94 @@ def overlap_fraction(stats: list[tuple[str, object, object]]) -> float:
             if lo1 <= hi2 and lo2 <= hi1:
                 overlaps += 1
     return overlaps / pairs
+
+
+def quantile_bucket(col, boundaries: list[float]):
+    """Equi-DEPTH bucket id (0..len(boundaries)) of ``col``: the count
+    of quantile boundaries ≤ the value, as one ``aggregate`` HOF over a
+    literal array — codegen'd, no join, no shuffle. Equi-depth (not
+    equi-width) bucketing is what makes Z-order robust to skew: a
+    linear ``width_bucket`` wastes its bit budget on empty value space
+    and the skewed dimension never gets split (observed: 0.96 overlap
+    on a long-tailed value column)."""
+    from pyspark.sql import functions as F
+
+    arr = F.array(*[F.lit(float(x)) for x in boundaries])
+    c = col.cast("double")
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.when(x <= c, 1).otherwise(0).cast("bigint"),
+    )
+
+
+def morton_key(ab, bb, bits: int):
+    """Interleave-bits (Morton / Z-order) key of two ``bits``-bit
+    bucket ids, as one codegen'd JVM expression: rows close in EITHER
+    dimension get close keys, which is what makes min/max file
+    skipping bite on both columns at once."""
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftright(ab, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(bb, i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return key
+
+
+def zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    target_files: int | None = None,
+    bits: int = 8,
+) -> None:
+    """Rewrite ``df`` Z-ordered on exactly two columns: range-cluster +
+    sort on the Morton key of each column's EQUI-DEPTH bucket id, so
+    BOTH columns' file/row-group min-max stats become selective — the
+    multi-dimensional sibling of ``optimize_layout`` (which is optimal
+    for one leading column but leaves the second column's stats
+    useless).
+
+    Cost: one sample-based ``approxQuantile`` pre-pass for the bucket
+    boundaries (2^bits − 1 per column; 8 bits ≈ 255 boundaries is
+    plenty for file-level clustering) + the same single range-exchange
+    as optimize_layout.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError(f"zorder_layout takes exactly 2 columns, got {cols}")
+    c1, c2 = cols
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    d = df.select(
+        F.col(c1).cast("double").alias("_a"),
+        F.col(c2).cast("double").alias("_b"),
+    )
+    qa, qb = d.approxQuantile(["_a", "_b"], probs, 0.001)
+    if not qa or not qb:
+        raise ValueError("cannot z-order an empty or all-null input")
+    key = morton_key(
+        quantile_bucket(F.col(c1), qa),
+        quantile_bucket(F.col(c2), qb),
+        bits,
+    ).alias("_zkey")
+    try:
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    except Exception:
+        pass
+    out = df.withColumn("_zkey", key)
+    out = (
+        out.repartitionByRange(target_files, "_zkey")
+        if target_files
+        else out.repartitionByRange("_zkey")
+    )
+    out.sortWithinPartitions("_zkey").drop("_zkey").write.mode(
+        "overwrite"
+    ).parquet(path)

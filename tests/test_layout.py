@@ -114,3 +114,42 @@ def test_file_stats_nested_column_before_target(spark, tmp_path):
     assert len(stats) == 1
     _, lo, hi = stats[0]
     assert (lo, hi) == (0, 99)
+
+
+def test_zorder_improves_second_dimension(spark, tmp_path):
+    """Single-column sort makes the SECOND column's file stats useless
+    (near-full overlap); z-order makes both selective. The contrast is
+    the falsifiable claim."""
+    from rusty_timeseries_db_spark.operators.layout import zorder_layout
+
+    e = T(spark, SF_DIR, "events").select("user_id", "value", "event_id")
+
+    single = str(tmp_path / "single")
+    optimize_layout(e, single, sort_cols=["user_id"], target_files=8)
+    z = str(tmp_path / "zorder")
+    zorder_layout(e, z, ["user_id", "value"], target_files=8)
+
+    # content preserved
+    assert spark.read.parquet(z).count() == e.count()
+
+    ov_single_v = overlap_fraction(file_stats(spark, single, "value"))
+    ov_z_u = overlap_fraction(file_stats(spark, z, "user_id"))
+    ov_z_v = overlap_fraction(file_stats(spark, z, "value"))
+    # value stats are useless under user_id-only sort...
+    assert ov_single_v > 0.8
+    # ...and BOTH dimensions become selective under z-order
+    assert ov_z_u < ov_single_v - 0.2
+    assert ov_z_v < ov_single_v - 0.2
+
+
+def test_zorder_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from rusty_timeseries_db_spark.operators.layout import zorder_layout
+
+    e = T(spark, SF_DIR, "events")
+    with _pytest.raises(ValueError, match="exactly 2"):
+        zorder_layout(e, str(tmp_path / "x"), ["ts"])
+    empty = e.filter("user_id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        zorder_layout(empty, str(tmp_path / "y"), ["user_id", "value"])
