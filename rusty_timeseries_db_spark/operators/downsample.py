@@ -82,7 +82,11 @@ def lttb(
     )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        # value as a tiebreak: duplicate timestamps otherwise keep
+        # partition-arrival order and the pick set varies across runs
+        pdf = pdf.sort_values(
+            [ts_col, value_col], kind="mergesort"
+        ).reset_index(drop=True)
         n = len(pdf)
         if n <= n_out:
             return pdf[[*key_cols, ts_col, value_col]]

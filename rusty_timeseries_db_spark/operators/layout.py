@@ -31,6 +31,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _force_stats_timestamps(df: DataFrame) -> None:
+    """INT96 timestamps carry no min/max stats — the whole point of a
+    layout rewrite is stats-based skipping, so force a stats-bearing
+    physical type even on sessions our factory didn't build."""
+    try:
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    except Exception:
+        pass
+
+
 def optimize_layout(
     df: DataFrame,
     path: str,
@@ -47,15 +59,7 @@ def optimize_layout(
     """
     if not sort_cols:
         raise ValueError("sort_cols must be non-empty")
-    try:
-        # INT96 timestamps carry no min/max stats — the whole point of
-        # this rewrite is stats-based skipping, so force a stats-bearing
-        # physical type even on sessions our factory didn't build.
-        df.sparkSession.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-    except Exception:
-        pass
+    _force_stats_timestamps(df)
     cols = [df[c] for c in sort_cols]
     out = (
         df.repartitionByRange(target_files, *cols)
@@ -203,12 +207,7 @@ def zorder_layout(
         quantile_bucket(F.col(c2), qb),
         bits,
     ).alias("_zkey")
-    try:
-        df.sparkSession.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-    except Exception:
-        pass
+    _force_stats_timestamps(df)
     out = df.withColumn("_zkey", key)
     out = (
         out.repartitionByRange(target_files, "_zkey")

@@ -159,16 +159,20 @@ class ContinuousRollup:
         # real-time tail
         new_hwm = str(bounds.mx.date())
         out = agg.filter(F.col("window_day") < F.lit(new_hwm).cast("date"))
-        n = out.count()
-        if n:
-            (
-                out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("window_day")
-                .parquet(self.rollup_path)
-            )
+        # row count via an Observation on the WRITE job — a separate
+        # count() action would execute the whole aggregation twice
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            out.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_day")
+            .parquet(self.rollup_path)
+        )
         self._write_hwm(new_hwm)
-        return n
+        return int(obs.get["n"])
 
     def read(self) -> DataFrame:
         """The always-complete view: materialized days ∪ an on-the-fly
@@ -182,7 +186,14 @@ class ContinuousRollup:
         tail = self._aggregate(
             tail_base.filter(F.col(self.ts_col) >= F.lit(hwm).cast("date"))
         )
-        if not os.path.isdir(self.rollup_path):
+        # a refresh that materialized zero rows leaves only _SUCCESS —
+        # no schema to read; require actual data files
+        has_files = os.path.isdir(self.rollup_path) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(self.rollup_path)
+            for f in fs
+        )
+        if not has_files:
             return tail
         mat = self.spark.read.parquet(self.rollup_path).filter(
             F.col("window_day") < F.lit(hwm).cast("date")

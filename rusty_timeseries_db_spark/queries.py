@@ -221,6 +221,24 @@ def dsum(col, scale: int = 2):
     return F.sum(dec(col, scale)).cast("double")
 
 
+def _fixture_dir(name: str) -> str:
+    """Stable per-process scratch dir for in-fixture write-then-read
+    queries (ORC round-trip, schema evolution, continuous rollup):
+    repeated invocations in one process REUSE one cleared directory
+    instead of leaking a fresh mkdtemp per call (a full parity sweep
+    calls each query once; bench repeats them). Pid-scoping keeps
+    concurrent sessions apart."""
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"rtsdb_fixture_{os.getpid()}_{name}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def attach_scalar(df: DataFrame, scalar: DataFrame) -> DataFrame:
     """Attach a 1-row aggregate (a scalar like a global count) to every
     row via a constant-key BROADCAST equi-join. Plans as a
@@ -4480,10 +4498,14 @@ def q_rolling_corr(spark, sf_dir):
     ),
     d2 AS (SELECT q.* FROM q JOIN keep_exact USING (doc_id)),
     grams AS (  -- stage 3: near-dup 3-gram shingles over survivors
+      -- LATERAL per-row series: cap-free, so arbitrarily long docs
+      -- (quality gate admits up to 100k tokens) cannot diverge from
+      -- the engine's uncapped word_shingles
       SELECT DISTINCT doc_id, gram FROM (
         SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
-        FROM d2, (SELECT unnest(generate_series(1, 4000)) AS i) idx
-        WHERE i <= greatest(len(ws) - 2, 1)
+        FROM d2, LATERAL (
+          SELECT unnest(generate_series(1, greatest(len(d2.ws) - 2, 1))) AS i
+        ) idx
       )
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
@@ -4517,11 +4539,14 @@ def q_rolling_corr(spark, sf_dir):
              ELSE 'test' END AS split
       FROM d3
     ),
-    cg AS (  -- stage 4: contamination 3-grams (pre-mixture corpus)
+    cg AS (  -- stage 4: contamination 3-grams (pre-mixture corpus;
+             -- LATERAL = cap-free, consistent with the grams stage)
       SELECT DISTINCT doc_id, split,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-      FROM d4, (SELECT unnest(range(1, 4000)) AS i) idx
-      WHERE n_tok >= 3 AND i <= n_tok - 2
+      FROM d4, LATERAL (
+        SELECT unnest(generate_series(1, d4.n_tok - 2)) AS i
+      ) idx
+      WHERE n_tok >= 3
     ),
     held AS (SELECT DISTINCT gram FROM cg WHERE split = 'test'),
     contam AS (
@@ -5009,8 +5034,6 @@ def q_arrow_transform(spark, sf_dir):
     "Lifts S3 from test-only to driver-green",
 )
 def q_orc_roundtrip(spark, sf_dir):
-    import tempfile
-
     from .sources.io import read_orc, write_orc
 
     e = (
@@ -5018,7 +5041,7 @@ def q_orc_roundtrip(spark, sf_dir):
         .filter(F.col("user_id") < 20)
         .select("event_id", "event_type", "value")
     )
-    path = tempfile.mkdtemp(prefix="q_orc_roundtrip_")
+    path = os.path.join(_fixture_dir("q_orc_roundtrip"), "data")
     write_orc(e, path)
     back = read_orc(spark, path)
     return back.groupBy("event_type").agg(
@@ -5046,12 +5069,10 @@ def q_orc_roundtrip(spark, sf_dir):
     "table. Lifts S4 from test-only to driver-green",
 )
 def q_schema_evolution(spark, sf_dir):
-    import tempfile
-
     from .sources.io import read_parquet_evolving
 
     e = T(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="q_schema_evolution_")
+    path = os.path.join(_fixture_dir("q_schema_evolution"), "data")
     # generation 1: before event_type existed
     (
         e.filter(F.col("user_id") < 10)
@@ -5752,14 +5773,12 @@ def q_tpch_q20(spark, sf_dir):
     "covered in tests/test_rollup.py",
 )
 def q_continuous_rollup(spark, sf_dir):
-    import tempfile
-
     from .operators.rollup import ContinuousRollup
 
     e = T(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
         "event_type", "ts", "value"
     )
-    tmp = tempfile.mkdtemp(prefix="q_continuous_rollup_")
+    tmp = _fixture_dir("q_continuous_rollup")
     base = os.path.join(tmp, "base")
     e.write.mode("overwrite").parquet(base)
     roll = ContinuousRollup(

@@ -145,18 +145,30 @@ class TelemetryHttpServer:
                     )
                     return
                 payload = []
-                for r in df.toLocalIterator():
-                    if len(payload) >= max_query_rows:
-                        self._reply(
-                            413,
-                            (
-                                f"Result Too Large: > {max_query_rows} "
-                                "rows; add a LIMIT"
-                            ).encode(),
-                            "text/plain",
-                        )
-                        return
-                    payload.append(r.asDict(recursive=True))
+                try:
+                    # execution-time failures (ANSI runtime errors,
+                    # corrupt files) surface HERE, not at spark.sql —
+                    # they must map to the same error contract, not a
+                    # dropped socket from an uncaught handler exception
+                    for r in df.toLocalIterator():
+                        if len(payload) >= max_query_rows:
+                            self._reply(
+                                413,
+                                (
+                                    f"Result Too Large: > {max_query_rows} "
+                                    "rows; add a LIMIT"
+                                ).encode(),
+                                "text/plain",
+                            )
+                            return
+                        payload.append(r.asDict(recursive=True))
+                except Exception as e:
+                    self._reply(
+                        400,
+                        f"SQL Error: {type(e).__name__}: {e}"[:2000].encode(),
+                        "text/plain",
+                    )
+                    return
                 self._reply(
                     200,
                     json.dumps(payload, default=_json_default).encode(),

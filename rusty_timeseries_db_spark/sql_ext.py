@@ -78,9 +78,12 @@ def sql_with_asof(
     ties among right rows sharing (key, ts) — the SQL clause itself has
     no tie-break syntax.
     """
-    m = _ASOF_RE.search(query)
+    # match on a literal-masked copy (same length, same positions) so
+    # the word ASOF inside a string literal is data, not syntax
+    masked = _mask_string_literals(query)
+    m = _ASOF_RE.search(masked)
     if m is None:
-        if re.search(r"\bASOF\b", query, re.IGNORECASE):
+        if re.search(r"\bASOF\b", masked, re.IGNORECASE):
             raise ValueError(
                 "ASOF present but not in the supported form "
                 "'FROM l [AS a] ASOF JOIN r [AS b] ON ...'"
@@ -147,6 +150,23 @@ _QUALIFY_KW = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
 _TRAILING_KW = re.compile(r"(?:ORDER\s+BY|LIMIT|WINDOW)\b", re.IGNORECASE)
 
 
+def _mask_string_literals(query: str) -> str:
+    """Same-length copy of ``query`` with single-quoted literal BODIES
+    blanked ('' escapes handled by the pairwise scan), so keyword
+    regexes cannot match words inside strings. Positions are preserved
+    — indices found on the mask slice the original correctly."""
+    out = list(query)
+    i = 0
+    in_str = False
+    while i < len(out):
+        if out[i] == "'":
+            in_str = not in_str
+        elif in_str:
+            out[i] = " "
+        i += 1
+    return "".join(out)
+
+
 def _split_qualify_pred(rest: str) -> tuple[str, str]:
     """Split text after QUALIFY into (predicate, trailing clauses).
 
@@ -200,7 +220,9 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
     subquery is not (raises rather than mis-parsing). Statements
     without the clause pass straight to ``spark.sql``.
     """
-    matches = list(_QUALIFY_KW.finditer(query))
+    # detect on a literal-masked copy: QUALIFY inside a string literal
+    # is data, not syntax ("WHERE note = 'QUALIFY pending'")
+    matches = list(_QUALIFY_KW.finditer(_mask_string_literals(query)))
     if not matches:
         return spark.sql(query)
     if len(matches) > 1:
@@ -225,8 +247,9 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     """DuckDB-dialect entry point: applies the ASOF JOIN rewrite, then
     QUALIFY, then plain ``spark.sql``. Statements using neither pass
     through unchanged."""
-    if re.search(r"\bQUALIFY\b", query, re.IGNORECASE):
-        if re.search(r"\bASOF\b", query, re.IGNORECASE):
+    masked = _mask_string_literals(query)
+    if re.search(r"\bQUALIFY\b", masked, re.IGNORECASE):
+        if re.search(r"\bASOF\b", masked, re.IGNORECASE):
             raise ValueError(
                 "ASOF JOIN and QUALIFY in one statement are not supported"
             )

@@ -396,3 +396,18 @@ def test_sql_qualify_errors_and_passthrough(spark):
             spark,
             "SELECT * FROM qualify_p QUALIFY x = 1 QUALIFY x = 2",
         )
+
+
+def test_sql_keywords_inside_string_literals_are_data(spark):
+    """QUALIFY/ASOF appearing in a string literal must not trigger the
+    dialect rewrites."""
+    from rusty_timeseries_db_spark.sql_ext import sql
+
+    spark.createDataFrame(
+        [("QUALIFY pending", 1), ("ASOF JOIN later", 2), ("ok", 3)],
+        "note string, x int",
+    ).createOrReplaceTempView("lit_t")
+    out = sql(spark, "SELECT x FROM lit_t WHERE note = 'QUALIFY pending'")
+    assert [r.x for r in out.collect()] == [1]
+    out2 = sql(spark, "SELECT x FROM lit_t WHERE note = 'ASOF JOIN later'")
+    assert [r.x for r in out2.collect()] == [2]

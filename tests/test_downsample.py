@@ -71,3 +71,14 @@ def test_minmax_decimate_preserves_extrema(spark):
         out.groupBy("k", "bucket_start").count().agg(F.max("count")).collect()
     )
     assert counts[0][0] <= 2
+
+
+def test_lttb_deterministic_with_duplicate_timestamps(spark):
+    rows = _wave("a", 600)
+    # duplicate every 10th timestamp with a different value
+    dups = [(k, ts, v + 37.0, rid + 10_000)
+            for (k, ts, v, rid) in rows[::10]]
+    df = _series(spark, rows + dups)
+    a = sorted(map(tuple, lttb(df, ["k"], n_out=40).collect()))
+    b = sorted(map(tuple, lttb(df.repartition(11), ["k"], n_out=40).collect()))
+    assert a == b

@@ -223,3 +223,20 @@ def test_sql_route(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_sql_route_execution_time_error_maps_to_400(server):
+    """Failures surfacing at EXECUTION (not analysis) must still reply
+    400, never drop the socket."""
+    req = urllib.request.Request(
+        f"{server.base_url}/sql",
+        data=json.dumps(
+            {"query": "SELECT assert_true(1 = 0) AS boom"}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    assert b"SQL Error" in e.value.read()

@@ -44,16 +44,14 @@ def test_merge_equals_whole_range_sketch(spark):
     assert m == w
 
 
-def test_sketch_column_is_reusable(spark):
+def test_sketch_column_is_reusable(spark, tmp_path):
     """The stored sketch column itself estimates correctly after a
     round-trip through parquet (it is the thing a rollup persists)."""
     e = T(spark, SF_DIR, "events")
     daily = distinct_rollup(
         e.withColumn("day", F.to_date("ts")), ["day"], "user_id"
     )
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="sketch_roundtrip_")
+    path = str(tmp_path / "sketch_roundtrip")
     daily.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     re_est = back.select(
