@@ -61,8 +61,13 @@ HEADLINE = [
     "q_tfidf_top_terms",
     # added round 7 (subtract for apples-to-apples vs r06): the
     # end-to-end training-corpus pipeline — the flagship composition,
-    # regression-gated now that it is oracle-checked
+    # regression-gated now that it is oracle-checked — plus the widest
+    # new TPC-H join (Q8), the zero-preserving outer distribution
+    # (Q13), and the min-max downsampler
     "q_training_corpus_pipeline",
+    "q_tpch_q8_market_share",
+    "q_tpch_q13_custdist",
+    "q_minmax_decimate",
 ]
 
 
