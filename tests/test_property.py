@@ -160,3 +160,64 @@ def test_packing_closed_form_matches_sequential_model(toks, budget):
         by_pack.setdefault(p, []).append(t)
     for p, members in by_pack.items():
         assert sum(members[:-1]) < budget
+
+
+# ---------------------------------------------------------------- sql_ext
+# pure-Python parsing helpers: no Spark session needed, so hypothesis
+# can hammer them cheaply
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_mask_string_literals_properties(s):
+    from rusty_timeseries_db_spark.sql_ext import _mask_string_literals
+
+    masked = _mask_string_literals(s)
+    # same length — match positions on the mask slice the original
+    assert len(masked) == len(s)
+    # quotes survive in place; everything outside literals is unchanged
+    for i, (a, b) in enumerate(zip(s, masked)):
+        if a == "'":
+            assert b == "'"
+    # idempotent: masking a mask changes nothing
+    assert _mask_string_literals(masked) == masked
+    # no keyword can survive INSIDE a literal region
+    import re
+    in_str = False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_str = not in_str
+        elif in_str:
+            assert masked[i] == " "
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            list("abc()'") + [" ORDER BY ", " LIMIT ", " OVER (", ")"]
+        ),
+        max_size=20,
+    ).map("".join)
+)
+@settings(max_examples=300, deadline=None)
+def test_split_qualify_pred_partitions_input(rest):
+    from rusty_timeseries_db_spark.sql_ext import _split_qualify_pred
+
+    pred, tail = _split_qualify_pred(rest)
+    # exact partition of the input, no loss or duplication
+    assert pred + tail == rest
+    # a returned tail always starts at a trailing-clause keyword
+    if tail:
+        import re
+        assert re.match(r"(?:ORDER\s+BY|LIMIT|WINDOW)\b", tail, re.I)
+
+
+def test_split_qualify_pred_ignores_keywords_in_parens_and_strings():
+    from rusty_timeseries_db_spark.sql_ext import _split_qualify_pred
+
+    pred, tail = _split_qualify_pred(
+        " rank() OVER (ORDER BY v) = 1 ORDER BY x LIMIT 2"
+    )
+    assert pred.strip() == "rank() OVER (ORDER BY v) = 1"
+    assert tail == "ORDER BY x LIMIT 2"
+    pred2, tail2 = _split_qualify_pred(" note = 'ORDER BY nothing' LIMIT 5")
+    assert "ORDER BY nothing" in pred2 and tail2 == "LIMIT 5"
