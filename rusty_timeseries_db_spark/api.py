@@ -417,6 +417,28 @@ class TimeseriesEngine:
                 shutil.rmtree(full, ignore_errors=True)
         return n
 
+    def continuous_rollup(
+        self, window: str = "5 minutes", name: str | None = None
+    ):
+        """Continuous aggregate over the CANONICAL telemetry view
+        (base ∪ overlay, so point updates are reflected): per-series
+        windowed count/sum/min/max, maintained incrementally
+        (operators/rollup.py — refresh re-aggregates only window-days
+        at/after the high-water mark; reads union the materialized days
+        with a live tail). The materialization lives beside the base
+        under ``warehouse_dir``. Call ``.refresh()`` after ingest
+        batches; ``.read()`` anytime."""
+        from .operators.rollup import ContinuousRollup
+
+        name = name or f"rollup_{window.replace(' ', '_')}"
+        return ContinuousRollup(
+            self.spark,
+            lambda: self.telemetry().select("timeseries_id", "ts", "value"),
+            os.path.join(self.warehouse_dir, name),
+            key_cols=["timeseries_id"],
+            window=window,
+        )
+
     def fault_count(
         self, df: DataFrame, threshold: float = DEFAULT_FAULT_THRESHOLD
     ) -> int:

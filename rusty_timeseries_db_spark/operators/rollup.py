@@ -48,20 +48,22 @@ from pyspark.sql import functions as F
 
 
 class ContinuousRollup:
-    """A windowed rollup of an events-shaped parquet table, maintained
+    """A windowed rollup of an events-shaped table, maintained
     incrementally.
 
-    Parameters: ``base_path`` append-only parquet of raw rows;
-    ``rollup_path`` the materialization; ``key_cols`` grouping keys
-    besides the window; ``ts_col`` event-time column; ``window``
-    tumbling width (any ``F.window`` duration); ``value_col`` the
-    measure.
+    Parameters: ``base`` the append-only source — a parquet path, or a
+    zero-arg callable returning a DataFrame (e.g. the engine's
+    overlay-merged canonical telemetry view, api.py
+    ``continuous_rollup``); ``rollup_path`` the materialization;
+    ``key_cols`` grouping keys besides the window; ``ts_col``
+    event-time column; ``window`` tumbling width (any ``F.window``
+    duration); ``value_col`` the measure.
     """
 
     def __init__(
         self,
         spark: SparkSession,
-        base_path: str,
+        base,
         rollup_path: str,
         key_cols: list[str],
         ts_col: str = "ts",
@@ -69,7 +71,7 @@ class ContinuousRollup:
         window: str = "5 minutes",
     ) -> None:
         self.spark = spark
-        self.base_path = base_path
+        self.base = base
         self.rollup_path = rollup_path
         self.key_cols = list(key_cols)
         self.ts_col = ts_col
@@ -98,7 +100,9 @@ class ContinuousRollup:
     # ------------------------------------------------------------ internals
 
     def _base(self) -> DataFrame:
-        return self.spark.read.parquet(self.base_path)
+        if callable(self.base):
+            return self.base()
+        return self.spark.read.parquet(self.base)
 
     def _aggregate(self, df: DataFrame) -> DataFrame:
         w = F.window(self.ts_col, self.window)

@@ -105,3 +105,32 @@ def test_window_must_divide_day(spark, paths):
         ContinuousRollup(spark, base, rollup, ["series"], window="7 minutes")
     with pytest.raises(ValueError, match="seconds|minutes|hours"):
         ContinuousRollup(spark, base, rollup, ["series"], window="1 day")
+
+
+def test_engine_continuous_rollup_sees_overlay_updates(spark, tmp_path):
+    """The engine facade's rollup aggregates the CANONICAL view: a
+    point update through the overlay changes the affected window after
+    a full refresh."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from tests.conftest import CANONICAL_ROWS
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS)
+    roll = eng.continuous_rollup(window="1 minute")
+    roll.refresh()
+    before = {
+        (r.timeseries_id, str(r.window_start)): r.sum_value
+        for r in roll.read().collect()
+    }
+    assert before  # the fixture rows all aggregate into live-tail windows
+
+    # overlay-update the first row's value and fully refresh
+    eng.update_rows([{**CANONICAL_ROWS[0], "value": 99.0}])
+    roll.refresh(full=True)
+    after = {
+        (r.timeseries_id, str(r.window_start)): r.sum_value
+        for r in roll.read().collect()
+    }
+    assert before != after
+    diff = [k for k in after if after[k] != before.get(k)]
+    assert len(diff) == 1  # exactly the updated row's window moved
