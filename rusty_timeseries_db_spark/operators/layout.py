@@ -152,20 +152,24 @@ def quantile_bucket(col, boundaries: list[float]):
     )
 
 
-def morton_key(ab, bb, bits: int):
-    """Interleave-bits (Morton / Z-order) key of two ``bits``-bit
-    bucket ids, as one codegen'd JVM expression: rows close in EITHER
-    dimension get close keys, which is what makes min/max file
-    skipping bite on both columns at once."""
+def morton_key(buckets, bits: int):
+    """Interleave-bits (Morton / Z-order) key of k ``bits``-bit bucket
+    ids (round-robin: bit i of column j lands at position i*k + j), as
+    one codegen'd JVM expression: rows close in ANY dimension get close
+    keys, which is what makes min/max file skipping bite on every
+    z-ordered column at once. k*bits must fit a signed 64-bit long."""
     from pyspark.sql import functions as F
 
+    k = len(buckets)
+    if k * bits > 62:
+        raise ValueError(
+            f"{k} columns x {bits} bits = {k * bits} key bits > 62"
+        )
     key = F.lit(0).cast("bigint")
     for i in range(bits):
-        bit_a = F.shiftright(ab, i).bitwiseAND(F.lit(1))
-        bit_b = F.shiftright(bb, i).bitwiseAND(F.lit(1))
-        key = key.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
-            F.shiftleft(bit_b, 2 * i + 1)
-        )
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
     return key
 
 
@@ -176,12 +180,14 @@ def zorder_layout(
     target_files: int | None = None,
     bits: int = 8,
 ) -> None:
-    """Rewrite ``df`` Z-ordered on exactly two columns: range-cluster +
+    """Rewrite ``df`` Z-ordered on two or more columns: range-cluster +
     sort on the Morton key of each column's EQUI-DEPTH bucket id, so
-    BOTH columns' file/row-group min-max stats become selective — the
-    multi-dimensional sibling of ``optimize_layout`` (which is optimal
-    for one leading column but leaves the second column's stats
-    useless).
+    EVERY z-ordered column's file/row-group min-max stats become
+    selective — the multi-dimensional sibling of ``optimize_layout``
+    (which is optimal for one leading column but leaves later columns'
+    stats useless). Selectivity per dimension decays as columns are
+    added (k dims share the same key space) — 2-4 columns is the
+    practical range, same guidance as Delta's OPTIMIZE ZORDER BY.
 
     Cost: one sample-based ``approxQuantile`` pre-pass for the bucket
     boundaries (2^bits − 1 per column; 8 bits ≈ 255 boundaries is
@@ -190,21 +196,18 @@ def zorder_layout(
     """
     from pyspark.sql import functions as F
 
-    if len(cols) != 2:
-        raise ValueError(f"zorder_layout takes exactly 2 columns, got {cols}")
-    c1, c2 = cols
+    if len(cols) < 2:
+        raise ValueError(f"zorder_layout needs at least 2 columns, got {cols}")
     n = 1 << bits
     probs = [i / n for i in range(1, n)]
     d = df.select(
-        F.col(c1).cast("double").alias("_a"),
-        F.col(c2).cast("double").alias("_b"),
+        *[F.col(c).cast("double").alias(f"_c{i}") for i, c in enumerate(cols)]
     )
-    qa, qb = d.approxQuantile(["_a", "_b"], probs, 0.001)
-    if not qa or not qb:
+    qs = d.approxQuantile([f"_c{i}" for i in range(len(cols))], probs, 0.001)
+    if any(not q for q in qs):
         raise ValueError("cannot z-order an empty or all-null input")
     key = morton_key(
-        quantile_bucket(F.col(c1), qa),
-        quantile_bucket(F.col(c2), qb),
+        [quantile_bucket(F.col(c), q) for c, q in zip(cols, qs)],
         bits,
     ).alias("_zkey")
     _force_stats_timestamps(df)
