@@ -69,8 +69,8 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # the per-query max round over CORRECTNESS_r0{1..6}.json (computed
 # offline, frozen here): entering round 7, 36 queries were last
 # driver-checked in r03, 50 in r05, 50 in r06. Round-7 window =
-# round-7 new/modified (25 — rule (a) is absolute) + the first 25
-# r03-last in declaration order; the remaining 11 r03-tier queries are
+# round-7 new/modified (27 — rule (a) is absolute) + the first 23
+# r03-last in declaration order; the remaining 13 r03-tier queries are
 # the stalest survivors and form the head of round 8's non-modified
 # slots (rebuild with gen_rotation.py). (Deliberate trade-off: completing the 22-query TPC-H suite
 # this round grew the modified set past 14; every query outside the
@@ -91,6 +91,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_tpch_q15_top_supplier", "q_tpch_q16_supplier_count",
     "q_tpch_q20_excess_stock", "q_continuous_rollup",
     "q_minmax_decimate", "q_lttb_downsample", "q_hll_distinct_rollup",
+    "q_json_roundtrip", "q_csv_roundtrip",
     # MODIFIED in round 7: the pipeline gained its end-to-end CTE
     # oracle; tfidf/surprisal swapped the 1-row crossJoin for the
     # attach_scalar broadcast equi-join; dedup_clusters' checkpoint
@@ -5866,4 +5867,89 @@ def q_hll_distinct_rollup(spark, sf_dir):
     daily = distinct_rollup(e, ["event_type", "day"], "user_id")
     return merge_rollup(daily, ["event_type"]).select(
         "event_type", "n_rows", "distinct_est"
+    )
+
+
+@declare(
+    "q_json_roundtrip",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM events WHERE user_id >= 20 AND user_id < 40
+    GROUP BY event_type
+    """,
+    doc="JSON-lines scan oracle-paired (sources/io.py read_json with an "
+    "explicit schema — no inference pass): a deterministic events "
+    "subset is written as JSON in-fixture, read back through the "
+    "engine's JSON source, and aggregated; the oracle computes the "
+    "same aggregate from the parquet originals, so a hash match "
+    "proves the JSON sink+scan round-trips values exactly (doubles "
+    "survive full-precision serialization). Lifts S2-JSON from "
+    "test-only to driver-green",
+)
+def q_json_roundtrip(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from .sources.io import read_json
+
+    schema = StructType([
+        StructField("event_id", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ])
+    e = (
+        T(spark, sf_dir, "events")
+        .filter((F.col("user_id") >= 20) & (F.col("user_id") < 40))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    path = os.path.join(_fixture_dir("q_json_roundtrip"), "data")
+    e.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+        F.sum("user_id").alias("sum_users"),
+    )
+
+
+@declare(
+    "q_csv_roundtrip",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE user_id < 15
+    GROUP BY event_type
+    """,
+    doc="CSV scan oracle-paired (sources/io.py read_csv, explicit "
+    "schema + header): same in-fixture write-read-aggregate protocol "
+    "as q_json_roundtrip. Lifts S2-CSV from test-only to driver-green",
+)
+def q_csv_roundtrip(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from .sources.io import read_csv
+
+    schema = StructType([
+        StructField("event_id", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ])
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 15)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    path = os.path.join(_fixture_dir("q_csv_roundtrip"), "data")
+    e.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("total_value"),
     )
