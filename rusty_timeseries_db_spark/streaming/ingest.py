@@ -84,6 +84,7 @@ def start_telemetry_sink(
     warehouse_dir: str,
     trigger_seconds: int | None = None,
     available_now: bool = False,
+    rollup=None,
 ) -> StreamingQuery:
     """Append stream → partitioned Parquet telemetry table, at-least-once
     per micro-batch (checkpointed offsets; see module docstring for the
@@ -91,6 +92,14 @@ def start_telemetry_sink(
     reference's configurable FDD/ingest cadence (R5/R6, main.rs:233-240,
     285-299) — but correctly re-arming every interval, unlike the
     reference's run-once bug (SURVEY §2.1 R6).
+
+    ``rollup``: an optional ``operators.rollup.ContinuousRollup`` (or
+    anything with a ``refresh()``) maintained AFTER each micro-batch's
+    append — the streaming path of the continuous aggregate: the
+    materialization trails the stream by at most one batch, and
+    ``rollup.read()`` is complete at all times regardless (live-tail
+    union). Refresh is incremental + idempotent, so a replayed batch
+    re-runs it harmlessly.
 
     Implemented as ``foreachBatch`` so each micro-batch runs the shared
     batch normalization (incl. ``ingest_seq`` assignment)."""
@@ -104,6 +113,8 @@ def start_telemetry_sink(
             .partitionBy("series_bucket")
             .parquet(path)
         )
+        if rollup is not None:
+            rollup.refresh()
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", os.path.join(warehouse_dir, "_checkpoints/ingest")

@@ -134,3 +134,47 @@ def test_engine_continuous_rollup_sees_overlay_updates(spark, tmp_path):
     assert before != after
     diff = [k for k in after if after[k] != before.get(k)]
     assert len(diff) == 1  # exactly the updated row's window moved
+
+
+def test_streaming_sink_maintains_rollup(spark, tmp_path):
+    """The streaming continuous aggregate: a sink started with a
+    rollup refreshes it per micro-batch, and read() equals the batch
+    aggregation of everything ingested."""
+    import json as _json
+    import os as _os
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_telemetry_stream,
+        start_telemetry_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    _os.makedirs(src)
+    rows = [
+        {"sensor_name": "x", "timestamp": f"2024-08-28T12:{mm:02d}:00Z",
+         "value": float(mm), "fc1_flag": None, "timeseries_id": "s1"}
+        for mm in (0, 1, 6, 7, 12)
+    ]
+    for b in range(2):
+        with open(_os.path.join(src, f"b{b}.jsonl"), "w") as f:
+            for r in rows[b::2]:
+                f.write(_json.dumps(r) + "\n")
+
+    eng = TimeseriesEngine(spark, wh)
+    roll = eng.continuous_rollup(window="5 minutes")
+    q = start_telemetry_sink(
+        read_telemetry_stream(spark, src), wh,
+        available_now=True, rollup=roll,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.timeseries_id, str(r.window_start)): (r.n, r.sum_value)
+        for r in roll.read().collect()
+    }
+    # 5-minute windows: {0,1} -> 12:00, {6,7} -> 12:05, {12} -> 12:10
+    assert got[("s1", "2024-08-28 12:00:00")] == (2, 1.0)
+    assert got[("s1", "2024-08-28 12:05:00")] == (2, 13.0)
+    assert got[("s1", "2024-08-28 12:10:00")] == (1, 12.0)
