@@ -178,3 +178,99 @@ def test_streaming_sink_maintains_rollup(spark, tmp_path):
     assert got[("s1", "2024-08-28 12:00:00")] == (2, 1.0)
     assert got[("s1", "2024-08-28 12:05:00")] == (2, 13.0)
     assert got[("s1", "2024-08-28 12:10:00")] == (1, 12.0)
+
+
+def test_window_must_align_with_session_timezone(spark, paths):
+    """ADVICE r7 (medium): F.window buckets are epoch(UTC)-aligned but
+    window_day / hwm casts use the session zone — a zone offset that is
+    not a multiple of the window puts local midnight INSIDE a window
+    and read() could double-count it. The constructor must reject the
+    combination, and accept offsets the window divides."""
+    base, rollup = paths
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # +05:30
+        with pytest.raises(ValueError, match="not a multiple of the window"):
+            ContinuousRollup(spark, base, rollup, ["series"], window="1 hour")
+        # 30 minutes divides +05:30 — allowed
+        ContinuousRollup(spark, base, rollup, ["series"], window="30 minutes")
+        spark.conf.set("spark.sql.session.timeZone", "+01:00")
+        with pytest.raises(ValueError, match="not a multiple of the window"):
+            ContinuousRollup(spark, base, rollup, ["series"], window="3 hours")
+        ContinuousRollup(spark, base, rollup, ["series"], window="1 hour")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_manifest_and_probe_use_hadoop_fs_scheme_paths(spark, tmp_path):
+    """Storage-agnostic manifest (VERDICT r7 #2): with an explicit
+    'file:/...' URI — the scheme-qualified form every non-local store
+    uses — os.path.exists()/os.walk() see NOTHING, so this test fails
+    if the implementation regresses to driver-local I/O: the hwm would
+    read back None and read() would silently skip the materialization."""
+    import os as _os
+
+    base = str(tmp_path / "base")
+    rollup_fs = "file:" + str(tmp_path / "rollup")
+    _write_batch(spark, base, _rows(1, "a", [(0, 1.0), (2, 3.0)]))
+    _write_batch(spark, base, _rows(4, "a", [(0, 2.0)]))
+
+    roll = ContinuousRollup(spark, base, rollup_fs, ["series"])
+    assert roll._read_hwm() is None
+    n = roll.refresh()
+    assert n > 0
+    # the manifest went through the Hadoop FS API (scheme-resolved)...
+    assert not _os.path.exists(roll.manifest_path)       # os.path can't see it
+    assert roll._read_hwm() == "2024-03-04"              # but the FS API can
+    assert roll._has_data_files()
+    # ...and read() serves the materialized side + live tail correctly
+    assert _as_set(roll.read()) == _as_set(_full_recompute(roll))
+    # the materialized day-1 windows really come from the parquet side:
+    mat = spark.read.parquet(rollup_fs)
+    assert mat.count() == 1  # one 5-minute window fully materialized
+
+
+def test_streaming_maintenance_hash_equals_batch_formulation(spark, tmp_path):
+    """Stream/batch parity for the rollup (VERDICT r7 next-round #7):
+    after N micro-batches through the foreachBatch maintenance sink,
+    rollup.read() must be ROW-IDENTICAL to the pure batch aggregation
+    of the same ingested rows — the ST1 parity pattern applied to the
+    continuous aggregate."""
+    import json as _json
+    import os as _os
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_telemetry_stream,
+        start_telemetry_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    _os.makedirs(src)
+    rows = [
+        {"sensor_name": "x", "timestamp": f"2024-08-{dd:02d}T12:{mm:02d}:00Z",
+         "value": float(dd * 10 + mm), "fc1_flag": None,
+         "timeseries_id": f"s{mm % 2}"}
+        for dd in (1, 2, 5) for mm in (0, 1, 6, 7, 12)
+    ]
+    for b in range(3):  # three deterministic micro-batch files
+        with open(_os.path.join(src, f"b{b}.jsonl"), "w") as f:
+            for r in rows[b::3]:
+                f.write(_json.dumps(r) + "\n")
+
+    eng = TimeseriesEngine(spark, wh)
+    roll = eng.continuous_rollup(window="5 minutes")
+    q = start_telemetry_sink(
+        read_telemetry_stream(spark, src), wh,
+        available_now=True, rollup=roll,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, roll.read().collect()))
+    want = sorted(map(tuple, _full_recompute(roll).collect()))
+    assert got == want and len(got) >= 9
+    # and the materialized side is actually serving rows (days 1,2 are
+    # final once day 5 advanced the hwm)
+    assert roll._read_hwm() == "2024-08-05"
+    assert roll._has_data_files()
