@@ -39,13 +39,16 @@ from __future__ import annotations
 import itertools
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators.asof import asof_join
 
 _VIEW_SEQ = itertools.count()
 
-_KEYWORDS = r"WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT"
+_KEYWORDS = (
+    r"WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|QUALIFY"
+)
 
 _ASOF_RE = re.compile(
     rf"""
@@ -78,6 +81,15 @@ def sql_with_asof(
     ties among right rows sharing (key, ts) — the SQL clause itself has
     no tie-break syntax.
     """
+    return spark.sql(_rewrite_asof(spark, query, right_order))
+
+
+def _rewrite_asof(
+    spark: SparkSession, query: str, right_order: str | None = None
+) -> str:
+    """Rewrite the ``ASOF JOIN`` clause (if present) into a reference
+    to a temp view holding the as-of plan, returning the rewritten
+    statement TEXT — so later rewrites (QUALIFY) can compose on it."""
     # match on a literal-masked copy (same length, same positions) so
     # the word ASOF inside a string literal is data, not syntax
     masked = _mask_string_literals(query)
@@ -88,7 +100,7 @@ def sql_with_asof(
                 "ASOF present but not in the supported form "
                 "'FROM l [AS a] ASOF JOIN r [AS b] ON ...'"
             )
-        return spark.sql(query)
+        return query
 
     lt, la = m.group("lt"), m.group("la") or m.group("lt")
     rt, ra = m.group("rt"), m.group("ra") or m.group("rt")
@@ -138,10 +150,7 @@ def sql_with_asof(
     view = f"_asof_sql_{next(_VIEW_SEQ)}"
     joined.createOrReplaceTempView(view)
     alias = f" AS {m.group('la')}" if m.group("la") else ""
-    rewritten = (
-        query[: m.start()] + f"FROM {view}{alias}" + query[m.end("cond"):]
-    )
-    return spark.sql(rewritten)
+    return query[: m.start()] + f"FROM {view}{alias}" + query[m.end("cond"):]
 
 
 # --------------------------------------------------------------- QUALIFY
@@ -152,19 +161,56 @@ _TRAILING_KW = re.compile(r"(?:ORDER\s+BY|LIMIT|WINDOW)\b", re.IGNORECASE)
 
 def _mask_string_literals(query: str) -> str:
     """Same-length copy of ``query`` with single-quoted literal BODIES
-    blanked ('' escapes handled by the pairwise scan), so keyword
-    regexes cannot match words inside strings. Positions are preserved
-    — indices found on the mask slice the original correctly."""
+    blanked, so keyword regexes cannot match words inside strings.
+    Handles the two escape forms Spark accepts: doubled quotes (``''``
+    — the toggle scan pairs them naturally) and backslash escapes
+    (``'it\\'s'`` — a backslashed quote inside a literal must NOT flip
+    the in-string state, ADVICE r7). Positions are preserved — indices
+    found on the mask slice the original correctly."""
     out = list(query)
     i = 0
     in_str = False
     while i < len(out):
-        if out[i] == "'":
+        c = out[i]
+        if in_str and c == "\\" and i + 1 < len(out):
+            # escaped char inside a literal: blank both, keep state
+            out[i] = " "
+            out[i + 1] = " "
+            i += 2
+            continue
+        if c == "'":
             in_str = not in_str
         elif in_str:
             out[i] = " "
         i += 1
     return "".join(out)
+
+
+def _top_level_qualify_matches(masked: str) -> list[re.Match]:
+    """QUALIFY keyword occurrences at paren depth 0 of the masked
+    statement; a QUALIFY inside a subquery (nonzero depth) raises —
+    rewriting it as top-level would produce a confusing ParseException
+    on text the user never wrote (ADVICE r7)."""
+    depth = 0
+    top: list[re.Match] = []
+    matches = list(_QUALIFY_KW.finditer(masked))
+    if not matches:
+        return []
+    starts = {m.start(): m for m in matches}
+    for i, c in enumerate(masked):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif i in starts:
+            if depth > 0:
+                raise ValueError(
+                    "QUALIFY inside a subquery is not supported — apply "
+                    "it in the outer query or rewrite the subquery with "
+                    "row_number() manually"
+                )
+            top.append(starts[i])
+    return top
 
 
 def _split_qualify_pred(rest: str) -> tuple[str, str]:
@@ -216,13 +262,23 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
     are columns/expressions over the subquery's output, matching the
     standard QUALIFY evaluation order (after WHERE/GROUP BY/HAVING).
 
+    Predicates that reference the inner query's TABLE ALIASES
+    (``l.k``) or aggregate inputs (``sum(v)`` under GROUP BY) cannot
+    resolve in the nested form — those names don't survive the
+    subquery boundary. For them a second form is tried: the predicate
+    is INLINED into the original select list (where the FROM aliases
+    are still in scope) and filtered one level up. The nested form is
+    always tried first so select-list-alias references keep their
+    established resolution.
+
     Exactly one top-level QUALIFY is supported; a QUALIFY inside a
     subquery is not (raises rather than mis-parsing). Statements
     without the clause pass straight to ``spark.sql``.
     """
     # detect on a literal-masked copy: QUALIFY inside a string literal
-    # is data, not syntax ("WHERE note = 'QUALIFY pending'")
-    matches = list(_QUALIFY_KW.finditer(_mask_string_literals(query)))
+    # is data, not syntax ("WHERE note = 'QUALIFY pending'"); a
+    # subquery-nested QUALIFY raises inside _top_level_qualify_matches
+    matches = _top_level_qualify_matches(_mask_string_literals(query))
     if not matches:
         return spark.sql(query)
     if len(matches) > 1:
@@ -240,18 +296,47 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
     outer = f"SELECT * FROM ({inner}) __qualify_filtered WHERE __qualify"
     if tail:
         outer += " " + tail
-    return spark.sql(outer).drop("__qualify")
+    try:
+        return spark.sql(outer).drop("__qualify")
+    except AnalysisException as nested_err:
+        inlined = _inline_qualify_form(head, pred, tail)
+        if inlined is None:
+            raise
+        try:
+            return spark.sql(inlined).drop("__qualify")
+        except AnalysisException:
+            raise nested_err from None
+
+
+def _inline_qualify_form(head: str, pred: str, tail: str) -> str | None:
+    """The fallback rewrite: predicate inlined into the original
+    select list (same query block — table aliases and aggregate inputs
+    resolve), filtered one level up. Returns None when the head has no
+    top-level FROM to anchor on."""
+    masked = _mask_string_literals(head)
+    depth = 0
+    pos = -1
+    for mm in re.finditer(r"\bFROM\b", masked, re.IGNORECASE):
+        depth = masked.count("(", 0, mm.start()) - masked.count(
+            ")", 0, mm.start()
+        )
+        if depth == 0:
+            pos = mm.start()
+            break
+    if pos < 0:
+        return None
+    inner = f"{head[:pos]}, ({pred}) AS __qualify {head[pos:]}"
+    outer = f"SELECT * FROM ({inner}) __qualify_base WHERE __qualify"
+    return outer + (" " + tail if tail else "")
 
 
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:
-    """DuckDB-dialect entry point: applies the ASOF JOIN rewrite, then
-    QUALIFY, then plain ``spark.sql``. Statements using neither pass
-    through unchanged."""
-    masked = _mask_string_literals(query)
-    if re.search(r"\bQUALIFY\b", masked, re.IGNORECASE):
-        if re.search(r"\bASOF\b", masked, re.IGNORECASE):
-            raise ValueError(
-                "ASOF JOIN and QUALIFY in one statement are not supported"
-            )
-        return sql_with_qualify(spark, query)
-    return sql_with_asof(spark, query, right_order=right_order)
+    """DuckDB-dialect entry point: applies the ASOF JOIN rewrite first
+    (its clause sits in FROM, textually before any QUALIFY), then the
+    QUALIFY rewrite on the rewritten statement, then plain
+    ``spark.sql``. The two compose — ``FROM a ASOF JOIN b ... QUALIFY
+    row_number() OVER (...) = 1`` is the natural "latest reading per
+    sensor, keep rank 1" TSDB query (VERDICT r7 gap #3). Statements
+    using neither pass through unchanged."""
+    rewritten = _rewrite_asof(spark, query, right_order=right_order)
+    return sql_with_qualify(spark, rewritten)
