@@ -124,7 +124,7 @@ class TelemetryHttpServer:
                 self._reply(200, b"Inserted", "text/plain")
 
             def _do_sql(self) -> None:
-                from .sql_ext import sql as _dialect_sql
+                from .sql_ext import is_query_statement, sql as _dialect_sql
 
                 length = int(self.headers.get("Content-Length", 0))
                 try:
@@ -134,6 +134,19 @@ class TelemetryHttpServer:
                 except (json.JSONDecodeError, AssertionError, KeyError,
                         TypeError, AttributeError):
                     self._reply(400, b"Bad Request", "text/plain")
+                    return
+                # read-only gate BEFORE the dialect sees the text:
+                # spark.sql executes DDL/DML eagerly, so DROP/INSERT/
+                # CREATE must never reach it from the network surface
+                # (ADVICE r7 — a far larger write surface than the
+                # reference's insert+bounded-read routes)
+                if not is_query_statement(query):
+                    self._reply(
+                        400,
+                        b"SQL Error: only query statements "
+                        b"(SELECT/WITH/VALUES) are accepted",
+                        "text/plain",
+                    )
                     return
                 try:
                     df = _dialect_sql(engine.spark, query)

@@ -330,6 +330,34 @@ def _inline_qualify_form(head: str, pred: str, tail: str) -> str | None:
     return outer + (" " + tail if tail else "")
 
 
+_QUERY_START = re.compile(
+    r"^\s*(?:\(\s*)*(?:SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE
+)
+
+
+def is_query_statement(query: str) -> bool:
+    """True iff ``query`` is a single read-only query statement —
+    SELECT / WITH / VALUES / TABLE (plus the dialect's ASOF/QUALIFY,
+    which only occur inside those). DDL/DML (DROP, INSERT OVERWRITE,
+    CREATE ... LOCATION) and multi-statement scripts return False.
+
+    Used by the HTTP /sql route (ADVICE r7): ``spark.sql`` EXECUTES
+    DDL/DML eagerly at call time, so the gate must be textual and run
+    BEFORE the dialect entry point ever sees the statement. Comments
+    and string literals are blanked first so keywords inside them
+    can't spoof (or hide from) the check."""
+    masked = _mask_string_literals(query)
+    # blank comments on the masked copy (length need not be preserved
+    # here — this scan only classifies, it never slices the original)
+    masked = re.sub(r"--[^\n]*", " ", masked)
+    masked = re.sub(r"/\*.*?\*/", " ", masked, flags=re.DOTALL)
+    # a top-level ';' followed by anything non-blank = a second statement
+    head, sep, rest = masked.partition(";")
+    if sep and rest.strip():
+        return False
+    return bool(_QUERY_START.match(head))
+
+
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:
     """DuckDB-dialect entry point: applies the ASOF JOIN rewrite first
     (its clause sits in FROM, textually before any QUALIFY), then the

@@ -240,3 +240,48 @@ def test_sql_route_execution_time_error_maps_to_400(server):
         urllib.request.urlopen(req)
     assert e.value.code == 400
     assert b"SQL Error" in e.value.read()
+
+
+def test_sql_route_rejects_non_query_statements(server):
+    """ADVICE r7: POST /sql must be read-only — DDL/DML would run with
+    the server's privileges. The gate is textual and sits BEFORE the
+    dialect entry point because spark.sql executes DDL eagerly."""
+    base = server.base_url
+
+    def post_sql(query):
+        req = urllib.request.Request(
+            f"{base}/sql",
+            data=json.dumps({"query": query}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    for stmt in (
+        "DROP TABLE telemetry",
+        "CREATE TABLE x (a INT) USING parquet LOCATION '/tmp/evil'",
+        "INSERT OVERWRITE DIRECTORY '/tmp/evil' SELECT 1",
+        "SET spark.sql.ansi.enabled=false",
+        "SELECT 1; DROP TABLE telemetry",   # multi-statement smuggling
+    ):
+        code, err = post_sql(stmt)
+        assert code == 400 and "only query statements" in err, stmt
+
+    # read-only forms still pass: leading comment, parens, WITH, VALUES
+    for stmt in (
+        "-- a comment\nSELECT 1 AS x",
+        "/* c */ WITH t AS (SELECT 1 AS x) SELECT * FROM t",
+        "(SELECT 1 AS x)",
+        "VALUES (1)",
+        "SELECT 1 AS x;",                   # trailing semicolon is fine
+    ):
+        code, _ = post_sql(stmt)
+        assert code == 200, stmt
+
+    # a literal containing 'DROP' or ';' is data, not syntax
+    code, rows = post_sql("SELECT 'DROP TABLE t; x' AS s")
+    assert code == 200 and rows == [{"s": "DROP TABLE t; x"}]
