@@ -74,6 +74,14 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # A/B knob (VERDICT r7 next-round #4 bisect): comma-separated query
+    # names to drop from this run — lets the same harness measure the
+    # suite with/without a suspect entry in the same session shape.
+    exclude = {
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",")
+        if n
+    }
+    headline = [n for n in HEADLINE if n not in exclude]
     spark = get_spark(app_name="rtsdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -86,7 +94,7 @@ def main() -> None:
     # the timed data.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in headline:
             try:
                 fns[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -124,7 +132,7 @@ def main() -> None:
     except Exception:
         pass
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = fns[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -80,10 +80,11 @@ def main() -> None:
         "(`q_approx_aggregates`, `q_approx_top_k`) are rows-only for",
         "the same reason — HLL/quantile/heavy-hitter sketch internals",
         "differ by engine — with accuracy-vs-exact assertions in tests.",
-        "The one composite (q_training_corpus_pipeline) is rows-only by",
-        "COMPOSITION: each of its seven stages is individually",
-        "oracle-checked (see its doc row), and tests/test_pipelines.py",
-        "asserts stage effects and partitioning-determinism end-to-end.",
+        "(The end-to-end composite `q_training_corpus_pipeline` was",
+        "rows-only through round 6; since round 7 it carries a full",
+        "7-stage CTE oracle and hash-matches — see its DuckDB row",
+        "below. tests/test_pipelines.py additionally asserts stage",
+        "effects and partitioning-determinism end-to-end.)",
         "",
     ]
     by_group: dict[str, list] = {}
