@@ -84,7 +84,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_continuous_rollup", "q_minmax_decimate", "q_lttb_downsample",
     "q_qualify_sql", "q_asof_sql",
     # NEW in round 8 (added below as the round progresses)
-    "q_asof_qualify_sql",
+    "q_asof_qualify_sql", "q_histogram_quantile", "q_topn_with_others",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6067,4 +6067,121 @@ def q_csv_roundtrip(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@declare(
+    "q_histogram_quantile",
+    """
+    WITH b AS (
+      SELECT event_type, (floor(value / 50.0) + 1) * 50.0 AS le,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, (floor(value / 50.0) + 1) * 50.0
+    ),
+    c AS (
+      SELECT event_type, le, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY le) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM b
+    ),
+    p AS (
+      SELECT *, 0.95 * total AS rk,
+             row_number() OVER (PARTITION BY event_type ORDER BY le) AS pick
+      FROM c WHERE cum >= 0.95 * total
+    )
+    SELECT event_type,
+           le - 50.0 + (rk - (cum - n)) / n * 50.0 AS p95
+    FROM p WHERE pick = 1
+    """,
+    doc="PromQL-style histogram_quantile (round 8): p95 per series from "
+    "FIXED-BUCKET counts — the monitoring-native quantile that stays "
+    "mergeable/decomposable at 100 TB (bucket counts are sums, unlike "
+    "exact percentiles which need a global sort; constant state per "
+    "series = #buckets). Linear interpolation inside the target bucket, "
+    "PromQL semantics. One narrow agg on (series,bucket) then windows "
+    "over #buckets rows/series",
+)
+def q_histogram_quantile(spark, sf_dir):
+    w = 50.0
+    phi = 0.95
+    e = T(spark, sf_dir, "events").select("event_type", "value")
+    b = (
+        e.withColumn("le", (F.floor(F.col("value") / w) + 1) * w)
+        .groupBy("event_type", "le")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cum_w = Window.partitionBy("event_type").orderBy("le")
+    tot_w = Window.partitionBy("event_type")
+    c = (
+        b.withColumn("cum", F.sum("n").over(cum_w))
+        .withColumn("total", F.sum("n").over(tot_w))
+        .withColumn("rk", F.lit(phi) * F.col("total"))
+    )
+    p = (
+        c.filter(F.col("cum") >= F.col("rk"))
+        .withColumn("pick", F.row_number().over(cum_w))
+        .filter(F.col("pick") == 1)
+    )
+    return p.select(
+        "event_type",
+        (
+            F.col("le") - F.lit(w)
+            + (F.col("rk") - (F.col("cum") - F.col("n")))
+            / F.col("n") * F.lit(w)
+        ).alias("p95"),
+    )
+
+
+@declare(
+    "q_topn_with_others",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)) AS sv
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, user_id) AS rk
+      FROM c
+    )
+    SELECT event_type,
+           CASE WHEN rk <= 5 THEN CAST(user_id AS VARCHAR)
+                ELSE 'other' END AS who,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(sv AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM r
+    GROUP BY event_type,
+             CASE WHEN rk <= 5 THEN CAST(user_id AS VARCHAR)
+                  ELSE 'other' END
+    """,
+    doc="top-N with 'others' rollup (round 8): per series keep the 5 "
+    "heaviest users and collapse the long tail into one 'other' row — "
+    "the dashboard query every TSDB UI issues. Pre-aggregate to "
+    "(series,user) BEFORE ranking so the window sees #users rows per "
+    "series, not #events (map-side partial agg shrinks the shuffle); "
+    "ties total-ordered by user_id. Exact decimal inner sums so "
+    "regrouping cannot drift the double total",
+)
+def q_topn_with_others(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    c = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+    )
+    rk_w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    r = c.withColumn("rk", F.row_number().over(rk_w))
+    who = F.when(
+        F.col("rk") <= 5, F.col("user_id").cast("string")
+    ).otherwise(F.lit("other"))
+    return (
+        r.withColumn("who", who)
+        .groupBy("event_type", "who")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum(F.col("sv").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
     )
