@@ -417,6 +417,51 @@ class TimeseriesEngine:
                 shutil.rmtree(full, ignore_errors=True)
         return n
 
+    def compact_small_files(
+        self, target_file_mb: int = 128, min_files: int = 4
+    ) -> dict[str, tuple[int, int]]:
+        """Incremental small-file compaction of the active base
+        (operators/maintenance.py): rewrites only the series_bucket
+        partitions fragmented past ``min_files`` — O(touched bytes),
+        unlike ``compact()``/``optimize_storage()`` which rewrite the
+        whole table. The streaming sink appends one file set per
+        micro-batch per bucket; run this on the cadence those
+        accumulate."""
+        from .operators.maintenance import compact_partitions
+
+        # data files live in the LEAF partition dirs: series_bucket=*
+        # directly, or series_bucket=*/ds=* under the date layout
+        col, depth = (
+            ("ds", 1) if self.partition_by_date else ("series_bucket", 0)
+        )
+        return compact_partitions(
+            self.spark,
+            self.telemetry_path,
+            col,
+            target_file_mb=target_file_mb,
+            min_files=min_files,
+            depth=depth,
+        )
+
+    def drop_chunks_before(self, cutoff_date: str) -> list[str]:
+        """Retention: delete every ``ds`` partition older than
+        ``cutoff_date`` (ISO ``YYYY-MM-DD``) as a pure metadata
+        operation — requires ``partition_by_date=True`` (the layout
+        that nests ``series_bucket=*/ds=*``). TimescaleDB
+        ``drop_chunks`` analog; see operators/maintenance.py for the
+        scale rationale."""
+        if not self.partition_by_date:
+            raise ValueError(
+                "drop_chunks_before needs partition_by_date=True — "
+                "without date partitions, retention would be a full "
+                "rewrite (use compact() with a filter instead)"
+            )
+        from .operators.maintenance import drop_partitions_older_than
+
+        return drop_partitions_older_than(
+            self.spark, self.telemetry_path, "ds", cutoff_date, depth=1
+        )
+
     def continuous_rollup(
         self, window: str = "5 minutes", name: str | None = None
     ):

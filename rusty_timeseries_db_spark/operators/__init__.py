@@ -15,6 +15,7 @@ from .layout import (
     zorder_layout,
 )
 from .downsample import lttb, minmax_decimate
+from .maintenance import compact_partitions, drop_partitions_older_than
 from .rollup import ContinuousRollup
 from .packing import assign_packs, pack_stats
 from .sampling import (
@@ -34,6 +35,7 @@ __all__ = [
     "cosine_topk", "lsh_cosine_topk", "topk", "topk_per_group",
     "optimize_layout", "file_stats", "overlap_fraction", "zorder_layout",
     "ContinuousRollup",
+    "compact_partitions", "drop_partitions_older_than",
     "lttb", "minmax_decimate",
     "assign_packs", "pack_stats",
     "deterministic_sample", "hash_split", "stratified_sample",

@@ -1,0 +1,142 @@
+"""Hypertable maintenance (operators/maintenance.py): retention drops
+whole partition directories as a metadata op; compaction rewrites only
+over-fragmented partitions, preserving rows and partition values."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.operators.maintenance import (
+    compact_partitions,
+    drop_partitions_older_than,
+)
+
+
+def _write_days(spark, path, days, rows_per_day=20, batches=1):
+    for b in range(batches):
+        df = spark.createDataFrame(
+            [
+                (d, i + b * rows_per_day, float(i))
+                for d in days
+                for i in range(rows_per_day)
+            ],
+            "day string, rid int, value double",
+        )
+        # one write per batch → one file set per batch per partition
+        df.repartition(1).write.mode("append").partitionBy("day").parquet(path)
+
+
+def test_retention_drops_only_older_partitions(spark, tmp_path):
+    path = "file:" + str(tmp_path / "t")  # scheme URI: must go via Hadoop FS
+    days = ["2024-03-01", "2024-03-02", "2024-03-05", "2024-03-09"]
+    _write_days(spark, path, days)
+    dropped = drop_partitions_older_than(spark, path, "day", "2024-03-05")
+    assert dropped == ["2024-03-01", "2024-03-02"]
+    left = spark.read.parquet(path)
+    # (Spark's partition discovery types day= values as DATE — compare
+    # their string form)
+    assert sorted(
+        str(r.day) for r in left.select("day").distinct().collect()
+    ) == ["2024-03-05", "2024-03-09"]
+    assert left.count() == 2 * 20
+    # idempotent: nothing older remains
+    assert drop_partitions_older_than(spark, path, "day", "2024-03-05") == []
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # 6 append batches → 6+ files in each partition
+    _write_days(spark, path, ["2024-03-01", "2024-03-02"], batches=6)
+    # one healthy partition written once → stays untouched
+    _write_days(spark, path, ["2024-03-03"], batches=1)
+
+    before = spark.read.parquet(path)
+    before_rows = sorted(map(tuple, before.collect()))
+
+    stats = compact_partitions(
+        spark, path, "day", target_file_mb=128, min_files=4
+    )
+    assert set(stats) == {"2024-03-01", "2024-03-02"}
+    for value, (n_before, n_after) in stats.items():
+        assert n_before >= 6 and n_after == 1, (value, n_before, n_after)
+    # untouched partition keeps its original single file
+    p3 = os.path.join(str(tmp_path / "t"), "day=2024-03-03")
+    assert sum(f.endswith(".parquet") for f in os.listdir(p3)) == 1
+    # rows identical after the swap (values AND partition column)
+    after = spark.read.parquet(path)
+    assert sorted(map(tuple, after.collect())) == before_rows
+    # no tmp/bak residue
+    names = os.listdir(str(tmp_path / "t"))
+    assert not any(n.endswith((".bak", ".compact_tmp")) for n in names)
+
+
+def test_compaction_noop_below_threshold(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_days(spark, path, ["2024-03-01"], batches=2)
+    assert compact_partitions(spark, path, "day", min_files=4) == {}
+
+
+def test_nested_layout_depth_one(spark, tmp_path):
+    """depth=1 matches the engine's series_bucket=*/ds=* layout:
+    retention drops ds leaves under every bucket; labels are relative
+    paths so identical ds values under different buckets stay
+    distinct."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (b, d, i, float(i))
+            for b in (0, 1)
+            for d in ("2024-03-01", "2024-03-05")
+            for i in range(10)
+        ],
+        "bucket int, ds string, rid int, value double",
+    )
+    df.repartition(1).write.mode("append").partitionBy(
+        "bucket", "ds"
+    ).parquet(path)
+
+    dropped = drop_partitions_older_than(
+        spark, path, "ds", "2024-03-02", depth=1
+    )
+    assert dropped == ["bucket=0/ds=2024-03-01", "bucket=1/ds=2024-03-01"]
+    left = spark.read.parquet(path)
+    assert left.count() == 2 * 10
+    assert {str(r.ds) for r in left.select("ds").distinct().collect()} == {
+        "2024-03-05"
+    }
+
+
+def test_engine_facade_retention_and_compaction(spark, tmp_path):
+    """TimeseriesEngine.drop_chunks_before / compact_small_files wire
+    the maintenance ops onto the live telemetry layout."""
+    import pytest
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    eng = TimeseriesEngine(
+        spark, str(tmp_path / "wh"), partition_by_date=True
+    )
+    rows = [
+        {"sensor_name": "x", "timestamp": f"2024-08-{dd:02d}T12:00:0{i}Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for dd in (1, 2, 9) for i in range(3)
+    ]
+    # several ingests → several file sets per partition
+    for r in rows:
+        eng.ingest_rows([r])
+    assert eng.count() == 9
+
+    stats = eng.compact_small_files(min_files=1)
+    assert stats  # the fragmented ds partitions got rewritten
+    assert eng.count() == 9  # rows preserved
+
+    dropped = eng.drop_chunks_before("2024-08-05")
+    assert len(dropped) == 2 and all("ds=2024-08-0" in d for d in dropped)
+    assert eng.count() == 3  # only the 2024-08-09 chunk remains
+
+    # without date partitions the facade refuses
+    eng2 = TimeseriesEngine(spark, str(tmp_path / "wh2"))
+    with pytest.raises(ValueError, match="partition_by_date"):
+        eng2.drop_chunks_before("2024-01-01")
