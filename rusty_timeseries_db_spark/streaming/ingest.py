@@ -361,12 +361,22 @@ def stream_stream_join(
     right_ts: str = "ts",
     watermark: str = "10 minutes",
     max_lag: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with watermarks + a time-range condition
+    """Stream-stream join with watermarks + a time-range condition
     (SURVEY §2.2 streaming ext). The range bound lets Spark expire join
     state: right rows older than ``left.ts - max_lag`` are dropped from
     state once the watermark passes — state stays O(window), not O(stream).
+
+    ``how='leftOuter'`` emits the unmatched left rows (right columns
+    null) once the watermark guarantees no matching right row can still
+    arrive — so outer results trail the watermark by construction; both
+    the watermark and the range bound are REQUIRED for outer joins
+    (Spark enforces it: without them unmatched-state would be unbounded
+    and 'no match yet' undecidable). Same state-expiry story as inner.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     return l.join(
@@ -375,5 +385,5 @@ def stream_stream_join(
             f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} - INTERVAL {max_lag} "
             f"AND r.{right_ts} <= l.{left_ts}"
         ),
-        "inner",
+        how,
     )

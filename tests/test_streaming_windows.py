@@ -280,3 +280,113 @@ def test_streaming_sliding_matches_batch_oracle(spark, tmp_path):
     assert got == expect
     # every row appears in exactly two sliding windows
     assert sum(v[0] for v in expect.values()) == 2 * len(rows)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """leftOuter stream-stream join (round 8): unmatched readings emit
+    with null right columns once the watermark proves no match can
+    still arrive. A far-future flush row advances the watermark so the
+    availableNow run actually closes the outer state."""
+    from rusty_timeseries_db_spark.streaming.ingest import stream_stream_join
+
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    flush = {"sensor_name": "x", "timestamp": "2024-08-28T14:00:00Z",
+             "value": -1.0, "fc1_flag": None, "timeseries_id": "s_flush"}
+    _drop(src_a, ROWS + [flush], "a1.jsonl")
+    _drop(src_b, [
+        {"sensor_name": "cmd", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 0.0, "fc1_flag": None, "timeseries_id": "s1"},
+        dict(flush, timeseries_id="s_flush_b"),
+    ], "b1.jsonl")
+
+    a = normalized_stream(read_telemetry_stream(spark, src_a)).select(
+        "timeseries_id", "ts", "value"
+    )
+    b = normalized_stream(read_telemetry_stream(spark, src_b)).select(
+        F.col("timeseries_id").alias("timeseries_id"),
+        F.col("ts").alias("cmd_ts"),
+    )
+    joined = stream_stream_join(
+        a, b, key="timeseries_id", left_ts="ts", right_ts="cmd_ts",
+        watermark="5 minutes", max_lag="5 minutes", how="leftOuter",
+    )
+    out = _run_to_memory(
+        spark, joined.select("l.ts", "value", "cmd_ts"), "ss_louter"
+    ).collect()
+    matched = {r.value for r in out if r.cmd_ts is not None}
+    unmatched = {r.value for r in out if r.cmd_ts is None}
+    assert matched == {1.0, 3.0}          # within 5 min of the command
+    # the 12:06 reading emits null-matched once the 14:00 flush rows
+    # push the watermark past it; the flush rows THEMSELVES stay in
+    # state (no later event proves their no-match) — exactly the
+    # trailing-emission contract
+    assert unmatched == {5.0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner"):
+        stream_stream_join(a, b, key="timeseries_id", how="fullOuter")
+
+
+def test_stream_stream_join_matches_batch_formulation(spark, tmp_path):
+    """Stream/batch parity (the ST1 pattern applied to the join): the
+    streamed inner join over all micro-batches equals the same join
+    expressed on batch DataFrames of the same rows."""
+    from rusty_timeseries_db_spark.streaming.ingest import stream_stream_join
+
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    cmds = [
+        {"sensor_name": "cmd", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 0.0, "fc1_flag": None, "timeseries_id": "s1"},
+        {"sensor_name": "cmd", "timestamp": "2024-08-28T12:04:30Z",
+         "value": 0.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ]
+    # two micro-batch files per side
+    _drop(src_a, ROWS[:2], "a1.jsonl")
+    _drop(src_a, ROWS[2:], "a2.jsonl")
+    _drop(src_b, cmds[:1], "b1.jsonl")
+    _drop(src_b, cmds[1:], "b2.jsonl")
+
+    def sides(reader_a, reader_b):
+        a = reader_a.select("timeseries_id", "ts", "value")
+        b = reader_b.select(
+            "timeseries_id", F.col("ts").alias("cmd_ts")
+        )
+        return a, b
+
+    sa, sb = sides(
+        normalized_stream(read_telemetry_stream(spark, src_a)),
+        normalized_stream(read_telemetry_stream(spark, src_b)),
+    )
+    streamed = _run_to_memory(
+        spark,
+        stream_stream_join(
+            sa, sb, key="timeseries_id", right_ts="cmd_ts",
+            watermark="30 minutes", max_lag="5 minutes",
+        ).select("l.timeseries_id", "l.ts", "value", "cmd_ts"),
+        "ss_parity",
+    ).collect()
+
+    ba, bb = sides(
+        spark.read.json(src_a).select(
+            "timeseries_id", F.to_timestamp("timestamp").alias("ts"), "value"
+        ),
+        spark.read.json(src_b).select(
+            "timeseries_id", F.to_timestamp("timestamp").alias("ts"), "value"
+        ),
+    )
+    batch = (
+        ba.alias("l").join(
+            bb.alias("r"),
+            F.expr(
+                "l.timeseries_id = r.timeseries_id "
+                "AND r.cmd_ts >= l.ts - INTERVAL 5 minutes "
+                "AND r.cmd_ts <= l.ts"
+            ),
+        ).select("l.timeseries_id", "l.ts", "value", "cmd_ts").collect()
+    )
+    key = lambda r: (r.timeseries_id, r.ts, r.value, r.cmd_ts)  # noqa: E731
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(batch) >= 3  # both commands matched something
