@@ -68,6 +68,12 @@ HEADLINE = [
     "q_tpch_q8_market_share",
     "q_tpch_q13_custdist",
     "q_minmax_decimate",
+    # added round 8 (subtract for apples-to-apples vs r07): the
+    # decomposable histogram quantile, the dashboard top-N-with-others
+    # rollup, and the composed ASOF+QUALIFY dialect statement
+    "q_histogram_quantile",
+    "q_topn_with_others",
+    "q_asof_qualify_sql",
 ]
 
 
