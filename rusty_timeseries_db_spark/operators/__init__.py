@@ -14,6 +14,7 @@ from .layout import (
     overlap_fraction,
     zorder_layout,
 )
+from .chunking import chunk_documents
 from .downsample import lttb, minmax_decimate
 from .maintenance import compact_partitions, drop_partitions_older_than
 from .rollup import ContinuousRollup
@@ -35,6 +36,7 @@ __all__ = [
     "cosine_topk", "lsh_cosine_topk", "topk", "topk_per_group",
     "optimize_layout", "file_stats", "overlap_fraction", "zorder_layout",
     "ContinuousRollup",
+    "chunk_documents",
     "compact_partitions", "drop_partitions_older_than",
     "lttb", "minmax_decimate",
     "assign_packs", "pack_stats",

@@ -217,6 +217,60 @@ def counter_increase(
     )
 
 
+def counter_rate(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-second counter rate (the PromQL ``rate()`` semantic):
+    reset-corrected total increase divided by the observed span —
+    ``increase / (last_ts - first_ts)``. Same single lag-window +
+    single aggregate shape as :func:`counter_increase` (one shuffle);
+    the span is carried through the same aggregate as min/max
+    microseconds, so rate costs nothing extra.
+
+    Returns (key, rate_per_second, total_increase, n_resets,
+    n_samples, span_us); rate is NULL for single-sample series
+    (span 0 — PromQL returns nothing there too).
+    """
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.col(value).cast("decimal(18,2)")).over(w)
+    cur = F.col(value).cast("decimal(18,2)")
+    delta = cur - prev
+    stepped = df.select(
+        F.col(key),
+        F.unix_micros(F.col(ts)).alias("_tus"),
+        F.when(prev.isNull(), F.lit(None).cast("decimal(19,2)"))
+        .when(delta >= 0, delta)
+        .otherwise(cur)
+        .alias("_inc"),
+        F.when(prev.isNotNull() & (delta < 0), 1).otherwise(0).alias("_reset"),
+    )
+    agg = stepped.groupBy(key).agg(
+        F.coalesce(F.sum("_inc"), F.lit(0)).cast("double")
+        .alias("total_increase"),
+        F.sum("_reset").cast("long").alias("n_resets"),
+        F.count("*").cast("long").alias("n_samples"),
+        (F.max("_tus") - F.min("_tus")).alias("span_us"),
+    )
+    rate = F.when(
+        F.col("span_us") > 0,
+        F.col("total_increase") / F.col("span_us").cast("double")
+        * F.lit(1_000_000.0),
+    )
+    return agg.select(
+        key,
+        rate.alias("rate_per_second"),
+        "total_increase",
+        "n_resets",
+        "n_samples",
+        "span_us",
+    )
+
+
 def linear_interp_fill(
     df: DataFrame,
     key: str,

@@ -85,6 +85,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_qualify_sql", "q_asof_sql",
     # NEW in round 8 (added below as the round progresses)
     "q_asof_qualify_sql", "q_histogram_quantile", "q_topn_with_others",
+    "q_rate_per_second", "q_chunk_documents",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6184,4 +6185,90 @@ def q_topn_with_others(spark, sf_dir):
             F.sum(F.col("sv").cast("decimal(18,2)")).cast("double")
             .alias("sum_value"),
         )
+    )
+
+
+@declare(
+    "q_rate_per_second",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) AS tus,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             lag(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM events WHERE user_id < 50
+    ),
+    s AS (
+      SELECT user_id, tus,
+             CASE WHEN pv IS NULL THEN NULL
+                  WHEN v - pv >= 0 THEN v - pv
+                  ELSE v END AS inc,
+             CASE WHEN pv IS NOT NULL AND v - pv < 0 THEN 1 ELSE 0 END AS r
+      FROM d
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(inc), 0) AS DOUBLE) AS total_increase,
+             CAST(SUM(r) AS BIGINT) AS n_resets,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             MAX(tus) - MIN(tus) AS span_us
+      FROM s GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN span_us > 0
+                THEN total_increase / CAST(span_us AS DOUBLE) * 1000000.0
+           END AS rate_per_second,
+           total_increase, n_resets, n_samples, span_us
+    FROM a
+    """,
+    doc="PromQL-style rate() (round 8, operators/resample.py "
+    "counter_rate): reset-corrected increase per observed second. Same "
+    "single lag-window + single aggregate as counter_increase — the "
+    "span rides the same agg as min/max microseconds, so rate costs no "
+    "extra shuffle; NULL for single-sample series (PromQL returns "
+    "nothing there too)",
+)
+def q_rate_per_second(spark, sf_dir):
+    from .operators.resample import counter_rate
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return counter_rate(
+        e, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
+    )
+
+
+@declare(
+    "q_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             CASE WHEN len(ws) <= 32 THEN 1
+                  ELSE (len(ws) - 32 + 23) // 24 + 1 END AS nc
+      FROM t
+    )
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(ws[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+           CAST(len(ws[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_tokens
+    FROM c, (SELECT unnest(generate_series(0, 4000)) AS i) idx
+    WHERE i < nc
+    """,
+    doc="document chunking (round 8, operators/chunking.py): explode "
+    "each doc into 32-token windows with 8-token overlap — the "
+    "corpus->context-budget step before packing/embedding/indexing. "
+    "Pure JVM higher-order functions (split/filter/sequence/explode/"
+    "slice/array_join), ZERO shuffles — one WholeStageCodegen map over "
+    "the scan; every input row survives (short docs -> 1 chunk)",
+)
+def q_chunk_documents(spark, sf_dir):
+    from .operators.chunking import chunk_documents
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        d, ["doc_id"], text_col="text", chunk_tokens=32, overlap=8
     )
