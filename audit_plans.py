@@ -1,0 +1,156 @@
+"""Full-registry physical-plan audit: build every declared query's plan
+at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) and flag scale-killers —
+the checks the per-round review runs by hand, as a repeatable tool.
+
+Flags per query (plan-string scan, no execution):
+- ``cartesian``      CartesianProduct / BroadcastNestedLoopJoin nodes
+- ``python_row``     BatchEvalPython (row-at-a-time Python UDF — the
+                     Arrow paths ArrowEvalPython / FlatMapGroupsInPandas
+                     / MapInArrow are fine and not flagged)
+- ``unpruned_scan``  a parquet scan whose ReadSchema carries every
+                     column of a wide table (>= 8 columns read)
+- ``forced_bcast``   a broadcast hint on an sf-scaling table (scan of
+                     lineitem/orders/customer/part/supplier/events/
+                     documents/embeddings under a BroadcastExchange
+                     that came from a hint — heuristic: ResolvedHint in
+                     the optimized plan)
+
+Known-and-documented exceptions are listed in ALLOW (each with the
+reason the plan is intentional); anything else non-empty exits 1.
+
+Usage: ``python audit_plans.py [query ...]`` — no args audits all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rusty_timeseries_db_spark import queries as _q
+from rusty_timeseries_db_spark.session import get_spark
+
+#: query -> {flag: reason} — the documented intentional plans.
+ALLOW: dict[str, dict[str, str]] = {
+    "q_join_cross": {
+        "cartesian": "the declared guarded 5x5 cross-join query itself"
+    },
+    "q_dense_grid": {
+        "cartesian": "dims-only densification grid (series x days, both tiny)"
+    },
+    "q_similarity_bruteforce": {
+        "cartesian": "documented broadcast brute-force ANN baseline "
+        "(breaks even vs bucketed at corpus scale, SCALE.md)"
+    },
+    "q_embedding_neardup_exact": {
+        "cartesian": "exact all-pairs oracle baseline for the LSH "
+        "recall tests (excluded from bench; QUERIES.md rationale)"
+    },
+    "q_embedding_knn_classify": {
+        "cartesian": "broadcast query-batch x corpus scan — the "
+        "documented brute-force kNN shape (queries are the small side)"
+    },
+    "q_similarity_ivf": {
+        "cartesian": "probe-list x centroid distance uses a broadcast "
+        "nested loop over the TINY centroid table only"
+    },
+    "q_similarity_lsh": {
+        "cartesian": "hyperplane projection broadcasts the constant "
+        "plane matrix (rows = n_planes, not data)"
+    },
+    "q_interval_overlap_join": {
+        "cartesian": "3 fixed maintenance windows broadcast against "
+        "events — the range join's small side is constant-size"
+    },
+    "q_join_range_bands": {
+        "cartesian": "band dimension is constant-size (4 rows) "
+        "broadcast; the range condition is the query"
+    },
+    "q_theta_join": {
+        "cartesian": "theta predicate on two filtered small sides "
+        "(declared guarded)"
+    },
+    "q_scd2_merge": {
+        "cartesian": "broadcast of the tiny update batch against "
+        "current dimension rows"
+    },
+    "q_python_udtf": {
+        "python_row": "the D6 surface IS the Python UDTF — "
+        "row-at-a-time by definition, documented slow path"
+    },
+    "q_udf_sql_registered": {
+        "python_row": "the D6 surface IS the SQL-registered Python "
+        "UDF — row-at-a-time by definition, documented slow path"
+    },
+}
+
+_SCALING = (
+    "lineitem", "orders", "customer", "part", "supplier", "events",
+    "documents", "embeddings",
+)
+
+
+def audit_one(spark, name, fn, sf_dir) -> dict[str, str]:
+    df = fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    optimized = qe.optimizedPlan().toString()
+    flags: dict[str, str] = {}
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        flags["cartesian"] = "cartesian/nested-loop node present"
+    if "BatchEvalPython" in plan:
+        flags["python_row"] = "row-at-a-time Python UDF in plan"
+    for line in plan.splitlines():
+        m = re.search(r"ReadSchema: struct<([^>]*)>\s*$", line)
+        if m and m.group(1).count(",") + 1 >= 8:
+            flags["unpruned_scan"] = (
+                f"scan reads {m.group(1).count(',') + 1} columns"
+            )
+    if "ResolvedHint" in optimized:
+        for t in _SCALING:
+            if re.search(rf"ResolvedHint[^\n]*\n[^\n]*{t}", optimized):
+                flags["forced_bcast"] = f"broadcast hint near scaling table {t}"
+    return flags
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="rtsdb-spark-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    # full ReadSchema strings — the default 100-char metadata cap
+    # truncates schemas mid-field and makes column counting garbage
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    fns = _q.all_queries()
+    names = sys.argv[1:] or list(fns)
+    report: dict[str, dict] = {}
+    unexpected = 0
+    for name in names:
+        try:
+            flags = audit_one(spark, name, fns[name], sf_dir)
+        except Exception as e:  # a query that cannot even plan is a failure
+            flags = {"error": f"{type(e).__name__}: {e}"[:200]}
+        allowed = ALLOW.get(name, {})
+        bad = {k: v for k, v in flags.items() if k not in allowed}
+        if bad:
+            unexpected += 1
+            print(f"| FLAG {name} {bad}", file=sys.stderr)
+        report[name] = {"flags": flags, "allowed": list(allowed)}
+    n_flagged = sum(1 for r in report.values() if r["flags"])
+    print(
+        json.dumps(
+            {
+                "audited": len(names),
+                "flagged": n_flagged,
+                "unexpected": unexpected,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    sys.exit(1 if unexpected else 0)
+
+
+if __name__ == "__main__":
+    main()
