@@ -296,16 +296,27 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
     outer = f"SELECT * FROM ({inner}) __qualify_filtered WHERE __qualify"
     if tail:
         outer += " " + tail
+    inlined = _inline_qualify_form(head, pred, tail)
+    # a dotted identifier in the predicate (l.k — not a function call)
+    # references an inner-query alias, which CANNOT resolve in the
+    # nested form; going inline first avoids a guaranteed analysis
+    # failure (and the ERROR Spark logs for it) on the common composed
+    # ASOF+QUALIFY statement
+    dotted = re.search(
+        r"\b\w+\.\w+\b(?!\s*\()", _mask_string_literals(pred)
+    )
+    first, second = (
+        (inlined, outer) if (dotted and inlined) else (outer, inlined)
+    )
     try:
-        return spark.sql(outer).drop("__qualify")
-    except AnalysisException as nested_err:
-        inlined = _inline_qualify_form(head, pred, tail)
-        if inlined is None:
+        return spark.sql(first).drop("__qualify")
+    except AnalysisException as first_err:
+        if second is None:
             raise
         try:
-            return spark.sql(inlined).drop("__qualify")
+            return spark.sql(second).drop("__qualify")
         except AnalysisException:
-            raise nested_err from None
+            raise first_err from None
 
 
 def _inline_qualify_form(head: str, pred: str, tail: str) -> str | None:
