@@ -105,6 +105,27 @@ class Repl:
                 self.engine.spark._jvm.org.apache.spark.sql.execution
                 .ExplainMode.fromString("formatted")
             )
+        if line == "compact_files":
+            # maintenance verb (round 8): incremental small-file
+            # compaction of the active base (operators/maintenance.py)
+            stats = self.engine.compact_small_files()
+            if not stats:
+                return "Compaction: nothing to do."
+            parts = ", ".join(
+                f"{k}: {b}->{a}" for k, (b, a) in sorted(stats.items())
+            )
+            return f"Compacted {len(stats)} partition(s) ({parts})."
+        if line.startswith("retention "):
+            # maintenance verb (round 8): chunk-drop retention; needs
+            # the date-partitioned layout, reported plainly otherwise
+            cutoff = line.split(None, 1)[1].strip()
+            try:
+                dropped = self.engine.drop_chunks_before(cutoff)
+            except ValueError as e:
+                return f"Error: {e}"
+            if not dropped:
+                return "Retention: nothing older than " + cutoff + "."
+            return f"Dropped {len(dropped)} chunk(s): {', '.join(dropped)}."
         if line.startswith("set_interval"):
             parts = line.split()
             if len(parts) == 2 and parts[1].isdigit():

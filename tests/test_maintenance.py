@@ -140,3 +140,34 @@ def test_engine_facade_retention_and_compaction(spark, tmp_path):
     eng2 = TimeseriesEngine(spark, str(tmp_path / "wh2"))
     with pytest.raises(ValueError, match="partition_by_date"):
         eng2.drop_chunks_before("2024-01-01")
+
+
+def test_repl_maintenance_verbs(spark, tmp_path):
+    """REPL verbs compact_files / retention map onto the engine
+    facades and reply with plain operator summaries."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.repl import Repl
+
+    eng = TimeseriesEngine(
+        spark, str(tmp_path / "wh"), partition_by_date=True
+    )
+    for dd in (1, 2, 9):
+        eng.ingest_rows([
+            {"sensor_name": "x", "timestamp": f"2024-08-{dd:02d}T12:00:00Z",
+             "value": 1.0, "fc1_flag": None, "timeseries_id": "s1"},
+            {"sensor_name": "x", "timestamp": f"2024-08-{dd:02d}T12:00:01Z",
+             "value": 2.0, "fc1_flag": None, "timeseries_id": "s1"},
+        ])
+    repl = Repl(eng)
+    out = repl.execute("compact_files")
+    assert out.startswith("Compacted") or out == "Compaction: nothing to do."
+    out = repl.execute("retention 2024-08-05")
+    assert out.startswith("Dropped 2 chunk(s):")
+    assert eng.count() == 2
+    assert repl.execute("retention 2024-08-05") == (
+        "Retention: nothing older than 2024-08-05."
+    )
+
+    # without the date layout the verb reports the constraint
+    eng2 = TimeseriesEngine(spark, str(tmp_path / "wh2"))
+    assert Repl(eng2).execute("retention 2024-01-01").startswith("Error:")

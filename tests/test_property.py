@@ -221,3 +221,43 @@ def test_split_qualify_pred_ignores_keywords_in_parens_and_strings():
     assert tail == "ORDER BY x LIMIT 2"
     pred2, tail2 = _split_qualify_pred(" note = 'ORDER BY nothing' LIMIT 5")
     assert "ORDER BY nothing" in pred2 and tail2 == "LIMIT 5"
+
+
+_doc_text = st.lists(
+    st.sampled_from(["alpha", "bb", "c", "dddd", "", " "]),
+    min_size=0, max_size=60,
+).map(lambda ws: " ".join(ws))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=10),
+    chunk=st.integers(2, 12),
+    overlap=st.integers(0, 11),
+)
+def test_chunk_documents_matches_python_model(spark, texts, chunk, overlap):
+    """chunk_documents == a straight-line Python chunker on random
+    docs: same chunk ids, texts, and token counts; every doc survives."""
+    from rusty_timeseries_db_spark.operators.chunking import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            df, ["doc_id"], chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    )
+
+    want = []
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        nc = 1 if n <= chunk else -(-(n - chunk) // stride) + 1
+        for c in range(nc):
+            w = toks[c * stride: c * stride + chunk]
+            want.append((i, c, " ".join(w), len(w)))
+    assert got == sorted(want)
