@@ -109,6 +109,33 @@ def drop_partitions_older_than(
     return sorted(dropped)
 
 
+def sweep_residue(spark: SparkSession, path: str) -> list[str]:
+    """Delete crash leftovers under ``path``: ``*.bak`` /
+    ``*.compact_tmp`` directories a killed :func:`compact_partitions`
+    may strand (its documented worst-case outcome). Safe anytime —
+    live partitions never carry these suffixes; run it before a
+    compaction pass or from a janitor schedule. Returns deleted dir
+    names."""
+    fs = _fs(spark, path)
+    root = _hpath(spark, path)
+    if not fs.exists(root):
+        return []
+    removed = []
+    stack = [root]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.endswith((".bak", ".compact_tmp")):
+                fs.delete(st.getPath(), True)
+                removed.append(name)
+            else:
+                stack.append(st.getPath())
+    return sorted(removed)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -171,3 +171,19 @@ def test_repl_maintenance_verbs(spark, tmp_path):
     # without the date layout the verb reports the constraint
     eng2 = TimeseriesEngine(spark, str(tmp_path / "wh2"))
     assert Repl(eng2).execute("retention 2024-01-01").startswith("Error:")
+
+
+def test_sweep_residue_removes_only_crash_leftovers(spark, tmp_path):
+    from rusty_timeseries_db_spark.operators.maintenance import sweep_residue
+
+    path = str(tmp_path / "t")
+    _write_days(spark, path, ["2024-03-01", "2024-03-02"])
+    # simulate a crashed compaction: strand a .bak and a .compact_tmp
+    os.makedirs(os.path.join(path, "day=2024-03-01.bak"))
+    os.makedirs(os.path.join(path, "day=2024-03-02.compact_tmp"))
+    removed = sweep_residue(spark, path)
+    assert removed == [
+        "day=2024-03-01.bak", "day=2024-03-02.compact_tmp"
+    ]
+    assert spark.read.parquet(path).count() == 40  # data untouched
+    assert sweep_residue(spark, path) == []
