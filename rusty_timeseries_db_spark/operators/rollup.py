@@ -107,6 +107,8 @@ class ContinuousRollup:
         ts_col: str = "ts",
         value_col: str = "value",
         window: str = "5 minutes",
+        distinct_col: str | None = None,
+        lg_k: int = 12,
     ) -> None:
         self.spark = spark
         self.base = base
@@ -115,6 +117,16 @@ class ContinuousRollup:
         self.ts_col = ts_col
         self.value_col = value_col
         self.window = window
+        #: optional mergeable COUNT DISTINCT: each cell also stores an
+        #: HLL sketch of ``distinct_col`` (functions/sketches.py), so
+        #: ``distinct_estimate`` can union across materialized days AND
+        #: the live tail — the operation exact distinct counts cannot
+        #: do. Estimates are input-set-deterministic; the sketch BYTES
+        #: may differ across refresh orders (coupon order in sparse
+        #: mode), so byte-level partition idempotency holds for the
+        #: numeric columns and value-level idempotency for the sketch.
+        self.distinct_col = distinct_col
+        self.lg_k = lg_k
         self.manifest_path = rollup_path + ".hwm.json"
         # Day boundaries must be window boundaries: otherwise a window
         # spanning midnight could be half-materialized and half-tail
@@ -161,16 +173,24 @@ class ContinuousRollup:
     def _aggregate(self, df: DataFrame) -> DataFrame:
         w = F.window(self.ts_col, self.window)
         v = F.col(self.value_col)
+        aggs = [
+            F.count("*").alias("n"),
+            # exact 2-dp decimal sum: refresh order can never change
+            # the stored bytes (idempotent partition rewrites)
+            F.sum(v.cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+        ]
+        extra = []
+        if self.distinct_col is not None:
+            aggs.append(
+                F.hll_sketch_agg(F.col(self.distinct_col), F.lit(self.lg_k))
+                .alias("distinct_sketch")
+            )
+            extra = ["distinct_sketch"]
         return (
             df.groupBy(*self.key_cols, w.alias("w"))
-            .agg(
-                F.count("*").alias("n"),
-                # exact 2-dp decimal sum: refresh order can never change
-                # the stored bytes (idempotent partition rewrites)
-                F.sum(v.cast("decimal(18,2)")).cast("double").alias("sum_value"),
-                F.min(v).alias("min_value"),
-                F.max(v).alias("max_value"),
-            )
+            .agg(*aggs)
             .select(
                 *self.key_cols,
                 F.col("w.start").alias("window_start"),
@@ -179,7 +199,35 @@ class ContinuousRollup:
                 "sum_value",
                 "min_value",
                 "max_value",
+                *extra,
                 F.to_date("w.start").alias("window_day"),
+            )
+        )
+
+    def distinct_estimate(self, group_cols: list[str] | None = None) -> DataFrame:
+        """Distinct-count estimate of ``distinct_col`` per
+        ``group_cols`` (default: the rollup keys) over the COMPLETE
+        view — HLL sketches from materialized days and the live tail
+        union losslessly, which exact per-cell distinct counts cannot
+        (users overlap across days). Returns (group_cols, n_rows,
+        distinct_est)."""
+        if self.distinct_col is None:
+            raise ValueError(
+                "rollup was built without distinct_col — no sketches stored"
+            )
+        gc = self.key_cols if group_cols is None else list(group_cols)
+        return (
+            self.read()
+            .groupBy(*gc)
+            .agg(
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.hll_union_agg(F.col("distinct_sketch")).alias("_sk"),
+            )
+            .select(
+                *gc,
+                "n_rows",
+                F.hll_sketch_estimate("_sk").cast("bigint")
+                .alias("distinct_est"),
             )
         )
 

@@ -274,3 +274,59 @@ def test_streaming_maintenance_hash_equals_batch_formulation(spark, tmp_path):
     # final once day 5 advanced the hwm)
     assert roll._read_hwm() == "2024-08-05"
     assert roll._has_data_files()
+
+
+def test_distinct_sketch_cells_union_across_materialized_and_tail(
+    spark, paths
+):
+    """distinct_col stores an HLL sketch per cell; distinct_estimate
+    unions across the materialized/live-tail boundary — the mergeable
+    COUNT DISTINCT. Small cardinalities keep HLL in exact (sparse)
+    range, so the estimate must EQUAL the exact distinct count."""
+    base, rollup = paths
+    rows = []
+    # day 1-2 (will materialize) + day 5 (hot tail); user ids overlap
+    # across days so per-day exact counts cannot be summed
+    for day, users in ((1, [1, 2, 3]), (2, [2, 3, 4]), (5, [3, 4, 5])):
+        for mm, u in enumerate(users):
+            rows.append(("a", f"2024-03-{day:02d} 12:{mm:02d}:00", float(u), u))
+    df = spark.createDataFrame(
+        rows, "series string, ts_raw string, value double, user_id int"
+    ).select(
+        "series", F.to_timestamp("ts_raw").alias("ts"), "value", "user_id"
+    )
+    df.write.mode("append").parquet(base)
+
+    roll = ContinuousRollup(
+        spark, base, rollup, ["series"], distinct_col="user_id"
+    )
+    roll.refresh()
+    # materialized parquet really carries the sketch column
+    mat = spark.read.parquet(rollup)
+    assert "distinct_sketch" in mat.columns and mat.count() > 0
+
+    est = roll.distinct_estimate().collect()
+    assert len(est) == 1
+    assert est[0].distinct_est == 5     # exact in sparse range
+    assert est[0].n_rows == 9
+
+    # per-(series, day) grouping also works, and the boundary day is
+    # served from the tail while days 1-2 come from parquet
+    by_day = {
+        (r.series, str(r.window_day)): r.distinct_est
+        for r in roll.distinct_estimate(
+            ["series", "window_day"]
+        ).collect()
+    }
+    assert by_day == {
+        ("a", "2024-03-01"): 3,
+        ("a", "2024-03-02"): 3,
+        ("a", "2024-03-05"): 3,
+    }
+
+    # a rollup without distinct_col refuses
+    import pytest
+
+    plain = ContinuousRollup(spark, base, rollup + "2", ["series"])
+    with pytest.raises(ValueError, match="distinct_col"):
+        plain.distinct_estimate()
