@@ -463,7 +463,10 @@ class TimeseriesEngine:
         )
 
     def continuous_rollup(
-        self, window: str = "5 minutes", name: str | None = None
+        self,
+        window: str = "5 minutes",
+        name: str | None = None,
+        **rollup_kwargs,
     ):
         """Continuous aggregate over the CANONICAL telemetry view
         (base ∪ overlay, so point updates are reflected): per-series
@@ -476,12 +479,18 @@ class TimeseriesEngine:
         from .operators.rollup import ContinuousRollup
 
         name = name or f"rollup_{window.replace(' ', '_')}"
+        cols = ["timeseries_id", "ts", "value"]
+        dc = rollup_kwargs.get("distinct_col")
+        if dc and dc not in cols:
+            cols.append(dc)
         return ContinuousRollup(
             self.spark,
-            lambda: self.telemetry().select("timeseries_id", "ts", "value"),
+            lambda: self.telemetry().select(*cols),
             os.path.join(self.warehouse_dir, name),
             key_cols=["timeseries_id"],
             window=window,
+            # e.g. distinct_col=... for mergeable HLL distinct cells
+            **rollup_kwargs,
         )
 
     def fault_count(

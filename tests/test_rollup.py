@@ -330,3 +330,17 @@ def test_distinct_sketch_cells_union_across_materialized_and_tail(
     plain = ContinuousRollup(spark, base, rollup + "2", ["series"])
     with pytest.raises(ValueError, match="distinct_col"):
         plain.distinct_estimate()
+
+
+def test_engine_rollup_forwards_distinct_col(spark, tmp_path):
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from tests.conftest import CANONICAL_ROWS
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS)
+    roll = eng.continuous_rollup(
+        window="1 minute", distinct_col="sensor_name"
+    )
+    roll.refresh()
+    est = roll.distinct_estimate().collect()
+    assert est and all(r.distinct_est >= 1 for r in est)
