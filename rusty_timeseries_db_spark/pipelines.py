@@ -50,6 +50,16 @@ class CorpusPipelineConfig:
     split_weights: Mapping[str, float] | None = None
     pack_budget: int = 512
     pack_shards: int = 32
+    #: opt-in chunked packing (round 8): split surviving TRAIN docs
+    #: into ``chunk_tokens``-token windows (``chunk_overlap`` shared
+    #: tokens between neighbors) BEFORE packing, so the pack unit is a
+    #: context-bounded chunk, not a whole document — the realistic
+    #: assembly flow when documents exceed the model context. Output
+    #: then carries a ``chunk_id`` column (NULL on val/test rows, which
+    #: are never chunked). Default off: the documented 7-stage output
+    #: schema and its end-to-end oracle are unchanged.
+    chunk_tokens: int | None = None
+    chunk_overlap: int = 0
     #: persist the quality-gated, exact-deduped corpus
     #: (MEMORY_AND_DISK) before the branching stages. Five downstream
     #: consumers re-derive it otherwise (near-dup grams, contamination
@@ -167,11 +177,39 @@ def build_training_corpus(
     # 7. pack the train split only
     train = d.filter(F.col("split") == "train")
     rest = d.filter(F.col("split") != "train")
-    packed = assign_packs(
-        train, id_col, "n_tok", cfg.pack_budget, shards=cfg.pack_shards
-    )
     out_cols = [id_col, domain_col, "n_tok", "split",
                 "shard", "pack_id", "pack_pos"]
+    if cfg.chunk_tokens:
+        # 6b (opt-in). chunk train docs to the context budget first;
+        # the pack unit becomes (doc, chunk). Deterministic composite
+        # id keeps assign_packs' hash-order total.
+        from .operators.chunking import chunk_documents
+
+        chunks = chunk_documents(
+            train.select(id_col, domain_col, "split", text_col),
+            [id_col, domain_col, "split"],
+            text_col=text_col,
+            chunk_tokens=cfg.chunk_tokens,
+            overlap=cfg.chunk_overlap,
+        ).withColumnRenamed("n_tokens", "n_tok")
+        train = chunks.withColumn(
+            "_cid",
+            F.concat_ws(
+                "#",
+                F.col(id_col).cast("string"),
+                F.col("chunk_id").cast("string"),
+            ),
+        )
+        packed = assign_packs(
+            train, "_cid", "n_tok", cfg.pack_budget, shards=cfg.pack_shards
+        ).drop("_cid", "chunk_text")
+        out_cols = [id_col, "chunk_id", domain_col, "n_tok", "split",
+                    "shard", "pack_id", "pack_pos"]
+        rest = rest.withColumn("chunk_id", F.lit(None).cast("bigint"))
+    else:
+        packed = assign_packs(
+            train, id_col, "n_tok", cfg.pack_budget, shards=cfg.pack_shards
+        )
     rest = (
         rest.withColumn("shard", F.lit(None).cast("bigint"))
         .withColumn("pack_id", F.lit(None).cast("bigint"))

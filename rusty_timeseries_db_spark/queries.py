@@ -86,6 +86,9 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # NEW in round 8 (added below as the round progresses)
     "q_asof_qualify_sql", "q_histogram_quantile", "q_topn_with_others",
     "q_rate_per_second", "q_chunk_documents",
+    # pipelines.py gained the opt-in chunked-packing stage (default-off:
+    # output schema and oracle unchanged, but the module is modified)
+    "q_training_corpus_pipeline",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,

@@ -93,3 +93,57 @@ def test_persist_intermediate_identical_results(spark, manifest):
     b = sorted(map(tuple, cached.collect()))
     assert a == b
     spark.catalog.clearCache()
+
+
+def test_chunked_packing_mode(spark, manifest):
+    """Opt-in chunk_tokens: train docs are chunked to the context
+    budget BEFORE packing (pack unit = chunk); val/test rows are never
+    chunked; the default-mode schema is unchanged."""
+    docs = T(spark, SF_DIR, "documents")
+    # selection params identical to the `manifest` fixture cfg — only
+    # the packing unit differs, so the surviving doc set must match
+    cfg = CorpusPipelineConfig(
+        min_tokens=10,
+        mixture={"src0": 1.0, "src1": 0.5},
+        mixture_default=0.8,
+        pack_budget=64, pack_shards=4,
+        chunk_tokens=16, chunk_overlap=4,
+    )
+    out = build_training_corpus(docs, cfg)
+    out.persist()
+    try:
+        assert "chunk_id" in out.columns
+        train = out.filter("split = 'train'")
+        rest = out.filter("split != 'train'")
+        # every train pack unit fits the chunk budget
+        assert train.filter("n_tok > 16").count() == 0
+        assert train.filter("chunk_id IS NULL").count() == 0
+        # chunk ids are dense per doc (0..k-1)
+        per_doc = train.groupBy("doc_id").agg(
+            F.countDistinct("chunk_id").alias("k"),
+            F.max("chunk_id").alias("mx"),
+        )
+        assert per_doc.filter("mx != k - 1").count() == 0
+        # packs respect the budget up to the documented boundary-row
+        # overflow (closed-form rule: the row straddling the boundary
+        # stays in its pack, so tot < budget + chunk_tokens)
+        packs = train.groupBy("shard", "pack_id").agg(
+            F.sum("n_tok").alias("tot")
+        )
+        assert packs.filter("tot >= 64 + 16").count() == 0
+        # eval rows: unchunked, unpacked
+        assert rest.filter("chunk_id IS NOT NULL").count() == 0
+        assert rest.filter("pack_id IS NOT NULL").count() == 0
+        # same surviving docs as the default pipeline (chunking only
+        # changes the packing unit, never selection)
+        assert (
+            sorted(r.doc_id for r in out.select("doc_id").distinct().collect())
+            == sorted(
+                r.doc_id
+                for r in manifest.select("doc_id").distinct().collect()
+            )
+        )
+        # default mode schema untouched
+        assert "chunk_id" not in manifest.columns
+    finally:
+        out.unpersist()
