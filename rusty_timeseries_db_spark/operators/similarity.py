@@ -390,3 +390,160 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ------------------------------------------------------- persisted IVF
+
+def _probe_cells(queries: DataFrame, query_id: str, query_vec: str,
+                 centroids: list[list[float]], n_probe: int) -> DataFrame:
+    """(_qid, _qvec, _cell) — each query exploded to its ``n_probe``
+    nearest centroid cells (shared by ad-hoc and persisted IVF)."""
+
+    def dist2(vec_col, ctr: list[float]):
+        arr = F.array(*[F.lit(x) for x in ctr])
+        return F.aggregate(
+            F.zip_with(vec_col, arr, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+    )
+    cells = F.array(
+        *[
+            F.struct(dist2(F.col("_qvec"), ctr).alias("d"), F.lit(i).alias("cell"))
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    return q.select(
+        "_qid",
+        "_qvec",
+        F.explode(F.slice(F.array_sort(cells), 1, n_probe)).alias("_p"),
+    ).select("_qid", "_qvec", F.col("_p.cell").alias("_cell"))
+
+
+class IvfIndex:
+    """Persisted IVF index: build ONCE (k-means fit + cell-assigned
+    corpus written as parquet PARTITIONED BY cell, centroids in a JSON
+    manifest beside it), then serve any number of query batches without
+    refitting — ``ivf_cosine_topk`` refits k-means per call, which is
+    the right shape for one-shot analytics but not for a serving index.
+
+    Scale: the query path joins the broadcast probe list on ``_cell``,
+    the PARTITION column — Spark's dynamic partition pruning skips the
+    unprobed cell directories entirely, so a batch probing p of N cells
+    reads ~p/N of the index bytes. Manifest I/O uses the Hadoop FS API
+    (the ContinuousRollup pattern) so the index can live on object
+    storage.
+    """
+
+    def __init__(self, spark, index_path: str):
+        self.spark = spark
+        self.index_path = index_path
+        self.manifest_path = index_path + ".ivf.json"
+
+    # -- manifest via Hadoop FS (scheme-resolved; local == hdfs == s3a)
+    def _hpath(self, p: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._hpath(p).getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+
+    def build(
+        self,
+        corpus: DataFrame,
+        corpus_id: str = "vec_id",
+        corpus_vec: str = "embedding",
+        n_clusters: int = 16,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        import json as _json
+
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        c = corpus.select(
+            F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec")
+        ).withColumn(
+            "_fv", array_to_vector(F.col("_cvec").cast("array<double>"))
+        )
+        km = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell"
+        )
+        model = km.fit(c)
+        (
+            model.transform(c)
+            .select("_cid", "_cvec", "_cell")
+            .write.mode("overwrite")
+            .partitionBy("_cell")
+            .parquet(self.index_path)
+        )
+        centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+        fs = self._fs(self.manifest_path)
+        tmp = self._hpath(self.manifest_path + ".tmp")
+        dst = self._hpath(self.manifest_path)
+        out = fs.create(tmp, True)
+        try:
+            out.write(_json.dumps({
+                "centroids": centroids,
+                "n_clusters": n_clusters,
+                "seed": seed,
+                "corpus_id": corpus_id,
+            }).encode("utf-8"))
+        finally:
+            out.close()
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise IOError(f"IVF manifest rename failed: {tmp} -> {dst}")
+        return self
+
+    def _manifest(self) -> dict:
+        import json as _json
+
+        fs = self._fs(self.manifest_path)
+        path = self._hpath(self.manifest_path)
+        if not fs.exists(path):
+            raise FileNotFoundError(
+                f"no IVF manifest at {self.manifest_path} — build() first"
+            )
+        stream = fs.open(path)
+        try:
+            raw = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream
+                )
+            )
+        finally:
+            stream.close()
+        return _json.loads(raw.decode("utf-8"))
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id: str = "query_id",
+        query_vec: str = "embedding",
+        n_probe: int = 4,
+    ) -> DataFrame:
+        man = self._manifest()
+        corpus_id = man["corpus_id"]
+        assigned = self.spark.read.parquet(self.index_path)
+        probed = _probe_cells(
+            queries, query_id, query_vec, man["centroids"], n_probe
+        )
+        cand = assigned.join(F.broadcast(probed), "_cell")
+        scored = cand.select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            cosine(F.col("_cvec"), F.col("_qvec")).alias("cos_sim"),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("cos_sim").desc(), F.col(corpus_id).asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )

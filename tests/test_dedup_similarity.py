@@ -251,3 +251,55 @@ def test_topk_per_group_matches_pandas_nlargest(spark):
         )
         got = set(out[out["g"] == g]["uid"])
         assert got == expected, g
+
+
+def test_ivf_index_persist_and_query_matches_adhoc(spark, tmp_path):
+    """IvfIndex (round 8): build-once parquet index + manifest must
+    return EXACTLY the ad-hoc ivf_cosine_topk results (same seed ->
+    same k-means -> same cells), survive a fresh object ('restart'),
+    and keep the cell column as a partition dir for pruning."""
+    import os
+
+    from rusty_timeseries_db_spark.operators.similarity import (
+        IvfIndex,
+        ivf_cosine_topk,
+    )
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter("vec_id >= 20")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    idx_path = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, idx_path).build(
+        corpus, n_clusters=8, seed=7
+    )
+    assert any(d.startswith("_cell=") for d in os.listdir(idx_path))
+
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in idx.query(queries, k=5, n_probe=3).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_cosine_topk(
+            corpus, queries, k=5, n_clusters=8, n_probe=3, seed=7
+        ).collect()
+    )
+    assert got == want and len(got) == 5 * queries.count()
+
+    # a fresh object (new process analog) serves from the manifest
+    again = IvfIndex(spark, idx_path)
+    got2 = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in again.query(queries, k=5, n_probe=3).collect()
+    )
+    assert got2 == got
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="build"):
+        IvfIndex(spark, str(tmp_path / "nope")).query(queries)
