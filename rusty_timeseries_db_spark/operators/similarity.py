@@ -354,29 +354,9 @@ def ivf_cosine_topk(
 
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
-    def dist2(vec_col, ctr: list[float]):
-        arr = F.array(*[F.lit(x) for x in ctr])
-        return F.aggregate(
-            F.zip_with(vec_col, arr, lambda a, b: (a.cast("double") - b) ** 2),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    q = queries.select(
-        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
-    )
     # per-query centroid distances → probe the n_probe nearest cells
-    cells = F.array(
-        *[
-            F.struct(dist2(F.col("_qvec"), ctr).alias("d"), F.lit(i).alias("cell"))
-            for i, ctr in enumerate(centroids)
-        ]
-    )
-    probed = q.select(
-        "_qid",
-        "_qvec",
-        F.explode(F.slice(F.array_sort(cells), 1, n_probe)).alias("_p"),
-    ).select("_qid", "_qvec", F.col("_p.cell").alias("_cell"))
+    # (shared with the persisted IvfIndex query path)
+    probed = _probe_cells(queries, query_id, query_vec, centroids, n_probe)
 
     cand = assigned.join(F.broadcast(probed), "_cell")
     scored = cand.select(
