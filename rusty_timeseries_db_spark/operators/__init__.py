@@ -16,7 +16,11 @@ from .layout import (
 )
 from .chunking import chunk_documents
 from .downsample import lttb, minmax_decimate
-from .maintenance import compact_partitions, drop_partitions_older_than
+from .maintenance import (
+    compact_partitions,
+    drop_partitions_older_than,
+    sweep_residue,
+)
 from .rollup import ContinuousRollup
 from .packing import assign_packs, pack_stats
 from .sampling import (
@@ -25,7 +29,8 @@ from .sampling import (
     stratified_sample,
     weighted_sample,
 )
-from .similarity import cosine_topk, lsh_cosine_topk
+from .resample import counter_rate
+from .similarity import IvfIndex, cosine_topk, lsh_cosine_topk
 from .topk import topk, topk_per_group
 
 __all__ = [
@@ -33,11 +38,11 @@ __all__ = [
     "minhash_dedup_pairs", "ngram_jaccard_pairs", "simhash_pairs",
     "apply_overlay", "build_overlay_for_updates", "compact",
     "cumulative_agg", "locf_fill", "resample", "rolling_agg", "time_spine",
-    "cosine_topk", "lsh_cosine_topk", "topk", "topk_per_group",
+    "IvfIndex", "cosine_topk", "counter_rate", "lsh_cosine_topk", "topk", "topk_per_group",
     "optimize_layout", "file_stats", "overlap_fraction", "zorder_layout",
     "ContinuousRollup",
     "chunk_documents",
-    "compact_partitions", "drop_partitions_older_than",
+    "compact_partitions", "drop_partitions_older_than", "sweep_residue",
     "lttb", "minmax_decimate",
     "assign_packs", "pack_stats",
     "deterministic_sample", "hash_split", "stratified_sample",

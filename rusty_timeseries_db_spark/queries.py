@@ -89,6 +89,9 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # pipelines.py gained the opt-in chunked-packing stage (default-off:
     # output schema and oracle unchanged, but the module is modified)
     "q_training_corpus_pipeline",
+    # similarity.py's IVF probe was refactored into the shared
+    # _probe_cells helper (also powers the new persisted IvfIndex)
+    "q_similarity_ivf",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
