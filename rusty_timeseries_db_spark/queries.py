@@ -92,6 +92,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # similarity.py's IVF probe was refactored into the shared
     # _probe_cells helper (also powers the new persisted IvfIndex)
     "q_similarity_ivf",
+    "q_corpus_pipeline_chunked",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6278,3 +6279,152 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(
         d, ["doc_id"], text_col="text", chunk_tokens=32, overlap=8
     )
+
+
+@declare(
+    "q_corpus_pipeline_chunked",
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    q AS (  -- stage 1: quality gate on token count
+      SELECT doc_id, source, text, ws, len(ws) AS n_tok
+      FROM base WHERE len(ws) BETWEEN 10 AND 100000
+    ),
+    keep_exact AS (  -- stage 2: exact dedup, keep min-id per content hash
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM q
+      ) GROUP BY fp
+    ),
+    d2 AS (SELECT q.* FROM q JOIN keep_exact USING (doc_id)),
+    grams AS (  -- stage 3: near-dup 3-gram shingles over survivors
+      -- LATERAL per-row series: cap-free, so arbitrarily long docs
+      -- (quality gate admits up to 100k tokens) cannot diverge from
+      -- the engine's uncapped word_shingles
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        FROM d2, LATERAL (
+          SELECT unnest(generate_series(1, greatest(len(d2.ws) - 2, 1))) AS i
+        ) idx
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (  -- connected components (transitive closure)
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    dropped AS (SELECT id FROM reach GROUP BY id HAVING MIN(r) <> id),
+    d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT id FROM dropped)),
+    d4 AS (  -- stage 6a: split assignment (default 90/5/5, salt 'split')
+      SELECT *,
+        CASE WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'train'
+             WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9500 THEN 'val'
+             ELSE 'test' END AS split
+      FROM d3
+    ),
+    cg AS (  -- stage 4: contamination 3-grams (pre-mixture corpus;
+             -- LATERAL = cap-free, consistent with the grams stage)
+      SELECT DISTINCT doc_id, split,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM d4, LATERAL (
+        SELECT unnest(generate_series(1, d4.n_tok - 2)) AS i
+      ) idx
+      WHERE n_tok >= 3
+    ),
+    held AS (SELECT DISTINCT gram FROM cg WHERE split = 'test'),
+    contam AS (
+      SELECT c.doc_id FROM cg c LEFT JOIN held h ON c.gram = h.gram
+      WHERE c.split = 'train'
+      GROUP BY c.doc_id
+      HAVING CAST(COUNT(h.gram) AS DOUBLE) / COUNT(*) > 0.8
+    ),
+    d5 AS (SELECT * FROM d4
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    d6 AS (  -- stage 5: mixture sampling (src0 100%, src1 50%, 80% default)
+      SELECT * FROM d5
+      WHERE CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+            < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                          ELSE 8000 END
+    ),
+    tr AS (SELECT doc_id, source, split, ws, n_tok FROM d6
+           WHERE split = 'train'),
+    nc AS (  -- stage 6b: chunk count per train doc (chunk 16, overlap 4)
+      SELECT *, CASE WHEN n_tok <= 16 THEN 1
+                     ELSE (n_tok - 16 + 11) // 12 + 1 END AS nchunks
+      FROM tr
+    ),
+    ch AS (  -- explode to chunks; n_tok becomes the chunk's token count
+      SELECT doc_id, source, split, CAST(i AS BIGINT) AS chunk_id,
+             CAST(len(ws[i*12+1 : i*12+16]) AS BIGINT) AS n_tok,
+             CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS cid
+      FROM nc, (SELECT unnest(generate_series(0, 4000)) AS i) idx
+      WHERE i < nchunks
+    ),
+    tp AS (  -- stage 7: pack CHUNKS (budget 64, 4 shards, composite id)
+      SELECT doc_id, chunk_id, source, n_tok, split, shard, hk, cid,
+             CAST(FLOOR((SUM(n_tok) OVER (
+                 PARTITION BY shard ORDER BY hk, cid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / 64.0) AS BIGINT) AS pack_id
+      FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5('pack' || cid), 1, 8)) AS BIGINT) % 4 AS shard,
+               md5('pack' || cid) AS hk
+        FROM ch
+      )
+    )
+    SELECT doc_id, chunk_id, source, n_tok, split,
+           CAST(shard AS BIGINT) AS shard, pack_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard, pack_id ORDER BY hk, cid
+           ) - 1 AS BIGINT) AS pack_pos
+    FROM tp
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS BIGINT) AS chunk_id, source,
+           CAST(n_tok AS BIGINT) AS n_tok, split,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pack_id,
+           CAST(NULL AS BIGINT) AS pack_pos
+    FROM d6 WHERE split <> 'train'
+    """,
+    doc="the CHUNKED corpus pipeline (round 8, pipelines.py "
+    "chunk_tokens): same 6 selection stages as "
+    "q_training_corpus_pipeline, then train docs split into "
+    "16-token/4-overlap windows and the CHUNKS packed (budget 64) "
+    "under a composite doc#chunk id — the context-budget assembly "
+    "flow, end-to-end oracle-paired like the unchunked flagship",
+)
+def q_corpus_pipeline_chunked(spark, sf_dir):
+    from .pipelines import CorpusPipelineConfig, build_training_corpus
+
+    docs = T(spark, sf_dir, "documents")
+    cfg = CorpusPipelineConfig(
+        min_tokens=10,
+        mixture={"src0": 1.0, "src1": 0.5},
+        mixture_default=0.8,
+        pack_budget=64,
+        pack_shards=4,
+        chunk_tokens=16,
+        chunk_overlap=4,
+    )
+    return build_training_corpus(docs, cfg)
