@@ -92,7 +92,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # similarity.py's IVF probe was refactored into the shared
     # _probe_cells helper (also powers the new persisted IvfIndex)
     "q_similarity_ivf",
-    "q_corpus_pipeline_chunked",
+    "q_corpus_pipeline_chunked", "q_similarity_ivf_index",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6428,3 +6428,27 @@ def q_corpus_pipeline_chunked(spark, sf_dir):
         chunk_overlap=4,
     )
     return build_training_corpus(docs, cfg)
+
+
+@declare(
+    "q_similarity_ivf_index",
+    None,
+    doc="PERSISTED IVF index (round 8, operators/similarity.py "
+    "IvfIndex): build once — k-means cells written as cell-PARTITIONED "
+    "parquet + Hadoop-FS centroid manifest — then serve query batches "
+    "without refitting; the probe list joins on the partition column "
+    "so unprobed cells prune. Rows-only like q_similarity_ivf "
+    "(k-means has no SQL oracle); index==ad-hoc equality and "
+    "restart-from-manifest are pinned in tests/test_dedup_similarity.py",
+)
+def q_similarity_ivf_index(spark, sf_dir):
+    from .operators.similarity import IvfIndex
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = os.path.join(_fixture_dir("q_similarity_ivf_index"), "ivf")
+    idx = IvfIndex(spark, path).build(corpus, n_clusters=16, seed=42)
+    return idx.query(queries, k=5, n_probe=4)
