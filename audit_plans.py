@@ -69,10 +69,6 @@ ALLOW: dict[str, dict[str, str]] = {
         "cartesian": "band dimension is constant-size (4 rows) "
         "broadcast; the range condition is the query"
     },
-    "q_theta_join": {
-        "cartesian": "theta predicate on two filtered small sides "
-        "(declared guarded)"
-    },
     "q_scd2_merge": {
         "cartesian": "broadcast of the tiny update batch against "
         "current dimension rows"

@@ -450,6 +450,17 @@ class TimeseriesEngine:
         that nests ``series_bucket=*/ds=*``). TimescaleDB
         ``drop_chunks`` analog; see operators/maintenance.py for the
         scale rationale."""
+        import re as _re
+
+        # the underlying compare is a plain string < — any non-ISO
+        # cutoff ('tomorrow', '3') sorts above every date and would
+        # irreversibly delete EVERYTHING, so validate the format hard
+        if not _re.fullmatch(r"\d{4}-\d{2}-\d{2}", cutoff_date):
+            raise ValueError(
+                f"cutoff_date {cutoff_date!r} must be ISO YYYY-MM-DD — "
+                "retention compares partition values as strings and a "
+                "malformed cutoff would drop every chunk"
+            )
         if not self.partition_by_date:
             raise ValueError(
                 "drop_chunks_before needs partition_by_date=True — "

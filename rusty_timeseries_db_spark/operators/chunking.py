@@ -46,8 +46,12 @@ def chunk_documents(
             f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
         )
     stride = chunk_tokens - overlap
-    toks = F.filter(
-        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    # NULL text folds to the empty token array — otherwise size(NULL)
+    # is -1 (legacy sizeOfNull) and a NULL doc would emit one chunk
+    # with n_tokens = -1, corrupting downstream token sums
+    toks = F.coalesce(
+        F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0),
+        F.array().cast("array<string>"),
     )
     n = F.size("_toks")
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(

@@ -95,9 +95,12 @@ def _bound_series_rows(
     spanning exactly that series' own [min ts, max ts] — keeping every
     local extreme, the same fidelity contract as ``minmax_decimate``
     but with a per-series ROW bound instead of a global bucket width.
-    One extra aggregation + a broadcast join of per-series stats
-    (#series rows — tiny); the decimation window rides the same
-    series-key shuffle the downstream grouped-map needs anyway.
+
+    Cost: one per-series stats aggregation always (narrow — key + ts
+    only); when NO series exceeds the cap — the common case — the
+    stats check short-circuits and the input is returned unchanged, so
+    the (key, bucket) decimation window (its own exchange) is only
+    paid when an oversized series actually exists.
 
     The series' first- and last-timestamp rows are always kept (LTTB's
     endpoint contract must survive the guard), so the bound is
@@ -114,6 +117,12 @@ def _bound_series_rows(
         )
         .filter(F.col("_cnt") > max_group_rows)
     )
+    # fast path: no oversized series (the common case) → input passes
+    # through with NO added exchange. The check executes the narrow
+    # stats aggregation once — deliberate eager work, orders cheaper
+    # than unconditionally adding the (key, bucket) window shuffle.
+    if stats.isEmpty():
+        return df
     b = df.join(F.broadcast(stats), key_cols, "left")
     # bucket in [0, nb-1]; double arithmetic — a boundary row drifting
     # one bucket over is harmless for a memory bound (and span*nb can

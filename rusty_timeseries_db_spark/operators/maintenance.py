@@ -36,16 +36,9 @@ from __future__ import annotations
 
 import math
 
-
 from pyspark.sql import SparkSession
 
-
-def _hpath(spark: SparkSession, p: str):
-    return spark._jvm.org.apache.hadoop.fs.Path(p)
-
-
-def _fs(spark: SparkSession, p: str):
-    return _hpath(spark, p).getFileSystem(spark._jsc.hadoopConfiguration())
+from ..fsutil import fs_for as _fs, hpath as _hpath
 
 
 def _partition_dirs(
@@ -157,6 +150,15 @@ def compact_partitions(
     ``<dir>`` → ``<dir>.bak``, tmp → ``<dir>``, drop ``.bak`` — atomic
     per rename on HDFS/POSIX, and the worst crash outcome is the old
     directory surviving (as ``.bak``) next to a complete new one.
+
+    Concurrent appends: the file list is re-checked after the rewrite
+    and a partition whose contents changed mid-rewrite is SKIPPED
+    (reported as ``(files_before, -1)``) rather than swapped — swapping
+    would silently drop the just-appended files. This shrinks the race
+    window from the whole rewrite job to the instant between re-check
+    and rename; for a hard guarantee, compact partitions the ingest
+    path is no longer appending to (e.g. closed date chunks), the same
+    quiescence rule as retention.
     """
     fs = _fs(spark, path)
     done: dict[str, tuple[int, int]] = {}
@@ -179,6 +181,17 @@ def compact_partitions(
         spark.read.parquet(str(pdir)).repartition(n_out).write.mode(
             "overwrite"
         ).parquet(str(tmp))
+        # re-check: a concurrent append during the rewrite means the
+        # tmp dir is missing those rows — skip the swap, never lose them
+        now = {
+            st.getPath().getName()
+            for st in fs.listStatus(pdir)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        }
+        if now != {st.getPath().getName() for st in files}:
+            fs.delete(tmp, True)
+            done[label] = (len(files), -1)  # skipped: concurrent append
+            continue
         # Spark leaves a _SUCCESS marker; the swapped-in dir keeps it
         if not fs.rename(pdir, bak):
             raise IOError(f"compaction: cannot move aside {pdir}")

@@ -47,11 +47,12 @@ every ``read()`` degraded to a full O(history) re-aggregation.
 
 from __future__ import annotations
 
-import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..fsutil import fs_for, hpath, read_json_manifest, write_json_manifest
 
 
 def _tz_offsets_seconds(tz: str) -> list[int]:
@@ -65,10 +66,15 @@ def _tz_offsets_seconds(tz: str) -> list[int]:
     s = tz.strip()
     if s.upper() in ("UTC", "GMT", "Z", "ETC/UTC", "ETC/GMT"):
         return [0]
-    m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})(?::\d{2})?", s)
+    # minutes are optional: Spark/Java ZoneId accepts 'GMT+8', '+8',
+    # 'UTC+1' as well as '+05:30'
+    m = re.fullmatch(
+        r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?(?::\d{2})?", s
+    )
     if m:
         sign = 1 if m.group(1) == "+" else -1
-        return [sign * (int(m.group(2)) * 3600 + int(m.group(3)) * 60)]
+        mins = int(m.group(3)) if m.group(3) else 0
+        return [sign * (int(m.group(2)) * 3600 + mins * 60)]
     try:
         from datetime import datetime
         from zoneinfo import ZoneInfo
@@ -231,57 +237,23 @@ class ContinuousRollup:
             )
         )
 
-    # -- manifest + probe I/O through the Hadoop FileSystem API, so an
-    # hdfs:// or s3a:// rollup_path behaves exactly like file:// — the
-    # FS is resolved from the PATH's scheme, never assumed local.
-
-    def _hpath(self, p: str):
-        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
-
-    def _fs(self, p: str):
-        return self._hpath(p).getFileSystem(
-            self.spark._jsc.hadoopConfiguration()
-        )
+    # -- manifest + probe I/O through the shared Hadoop-FS helpers
+    # (fsutil.py): an hdfs:// or s3a:// rollup_path behaves exactly
+    # like file:// — the FS is resolved from the PATH's scheme.
 
     def _read_hwm(self) -> str | None:
-        fs = self._fs(self.manifest_path)
-        path = self._hpath(self.manifest_path)
-        if not fs.exists(path):
-            return None
-        stream = fs.open(path)
-        try:
-            raw = bytes(
-                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
-                    stream
-                )
-            )
-        finally:
-            stream.close()
-        return json.loads(raw.decode("utf-8"))["hwm_day"]
+        man = read_json_manifest(self.spark, self.manifest_path)
+        return None if man is None else man["hwm_day"]
 
     def _write_hwm(self, day: str) -> None:
-        # write-to-tmp + rename: rename is atomic on HDFS/POSIX and the
-        # closest available commit on object stores (same contract as
-        # the streaming exactly-once manifest, streaming/ingest.py)
-        fs = self._fs(self.manifest_path)
-        tmp = self._hpath(self.manifest_path + ".tmp")
-        dst = self._hpath(self.manifest_path)
-        out = fs.create(tmp, True)  # overwrite=True
-        try:
-            out.write(json.dumps({"hwm_day": day}).encode("utf-8"))
-        finally:
-            out.close()
-        if fs.exists(dst):
-            fs.delete(dst, False)  # Hadoop rename refuses to clobber
-        if not fs.rename(tmp, dst):
-            raise IOError(f"manifest rename failed: {tmp} -> {dst}")
+        write_json_manifest(self.spark, self.manifest_path, {"hwm_day": day})
 
     def _has_data_files(self) -> bool:
         """True iff the materialization holds at least one parquet data
         file (a refresh that wrote zero rows leaves only _SUCCESS — no
         schema to read)."""
-        fs = self._fs(self.rollup_path)
-        root = self._hpath(self.rollup_path)
+        fs = fs_for(self.spark, self.rollup_path)
+        root = hpath(self.spark, self.rollup_path)
         if not fs.exists(root):
             return False
         it = fs.listFiles(root, True)  # recursive RemoteIterator

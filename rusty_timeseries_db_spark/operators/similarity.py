@@ -21,6 +21,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..fsutil import read_json_manifest, write_json_manifest
 from ..functions.vectors import cosine, dot, norm
 
 
@@ -413,8 +414,8 @@ class IvfIndex:
     Scale: the query path joins the broadcast probe list on ``_cell``,
     the PARTITION column — Spark's dynamic partition pruning skips the
     unprobed cell directories entirely, so a batch probing p of N cells
-    reads ~p/N of the index bytes. Manifest I/O uses the Hadoop FS API
-    (the ContinuousRollup pattern) so the index can live on object
+    reads ~p/N of the index bytes. Manifest I/O uses the shared
+    Hadoop-FS helpers (fsutil.py) so the index can live on object
     storage.
     """
 
@@ -422,15 +423,6 @@ class IvfIndex:
         self.spark = spark
         self.index_path = index_path
         self.manifest_path = index_path + ".ivf.json"
-
-    # -- manifest via Hadoop FS (scheme-resolved; local == hdfs == s3a)
-    def _hpath(self, p: str):
-        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
-
-    def _fs(self, p: str):
-        return self._hpath(p).getFileSystem(
-            self.spark._jsc.hadoopConfiguration()
-        )
 
     def build(
         self,
@@ -440,8 +432,6 @@ class IvfIndex:
         n_clusters: int = 16,
         seed: int = 42,
     ) -> "IvfIndex":
-        import json as _json
-
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -462,44 +452,21 @@ class IvfIndex:
             .parquet(self.index_path)
         )
         centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-        fs = self._fs(self.manifest_path)
-        tmp = self._hpath(self.manifest_path + ".tmp")
-        dst = self._hpath(self.manifest_path)
-        out = fs.create(tmp, True)
-        try:
-            out.write(_json.dumps({
-                "centroids": centroids,
-                "n_clusters": n_clusters,
-                "seed": seed,
-                "corpus_id": corpus_id,
-            }).encode("utf-8"))
-        finally:
-            out.close()
-        if fs.exists(dst):
-            fs.delete(dst, False)
-        if not fs.rename(tmp, dst):
-            raise IOError(f"IVF manifest rename failed: {tmp} -> {dst}")
+        write_json_manifest(self.spark, self.manifest_path, {
+            "centroids": centroids,
+            "n_clusters": n_clusters,
+            "seed": seed,
+            "corpus_id": corpus_id,
+        })
         return self
 
     def _manifest(self) -> dict:
-        import json as _json
-
-        fs = self._fs(self.manifest_path)
-        path = self._hpath(self.manifest_path)
-        if not fs.exists(path):
+        man = read_json_manifest(self.spark, self.manifest_path)
+        if man is None:
             raise FileNotFoundError(
                 f"no IVF manifest at {self.manifest_path} — build() first"
             )
-        stream = fs.open(path)
-        try:
-            raw = bytes(
-                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
-                    stream
-                )
-            )
-        finally:
-            stream.close()
-        return _json.loads(raw.decode("utf-8"))
+        return man
 
     def query(
         self,

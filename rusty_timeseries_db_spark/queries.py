@@ -6262,8 +6262,9 @@ def q_rate_per_second(spark, sf_dir):
     SELECT doc_id, i AS chunk_id,
            array_to_string(ws[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
            CAST(len(ws[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_tokens
-    FROM c, (SELECT unnest(generate_series(0, 4000)) AS i) idx
-    WHERE i < nc
+    FROM c, LATERAL (  -- per-row series: cap-free, like the grams CTEs
+      SELECT unnest(generate_series(0, c.nc - 1)) AS i
+    ) idx
     """,
     doc="document chunking (round 8, operators/chunking.py): explode "
     "each doc into 32-token windows with 8-token overlap — the "
@@ -6378,8 +6379,9 @@ def q_chunk_documents(spark, sf_dir):
       SELECT doc_id, source, split, CAST(i AS BIGINT) AS chunk_id,
              CAST(len(ws[i*12+1 : i*12+16]) AS BIGINT) AS n_tok,
              CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS cid
-      FROM nc, (SELECT unnest(generate_series(0, 4000)) AS i) idx
-      WHERE i < nchunks
+      FROM nc, LATERAL (  -- cap-free per-row series (grams pattern)
+        SELECT unnest(generate_series(0, nc.nchunks - 1)) AS i
+      ) idx
     ),
     tp AS (  -- stage 7: pack CHUNKS (budget 64, 4 shards, composite id)
       SELECT doc_id, chunk_id, source, n_tok, split, shard, hk, cid,

@@ -302,8 +302,11 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
     # nested form; going inline first avoids a guaranteed analysis
     # failure (and the ERROR Spark logs for it) on the common composed
     # ASOF+QUALIFY statement
+    # identifiers only — \w+\.\w+ would also match decimal literals
+    # like 0.95 and wrongly flip the rewrite order
     dotted = re.search(
-        r"\b\w+\.\w+\b(?!\s*\()", _mask_string_literals(pred)
+        r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*\b(?!\s*\()",
+        _mask_string_literals(pred),
     )
     first, second = (
         (inlined, outer) if (dotted and inlined) else (outer, inlined)
@@ -345,6 +348,34 @@ _QUERY_START = re.compile(
     r"^\s*(?:\(\s*)*(?:SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE
 )
 
+#: write/DDL verbs that may legally follow a CTE prologue in Spark's
+#: grammar ("WITH t AS (...) INSERT INTO ..."), so a leading WITH is
+#: not sufficient evidence of a read-only statement.
+_WRITE_KW = re.compile(
+    r"\b(?:INSERT|DELETE|UPDATE|MERGE|DROP|CREATE|ALTER|TRUNCATE|"
+    r"REPLACE|LOAD|SET|RESET|CACHE|UNCACHE|REFRESH|ANALYZE|MSCK|GRANT|"
+    r"REVOKE)\b(?!\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _has_top_level_write_kw(masked: str) -> bool:
+    """True if a write/DDL keyword occurs at paren depth 0 of the
+    masked statement — string literals are already blanked, backquoted
+    identifiers are blanked here, function-call forms (``REPLACE(x,
+    'a', 'b')``) are excluded by the keyword regex's lookahead, and
+    the depth-0 restriction keeps subquery-internal column names from
+    false-positiving."""
+    masked = re.sub(r"`[^`]*`", " ", masked)
+    depth = 0
+    for m in _WRITE_KW.finditer(masked):
+        depth = masked.count("(", 0, m.start()) - masked.count(
+            ")", 0, m.start()
+        )
+        if depth == 0:
+            return True
+    return False
+
 
 def is_query_statement(query: str) -> bool:
     """True iff ``query`` is a single read-only query statement —
@@ -366,7 +397,12 @@ def is_query_statement(query: str) -> bool:
     head, sep, rest = masked.partition(";")
     if sep and rest.strip():
         return False
-    return bool(_QUERY_START.match(head))
+    if not _QUERY_START.match(head):
+        return False
+    # Spark's grammar allows a CTE prologue before DML ("WITH t AS
+    # (...) INSERT INTO ..."), so a leading WITH/( does not prove
+    # read-only: additionally reject any depth-0 write/DDL keyword
+    return not _has_top_level_write_kw(head)
 
 
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:

@@ -508,3 +508,22 @@ def test_sql_qualify_over_group_by_aggregate_inputs(spark):
         "QUALIFY rank() OVER (ORDER BY SUM(v) DESC) <= 2",
     ).collect()
     assert {(r.k, r.s) for r in out} == {("b", 10.0), ("c", 5.0)}
+
+
+def test_qualify_decimal_literal_does_not_flip_rewrite_order(spark):
+    """Code-review r8: '0.5' must not look like a dotted alias — the
+    nested form (select-list-alias resolution) must stay first, so a
+    predicate alias shadowing a base column resolves to the ALIAS."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    spark.createDataFrame(
+        [("a", 1.0), ("a", -3.0), ("b", -2.0)], "k string, value double"
+    ).createOrReplaceTempView("qualify_dec")
+    out = sql_with_qualify(
+        spark,
+        "SELECT k, -value AS value FROM qualify_dec "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY value DESC) = 1 "
+        "AND value > 0.5",
+    ).collect()
+    # alias resolution: -value, so ('a', 3.0) and ('b', 2.0) qualify
+    assert {(r.k, r.value) for r in out} == {("a", 3.0), ("b", 2.0)}

@@ -94,3 +94,14 @@ def test_counter_rate_resets_and_single_sample(spark):
     assert a.span_us == 100_000_000
     b = got["b"]
     assert b.rate_per_second is None and b.n_samples == 1
+
+
+def test_chunk_null_text_yields_one_empty_chunk(spark):
+    """Code-review r8: NULL text must behave like the empty doc — one
+    chunk, n_tokens 0 (size(NULL) would otherwise leak -1 into token
+    sums)."""
+    df = spark.createDataFrame([(1, None), (2, "a b")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_documents(df, ["doc_id"]).collect()}
+    assert out[1].n_tokens == 0 and out[1].chunk_text == ""
+    assert out[2].n_tokens == 2

@@ -285,3 +285,45 @@ def test_sql_route_rejects_non_query_statements(server):
     # a literal containing 'DROP' or ';' is data, not syntax
     code, rows = post_sql("SELECT 'DROP TABLE t; x' AS s")
     assert code == 200 and rows == [{"s": "DROP TABLE t; x"}]
+
+
+def test_sql_gate_rejects_cte_prefixed_dml(server):
+    """Code-review r8: Spark's grammar allows 'WITH ... INSERT/MERGE',
+    so a leading WITH is not proof of read-only — depth-0 write
+    keywords are rejected; function-call REPLACE() and backquoted
+    identifiers are not."""
+    base = server.base_url
+
+    def post_sql(query):
+        req = urllib.request.Request(
+            f"{base}/sql",
+            data=json.dumps({"query": query}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    for stmt in (
+        "WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '/tmp/p' "
+        "USING parquet SELECT * FROM x",
+        "WITH x AS (SELECT 1 AS a) DELETE FROM telemetry",
+        "WITH x AS (SELECT 1 AS a) MERGE INTO t USING x ON t.a = x.a "
+        "WHEN MATCHED THEN DELETE",
+    ):
+        code, err = post_sql(stmt)
+        assert code == 400 and "only query statements" in err, stmt
+
+    # read-only statements with keyword-LOOKALIKES still pass
+    code, rows = post_sql("SELECT REPLACE('abc', 'b', 'd') AS s")
+    assert code == 200 and rows == [{"s": "adc"}]
+    code, rows = post_sql(
+        "WITH `update` AS (SELECT 2 AS x) SELECT x FROM `update`"
+    )
+    assert code == 200 and rows == [{"x": 2}]
+    # a write keyword inside a string literal stays data
+    code, rows = post_sql("SELECT 'DROP TABLE x' AS s")
+    assert code == 200

@@ -187,3 +187,23 @@ def test_sweep_residue_removes_only_crash_leftovers(spark, tmp_path):
     ]
     assert spark.read.parquet(path).count() == 40  # data untouched
     assert sweep_residue(spark, path) == []
+
+
+def test_drop_chunks_before_validates_cutoff_format(spark, tmp_path):
+    """Code-review r8: a malformed cutoff ('tomorrow') sorts above
+    every ISO date and would drop EVERYTHING — rejected hard."""
+    import pytest
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    eng = TimeseriesEngine(
+        spark, str(tmp_path / "wh"), partition_by_date=True
+    )
+    eng.ingest_rows([
+        {"sensor_name": "x", "timestamp": "2024-08-01T12:00:00Z",
+         "value": 1.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ])
+    for bad in ("tomorrow", "3", "20240-01-01", "2024-8-1", ""):
+        with pytest.raises(ValueError, match="ISO"):
+            eng.drop_chunks_before(bad)
+    assert eng.count() == 1  # nothing was deleted

@@ -344,3 +344,16 @@ def test_engine_rollup_forwards_distinct_col(spark, tmp_path):
     roll.refresh()
     est = roll.distinct_estimate().collect()
     assert est and all(r.distinct_est >= 1 for r in est)
+
+
+def test_tz_offsets_accept_short_fixed_forms():
+    """Code-review r8: Spark accepts 'GMT+8' / '+8' / 'UTC+1' — the
+    guard must resolve them instead of raising."""
+    from rusty_timeseries_db_spark.operators.rollup import (
+        _tz_offsets_seconds,
+    )
+
+    assert _tz_offsets_seconds("GMT+8") == [8 * 3600]
+    assert _tz_offsets_seconds("+8") == [8 * 3600]
+    assert _tz_offsets_seconds("UTC+1") == [3600]
+    assert _tz_offsets_seconds("-0330") == [-(3 * 3600 + 30 * 60)]
