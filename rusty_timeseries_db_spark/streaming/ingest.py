@@ -49,15 +49,31 @@ def normalized_stream(stream: DataFrame) -> DataFrame:
     return normalize_payload(stream)
 
 
-def read_telemetry_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_telemetry_stream(
+    spark: SparkSession, source_dir: str, with_corrupt_record: bool = False
+) -> DataFrame:
     """JSON-lines drop-dir source with the POST /telemetry schema.
 
     Returns the *raw* stream; normalization (which assigns ``ingest_seq``
     via ``monotonically_increasing_id`` — unsupported on streaming
     frames) happens per micro-batch inside the sink's ``foreachBatch``.
+
+    ``with_corrupt_record=True`` adds the PERMISSIVE-mode
+    ``_corrupt_record`` column carrying the raw text of unparseable
+    lines (all schema fields NULL on those rows) — the input the sink's
+    quarantine path splits on. Without it, garbage lines silently
+    become all-NULL telemetry rows.
     """
+    schema = TELEMETRY_INGEST_SCHEMA
+    if with_corrupt_record:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            list(TELEMETRY_INGEST_SCHEMA.fields)
+            + [StructField("_corrupt_record", StringType(), True)]
+        )
     return (
-        spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "16")
         .json(source_dir)
     )
@@ -85,6 +101,7 @@ def start_telemetry_sink(
     trigger_seconds: int | None = None,
     available_now: bool = False,
     rollup=None,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Append stream → partitioned Parquet telemetry table, at-least-once
     per micro-batch (checkpointed offsets; see module docstring for the
@@ -101,11 +118,35 @@ def start_telemetry_sink(
     union). Refresh is incremental + idempotent, so a replayed batch
     re-runs it harmlessly.
 
+    ``quarantine_dir``: when the stream was read
+    ``with_corrupt_record=True``, unparseable JSON lines are appended
+    verbatim (one text file set per batch) to this directory instead of
+    becoming all-NULL telemetry rows — the bad-records side channel a
+    100 TB ingest needs (dropping garbage silently hides producer bugs;
+    failing the stream on one bad line loses the good ones).
+
     Implemented as ``foreachBatch`` so each micro-batch runs the shared
     batch normalization (incl. ``ingest_seq`` assignment)."""
     path = os.path.join(warehouse_dir, "telemetry")
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
+        cached = None
+        if quarantine_dir is not None and "_corrupt_record" in batch.columns:
+            # filtering on the corrupt column requires materializing the
+            # parsed batch first (Spark refuses to plan a filter on the
+            # internal corrupt column over a lazy scan)
+            cached = batch.cache()
+            bad = cached.filter(F.col("_corrupt_record").isNotNull())
+            bad.select("_corrupt_record").write.mode("append").text(
+                quarantine_dir
+            )
+            batch = cached.filter(
+                F.col("_corrupt_record").isNull()
+            ).drop("_corrupt_record")
+        elif "_corrupt_record" in batch.columns:
+            batch = batch.filter(
+                F.col("_corrupt_record").isNull()
+            ).drop("_corrupt_record")
         (
             normalize_batch(batch, batch_id)
             .sortWithinPartitions("timeseries_id", "ts")
@@ -113,6 +154,8 @@ def start_telemetry_sink(
             .partitionBy("series_bucket")
             .parquet(path)
         )
+        if cached is not None:
+            cached.unpersist()
         if rollup is not None:
             rollup.refresh()
 

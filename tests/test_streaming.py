@@ -189,3 +189,47 @@ def test_consecutive_faults_runs(spark):
     runs = consecutive_faults(df, min_run=3).collect()
     assert len(runs) == 1
     assert runs[0].run_length == 3
+
+
+def test_corrupt_json_lines_are_quarantined(spark, tmp_path):
+    """Round 8: garbage lines in the drop dir land verbatim in the
+    quarantine dir; the valid lines of the SAME file still ingest —
+    neither silent all-NULL rows nor a failed stream."""
+    import json as _json
+    import os as _os
+
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_telemetry_stream,
+        start_telemetry_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    quarantine = str(tmp_path / "bad")
+    _os.makedirs(src)
+    good = [
+        {"sensor_name": "x", "timestamp": f"2024-08-28T12:00:0{i}Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for i in range(3)
+    ]
+    with open(_os.path.join(src, "b1.jsonl"), "w") as f:
+        f.write(_json.dumps(good[0]) + "\n")
+        f.write("{this is not json\n")
+        f.write(_json.dumps(good[1]) + "\n")
+        f.write("<xml>nope</xml>\n")
+        f.write(_json.dumps(good[2]) + "\n")
+
+    q = start_telemetry_sink(
+        read_telemetry_stream(spark, src, with_corrupt_record=True),
+        wh,
+        available_now=True,
+        quarantine_dir=quarantine,
+    )
+    q.awaitTermination(120)
+
+    tel = spark.read.parquet(_os.path.join(wh, "telemetry"))
+    assert tel.count() == 3
+    assert tel.filter("timeseries_id IS NULL").count() == 0
+    bad = spark.read.text(quarantine)
+    got_bad = sorted(r.value for r in bad.collect())
+    assert got_bad == ["<xml>nope</xml>", "{this is not json"]
