@@ -261,3 +261,34 @@ def test_chunk_documents_matches_python_model(spark, texts, chunk, overlap):
             w = toks[c * stride: c * stride + chunk]
             want.append((i, c, " ".join(w), len(w)))
     assert got == sorted(want)
+
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    col=_ident,
+    lit=st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="'"
+        ),
+        max_size=30,
+    ),
+    tail=st.sampled_from(
+        ["", " ORDER BY 1", " LIMIT 5", " GROUP BY 1", ";"]
+    ),
+)
+def test_query_gate_properties(col, lit, tail):
+    """is_query_statement: any generated SELECT (with arbitrary
+    literal content) passes; prefixing DML or suffixing a second
+    statement always fails — independent of identifiers/literals."""
+    from rusty_timeseries_db_spark.sql_ext import is_query_statement
+
+    q = f"SELECT {col}, '{lit}' AS s FROM t WHERE {col} > 0{tail}"
+    assert is_query_statement(q)
+    assert not is_query_statement(f"DROP TABLE {col}")
+    assert not is_query_statement(
+        f"WITH x AS (SELECT {col} FROM t) INSERT INTO u SELECT * FROM x"
+    )
+    assert not is_query_statement(q.rstrip(";") + f"; DROP TABLE {col}")
