@@ -47,6 +47,21 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
+#: Opt-in large-state streaming config: pass as ``extra_conf`` (or set
+#: on an existing session) to keep stateful-streaming state (dedup
+#: keys, window panes, applyInPandasWithState rows) in RocksDB —
+#: off-heap, spillable, incrementally checkpointed — instead of the
+#: default in-memory HashMap provider, whose state must fit executor
+#: heap. The provider that makes billions of streaming keys viable;
+#: verified runnable in tests/test_streaming.py (RocksDB is bundled
+#: with Spark 4).
+ROCKSDB_STATE_STORE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+}
+
+
 def get_spark(
     app_name: str = "rusty-timeseries-db-spark",
     master: str | None = None,

@@ -357,3 +357,60 @@ def test_tz_offsets_accept_short_fixed_forms():
     assert _tz_offsets_seconds("+8") == [8 * 3600]
     assert _tz_offsets_seconds("UTC+1") == [3600]
     assert _tz_offsets_seconds("-0330") == [-(3 * 3600 + 30 * 60)]
+
+
+def test_streaming_sink_maintains_sketch_rollup(spark, tmp_path):
+    """The sketch-bearing rollup survives the streaming maintenance
+    path: binary HLL cells round-trip through the dynamic partition
+    overwrite inside foreachBatch, and distinct_estimate unions
+    materialized + tail correctly after the stream drains."""
+    import json as _json
+    import os as _os
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_telemetry_stream,
+        start_telemetry_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    _os.makedirs(src)
+    rows = [
+        {"sensor_name": f"sensor{i % 3}",
+         "timestamp": f"2024-08-{dd:02d}T12:{i:02d}:00Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for dd in (1, 2, 6) for i in range(4)
+    ]
+    for b in range(2):
+        with open(_os.path.join(src, f"b{b}.jsonl"), "w") as f:
+            for r in rows[b::2]:
+                f.write(_json.dumps(r) + "\n")
+
+    eng = TimeseriesEngine(spark, wh)
+    roll = eng.continuous_rollup(
+        window="5 minutes", distinct_col="sensor_name"
+    )
+    q = start_telemetry_sink(
+        read_telemetry_stream(spark, src), wh,
+        available_now=True, rollup=roll,
+    )
+    q.awaitTermination(120)
+
+    assert roll._read_hwm() == "2024-08-06"  # days 1-2 materialized
+    est = {
+        r.timeseries_id: r.distinct_est
+        for r in roll.distinct_estimate().collect()
+    }
+    # 3 distinct sensors across materialized days AND the live tail —
+    # sparse-range HLL is exact here
+    assert est == {"s1": 3}
+    per_day = {
+        str(r.window_day): r.distinct_est
+        for r in roll.distinct_estimate(
+            ["timeseries_id", "window_day"]
+        ).collect()
+    }
+    assert per_day == {
+        "2024-08-01": 3, "2024-08-02": 3, "2024-08-06": 3
+    }

@@ -233,3 +233,69 @@ def test_corrupt_json_lines_are_quarantined(spark, tmp_path):
     bad = spark.read.text(quarantine)
     got_bad = sorted(r.value for r in bad.collect())
     assert got_bad == ["<xml>nope</xml>", "{this is not json"]
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """Large-state scale path: the same watermarked dedup runs on the
+    RocksDB state store provider (bundled with Spark 4) — the provider
+    that keeps big streaming state off-heap/on-disk instead of in the
+    HDFS-backed in-memory map. Set per-session, verified by the state
+    operator's actual provider in the query's lastProgress."""
+    import json as _json
+    import os as _os
+
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        normalized_stream,
+        read_telemetry_stream,
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "drop")
+    _os.makedirs(src)
+    rows = [
+        {"sensor_name": "x", "timestamp": "2024-08-28T12:00:10Z",
+         "value": 1.0, "fc1_flag": None, "timeseries_id": "s1"},
+        {"sensor_name": "x", "timestamp": "2024-08-28T12:00:10Z",
+         "value": 9.9, "fc1_flag": None, "timeseries_id": "s1"},
+        {"sensor_name": "x", "timestamp": "2024-08-28T12:01:10Z",
+         "value": 3.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ]
+    with open(_os.path.join(src, "b1.jsonl"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    orig = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        dd = streaming_dedup(
+            normalized_stream(read_telemetry_stream(spark, src)),
+            watermark="10 minutes",
+        )
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("rocksdb_dedup")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM rocksdb_dedup").collect()
+        assert len(out) == 2  # duplicate (s1, 12:00:10) collapsed
+        progress = q.lastProgress
+        ops = progress["stateOperators"]
+        assert ops and "rocksdb" in ops[0].get(
+            "customMetrics", {}
+        ).__str__().lower() or "RocksDB" in _json.dumps(progress)
+    finally:
+        if orig is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, orig)
