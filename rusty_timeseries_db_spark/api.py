@@ -297,6 +297,16 @@ class TimeseriesEngine:
         catalog.createOrReplaceTempView(f"{name}_series_catalog")
         return df
 
+    def sql(self, query: str, right_order: str | None = None) -> DataFrame:
+        """Dialect SQL over the live engine (the REPL/HTTP verbs'
+        programmatic twin): registers the telemetry views fresh — so
+        overlay updates and new ingests are visible — and runs the
+        statement through the ASOF JOIN / QUALIFY rewrites."""
+        from .sql_ext import sql as _dialect_sql
+
+        self.register_views()
+        return _dialect_sql(self.spark, query, right_order=right_order)
+
     def build_series_catalog(self) -> DataFrame:
         """Realize the reference's dead ``TimeseriesReference`` struct
         (main.rs:32-36) as a real dimension: one row per distinct series

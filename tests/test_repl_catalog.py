@@ -323,3 +323,30 @@ def test_repl_sql_verb_with_qualify(repl):
 def test_repl_explain_verb(repl):
     out = repl.execute("explain SELECT 1 AS one")
     assert isinstance(out, str) and "Physical Plan" in out
+
+
+def test_engine_sql_facade(spark, tmp_path):
+    """engine.sql(): dialect SQL over the live views — sees overlay
+    updates, supports QUALIFY."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from tests.conftest import CANONICAL_ROWS
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS)
+    n = eng.sql("SELECT COUNT(*) AS n FROM telemetry").collect()[0].n
+    assert n == len(CANONICAL_ROWS)
+
+    latest = eng.sql(
+        "SELECT timeseries_id, value FROM telemetry "
+        "QUALIFY row_number() OVER (PARTITION BY timeseries_id "
+        "ORDER BY ts DESC) = 1"
+    ).collect()
+    assert len(latest) == len({r["timeseries_id"] for r in CANONICAL_ROWS})
+
+    # a point update through the overlay is visible on the next call
+    eng.update_rows([{**CANONICAL_ROWS[0], "value": 123.0}])
+    vals = {
+        r.value
+        for r in eng.sql("SELECT value FROM telemetry").collect()
+    }
+    assert 123.0 in vals
