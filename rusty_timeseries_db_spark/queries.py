@@ -93,6 +93,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # _probe_cells helper (also powers the new persisted IvfIndex)
     "q_similarity_ivf",
     "q_corpus_pipeline_chunked", "q_similarity_ivf_index",
+    "q_moving_median",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6454,3 +6455,52 @@ def q_similarity_ivf_index(spark, sf_dir):
     path = os.path.join(_fixture_dir("q_similarity_ivf_index"), "ivf")
     idx = IvfIndex(spark, path).build(corpus, n_clusters=16, seed=42)
     return idx.query(queries, k=5, n_probe=4)
+
+
+@declare(
+    "q_moving_median",
+    """
+    SELECT event_id, event_type, ts, value,
+           median(value) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7,
+           abs(value - median(value) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           )) AS dev
+    FROM events WHERE user_id < 40
+    """,
+    doc="moving median despiking (round 8): exact 7-sample rolling "
+    "median per series — the robust smoother a TSDB uses where a "
+    "rolling MEAN chases spikes. Spark has no median window function; "
+    "expressed as sort_array(collect_list) over the frame + middle "
+    "element(s) with even/odd interpolation matching DuckDB's "
+    "median(). O(w log w) per row at w=7 — fine for small despiking "
+    "frames; for wide frames use the bucketed histogram quantile "
+    "instead (q_histogram_quantile)",
+)
+def q_moving_median(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    # exact median with linear interpolation on even counts (DuckDB
+    # semantics): odd -> middle element; even -> mean of the two
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = (lo + hi) / 2
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        med.alias("med7"),
+        F.abs(F.col("value") - med).alias("dev"),
+    )
