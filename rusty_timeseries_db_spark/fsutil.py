@@ -39,10 +39,15 @@ def read_json_manifest(spark: SparkSession, path: str) -> dict | None:
 
 
 def write_json_manifest(spark: SparkSession, path: str, payload: dict) -> None:
-    """Atomic-rename manifest commit: write ``path + '.tmp'``, delete
-    any previous manifest (Hadoop rename refuses to clobber), rename
-    into place. A crash leaves either the old or the new manifest —
-    never a torn one."""
+    """Manifest commit: write ``path + '.tmp'``, delete any previous
+    manifest (Hadoop rename refuses to clobber), rename into place.
+    A torn/partial manifest is never observable — but the
+    delete→rename pair is NOT one atomic step: a crash (or a
+    concurrent read) in between sees NO manifest. Callers must treat
+    an absent manifest as 'cold start' (the rollup re-aggregates from
+    base — correct, just slower; the IVF index reports not-built) and
+    re-run the writer to converge; none may assume old-or-new
+    atomicity."""
     fs = fs_for(spark, path)
     tmp = hpath(spark, path + ".tmp")
     dst = hpath(spark, path)

@@ -117,13 +117,17 @@ def _bound_series_rows(
         )
         .filter(F.col("_cnt") > max_group_rows)
     )
-    # fast path: no oversized series (the common case) → input passes
-    # through with NO added exchange. The check executes the narrow
-    # stats aggregation once — deliberate eager work, orders cheaper
-    # than unconditionally adding the (key, bucket) window shuffle.
-    if stats.isEmpty():
+    # the oversized-series stats are collected ONCE (≤ #series rows,
+    # tiny by construction) — deliberate eager work: no oversized
+    # series (the common case) → input passes through with NO added
+    # exchange, and the slow path rebuilds the stats as a local-rows
+    # DataFrame so the aggregation never executes a second time for
+    # the broadcast join.
+    rows = stats.collect()
+    if not rows:
         return df
-    b = df.join(F.broadcast(stats), key_cols, "left")
+    stats_local = df.sparkSession.createDataFrame(rows, stats.schema)
+    b = df.join(F.broadcast(stats_local), key_cols, "left")
     # bucket in [0, nb-1]; double arithmetic — a boundary row drifting
     # one bucket over is harmless for a memory bound (and span*nb can
     # overflow bigint for century-long series)

@@ -6492,10 +6492,13 @@ def q_moving_median(spark, sf_dir):
     arr = F.sort_array(F.collect_list("value").over(w))
     n = F.size(arr)
     # exact median with linear interpolation on even counts (DuckDB
-    # semantics): odd -> middle element; even -> mean of the two
+    # semantics): odd -> middle element; even -> mean of the two.
+    # collect_list drops NULLs, so an all-NULL frame has n = 0: guard
+    # with when(n > 0) — element_at(arr, 0) would raise — returning
+    # NULL exactly like DuckDB's median over an empty value set
     lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    med = (lo + hi) / 2
+    med = F.when(n > 0, (lo + hi) / 2)
     return e.select(
         "event_id",
         "event_type",

@@ -348,25 +348,59 @@ _QUERY_START = re.compile(
     r"^\s*(?:\(\s*)*(?:SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE
 )
 
-#: write/DDL verbs that may legally follow a CTE prologue in Spark's
-#: grammar ("WITH t AS (...) INSERT INTO ..."), so a leading WITH is
-#: not sufficient evidence of a read-only statement.
+#: the DML forms Spark's grammar lets a CTE prologue attach to
+#: ("WITH t AS (...) INSERT INTO ..."), written as TWO-token patterns
+#: so keyword-named columns (``SELECT update, set FROM t``) cannot
+#: false-positive. Statement-head-only verbs (DROP/CREATE/SET/...)
+#: need no entry: _QUERY_START already rejects anything not starting
+#: SELECT/WITH/VALUES/TABLE, and they cannot follow a CTE.
 _WRITE_KW = re.compile(
-    r"\b(?:INSERT|DELETE|UPDATE|MERGE|DROP|CREATE|ALTER|TRUNCATE|"
-    r"REPLACE|LOAD|SET|RESET|CACHE|UNCACHE|REFRESH|ANALYZE|MSCK|GRANT|"
-    r"REVOKE)\b(?!\s*\()",
+    r"\b(?:"
+    r"INSERT\s+(?:INTO|OVERWRITE)"
+    r"|DELETE\s+FROM"
+    r"|MERGE\s+INTO"
+    r"|UPDATE\s+\S+\s+SET"
+    r")\b",
     re.IGNORECASE,
 )
 
 
+def _mask_for_gate(query: str) -> str:
+    """Classification-only masking for the read-only gate: blanks the
+    bodies of single-quoted literals, DOUBLE-quoted literals (a string
+    in default Spark), and backquoted identifiers, honoring backslash
+    escapes in all three — ``_mask_string_literals`` only understands
+    single quotes, and a stray ``'`` inside a "..."/`...` region would
+    derail its state and hide (or invent) keywords. Length need not be
+    preserved here; this mask never slices the original."""
+    out = []
+    i = 0
+    closer = None  # the active region's closing char, or None
+    while i < len(query):
+        c = query[i]
+        if closer is not None:
+            if c == "\\" and i + 1 < len(query):
+                out.append("  ")
+                i += 2
+                continue
+            if c == closer:
+                closer = None
+                out.append(c)
+            else:
+                out.append(" ")
+        elif c in ("'", '"', "`"):
+            closer = c
+            out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _has_top_level_write_kw(masked: str) -> bool:
-    """True if a write/DDL keyword occurs at paren depth 0 of the
-    masked statement — string literals are already blanked, backquoted
-    identifiers are blanked here, function-call forms (``REPLACE(x,
-    'a', 'b')``) are excluded by the keyword regex's lookahead, and
-    the depth-0 restriction keeps subquery-internal column names from
-    false-positiving."""
-    masked = re.sub(r"`[^`]*`", " ", masked)
+    """True if a CTE-attachable DML form occurs at paren depth 0 of
+    the gate-masked statement; the depth-0 restriction keeps subquery-
+    internal text from false-positiving."""
     depth = 0
     for m in _WRITE_KW.finditer(masked):
         depth = masked.count("(", 0, m.start()) - masked.count(
@@ -385,10 +419,11 @@ def is_query_statement(query: str) -> bool:
 
     Used by the HTTP /sql route (ADVICE r7): ``spark.sql`` EXECUTES
     DDL/DML eagerly at call time, so the gate must be textual and run
-    BEFORE the dialect entry point ever sees the statement. Comments
-    and string literals are blanked first so keywords inside them
-    can't spoof (or hide from) the check."""
-    masked = _mask_string_literals(query)
+    BEFORE the dialect entry point ever sees the statement. Comments,
+    string literals ('/" with escapes), and backquoted identifiers are
+    blanked first so keywords inside them can't spoof (or hide from)
+    the check."""
+    masked = _mask_for_gate(query)
     # blank comments on the masked copy (length need not be preserved
     # here — this scan only classifies, it never slices the original)
     masked = re.sub(r"--[^\n]*", " ", masked)

@@ -128,6 +128,26 @@ def start_telemetry_sink(
     Implemented as ``foreachBatch`` so each micro-batch runs the shared
     batch normalization (incl. ``ingest_seq`` assignment)."""
     path = os.path.join(warehouse_dir, "telemetry")
+    # misconfiguration guards (code-review r8): asking for quarantine
+    # without the reader flag would silently ingest garbage as all-NULL
+    # rows — the exact failure the feature prevents; the reverse
+    # combination silently discards bad lines, which is at least
+    # surprising, so say so once at start.
+    if quarantine_dir is not None and "_corrupt_record" not in stream.columns:
+        raise ValueError(
+            "quarantine_dir needs the stream read with "
+            "read_telemetry_stream(..., with_corrupt_record=True) — "
+            "without the _corrupt_record column there is nothing to "
+            "quarantine and garbage lines become all-NULL rows"
+        )
+    if quarantine_dir is None and "_corrupt_record" in stream.columns:
+        import warnings
+
+        warnings.warn(
+            "stream carries _corrupt_record but no quarantine_dir was "
+            "given: corrupt lines will be dropped without a trace",
+            stacklevel=2,
+        )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         cached = None

@@ -105,3 +105,31 @@ def test_chunk_null_text_yields_one_empty_chunk(spark):
     out = {r.doc_id: r for r in chunk_documents(df, ["doc_id"]).collect()}
     assert out[1].n_tokens == 0 and out[1].chunk_text == ""
     assert out[2].n_tokens == 2
+
+
+def test_moving_median_null_frame_returns_null(spark):
+    """Code-review r8 (2nd pass): an all-NULL leading frame must yield
+    med7 NULL (DuckDB median-over-empty semantics), not an
+    element_at(arr, 0) runtime error."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, "t", "2024-01-01 00:00:00", None),
+            (2, "t", "2024-01-01 00:00:01", None),
+            (3, "t", "2024-01-01 00:00:02", 4.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_raw string, value double"
+    ).select("event_id", "event_type",
+             F.to_timestamp("ts_raw").alias("ts"), "value")
+    w = (
+        Window.partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n > 0, (lo + hi) / 2)
+    out = {r.event_id: r.med for r in
+           df.select("event_id", med.alias("med")).collect()}
+    assert out[1] is None and out[2] is None and out[3] == 4.0

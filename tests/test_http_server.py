@@ -327,3 +327,41 @@ def test_sql_gate_rejects_cte_prefixed_dml(server):
     # a write keyword inside a string literal stays data
     code, rows = post_sql("SELECT 'DROP TABLE x' AS s")
     assert code == 200
+
+
+def test_sql_gate_quote_masking_cannot_be_derailed(server):
+    """Code-review r8 (2nd pass): a single quote INSIDE a double-quoted
+    literal or backquoted identifier must not derail the masking scan
+    and hide DML; keyword-NAMED columns must still be accepted."""
+    base = server.base_url
+
+    def post_sql(query):
+        req = urllib.request.Request(
+            f"{base}/sql",
+            data=json.dumps({"query": query}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    # the bypass shapes: stray ' inside "..." / `...` before DML
+    for stmt in (
+        "WITH x AS (SELECT \"'\" AS c) INSERT INTO tbl "
+        "SELECT * FROM x -- '",
+        "WITH x AS (SELECT 1 AS `'`) INSERT INTO tbl SELECT * FROM x",
+    ):
+        code, err = post_sql(stmt)
+        assert code == 400 and "only query statements" in err, stmt
+
+    # keyword-named columns and double-quoted keyword literals pass
+    code, rows = post_sql(
+        "WITH t AS (SELECT 1 AS set, 2 AS update) "
+        "SELECT set, update FROM t"
+    )
+    assert code == 200 and rows == [{"set": 1, "update": 2}]
+    code, rows = post_sql('SELECT "DROP TABLE x" AS s')
+    assert code == 200 and rows == [{"s": "DROP TABLE x"}]

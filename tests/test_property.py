@@ -271,7 +271,11 @@ _ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
     col=_ident,
     lit=st.text(
         alphabet=st.characters(
-            blacklist_categories=("Cs",), blacklist_characters="'"
+            # no quote chars and no backslash: a trailing backslash
+            # makes the literal unterminated in Spark itself, so the
+            # gate's classification of it is unspecified
+            blacklist_categories=("Cs",),
+            blacklist_characters="'\\`\"",
         ),
         max_size=30,
     ),
