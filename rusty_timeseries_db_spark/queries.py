@@ -93,7 +93,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # _probe_cells helper (also powers the new persisted IvfIndex)
     "q_similarity_ivf",
     "q_corpus_pipeline_chunked", "q_similarity_ivf_index",
-    "q_moving_median",
+    "q_moving_median", "q_series_align_ratio",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6506,4 +6506,54 @@ def q_moving_median(spark, sf_dir):
         "value",
         med.alias("med7"),
         F.abs(F.col("value") - med).alias("dev"),
+    )
+
+
+@declare(
+    "q_series_align_ratio",
+    """
+    WITH b AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP) AS bucket,
+             CAST(CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS DOUBLE) AS click_sum,
+             CAST(CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS DOUBLE) AS view_sum,
+             CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    )
+    SELECT bucket, click_sum, view_sum, n_click, n_view,
+           CASE WHEN view_sum > 0 THEN click_sum / view_sum END AS ratio
+    FROM b
+    """,
+    doc="cross-series alignment + binary op (round 8): the PromQL "
+    "'vector matching' shape — two series aligned on shared 5-min "
+    "buckets, then a ratio between them. ONE conditional aggregation "
+    "instead of the naive bucket-self-join (halves the shuffles and "
+    "cannot drop buckets where one side is absent); exact decimal "
+    "sums keep the double ratio deterministic; NULL where the "
+    "denominator side is 0/absent (PromQL drops unmatched vectors)",
+)
+def q_series_align_ratio(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 300).cast("bigint") * 300
+    )
+    is_click = F.col("event_type") == "click"
+    dec = F.col("value").cast("decimal(18,2)")
+    b = e.groupBy(bucket.alias("bucket")).agg(
+        F.sum(F.when(is_click, dec)).cast("double").alias("click_sum"),
+        F.sum(F.when(~is_click, dec)).cast("double").alias("view_sum"),
+        F.count(F.when(is_click, 1)).alias("n_click"),
+        F.count(F.when(~is_click, 1)).alias("n_view"),
+    )
+    ratio = F.when(
+        F.col("view_sum") > 0, F.col("click_sum") / F.col("view_sum")
+    )
+    return b.select(
+        "bucket", "click_sum", "view_sum", "n_click", "n_view",
+        ratio.alias("ratio"),
     )
