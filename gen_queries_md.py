@@ -65,17 +65,24 @@ def main() -> None:
         "Generated from `rusty_timeseries_db_spark/queries.py` by",
         "`gen_queries_md.py` — regenerate after adding queries.",
         "",
-        "The remaining rows-only queries are DELIBERATELY oracle-less.",
-        "All but one are built on an engine-specific primitive with no",
-        "SQL-expressible equivalent — Spark's `xxhash64` seeds the",
-        "MinHash/SimHash/rolling-hash families and the LSH/IVF bucket",
-        "assignments, and DuckDB has no xxhash64, so a cross-engine",
-        "value hash cannot exist even in principle. Each instead",
+        "The remaining rows-only queries are DELIBERATELY oracle-less,",
+        "each for a named engine-specific reason. Most are built on a",
+        "primitive with no SQL-expressible equivalent — Spark's",
+        "`xxhash64` seeds the MinHash/SimHash/rolling-hash families and",
+        "the LSH bucket assignments, and DuckDB has no xxhash64, so a",
+        "cross-engine value hash cannot exist even in principle; the",
+        "IVF pair rests on a k-means fit, LTTB's pick is float triangle",
+        "geometry, and the HLL rollup stores Spark DataSketches binary.",
+        "Each instead",
         "carries a stronger *semantic* check in `tests/`: candidate",
         "recall against the exact oracles that DO hash-match",
         "(`q_ngram_jaccard` for MinHash/SimHash,",
         "`q_similarity_bruteforce` / `q_embedding_neardup_exact` for",
-        "LSH/IVF), plus invariant tests (signature length/determinism,",
+        "LSH/IVF — the persisted `q_similarity_ivf_index` additionally",
+        "pins result-equality with the ad-hoc IVF and",
+        "restart-from-manifest; LTTB pins endpoint/spike/determinism",
+        "invariants and HLL pins <5% error + merge==whole-range), plus",
+        "invariant tests (signature length/determinism,",
         "band containment). Approximate-sketch queries",
         "(`q_approx_aggregates`, `q_approx_top_k`) are rows-only for",
         "the same reason — HLL/quantile/heavy-hitter sketch internals",
