@@ -207,3 +207,53 @@ def test_drop_chunks_before_validates_cutoff_format(spark, tmp_path):
         with pytest.raises(ValueError, match="ISO"):
             eng.drop_chunks_before(bad)
     assert eng.count() == 1  # nothing was deleted
+
+
+def test_compaction_skips_partition_changed_mid_rewrite(spark, tmp_path, monkeypatch):
+    """Code-review r8: a file appended between the rewrite's read and
+    the swap must NOT be lost — the partition is skipped and reported
+    (files_before, -1), with the original directory intact."""
+    import rusty_timeseries_db_spark.operators.maintenance as M
+
+    path = str(tmp_path / "t")
+    _write_days(spark, path, ["2024-03-01"], batches=5)
+    pdir = os.path.join(path, "day=2024-03-01")
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # inject a concurrent append: the first read.parquet() of the
+    # partition (the rewrite job) triggers a new file landing in it
+    real_read = spark.read.parquet
+    injected = {"done": False}
+
+    class _Reader:
+        def parquet(self, p):
+            df = real_read(p)
+            # compact passes the Hadoop Path's string form
+            # (file:/...), not the local os.path form — match by suffix
+            if p.endswith("day=2024-03-01") and not injected["done"]:
+                injected["done"] = True
+                extra = spark.createDataFrame(
+                    [("2024-03-01", 999, 9.9)],
+                    "day string, rid int, value double",
+                ).drop("day")
+                extra.repartition(1).write.mode("append").parquet(pdir)
+            return df
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: _Reader())
+    )
+    try:
+        stats = M.compact_partitions(spark, path, "day", min_files=2)
+    finally:
+        monkeypatch.undo()
+    assert stats == {"2024-03-01": (5, -1)}  # skipped, not swapped
+    after = spark.read.parquet(path)
+    # every original row AND the concurrently appended one survive
+    assert after.filter("rid = 999").count() == 1
+    assert sorted(
+        map(tuple, after.filter("rid != 999").collect())
+    ) == before_rows
+    # no tmp residue
+    assert not any(
+        n.endswith(".compact_tmp") for n in os.listdir(path)
+    )
