@@ -74,6 +74,8 @@ HEADLINE = [
     "q_histogram_quantile",
     "q_topn_with_others",
     "q_asof_qualify_sql",
+    "q_moving_median",
+    "q_series_align_ratio",
 ]
 
 
