@@ -93,7 +93,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # _probe_cells helper (also powers the new persisted IvfIndex)
     "q_similarity_ivf",
     "q_corpus_pipeline_chunked", "q_similarity_ivf_index",
-    "q_moving_median", "q_series_align_ratio",
+    "q_moving_median", "q_series_align_ratio", "q_cusum_changepoints",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6556,4 +6556,80 @@ def q_series_align_ratio(spark, sf_dir):
     return b.select(
         "bucket", "click_sum", "view_sum", "n_click", "n_view",
         ratio.alias("ratio"),
+    )
+
+
+@declare(
+    "q_cusum_changepoints",
+    """
+    WITH s AS (
+      SELECT event_id, event_type, ts,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cum,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY event_type) AS DOUBLE) AS tot,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) *
+                           CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS tot2,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events WHERE user_id < 60
+    ),
+    d AS (
+      SELECT event_id, event_type, ts, rn, n,
+             cum - rn * (tot / n) AS s_stat,
+             sqrt((tot2 - tot * (tot / n)) / (n - 1)) AS sigma
+      FROM s
+    )
+    SELECT event_id, event_type, ts, s_stat, sigma
+    FROM d WHERE abs(s_stat) > 5.0 * sigma
+    """,
+    doc="CUSUM change-point flags (round 8): per series, the cumulative "
+    "sum of deviations from the series mean; rows where |S| exceeds "
+    "5 sigma mark sustained level shifts a per-point 3-sigma rule "
+    "misses. Deterministic by construction: the running sum is EXACT "
+    "decimal in window order and the mean/sigma come from exact "
+    "decimal sufficient statistics, so the double arithmetic is "
+    "order-fixed and oracle-checkable. One shuffle (series key) "
+    "serves the running window, the series totals, and the count",
+)
+def q_cusum_changepoints(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 60).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    allw = Window.partitionBy("event_type")
+    s = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")
+        ).alias("rn"),
+        F.sum(dec).over(run).cast("double").alias("cum"),
+        F.sum(dec).over(allw).cast("double").alias("tot"),
+        F.sum((dec * dec).cast("decimal(38,4)")).over(allw)
+        .cast("double").alias("tot2"),
+        F.count(F.lit(1)).over(allw).alias("n"),
+    )
+    mean = F.col("tot") / F.col("n")
+    s_stat = F.col("cum") - F.col("rn") * mean
+    sigma = F.sqrt(
+        (F.col("tot2") - F.col("tot") * mean) / (F.col("n") - 1)
+    )
+    return (
+        s.select(
+            "event_id", "event_type", "ts",
+            s_stat.alias("s_stat"), sigma.alias("sigma"),
+        )
+        .filter(F.abs(F.col("s_stat")) > F.lit(5.0) * F.col("sigma"))
     )
