@@ -94,6 +94,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_similarity_ivf",
     "q_corpus_pipeline_chunked", "q_similarity_ivf_index",
     "q_moving_median", "q_series_align_ratio", "q_cusum_changepoints",
+    "q_sax_symbols", "q_autocorr_lag1",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6633,3 +6634,150 @@ def q_cusum_changepoints(spark, sf_dir):
         )
         .filter(F.abs(F.col("s_stat")) > F.lit(5.0) * F.col("sigma"))
     )
+
+
+@declare(
+    "q_sax_symbols",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tot,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) *
+                           CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS tot2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    paa AS (
+      SELECT e.event_type,
+             CAST(to_timestamp(CAST(floor(epoch(e.ts) / 21600) * 21600 AS BIGINT)) AS TIMESTAMP) AS frame,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS seg_mean,
+             CAST(COUNT(*) AS BIGINT) AS seg_n
+      FROM events e
+      GROUP BY e.event_type,
+               CAST(to_timestamp(CAST(floor(epoch(e.ts) / 21600) * 21600 AS BIGINT)) AS TIMESTAMP)
+    )
+    SELECT p.event_type, p.frame, p.seg_mean, p.seg_n,
+           CASE
+             WHEN z < -0.6745 THEN 'a'
+             WHEN z < 0.0 THEN 'b'
+             WHEN z < 0.6745 THEN 'c'
+             ELSE 'd'
+           END AS sax
+    FROM (
+      SELECT p.*,
+             (p.seg_mean - s.tot / s.n)
+               / sqrt((s.tot2 - s.tot * (s.tot / s.n)) / (s.n - 1)) AS z
+      FROM paa p JOIN stats s ON p.event_type = s.event_type
+    ) p
+    """,
+    doc="SAX symbolization (round 8; Lin et al. 2003, the classic "
+    "time-series-mining representation): PAA 6-hour frame means "
+    "z-normalized per series, mapped to a 4-letter alphabet at the "
+    "standard gaussian breakpoints (-0.6745, 0, 0.6745 = N(0,1) "
+    "quartiles). Exact decimal sums make every double expression "
+    "order-fixed; the per-series stats join is a broadcast "
+    "(#series rows). Downstream: SAX words feed motif/discord "
+    "discovery and cheap string-distance similarity",
+)
+def q_sax_symbols(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.sum(dec).cast("double").alias("tot"),
+        F.sum((dec * dec).cast("decimal(38,4)")).cast("double").alias("tot2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    frame = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 21600).cast("bigint") * 21600
+    )
+    paa = e.groupBy("event_type", frame.alias("frame")).agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("seg_mean"),
+        F.count(F.lit(1)).alias("seg_n"),
+    )
+    mean = F.col("tot") / F.col("n")
+    sigma = F.sqrt((F.col("tot2") - F.col("tot") * mean) / (F.col("n") - 1))
+    z = (F.col("seg_mean") - mean) / sigma
+    sax = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    return (
+        paa.join(F.broadcast(stats), "event_type")
+        .select("event_type", "frame", "seg_mean", "seg_n", sax.alias("sax"))
+    )
+
+
+@declare(
+    "q_autocorr_lag1",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             lead(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS nxt
+      FROM events WHERE user_id < 80
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(SUM(v) AS DOUBLE) AS tot,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS tot2,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN nxt IS NOT NULL
+                  THEN CAST(v * nxt AS DECIMAL(38,4)) END) AS DOUBLE) AS sxy,
+             CAST(SUM(CASE WHEN nxt IS NOT NULL THEN v END) AS DOUBLE) AS sx,
+             CAST(SUM(nxt) AS DOUBLE) AS sy,
+             CAST(COUNT(nxt) AS BIGINT) AS np
+      FROM o GROUP BY event_type
+    )
+    SELECT event_type, n, np,
+           (sxy - (tot / n) * sx - (tot / n) * sy
+              + np * ((tot / n) * (tot / n)))
+             / (tot2 - tot * (tot / n)) AS acf1
+    FROM a
+    """,
+    doc="lag-1 autocorrelation per series (round 8): the core "
+    "stationarity/seasonality diagnostic — r1 = sum((x_t-m)(x_{t+1}-m))"
+    " / sum((x_t-m)^2), expanded so every input is an EXACT decimal "
+    "sufficient statistic (sum v, sum v^2, sum v*next, pairwise edge "
+    "sums) and the double arithmetic is order-fixed -> oracle-"
+    "checkable. One lead window + one aggregate on the series key — "
+    "a single shuffle, the counter_increase shape",
+)
+def q_autocorr_lag1(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 80).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type",
+        dec.alias("v"),
+        F.lead(dec).over(w).alias("nxt"),
+    )
+    a = o.groupBy("event_type").agg(
+        F.sum("v").cast("double").alias("tot"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,4)"))
+        .cast("double").alias("tot2"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("nxt").isNotNull(),
+                (F.col("v") * F.col("nxt")).cast("decimal(38,4)"),
+            )
+        ).cast("double").alias("sxy"),
+        F.sum(F.when(F.col("nxt").isNotNull(), F.col("v")))
+        .cast("double").alias("sx"),
+        F.sum("nxt").cast("double").alias("sy"),
+        F.count("nxt").alias("np"),
+    )
+    m = F.col("tot") / F.col("n")
+    acf1 = (
+        F.col("sxy") - m * F.col("sx") - m * F.col("sy")
+        + F.col("np") * (m * m)
+    ) / (F.col("tot2") - F.col("tot") * m)
+    return a.select("event_type", "n", "np", acf1.alias("acf1"))
