@@ -94,7 +94,8 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_similarity_ivf",
     "q_corpus_pipeline_chunked", "q_similarity_ivf_index",
     "q_moving_median", "q_series_align_ratio", "q_cusum_changepoints",
-    "q_sax_symbols", "q_autocorr_lag1",
+    "q_sax_symbols", "q_autocorr_lag1", "q_series_gap_report",
+    "q_topk_with_ties",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6781,3 +6782,82 @@ def q_autocorr_lag1(spark, sf_dir):
         + F.col("np") * (m * m)
     ) / (F.col("tot2") - F.col("tot") * m)
     return a.select("event_type", "n", "np", acf1.alias("acf1"))
+
+
+@declare(
+    "q_series_gap_report",
+    """
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             )) AS gap_us
+      FROM events WHERE user_id < 70
+    )
+    SELECT event_type,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_samples,
+           CAST(COUNT(CASE WHEN gap_us > 3600000000 THEN 1 END) AS BIGINT)
+             AS n_gaps_over_1h,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE)
+                / COUNT(gap_us) AS DOUBLE) AS mean_gap_us
+    FROM d WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="heartbeat gap report (round 8): per series, how often and how "
+    "badly the feed went silent — count of inter-sample gaps over 1h, "
+    "the worst gap, and the mean cadence. The monitoring query behind "
+    "every 'stale sensor' alert. One lag window + one aggregate on the "
+    "series key (single shuffle); integer-microsecond gaps and an "
+    "exact decimal sum keep the mean order-fixed",
+)
+def q_series_gap_report(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 70).select(
+        "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    d = e.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return d.groupBy("event_type").agg(
+        (F.count(F.lit(1)) + 1).alias("n_samples"),
+        F.count(F.when(F.col("gap_us") > 3_600_000_000, 1))
+        .alias("n_gaps_over_1h"),
+        F.max("gap_us").alias("max_gap_us"),
+        (
+            F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("double")
+            / F.count("gap_us")
+        ).alias("mean_gap_us"),
+    )
+
+
+@declare(
+    "q_topk_with_ties",
+    """
+    WITH r AS (
+      SELECT event_type, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             rank() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC)
+               AS rk
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n, rk FROM r WHERE rk <= 3
+    """,
+    doc="top-k WITH TIES (round 8): rank() <= k keeps every row tying "
+    "at the boundary — the SQL:2008 FETCH ... WITH TIES semantic, "
+    "distinct from the row_number top-k (q_window_topk_per_group) "
+    "which drops tied peers arbitrarily. Same single-shuffle window "
+    "shape; output size is k + ties, not exactly k",
+)
+def q_topk_with_ties(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "user_id")
+    c = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        c.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "user_id", "n", "rk")
+    )
