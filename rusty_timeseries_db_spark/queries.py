@@ -95,7 +95,8 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_corpus_pipeline_chunked", "q_similarity_ivf_index",
     "q_moving_median", "q_series_align_ratio", "q_cusum_changepoints",
     "q_sax_symbols", "q_autocorr_lag1", "q_series_gap_report",
-    "q_topk_with_ties",
+    "q_topk_with_ties", "q_interarrival_burstiness",
+    "q_heavy_hitter_share",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6860,4 +6861,114 @@ def q_topk_with_ties(spark, sf_dir):
         c.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") <= 3)
         .select("event_type", "user_id", "n", "rk")
+    )
+
+
+@declare(
+    "q_interarrival_burstiness",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             )) AS DECIMAL(38,0)) AS g
+      FROM events WHERE user_id < 70
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(SUM(g) AS DOUBLE) AS sg,
+             CAST(SUM(CAST(g * g AS DECIMAL(38,0))) AS DOUBLE) AS sg2,
+             CAST(COUNT(g) AS BIGINT) AS n
+      FROM d WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           sg / n AS mean_gap_us,
+           sqrt((sg2 - sg * (sg / n)) / (n - 1)) AS std_gap_us,
+           (sqrt((sg2 - sg * (sg / n)) / (n - 1)) - sg / n)
+             / (sqrt((sg2 - sg * (sg / n)) / (n - 1)) + sg / n)
+             AS burstiness
+    FROM a
+    """,
+    doc="interarrival burstiness (round 8; Goh & Barabasi 2008 "
+    "B=(sigma-mu)/(sigma+mu)): -1 = metronome, 0 = Poisson, ->1 = "
+    "bursty — the cadence diagnostic that tells scheduled telemetry "
+    "from event-driven firehoses. Integer-microsecond gaps summed as "
+    "exact decimals (g and g^2 both fit decimal(38,0)) make the "
+    "double formula order-fixed. Same single-shuffle lag+agg shape "
+    "as the gap report",
+)
+def q_interarrival_burstiness(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 70).select(
+        "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ).cast("decimal(38,0)")
+    d = e.select("event_type", g.alias("g")).filter(F.col("g").isNotNull())
+    a = d.groupBy("event_type").agg(
+        F.sum("g").cast("double").alias("sg"),
+        F.sum((F.col("g") * F.col("g")).cast("decimal(38,0)"))
+        .cast("double").alias("sg2"),
+        F.count("g").alias("n"),
+    )
+    mean = F.col("sg") / F.col("n")
+    std = F.sqrt((F.col("sg2") - F.col("sg") * mean) / (F.col("n") - 1))
+    return a.select(
+        "event_type",
+        "n",
+        mean.alias("mean_gap_us"),
+        std.alias("std_gap_us"),
+        ((std - mean) / (std + mean)).alias("burstiness"),
+    )
+
+
+@declare(
+    "q_heavy_hitter_share",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    t AS (
+      SELECT event_type, user_id, n,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY n DESC, user_id) AS decile,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN decile = 1 THEN n END) AS BIGINT)
+             AS top_decile_events,
+           tot AS total_events,
+           CAST(SUM(CASE WHEN decile = 1 THEN n END) AS DOUBLE)
+             / tot AS top_decile_share
+    FROM t GROUP BY event_type, tot
+    """,
+    doc="heavy-hitter concentration (round 8): what share of a series' "
+    "events its top-decile users generate — the skew diagnostic that "
+    "predicts which keys need salting (operators/skew.py) BEFORE a "
+    "join degrades. Pre-aggregated to (series,user) so the ntile "
+    "window ranks users not events; ties total-ordered by user_id",
+)
+def q_heavy_hitter_share(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "user_id")
+    c = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    tot_w = Window.partitionBy("event_type")
+    t = c.withColumn("decile", F.ntile(10).over(w)).withColumn(
+        "tot", F.sum("n").over(tot_w)
+    )
+    top = F.sum(F.when(F.col("decile") == 1, F.col("n")))
+    return t.groupBy("event_type", F.col("tot").alias("total_events")).agg(
+        top.alias("top_decile_events"),
+        (top.cast("double") / F.col("total_events"))
+        .alias("top_decile_share"),
+    ).select(
+        "event_type", "top_decile_events", "total_events",
+        "top_decile_share",
     )
