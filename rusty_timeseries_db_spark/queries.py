@@ -96,7 +96,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_moving_median", "q_series_align_ratio", "q_cusum_changepoints",
     "q_sax_symbols", "q_autocorr_lag1", "q_series_gap_report",
     "q_topk_with_ties", "q_interarrival_burstiness",
-    "q_heavy_hitter_share",
+    "q_heavy_hitter_share", "q_sax_motifs", "q_daily_vs_trailing_week",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -6972,3 +6972,160 @@ def q_heavy_hitter_share(spark, sf_dir):
         "event_type", "top_decile_events", "total_events",
         "top_decile_share",
     )
+
+
+@declare(
+    "q_sax_motifs",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tot,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) *
+                           CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS tot2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    paa AS (
+      SELECT event_type,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS DATE) AS day,
+             CAST(floor(epoch(ts) / 21600) AS BIGINT) AS frame6h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS seg_mean
+      FROM events
+      GROUP BY event_type,
+               CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS DATE),
+               CAST(floor(epoch(ts) / 21600) AS BIGINT)
+    ),
+    lets AS (
+      SELECT p.event_type, p.day, p.frame6h,
+             CASE
+               WHEN z < -0.6745 THEN 'a'
+               WHEN z < 0.0 THEN 'b'
+               WHEN z < 0.6745 THEN 'c'
+               ELSE 'd'
+             END AS letter
+      FROM (
+        SELECT p.*,
+               (p.seg_mean - s.tot / s.n)
+                 / sqrt((s.tot2 - s.tot * (s.tot / s.n)) / (s.n - 1)) AS z
+        FROM paa p JOIN stats s ON p.event_type = s.event_type
+      ) p
+    ),
+    words AS (
+      SELECT event_type, day,
+             string_agg(letter, '' ORDER BY frame6h) AS word
+      FROM lets GROUP BY event_type, day
+    )
+    SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM words WHERE len(word) = 4
+    GROUP BY event_type, word
+    """,
+    doc="SAX motif counting (round 8): each day's four 6-hour SAX "
+    "letters concatenated into a word, identical words counted per "
+    "series — motif discovery lite: a word recurring across many days "
+    "IS that series' daily shape; rare words are discord candidates. "
+    "Letters ride the q_sax_symbols plan; the word is an ordered "
+    "string_agg per (series, day) — deterministic because frame ids "
+    "are unique within the group; partial days (<4 frames) excluded",
+)
+def q_sax_motifs(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.sum(dec).cast("double").alias("tot"),
+        F.sum((dec * dec).cast("decimal(38,4)")).cast("double").alias("tot2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    epoch = F.unix_timestamp("ts")
+    day = F.timestamp_seconds(
+        (epoch / 86400).cast("bigint") * 86400
+    ).cast("date")
+    frame6h = (epoch / 21600).cast("bigint")
+    paa = e.groupBy(
+        "event_type", day.alias("day"), frame6h.alias("frame6h")
+    ).agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("seg_mean")
+    )
+    mean = F.col("tot") / F.col("n")
+    sigma = F.sqrt((F.col("tot2") - F.col("tot") * mean) / (F.col("n") - 1))
+    z = (F.col("seg_mean") - mean) / sigma
+    letter = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    lets = paa.join(F.broadcast(stats), "event_type").select(
+        "event_type", "day", "frame6h", letter.alias("letter")
+    )
+    words = lets.groupBy("event_type", "day").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("frame6h", "letter"))
+            ).getField("letter"),
+            "",
+        ).alias("word")
+    )
+    return (
+        words.filter(F.length("word") == 4)
+        .groupBy("event_type", "word")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+
+
+@declare(
+    "q_daily_vs_trailing_week",
+    """
+    WITH d AS (
+      SELECT event_type,
+             strftime(CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS DATE), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, n,
+             CAST(SUM(n) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+             ) AS DOUBLE) AS wk_sum,
+             CAST(COUNT(n) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+             ) AS BIGINT) AS wk_n
+      FROM d
+    )
+    SELECT event_type, day, n,
+           CASE WHEN wk_n >= 7
+                THEN CAST(n AS DOUBLE) / (wk_sum / wk_n) END AS vs_week
+    FROM r
+    """,
+    doc="today-vs-trailing-week ratio (round 8): each day's event "
+    "count against the mean of the preceding 7 days — THE alerting "
+    "primitive ('traffic is 3x normal'/'ingest fell to 0.2x'). NULL "
+    "until a full trailing week exists (no partial-baseline false "
+    "alarms). Two cheap shuffles: the daily pre-aggregation (map-side "
+    "partial) then a 7-row frame over #days rows per series",
+)
+def q_daily_vs_trailing_week(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "ts")
+    day = F.date_format(
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 86400).cast("bigint") * 86400
+        ),
+        "yyyy-MM-dd",
+    )
+    d = e.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    r = d.withColumn(
+        "wk_sum", F.sum("n").over(w).cast("double")
+    ).withColumn("wk_n", F.count("n").over(w))
+    vs = F.when(
+        F.col("wk_n") >= 7,
+        F.col("n").cast("double") / (F.col("wk_sum") / F.col("wk_n")),
+    )
+    return r.select("event_type", "day", "n", vs.alias("vs_week"))
