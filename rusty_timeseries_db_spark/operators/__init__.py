@@ -21,7 +21,7 @@ from .maintenance import (
     drop_partitions_older_than,
     sweep_residue,
 )
-from .rollup import ContinuousRollup
+from .rollup import ContinuousRollup, RollupScheduler
 from .packing import assign_packs, pack_stats
 from .sampling import (
     deterministic_sample,
@@ -41,6 +41,7 @@ __all__ = [
     "IvfIndex", "cosine_topk", "counter_rate", "lsh_cosine_topk", "topk", "topk_per_group",
     "optimize_layout", "file_stats", "overlap_fraction", "zorder_layout",
     "ContinuousRollup",
+    "RollupScheduler",
     "chunk_documents",
     "compact_partitions", "drop_partitions_older_than", "sweep_residue",
     "lttb", "minmax_decimate",

@@ -317,3 +317,89 @@ class ContinuousRollup:
             F.col("window_day") < F.lit(hwm).cast("date")
         )
         return mat.unionByName(tail)
+
+
+class RollupScheduler:
+    """R5/R6 cadence owner for a :class:`ContinuousRollup` — the FDD
+    loop's re-arm semantics (streaming/fdd.py ``FddScheduler``) applied
+    to the aggregate surface: ``refresh()`` fires every
+    ``interval_seconds`` on a daemon timer that re-arms after each run.
+
+    The reference's ``set_interval`` (main.rs:285-299) sleeps once,
+    runs once, and never re-arms (the R6 bug SURVEY §2.1 documents);
+    here ``set_interval`` replaces the live cadence and every future
+    tick fires at the new interval. Refreshes are already idempotent
+    (dynamic partition overwrite of the same days → same bytes), so an
+    extra tick racing a manual ``refresh()`` call is harmless; a lock
+    still serializes them so two Spark write jobs never overlap on the
+    same partitions.
+
+    Driver-side threading is the right tool here (vs a streaming
+    query): refresh is a BATCH job over the base table — there is no
+    source offset to track, and the trigger is wall-clock, exactly like
+    the reference's tokio sleep loop.
+    """
+
+    def __init__(self, rollup: ContinuousRollup, interval_seconds: float = 300):
+        import threading
+
+        self.rollup = rollup
+        self.interval_seconds = float(interval_seconds)
+        self.refresh_count = 0
+        self.last_rows = 0
+        self._lock = threading.Lock()
+        self._timer: object | None = None
+        self._active = False
+
+    def _tick(self) -> None:
+        with self._lock:
+            if not self._active:
+                return
+            self.last_rows = self.rollup.refresh()
+            self.refresh_count += 1
+            self._arm()
+
+    def _arm(self) -> None:
+        import threading
+
+        t = threading.Timer(self.interval_seconds, self._tick)
+        t.daemon = True
+        self._timer = t
+        t.start()
+
+    def start(self) -> "RollupScheduler":
+        with self._lock:
+            if self._active:
+                return self
+            self._active = True
+            self._arm()
+        return self
+
+    def set_interval(self, seconds: float) -> None:
+        """Re-arm the refresh cadence (R6 parity): cancel the pending
+        tick and schedule the next one ``seconds`` out."""
+        with self._lock:
+            self.interval_seconds = float(seconds)
+            if self._active:
+                if self._timer is not None:
+                    self._timer.cancel()
+                self._arm()
+
+    def stop(self) -> None:
+        with self._lock:
+            self._active = False
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
+
+    def wait_for(self, count: int, timeout: float = 30.0) -> bool:
+        """Block until ``refresh_count`` reaches ``count`` (test/ops
+        helper); True iff reached before ``timeout``."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self.refresh_count >= count:
+                return True
+            time.sleep(0.05)
+        return self.refresh_count >= count

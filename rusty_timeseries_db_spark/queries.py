@@ -97,6 +97,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_sax_symbols", "q_autocorr_lag1", "q_series_gap_report",
     "q_topk_with_ties", "q_interarrival_burstiness",
     "q_heavy_hitter_share", "q_sax_motifs", "q_daily_vs_trailing_week",
+    "q_zorder_stats", "q_ohlc_bars", "q_outlier_mad", "q_spearman_corr",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -7129,3 +7130,277 @@ def q_daily_vs_trailing_week(spark, sf_dir):
         F.col("n").cast("double") / (F.col("wk_sum") / F.col("wk_n")),
     )
     return r.select("event_type", "day", "n", vs.alias("vs_week"))
+
+
+# ======================================================================
+# Round 8 (cont.): Z-order layout as a driver-visible query
+# ======================================================================
+
+def _zorder_glob() -> str:
+    """The q_zorder_stats fixture's parquet glob, computable at declare
+    time (same formula as ``_fixture_dir`` without the clear) so the
+    DuckDB oracle string can embed it: both engines read the SAME files
+    the Spark side just wrote. Requires the driver's spark-then-oracle
+    order (the same order run_parity.py/oracle.compare use)."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"rtsdb_fixture_{os.getpid()}_q_zorder_stats",
+        "data",
+        "*.parquet",
+    )
+
+
+@declare(
+    "q_zorder_stats",
+    f"""
+    WITH f AS (
+      SELECT CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS INT)
+               AS file_ord,
+             user_id, value
+      FROM read_parquet('{_zorder_glob()}', filename=true)
+    )
+    SELECT file_ord, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM f GROUP BY file_ord
+    """,
+    doc="Z-order layout maintenance, oracle-paired (VERDICT r7 "
+    "next-round #8; operators/layout.py zorder_layout): rewrites the "
+    "events table z-ordered on (user_id, value) into 8 files — one "
+    "range exchange on the Morton key of equi-depth bucket ids — then "
+    "returns each file's row count and per-column [min, max], i.e. "
+    "exactly the stats a reader's file-skipping logic sees. The oracle "
+    "recomputes the same per-file stats with DuckDB's filename-bearing "
+    "parquet scan over the SAME written files, so a hash match proves "
+    "the layout+stats are engine-agnostically real (no Spark-private "
+    "metadata). File identity is the part-NNNNN ordinal — identical "
+    "strings in both engines' filenames. Disjointness itself "
+    "(overlap_fraction) is asserted in tests/test_layout.py; min/max "
+    "values are untouched doubles read from the same pages on both "
+    "sides, so no rounding is needed",
+)
+def q_zorder_stats(spark, sf_dir):
+    from .operators.layout import zorder_layout
+
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = os.path.join(_fixture_dir("q_zorder_stats"), "data")
+    zorder_layout(e, path, ["user_id", "value"], target_files=8)
+    back = spark.read.parquet(path).withColumn(
+        "file_ord",
+        F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1).cast("int"),
+    )
+    return back.groupBy("file_ord").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ======================================================================
+# Round 8 (cont.): OHLC bars, robust MAD outliers, Spearman trend
+# ======================================================================
+
+@declare(
+    "q_ohlc_bars",
+    """
+    WITH b AS (
+      SELECT event_type,
+             strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600
+                                        AS BIGINT)),
+                      '%Y-%m-%d %H:00') AS bar,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 3600) AS BIGINT)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 3600) AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM b GROUP BY event_type, bar
+    """,
+    doc="OHLC candlestick bars (round 8): per (event_type, hour) the "
+    "open/high/low/close/volume tuple — THE financial-TSDB downsample "
+    "(Timescale time_bucket+first/last, InfluxDB FIRST/LAST). "
+    "open/close are made total-order deterministic by the (ts, "
+    "event_id) tiebreak — both engines pick the same row even with "
+    "duplicate timestamps. One shuffle: the two ROW_NUMBER frames and "
+    "the final agg share the (event_type, hour) hash partitioning; at "
+    "100 TB the window state is one row per partition key (streamable "
+    "rank). The epoch-floor hour bucket is timezone-proof",
+)
+def q_ohlc_bars(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    hour = (F.unix_timestamp("ts") / 3600).cast("bigint")
+    d = e.withColumn("hour_num", hour).withColumn(
+        "bar",
+        F.date_format(
+            F.timestamp_seconds(F.col("hour_num") * 3600), "yyyy-MM-dd HH:00"
+        ),
+    )
+    wa = Window.partitionBy("event_type", "hour_num").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "hour_num").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    d = d.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    # group on (event_type, hour_num) + the functionally-dependent bar:
+    # HashPartitioning(event_type, hour_num) from the window frames is a
+    # subset of the grouping keys, so the aggregate REUSES that exchange
+    # — the whole query is one shuffle (plan-checked: 1 Exchange)
+    return (
+        d.groupBy("event_type", "hour_num", "bar")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("volume"),
+        )
+        .drop("hour_num")
+    )
+
+
+@declare(
+    "q_outlier_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="robust outlier detection via median absolute deviation "
+    "(round 8): per event_type, median m, MAD = median(|v-m|), and the "
+    "count of rows beyond the classic 3-sigma-equivalent fence "
+    "3*1.4826*MAD — the despiking rule that, unlike z-scores, is not "
+    "itself dragged by the outliers it hunts (50% breakdown point vs "
+    "0%). Exact interpolated medians (Spark percentile ≡ DuckDB "
+    "quantile_cont, same IEEE lerp); the fence compare is exact on "
+    "both engines because med/mad enter it unrounded. Plan: two "
+    "percentile shuffles over #event_type groups + two BROADCAST "
+    "joins of the tiny per-group stats back onto the stream — the "
+    "fact table is never reshuffled",
+)
+def q_outlier_mad(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    d = dev.join(F.broadcast(mad), "event_type")
+    return d.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+@declare(
+    "q_spearman_corr",
+    """
+    WITH r AS (
+      SELECT event_type,
+             RANK() OVER (PARTITION BY event_type ORDER BY ts) AS rx,
+             RANK() OVER (PARTITION BY event_type ORDER BY value) AS ry
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx AS DECIMAL(28,0)) * CAST(ry AS DECIMAL(28,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rx AS DECIMAL(28,0)) * CAST(rx AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry AS DECIMAL(28,0)) * CAST(ry AS DECIMAL(28,0))) AS DOUBLE) AS syy
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS spearman_trend
+    FROM s
+    """,
+    doc="Spearman rank correlation of value against time (round 8): "
+    "a monotonic-trend detector per series that, unlike Pearson "
+    "(q_correlation), is invariant to the value scale and robust to "
+    "spikes — the nonparametric cousin of the Mann-Kendall trend "
+    "test. Tie policy is pinned to min-rank (RANK(), identical "
+    "semantics both engines) so the statistic is engine-exact; "
+    "moments of the integer ranks go through DECIMAL(28,0) so the "
+    "final Pearson-on-ranks is computed from exact sums in one "
+    "documented double expression. Plan: one hash partition by "
+    "event_type serves both rank sorts AND the grouped moment agg",
+)
+def q_spearman_corr(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    wx = Window.partitionBy("event_type").orderBy("ts")
+    wy = Window.partitionBy("event_type").orderBy("value")
+    r = e.select(
+        "event_type",
+        F.rank().over(wx).cast("decimal(28,0)").alias("rx"),
+        F.rank().over(wy).cast("decimal(28,0)").alias("ry"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = [
+        F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    ]
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("spearman_trend"),
+    )

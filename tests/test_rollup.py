@@ -414,3 +414,51 @@ def test_streaming_sink_maintains_sketch_rollup(spark, tmp_path):
     assert per_day == {
         "2024-08-01": 3, "2024-08-02": 3, "2024-08-06": 3
     }
+
+
+def test_scheduler_advances_hwm_on_cadence(spark, paths):
+    """VERDICT r7 next-round #9: the RollupScheduler re-arms like the
+    FDD loop (R5/R6) — two scheduled refreshes, with an append in
+    between, advance the high-water mark twice with no manual
+    refresh() call."""
+    from rusty_timeseries_db_spark.operators.rollup import RollupScheduler
+
+    base, rollup = paths
+    _write_batch(spark, base, _rows(1, "a", [(0, 1.0)]) +
+                 _rows(2, "a", [(0, 2.0)]))
+    roll = ContinuousRollup(spark, base, rollup, ["series"])
+    sched = RollupScheduler(roll, interval_seconds=0.3).start()
+    try:
+        assert sched.wait_for(1, timeout=60)
+        assert roll._read_hwm() == "2024-03-02"
+
+        # new data lands; the NEXT tick must fold it in unattended
+        _write_batch(spark, base, _rows(4, "a", [(0, 4.0)]))
+        first = sched.refresh_count
+        assert sched.wait_for(first + 2, timeout=60)
+        assert roll._read_hwm() == "2024-03-04"
+        assert _as_set(roll.read()) == _as_set(_full_recompute(roll))
+
+        # re-arm semantics: a new interval keeps ticking (R6 parity —
+        # the reference's set_interval fires once and dies)
+        sched.set_interval(0.2)
+        base_count = sched.refresh_count
+        assert sched.wait_for(base_count + 2, timeout=60)
+    finally:
+        sched.stop()
+
+
+def test_scheduler_stop_cancels_pending_tick(spark, paths):
+    import time
+
+    from rusty_timeseries_db_spark.operators.rollup import RollupScheduler
+
+    base, rollup = paths
+    _write_batch(spark, base, _rows(1, "a", [(0, 1.0)]))
+    roll = ContinuousRollup(spark, base, rollup, ["series"])
+    sched = RollupScheduler(roll, interval_seconds=0.2).start()
+    assert sched.wait_for(1, timeout=60)
+    sched.stop()
+    n = sched.refresh_count
+    time.sleep(0.6)
+    assert sched.refresh_count == n
