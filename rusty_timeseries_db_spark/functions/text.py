@@ -111,3 +111,44 @@ def rolling_hash_fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: F.xxhash64(acc, t),
     )
+
+
+# ---------------------------------------------------------------- PII scrub
+
+#: PII regexes shared VERBATIM by the Spark expressions below and the
+#: DuckDB oracle (queries.py embeds these same strings), so a parity
+#: match proves the patterns behave identically under Java regex and
+#: RE2. Deliberately restricted to syntax both dialects agree on
+#: (classes, bounded repeats, \b, \d — no lookaround, no backrefs).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+#: Scrub order matters where patterns could overlap: the 3-2-4 SSN
+#: shape must be consumed before the 3-3-4 phone shape, and both
+#: before the digit-hungry ipv4; email first because its local part
+#: may contain digits-and-dots runs the later patterns would chew on.
+PII_SCRUB_ORDER: list[str] = ["email", "ssn", "phone", "ipv4"]
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern (``PII_PATTERNS`` key) in the
+    ORIGINAL text — JVM regexp_count, vectorized, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact every PII match with its ``[KIND]`` token (the standard
+    pre-training privacy pass: emails/SSNs/phones/IPs must not reach
+    the training corpus). A chain of regexp_replace expressions —
+    whole-stage-codegen'd, order pinned by ``PII_SCRUB_ORDER``.
+    Replacement tokens contain no digits or '@', so a later pattern
+    can never re-match inside an earlier redaction."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in PII_SCRUB_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return c

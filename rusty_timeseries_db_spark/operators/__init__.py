@@ -22,6 +22,7 @@ from .maintenance import (
     sweep_residue,
 )
 from .rollup import ContinuousRollup, RollupScheduler
+from .profile import profile_columns
 from .packing import assign_packs, pack_stats
 from .sampling import (
     deterministic_sample,
@@ -42,6 +43,7 @@ __all__ = [
     "optimize_layout", "file_stats", "overlap_fraction", "zorder_layout",
     "ContinuousRollup",
     "RollupScheduler",
+    "profile_columns",
     "chunk_documents",
     "compact_partitions", "drop_partitions_older_than", "sweep_residue",
     "lttb", "minmax_decimate",

@@ -98,6 +98,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_topk_with_ties", "q_interarrival_burstiness",
     "q_heavy_hitter_share", "q_sax_motifs", "q_daily_vs_trailing_week",
     "q_zorder_stats", "q_ohlc_bars", "q_outlier_mad", "q_spearman_corr",
+    "q_pii_scrub", "q_column_profile",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -7403,4 +7404,189 @@ def q_spearman_corr(spark, sf_dir):
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
             6,
         ).alias("spearman_trend"),
+    )
+
+
+# ======================================================================
+# Round 8 (cont.): PII scrubbing for the training corpus
+# ======================================================================
+
+def _pii_oracle() -> str:
+    """The q_pii_scrub oracle, assembled around the SAME pattern
+    strings Spark uses (functions/text.py PII_PATTERNS) — a parity
+    match therefore proves the regexes behave identically under Java
+    regex (Spark) and RE2 (DuckDB), not just that two hand-copied
+    patterns happen to agree. Built by substitution (not an f-string)
+    because the patterns contain ``{m,n}`` repeat braces."""
+    from .functions.text import PII_PATTERNS, PII_SCRUB_ORDER
+
+    scrub = "txt"
+    for kind in PII_SCRUB_ORDER:
+        scrub = (
+            "regexp_replace(" + scrub + ", '" + PII_PATTERNS[kind]
+            + "', '[" + kind.upper() + "]', 'g')"
+        )
+    counts = ",\n             ".join(
+        "len(regexp_extract_all(txt, '" + PII_PATTERNS[k]
+        + "')) AS c_" + k
+        for k in PII_SCRUB_ORDER
+    )
+    return """
+    WITH inj AS (
+      SELECT source,
+             COALESCE(text, '')
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-01'
+                            || CAST(doc_id % 10 AS VARCHAR) || '-4567'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.1 id 123-45-6789'
+                       ELSE '' END AS txt
+      FROM documents
+    ),
+    c AS (
+      SELECT source, txt,
+             {counts},
+             {scrub} AS scrubbed
+      FROM inj
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c_email) AS BIGINT) AS n_emails,
+           CAST(SUM(c_ssn) AS BIGINT) AS n_ssns,
+           CAST(SUM(c_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(c_ipv4) AS BIGINT) AS n_ipv4s,
+           CAST(SUM(CASE WHEN scrubbed <> txt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_redacted,
+           CAST(SUM(length(scrubbed) - length(txt)) AS BIGINT)
+             AS char_delta
+    FROM c GROUP BY source
+    """.replace("{counts}", counts).replace("{scrub}", scrub)
+
+
+@declare(
+    "q_pii_scrub",
+    _pii_oracle(),
+    doc="PII redaction pass, oracle-paired (round 8; functions/text.py "
+    "scrub_pii/pii_count): the synthetic corpus carries no PII, so the "
+    "query PLANTS deterministic emails/phones/SSNs/IPs (same CASE "
+    "expression both engines, keyed on doc_id) and then scrubs and "
+    "counts them — per source: match counts per category, docs "
+    "redacted, and the redaction's exact character delta. The oracle "
+    "is assembled from the IDENTICAL pattern strings Spark compiles, "
+    "so the hash match certifies Java-regex/RE2 agreement on the "
+    "shared dialect subset. 100% JVM regexp expressions, zero "
+    "shuffles beyond the final tiny per-source agg",
+)
+def q_pii_scrub(spark, sf_dir):
+    from .functions.text import PII_SCRUB_ORDER, pii_count, scrub_pii
+
+    d = T(spark, sf_dir, "documents")
+    txt = (
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-01"),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit("-4567"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 id 123-45-6789"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+    )
+    c = d.select("source", txt.alias("txt")).withColumn(
+        "scrubbed", scrub_pii(F.col("txt"))
+    )
+    aggs = [
+        F.sum(pii_count(F.col("txt"), k)).alias(
+            "n_" + {"email": "emails", "ssn": "ssns",
+                    "phone": "phones", "ipv4": "ipv4s"}[k]
+        )
+        for k in PII_SCRUB_ORDER
+    ]
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *aggs,
+        F.sum(
+            F.when(F.col("scrubbed") != F.col("txt"), 1).otherwise(0)
+        ).alias("n_redacted"),
+        F.sum(F.length("scrubbed") - F.length("txt")).alias("char_delta"),
+    )
+
+
+@declare(
+    "q_column_profile",
+    """
+    SELECT 'event_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_id) AS DOUBLE) AS min_num,
+           CAST(MAX(event_id) AS DOUBLE) AS max_num
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+           CAST(COUNT(DISTINCT ts) AS BIGINT),
+           CAST(MIN(epoch_us(ts)) AS DOUBLE),
+           CAST(MAX(epoch_us(ts)) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           CAST(MIN(TRY_CAST(event_type AS DOUBLE)) AS DOUBLE),
+           CAST(MAX(TRY_CAST(event_type AS DOUBLE)) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(value) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(props) AS BIGINT),
+           CAST(COUNT(DISTINCT props) AS BIGINT),
+           CAST(MIN(TRY_CAST(props AS DOUBLE)) AS DOUBLE),
+           CAST(MAX(TRY_CAST(props AS DOUBLE)) AS DOUBLE)
+    FROM events
+    """,
+    doc="one-pass column profiling (round 8; operators/profile.py "
+    "profile_columns): per column of events — row count, null count, "
+    "EXACT distinct cardinality, numeric [min, max] (timestamps via "
+    "unix_micros; non-numeric strings NULL through try_cast, which is "
+    "load-bearing under Spark 4's ANSI default). Spark computes ALL "
+    "columns in ONE aggregate (Catalyst Expand feeding a two-level "
+    "hash agg) then explodes the 1-row result into tidy per-column "
+    "rows; exact=False swaps in HLL approx_count_distinct and drops "
+    "the Expand — the 100 TB default. The oracle is the honest "
+    "6-branch UNION ALL of per-column scans",
+)
+def q_column_profile(spark, sf_dir):
+    from .operators.profile import profile_columns
+
+    e = T(spark, sf_dir, "events")
+    return profile_columns(
+        e,
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        numeric={"ts": F.unix_micros(F.col("ts"))},
     )

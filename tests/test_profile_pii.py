@@ -1,0 +1,96 @@
+"""Round-8 pipeline additions: column profiling (operators/profile.py)
+and PII scrubbing (functions/text.py). The cross-engine regex/stat
+parity lives in q_column_profile / q_pii_scrub; these tests pin the
+semantics the oracle can't see — scrub order, approx-mode plan shape,
+numeric-view handling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.functions.text import (
+    PII_SCRUB_ORDER,
+    pii_count,
+    scrub_pii,
+)
+from rusty_timeseries_db_spark.operators.profile import profile_columns
+
+
+def _scrub_one(spark, s: str) -> str:
+    df = spark.createDataFrame([(s,)], "t string")
+    return df.select(scrub_pii("t").alias("s")).collect()[0].s
+
+
+def test_scrub_each_category(spark):
+    assert (
+        _scrub_one(spark, "mail a.b+c@ex-am.ple.org now")
+        == "mail [EMAIL] now"
+    )
+    assert _scrub_one(spark, "ssn 123-45-6789.") == "ssn [SSN]."
+    assert _scrub_one(spark, "call 555-123-4567 ok") == "call [PHONE] ok"
+    assert _scrub_one(spark, "ip 10.0.255.1 end") == "ip [IPV4] end"
+
+
+def test_scrub_order_disambiguates_overlaps(spark):
+    # a 3-2-4 run must become SSN, never a partial phone match; an
+    # email whose local part is digit-heavy must not leak digits to
+    # the later numeric patterns
+    assert _scrub_one(spark, "x 111-22-3333 y") == "x [SSN] y"
+    assert _scrub_one(spark, "555.123.4567@ex.com") == "[EMAIL]"
+
+
+def test_counts_and_no_rescrub(spark):
+    df = spark.createDataFrame(
+        [("a@b.io c@d.io 1.2.3.4",), (None,)], "t string"
+    )
+    row = df.agg(
+        F.sum(pii_count("t", "email")).alias("e"),
+        F.sum(pii_count("t", "ipv4")).alias("i"),
+    ).collect()[0]
+    assert (row.e, row.i) == (2, 1)
+    # replacement tokens are inert for every later pattern
+    s = "a@b.io"
+    for _ in range(2):
+        dfx = spark.createDataFrame([(s,)], "t string")
+        s = dfx.select(scrub_pii("t").alias("s")).collect()[0].s
+    assert s == "[EMAIL]"
+    assert PII_SCRUB_ORDER[0] == "email"
+
+
+def test_profile_columns_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, 8.5), (3, "b", 1.5)],
+        "id bigint, cat string, v double",
+    )
+    rows = {
+        r.column_name: r
+        for r in profile_columns(df, ["id", "cat", "v"]).collect()
+    }
+    assert rows["id"].n == 4 and rows["id"].n_nulls == 0
+    assert rows["id"].n_distinct == 3
+    assert (rows["id"].min_num, rows["id"].max_num) == (1.0, 3.0)
+    assert rows["cat"].n_nulls == 1 and rows["cat"].n_distinct == 2
+    # non-numeric strings: try_cast keeps the job alive under ANSI,
+    # min/max degrade to NULL
+    assert rows["cat"].min_num is None
+    assert rows["v"].n_nulls == 1 and rows["v"].max_num == 8.5
+
+
+def test_profile_approx_mode_drops_expand(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    exact_plan = profile_columns(
+        df, ["id", "k"]
+    )._jdf.queryExecution().executedPlan().toString()
+    approx_plan = profile_columns(
+        df, ["id", "k"], exact=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # the cost of exactness, documented
+    assert "Expand" not in approx_plan  # the 100 TB default path
+    got = {
+        r.column_name: r.n_distinct
+        for r in profile_columns(df, ["id", "k"], exact=False).collect()
+    }
+    # HLL at this cardinality is exact
+    assert got["k"] == 7
