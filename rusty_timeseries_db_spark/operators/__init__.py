@@ -23,6 +23,7 @@ from .maintenance import (
 )
 from .rollup import ContinuousRollup, RollupScheduler
 from .profile import profile_columns
+from .clustering import assign_nearest, label_centroids
 from .packing import assign_packs, pack_stats
 from .sampling import (
     deterministic_sample,
@@ -44,6 +45,7 @@ __all__ = [
     "ContinuousRollup",
     "RollupScheduler",
     "profile_columns",
+    "assign_nearest", "label_centroids",
     "chunk_documents",
     "compact_partitions", "drop_partitions_older_than", "sweep_residue",
     "lttb", "minmax_decimate",

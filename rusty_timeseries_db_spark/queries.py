@@ -98,7 +98,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_topk_with_ties", "q_interarrival_burstiness",
     "q_heavy_hitter_share", "q_sax_motifs", "q_daily_vs_trailing_week",
     "q_zorder_stats", "q_ohlc_bars", "q_outlier_mad", "q_spearman_corr",
-    "q_pii_scrub", "q_column_profile",
+    "q_pii_scrub", "q_column_profile", "q_kmeans_step",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -7589,4 +7589,67 @@ def q_column_profile(spark, sf_dir):
         e,
         ["event_id", "ts", "user_id", "event_type", "value", "props"],
         numeric={"ts": F.unix_micros(F.col("ts"))},
+    )
+
+
+@declare(
+    "q_kmeans_step",
+    """
+    WITH ex AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS comp
+      FROM embeddings
+    ),
+    pd AS (
+      SELECT label, dim,
+             list_aggregate(list_transform(list(comp ORDER BY vec_id),
+                            x -> CAST(x AS DOUBLE)), 'sum') AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label AS c_label, list(s / n ORDER BY dim) AS cv
+      FROM pd GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             list_aggregate(list_transform(list_zip(e.embedding, c.cv),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+               'sum') AS d2
+      FROM embeddings e, cent c
+    ),
+    a AS (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, c_label) AS rn
+      FROM scored
+    )
+    SELECT label, c_label AS assigned_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM a WHERE rn = 1 GROUP BY label, c_label
+    """,
+    doc="one full Lloyd/k-means step over the embeddings, oracle-paired "
+    "(round 8; operators/clustering.py): per-label centroids (the M "
+    "step, deterministic in-order fold so both engines sum components "
+    "in vec_id order — bit-identical means), then every vector "
+    "re-assigned to its nearest centroid by squared L2 with a "
+    "(distance, label) total-order tie-break (the E step), returning "
+    "the label-vs-assigned confusion counts — integer-exact, so the "
+    "hash certifies the whole distributed vector pipeline: explode, "
+    "per-dim tree agg, broadcast of k centroids, codegen'd zip_with "
+    "fold, per-vector argmin window. The plain-avg centroid mode "
+    "(deterministic=False) is the 100 TB path — same result modulo "
+    "float-order, no per-cell list materialization",
+)
+def q_kmeans_step(spark, sf_dir):
+    from .operators.clustering import assign_nearest, label_centroids
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cent = label_centroids(emb, deterministic=True)
+    a = assign_nearest(emb, cent.select("label", "centroid"))
+    return a.groupBy("label", "assigned_label").agg(
+        F.count(F.lit(1)).alias("n")
     )

@@ -94,3 +94,46 @@ def test_profile_approx_mode_drops_expand(spark):
     }
     # HLL at this cardinality is exact
     assert got["k"] == 7
+
+
+# ---------------------------------------------------------- clustering
+
+def test_label_centroids_and_assignment(spark):
+    from rusty_timeseries_db_spark.operators.clustering import (
+        assign_nearest,
+        label_centroids,
+    )
+
+    rows = [
+        (1, 0, [0.0, 0.0]), (2, 0, [0.0, 2.0]),   # cluster at (0, 1)
+        (3, 1, [10.0, 10.0]), (4, 1, [10.0, 12.0]),  # cluster at (10, 11)
+        (5, 0, [9.0, 11.0]),  # mislabeled: nearest is cluster 1's side
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    cent = {
+        r.label: (r.centroid, r.n_vecs)
+        for r in label_centroids(df, deterministic=True).collect()
+    }
+    assert cent[1][0] == [10.0, 11.0] and cent[1][1] == 2
+    assert cent[0][1] == 3
+    a = {
+        r.vec_id: r.assigned_label
+        for r in assign_nearest(
+            df,
+            label_centroids(df, deterministic=True).select(
+                "label", "centroid"
+            ),
+        ).collect()
+    }
+    assert a[1] == 0 and a[3] == 1 and a[4] == 1
+    assert a[5] == 1  # the planted mislabel crosses over
+
+    # scale mode agrees with the deterministic fold up to fp order
+    loose = {
+        r.label: r.centroid
+        for r in label_centroids(df, deterministic=False).collect()
+    }
+    for k, (cv, _) in cent.items():
+        assert all(abs(x - y) < 1e-9 for x, y in zip(cv, loose[k]))
