@@ -99,6 +99,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_heavy_hitter_share", "q_sax_motifs", "q_daily_vs_trailing_week",
     "q_zorder_stats", "q_ohlc_bars", "q_outlier_mad", "q_spearman_corr",
     "q_pii_scrub", "q_column_profile", "q_kmeans_step",
+    "q_seasonal_backtest", "q_delta_compression_stats",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -7652,4 +7653,142 @@ def q_kmeans_step(spark, sf_dir):
     a = assign_nearest(emb, cent.select("label", "centroid"))
     return a.groupBy("label", "assigned_label").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+@declare(
+    "q_seasonal_backtest",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT event_type, day, hod, v,
+             CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(v) OVER w AS yhat,
+             CAST(COUNT(v) OVER w AS BIGINT) AS n_hist
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type, hod ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    err AS (
+      SELECT event_type, day, hod, abs(v - yhat) AS ae
+      FROM pred WHERE n_hist >= 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           ROUND(list_aggregate(list_transform(
+                   list(ae ORDER BY day, hod), x -> CAST(x AS DOUBLE)),
+                 'sum') / COUNT(*), 6) AS mae
+    FROM err GROUP BY event_type
+    """,
+    doc="seasonal-naive forecast backtest (round 8): forecast each "
+    "(event_type, day, hour-of-day) hourly total as the expanding mean "
+    "of ALL PRIOR days' same-hour totals — the hour-of-day seasonal "
+    "baseline every capacity dashboard starts from — and report the "
+    "walk-forward MAE per series (first 3 observations warm up, never "
+    "scored: no lookahead leakage by construction). Determinism: "
+    "hourly totals and the expanding-mean numerator go through exact "
+    "DECIMAL sums; the MAE itself sums |error| doubles in pinned "
+    "(day, hod) order via the in-order fold (same technique as "
+    "q_kmeans_step), so both engines add in the same sequence. Two "
+    "bounded shuffles: the hourly pre-agg, then (event_type, hod) "
+    "frames + the final per-type fold over #days*24 rows",
+)
+def q_seasonal_backtest(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    epoch = F.unix_timestamp("ts")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            (epoch / 86400).cast("bigint").alias("day"),
+            ((epoch / 3600).cast("bigint") % 24).alias("hod"),
+        )
+        .agg(dsum(F.col("value")).alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type", "hod")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pred = hourly.select(
+        "event_type",
+        "day",
+        "hod",
+        "v",
+        (
+            F.sum(dec(F.col("v"))).over(w).cast("double")
+            / F.count("v").over(w)
+        ).alias("yhat"),
+        F.count("v").over(w).alias("n_hist"),
+    )
+    err = pred.filter(F.col("n_hist") >= 3).withColumn(
+        "ae", F.abs(F.col("v") - F.col("yhat"))
+    )
+    return err.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("day", "hod", "ae"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["ae"],
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae"),
+    )
+
+
+@declare(
+    "q_delta_compression_stats",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,2))
+               - lag(CAST(value AS DECIMAL(18,2))) OVER
+                 (PARTITION BY event_type ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(d) AS BIGINT) AS n_deltas,
+           CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(SUM(CASE WHEN abs(d) <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small,
+           CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_down,
+           CAST(SUM(CAST(abs(d) AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(d) AS mean_abs_delta
+    FROM s GROUP BY event_type
+    """,
+    doc="delta-encoding compressibility telemetry (round 8): per "
+    "series, the distribution of consecutive-sample deltas — zero "
+    "deltas (RLE-able), small deltas (|d| <= 0.5: few-bit Gorilla/"
+    "delta-of-delta residues), sign flips, and the exact mean "
+    "|delta| — the stats a storage engine consults to pick its "
+    "timestamp/value codecs (SCALE.md storage table). Deltas are "
+    "computed in DECIMAL(18,2) of the 2-dp values, so every compare "
+    "and the mean are exact on both engines; ordering is pinned by "
+    "the (ts, event_id) total order. One shuffle: the lag window and "
+    "the group agg share the event_type partitioning",
+)
+def q_delta_compression_stats(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    v = dec(F.col("value"))
+    s = e.withColumn("d", v - F.lag(v).over(w))
+    d = F.col("d")
+    return s.groupBy("event_type").agg(
+        F.count("d").alias("n_deltas"),
+        F.sum(F.when(d == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.when(F.abs(d) <= 0.5, 1).otherwise(0)).alias("n_small"),
+        F.sum(F.when(d < 0, 1).otherwise(0)).alias("n_down"),
+        (F.sum(F.abs(d).cast("decimal(18,2)")).cast("double") / F.count("d"))
+        .alias("mean_abs_delta"),
     )
