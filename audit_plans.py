@@ -53,6 +53,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "cartesian": "broadcast query-batch x corpus scan — the "
         "documented brute-force kNN shape (queries are the small side)"
     },
+    "q_kmeans_step": {
+        "cartesian": "vectors x k centroids broadcast (k rows of dim "
+        "doubles — KB-scale by construction; operators/clustering.py "
+        "assign_nearest docstring)"
+    },
     "q_similarity_ivf": {
         "cartesian": "probe-list x centroid distance uses a broadcast "
         "nested loop over the TINY centroid table only"

@@ -76,6 +76,12 @@ HEADLINE = [
     "q_asof_qualify_sql",
     "q_moving_median",
     "q_series_align_ratio",
+    # added round 8, second half: the OHLC candlestick downsample (the
+    # single-shuffle window+agg shape) and the full Lloyd step over the
+    # embeddings (explode → per-dim agg → broadcast argmin — the
+    # distributed vector-aggregation stress test)
+    "q_ohlc_bars",
+    "q_kmeans_step",
 ]
 
 

@@ -16,7 +16,8 @@ GROUPS = [
                      "q_linear_regression", "q_mode_per_group",
                      "q_bool_aggs", "q_quantile_buckets",
                      "q_running_distinct"]),
-    ("Joins", ["q_join", "q_asof", "q_interval", "q_tpch"]),
+    ("Joins", ["q_join", "q_asof", "q_interval", "q_tpch", "q_null_safe",
+               "q_scd2", "q_correlated_subquery"]),
     ("Window functions", ["q_window"]),
     ("Sort / limit / top-k", ["q_topk", "q_global_sort"]),
     ("Set operations", ["q_union", "q_intersect", "q_except"]),
@@ -30,19 +31,35 @@ GROUPS = [
                          "q_cohort_retention", "q_merge_intervals",
                          "q_rolling_corr", "q_seasonal_residuals",
                          "q_dense_grid"]),
+    ("Series statistics & change detection",
+     ["q_moving_median", "q_series_align_ratio", "q_cusum", "q_sax",
+      "q_autocorr", "q_series_gap_report", "q_interarrival",
+      "q_heavy_hitter", "q_daily_vs_trailing_week", "q_rate_per_second",
+      "q_outlier_mad", "q_spearman", "q_seasonal_backtest"]),
+    ("Downsampling & visualization",
+     ["q_minmax_decimate", "q_lttb", "q_ohlc", "q_topn_with_others"]),
+    ("Storage layout, rollups & profiling",
+     ["q_continuous_rollup", "q_zorder", "q_hll",
+      "q_delta_compression", "q_column_profile"]),
+    ("Sources & interchange",
+     ["q_orc", "q_json_roundtrip", "q_csv_roundtrip",
+      "q_schema_evolution", "q_arrow_transform"]),
+    ("SQL dialect surface", ["q_qualify_sql", "q_python_udtf"]),
     ("UDF surface", ["q_udf"]),
     ("FDD", ["q_fdd"]),
     ("LLM-pipeline: dedup & decontamination",
      ["q_dedup", "q_ngram", "q_minhash", "q_simhash",
       "q_embedding_neardup", "q_quality_filter", "q_contamination"]),
-    ("LLM-pipeline: similarity / embeddings", ["q_similarity", "q_embedding_knn"]),
+    ("LLM-pipeline: similarity / embeddings",
+     ["q_similarity", "q_embedding_knn", "q_kmeans"]),
     ("LLM-pipeline: text analysis", ["q_token", "q_quality_score", "q_langid",
                                      "q_rolling_hash", "q_bigram_vocab",
-                                     "q_tfidf", "q_unigram_surprisal"]),
-    ("LLM-pipeline: sampling, splitting & packing",
+                                     "q_tfidf", "q_unigram_surprisal",
+                                     "q_pii_scrub"]),
+    ("LLM-pipeline: sampling, splitting, chunking & packing",
      ["q_hash_split", "q_deterministic_sample", "q_stratified_sample",
-      "q_weighted_domain_sample", "q_sequence_packing",
-      "q_training_corpus_pipeline"]),
+      "q_weighted_domain_sample", "q_sequence_packing", "q_chunk",
+      "q_training_corpus_pipeline", "q_corpus_pipeline"]),
     ("Multimodal", ["q_multimodal"]),
 ]
 
