@@ -528,6 +528,24 @@ class TimeseriesEngine:
 
         return RollupScheduler(rollup, interval_seconds).start()
 
+    def profile(self, exact: bool = True) -> DataFrame:
+        """One-pass column profile of the canonical telemetry view
+        (operators/profile.py): per column — row count, null count,
+        distinct cardinality (exact by default; ``exact=False`` for
+        the HLL cluster-scale mode), numeric [min, max] (timestamps
+        via unix_micros). The post-ingest data-quality check; also a
+        REPL verb (``profile``)."""
+        from .operators.profile import profile_columns
+
+        t = self.telemetry()
+        return profile_columns(
+            t,
+            ["sensor_name", "ts", "value", "fc1_flag", "timeseries_id",
+             "ingest_seq"],
+            numeric={"ts": F.unix_micros(F.col("ts"))},
+            exact=exact,
+        )
+
     def fault_count(
         self, df: DataFrame, threshold: float = DEFAULT_FAULT_THRESHOLD
     ) -> int:

@@ -126,6 +126,11 @@ class Repl:
             if not dropped:
                 return "Retention: nothing older than " + cutoff + "."
             return f"Dropped {len(dropped)} chunk(s): {', '.join(dropped)}."
+        if line == "profile":
+            # data-quality verb (round 8): one-pass column profile of
+            # the canonical telemetry view (operators/profile.py) —
+            # what an operator checks after a suspicious ingest batch
+            return self.engine.profile()
         if line.startswith("set_interval"):
             parts = line.split()
             if len(parts) == 2 and parts[1].isdigit():

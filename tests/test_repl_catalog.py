@@ -350,3 +350,20 @@ def test_engine_sql_facade(spark, tmp_path):
         for r in eng.sql("SELECT value FROM telemetry").collect()
     }
     assert 123.0 in vals
+
+
+def test_repl_profile_verb(repl):
+    """round 8: the `profile` verb returns the one-pass column profile
+    of the live telemetry view (nulls/distincts/ranges), overlay-aware
+    like every other read."""
+    repl.execute("insert Sa_FanSpeed 2024-08-28T12:00:00Z 0.8 s-1")
+    repl.execute("insert Sa_FanSpeed 2024-08-28T12:00:10Z 0.9 s-1 1")
+    repl.execute("insert Sb_Temp 2024-08-28T12:00:20Z 0.4 s-2")
+    out = repl.execute("profile")
+    rows = {r.column_name: r for r in out.collect()}
+    assert rows["value"].n == 3 and rows["value"].n_nulls == 0
+    assert rows["value"].min_num == 0.4 and rows["value"].max_num == 0.9
+    assert rows["timeseries_id"].n_distinct == 2
+    # fc1_flag: unset -> NULL (codec rule), one real flag
+    assert rows["fc1_flag"].n_nulls == 2 and rows["fc1_flag"].n_distinct == 1
+    assert rows["ts"].min_num is not None  # unix_micros numeric view
