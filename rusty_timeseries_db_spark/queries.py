@@ -100,6 +100,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_zorder_stats", "q_ohlc_bars", "q_outlier_mad", "q_spearman_corr",
     "q_pii_scrub", "q_column_profile", "q_kmeans_step",
     "q_seasonal_backtest", "q_delta_compression_stats",
+    "q_audience_jaccard",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -7791,4 +7792,73 @@ def q_delta_compression_stats(spark, sf_dir):
         F.sum(F.when(d < 0, 1).otherwise(0)).alias("n_down"),
         (F.sum(F.abs(d).cast("decimal(18,2)")).cast("double") / F.count("d"))
         .alias("mean_abs_delta"),
+    )
+
+
+@declare(
+    "q_audience_jaccard",
+    """
+    WITH s AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sz AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (za.n + zb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.event_type = i.type_a
+    JOIN sz zb ON zb.event_type = i.type_b
+    """,
+    doc="audience-overlap Jaccard between event types (round 8): for "
+    "each unordered type pair, |users_a ∩ users_b| / |users_a ∪ "
+    "users_b| from exact distinct audiences — the set-similarity "
+    "query behind cohort overlap, feature co-occurrence, and "
+    "cross-sell dashboards. Spark-first shape: ONE distinct "
+    "(event_type, user_id) projection is reused three ways — pair "
+    "self-join on user_id (keys are users, so the join never "
+    "explodes past sum-of-pairs-per-user; the < predicate halves it), "
+    "per-type sizes, and the union by inclusion-exclusion — no "
+    "per-pair re-scan of the fact table. Sizes are a tiny broadcast. "
+    "At 100 TB the distinct is the only big shuffle and is exactly "
+    "the dedup shuffle the engine already optimizes",
+)
+def q_audience_jaccard(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    s = e.select("event_type", "user_id").distinct()
+    sz = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(F.col("event_type").alias("type_a"), "user_id")
+    b = s.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = F.broadcast(sz.select(F.col("event_type").alias("type_a"),
+                               F.col("n").alias("na")))
+    zb = F.broadcast(sz.select(F.col("event_type").alias("type_b"),
+                               F.col("n").alias("nb")))
+    return (
+        inter.join(za, "type_a")
+        .join(zb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
     )

@@ -407,6 +407,43 @@ def windowed_series_stats(
     )
 
 
+def windowed_ohlc(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked per-series OHLC bars — the streaming face of
+    ``q_ohlc_bars`` (round 8). open/close are ``min_by``/``max_by`` on
+    the (ts, ingest_seq) struct: DECLARATIVE aggregates (a running
+    argmin, not a sort), so they are legal in streaming groupBy and
+    merge correctly across micro-batches — replaying the same rows in
+    any batch split yields the batch engine's bars exactly
+    (stream/batch parity-tested). Ties on ts are broken by value —
+    row IDENTITY can stay ambiguous between two same-(ts, value) rows,
+    but the picked VALUE (all a bar reports) is then identical either
+    way, so the output is total-order deterministic without needing
+    the sink-assigned ingest_seq (which does not exist pre-sink).
+    State per open (series, window) cell is O(1): two running extrema
+    + two running argmins + count."""
+    order = F.struct(F.col("ts"), F.col("value"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("timeseries_id"), F.window("ts", window).alias("w"))
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "timeseries_id",
+            F.col("w.start").alias("window_start"),
+            "open", "high", "low", "close", "n",
+        )
+    )
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Opt-in streaming dedup on the reference's update key
     ``(timeseries_id, ts)`` (the reference permits dup keys on insert,

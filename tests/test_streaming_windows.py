@@ -390,3 +390,85 @@ def test_stream_stream_join_matches_batch_formulation(spark, tmp_path):
     key = lambda r: (r.timeseries_id, r.ts, r.value, r.cmd_ts)  # noqa: E731
     assert sorted(map(key, streamed)) == sorted(map(key, batch))
     assert len(batch) >= 3  # both commands matched something
+
+
+def test_stream_batch_ohlc_parity(spark, tmp_path):
+    """Round 8: the streaming OHLC bars (min_by/max_by running argmins)
+    replayed over multiple micro-batches equal the batch formulation on
+    the same rows — including open/close picks under duplicate
+    timestamps (tie broken by value on both sides)."""
+    import itertools
+
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        normalize_payload,
+        windowed_ohlc,
+    )
+
+    rows = [
+        {
+            "sensor_name": "x",
+            "timestamp": f"2024-08-28T12:{mm:02d}:{ss:02d}Z",
+            "value": float((i * 7) % 11) + 0.5,
+            "fc1_flag": None,
+            "timeseries_id": sid,
+        }
+        for i, (sid, (mm, ss)) in enumerate(
+            itertools.product(
+                ["s1", "s2"],
+                # includes a duplicate timestamp (4,59) twice -> the
+                # ingest_seq tiebreak decides open/close deterministically
+                [(0, 10), (1, 40), (4, 59), (4, 59), (7, 30), (12, 5)],
+            )
+        )
+    ]
+    src = str(tmp_path / "drop")
+    for b in range(3):
+        _drop(src, rows[b::3], f"b{b}.jsonl")
+
+    raw = (
+        spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    agg = windowed_ohlc(normalized_stream(raw), window="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ohlc_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.timeseries_id, str(r.window_start)):
+        (r.open, r.high, r.low, r.close, r.n)
+        for r in spark.sql("SELECT * FROM ohlc_parity").collect()
+    }
+
+    batch = normalize_payload(
+        spark.read.schema(TELEMETRY_INGEST_SCHEMA).json(src)
+    )
+    order = F.struct(F.col("ts"), F.col("value"))
+    want = {
+        (r.timeseries_id, str(r.window_start)):
+        (r.open, r.high, r.low, r.close, r.n)
+        for r in (
+            batch.groupBy(
+                "timeseries_id", F.window("ts", "5 minutes").alias("w")
+            )
+            .agg(
+                F.min_by("value", order).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", order).alias("close"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "timeseries_id",
+                F.col("w.start").alias("window_start"),
+                "open", "high", "low", "close", "n",
+            )
+        ).collect()
+    }
+    assert got == want and len(got) >= 6
