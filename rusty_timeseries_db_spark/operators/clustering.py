@@ -80,11 +80,16 @@ def assign_nearest(
     """Assign every vector to its nearest centroid by squared L2 (ties
     broken by centroid label ascending — total order, engine-agnostic).
     ``centroids``: (label, centroid array<double>) — small by
-    construction (k rows), hence the guarded broadcast cross join; the
-    vector table itself is never reshuffled before the per-vector
-    argmin window. Adds (assigned_label, dist2)."""
-    from pyspark.sql import Window
+    construction (k rows), hence the guarded broadcast cross join.
+    Adds (assigned_label, dist2).
 
+    The argmin is ``min_by`` over a grouped aggregate, NOT a
+    row_number window (code-review r8): the k-times-expanded scored
+    stream collapses back to one row per vector in the map-side
+    partial aggregate, so the only exchange moves ~|df| combined rows
+    — a window would shuffle all k·|df| expanded rows just to rank
+    them. Same declarative-argmin pattern as the streaming OHLC bars
+    (streaming/ingest.py windowed_ohlc)."""
     c = centroids.select(
         F.col(centroid_label_col).alias("_c_label"),
         F.col("centroid").alias("_cv"),
@@ -101,12 +106,14 @@ def assign_nearest(
             lambda acc, x: acc + x,
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("dist2").asc(), F.col("_c_label").asc()
+    payload = F.struct(
+        *[F.col(name) for name in df.columns],
+        F.col("_c_label").alias("assigned_label"),
+        F.col("dist2"),
     )
+    order = F.struct(F.col("dist2"), F.col("_c_label"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumnRenamed("_c_label", "assigned_label")
-        .drop("_rn", "_cv")
+        scored.groupBy(id_col)
+        .agg(F.min_by(payload, order).alias("_best"))
+        .select("_best.*")
     )

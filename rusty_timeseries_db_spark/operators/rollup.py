@@ -346,23 +346,45 @@ class RollupScheduler:
         self.rollup = rollup
         self.interval_seconds = float(interval_seconds)
         self.refresh_count = 0
+        self.error_count = 0
         self.last_rows = 0
+        self.last_error: BaseException | None = None
         self._lock = threading.Lock()
         self._timer: object | None = None
         self._active = False
+        # Generation token (code-review r8): Timer.cancel() is a no-op
+        # on a timer whose thread has already fired and is blocked on
+        # the lock — without the token, a set_interval()/start() racing
+        # such a tick would arm a SECOND re-arming chain and double the
+        # cadence forever. Each (re)arm bumps the generation; a tick
+        # carrying a stale generation exits without re-arming.
+        self._gen = 0
 
-    def _tick(self) -> None:
+    def _tick(self, gen: int) -> None:
         with self._lock:
-            if not self._active:
+            if not self._active or gen != self._gen:
                 return
-            self.last_rows = self.rollup.refresh()
-            self.refresh_count += 1
+            # A transient refresh failure (FS hiccup, concurrent
+            # writer, aborted Spark job) must not silently kill the
+            # cadence — that would be the reference's never-re-arms R6
+            # bug reintroduced via the error path. Record it, keep
+            # ticking; refresh is idempotent so the next tick simply
+            # retries the same days.
+            try:
+                self.last_rows = self.rollup.refresh()
+                self.refresh_count += 1
+            except Exception as e:  # noqa: BLE001 — recorded, not hidden
+                self.last_error = e
+                self.error_count += 1
             self._arm()
 
     def _arm(self) -> None:
         import threading
 
-        t = threading.Timer(self.interval_seconds, self._tick)
+        self._gen += 1
+        t = threading.Timer(
+            self.interval_seconds, self._tick, args=(self._gen,)
+        )
         t.daemon = True
         self._timer = t
         t.start()
@@ -388,6 +410,7 @@ class RollupScheduler:
     def stop(self) -> None:
         with self._lock:
             self._active = False
+            self._gen += 1  # invalidate any tick already past cancel()
             if self._timer is not None:
                 self._timer.cancel()
                 self._timer = None

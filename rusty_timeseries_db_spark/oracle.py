@@ -20,6 +20,13 @@ TABLES = [
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Pin the session zone (code-review r8): DuckDB's to_timestamp
+    # yields TIMESTAMPTZ and strftime/CAST render it in the session
+    # TimeZone (host default), while the Spark side pins
+    # spark.sql.session.timeZone=UTC — on a non-UTC host every
+    # bucket-label oracle would shift. Same pin the driver's UTC hosts
+    # get implicitly.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

@@ -300,6 +300,18 @@ def dsum(col, scale: int = 2):
     return F.sum(dec(col, scale)).cast("double")
 
 
+def _fixture_path(name: str) -> str:
+    """The per-process fixture path FORMULA, with no side effects —
+    shared by ``_fixture_dir`` (which clears it) and by oracle SQL
+    strings that must reference the same location at declare time
+    (q_zorder_stats), so the two can never drift apart."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"rtsdb_fixture_{os.getpid()}_{name}"
+    )
+
+
 def _fixture_dir(name: str) -> str:
     """Stable per-process scratch dir for in-fixture write-then-read
     queries (ORC round-trip, schema evolution, continuous rollup):
@@ -308,11 +320,8 @@ def _fixture_dir(name: str) -> str:
     calls each query once; bench repeats them). Pid-scoping keeps
     concurrent sessions apart."""
     import shutil
-    import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"rtsdb_fixture_{os.getpid()}_{name}"
-    )
+    path = _fixture_path(name)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
@@ -7141,17 +7150,13 @@ def q_daily_vs_trailing_week(spark, sf_dir):
 
 def _zorder_glob() -> str:
     """The q_zorder_stats fixture's parquet glob, computable at declare
-    time (same formula as ``_fixture_dir`` without the clear) so the
-    DuckDB oracle string can embed it: both engines read the SAME files
-    the Spark side just wrote. Requires the driver's spark-then-oracle
-    order (the same order run_parity.py/oracle.compare use)."""
-    import tempfile
-
+    time (``_fixture_path`` — the same builder ``_fixture_dir`` clears,
+    so the two cannot drift) so the DuckDB oracle string can embed it:
+    both engines read the SAME files the Spark side just wrote.
+    Requires the driver's spark-then-oracle order (the same order
+    run_parity.py/oracle.compare use)."""
     return os.path.join(
-        tempfile.gettempdir(),
-        f"rtsdb_fixture_{os.getpid()}_q_zorder_stats",
-        "data",
-        "*.parquet",
+        _fixture_path("q_zorder_stats"), "data", "*.parquet"
     )
 
 
@@ -7212,8 +7217,12 @@ def q_zorder_stats(spark, sf_dir):
     """
     WITH b AS (
       SELECT event_type,
-             strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600
-                                        AS BIGINT)),
+             -- make_timestamp(micros) is a NAIVE timestamp: unlike
+             -- to_timestamp (TIMESTAMPTZ, rendered in the session
+             -- zone), this strftime is timezone-independent, matching
+             -- Spark's UTC-pinned date_format on any host
+             strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600
+                                          AS BIGINT) * 1000000),
                       '%Y-%m-%d %H:00') AS bar,
              value,
              ROW_NUMBER() OVER (
@@ -7363,7 +7372,8 @@ def q_outlier_mad(spark, sf_dir):
     )
     SELECT event_type, n,
            ROUND((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 / NULLIF(sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy), 0.0),
                  6) AS spearman_trend
     FROM s
     """,
@@ -7398,14 +7408,17 @@ def q_spearman_corr(spark, sf_dir):
     n, sx, sy, sxy, sxx, syy = [
         F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
     ]
+    # NULLIF the denominator: a degenerate group (one row, or all-tied
+    # ranks) makes it exactly 0.0, and Spark's ANSI double division
+    # RAISES where DuckDB nulls — the guard makes both engines emit
+    # NULL (code-review r8)
+    denom = F.nullif(
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
+    )
     return s.select(
         "event_type",
         "n",
-        F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
-        ).alias("spearman_trend"),
+        F.round((n * sxy - sx * sy) / denom, 6).alias("spearman_trend"),
     )
 
 

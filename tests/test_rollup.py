@@ -462,3 +462,33 @@ def test_scheduler_stop_cancels_pending_tick(spark, paths):
     n = sched.refresh_count
     time.sleep(0.6)
     assert sched.refresh_count == n
+
+
+def test_scheduler_survives_refresh_errors(spark, paths):
+    """code-review r8: a transient refresh failure must not kill the
+    cadence (that would be the reference's never-re-arms R6 bug via
+    the error path) — the scheduler records it and keeps ticking."""
+    from rusty_timeseries_db_spark.operators.rollup import RollupScheduler
+
+    base, rollup = paths
+    _write_batch(spark, base, _rows(1, "a", [(0, 1.0)]) +
+                 _rows(2, "a", [(0, 2.0)]))
+    roll = ContinuousRollup(spark, base, rollup, ["series"])
+    boom = {"left": 2}
+    real_refresh = roll.refresh
+
+    def flaky(full: bool = False):
+        if boom["left"] > 0:
+            boom["left"] -= 1
+            raise RuntimeError("transient FS hiccup")
+        return real_refresh(full)
+
+    roll.refresh = flaky
+    sched = RollupScheduler(roll, interval_seconds=0.2).start()
+    try:
+        assert sched.wait_for(1, timeout=60)  # ticked THROUGH 2 errors
+        assert sched.error_count == 2
+        assert isinstance(sched.last_error, RuntimeError)
+        assert roll._read_hwm() == "2024-03-02"
+    finally:
+        sched.stop()
