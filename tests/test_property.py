@@ -296,3 +296,34 @@ def test_query_gate_properties(col, lit, tail):
         f"WITH x AS (SELECT {col} FROM t) INSERT INTO u SELECT * FROM x"
     )
     assert not is_query_statement(q.rstrip(";") + f"; DROP TABLE {col}")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abcxyz0123456789.-@[]_%+", max_size=60),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scrub_pii_reaches_fixed_point(spark, texts):
+    """Property (code-review-adjacent, round 8): after one scrub pass,
+    NO pattern matches remain — replacement tokens carry no digits or
+    '@', so removal cannot splice new PII into existence — which also
+    makes scrub idempotent (scrub∘scrub == scrub) on arbitrary text."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.functions.text import (
+        PII_SCRUB_ORDER,
+        pii_count,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    once = df.select(scrub_pii("t").alias("s"))
+    residue = once.agg(
+        *[F.sum(pii_count("s", k)).alias(k) for k in PII_SCRUB_ORDER]
+    ).collect()[0]
+    assert all((residue[k] or 0) == 0 for k in PII_SCRUB_ORDER), residue
+    twice = once.select(scrub_pii("s").alias("s2"), "s")
+    assert twice.filter(F.col("s2") != F.col("s")).count() == 0
