@@ -37,7 +37,8 @@ GROUPS = [
       "q_heavy_hitter", "q_daily_vs_trailing_week", "q_rate_per_second",
       "q_outlier_mad", "q_spearman", "q_seasonal_backtest"]),
     ("Downsampling & visualization",
-     ["q_minmax_decimate", "q_lttb", "q_ohlc", "q_topn_with_others"]),
+     ["q_minmax_decimate", "q_lttb", "q_ohlc", "q_topn_with_others",
+      "q_value_heatmap_2d", "q_top_movers", "q_audience_jaccard"]),
     ("Storage layout, rollups & profiling",
      ["q_continuous_rollup", "q_zorder", "q_hll",
       "q_delta_compression", "q_column_profile"]),

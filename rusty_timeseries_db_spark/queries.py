@@ -100,7 +100,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_zorder_stats", "q_ohlc_bars", "q_outlier_mad", "q_spearman_corr",
     "q_pii_scrub", "q_column_profile", "q_kmeans_step",
     "q_seasonal_backtest", "q_delta_compression_stats",
-    "q_audience_jaccard",
+    "q_audience_jaccard", "q_value_heatmap_2d", "q_top_movers",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -7873,5 +7873,132 @@ def q_audience_jaccard(spark, sf_dir):
                 / (F.col("na") + F.col("nb") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+@declare(
+    "q_value_heatmap_2d",
+    """
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 21600) AS BIGINT) AS time_bin,
+           CAST(CASE WHEN value <= 0 THEN 0
+                     WHEN value >= 100 THEN 11
+                     ELSE CAST(floor(value / 10) AS BIGINT) + 1 END
+                AS BIGINT) AS value_bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="2-D heatmap binning (round 8): counts per (series, 6-hour "
+    "time bin, fixed value band) — the Grafana/Chronograf heatmap "
+    "primitive that shows a metric's DISTRIBUTION drifting over time "
+    "where a mean line hides bimodality. Closed-form bucket edges "
+    "(width 10 over [0,100], clamped outer bands) keep the cell ids "
+    "engine-exact and MERGEABLE: cells re-aggregate across any "
+    "rollup, same decomposability argument as q_histogram_quantile. "
+    "One map-side-combined shuffle on the cell key; epoch-floor time "
+    "bins are timezone-proof",
+)
+def q_value_heatmap_2d(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tbin = (F.unix_timestamp("ts") / 21600).cast("bigint")
+    v = F.col("value")
+    vbin = (
+        F.when(v <= 0, 0)
+        .when(v >= 100, 11)
+        .otherwise(F.floor(v / 10).cast("bigint") + 1)
+        .cast("bigint")
+    )
+    return (
+        e.groupBy(
+            "event_type",
+            tbin.alias("time_bin"),
+            vbin.alias("value_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@declare(
+    "q_top_movers",
+    """
+    WITH halves AS (
+      SELECT user_id,
+             CASE WHEN CAST(epoch_us(ts) AS DOUBLE) <
+                       (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) / 2
+                        FROM events)
+                  THEN 0 ELSE 1 END AS half,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, half, n,
+             RANK() OVER (PARTITION BY half ORDER BY n DESC, user_id)
+               AS rnk
+      FROM halves
+    )
+    SELECT a.user_id,
+           a.rnk AS rank_before, b.rnk AS rank_after,
+           CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain,
+           a.n AS n_before, b.n AS n_after
+    FROM ranked a JOIN ranked b USING (user_id)
+    WHERE a.half = 0 AND b.half = 1
+      AND abs(a.rnk - b.rnk) >= 10
+    """,
+    doc="top movers / trending entities (round 8): each user's "
+    "activity rank in the first half of the observed window vs the "
+    "second, keeping movers of >= 10 rank places — the 'what changed' "
+    "leaderboard behind trending dashboards and regression triage. "
+    "The midpoint is a 1-row scalar aggregate (broadcast on the Spark "
+    "side via attach_scalar's pattern — a scalar subquery to DuckDB); "
+    "rank ties pinned by (count DESC, user_id). Two shuffles: the "
+    "(user, half) pre-agg, then the per-half rank window over #users "
+    "rows; the halves self-join keys on user_id at #users scale, "
+    "never events",
+)
+def q_top_movers(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("user_id", "ts")
+    # microsecond epoch on BOTH sides: second-truncating unix_timestamp
+    # would give Spark a different midpoint than DuckDB's fractional
+    # epoch() whenever timestamps carry sub-second parts; the sums stay
+    # exact in double (< 2^53)
+    bounds = e.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .alias("mid")
+    )
+    halves = (
+        attach_scalar(e, bounds)
+        .withColumn(
+            "half",
+            F.when(
+                F.unix_micros("ts").cast("double") < F.col("mid"), 0
+            ).otherwise(1),
+        )
+        .groupBy("user_id", "half")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("half").orderBy(F.col("n").desc(), "user_id")
+    ranked = halves.withColumn("rnk", F.rank().over(w))
+    a = ranked.filter(F.col("half") == 0).select(
+        "user_id", F.col("rnk").alias("rank_before"),
+        F.col("n").alias("n_before"),
+    )
+    b = ranked.filter(F.col("half") == 1).select(
+        "user_id", F.col("rnk").alias("rank_after"),
+        F.col("n").alias("n_after"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(F.abs(F.col("rank_before") - F.col("rank_after")) >= 10)
+        .select(
+            "user_id",
+            "rank_before",
+            "rank_after",
+            (F.col("rank_before") - F.col("rank_after"))
+            .cast("bigint")
+            .alias("rank_gain"),
+            "n_before",
+            "n_after",
         )
     )
