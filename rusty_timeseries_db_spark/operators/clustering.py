@@ -19,11 +19,11 @@ Scale shape:
 - ``assign_nearest`` broadcasts the k centroids (k rows of dim
   doubles — KB-scale) and scores every vector with a codegen'd
   ``zip_with``/``aggregate`` squared-L2 fold; the argmin is a
-  per-vector window with (distance, centroid id) total-order
-  tie-break. One broadcast, zero shuffles of the vector table beyond
-  the window's own partitioning by vec id — and since each vector row
-  expands to k scored rows before the argmin, the window repartition
-  is the only data movement.
+  ``min_by`` grouped AGGREGATE with a (distance, centroid id)
+  total-order key, so the k-times-expanded scored stream collapses
+  back to one row per vector map-side and the single exchange carries
+  ~|vectors| combined rows (a row_number window would shuffle all
+  k·N expanded rows — see the function docstring).
 """
 
 from __future__ import annotations

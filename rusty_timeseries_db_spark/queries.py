@@ -7261,7 +7261,8 @@ def q_ohlc_bars(spark, sf_dir):
     e = T(spark, sf_dir, "events").select(
         "event_type", "ts", "value", "event_id"
     )
-    hour = (F.unix_timestamp("ts") / 3600).cast("bigint")
+    # floor (not truncate) — matches the oracle on negative epochs too
+    hour = F.floor(F.unix_timestamp("ts") / 3600)
     d = e.withColumn("hour_num", hour).withColumn(
         "bar",
         F.date_format(
@@ -7723,8 +7724,8 @@ def q_seasonal_backtest(spark, sf_dir):
     hourly = (
         e.groupBy(
             "event_type",
-            (epoch / 86400).cast("bigint").alias("day"),
-            ((epoch / 3600).cast("bigint") % 24).alias("hod"),
+            F.floor(epoch / 86400).alias("day"),
+            (F.floor(epoch / 3600) % 24).alias("hod"),
         )
         .agg(dsum(F.col("value")).alias("v"))
     )
@@ -7906,7 +7907,10 @@ def q_audience_jaccard(spark, sf_dir):
 )
 def q_value_heatmap_2d(spark, sf_dir):
     e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
-    tbin = (F.unix_timestamp("ts") / 21600).cast("bigint")
+    # F.floor, not a truncating cast: cast rounds toward zero, which
+    # diverges from the oracle's floor() for pre-1970 (negative-epoch)
+    # timestamps (code-review r8)
+    tbin = F.floor(F.unix_timestamp("ts") / 21600)
     v = F.col("value")
     vbin = (
         F.when(v <= 0, 0)
@@ -7982,7 +7986,12 @@ def q_top_movers(spark, sf_dir):
         .groupBy("user_id", "half")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("half").orderBy(F.col("n").desc(), "user_id")
+    # asc_nulls_last pins the tiebreak to DuckDB's ASC default (nulls
+    # LAST) — Spark's bare asc is nulls-first, which would shift every
+    # rank in an n-tied run containing a NULL user (code-review r8)
+    w = Window.partitionBy("half").orderBy(
+        F.col("n").desc(), F.col("user_id").asc_nulls_last()
+    )
     ranked = halves.withColumn("rnk", F.rank().over(w))
     a = ranked.filter(F.col("half") == 0).select(
         "user_id", F.col("rnk").alias("rank_before"),
