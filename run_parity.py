@@ -6,7 +6,7 @@ from rusty_timeseries_db_spark import queries as Q
 from rusty_timeseries_db_spark.oracle import compare
 
 spark = get_spark(master="local[8]")
-sf = "/root/testdata/sf0.01"
+sf = __import__("os").environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 only = set(sys.argv[1:])
 results = []
 for spec in Q._REGISTRY:

@@ -244,3 +244,39 @@ def test_q13_left_join_preserves_zero_count_customers(spark):
         for r in q_tpch_q13(spark, "/root/testdata/sf0.01").collect()
     }
     assert 0 in rows and rows[0] > 0
+
+
+def test_assign_nearest_argmin_is_aggregate_not_window(spark):
+    """code-review r8 fix, pinned: the nearest-centroid argmin must
+    plan as a (partial-aggregating) min_by aggregate — a Window node
+    here would mean the k-times-expanded scored stream is shuffled
+    wholesale again."""
+    from rusty_timeseries_db_spark.operators.clustering import (
+        assign_nearest,
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i), float(i % 5)]) for i in range(30)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    cent = label_centroids(df).select("label", "centroid")
+    plan = formatted_plan(assign_nearest(df, cent))
+    assert "Window" not in plan
+    # map-side combine present: partial_min_by before the exchange
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower()
+
+
+def test_rotation_window_holds_modified_and_r03_tiers():
+    """Meta-guard on the driver-window invariants (VERDICT r3 #3 rule
+    and r7 #1): every round-modified query AND every r03-stale query
+    must sit inside the first 50 registry entries — adding a new query
+    that silently evicts either tier should fail CI, not the round."""
+    from rusty_timeseries_db_spark import queries as Q
+
+    window = {q.name for q in Q._ordered_registry()[:50]}
+    assert Q._ROUND_MODIFIED <= window, (
+        sorted(Q._ROUND_MODIFIED - window)
+    )
+    r03 = {k for k, v in Q._LAST_DRIVER_ROUND.items() if v == 3}
+    assert r03 <= window, sorted(r03 - window)
