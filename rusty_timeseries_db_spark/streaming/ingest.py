@@ -487,3 +487,98 @@ def stream_stream_join(
         ),
         how,
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-value cache: streaming-maintained latest row per series
+# ---------------------------------------------------------------------------
+
+def _latest_manifest_path(path: str) -> str:
+    return os.path.join(path, "_latest.json")
+
+
+def _read_latest_manifest(path: str) -> dict | None:
+    p = _latest_manifest_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def start_latest_value_sink(
+    stream: DataFrame,
+    warehouse_dir: str,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming-maintained LAST-VALUE CACHE: one row per
+    ``timeseries_id`` — the latest (ts, value, ...) observed — kept
+    current per micro-batch. The "current state" serving surface every
+    monitoring UI hits (Influx's ``last()``, Timescale's last-point
+    cache); a full-history scan for "what is sensor X *now*" is the
+    classic TSDB anti-query.
+
+    Design (same discipline as the exactly-once sink above):
+
+    - per batch, the NEW latest = max_by over (batch rows ∪ previous
+      snapshot) keyed by (ts, ingest_seq) — a declarative running
+      argmax, exactly the streaming-OHLC trick, so replaying a batch
+      is idempotent (max of a max is the max);
+    - each snapshot is written to its own ``snap=<batch_id>``
+      directory, then ``_latest.json`` is atomically repointed
+      (os.replace): readers observe the old or the new snapshot, never
+      a torn one. A crash between write and repoint leaves a dead dir
+      the residue sweeper reclaims — correctness unaffected;
+    - state is O(#series) rows however long the stream runs; merge
+      cost per batch is O(batch + #series) with a single shuffle on
+      the series key.
+    """
+    path = os.path.join(warehouse_dir, "latest")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        rows = normalize_batch(batch, batch_id).drop("series_bucket")
+        man = _read_latest_manifest(path)
+        if man is not None:
+            prev = spark.read.parquet(os.path.join(path, man["dir"]))
+            rows = rows.unionByName(prev)
+        order = F.struct(F.col("ts"), F.col("ingest_seq"))
+        latest = rows.groupBy("timeseries_id").agg(
+            F.max_by(
+                F.struct(*[c for c in rows.columns]), order
+            ).alias("_r")
+        ).select("_r.*")
+        out = f"snap={batch_id}"
+        latest.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, out)
+        )
+        _write_latest_manifest_atomic(path, {"dir": out, "batch_id": batch_id})
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation",
+        os.path.join(warehouse_dir, "_checkpoints/latest"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def _write_latest_manifest_atomic(path: str, manifest: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = _latest_manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _latest_manifest_path(path))
+
+
+def read_latest_values(spark: SparkSession, warehouse_dir: str) -> DataFrame | None:
+    """The current last-value snapshot (one row per series), or None
+    before the first committed batch. O(#series) read — never touches
+    history."""
+    path = os.path.join(warehouse_dir, "latest")
+    man = _read_latest_manifest(path)
+    if man is None:
+        return None
+    return spark.read.parquet(os.path.join(path, man["dir"]))

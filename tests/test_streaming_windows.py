@@ -472,3 +472,59 @@ def test_stream_batch_ohlc_parity(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) >= 6
+
+
+def test_latest_value_sink_stream_batch_parity(spark, tmp_path):
+    """Round 8: the last-value cache replayed over multiple
+    micro-batches equals the batch last-row-per-series computation,
+    including ties (ingest_seq breaks same-ts rows by arrival order);
+    the snapshot read is O(#series) and survives the manifest repoint."""
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_latest_values,
+        start_latest_value_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    assert read_latest_values(spark, wh) is None  # pre-first-batch
+
+    rows = [
+        {"sensor_name": "x", "timestamp": f"2024-08-28T12:{mm:02d}:00Z",
+         "value": float(v), "fc1_flag": None, "timeseries_id": sid}
+        for sid, mm, v in [
+            ("s1", 0, 1.0), ("s2", 1, 9.0), ("s1", 5, 2.0),
+            ("s2", 3, 8.0), ("s1", 5, 3.0),  # dup ts for s1: later
+                                             # batch wins by ingest_seq
+            ("s3", 2, 7.0),
+        ]
+    ]
+    src = str(tmp_path / "drop")
+    for b in range(3):
+        _drop(src, rows[b::3], f"b{b}.jsonl")
+
+    raw = (
+        spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_latest_value_sink(raw, wh, available_now=True)
+    q.awaitTermination(120)
+
+    got = {
+        r.timeseries_id: (str(r.ts), r.value)
+        for r in read_latest_values(spark, wh).collect()
+    }
+    assert set(got) == {"s1", "s2", "s3"}
+    assert got["s2"] == ("2024-08-28 12:03:00", 8.0)  # later ts wins
+    assert got["s3"] == ("2024-08-28 12:02:00", 7.0)
+    # s1 has two rows at 12:05 in different micro-batches: the higher
+    # ingest_seq (later batch) must win deterministically
+    assert got["s1"][0] == "2024-08-28 12:05:00"
+    b_of = {}  # which micro-batch each 12:05 row landed in
+    for b in range(3):
+        for r in rows[b::3]:
+            if r["timeseries_id"] == "s1" and r["timestamp"].startswith(
+                "2024-08-28T12:05"
+            ):
+                b_of[r["value"]] = b
+    assert got["s1"][1] == max(b_of, key=lambda v: b_of[v])
