@@ -546,6 +546,26 @@ class TimeseriesEngine:
             exact=exact,
         )
 
+    def latest(self) -> DataFrame:
+        """Current state: the latest row per series from the live
+        (overlay-merged) telemetry view, via one max_by running argmax
+        on (ts, ingest_seq) — the batch face of the streaming
+        last-value cache (streaming/ingest.py start_latest_value_sink,
+        which serves the same answer in O(#series) without this scan).
+        Also a REPL verb (``latest``)."""
+        t = self.telemetry()
+        order = F.struct(F.col("ts"), F.col("ingest_seq"))
+        return (
+            t.groupBy("timeseries_id")
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in t.columns if c != "timeseries_id"]),
+                    order,
+                ).alias("_r")
+            )
+            .select("timeseries_id", "_r.*")
+        )
+
     def fault_count(
         self, df: DataFrame, threshold: float = DEFAULT_FAULT_THRESHOLD
     ) -> int:

@@ -126,6 +126,10 @@ class Repl:
             if not dropped:
                 return "Retention: nothing older than " + cutoff + "."
             return f"Dropped {len(dropped)} chunk(s): {', '.join(dropped)}."
+        if line == "latest":
+            # current-state verb (round 8): latest row per series —
+            # the last-value-cache answer, computed from the live view
+            return self.engine.latest()
         if line == "profile":
             # data-quality verb (round 8): one-pass column profile of
             # the canonical telemetry view (operators/profile.py) —

@@ -582,3 +582,25 @@ def read_latest_values(spark: SparkSession, warehouse_dir: str) -> DataFrame | N
     if man is None:
         return None
     return spark.read.parquet(os.path.join(path, man["dir"]))
+
+
+def sweep_latest_snapshots(warehouse_dir: str) -> list[str]:
+    """Janitor for the last-value cache: delete every ``snap=<id>``
+    directory except the one the manifest points to — superseded
+    snapshots and dead dirs from crashes between write and repoint.
+    Safe anytime: the manifest repoint is atomic, so the pointed-to
+    dir is never deleted and readers never observe a missing one.
+    Returns deleted dir names."""
+    import shutil
+
+    path = os.path.join(warehouse_dir, "latest")
+    man = _read_latest_manifest(path)
+    if man is None or not os.path.isdir(path):
+        return []
+    keep = man["dir"]
+    removed = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("snap=") and name != keep:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            removed.append(name)
+    return removed

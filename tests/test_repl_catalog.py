@@ -367,3 +367,27 @@ def test_repl_profile_verb(repl):
     # fc1_flag: unset -> NULL (codec rule), one real flag
     assert rows["fc1_flag"].n_nulls == 2 and rows["fc1_flag"].n_distinct == 1
     assert rows["ts"].min_num is not None  # unix_micros numeric view
+
+
+def test_repl_latest_verb_sees_overlay(repl):
+    """round 8: `latest` returns the current row per series and must
+    reflect overlay point-updates (live view), plus ingest-order
+    tie-break on duplicate timestamps."""
+    repl.execute("insert Sa 2024-08-28T12:00:00Z 0.5 s-1")
+    repl.execute("insert Sa 2024-08-28T12:05:00Z 0.7 s-1")
+    repl.execute("insert Sb 2024-08-28T12:01:00Z 0.2 s-2")
+    # duplicate timestamp, later ingest wins
+    repl.execute("insert Sa 2024-08-28T12:05:00Z 0.9 s-1")
+    out = repl.execute("latest")
+    rows = {r.timeseries_id: r.value for r in out.collect()}
+    assert rows == {"s-1": 0.9, "s-2": 0.2}
+    # a point UPDATE to the latest row must be visible (overlay-aware).
+    # s-2's 12:01 row is unambiguous; s-1's 12:05 pair would hit R2's
+    # FIRST-match rule (the 0.7 row, not the 0.9 latest) by design.
+    repl.engine.update_rows([{
+        "sensor_name": "Sb", "timestamp": "2024-08-28T12:01:00Z",
+        "value": 1.5, "timeseries_id": "s-2",
+    }])
+    rows = {r.timeseries_id: r.value
+            for r in repl.execute("latest").collect()}
+    assert rows["s-2"] == 1.5 and rows["s-1"] == 0.9

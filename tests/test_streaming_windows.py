@@ -528,3 +528,44 @@ def test_latest_value_sink_stream_batch_parity(spark, tmp_path):
             ):
                 b_of[r["value"]] = b
     assert got["s1"][1] == max(b_of, key=lambda v: b_of[v])
+
+
+def test_latest_value_snapshot_sweeper(spark, tmp_path):
+    """Superseded snap dirs are residue: the sweeper removes all but
+    the manifest-pointed one, and the read is unaffected."""
+    import os
+
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_latest_values,
+        start_latest_value_sink,
+        sweep_latest_snapshots,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    rows = [
+        {"sensor_name": "x", "timestamp": f"2024-08-28T12:0{i}:00Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for i in range(4)
+    ]
+    for b in range(4):
+        _drop(src, rows[b::4], f"b{b}.jsonl")
+    raw = (
+        spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_latest_value_sink(raw, wh, available_now=True)
+    q.awaitTermination(120)
+
+    latest_dir = os.path.join(wh, "latest")
+    before = [d for d in os.listdir(latest_dir) if d.startswith("snap=")]
+    assert len(before) == 4  # one per micro-batch
+    removed = sweep_latest_snapshots(wh)
+    assert len(removed) == 3
+    after = [d for d in os.listdir(latest_dir) if d.startswith("snap=")]
+    assert len(after) == 1
+    got = {r.timeseries_id: r.value
+           for r in read_latest_values(spark, wh).collect()}
+    assert got == {"s1": 3.0}
