@@ -510,6 +510,7 @@ def start_latest_value_sink(
     warehouse_dir: str,
     trigger_seconds: int | None = None,
     available_now: bool = False,
+    snapshot_files: int = 1,
 ) -> StreamingQuery:
     """Streaming-maintained LAST-VALUE CACHE: one row per
     ``timeseries_id`` — the latest (ts, value, ...) observed — kept
@@ -549,7 +550,11 @@ def start_latest_value_sink(
             ).alias("_r")
         ).select("_r.*")
         out = f"snap={batch_id}"
-        latest.coalesce(1).write.mode("overwrite").parquet(
+        # snapshot_files=1 keeps point reads at one footer; raise it
+        # when #series is large enough that a single write task (or
+        # reader) becomes the bottleneck — the snapshot is still tiny
+        # relative to history either way
+        latest.coalesce(snapshot_files).write.mode("overwrite").parquet(
             os.path.join(path, out)
         )
         _write_latest_manifest_atomic(path, {"dir": out, "batch_id": batch_id})
