@@ -208,15 +208,21 @@ def _read_manifest(path: str) -> dict:
         return {"dirs": [], "committed_ids": [], "compact_seq": 0}
 
 
-def _write_manifest(path: str, manifest: dict) -> None:
-    """Atomic manifest swap (``os.replace``) — readers observe either
-    the old or the new manifest, never a torn one. Atomic on local
-    fs/HDFS; on S3 keep the manifest in a consistent store."""
-    os.makedirs(path, exist_ok=True)
-    tmp = _manifest_path(path) + ".tmp"
+def _atomic_json_swap(target: str, manifest: dict) -> None:
+    """Atomic JSON swap (``os.replace``) — readers observe either the
+    old or the new file, never a torn one. Atomic on local fs/HDFS; on
+    S3 keep the manifest in a consistent store. Shared by the
+    exactly-once sink's manifest AND the last-value cache's pointer
+    (one protocol implementation, two file names)."""
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    tmp = target + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(path))
+    os.replace(tmp, target)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    _atomic_json_swap(_manifest_path(path), manifest)
 
 
 def committed_batch_ids(path: str) -> list[int]:
@@ -498,11 +504,12 @@ def _latest_manifest_path(path: str) -> str:
 
 
 def _read_latest_manifest(path: str) -> dict | None:
-    p = _latest_manifest_path(path)
-    if not os.path.exists(p):
+    try:
+        with open(_latest_manifest_path(path)) as f:
+            m = json.load(f)
+        return {"dir": str(m["dir"]), "batch_id": int(m["batch_id"])}
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
         return None
-    with open(p) as f:
-        return json.load(f)
 
 
 def start_latest_value_sink(
@@ -538,8 +545,29 @@ def start_latest_value_sink(
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        rows = normalize_batch(batch, batch_id).drop("series_bucket")
         man = _read_latest_manifest(path)
+        # Replay-skip (code-review r8): after a crash BETWEEN the
+        # manifest repoint and Spark's checkpoint commit, this batch id
+        # replays with the manifest already pointing at its own snap
+        # dir — re-processing would read snap=<id> while overwriting
+        # it (AnalysisException) and wedge the stream forever. The
+        # manifest IS the commit record for this sink, so an
+        # already-recorded id is simply done (same pattern as
+        # commit_batch_exactly_once's committed_ids check).
+        if man is not None and man["batch_id"] >= batch_id:
+            return
+        if "_corrupt_record" in batch.columns:
+            # same guard family as start_telemetry_sink: garbage lines
+            # must not become phantom NULL-series cache rows (no
+            # quarantine side channel here — use the telemetry sink
+            # for that; this sink just refuses to ingest them)
+            batch = batch.filter(
+                F.col("_corrupt_record").isNull()
+            ).drop("_corrupt_record")
+        rows = normalize_batch(batch, batch_id).drop("series_bucket")
+        # a NULL series key cannot identify a series — groupBy would
+        # happily keep it and serve a phantom row
+        rows = rows.filter(F.col("timeseries_id").isNotNull())
         if man is not None:
             prev = spark.read.parquet(os.path.join(path, man["dir"]))
             rows = rows.unionByName(prev)
@@ -571,17 +599,16 @@ def start_latest_value_sink(
 
 
 def _write_latest_manifest_atomic(path: str, manifest: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    tmp = _latest_manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _latest_manifest_path(path))
+    _atomic_json_swap(_latest_manifest_path(path), manifest)
 
 
 def read_latest_values(spark: SparkSession, warehouse_dir: str) -> DataFrame | None:
     """The current last-value snapshot (one row per series), or None
     before the first committed batch. O(#series) read — never touches
-    history."""
+    history. The returned frame is LAZY and pinned to the snapshot dir
+    current at call time: materialize promptly (or hold the janitor's
+    ``grace`` window open) — a later commit plus a zero-grace sweep
+    can reclaim the pinned dir before a long-deferred action runs."""
     path = os.path.join(warehouse_dir, "latest")
     man = _read_latest_manifest(path)
     if man is None:
@@ -589,12 +616,21 @@ def read_latest_values(spark: SparkSession, warehouse_dir: str) -> DataFrame | N
     return spark.read.parquet(os.path.join(path, man["dir"]))
 
 
-def sweep_latest_snapshots(warehouse_dir: str) -> list[str]:
-    """Janitor for the last-value cache: delete every ``snap=<id>``
-    directory except the one the manifest points to — superseded
-    snapshots and dead dirs from crashes between write and repoint.
-    Safe anytime: the manifest repoint is atomic, so the pointed-to
-    dir is never deleted and readers never observe a missing one.
+def sweep_latest_snapshots(warehouse_dir: str, grace: int = 1) -> list[str]:
+    """Janitor for the last-value cache: delete superseded ``snap=<id>``
+    directories. Concurrency contract (code-review r8):
+
+    - dirs with id >= the manifest's batch_id are ALWAYS spared — a
+      running sink may have just written snap=<new> and not yet
+      repointed the manifest; deleting it would commit a pointer to a
+      missing dir and wedge the stream;
+    - of the superseded dirs (id < manifest batch_id), the newest
+      ``grace`` are also spared, giving readers holding a lazy
+      DataFrame from just before a commit a window to materialize
+      (read_latest_values pins the dir current at CALL time, not
+      collect time). grace=0 reclaims everything superseded — only
+      safe when no concurrent readers exist.
+
     Returns deleted dir names."""
     import shutil
 
@@ -602,10 +638,19 @@ def sweep_latest_snapshots(warehouse_dir: str) -> list[str]:
     man = _read_latest_manifest(path)
     if man is None or not os.path.isdir(path):
         return []
-    keep = man["dir"]
+    old = []
+    for name in os.listdir(path):
+        if not name.startswith("snap="):
+            continue
+        try:
+            sid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if sid < man["batch_id"]:
+            old.append((sid, name))
+    old.sort(reverse=True)
     removed = []
-    for name in sorted(os.listdir(path)):
-        if name.startswith("snap=") and name != keep:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-            removed.append(name)
-    return removed
+    for _sid, name in old[grace:]:
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        removed.append(name)
+    return sorted(removed)

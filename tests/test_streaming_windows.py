@@ -562,10 +562,65 @@ def test_latest_value_snapshot_sweeper(spark, tmp_path):
     latest_dir = os.path.join(wh, "latest")
     before = [d for d in os.listdir(latest_dir) if d.startswith("snap=")]
     assert len(before) == 4  # one per micro-batch
+    # default grace=1 spares the newest superseded dir as a reader
+    # window; grace=0 reclaims everything below the manifest pointer
     removed = sweep_latest_snapshots(wh)
+    assert len(removed) == 2
+    removed += sweep_latest_snapshots(wh, grace=0)
     assert len(removed) == 3
     after = [d for d in os.listdir(latest_dir) if d.startswith("snap=")]
     assert len(after) == 1
     got = {r.timeseries_id: r.value
            for r in read_latest_values(spark, wh).collect()}
     assert got == {"s1": 3.0}
+
+
+def test_latest_value_sink_survives_checkpoint_replay(spark, tmp_path):
+    """code-review r8 replay-wedge guard: when the checkpoint is lost
+    (or a crash landed between manifest repoint and checkpoint
+    commit), already-recorded batch ids replay — the sink must SKIP
+    them (the manifest is its commit record) instead of reading
+    snap=<id> while overwriting it, which would wedge the stream
+    permanently."""
+    import shutil
+
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _read_latest_manifest,
+        read_latest_values,
+        start_latest_value_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    rows = [
+        {"sensor_name": "x", "timestamp": f"2024-08-28T12:0{i}:00Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for i in range(2)
+    ]
+    _drop(src, rows[:1], "b0.jsonl")
+    _drop(src, rows[1:], "b1.jsonl")
+
+    def run():
+        raw = (
+            spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = start_latest_value_sink(raw, wh, available_now=True)
+        q.awaitTermination(120)
+
+    run()
+    man = _read_latest_manifest(str(tmp_path / "wh" / "latest"))
+    assert man["batch_id"] == 1
+
+    # checkpoint loss → both files replay as batches 0 and 1 against a
+    # manifest already at batch_id=1: both must be skipped, cleanly
+    shutil.rmtree(str(tmp_path / "wh" / "_checkpoints" / "latest"))
+    run()  # would raise 'Cannot overwrite a path being read' unguarded
+    got = {r.timeseries_id: r.value
+           for r in read_latest_values(spark, wh).collect()}
+    assert got == {"s1": 1.0}
+    assert _read_latest_manifest(
+        str(tmp_path / "wh" / "latest")
+    )["batch_id"] == 1
