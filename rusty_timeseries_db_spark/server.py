@@ -190,6 +190,37 @@ class TelemetryHttpServer:
 
             def do_GET(self) -> None:
                 url = urlparse(self.path)
+                if url.path == "/latest":
+                    # capability extension (round 8): current state —
+                    # latest row per series (engine.latest, the batch
+                    # face of the streaming last-value cache). Output
+                    # is one row per series, so the same row cap
+                    # bounds driver memory.
+                    payload = []
+                    for r in engine.latest().toLocalIterator():
+                        if len(payload) >= max_query_rows:
+                            self._reply(
+                                413,
+                                (
+                                    f"Result Too Large: > {max_query_rows}"
+                                    " series"
+                                ).encode(),
+                                "text/plain",
+                            )
+                            return
+                        payload.append(
+                            {
+                                "timeseries_id": r.timeseries_id,
+                                "sensor_name": r.sensor_name,
+                                "timestamp": r.ts_raw,
+                                "value": r.value,
+                                "fc1_flag": r.fc1_flag,
+                            }
+                        )
+                    self._reply(
+                        200, json.dumps(payload).encode(), "application/json"
+                    )
+                    return
                 if url.path != "/query_by_id":
                     self._reply(404, b"Not Found", "text/plain")
                     return

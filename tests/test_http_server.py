@@ -365,3 +365,20 @@ def test_sql_gate_quote_masking_cannot_be_derailed(server):
     assert code == 200 and rows == [{"set": 1, "update": 2}]
     code, rows = post_sql('SELECT "DROP TABLE x" AS s')
     assert code == 200 and rows == [{"s": "DROP TABLE x"}]
+
+
+def test_get_latest_route(server):
+    """round 8: GET /latest serves the current row per series (the
+    last-value answer) as JSON — one row per series, bounded by the
+    same row cap as /query_by_id."""
+    base = server.base_url
+    _insert(base, "Sa", "2024-08-28T12:00:00Z", 0.5, "s-1")
+    _insert(base, "Sa", "2024-08-28T12:05:00Z", 0.9, "s-1")
+    _insert(base, "Sb", "2024-08-28T12:01:00Z", 0.2, "s-2")
+    with urllib.request.urlopen(f"{base}/latest") as resp:
+        assert resp.status == 200
+        rows = {r["timeseries_id"]: r for r in json.loads(resp.read())}
+    assert set(rows) == {"s-1", "s-2"}
+    assert rows["s-1"]["value"] == 0.9
+    assert rows["s-1"]["timestamp"] == "2024-08-28T12:05:00Z"
+    assert rows["s-2"]["value"] == 0.2
