@@ -20,6 +20,9 @@ Capability extension beyond the reference's two routes:
   statement (sql_ext: plain Spark SQL plus the ASOF JOIN / QUALIFY
   rewrites) and reply a JSON array of row objects. Same bounded-output
   discipline as /query_by_id: ``toLocalIterator`` + row cap + 413.
+- ``GET /latest`` — current state: the latest row per series
+  (engine.latest, the batch face of the streaming last-value cache).
+  One row per series, same row cap.
 
 Implementation notes: ``ThreadingHTTPServer`` on a daemon thread; the
 Spark driver is shared (py4j is thread-safe) and every request funnels
