@@ -60,3 +60,97 @@ def write_json_manifest(spark: SparkSession, path: str, payload: dict) -> None:
         fs.delete(dst, False)
     if not fs.rename(tmp, dst):
         raise IOError(f"manifest rename failed: {tmp} -> {dst}")
+
+
+# ---------------------------------------------------------------------------
+# Versioned manifest protocol (round 9): old-or-new atomicity on any FS
+# ---------------------------------------------------------------------------
+#
+# ``write_json_manifest`` above commits via delete→rename, which is two
+# steps: a reader (or crash) between them observes NO manifest. That is
+# fine for callers with a cold-start fallback (rollup re-aggregates,
+# IVF reports not-built) but NOT for the streaming sinks, where a
+# vanished manifest would drop the exactly-once sink's committed-ids
+# ledger or the last-value cache's pointer. The versioned protocol
+# commits each write under a FRESH name — ``{stem}.v{N}.json`` with N
+# strictly increasing — so the rename never needs to clobber and is
+# atomic on every Hadoop FS with atomic rename (POSIX, HDFS; the
+# closest available commit on object stores, same caveat as above).
+# Readers list the versions and take the highest: they observe the old
+# manifest or the new one, never neither and never a torn file (the
+# in-flight temp is ``...json.tmp``, excluded by the ``*.json`` glob).
+# Older versions are garbage-collected KEEPING one predecessor, so a
+# reader that listed just before a commit can still open its pick.
+# Single writer per manifest (one streaming sink per directory) — same
+# contract as the sinks themselves.
+
+import re as _re
+
+_VERSION_RE = _re.compile(r"\.v(\d+)\.json$")
+
+
+def _manifest_versions(spark: SparkSession, dir_path: str, stem: str):
+    """Sorted [(N, full_path)] of committed versions of a manifest."""
+    fs = fs_for(spark, dir_path)
+    pattern = hpath(spark, dir_path.rstrip("/") + f"/{stem}.v*.json")
+    out = []
+    for st in fs.globStatus(pattern) or []:
+        m = _VERSION_RE.search(st.getPath().getName())
+        if m:
+            out.append((int(m.group(1)), str(st.getPath())))
+    out.sort()
+    return out
+
+
+def read_versioned_manifest(
+    spark: SparkSession, dir_path: str, stem: str
+) -> dict | None:
+    """The highest-version manifest's dict, or None when none exists."""
+    versions = _manifest_versions(spark, dir_path, stem)
+    for n, path in reversed(versions):
+        payload = read_json_manifest(spark, path)
+        if payload is not None:  # raced a GC: fall back one version
+            return payload
+    return None
+
+
+def write_versioned_manifest(
+    spark: SparkSession, dir_path: str, stem: str, payload: dict
+) -> int:
+    """Commit the next version of ``{dir_path}/{stem}.v{N}.json`` and
+    GC versions older than the predecessor. Returns the committed N."""
+    fs = fs_for(spark, dir_path)
+    versions = _manifest_versions(spark, dir_path, stem)
+    n = (versions[-1][0] + 1) if versions else 1
+    target = dir_path.rstrip("/") + f"/{stem}.v{n}.json"
+    tmp = hpath(spark, target + ".tmp")
+    dst = hpath(spark, target)
+    fs.mkdirs(hpath(spark, dir_path))
+    out = fs.create(tmp, True)  # overwrite=True (a stale tmp is residue)
+    try:
+        out.write(json.dumps(payload).encode("utf-8"))
+    finally:
+        out.close()
+    if not fs.rename(tmp, dst):
+        raise IOError(f"manifest rename failed: {tmp} -> {dst}")
+    for old_n, old_path in versions[:-1]:  # keep one predecessor
+        fs.delete(hpath(spark, old_path), False)
+    return n
+
+
+def list_dir_names(spark: SparkSession, path: str) -> list[str]:
+    """Names of the immediate child DIRECTORIES of ``path`` (empty when
+    ``path`` does not exist) — the scheme-agnostic os.listdir."""
+    fs = fs_for(spark, path)
+    p = hpath(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
+    ]
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursive delete (scheme-agnostic shutil.rmtree); False if absent."""
+    fs = fs_for(spark, path)
+    return bool(fs.delete(hpath(spark, path), True))

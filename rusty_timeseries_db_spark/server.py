@@ -195,31 +195,48 @@ class TelemetryHttpServer:
                 url = urlparse(self.path)
                 if url.path == "/latest":
                     # capability extension (round 8): current state —
-                    # latest row per series (engine.latest, the batch
-                    # face of the streaming last-value cache). Output
-                    # is one row per series, so the same row cap
-                    # bounds driver memory.
+                    # latest row per series. Round 9: engine.latest()
+                    # serves the streaming last-value SNAPSHOT when one
+                    # is committed (O(#series), no history scan — the
+                    # route a dashboard polls must not pay the
+                    # full-scan anti-query), falling back to the batch
+                    # argmax otherwise. Output is one row per series,
+                    # so the same row cap bounds driver memory.
                     payload = []
-                    for r in engine.latest().toLocalIterator():
-                        if len(payload) >= max_query_rows:
-                            self._reply(
-                                413,
-                                (
-                                    f"Result Too Large: > {max_query_rows}"
-                                    " series"
-                                ).encode(),
-                                "text/plain",
+                    try:
+                        # execution-time Spark failures must map to the
+                        # same error contract as /sql, not a dropped
+                        # socket from an uncaught handler exception
+                        # (ADVICE r8 #3)
+                        for r in engine.latest().toLocalIterator():
+                            if len(payload) >= max_query_rows:
+                                self._reply(
+                                    413,
+                                    (
+                                        "Result Too Large: > "
+                                        f"{max_query_rows} series"
+                                    ).encode(),
+                                    "text/plain",
+                                )
+                                return
+                            payload.append(
+                                {
+                                    "timeseries_id": r.timeseries_id,
+                                    "sensor_name": r.sensor_name,
+                                    "timestamp": r.ts_raw,
+                                    "value": r.value,
+                                    "fc1_flag": r.fc1_flag,
+                                }
                             )
-                            return
-                        payload.append(
-                            {
-                                "timeseries_id": r.timeseries_id,
-                                "sensor_name": r.sensor_name,
-                                "timestamp": r.ts_raw,
-                                "value": r.value,
-                                "fc1_flag": r.fc1_flag,
-                            }
+                    except Exception as e:
+                        self._reply(
+                            400,
+                            f"Query Error: {type(e).__name__}: {e}"[
+                                :2000
+                            ].encode(),
+                            "text/plain",
                         )
+                        return
                     self._reply(
                         200, json.dumps(payload).encode(), "application/json"
                     )
@@ -238,27 +255,40 @@ class TelemetryHttpServer:
                 # partition at a time; stop at cap+1 and 413 rather than
                 # materialize an unbounded range on the driver.
                 payload = []
-                for r in engine.query_by_id(sid, start, end).toLocalIterator():
-                    if len(payload) >= max_query_rows:
-                        self._reply(
-                            413,
-                            (
-                                f"Result Too Large: > {max_query_rows} rows; "
-                                "narrow the time range"
-                            ).encode(),
-                            "text/plain",
+                try:
+                    # same execution-time error contract as /sql and
+                    # /latest (ADVICE r8 #3 named this route's gap too)
+                    for r in engine.query_by_id(
+                        sid, start, end
+                    ).toLocalIterator():
+                        if len(payload) >= max_query_rows:
+                            self._reply(
+                                413,
+                                (
+                                    f"Result Too Large: > {max_query_rows} "
+                                    "rows; narrow the time range"
+                                ).encode(),
+                                "text/plain",
+                            )
+                            return
+                        payload.append(
+                            {
+                                "sensor_name": r.sensor_name,
+                                # the reference serializes the stored
+                                # raw string
+                                "timestamp": r.ts_raw,
+                                "value": r.value,
+                                "fc1_flag": r.fc1_flag,
+                                "timeseries_id": r.timeseries_id,
+                            }
                         )
-                        return
-                    payload.append(
-                        {
-                            "sensor_name": r.sensor_name,
-                            # the reference serializes the stored raw string
-                            "timestamp": r.ts_raw,
-                            "value": r.value,
-                            "fc1_flag": r.fc1_flag,
-                            "timeseries_id": r.timeseries_id,
-                        }
+                except Exception as e:
+                    self._reply(
+                        400,
+                        f"Query Error: {type(e).__name__}: {e}"[:2000].encode(),
+                        "text/plain",
                     )
+                    return
                 self._reply(
                     200, json.dumps(payload).encode(), "application/json"
                 )

@@ -576,13 +576,16 @@ def test_latest_value_snapshot_sweeper(spark, tmp_path):
 
 
 def test_latest_value_sink_survives_checkpoint_replay(spark, tmp_path):
-    """code-review r8 replay-wedge guard: when the checkpoint is lost
-    (or a crash landed between manifest repoint and checkpoint
-    commit), already-recorded batch ids replay — the sink must SKIP
-    them (the manifest is its commit record) instead of reading
-    snap=<id> while overwriting it, which would wedge the stream
-    permanently."""
+    """code-review r8 replay-wedge guard, narrowed per ADVICE r8 #2:
+    when the checkpoint is lost, already-recorded batch ids replay —
+    an id EQUAL to the manifest's is skipped (crash between repoint
+    and checkpoint commit: same id ⇒ same data, already committed);
+    ids strictly BELOW it are processed with a loud warning (they may
+    carry new source files after a checkpoint reset), idempotently
+    (running argmax), never reading snap=<id> while overwriting it
+    (replays merge into fresh higher-numbered snap dirs)."""
     import shutil
+    import warnings as _warnings
 
     from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
     from rusty_timeseries_db_spark.streaming.ingest import (
@@ -615,12 +618,239 @@ def test_latest_value_sink_survives_checkpoint_replay(spark, tmp_path):
     assert man["batch_id"] == 1
 
     # checkpoint loss → both files replay as batches 0 and 1 against a
-    # manifest already at batch_id=1: both must be skipped, cleanly
+    # manifest already at batch_id=1: batch 0 is processed (below the
+    # manifest — warned, merged idempotently into a FRESH snap dir);
+    # the answer is unchanged and the stream never wedges
     shutil.rmtree(str(tmp_path / "wh" / "_checkpoints" / "latest"))
-    run()  # would raise 'Cannot overwrite a path being read' unguarded
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        run()  # would raise 'Cannot overwrite a path being read' unguarded
+    assert any("checkpoint loss" in str(w.message) for w in caught)
     got = {r.timeseries_id: r.value
            for r in read_latest_values(spark, wh).collect()}
     assert got == {"s1": 1.0}
+    # the manifest never points backward: replayed low ids commit to
+    # fresh ids ABOVE the pre-loss high-water mark
     assert _read_latest_manifest(
         str(tmp_path / "wh" / "latest")
-    )["batch_id"] == 1
+    )["batch_id"] >= 1
+
+
+def test_latest_value_sink_checkpoint_reset_keeps_new_data(spark, tmp_path):
+    """ADVICE r8 #2's data-loss scenario: after checkpoint loss the
+    source re-delivers under LOW batch ids — but with genuinely NEW
+    files. The old `>=` skip silently dropped those rows until batch
+    ids caught up; the narrowed guard must ingest them."""
+    import shutil
+
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_latest_values,
+        start_latest_value_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    _drop(src, [
+        {"sensor_name": "x", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 1.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ], "b0.jsonl")
+    _drop(src, [
+        {"sensor_name": "x", "timestamp": "2024-08-28T12:01:00Z",
+         "value": 2.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ], "b1.jsonl")
+
+    def run():
+        raw = (
+            spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = start_latest_value_sink(raw, wh, available_now=True)
+        q.awaitTermination(120)
+
+    run()  # manifest now at batch_id=1
+
+    # checkpoint reset: source dir now holds ONLY a new file, so the
+    # new row replays as batch_id=0 — strictly below the manifest's 1
+    shutil.rmtree(str(tmp_path / "wh" / "_checkpoints" / "latest"))
+    shutil.rmtree(src)
+    _drop(src, [
+        {"sensor_name": "x", "timestamp": "2024-08-28T12:05:00Z",
+         "value": 9.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ], "c0.jsonl")
+    run()
+    got = {r.timeseries_id: (str(r.ts), r.value)
+           for r in read_latest_values(spark, wh).collect()}
+    # the new 12:05 row must win — with the old guard it was dropped
+    # and this read still said ('...12:01:00', 2.0)
+    assert got == {"s1": ("2024-08-28 12:05:00", 9.0)}
+
+
+# ---------------------------------------------------------------------------
+# Round 9: snapshot-backed serving + storage-agnostic streaming manifests
+# ---------------------------------------------------------------------------
+
+def test_engine_latest_serves_snapshot_and_matches_batch_face(
+    spark, tmp_path
+):
+    """VERDICT r8 next-round #2 Done criteria: with a committed
+    last-value sink in the warehouse, engine.latest() (and therefore
+    GET /latest and the REPL verb) must (a) answer row-identically to
+    the batch argmax over the same ingested rows, and (b) plan a read
+    over ONLY the snapshot directory — no history scan."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        start_latest_value_sink,
+        start_telemetry_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    rows = [
+        {"sensor_name": f"sensor_{sid}",
+         "timestamp": f"2024-08-28T12:{mm:02d}:00Z",
+         "value": float(v), "fc1_flag": None, "timeseries_id": sid}
+        for sid, mm, v in [
+            ("s1", 0, 1.0), ("s2", 1, 9.0), ("s1", 5, 2.0),
+            ("s2", 3, 8.0), ("s3", 2, 7.0), ("s1", 4, 4.0),
+        ]
+    ]
+    for b in range(3):
+        _drop(src, rows[b::3], f"b{b}.jsonl")
+
+    def stream():
+        return (
+            spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+
+    # the production wiring: telemetry table AND last-value cache fed
+    # from the same source — normalize_batch gives both the same
+    # (batch_id-embedded) ingest_seq per row
+    q1 = start_telemetry_sink(stream(), wh, available_now=True)
+    q1.awaitTermination(120)
+    q2 = start_latest_value_sink(stream(), wh, available_now=True)
+    q2.awaitTermination(120)
+
+    eng = TimeseriesEngine(spark, wh)
+    snap_face = eng.latest()                        # snapshot path
+    scan_face = eng.latest(prefer_snapshot=False)   # batch argmax
+    assert snap_face.columns == scan_face.columns
+    key = lambda r: r["timeseries_id"]  # noqa: E731
+    got = sorted((r.asDict() for r in snap_face.collect()), key=key)
+    want = sorted((r.asDict() for r in scan_face.collect()), key=key)
+    assert got == want and len(got) == 3
+
+    # (b) the snapshot plan touches only wh/latest/snap=* files
+    files = snap_face.inputFiles()
+    latest_root = os.path.join(wh, "latest")
+    assert files and all(latest_root in f and "/snap=" in f for f in files)
+    assert not any("/telemetry" in f for f in files)
+
+
+def test_engine_latest_snapshot_merges_flag_overlay(spark, tmp_path):
+    """The snapshot face must reflect flag-overlay updates (R2/FDD
+    write-back) on current-latest rows — merged on the <= #series
+    snapshot rows, not via any history scan."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _write_latest_manifest_atomic,
+    )
+
+    wh = str(tmp_path / "wh")
+    snap_dir = os.path.join(wh, "latest", "snap=0")
+    snap = spark.createDataFrame(
+        [
+            ("a", "2024-08-28T12:05:00Z", 1.0, None, "s1", 7),
+            ("b", "2024-08-28T12:06:00Z", 2.0, None, "s2", 9),
+        ],
+        "sensor_name string, ts_raw string, value double, "
+        "fc1_flag tinyint, timeseries_id string, ingest_seq long",
+    ).withColumn("ts", F.to_timestamp("ts_raw")).select(
+        "sensor_name", "ts", "ts_raw", "value", "fc1_flag",
+        "timeseries_id", "ingest_seq",
+    )
+    snap.write.parquet(snap_dir)
+    _write_latest_manifest_atomic(
+        os.path.join(wh, "latest"), {"dir": "snap=0", "batch_id": 0}, spark
+    )
+    # an FDD-style flag overlay keyed to s1's latest row (ingest_seq=7)
+    overlay = spark.createDataFrame(
+        [("a", "2024-08-28T12:05:00Z", 1.0, 1, "s1", 7, 1)],
+        "sensor_name string, ts_raw string, value double, "
+        "fc1_flag tinyint, timeseries_id string, ingest_seq long, "
+        "overlay_version int",
+    ).withColumn("ts", F.to_timestamp("ts_raw")).select(
+        "sensor_name", "ts", "ts_raw", "value", "fc1_flag",
+        "timeseries_id", "ingest_seq", "overlay_version",
+    )
+    overlay.write.parquet(os.path.join(wh, "telemetry_overlay"))
+
+    eng = TimeseriesEngine(spark, wh)
+    got = {r.timeseries_id: r.fc1_flag for r in eng.latest().collect()}
+    assert got == {"s1": 1, "s2": None}
+
+
+def test_streaming_manifests_use_hadoop_fs_scheme_paths(spark, tmp_path):
+    """VERDICT r8 next-round #3 Done criterion (the rollup
+    scheme-path test pattern, test_rollup.py): with an explicit
+    'file:/...' URI — the scheme-qualified form every non-local store
+    uses — driver-local os.path sees NOTHING, so this test fails if
+    exactly-once commit, snapshot read, or the sweeper regress to
+    driver-local I/O."""
+    import os as _os
+
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        committed_batch_ids,
+        read_committed_telemetry,
+        read_latest_values,
+        start_latest_value_sink,
+        start_telemetry_sink_exactly_once,
+        sweep_latest_snapshots,
+    )
+
+    wh = "file:" + str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    rows = [
+        {"sensor_name": "x", "timestamp": f"2024-08-28T12:0{i}:00Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for i in range(3)
+    ]
+    for b in range(3):
+        _drop(src, rows[b::3], f"b{b}.jsonl")
+
+    def stream():
+        return (
+            spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+
+    # exactly-once sink: manifest committed through the FS API
+    q = start_telemetry_sink_exactly_once(stream(), wh, available_now=True)
+    q.awaitTermination(120)
+    assert committed_batch_ids(
+        _os.path.join(wh, "telemetry_eo"), spark
+    ) == [0, 1, 2]
+    eo = read_committed_telemetry(spark, wh)
+    assert eo is not None and eo.count() == 3
+    # ...and never touched a driver-local relative path
+    assert not _os.path.exists(str(tmp_path / "wh" / "telemetry_eo"
+                                   ) + ".tmp")
+
+    # last-value sink + snapshot read + sweeper, all through the FS API
+    q = start_latest_value_sink(stream(), wh, available_now=True)
+    q.awaitTermination(120)
+    got = {r.timeseries_id: r.value
+           for r in read_latest_values(spark, wh).collect()}
+    assert got == {"s1": 2.0}
+    # the old os.listdir sweeper returned [] on any URI — silently
+    # sweeping nothing was the one SILENT failure in this family
+    removed = sweep_latest_snapshots(wh, grace=0, spark=spark)
+    assert removed == ["snap=0", "snap=1"]
+    assert {r.timeseries_id: r.value
+            for r in read_latest_values(spark, wh).collect()} == {"s1": 2.0}
