@@ -494,3 +494,71 @@ class IvfIndex:
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
+
+    def add(
+        self,
+        corpus: DataFrame,
+        corpus_id: str | None = None,
+        corpus_vec: str = "embedding",
+    ) -> int:
+        """Incremental add (VERDICT r8 next-round #4): assign the new
+        vectors to the EXISTING cells — ``_probe_cells`` with
+        n_probe=1, i.e. each vector goes to its nearest frozen
+        centroid — and append them to the matching cell partitions.
+        No k-means refit, no rewrite of existing cells: cost is one
+        pass over the NEW rows plus appends into the touched cell
+        directories. Returns rows added and bumps ``n_rows`` /
+        ``n_added`` in the manifest.
+
+        Recall-drift contract: cells GROW but centroids never move, so
+        after heavy adds a cell's contents can stray from its centroid
+        and probe-ordering quality degrades — recall at fixed n_probe
+        drifts DOWN as n_added/n_rows grows (the standard IVF serving
+        trade-off; FAISS's add-vs-train distinction). Rebuild
+        (``build()``) when the manifest shows n_added is no longer
+        small relative to n_rows; queries are exact *within probed
+        cells* regardless, so only which cells are probed — never the
+        rerank — is affected.
+
+        Appended vectors are cast to the stored ``_cvec`` element type
+        (the dtype contract pinned at build time): mixing
+        array<float> and array<double> files under one parquet root
+        would otherwise poison the read-side schema merge.
+        """
+        man = self._manifest()
+        corpus_id = corpus_id or man["corpus_id"]
+        stored_type = self.spark.read.parquet(self.index_path).schema[
+            "_cvec"
+        ].dataType
+        assigned = _probe_cells(
+            corpus, corpus_id, corpus_vec, man["centroids"], n_probe=1
+        ).select(
+            F.col("_qid").alias("_cid"),
+            F.col("_qvec").cast(stored_type).alias("_cvec"),
+            "_cell",
+        )
+        # count once, then append from the cached assignment (a
+        # recompute between count and write could double-assign under
+        # a nondeterministic source)
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = assigned.count()
+            if n:
+                (
+                    assigned.write.mode("append")
+                    .partitionBy("_cell")
+                    .parquet(self.index_path)
+                )
+        finally:
+            assigned.unpersist()
+        if "n_rows" not in man:
+            # first add against a pre-add manifest: seed the base count
+            # from the index itself (one metadata-cheap count job) so
+            # the drift ratio n_added/n_rows is meaningful
+            man["n_rows"] = (
+                self.spark.read.parquet(self.index_path).count() - n
+            )
+        man["n_rows"] = int(man["n_rows"]) + n
+        man["n_added"] = int(man.get("n_added", 0)) + n
+        write_json_manifest(self.spark, self.manifest_path, man)
+        return n
