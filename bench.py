@@ -154,6 +154,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    _bench_serving_reads(spark, sf_dir, timings, exclude)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -166,6 +167,90 @@ def main() -> None:
             }
         )
     )
+
+
+def _bench_serving_reads(spark, sf_dir: str, timings: dict, exclude) -> None:
+    """Serving-read entries (VERDICT r8 next-round #7): time the
+    current-state read on BOTH faces so the route a dashboard polls
+    has a regression gate like every analytic query —
+
+    - ``serve_latest_scan``: engine.latest(prefer_snapshot=False), the
+      O(history) batch argmax over a warehouse built from the events
+      table at the bench scale factor;
+    - ``serve_latest_snapshot``: engine.latest() with a committed
+      last-value snapshot (the layout the streaming sink maintains),
+      the O(#series) path GET /latest serves. The gap between the two
+      numbers IS the point — it grows linearly with history size.
+
+    Warehouse build/ingest is setup, not timed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.queries import T as _T
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _write_latest_manifest_atomic,
+    )
+
+    if {"serve_latest_scan", "serve_latest_snapshot"} <= exclude:
+        return
+    wh = os.path.join(
+        tempfile.gettempdir(), f"rtsdb_bench_serving_{os.getpid()}"
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    try:
+        eng = TimeseriesEngine(spark, wh)
+        raw = _T(spark, sf_dir, "events").select(
+            F.col("event_type").alias("sensor_name"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "timestamp"
+            ),
+            F.col("value").cast("double").alias("value"),
+            F.lit(None).cast("tinyint").alias("fc1_flag"),
+            F.concat(
+                F.lit("series-"), F.col("user_id").cast("string")
+            ).alias("timeseries_id"),
+        )
+        eng.ingest_df(raw, dense_seq=False)  # bulk parallel path
+        eng.count()  # warm listing + footers (steady-state protocol)
+
+        if "serve_latest_scan" not in exclude:
+            t0 = time.perf_counter()
+            eng.latest(prefer_snapshot=False).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings["serve_latest_scan"] = round(
+                time.perf_counter() - t0, 4
+            )
+            print(
+                f"# serve_latest_scan: {timings['serve_latest_scan']:.3f}s",
+                file=sys.stderr,
+            )
+
+        if "serve_latest_snapshot" not in exclude:
+            # materialize the snapshot the streaming sink would have
+            # committed (same directory + manifest layout)
+            latest_root = os.path.join(wh, "latest")
+            eng.latest(prefer_snapshot=False).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(latest_root, "snap=0"))
+            _write_latest_manifest_atomic(
+                latest_root, {"dir": "snap=0", "batch_id": 0}, spark
+            )
+            t0 = time.perf_counter()
+            eng.latest().write.format("noop").mode("overwrite").save()
+            timings["serve_latest_snapshot"] = round(
+                time.perf_counter() - t0, 4
+            )
+            print(
+                "# serve_latest_snapshot: "
+                f"{timings['serve_latest_snapshot']:.3f}s",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 if __name__ == "__main__":
