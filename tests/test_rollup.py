@@ -492,3 +492,74 @@ def test_scheduler_survives_refresh_errors(spark, paths):
         assert roll._read_hwm() == "2024-03-02"
     finally:
         sched.stop()
+
+
+def test_distinct_sketch_value_idempotent_across_refresh_orders(
+    spark, tmp_path
+):
+    """VERDICT r8 next-round #9 (pins rollup.py's documented contract):
+    HLL cells are VALUE-level idempotent — the sketch BYTES may differ
+    across refresh orders (coupon order in sparse mode), but
+    ``distinct_estimate`` must be identical whether the rollup was
+    built by one refresh over the full base or by per-batch
+    incremental refreshes that re-aggregate days from
+    differently-split files. Also: re-refreshing an already-current
+    rollup must not move any estimate."""
+    def _mk(day, users):
+        return [
+            ("a", f"2024-03-{day:02d} 12:{mm:02d}:00", float(u), u)
+            for mm, u in enumerate(users)
+        ]
+
+    def _write(path, rows):
+        spark.createDataFrame(
+            rows, "series string, ts_raw string, value double, user_id int"
+        ).select(
+            "series", F.to_timestamp("ts_raw").alias("ts"), "value",
+            "user_id",
+        ).write.mode("append").parquet(path)
+
+    batches = [
+        _mk(1, [1, 2, 3]),
+        _mk(2, [2, 3]) + _mk(1, [3, 4]),   # day-1 data split across files
+        _mk(5, [3, 4, 5]) + _mk(2, [4]),
+    ]
+
+    # order A: everything lands, then ONE refresh
+    base_a, roll_a_path = str(tmp_path / "ba"), str(tmp_path / "ra")
+    for b in batches:
+        _write(base_a, b)
+    roll_a = ContinuousRollup(
+        spark, base_a, roll_a_path, ["series"], distinct_col="user_id"
+    )
+    roll_a.refresh()
+
+    # order B: refresh after every batch (incremental re-aggregation)
+    base_b, roll_b_path = str(tmp_path / "bb"), str(tmp_path / "rb")
+    roll_b = ContinuousRollup(
+        spark, base_b, roll_b_path, ["series"], distinct_col="user_id"
+    )
+    for b in batches:
+        _write(base_b, b)
+        roll_b.refresh()
+
+    def _est(roll):
+        per_day = {
+            (r.series, str(r.window_day)): (r.distinct_est, r.n_rows)
+            for r in roll.distinct_estimate(["series", "window_day"]).collect()
+        }
+        total = {
+            r.series: (r.distinct_est, r.n_rows)
+            for r in roll.distinct_estimate().collect()
+        }
+        return per_day, total
+
+    assert _est(roll_a) == _est(roll_b)
+    per_day, total = _est(roll_a)
+    assert total == {"a": (5, 11)}
+    assert per_day[("a", "2024-03-01")] == (4, 5)
+
+    # idempotent re-refresh: values pinned
+    before = _est(roll_b)
+    roll_b.refresh()
+    assert _est(roll_b) == before

@@ -854,3 +854,48 @@ def test_streaming_manifests_use_hadoop_fs_scheme_paths(spark, tmp_path):
     assert removed == ["snap=0", "snap=1"]
     assert {r.timeseries_id: r.value
             for r in read_latest_values(spark, wh).collect()} == {"s1": 2.0}
+
+
+def test_manifest_legacy_single_file_fallback(spark, tmp_path):
+    """Warehouses written by pre-round-9 code carry single-file
+    ``_manifest.json`` / ``_latest.json`` manifests: the versioned
+    reader must fall back to them, and the next write must upgrade to
+    the versioned protocol (which then takes precedence)."""
+    import json as _json
+
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _read_latest_manifest,
+        _read_manifest,
+        _write_manifest,
+        committed_batch_ids,
+    )
+
+    eo = str(tmp_path / "telemetry_eo")
+    os.makedirs(eo)
+    with open(os.path.join(eo, "_manifest.json"), "w") as f:
+        _json.dump(
+            {"dirs": ["batch_id=0"], "committed_ids": [0],
+             "compact_seq": 2}, f,
+        )
+    man = _read_manifest(eo, spark)
+    assert man == {
+        "dirs": ["batch_id=0"], "committed_ids": [0], "compact_seq": 2
+    }
+    assert committed_batch_ids(eo, spark) == [0]
+
+    # a write upgrades to the versioned layout; reads prefer it even
+    # with the stale legacy file still present
+    man["committed_ids"] = [0, 1]
+    _write_manifest(eo, man, spark)
+    assert any(
+        n.startswith("_manifest.v") for n in os.listdir(eo)
+    ) and os.path.exists(os.path.join(eo, "_manifest.json"))
+    assert committed_batch_ids(eo, spark) == [0, 1]
+
+    lat = str(tmp_path / "latest")
+    os.makedirs(lat)
+    with open(os.path.join(lat, "_latest.json"), "w") as f:
+        _json.dump({"dir": "snap=3", "batch_id": 3}, f)
+    assert _read_latest_manifest(lat, spark) == {
+        "dir": "snap=3", "batch_id": 3
+    }
