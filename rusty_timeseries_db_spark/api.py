@@ -609,6 +609,80 @@ class TimeseriesEngine:
         ]
         return snap.select(*cols)
 
+    def start_streaming_ingest(
+        self,
+        source_dir: str,
+        exactly_once: bool = False,
+        latest_cache: bool = False,
+        trigger_seconds: Optional[int] = None,
+        available_now: bool = False,
+        quarantine_dir: Optional[str] = None,
+        rollup=None,
+    ) -> list:
+        """Wire the reference's live ingest path (HTTP POST /telemetry,
+        main.rs:325-331) end-to-end as Structured Streaming over a
+        JSON-lines drop directory — one call starts the telemetry sink
+        and, with ``latest_cache=True``, the last-value cache that
+        ``latest()`` / GET /latest then serve in O(#series). Returns
+        the started StreamingQuery handles (telemetry sink first).
+
+        Both sinks read the same source through separate checkpoints;
+        ``normalize_batch`` stamps both with the same batch-id-embedded
+        ``ingest_seq`` per row, which is the key contract the
+        snapshot path's overlay merge relies on (see ``latest``).
+
+        ``exactly_once=True`` routes ingest through the manifest-
+        committed sink instead — note that table lands in
+        ``telemetry_eo`` and is read via
+        ``streaming.ingest.read_committed_telemetry``, not the
+        engine's ``telemetry()`` view (the at-least-once default IS
+        the engine table). ``quarantine_dir``/``rollup`` forward to
+        :func:`~.streaming.ingest.start_telemetry_sink`.
+        """
+        from .streaming.ingest import (
+            read_telemetry_stream,
+            start_latest_value_sink,
+            start_telemetry_sink,
+            start_telemetry_sink_exactly_once,
+        )
+
+        queries = []
+        stream = read_telemetry_stream(
+            self.spark,
+            source_dir,
+            with_corrupt_record=quarantine_dir is not None,
+        )
+        if exactly_once:
+            queries.append(
+                start_telemetry_sink_exactly_once(
+                    stream,
+                    self.warehouse_dir,
+                    trigger_seconds=trigger_seconds,
+                    available_now=available_now,
+                )
+            )
+        else:
+            queries.append(
+                start_telemetry_sink(
+                    stream,
+                    self.warehouse_dir,
+                    trigger_seconds=trigger_seconds,
+                    available_now=available_now,
+                    rollup=rollup,
+                    quarantine_dir=quarantine_dir,
+                )
+            )
+        if latest_cache:
+            queries.append(
+                start_latest_value_sink(
+                    read_telemetry_stream(self.spark, source_dir),
+                    self.warehouse_dir,
+                    trigger_seconds=trigger_seconds,
+                    available_now=available_now,
+                )
+            )
+        return queries
+
     def fault_count(
         self, df: DataFrame, threshold: float = DEFAULT_FAULT_THRESHOLD
     ) -> int:

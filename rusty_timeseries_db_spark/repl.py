@@ -127,8 +127,10 @@ class Repl:
                 return "Retention: nothing older than " + cutoff + "."
             return f"Dropped {len(dropped)} chunk(s): {', '.join(dropped)}."
         if line == "latest":
-            # current-state verb (round 8): latest row per series —
-            # the last-value-cache answer, computed from the live view
+            # current-state verb (round 8): latest row per series.
+            # Round 9: served from the streaming last-value snapshot
+            # when one is committed (O(#series)), falling back to the
+            # batch argmax over the live view — engine.latest()
             return self.engine.latest()
         if line == "profile":
             # data-quality verb (round 8): one-pass column profile of

@@ -899,3 +899,42 @@ def test_manifest_legacy_single_file_fallback(spark, tmp_path):
     assert _read_latest_manifest(lat, spark) == {
         "dir": "snap=3", "batch_id": 3
     }
+
+
+def test_engine_start_streaming_ingest_wires_both_sinks(spark, tmp_path):
+    """round 9: one engine call starts the live ingest path — telemetry
+    sink + last-value cache — and the serving surface then answers
+    from the snapshot while query_by_id scans the streamed table."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    rows = [
+        {"sensor_name": "Sa", "timestamp": f"2024-08-28T12:0{i}:00Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for i in range(3)
+    ]
+    for b in range(3):
+        _drop(src, rows[b::3], f"b{b}.jsonl")
+
+    eng = TimeseriesEngine(spark, wh)
+    queries = eng.start_streaming_ingest(
+        src, latest_cache=True, available_now=True
+    )
+    assert len(queries) == 2
+    for q in queries:
+        q.awaitTermination(120)
+
+    # the streamed table serves R3 reads...
+    got = eng.query_by_id(
+        "s1", "2024-08-28T12:00:00Z", "2024-08-28T12:02:00Z"
+    ).collect()
+    assert [r.value for r in got] == [0.0, 1.0, 2.0]
+    # ...and latest() answers from the snapshot (plan check: only the
+    # snap dir is read)
+    latest = eng.latest()
+    assert {(r.timeseries_id, r.value) for r in latest.collect()} == {
+        ("s1", 2.0)
+    }
+    files = latest.inputFiles()
+    assert files and all("/snap=" in f for f in files)
