@@ -232,9 +232,13 @@ def _read_manifest(path: str, spark: SparkSession | None = None) -> dict:
             "dirs": list(m["dirs"]),
             "committed_ids": list(m["committed_ids"]),
             "compact_seq": int(m.get("compact_seq", 0)),
+            "fingerprints": dict(m.get("fingerprints", {})),
         }
     except (TypeError, KeyError):
-        return {"dirs": [], "committed_ids": [], "compact_seq": 0}
+        return {
+            "dirs": [], "committed_ids": [], "compact_seq": 0,
+            "fingerprints": {},
+        }
 
 
 def _write_manifest(
@@ -277,22 +281,79 @@ def commit_batch_exactly_once(
     invisible to ``read_committed_telemetry`` and overwritten on replay:
     zero duplicates in every crash window. Returns True if this call
     performed the write (False = replay skip).
+
+    The replay skip is CONTENT-VERIFIED (round 9 — the exactly-once
+    face of ADVICE r8 #2's checkpoint-loss scenario): the manifest
+    stores an order-independent payload fingerprint per committed
+    batch, and a committed id whose replayed content MATCHES a stored
+    fingerprint is skipped, while a committed id delivering NEW
+    content (checkpoint loss/reset re-numbering genuinely new source
+    files into old ids — the case a bare id check silently drops)
+    is written to a fresh content-addressed directory
+    (``batch_id=<id>_h<fp>``) and committed alongside, with a loud
+    warning. Identical content re-delivered under a replayed id
+    dedupes by construction (same fingerprint), and a crash mid-reset
+    replays to the same content-addressed names — idempotent across
+    any number of replays. Legacy manifests without fingerprints keep
+    the old skip-on-id behavior (content cannot be verified).
     """
     spark = normalized.sparkSession
     man = _read_manifest(path, spark)
-    if batch_id in man["committed_ids"]:
-        return False
+    fps = man["fingerprints"]
+    seen = list(fps.get(str(batch_id), []))
     d = f"batch_id={batch_id}"
+    fp = None
+    if batch_id in man["committed_ids"]:
+        if not seen:
+            return False  # legacy manifest: unverifiable — old behavior
+        fp = _batch_fingerprint(normalized)
+        if fp in seen:
+            return False  # true replay of already-committed content
+        import warnings
+
+        warnings.warn(
+            f"exactly-once sink at {path}: committed batch_id="
+            f"{batch_id} replayed with NEW content (checkpoint "
+            "loss/reset) — writing it to a fresh content-addressed "
+            "directory instead of skipping, so the new rows are not "
+            "dropped",
+            stacklevel=2,
+        )
+        d = f"batch_id={batch_id}_h{fp.rsplit(':', 1)[1]}"
     (
         normalized.sortWithinPartitions("timeseries_id", "ts")
         .write.mode("overwrite")
         .partitionBy("series_bucket")
         .parquet(os.path.join(path, d))
     )
+    if fp is None:
+        fp = _batch_fingerprint(normalized)
+    fps[str(batch_id)] = seen + [fp]
     man["dirs"] = sorted(set(man["dirs"]) | {d})
     man["committed_ids"] = sorted(set(man["committed_ids"]) | {batch_id})
     _write_manifest(path, man, spark)
     return True
+
+
+#: Fingerprint covers the SOURCE payload only — never derived columns
+#: (ingest_seq embeds read-partitioning detail, series_bucket/ts derive
+#: from payload): a replay must fingerprint identically however Spark
+#: re-splits the same files, and new source content must differ.
+_FP_COLS = ["sensor_name", "ts_raw", "value", "fc1_flag", "timeseries_id"]
+
+
+def _batch_fingerprint(normalized: DataFrame) -> str:
+    """Order-independent content fingerprint: ``<row_count>:<hex64>``
+    where hex64 is the mod-2^64 SUM of per-row xxhash64 over the
+    payload columns (sum, not xor — xor cancels duplicate rows; the
+    decimal(38,0) sum cannot overflow below ~2^30 rows per batch and
+    stays ANSI-safe)."""
+    row = normalized.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*_FP_COLS).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    h = int(row.h) % (1 << 64) if row.h is not None else 0
+    return f"{int(row.n)}:{h:016x}"
 
 
 def compact_exactly_once(
@@ -337,8 +398,12 @@ def compact_exactly_once(
         path,
         {
             "dirs": [out],
+            # committed_ids AND their fingerprints survive compaction:
+            # a replayed already-folded batch must still verify as
+            # already-committed content, not re-append
             "committed_ids": man["committed_ids"],
             "compact_seq": seq + 1,
+            "fingerprints": man["fingerprints"],
         },
         spark,
     )

@@ -299,3 +299,94 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, orig)
+
+
+def test_exactly_once_checkpoint_reset_new_content_not_dropped(
+    spark, tmp_path
+):
+    """Round 9 (the exactly-once face of ADVICE r8 #2): a committed
+    batch id replayed with IDENTICAL content skips (fingerprint
+    match); the same id delivering NEW content — checkpoint loss/reset
+    renumbering new source files into old ids — lands in a fresh
+    content-addressed directory with a warning instead of being
+    silently dropped; re-replaying either case is idempotent; and the
+    fingerprints survive compaction."""
+    import warnings as _warnings
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows,
+            "sensor_name string, timestamp string, value double, "
+            "fc1_flag int, timeseries_id string",
+        )
+
+    a = _df([("x", "2024-08-28T12:00:00Z", 1.0, None, "s1")])
+    b = _df([("x", "2024-08-28T12:05:00Z", 9.0, None, "s1")])
+
+    assert commit_batch_exactly_once(normalize_batch(a, 0), 0, path) is True
+    # identical content under the committed id: fingerprint-verified skip
+    assert commit_batch_exactly_once(normalize_batch(a, 0), 0, path) is False
+    assert read_committed_telemetry(spark, wh).count() == 1
+
+    # NEW content under the committed id: must be written, with warning
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert commit_batch_exactly_once(
+            normalize_batch(b, 0), 0, path
+        ) is True
+    assert any("NEW content" in str(w.message) for w in caught)
+    got = read_committed_telemetry(spark, wh)
+    assert got.count() == 2
+    assert {r.value for r in got.collect()} == {1.0, 9.0}
+    # the fresh directory is content-addressed beside the original
+    dirs = committed_batch_ids(path, spark), sorted(
+        d for d in os.listdir(path) if d.startswith("batch_id=")
+    )
+    assert dirs[0] == [0]
+    assert len(dirs[1]) == 2 and any("_h" in d for d in dirs[1])
+
+    # re-replay of BOTH contents now skips (both fingerprints stored)
+    assert commit_batch_exactly_once(normalize_batch(a, 0), 0, path) is False
+    assert commit_batch_exactly_once(normalize_batch(b, 0), 0, path) is False
+    assert read_committed_telemetry(spark, wh).count() == 2
+
+    # compaction folds both dirs and KEEPS the fingerprints: replays
+    # of folded content still skip
+    assert compact_exactly_once(spark, wh) == 2
+    assert read_committed_telemetry(spark, wh).count() == 2
+    assert commit_batch_exactly_once(normalize_batch(a, 0), 0, path) is False
+    assert commit_batch_exactly_once(normalize_batch(b, 0), 0, path) is False
+    assert read_committed_telemetry(spark, wh).count() == 2
+
+
+def test_exactly_once_legacy_manifest_skips_on_id(spark, tmp_path):
+    """Pre-round-9 manifests carry no fingerprints: a committed id
+    replay cannot be content-verified, so the old skip-on-id behavior
+    is preserved (never a crash, never a duplicate)."""
+    import json as _json
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+    raw = _df_rows = spark.createDataFrame(
+        [("x", "2024-08-28T12:00:00Z", 1.0, None, "s1")],
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string",
+    )
+    assert commit_batch_exactly_once(normalize_batch(raw, 0), 0, path)
+    # strip fingerprints, simulating a legacy manifest (single-file form)
+    from rusty_timeseries_db_spark.streaming.ingest import _read_manifest
+
+    man = _read_manifest(path, spark)
+    for f in os.listdir(path):
+        if f.startswith("_manifest.v"):
+            os.remove(os.path.join(path, f))
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(
+            {"dirs": man["dirs"], "committed_ids": man["committed_ids"],
+             "compact_seq": man["compact_seq"]}, f,
+        )
+    assert commit_batch_exactly_once(normalize_batch(raw, 0), 0, path) is False
+    assert read_committed_telemetry(spark, wh).count() == 1
