@@ -546,7 +546,11 @@ class TimeseriesEngine:
             exact=exact,
         )
 
-    def latest(self, prefer_snapshot: bool = True) -> DataFrame:
+    def latest(
+        self,
+        prefer_snapshot: bool = True,
+        timeseries_id: Optional[str] = None,
+    ) -> DataFrame:
         """Current state: the latest row per series. Also a REPL verb
         (``latest``) and the GET /latest route's source.
 
@@ -565,6 +569,16 @@ class TimeseriesEngine:
         or when the caller needs overlay updates that MOVE a row's ts,
         which the snapshot path cannot re-rank — see below).
 
+        ``timeseries_id`` (round 9) narrows to ONE series — "what is
+        sensor X now", the single most common serving question. On the
+        snapshot face that is a point read of an O(#series) file; on
+        the batch face the equality predicate is applied BEFORE the
+        argmax so it pushes down to the parquet scan (files are sorted
+        by (timeseries_id, ts) within partitions — row-group min/max
+        skip non-matching groups). The probe is 32-char truncated like
+        ``query_by_id``'s (stored ids are truncated on ingest,
+        main.rs:179).
+
         Snapshot-path overlay semantics: overlay rows substitute
         payload/flag values of rows that are already the per-series
         latest (keyed by ingest_seq — stream and batch ingest share
@@ -575,11 +589,18 @@ class TimeseriesEngine:
         main.rs:106-117, 397-405) never move ts, so the served answer
         matches the batch face for every reference-shaped workload.
         """
+        probe = (
+            timeseries_id[:32] if timeseries_id is not None else None
+        )
         if prefer_snapshot:
             snap = self._latest_from_snapshot()
             if snap is not None:
+                if probe is not None:
+                    snap = snap.filter(F.col("timeseries_id") == probe)
                 return snap
         t = self.telemetry()
+        if probe is not None:
+            t = t.filter(F.col("timeseries_id") == probe)
         order = F.struct(F.col("ts"), F.col("ingest_seq"))
         return (
             t.groupBy("timeseries_id")

@@ -200,15 +200,22 @@ class TelemetryHttpServer:
                     # is committed (O(#series), no history scan — the
                     # route a dashboard polls must not pay the
                     # full-scan anti-query), falling back to the batch
-                    # argmax otherwise. Output is one row per series,
+                    # argmax otherwise. Optional ?timeseries_id=
+                    # narrows to one series (the "what is sensor X
+                    # now" point read). Output is one row per series,
                     # so the same row cap bounds driver memory.
+                    sid = parse_qs(url.query).get(
+                        "timeseries_id", [None]
+                    )[0]
                     payload = []
                     try:
                         # execution-time Spark failures must map to the
                         # same error contract as /sql, not a dropped
                         # socket from an uncaught handler exception
                         # (ADVICE r8 #3)
-                        for r in engine.latest().toLocalIterator():
+                        for r in engine.latest(
+                            timeseries_id=sid
+                        ).toLocalIterator():
                             if len(payload) >= max_query_rows:
                                 self._reply(
                                     413,

@@ -612,6 +612,7 @@ def start_latest_value_sink(
     trigger_seconds: int | None = None,
     available_now: bool = False,
     snapshot_files: int = 1,
+    sweep_grace: int | None = None,
 ) -> StreamingQuery:
     """Streaming-maintained LAST-VALUE CACHE: one row per
     ``timeseries_id`` — the latest (ts, value, ...) observed — kept
@@ -635,8 +636,24 @@ def start_latest_value_sink(
     - state is O(#series) rows however long the stream runs; merge
       cost per batch is O(batch + #series) with a single shuffle on
       the series key.
-    """
+
+    ``sweep_grace`` (round 9): when set, the sink runs the snapshot
+    janitor itself after each commit, keeping that many superseded
+    ``snap=`` dirs besides the live one — without it, a
+    one-dir-per-micro-batch stream grows storage without bound until
+    someone calls :func:`sweep_latest_snapshots` out of band. The
+    value is the reader window: concurrent ``read_latest_values``
+    callers get that many commits' worth of time to materialize a
+    pinned frame (the sweeper's documented contract). None (default)
+    = never sweep, exactly the pre-round-9 behavior."""
     path = os.path.join(warehouse_dir, "latest")
+    if sweep_grace is not None and sweep_grace < 1:
+        raise ValueError(
+            "sweep_grace must be >= 1: the in-sink janitor runs "
+            "concurrently with readers by construction, and grace=0 "
+            "is only safe when no concurrent readers exist "
+            "(sweep_latest_snapshots' contract)"
+        )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -705,6 +722,8 @@ def start_latest_value_sink(
         _write_latest_manifest_atomic(
             path, {"dir": out, "batch_id": batch_id}, spark
         )
+        if sweep_grace is not None:
+            sweep_latest_snapshots(warehouse_dir, sweep_grace, spark)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation",

@@ -436,7 +436,7 @@ def test_get_latest_execution_error_maps_to_400(spark, tmp_path):
     reply 400 with the error text — not drop the socket."""
     eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
 
-    def _boom(prefer_snapshot=True):
+    def _boom(prefer_snapshot=True, timeseries_id=None):
         raise RuntimeError("kaboom at execution time")
 
     eng.latest = _boom

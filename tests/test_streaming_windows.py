@@ -938,3 +938,82 @@ def test_engine_start_streaming_ingest_wires_both_sinks(spark, tmp_path):
     }
     files = latest.inputFiles()
     assert files and all("/snap=" in f for f in files)
+
+
+def test_latest_value_sink_auto_sweep(spark, tmp_path):
+    """round 9: sweep_grace bounds snapshot storage from inside the
+    sink — after N micro-batches only the live dir + grace superseded
+    dirs remain, and the read is unaffected."""
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_latest_values,
+        start_latest_value_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    rows = [
+        {"sensor_name": "x", "timestamp": f"2024-08-28T12:0{i}:00Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for i in range(5)
+    ]
+    for b in range(5):
+        _drop(src, rows[b::5], f"b{b}.jsonl")
+    raw = (
+        spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_latest_value_sink(raw, wh, available_now=True, sweep_grace=1)
+    q.awaitTermination(120)
+
+    snaps = [
+        d for d in os.listdir(os.path.join(wh, "latest"))
+        if d.startswith("snap=")
+    ]
+    assert sorted(snaps) == ["snap=3", "snap=4"]  # live + grace=1
+    got = {r.timeseries_id: r.value
+           for r in read_latest_values(spark, wh).collect()}
+    assert got == {"s1": 4.0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sweep_grace"):
+        start_latest_value_sink(raw, wh, sweep_grace=0)
+
+
+def test_get_latest_route_point_read(spark, tmp_path):
+    """round 9: GET /latest?timeseries_id= returns only that series —
+    the 'what is sensor X now' point read; unknown series -> []."""
+    import json as _json
+    import urllib.request
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.server import TelemetryHttpServer
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows([
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 0.5, "fc1_flag": None, "timeseries_id": "s-1"},
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:05:00Z",
+         "value": 0.9, "fc1_flag": None, "timeseries_id": "s-1"},
+        {"sensor_name": "Sb", "timestamp": "2024-08-28T12:01:00Z",
+         "value": 0.2, "fc1_flag": None, "timeseries_id": "s-2"},
+    ])
+    srv = TelemetryHttpServer(eng, port=0).start()
+    try:
+        with urllib.request.urlopen(
+            f"{srv.base_url}/latest?timeseries_id=s-1"
+        ) as resp:
+            rows = _json.loads(resp.read())
+        assert len(rows) == 1
+        assert rows[0]["timeseries_id"] == "s-1"
+        assert rows[0]["value"] == 0.9
+        with urllib.request.urlopen(
+            f"{srv.base_url}/latest?timeseries_id=nope"
+        ) as resp:
+            assert _json.loads(resp.read()) == []
+        with urllib.request.urlopen(f"{srv.base_url}/latest") as resp:
+            assert len(_json.loads(resp.read())) == 2
+    finally:
+        srv.stop()
