@@ -879,7 +879,8 @@ def test_manifest_legacy_single_file_fallback(spark, tmp_path):
         )
     man = _read_manifest(eo, spark)
     assert man == {
-        "dirs": ["batch_id=0"], "committed_ids": [0], "compact_seq": 2
+        "dirs": ["batch_id=0"], "committed_ids": [0], "compact_seq": 2,
+        "fingerprints": {},  # legacy manifests carry none
     }
     assert committed_batch_ids(eo, spark) == [0]
 
