@@ -390,3 +390,70 @@ def test_exactly_once_legacy_manifest_skips_on_id(spark, tmp_path):
         )
     assert commit_batch_exactly_once(normalize_batch(raw, 0), 0, path) is False
     assert read_committed_telemetry(spark, wh).count() == 1
+
+
+def test_batch_fingerprint_order_and_partitioning_independent(spark):
+    """The exactly-once fingerprint must be invariant to row order and
+    read partitioning (a replay may re-split the same files), and
+    sensitive to any payload change — including duplicate-row
+    multiplicity (sum, not xor)."""
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _batch_fingerprint,
+    )
+
+    rows = [
+        ("a", "2024-08-28T12:00:00Z", 1.0, None, "s1"),
+        ("b", "2024-08-28T12:01:00Z", 2.0, 1, "s2"),
+        ("c", "2024-08-28T12:02:00Z", 3.0, None, "s3"),
+    ]
+    schema = (
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string"
+    )
+
+    def fp(rws, parts):
+        return _batch_fingerprint(
+            normalize_batch(
+                spark.createDataFrame(rws, schema).repartition(parts), 0
+            )
+        )
+
+    base = fp(rows, 1)
+    assert fp(list(reversed(rows)), 1) == base       # order
+    assert fp(rows, 7) == base                        # partitioning
+    assert fp(rows[:2], 1) != base                    # subset differs
+    changed = [rows[0], ("b", "2024-08-28T12:01:00Z", 2.5, 1, "s2"),
+               rows[2]]
+    assert fp(changed, 1) != base                     # value change
+    # duplicate multiplicity: {r0, r0} != {r0} (xor would collapse)
+    assert fp([rows[0], rows[0]], 1) != fp([rows[0]], 1)
+    assert base.split(":")[0] == "3"                  # count prefix
+
+
+def test_versioned_manifest_protocol(spark, tmp_path):
+    """fsutil versioned manifests: each write commits a fresh vN file,
+    reads return the highest, GC keeps exactly one predecessor, a
+    stale .tmp is ignored, and a 'file:' URI works (scheme-resolved)."""
+    import os
+
+    from rusty_timeseries_db_spark.fsutil import (
+        read_versioned_manifest,
+        write_versioned_manifest,
+    )
+
+    d = "file:" + str(tmp_path / "man")
+    assert read_versioned_manifest(spark, d, "_m") is None
+    for i in range(4):
+        n = write_versioned_manifest(spark, d, "_m", {"i": i})
+        assert n == i + 1
+        assert read_versioned_manifest(spark, d, "_m") == {"i": i}
+    names = sorted(
+        n for n in os.listdir(str(tmp_path / "man"))
+        if not n.endswith(".crc")  # Hadoop local-FS checksum sidecars
+    )
+    # GC keeps the live version + one predecessor, nothing older
+    assert names == ["_m.v3.json", "_m.v4.json"]
+    # stale tmp residue is invisible to readers
+    with open(str(tmp_path / "man" / "_m.v9.json.tmp"), "w") as f:
+        f.write("{torn")
+    assert read_versioned_manifest(spark, d, "_m") == {"i": 3}
