@@ -1018,3 +1018,99 @@ def test_get_latest_route_point_read(spark, tmp_path):
             assert len(_json.loads(resp.read())) == 2
     finally:
         srv.stop()
+
+
+def test_latest_point_read_probe_truncation_on_snapshot(spark, tmp_path):
+    """latest(timeseries_id=...) truncates the probe to 32 chars like
+    query_by_id (stored ids are truncated on ingest, main.rs:179), on
+    BOTH faces — a 36-char UUID probe must hit its 32-char stored row."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _write_latest_manifest_atomic,
+    )
+
+    uuid36 = "8f541ba4-c437-43ba-ba1d-5c946583fe54"
+    wh = str(tmp_path / "wh")
+    snap = spark.createDataFrame(
+        [("Sa", "2024-08-28T12:05:00Z", 0.9, None, uuid36[:32], 3)],
+        "sensor_name string, ts_raw string, value double, "
+        "fc1_flag tinyint, timeseries_id string, ingest_seq long",
+    ).withColumn("ts", F.to_timestamp("ts_raw")).select(
+        "sensor_name", "ts", "ts_raw", "value", "fc1_flag",
+        "timeseries_id", "ingest_seq",
+    )
+    snap.write.parquet(os.path.join(wh, "latest", "snap=0"))
+    _write_latest_manifest_atomic(
+        os.path.join(wh, "latest"), {"dir": "snap=0", "batch_id": 0}, spark
+    )
+    eng = TimeseriesEngine(spark, wh)
+    got = eng.latest(timeseries_id=uuid36).collect()  # full 36-char probe
+    assert len(got) == 1 and got[0].value == 0.9
+    # batch face (no snapshot consulted) truncates identically
+    eng2 = TimeseriesEngine(spark, str(tmp_path / "wh2"))
+    eng2.ingest_rows([
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:05:00Z",
+         "value": 0.7, "fc1_flag": None, "timeseries_id": uuid36},
+    ])
+    got2 = eng2.latest(timeseries_id=uuid36).collect()
+    assert len(got2) == 1 and got2[0].value == 0.7
+
+
+def test_latest_snapshot_ts_moving_update_divergence_is_as_documented(
+    spark, tmp_path
+):
+    """Pins api.latest()'s documented contract edge: an overlay update
+    that MOVES a row's ts (changing which row is latest) is reflected
+    by the batch face but NOT by the snapshot face — the snapshot only
+    substitutes payload on rows that are already per-series latest.
+    Reference-shaped updates (R2 value/flag rewrites, FDD flag
+    write-back) never move ts, so the faces agree for every
+    reference workload; this test pins the one divergence so a future
+    refactor cannot silently change the contract undocumented."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _write_latest_manifest_atomic,
+    )
+
+    wh = str(tmp_path / "wh")
+    eng = TimeseriesEngine(spark, wh)
+    eng.ingest_rows([
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 1.0, "fc1_flag": None, "timeseries_id": "s1"},
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:05:00Z",
+         "value": 2.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ])
+    # snapshot of the pre-update state: latest = the 12:05 row (seq 1)
+    eng.latest(prefer_snapshot=False).write.parquet(
+        os.path.join(wh, "latest", "snap=0")
+    )
+    _write_latest_manifest_atomic(
+        os.path.join(wh, "latest"), {"dir": "snap=0", "batch_id": 0}, spark
+    )
+    # ts-moving update: rewrite the OLD 12:00 row to 12:30 (update_rows
+    # keys on the original (timestamp, timeseries_id))
+    assert eng.update_rows([
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 9.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ]) == 1
+    # ...but update_rows preserves ts_raw by design; move ts via a raw
+    # overlay append instead (the only way a ts can move)
+    import shutil
+    shutil.rmtree(eng.overlay_path)
+    overlay = spark.createDataFrame(
+        [("Sa", "2024-08-28T12:30:00Z", 9.0, None, "s1", 0, 1)],
+        "sensor_name string, ts_raw string, value double, "
+        "fc1_flag tinyint, timeseries_id string, ingest_seq long, "
+        "overlay_version int",
+    ).withColumn("ts", F.to_timestamp("ts_raw")).select(
+        "sensor_name", "ts", "ts_raw", "value", "fc1_flag",
+        "timeseries_id", "ingest_seq", "overlay_version",
+    )
+    overlay.write.parquet(eng.overlay_path)
+
+    batch = eng.latest(prefer_snapshot=False).collect()[0]
+    snap = eng.latest().collect()[0]
+    assert batch.ts_raw == "2024-08-28T12:30:00Z" and batch.value == 9.0
+    # snapshot face still serves the pre-move latest (12:05): the
+    # overlay keys on seq 0, which is not in the snapshot's rows
+    assert snap.ts_raw == "2024-08-28T12:05:00Z" and snap.value == 2.0
