@@ -126,12 +126,15 @@ class Repl:
             if not dropped:
                 return "Retention: nothing older than " + cutoff + "."
             return f"Dropped {len(dropped)} chunk(s): {', '.join(dropped)}."
-        if line == "latest":
+        if line == "latest" or line.startswith("latest "):
             # current-state verb (round 8): latest row per series.
             # Round 9: served from the streaming last-value snapshot
             # when one is committed (O(#series)), falling back to the
-            # batch argmax over the live view — engine.latest()
-            return self.engine.latest()
+            # batch argmax over the live view; `latest <timeseries_id>`
+            # narrows to one series (the point read, same as
+            # GET /latest?timeseries_id=)
+            sid = line.split(None, 1)[1].strip() if " " in line else None
+            return self.engine.latest(timeseries_id=sid)
         if line == "profile":
             # data-quality verb (round 8): one-pass column profile of
             # the canonical telemetry view (operators/profile.py) —

@@ -391,3 +391,15 @@ def test_repl_latest_verb_sees_overlay(repl):
     rows = {r.timeseries_id: r.value
             for r in repl.execute("latest").collect()}
     assert rows["s-2"] == 1.5 and rows["s-1"] == 0.9
+
+
+def test_repl_latest_point_read_verb(repl):
+    """round 9: `latest <timeseries_id>` narrows to one series — the
+    REPL twin of GET /latest?timeseries_id=."""
+    repl.execute("insert Sa 2024-08-28T12:00:00Z 0.5 s-1")
+    repl.execute("insert Sa 2024-08-28T12:05:00Z 0.7 s-1")
+    repl.execute("insert Sb 2024-08-28T12:01:00Z 0.2 s-2")
+    out = repl.execute("latest s-1").collect()
+    assert len(out) == 1
+    assert (out[0].timeseries_id, out[0].value) == ("s-1", 0.7)
+    assert repl.execute("latest nope").collect() == []
