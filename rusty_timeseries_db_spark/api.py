@@ -189,6 +189,10 @@ class TimeseriesEngine:
         # and ~1000 bulk batches per engine instance (compaction can
         # re-densify); dense mode stays exactly sequential.
         self._seq += n if dense_seq else (1 << 53)
+        # rows appended through the BATCH path are invisible to any
+        # streaming last-value snapshot — latest() must stop preferring
+        # it from this engine instance on (code-review r9)
+        self._batch_ingested = True
         (
             normalized.withColumn("series_bucket", series_bucket(F.col("timeseries_id")))
             .sortWithinPartitions("timeseries_id", "ts")
@@ -592,7 +596,16 @@ class TimeseriesEngine:
         probe = (
             timeseries_id[:32] if timeseries_id is not None else None
         )
-        if prefer_snapshot:
+        # Mixed-path guard (code-review r9): a snapshot only reflects
+        # STREAM-ingested rows. Once this engine instance appends
+        # through the batch path (REPL insert / ingest_rows /
+        # ingest_df), the snapshot may be stale relative to the base
+        # table, so fall back to the batch argmax from then on. (The
+        # flag is per-instance; a snapshot over a warehouse that some
+        # OTHER process batch-appends into remains the caller's choice
+        # via prefer_snapshot — the wiring contract is streaming-fed
+        # warehouses, see start_streaming_ingest.)
+        if prefer_snapshot and not getattr(self, "_batch_ingested", False):
             snap = self._latest_from_snapshot()
             if snap is not None:
                 if probe is not None:
@@ -667,6 +680,17 @@ class TimeseriesEngine:
             start_telemetry_sink_exactly_once,
         )
 
+        if exactly_once and (quarantine_dir is not None or rollup is not None):
+            # the EO sink has no corrupt-record split or rollup hook:
+            # passing them through would silently commit garbage lines
+            # as all-NULL rows / never refresh the rollup (code-review
+            # r9) — fail loudly instead
+            raise ValueError(
+                "quarantine_dir/rollup are only supported on the "
+                "at-least-once path (exactly_once=False): the "
+                "exactly-once sink has no corrupt-record split or "
+                "rollup refresh hook"
+            )
         queries = []
         stream = read_telemetry_stream(
             self.spark,

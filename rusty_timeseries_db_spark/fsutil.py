@@ -105,11 +105,17 @@ def _manifest_versions(spark: SparkSession, dir_path: str, stem: str):
 def read_versioned_manifest(
     spark: SparkSession, dir_path: str, stem: str
 ) -> dict | None:
-    """The highest-version manifest's dict, or None when none exists."""
+    """The highest-version manifest's dict, or None when none exists.
+    A version that vanished (raced the GC) or fails to decode (torn
+    bytes on a store without atomic rename) falls back to the
+    predecessor rather than raising — the commit protocol keeps one."""
     versions = _manifest_versions(spark, dir_path, stem)
     for n, path in reversed(versions):
-        payload = read_json_manifest(spark, path)
-        if payload is not None:  # raced a GC: fall back one version
+        try:
+            payload = read_json_manifest(spark, path)
+        except ValueError:  # json.JSONDecodeError: torn current version
+            continue
+        if payload is not None:
             return payload
     return None
 

@@ -527,14 +527,16 @@ class IvfIndex:
         """
         man = self._manifest()
         corpus_id = corpus_id or man["corpus_id"]
-        stored_type = self.spark.read.parquet(self.index_path).schema[
-            "_cvec"
-        ].dataType
+        stored = self.spark.read.parquet(self.index_path).schema
         assigned = _probe_cells(
             corpus, corpus_id, corpus_vec, man["centroids"], n_probe=1
         ).select(
-            F.col("_qid").alias("_cid"),
-            F.col("_qvec").cast(stored_type).alias("_cvec"),
+            # BOTH stored columns are cast to the build-time types —
+            # a long-id add into a string-id index (or double vectors
+            # into float) would otherwise poison the parquet
+            # schema merge for every later read (code-review r9)
+            F.col("_qid").cast(stored["_cid"].dataType).alias("_cid"),
+            F.col("_qvec").cast(stored["_cvec"].dataType).alias("_cvec"),
             "_cell",
         )
         # count once, then append from the cached assignment (a

@@ -8178,19 +8178,36 @@ def q_compaction_stats(spark, sf_dir):
     res = compact_partitions(
         spark, path, "part", target_file_mb=128, min_files=1
     )
+    # a LEFT join + data-derived fallback, not an inner join: a
+    # partition the operator skipped (<= min_files, or the (b, -1)
+    # concurrent-append marker) must still appear in the result with
+    # its observable state — the oracle's glob sees every partition
+    # regardless (code-review r9). With the 6-slot construction every
+    # partition compacts in practice; the fallback keeps the query
+    # scale-robust rather than construction-dependent.
     fb = spark.createDataFrame(
-        [(int(lbl), b, a) for lbl, (b, a) in res.items()],
+        [(int(lbl), b, a) for lbl, (b, a) in res.items() if a >= 0],
         "part int, files_before int, files_after int",
     )
-    back = spark.read.parquet(path)
+    # input_file_name is nondeterministic — project it to a real
+    # column first; aggregates may not take it as a direct argument
+    back = spark.read.parquet(path).withColumn(
+        "_fname", F.input_file_name()
+    )
     stats = back.groupBy("part").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.unix_micros("ts")).alias("min_ts_us"),
         F.max(F.unix_micros("ts")).alias("max_ts_us"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+        # fallbacks for untouched partitions — same formulas the
+        # oracle uses, so parity holds with or without the operator row
+        F.countDistinct(F.col("event_id") % 6).cast("int").alias("_slots"),
+        F.countDistinct("_fname").cast("int").alias("_files"),
     )
-    return stats.join(F.broadcast(fb), "part").select(
-        "part", "files_before", "files_after", "n",
-        "min_ts_us", "max_ts_us", "min_value", "max_value",
+    return stats.join(F.broadcast(fb), "part", "left").select(
+        "part",
+        F.coalesce("files_before", F.col("_slots")).alias("files_before"),
+        F.coalesce("files_after", F.col("_files")).alias("files_after"),
+        "n", "min_ts_us", "max_ts_us", "min_value", "max_value",
     )

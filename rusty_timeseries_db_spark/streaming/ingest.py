@@ -224,17 +224,22 @@ def _session(spark: SparkSession | None) -> SparkSession:
 
 def _read_manifest(path: str, spark: SparkSession | None = None) -> dict:
     spark = _session(spark)
-    m = read_versioned_manifest(spark, path, "_manifest")
-    if m is None:  # pre-round-9 single-file manifest (legacy layout)
-        m = read_json_manifest(spark, os.path.join(path, "_manifest.json"))
     try:
+        m = read_versioned_manifest(spark, path, "_manifest")
+        if m is None:  # pre-round-9 single-file manifest (legacy layout)
+            m = read_json_manifest(
+                spark, os.path.join(path, "_manifest.json")
+            )
         return {
             "dirs": list(m["dirs"]),
             "committed_ids": list(m["committed_ids"]),
             "compact_seq": int(m.get("compact_seq", 0)),
             "fingerprints": dict(m.get("fingerprints", {})),
         }
-    except (TypeError, KeyError):
+    # ValueError covers json.JSONDecodeError: a torn/corrupt legacy
+    # manifest degrades to empty (cold start) like the pre-round-9
+    # reader, never a crash loop (code-review r9)
+    except (TypeError, KeyError, ValueError):
         return {
             "dirs": [], "committed_ids": [], "compact_seq": 0,
             "fingerprints": {},
@@ -320,14 +325,26 @@ def commit_batch_exactly_once(
             stacklevel=2,
         )
         d = f"batch_id={batch_id}_h{fp.rsplit(':', 1)[1]}"
+    to_write, obs = normalized, None
+    if fp is None:
+        # common (non-replay) path: fuse the fingerprint aggregation
+        # into the write job via observe() — zero extra passes over
+        # the batch (code-review r9); the rare replay path above still
+        # computes it standalone because the skip decision needs it
+        # BEFORE any write
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        to_write = normalized.observe(obs, *_FP_AGGS())
     (
-        normalized.sortWithinPartitions("timeseries_id", "ts")
+        to_write.sortWithinPartitions("timeseries_id", "ts")
         .write.mode("overwrite")
         .partitionBy("series_bucket")
         .parquet(os.path.join(path, d))
     )
-    if fp is None:
-        fp = _batch_fingerprint(normalized)
+    if obs is not None:
+        got = obs.get
+        fp = _format_fp(got["n"], got["h"])
     fps[str(batch_id)] = seen + [fp]
     man["dirs"] = sorted(set(man["dirs"]) | {d})
     man["committed_ids"] = sorted(set(man["committed_ids"]) | {batch_id})
@@ -342,18 +359,28 @@ def commit_batch_exactly_once(
 _FP_COLS = ["sensor_name", "ts_raw", "value", "fc1_flag", "timeseries_id"]
 
 
+def _FP_AGGS():
+    """The fingerprint's two aggregates — ONE definition shared by the
+    standalone job and the observe()-fused path, so the two can never
+    disagree on a replay comparison."""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*_FP_COLS).cast("decimal(38,0)")).alias("h"),
+    ]
+
+
+def _format_fp(n, h) -> str:
+    return f"{int(n)}:{(int(h) % (1 << 64) if h is not None else 0):016x}"
+
+
 def _batch_fingerprint(normalized: DataFrame) -> str:
     """Order-independent content fingerprint: ``<row_count>:<hex64>``
     where hex64 is the mod-2^64 SUM of per-row xxhash64 over the
     payload columns (sum, not xor — xor cancels duplicate rows; the
     decimal(38,0) sum cannot overflow below ~2^30 rows per batch and
     stays ANSI-safe)."""
-    row = normalized.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*_FP_COLS).cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
-    h = int(row.h) % (1 << 64) if row.h is not None else 0
-    return f"{int(row.n)}:{h:016x}"
+    row = normalized.select(*_FP_AGGS()).collect()[0]
+    return _format_fp(row.n, row.h)
 
 
 def compact_exactly_once(
@@ -597,11 +624,20 @@ def _read_latest_manifest(
     path: str, spark: SparkSession | None = None
 ) -> dict | None:
     spark = _session(spark)
-    m = read_versioned_manifest(spark, path, "_latest")
-    if m is None:  # pre-round-9 single-file pointer (legacy layout)
-        m = read_json_manifest(spark, os.path.join(path, "_latest.json"))
     try:
-        return {"dir": str(m["dir"]), "batch_id": int(m["batch_id"])}
+        m = read_versioned_manifest(spark, path, "_latest")
+        if m is None:  # pre-round-9 single-file pointer (legacy layout)
+            m = read_json_manifest(
+                spark, os.path.join(path, "_latest.json")
+            )
+        out = {"dir": str(m["dir"]), "batch_id": int(m["batch_id"])}
+        if m.get("fp") is not None:
+            out["fp"] = str(m["fp"])
+        return out
+    # ValueError covers json.JSONDecodeError: a torn/corrupt pointer
+    # (non-atomic object-store rename, external damage) degrades to
+    # 'no manifest' like the pre-round-9 reader, never a crash loop
+    # (code-review r9)
     except (TypeError, KeyError, ValueError):
         return None
 
@@ -658,32 +694,6 @@ def start_latest_value_sink(
     def _sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         man = _read_latest_manifest(path, spark)
-        # Replay-skip (code-review r8, narrowed per ADVICE r8 #2):
-        # after a crash BETWEEN the manifest repoint and Spark's
-        # checkpoint commit, this batch id replays with the manifest
-        # already pointing at its own snap dir — re-processing would
-        # read snap=<id> while overwriting it (AnalysisException) and
-        # wedge the stream forever. The manifest IS the commit record
-        # for this sink, so skip on EQUALITY (same id ⇒ same data,
-        # already committed). A STRICTLY greater manifest id only
-        # happens after checkpoint loss/reset, where replayed low ids
-        # may carry genuinely NEW source files — silently skipping
-        # would drop that data, so process them (idempotent: the merge
-        # is a running argmax over snapshot ∪ batch) and warn loudly
-        # that ids and snapshots are out of order until they catch up.
-        if man is not None and man["batch_id"] == batch_id:
-            return
-        if man is not None and man["batch_id"] > batch_id:
-            import warnings
-
-            warnings.warn(
-                f"last-value sink at {path}: replayed batch_id="
-                f"{batch_id} is BELOW the committed manifest batch_id="
-                f"{man['batch_id']} — this indicates checkpoint "
-                "loss/reset; processing the batch (not skipping) so "
-                "new rows in replayed ids are not dropped",
-                stacklevel=2,
-            )
         if "_corrupt_record" in batch.columns:
             # same guard family as start_telemetry_sink: garbage lines
             # must not become phantom NULL-series cache rows (no
@@ -696,10 +706,57 @@ def start_latest_value_sink(
         # a NULL series key cannot identify a series — groupBy would
         # happily keep it and serve a phantom row
         rows = rows.filter(F.col("timeseries_id").isNotNull())
+        # Replay-skip (code-review r8, narrowed per ADVICE r8 #2, then
+        # CONTENT-VERIFIED in round 9 like the exactly-once sink):
+        # after a crash BETWEEN the manifest repoint and Spark's
+        # checkpoint commit, this batch id replays with the manifest
+        # already pointing at its own snap dir — re-processing naively
+        # would read snap=<id> while overwriting it and wedge the
+        # stream. The manifest IS the commit record, so skip on id
+        # EQUALITY only when the stored batch fingerprint matches
+        # (same id + same content ⇒ truly committed); same id with NEW
+        # content means checkpoint loss/reset renumbered new source
+        # files into the committed id — process it (legacy manifests
+        # without a fingerprint keep the plain equality skip). Ids
+        # STRICTLY below the manifest likewise indicate reset and are
+        # processed with a warning. Either way the merge is a running
+        # argmax over snapshot ∪ batch (idempotent), written to a
+        # fresh dir numbered ABOVE the committed one, so the manifest
+        # never points backward and nothing self-overwrites.
+        fp = None
+        if man is not None and man["batch_id"] == batch_id:
+            stored = man.get("fp")
+            if stored is None:
+                return  # legacy manifest: content unverifiable
+            fp = _batch_fingerprint(rows)
+            if fp == stored:
+                return  # true crash-window replay of committed content
+            import warnings
+
+            warnings.warn(
+                f"last-value sink at {path}: committed batch_id="
+                f"{batch_id} replayed with NEW content — this "
+                "indicates checkpoint loss/reset; merging it (not "
+                "skipping) so the new rows are not dropped",
+                stacklevel=2,
+            )
+        elif man is not None and man["batch_id"] > batch_id:
+            import warnings
+
+            warnings.warn(
+                f"last-value sink at {path}: replayed batch_id="
+                f"{batch_id} is BELOW the committed manifest batch_id="
+                f"{man['batch_id']} — this indicates checkpoint "
+                "loss/reset; processing the batch (not skipping) so "
+                "new rows in replayed ids are not dropped",
+                stacklevel=2,
+            )
+        if fp is None:
+            fp = _batch_fingerprint(rows)
         if man is not None:
             prev = spark.read.parquet(os.path.join(path, man["dir"]))
             rows = rows.unionByName(prev)
-            if man["batch_id"] > batch_id:
+            if man["batch_id"] >= batch_id:
                 # post-checkpoint-loss replay writing to snap=<low id>:
                 # never repoint the manifest BACKWARD past newer data —
                 # merge into a fresh dir numbered above the committed
@@ -720,7 +777,7 @@ def start_latest_value_sink(
             os.path.join(path, out)
         )
         _write_latest_manifest_atomic(
-            path, {"dir": out, "batch_id": batch_id}, spark
+            path, {"dir": out, "batch_id": batch_id, "fp": fp}, spark
         )
         if sweep_grace is not None:
             sweep_latest_snapshots(warehouse_dir, sweep_grace, spark)

@@ -1109,8 +1109,129 @@ def test_latest_snapshot_ts_moving_update_divergence_is_as_documented(
     overlay.write.parquet(eng.overlay_path)
 
     batch = eng.latest(prefer_snapshot=False).collect()[0]
-    snap = eng.latest().collect()[0]
+    # eng itself batch-ingested, so ITS latest() now refuses the
+    # snapshot (mixed-path guard); the snapshot face belongs to a
+    # serving-process engine that did no batch writes — a fresh object
+    assert eng.latest().collect()[0].asDict() == batch.asDict()
+    snap = TimeseriesEngine(spark, wh).latest().collect()[0]
     assert batch.ts_raw == "2024-08-28T12:30:00Z" and batch.value == 9.0
     # snapshot face still serves the pre-move latest (12:05): the
     # overlay keys on seq 0, which is not in the snapshot's rows
     assert snap.ts_raw == "2024-08-28T12:05:00Z" and snap.value == 2.0
+
+
+def test_engine_streaming_ingest_rejects_eo_quarantine_combo(
+    spark, tmp_path
+):
+    """code-review r9 #1: the exactly-once sink has no corrupt-record
+    split or rollup hook — asking for them must fail loudly, not
+    silently commit garbage as all-NULL rows."""
+    import pytest
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="at-least-once"):
+        eng.start_streaming_ingest(
+            str(tmp_path / "drop"), exactly_once=True,
+            quarantine_dir=str(tmp_path / "q"),
+        )
+    with pytest.raises(ValueError, match="at-least-once"):
+        eng.start_streaming_ingest(
+            str(tmp_path / "drop"), exactly_once=True, rollup=object(),
+        )
+
+
+def test_latest_stops_preferring_snapshot_after_batch_ingest(
+    spark, tmp_path
+):
+    """code-review r9 #2: rows appended through the BATCH path are
+    invisible to the streaming snapshot — after ingest_rows on this
+    engine instance, latest() must serve the live view, not the stale
+    snapshot (round-8 behavior restored for mixed-path engines)."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _write_latest_manifest_atomic,
+    )
+
+    wh = str(tmp_path / "wh")
+    snap = spark.createDataFrame(
+        [("Sa", "2024-08-28T12:05:00Z", 1.0, None, "s1", 3)],
+        "sensor_name string, ts_raw string, value double, "
+        "fc1_flag tinyint, timeseries_id string, ingest_seq long",
+    ).withColumn("ts", F.to_timestamp("ts_raw")).select(
+        "sensor_name", "ts", "ts_raw", "value", "fc1_flag",
+        "timeseries_id", "ingest_seq",
+    )
+    snap.write.parquet(os.path.join(wh, "latest", "snap=0"))
+    _write_latest_manifest_atomic(
+        os.path.join(wh, "latest"), {"dir": "snap=0", "batch_id": 0}, spark
+    )
+    eng = TimeseriesEngine(spark, wh)
+    assert eng.latest().collect()[0].value == 1.0  # snapshot served
+    # a REPL-style batch insert lands a NEWER row for s1
+    eng.ingest_rows([
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:30:00Z",
+         "value": 9.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ])
+    got = eng.latest().collect()[0]
+    assert (got.ts_raw, got.value) == ("2024-08-28T12:30:00Z", 9.0)
+
+
+def test_latest_value_sink_same_id_new_content_not_dropped(
+    spark, tmp_path
+):
+    """code-review r9 #3: checkpoint loss where the FIRST replayed id
+    EQUALS the committed manifest id (the id-0 single-batch case) —
+    the stored batch fingerprint distinguishes the true crash-window
+    replay (skip) from new content under the same id (merge)."""
+    import shutil
+    import warnings as _warnings
+
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_latest_values,
+        start_latest_value_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    _drop(src, [
+        {"sensor_name": "x", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 1.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ], "b0.jsonl")
+
+    def run():
+        raw = (
+            spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+            .option("maxFilesPerTrigger", "4")
+            .json(src)
+        )
+        q = start_latest_value_sink(raw, wh, available_now=True)
+        q.awaitTermination(120)
+
+    run()  # single batch 0 commits; manifest batch_id=0 with its fp
+
+    # identical replay (checkpoint loss, same file): fp matches → skip
+    shutil.rmtree(os.path.join(wh, "_checkpoints", "latest"))
+    run()
+    got = {r.timeseries_id: r.value
+           for r in read_latest_values(spark, wh).collect()}
+    assert got == {"s1": 1.0}
+
+    # checkpoint loss + ONLY a new file: replays as batch 0 again but
+    # with NEW content — must merge, not skip (the old equality check
+    # dropped this)
+    shutil.rmtree(os.path.join(wh, "_checkpoints", "latest"))
+    shutil.rmtree(src)
+    _drop(src, [
+        {"sensor_name": "x", "timestamp": "2024-08-28T12:09:00Z",
+         "value": 9.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ], "c0.jsonl")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        run()
+    assert any("NEW content" in str(w.message) for w in caught)
+    got = {r.timeseries_id: (str(r.ts), r.value)
+           for r in read_latest_values(spark, wh).collect()}
+    assert got == {"s1": ("2024-08-28 12:09:00", 9.0)}
