@@ -585,13 +585,25 @@ class TimeseriesEngine:
 
         Snapshot-path overlay semantics: overlay rows substitute
         payload/flag values of rows that are already the per-series
-        latest (keyed by ingest_seq — stream and batch ingest share
-        the same assignment). An overlay update that changes a
-        NON-latest row, or changes WHICH row is latest (a ts rewrite),
-        is only reflected by the batch face — flag/value updates (R2,
-        FDD write-back: the reference's only update shapes,
-        main.rs:106-117, 397-405) never move ts, so the served answer
-        matches the batch face for every reference-shaped workload.
+        latest, keyed by ``ingest_seq``. That key only matches when
+        the telemetry sink and the last-value sink numbered their
+        micro-batches identically — true for the supported wiring
+        (``start_streaming_ingest`` starting BOTH sinks over one
+        source with fresh checkpoints; ``normalize_batch`` then stamps
+        the same batch-id-embedded seq on both sides), but NOT
+        enforceable for a last-value sink attached later to a
+        warehouse whose telemetry checkpoint already advanced — there
+        the overlay keys miss the snapshot's rows and flag updates
+        silently stay invisible on the snapshot face (code-review r9).
+        For such retrofitted wirings serve ``prefer_snapshot=False``
+        (or restart both sinks with fresh checkpoints). An overlay
+        update that changes a NON-latest row, or changes WHICH row is
+        latest (a ts rewrite), is likewise only reflected by the batch
+        face — flag/value updates (R2, FDD write-back: the reference's
+        only update shapes, main.rs:106-117, 397-405) never move ts,
+        so the served answer matches the batch face for every
+        reference-shaped workload under the supported wiring
+        (divergence pinned in tests/test_streaming_windows.py).
         """
         probe = (
             timeseries_id[:32] if timeseries_id is not None else None
