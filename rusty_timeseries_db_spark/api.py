@@ -77,6 +77,10 @@ class TimeseriesEngine:
             ["series_bucket", "ds"] if partition_by_date else ["series_bucket"]
         )
         self._seq = 0
+        #: set once a batch append SUCCEEDS on this instance: from then
+        #: on latest() must not prefer a streaming snapshot, which
+        #: cannot see batch-path rows (code-review r9)
+        self._batch_ingested = False
 
     def _active_version(self) -> Optional[int]:
         try:
@@ -189,10 +193,6 @@ class TimeseriesEngine:
         # and ~1000 bulk batches per engine instance (compaction can
         # re-densify); dense mode stays exactly sequential.
         self._seq += n if dense_seq else (1 << 53)
-        # rows appended through the BATCH path are invisible to any
-        # streaming last-value snapshot — latest() must stop preferring
-        # it from this engine instance on (code-review r9)
-        self._batch_ingested = True
         (
             normalized.withColumn("series_bucket", series_bucket(F.col("timeseries_id")))
             .sortWithinPartitions("timeseries_id", "ts")
@@ -200,6 +200,11 @@ class TimeseriesEngine:
             .partitionBy(*self._partition_cols)
             .parquet(self.telemetry_path)
         )
+        # only after the append SUCCEEDED: batch-path rows are
+        # invisible to any streaming last-value snapshot, so latest()
+        # must stop preferring it from this instance on — but a failed
+        # write appended nothing and need not disable the snapshot
+        self._batch_ingested = True
         return n
 
     def update_rows(self, rows: Iterable[Mapping]) -> int:
@@ -617,7 +622,7 @@ class TimeseriesEngine:
         # OTHER process batch-appends into remains the caller's choice
         # via prefer_snapshot — the wiring contract is streaming-fed
         # warehouses, see start_streaming_ingest.)
-        if prefer_snapshot and not getattr(self, "_batch_ingested", False):
+        if prefer_snapshot and not self._batch_ingested:
             snap = self._latest_from_snapshot()
             if snap is not None:
                 if probe is not None:

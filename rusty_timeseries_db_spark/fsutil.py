@@ -105,19 +105,31 @@ def _manifest_versions(spark: SparkSession, dir_path: str, stem: str):
 def read_versioned_manifest(
     spark: SparkSession, dir_path: str, stem: str
 ) -> dict | None:
-    """The highest-version manifest's dict, or None when none exists.
-    A version that vanished (raced the GC) or fails to decode (torn
+    """The highest-version manifest's dict, or None when NO version
+    exists (cold start). A version that vanished (raced the GC — even
+    between the exists probe and the open) or fails to decode (torn
     bytes on a store without atomic rename) falls back to the
-    predecessor rather than raising — the commit protocol keeps one."""
+    predecessor — the commit protocol keeps one. If versions EXIST but
+    none is readable, raise: returning None there would let the caller
+    treat a live-but-damaged manifest as a cold start and rebuild over
+    it, silently discarding the ledger/pointer it held (code-review
+    r9) — crashing keeps the data and lets an operator repair."""
     versions = _manifest_versions(spark, dir_path, stem)
+    if not versions:
+        return None
     for n, path in reversed(versions):
         try:
             payload = read_json_manifest(spark, path)
-        except ValueError:  # json.JSONDecodeError: torn current version
+        except Exception:  # torn JSON, or vanished after the glob
             continue
         if payload is not None:
             return payload
-    return None
+    raise IOError(
+        f"every committed version of manifest {dir_path}/{stem} is "
+        "unreadable — refusing to treat a damaged manifest as absent "
+        "(a rebuild would silently discard its state); inspect/repair "
+        f"the {stem}.v*.json files"
+    )
 
 
 def write_versioned_manifest(

@@ -223,27 +223,38 @@ def _session(spark: SparkSession | None) -> SparkSession:
 
 
 def _read_manifest(path: str, spark: SparkSession | None = None) -> dict:
+    """The exactly-once ledger, or the empty cold-start dict when NO
+    manifest exists. A manifest that EXISTS but cannot be read raises
+    (from the versioned reader, or the wrapper below for the legacy
+    single file): degrading a damaged ledger to 'empty' would let the
+    next commit write a fresh manifest listing only itself —
+    permanently hiding every committed directory and re-admitting
+    replayed batches as duplicates (code-review r9, second pass). A
+    crash keeps the data; retry/repair resolves it."""
     spark = _session(spark)
-    try:
-        m = read_versioned_manifest(spark, path, "_manifest")
-        if m is None:  # pre-round-9 single-file manifest (legacy layout)
-            m = read_json_manifest(
-                spark, os.path.join(path, "_manifest.json")
-            )
-        return {
-            "dirs": list(m["dirs"]),
-            "committed_ids": list(m["committed_ids"]),
-            "compact_seq": int(m.get("compact_seq", 0)),
-            "fingerprints": dict(m.get("fingerprints", {})),
-        }
-    # ValueError covers json.JSONDecodeError: a torn/corrupt legacy
-    # manifest degrades to empty (cold start) like the pre-round-9
-    # reader, never a crash loop (code-review r9)
-    except (TypeError, KeyError, ValueError):
+    m = read_versioned_manifest(spark, path, "_manifest")
+    if m is None:  # pre-round-9 single-file manifest (legacy layout)
+        legacy = os.path.join(path, "_manifest.json")
+        try:
+            m = read_json_manifest(spark, legacy)
+        except ValueError as e:  # json.JSONDecodeError: torn bytes
+            raise IOError(
+                f"legacy exactly-once manifest at {legacy} exists but "
+                "is unreadable — refusing to treat it as empty (a "
+                "rebuild would discard the committed-batch ledger); "
+                "repair or remove the file deliberately"
+            ) from e
+    if m is None:
         return {
             "dirs": [], "committed_ids": [], "compact_seq": 0,
             "fingerprints": {},
         }
+    return {
+        "dirs": list(m["dirs"]),
+        "committed_ids": list(m["committed_ids"]),
+        "compact_seq": int(m.get("compact_seq", 0)),
+        "fingerprints": dict(m.get("fingerprints", {})),
+    }
 
 
 def _write_manifest(
@@ -623,23 +634,32 @@ def stream_stream_join(
 def _read_latest_manifest(
     path: str, spark: SparkSession | None = None
 ) -> dict | None:
+    """The last-value cache pointer, or None when NO pointer exists. A
+    pointer that EXISTS but cannot be read/parsed raises (versioned
+    reader, or the wrapper below for the legacy single file): treating
+    a damaged pointer as 'no snapshot yet' would make the next sink
+    batch rebuild the snapshot WITHOUT merging the previous one —
+    silently evicting every series absent from that one batch
+    (code-review r9, second pass). Crash-and-retry keeps the cache."""
     spark = _session(spark)
-    try:
-        m = read_versioned_manifest(spark, path, "_latest")
-        if m is None:  # pre-round-9 single-file pointer (legacy layout)
-            m = read_json_manifest(
-                spark, os.path.join(path, "_latest.json")
-            )
-        out = {"dir": str(m["dir"]), "batch_id": int(m["batch_id"])}
-        if m.get("fp") is not None:
-            out["fp"] = str(m["fp"])
-        return out
-    # ValueError covers json.JSONDecodeError: a torn/corrupt pointer
-    # (non-atomic object-store rename, external damage) degrades to
-    # 'no manifest' like the pre-round-9 reader, never a crash loop
-    # (code-review r9)
-    except (TypeError, KeyError, ValueError):
+    m = read_versioned_manifest(spark, path, "_latest")
+    if m is None:  # pre-round-9 single-file pointer (legacy layout)
+        legacy = os.path.join(path, "_latest.json")
+        try:
+            m = read_json_manifest(spark, legacy)
+        except ValueError as e:  # json.JSONDecodeError: torn bytes
+            raise IOError(
+                f"legacy last-value pointer at {legacy} exists but is "
+                "unreadable — refusing to treat it as absent (the "
+                "next snapshot would drop every series not in its own "
+                "batch); repair or remove the file deliberately"
+            ) from e
+    if m is None:
         return None
+    out = {"dir": str(m["dir"]), "batch_id": int(m["batch_id"])}
+    if m.get("fp") is not None:
+        out["fp"] = str(m["fp"])
+    return out
 
 
 def start_latest_value_sink(
@@ -751,8 +771,17 @@ def start_latest_value_sink(
                 "new rows in replayed ids are not dropped",
                 stacklevel=2,
             )
+        obs = None
         if fp is None:
-            fp = _batch_fingerprint(rows)
+            # common (non-replay) path: fuse the fingerprint
+            # aggregation into the snapshot-write job via observe() on
+            # the BATCH subtree (pre-union, matching the standalone
+            # formula the replay branch compares against) — zero extra
+            # passes over the batch source (code-review r9, 2nd pass)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            rows = rows.observe(obs, *_FP_AGGS())
         if man is not None:
             prev = spark.read.parquet(os.path.join(path, man["dir"]))
             rows = rows.unionByName(prev)
@@ -776,6 +805,9 @@ def start_latest_value_sink(
         latest.coalesce(snapshot_files).write.mode("overwrite").parquet(
             os.path.join(path, out)
         )
+        if obs is not None:
+            got = obs.get
+            fp = _format_fp(got["n"], got["h"])
         _write_latest_manifest_atomic(
             path, {"dir": out, "batch_id": batch_id, "fp": fp}, spark
         )

@@ -1235,3 +1235,56 @@ def test_latest_value_sink_same_id_new_content_not_dropped(
     got = {r.timeseries_id: (str(r.ts), r.value)
            for r in read_latest_values(spark, wh).collect()}
     assert got == {"s1": ("2024-08-28 12:09:00", 9.0)}
+
+
+def test_damaged_manifests_raise_instead_of_wiping(spark, tmp_path):
+    """code-review r9 (2nd pass): a manifest/pointer that EXISTS but
+    cannot be read must RAISE — degrading it to 'absent' would let the
+    next commit rebuild over it, silently discarding the exactly-once
+    ledger (→ hidden data + replay duplicates) or the last-value
+    snapshot history (→ evicted series). Absent manifests still mean
+    cold start."""
+    import pytest
+
+    from rusty_timeseries_db_spark.fsutil import (
+        read_versioned_manifest,
+        write_versioned_manifest,
+    )
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _read_latest_manifest,
+        _read_manifest,
+    )
+
+    # absent: cold start, no error
+    eo = str(tmp_path / "eo")
+    assert _read_manifest(eo, spark)["committed_ids"] == []
+    assert _read_latest_manifest(str(tmp_path / "lat"), spark) is None
+
+    # torn legacy files: raise with an actionable message
+    os.makedirs(eo)
+    with open(os.path.join(eo, "_manifest.json"), "w") as f:
+        f.write('{"dirs": ["batch_id=0"], "committed')  # truncated
+    with pytest.raises(IOError, match="refusing to treat it as empty"):
+        _read_manifest(eo, spark)
+    lat = str(tmp_path / "lat")
+    os.makedirs(lat)
+    with open(os.path.join(lat, "_latest.json"), "w") as f:
+        f.write("{torn")
+    with pytest.raises(IOError, match="refusing to treat it as absent"):
+        _read_latest_manifest(lat, spark)
+
+    # versioned: torn top version falls back to the predecessor...
+    vd = str(tmp_path / "vd")
+    write_versioned_manifest(spark, vd, "_m", {"i": 1})
+    write_versioned_manifest(spark, vd, "_m", {"i": 2})
+    with open(os.path.join(vd, "_m.v2.json"), "w") as f:
+        f.write("{torn")
+    os.remove(os.path.join(vd, "._m.v2.json.crc"))
+    assert read_versioned_manifest(spark, vd, "_m") == {"i": 1}
+    # ...but when EVERY version is unreadable, raise (never cold-start
+    # over a damaged-but-present manifest)
+    with open(os.path.join(vd, "_m.v1.json"), "w") as f:
+        f.write("{torn too")
+    os.remove(os.path.join(vd, "._m.v1.json.crc"))
+    with pytest.raises(IOError, match="unreadable"):
+        read_versioned_manifest(spark, vd, "_m")
