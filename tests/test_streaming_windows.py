@@ -1288,3 +1288,39 @@ def test_damaged_manifests_raise_instead_of_wiping(spark, tmp_path):
     os.remove(os.path.join(vd, "._m.v1.json.crc"))
     with pytest.raises(IOError, match="unreadable"):
         read_versioned_manifest(spark, vd, "_m")
+
+
+def test_engine_start_streaming_ingest_exactly_once_path(spark, tmp_path):
+    """round 9: the exactly_once=True wiring lands batches in the
+    manifest-committed telemetry_eo table, readable via
+    read_committed_telemetry (not the engine view — documented)."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        committed_batch_ids,
+        read_committed_telemetry,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    rows = [
+        {"sensor_name": "Sa", "timestamp": f"2024-08-28T12:0{i}:00Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for i in range(2)
+    ]
+    _drop(src, rows[:1], "b0.jsonl")
+    _drop(src, rows[1:], "b1.jsonl")
+
+    eng = TimeseriesEngine(spark, wh)
+    queries = eng.start_streaming_ingest(
+        src, exactly_once=True, available_now=True
+    )
+    assert len(queries) == 1
+    queries[0].awaitTermination(120)
+    got = read_committed_telemetry(spark, wh)
+    assert got is not None and got.count() == 2
+    # availableNow without a files-per-trigger cap may fold both files
+    # into one micro-batch — the guarantee is committed ids exist and
+    # every row is committed-visible, not a particular batch split
+    assert committed_batch_ids(
+        os.path.join(wh, "telemetry_eo"), spark
+    ) != []
