@@ -193,6 +193,14 @@ class TimeseriesEngine:
         # and ~1000 bulk batches per engine instance (compaction can
         # re-densify); dense mode stays exactly sequential.
         self._seq += n if dense_seq else (1 << 53)
+        # set BEFORE the write, deliberately (code-review r9, 3rd
+        # pass): a write that FAILS midway can still have committed
+        # some rows on a non-atomic committer — rows a snapshot cannot
+        # see. Err on the fail-safe side: an uncertain append disables
+        # snapshot preference (worst case: the O(history) scan — a
+        # perf cost), never the other way (worst case: serving answers
+        # that silently omit partially-committed rows).
+        self._batch_ingested = True
         (
             normalized.withColumn("series_bucket", series_bucket(F.col("timeseries_id")))
             .sortWithinPartitions("timeseries_id", "ts")
@@ -200,11 +208,6 @@ class TimeseriesEngine:
             .partitionBy(*self._partition_cols)
             .parquet(self.telemetry_path)
         )
-        # only after the append SUCCEEDED: batch-path rows are
-        # invisible to any streaming last-value snapshot, so latest()
-        # must stop preferring it from this instance on — but a failed
-        # write appended nothing and need not disable the snapshot
-        self._batch_ingested = True
         return n
 
     def update_rows(self, rows: Iterable[Mapping]) -> int:
@@ -646,10 +649,27 @@ class TimeseriesEngine:
     def _latest_from_snapshot(self) -> Optional[DataFrame]:
         """The last-value sink's committed snapshot (overlay-merged,
         batch-face column order), or None when no sink has committed
-        into this warehouse."""
+        into this warehouse — or when the snapshot pointer exists but
+        is DAMAGED: the damage contract raises for the WRITER (the
+        sink must never rebuild over a damaged pointer,
+        streaming/ingest.py), but this is a READER with a fully
+        correct fallback one line away (the batch argmax), so a
+        damaged pointer degrades to the fallback with a warning
+        instead of turning every dashboard poll into a 400
+        (code-review r9, 3rd pass)."""
         from .streaming.ingest import read_latest_values
 
-        snap = read_latest_values(self.spark, self.warehouse_dir)
+        try:
+            snap = read_latest_values(self.spark, self.warehouse_dir)
+        except IOError as e:
+            import warnings
+
+            warnings.warn(
+                f"last-value snapshot unreadable ({e}); serving "
+                "latest() from the batch scan until it is repaired",
+                stacklevel=2,
+            )
+            return None
         if snap is None:
             return None
         overlay = self._read_overlay()

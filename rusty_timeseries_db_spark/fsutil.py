@@ -114,22 +114,34 @@ def read_versioned_manifest(
     treat a live-but-damaged manifest as a cold start and rebuild over
     it, silently discarding the ledger/pointer it held (code-review
     r9) — crashing keeps the data and lets an operator repair."""
-    versions = _manifest_versions(spark, dir_path, stem)
-    if not versions:
-        return None
-    for n, path in reversed(versions):
-        try:
-            payload = read_json_manifest(spark, path)
-        except Exception:  # torn JSON, or vanished after the glob
-            continue
-        if payload is not None:
-            return payload
+    last_exc: Exception | None = None
+    prev_versions = None
+    # nothing-readable is re-listed before raising: an external reader
+    # can race TWO writer commits (every version it globbed GC'd away)
+    # — the re-list sees the newer, healthy versions and succeeds; only
+    # a STABLE unreadable set is genuine damage (code-review r9, 3rd
+    # pass)
+    for _attempt in range(3):
+        versions = _manifest_versions(spark, dir_path, stem)
+        if not versions:
+            return None
+        for n, path in reversed(versions):
+            try:
+                payload = read_json_manifest(spark, path)
+            except Exception as e:  # torn JSON, or vanished post-glob
+                last_exc = e
+                continue
+            if payload is not None:
+                return payload
+        if versions == prev_versions:
+            break  # stable AND unreadable: damage, not a race
+        prev_versions = versions
     raise IOError(
         f"every committed version of manifest {dir_path}/{stem} is "
         "unreadable — refusing to treat a damaged manifest as absent "
         "(a rebuild would silently discard its state); inspect/repair "
         f"the {stem}.v*.json files"
-    )
+    ) from last_exc
 
 
 def write_versioned_manifest(

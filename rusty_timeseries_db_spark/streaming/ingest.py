@@ -208,6 +208,23 @@ def start_telemetry_sink(
 
 # ------------------------------------------------ exactly-once sink
 
+def _read_legacy_manifest_or_raise(
+    spark: SparkSession, legacy_path: str, what: str, consequence: str
+) -> dict | None:
+    """Read a pre-round-9 single-file manifest: None when absent (cold
+    start), its dict when readable, and an actionable IOError when it
+    EXISTS but cannot be parsed — one implementation of the
+    damaged-manifest contract for both sinks (code-review r9, 3rd
+    pass)."""
+    try:
+        return read_json_manifest(spark, legacy_path)
+    except ValueError as e:  # json.JSONDecodeError: torn bytes
+        raise IOError(
+            f"legacy {what} at {legacy_path} exists but is unreadable "
+            f"— {consequence}; repair or remove the file deliberately"
+        ) from e
+
+
 def _session(spark: SparkSession | None) -> SparkSession:
     """The session for manifest I/O: the caller's, else the active one
     (the FS gateway lives on the JVM, so some session must exist)."""
@@ -232,29 +249,36 @@ def _read_manifest(path: str, spark: SparkSession | None = None) -> dict:
     replayed batches as duplicates (code-review r9, second pass). A
     crash keeps the data; retry/repair resolves it."""
     spark = _session(spark)
+    consequence = (
+        "refusing to treat it as empty (a rebuild would discard the "
+        "committed-batch ledger)"
+    )
     m = read_versioned_manifest(spark, path, "_manifest")
     if m is None:  # pre-round-9 single-file manifest (legacy layout)
-        legacy = os.path.join(path, "_manifest.json")
-        try:
-            m = read_json_manifest(spark, legacy)
-        except ValueError as e:  # json.JSONDecodeError: torn bytes
-            raise IOError(
-                f"legacy exactly-once manifest at {legacy} exists but "
-                "is unreadable — refusing to treat it as empty (a "
-                "rebuild would discard the committed-batch ledger); "
-                "repair or remove the file deliberately"
-            ) from e
+        m = _read_legacy_manifest_or_raise(
+            spark, os.path.join(path, "_manifest.json"),
+            "exactly-once manifest", consequence,
+        )
     if m is None:
         return {
             "dirs": [], "committed_ids": [], "compact_seq": 0,
             "fingerprints": {},
         }
-    return {
-        "dirs": list(m["dirs"]),
-        "committed_ids": list(m["committed_ids"]),
-        "compact_seq": int(m.get("compact_seq", 0)),
-        "fingerprints": dict(m.get("fingerprints", {})),
-    }
+    try:
+        return {
+            "dirs": list(m["dirs"]),
+            "committed_ids": list(m["committed_ids"]),
+            "compact_seq": int(m.get("compact_seq", 0)),
+            "fingerprints": dict(m.get("fingerprints", {})),
+        }
+    except (TypeError, KeyError, ValueError) as e:
+        # parses as JSON but the wrong shape: same damage contract,
+        # same actionable message — never a bare KeyError crash-loop
+        raise IOError(
+            f"exactly-once manifest under {path} parsed but has an "
+            f"unexpected shape — {consequence}; repair or remove it "
+            "deliberately"
+        ) from e
 
 
 def _write_manifest(
@@ -642,24 +666,29 @@ def _read_latest_manifest(
     silently evicting every series absent from that one batch
     (code-review r9, second pass). Crash-and-retry keeps the cache."""
     spark = _session(spark)
+    consequence = (
+        "refusing to treat it as absent (the next snapshot would drop "
+        "every series not in its own batch)"
+    )
     m = read_versioned_manifest(spark, path, "_latest")
     if m is None:  # pre-round-9 single-file pointer (legacy layout)
-        legacy = os.path.join(path, "_latest.json")
-        try:
-            m = read_json_manifest(spark, legacy)
-        except ValueError as e:  # json.JSONDecodeError: torn bytes
-            raise IOError(
-                f"legacy last-value pointer at {legacy} exists but is "
-                "unreadable — refusing to treat it as absent (the "
-                "next snapshot would drop every series not in its own "
-                "batch); repair or remove the file deliberately"
-            ) from e
+        m = _read_legacy_manifest_or_raise(
+            spark, os.path.join(path, "_latest.json"),
+            "last-value pointer", consequence,
+        )
     if m is None:
         return None
-    out = {"dir": str(m["dir"]), "batch_id": int(m["batch_id"])}
-    if m.get("fp") is not None:
-        out["fp"] = str(m["fp"])
-    return out
+    try:
+        out = {"dir": str(m["dir"]), "batch_id": int(m["batch_id"])}
+        if m.get("fp") is not None:
+            out["fp"] = str(m["fp"])
+        return out
+    except (TypeError, KeyError, ValueError) as e:
+        raise IOError(
+            f"last-value pointer under {path} parsed but has an "
+            f"unexpected shape — {consequence}; repair or remove it "
+            "deliberately"
+        ) from e
 
 
 def start_latest_value_sink(

@@ -1324,3 +1324,54 @@ def test_engine_start_streaming_ingest_exactly_once_path(spark, tmp_path):
     assert committed_batch_ids(
         os.path.join(wh, "telemetry_eo"), spark
     ) != []
+
+
+def test_damaged_pointer_reader_falls_back_writer_raises(spark, tmp_path):
+    """code-review r9 (3rd pass): the damage contract is role-aware —
+    the READER (engine.latest / GET /latest) degrades to the correct
+    batch-argmax fallback with a warning when the snapshot pointer is
+    damaged (no serving outage); direct read_latest_values (and the
+    sink) still raise. Wrong-SHAPE manifests get the same actionable
+    IOError as torn ones, not a bare KeyError."""
+    import json as _json
+    import warnings as _warnings
+
+    import pytest
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _read_latest_manifest,
+        _read_manifest,
+        read_latest_values,
+    )
+
+    wh = str(tmp_path / "wh")
+    eng = TimeseriesEngine(spark, wh)
+    eng.ingest_rows([
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 0.5, "fc1_flag": None, "timeseries_id": "s1"},
+    ])
+    eng2 = TimeseriesEngine(spark, wh)  # fresh: would prefer a snapshot
+    lat = os.path.join(wh, "latest")
+    os.makedirs(lat)
+    with open(os.path.join(lat, "_latest.json"), "w") as f:
+        f.write("{torn")
+    with pytest.raises(IOError):
+        read_latest_values(spark, wh)  # the raw reader keeps the raise
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = eng2.latest().collect()  # the serving wrapper falls back
+    assert any("snapshot unreadable" in str(w.message) for w in caught)
+    assert [(r.timeseries_id, r.value) for r in got] == [("s1", 0.5)]
+
+    # wrong-shape (valid JSON, missing keys): actionable IOError
+    with open(os.path.join(lat, "_latest.json"), "w") as f:
+        _json.dump({"nope": 1}, f)
+    with pytest.raises(IOError, match="unexpected shape"):
+        _read_latest_manifest(lat, spark)
+    eo = str(tmp_path / "eo")
+    os.makedirs(eo)
+    with open(os.path.join(eo, "_manifest.json"), "w") as f:
+        _json.dump([1, 2], f)
+    with pytest.raises(IOError, match="unexpected shape"):
+        _read_manifest(eo, spark)
