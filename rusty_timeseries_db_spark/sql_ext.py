@@ -188,19 +188,9 @@ def _mask_string_literals(query: str) -> str:
 
 def _top_level_qualify_matches(masked: str) -> list[re.Match]:
     """QUALIFY keyword occurrences at paren depth 0 of the masked
-    statement; a QUALIFY inside a subquery (nonzero depth) raises —
-    rewriting it as top-level would produce a confusing ParseException
-    on text the user never wrote (ADVICE r7).
-
-    Nested-QUALIFY support (VERDICT r8 stretch #8) is DEFERRED to
-    round 10, deliberately: the innermost-first rewrite touches this
-    shared masking/rewrite path, which would put q_qualify_sql,
-    q_asof_sql and q_asof_qualify_sql back into the driver's 50-slot
-    correctness window and evict part of the r05 staleness tier the
-    round-9 window exists to discharge (queries.py window comment).
-    The error below keeps the failure mode loud and actionable in the
-    meantime; DuckDB accepts nested QUALIFY, so the parity tests for
-    the r10 implementation are already free."""
+    statement. Callers extract nested (depth > 0) occurrences FIRST
+    via ``_extract_nested_qualify`` — one reaching this function is a
+    rewrite-ordering bug, so it raises rather than mis-parsing."""
     depth = 0
     top: list[re.Match] = []
     matches = list(_QUALIFY_KW.finditer(masked))
@@ -215,12 +205,95 @@ def _top_level_qualify_matches(masked: str) -> list[re.Match]:
         elif i in starts:
             if depth > 0:
                 raise ValueError(
-                    "QUALIFY inside a subquery is not supported — apply "
-                    "it in the outer query or rewrite the subquery with "
-                    "row_number() manually"
+                    "QUALIFY inside a subquery survived nested "
+                    "extraction — rewrite-ordering bug; call "
+                    "_extract_nested_qualify first"
                 )
             top.append(starts[i])
     return top
+
+
+def _find_deepest_nested_qualify(
+    masked: str,
+) -> tuple[int, int] | None:
+    """Locate the DEEPEST subquery-nested QUALIFY of the masked
+    statement: returns (open_paren_idx, close_paren_idx) of its
+    enclosing parenthesized block, or None when every QUALIFY sits at
+    paren depth 0 (or there is none). Deepest-first guarantees the
+    extracted block contains no further nested QUALIFY of its own —
+    any same-or-shallower occurrences live in OTHER blocks and are
+    picked up by the caller's loop."""
+    qstarts = {m.start() for m in _QUALIFY_KW.finditer(masked)}
+    if not qstarts:
+        return None
+    stack: list[int] = []
+    best: tuple[int, int] | None = None  # (depth, open_idx)
+    for i, c in enumerate(masked):
+        if c == "(":
+            stack.append(i)
+        elif c == ")":
+            if stack:
+                stack.pop()
+        elif i in qstarts and stack:
+            if best is None or len(stack) > best[0]:
+                best = (len(stack), stack[-1])
+    if best is None:
+        return None
+    open_idx = best[1]
+    depth = 0
+    for i in range(open_idx, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return (open_idx, i)
+    raise ValueError(
+        "unbalanced parentheses around a nested QUALIFY clause"
+    )
+
+
+def _extract_nested_qualify(spark: SparkSession, query: str) -> str:
+    """Nested-QUALIFY support (round 10; the rewrite deferred from r9
+    at the old raise site): each parenthesized subquery containing a
+    QUALIFY — derived table, IN/EXISTS body, scalar subquery, CTE
+    body — is extracted INNERMOST-FIRST, run through the block-level
+    rewrite recursively (``sql_with_qualify`` on the block text, so
+    the established two-form nested/inline fallback and the
+    ``__qualify`` column drop apply per block), registered as a temp
+    view, and substituted back as ``(SELECT * FROM <view>)`` — the
+    same view-substitution pattern the ASOF rewrite uses, valid in
+    every subquery position. Returns statement text whose remaining
+    QUALIFY clauses (if any) are all at paren depth 0.
+
+    The substituted view is a LAZY DataFrame over the block's plan —
+    Catalyst inlines it, so the final physical plan is identical to a
+    hand-written nested-subquery rewrite (WindowGroupLimit still
+    applies to row_number QUALIFYs; plan-asserted in tests).
+
+    Limitation (documented): a CORRELATED subquery whose QUALIFY block
+    references outer-query columns cannot be planned standalone — the
+    recursive rewrite surfaces Spark's unresolved-column
+    AnalysisException naming the outer column."""
+    while True:
+        span = _find_deepest_nested_qualify(_mask_string_literals(query))
+        if span is None:
+            return query
+        open_idx, close_idx = span
+        block = query[open_idx + 1 : close_idx]
+        if not _QUERY_START.match(block):
+            raise ValueError(
+                "QUALIFY inside a non-query parenthesis — the enclosing "
+                f"block {block[:80]!r}... does not start a SELECT/WITH/"
+                "VALUES/TABLE subquery"
+            )
+        view = f"_qualify_sql_{next(_VIEW_SEQ)}"
+        sql_with_qualify(spark, block).createOrReplaceTempView(view)
+        query = (
+            query[: open_idx + 1]
+            + f"SELECT * FROM {view}"
+            + query[close_idx:]
+        )
 
 
 def _split_qualify_pred(rest: str) -> tuple[str, str]:
@@ -281,13 +354,17 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
     always tried first so select-list-alias references keep their
     established resolution.
 
-    Exactly one top-level QUALIFY is supported; a QUALIFY inside a
-    subquery is not (raises rather than mis-parsing). Statements
-    without the clause pass straight to ``spark.sql``.
+    Exactly one QUALIFY per query block is supported (one top-level
+    clause, plus any number of subquery-nested ones — each nested
+    block is extracted and rewritten recursively by
+    ``_extract_nested_qualify``, round 10). Statements without the
+    clause pass straight to ``spark.sql``.
     """
     # detect on a literal-masked copy: QUALIFY inside a string literal
-    # is data, not syntax ("WHERE note = 'QUALIFY pending'"); a
-    # subquery-nested QUALIFY raises inside _top_level_qualify_matches
+    # is data, not syntax ("WHERE note = 'QUALIFY pending'").
+    # Subquery-nested QUALIFYs are extracted innermost-first into temp
+    # views before the top-level rewrite below runs.
+    query = _extract_nested_qualify(spark, query)
     matches = _top_level_qualify_matches(_mask_string_literals(query))
     if not matches:
         return spark.sql(query)

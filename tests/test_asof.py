@@ -450,19 +450,135 @@ def test_sql_asof_composes_with_qualify(spark):
     assert sorted(out["k"]) == sorted(ref["k"]) and len(out) == out["k"].nunique()
 
 
-def test_sql_qualify_nested_in_subquery_raises_cleanly(spark):
-    """ADVICE r7: a QUALIFY at nonzero paren depth must raise a clear
-    ValueError, not rewrite the statement as if top-level and fail
-    with a ParseException on text the user never wrote."""
+def _nested_qualify_fixture(spark):
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+         ("b", 4, 5.0), ("b", 5, 7.0)],
+        "k string, id int, v double",
+    ).createOrReplaceTempView("qualify_nested_t")
+
+
+def test_sql_qualify_nested_in_derived_table(spark):
+    """Round 10 (the rewrite r9 deferred): QUALIFY inside a derived
+    table is extracted innermost-first and rewritten — the outer query
+    aggregates the block's filtered rows, and the __qualify helper
+    column never leaks through the block's SELECT *."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    _nested_qualify_fixture(spark)
+    out = sql_with_qualify(
+        spark,
+        "SELECT k, COUNT(*) AS n, SUM(v) AS s FROM ("
+        "  SELECT k, v FROM qualify_nested_t"
+        "  QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) <= 2"
+        ") t GROUP BY k ORDER BY k",
+    ).collect()
+    assert [(r.k, r.n, r.s) for r in out] == [("a", 2, 50.0), ("b", 2, 12.0)]
+
+
+def test_sql_qualify_nested_in_cte_and_in_subquery(spark):
+    """The extraction anchors on the parenthesized block, so CTE
+    bodies and IN-subqueries work identically to derived tables."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    _nested_qualify_fixture(spark)
+    cte = sql_with_qualify(
+        spark,
+        "WITH top2 AS ("
+        "  SELECT k, v FROM qualify_nested_t"
+        "  QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) <= 2"
+        ") SELECT k, COUNT(*) AS n FROM top2 GROUP BY k ORDER BY k",
+    ).collect()
+    assert [(r.k, r.n) for r in cte] == [("a", 2), ("b", 2)]
+
+    ins = sql_with_qualify(
+        spark,
+        "SELECT id FROM qualify_nested_t WHERE id IN ("
+        "  SELECT id FROM qualify_nested_t"
+        "  QUALIFY row_number() OVER (ORDER BY v DESC) <= 2"
+        ") ORDER BY id",
+    ).collect()
+    assert [r.id for r in ins] == [2, 3]
+
+
+def test_sql_qualify_nested_plus_top_level_compose(spark):
+    """One statement may carry a nested QUALIFY AND a top-level one —
+    one per query block; two in the SAME block still raises."""
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    _nested_qualify_fixture(spark)
+    out = sql_with_qualify(
+        spark,
+        "SELECT k, SUM(v) AS s FROM ("
+        "  SELECT k, v FROM qualify_nested_t"
+        "  QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) <= 2"
+        ") t GROUP BY k "
+        "QUALIFY rank() OVER (ORDER BY SUM(v) DESC) = 1",
+    ).collect()
+    assert [(r.k, r.s) for r in out] == [("a", 50.0)]
+    with pytest.raises(ValueError, match="one QUALIFY"):
+        sql_with_qualify(
+            spark,
+            "SELECT * FROM (SELECT k FROM qualify_nested_t "
+            "QUALIFY row_number() OVER (ORDER BY k) = 1 "
+            "QUALIFY rank() OVER (ORDER BY k) = 1) t",
+        )
+
+
+def test_sql_qualify_two_nested_blocks(spark):
+    """Two independent QUALIFY subqueries in one FROM (self-join of a
+    top-1 and a bottom-1 block) — the extraction loop rewrites each."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    _nested_qualify_fixture(spark)
+    out = sql_with_qualify(
+        spark,
+        "SELECT a.k, a.v AS top_v, b.v AS bot_v FROM ("
+        "  SELECT k, v FROM qualify_nested_t"
+        "  QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) = 1"
+        ") a JOIN ("
+        "  SELECT k, v FROM qualify_nested_t"
+        "  QUALIFY row_number() OVER (PARTITION BY k ORDER BY v ASC, id) = 1"
+        ") b ON a.k = b.k ORDER BY a.k",
+    ).collect()
+    assert [(r.k, r.top_v, r.bot_v) for r in out] == [
+        ("a", 30.0, 10.0), ("b", 7.0, 5.0),
+    ]
+
+
+def test_sql_qualify_nested_keeps_window_group_limit(spark):
+    """The view substitution must not cost the WindowGroupLimit
+    optimization a hand-written nested subquery gets — the row_number
+    top-k filter should still prune per-group state in the physical
+    plan."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    _nested_qualify_fixture(spark)
+    df = sql_with_qualify(
+        spark,
+        "SELECT k, COUNT(*) AS n FROM ("
+        "  SELECT k, v FROM qualify_nested_t"
+        "  QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) <= 2"
+        ") t GROUP BY k",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_sql_qualify_in_non_query_paren_raises(spark):
+    """A QUALIFY inside parens that do not open a subquery must raise
+    the clear ValueError, not a ParseException on rewritten text."""
     import pytest
 
     from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
 
     spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("qualify_n")
-    with pytest.raises(ValueError, match="inside a subquery"):
+    with pytest.raises(ValueError, match="non-query parenthesis"):
         sql_with_qualify(
             spark,
-            "SELECT * FROM (SELECT x FROM qualify_n QUALIFY x = 1) t",
+            "SELECT (x + QUALIFY) FROM qualify_n",
         )
 
 
