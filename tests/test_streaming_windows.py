@@ -1293,7 +1293,8 @@ def test_damaged_manifests_raise_instead_of_wiping(spark, tmp_path):
 def test_engine_start_streaming_ingest_exactly_once_path(spark, tmp_path):
     """round 9: the exactly_once=True wiring lands batches in the
     manifest-committed telemetry_eo table, readable via
-    read_committed_telemetry (not the engine view — documented)."""
+    read_committed_telemetry (round 10: ALSO served through the
+    engine surface — covered by the serving tests below)."""
     from rusty_timeseries_db_spark.api import TimeseriesEngine
     from rusty_timeseries_db_spark.streaming.ingest import (
         committed_batch_ids,
@@ -1324,6 +1325,98 @@ def test_engine_start_streaming_ingest_exactly_once_path(spark, tmp_path):
     assert committed_batch_ids(
         os.path.join(wh, "telemetry_eo"), spark
     ) != []
+
+
+def test_exactly_once_table_served_through_engine_surface(spark, tmp_path):
+    """Round 10 (VERDICT r9 next-round #2): with
+    start_streaming_ingest(exactly_once=True), the committed rows are
+    visible through engine.telemetry() / query_by_id / latest — the
+    stronger-guarantee wiring keeps the full query surface. A replayed
+    batch stays invisible through the same surface (the manifest skip),
+    and mixed batch+exactly-once warehouses serve the union."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        commit_batch_exactly_once,
+        normalize_batch,
+    )
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    rows = [
+        {"sensor_name": "Sa", "timestamp": f"2024-08-28T12:0{i}:00Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for i in range(3)
+    ]
+    _drop(src, rows, "b0.jsonl")
+    eng = TimeseriesEngine(spark, wh)
+    eng.start_streaming_ingest(
+        src, exactly_once=True, available_now=True
+    )[0].awaitTermination(120)
+
+    # full surface, auto-detected: telemetry / query_by_id / latest
+    assert eng.telemetry().count() == 3
+    got = eng.query_by_id(
+        "s1", "2024-08-28T12:00:00Z", "2024-08-28T12:01:00Z"
+    ).collect()
+    assert [r.value for r in got] == [0.0, 1.0]
+    lat = eng.latest(prefer_snapshot=False).collect()
+    assert [(r.timeseries_id, r.value) for r in lat] == [("s1", 2.0)]
+
+    # a crash-replay of an already-committed batch is skipped by the
+    # manifest — and therefore invisible through the engine surface
+    path = os.path.join(wh, "telemetry_eo")
+    replay = spark.createDataFrame(
+        [(r["sensor_name"], r["timestamp"], r["value"], None,
+          r["timeseries_id"]) for r in rows],
+        TELEMETRY_INGEST_SCHEMA,
+    )
+    assert commit_batch_exactly_once(
+        normalize_batch(replay, 0), 0, path
+    ) is False
+    assert eng.telemetry().count() == 3
+
+    # mixed warehouse: a batch append lands beside the committed rows
+    # and the surface serves the union of the two disjoint stores
+    eng.ingest_rows([
+        {"sensor_name": "Sb", "timestamp": "2024-08-28T13:00:00Z",
+         "value": 9.0, "fc1_flag": None, "timeseries_id": "s2"},
+    ])
+    assert eng.telemetry().count() == 4
+    assert {r.timeseries_id for r in eng.latest().collect()} == {"s1", "s2"}
+
+    # mode pins: False restores the pre-round-10 view; True serves an
+    # empty (not missing) table when nothing has committed yet
+    assert TimeseriesEngine(
+        spark, wh, exactly_once=False
+    ).telemetry().count() == 1
+    empty_wh = str(tmp_path / "wh_empty")
+    assert TimeseriesEngine(
+        spark, empty_wh, exactly_once=True
+    ).telemetry().count() == 0
+
+
+def test_exactly_once_damaged_manifest_propagates_to_reads(spark, tmp_path):
+    """The EO serving reader has no correct fallback (committed rows
+    exist nowhere else), so a damaged manifest RAISES through
+    engine.telemetry() — unlike the last-value snapshot reader, which
+    degrades to the batch argmax it can compute anyway."""
+    import pytest
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    wh = str(tmp_path / "wh")
+    eo = os.path.join(wh, "telemetry_eo")
+    os.makedirs(eo)
+    with open(os.path.join(eo, "_manifest.json"), "w") as f:
+        f.write("{torn")
+    eng = TimeseriesEngine(spark, wh)
+    with pytest.raises(IOError):
+        eng.telemetry().count()
+    # an explicit opt-out still serves the (empty) batch face
+    assert TimeseriesEngine(
+        spark, wh, exactly_once=False
+    ).telemetry().count() == 0
 
 
 def test_damaged_pointer_reader_falls_back_writer_raises(spark, tmp_path):
