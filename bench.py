@@ -155,6 +155,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     _bench_serving_reads(spark, sf_dir, timings, exclude)
+    calibration = _calibration_seconds(spark)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -164,9 +165,52 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # machine-drift normalizer (VERDICT r9 next-round #4):
+                # fixed CPU-bound work that never touches parquet or
+                # the JSON-recorded queries. Two rounds in a row the
+                # suite moved ~1.3x for purely environmental reasons,
+                # each costing a hand-run code-pinned bisect (SCALE.md
+                # r8/r9 drift notes); dividing suite ratios by the
+                # calibration ratio separates machine drift from code
+                # regressions without a worktree A/B.
+                "calibration_seconds": calibration,
             }
         )
     )
+
+
+def _calibration_seconds(spark) -> float:
+    """Fixed-work calibration: xxhash64+sum over an in-memory range
+    with one small groupBy shuffle — deterministic CPU-bound work, no
+    file I/O, so its per-round ratio measures the MACHINE, not the
+    code or the data layout. One untimed warm run removes codegen
+    compile noise, matching the suite's steady-state protocol; the
+    reported figure is the median of 3 timed runs (a single run still
+    jitters ~10% under co-tenant load — the very effect this entry
+    measures)."""
+    from pyspark.sql import functions as F
+
+    def _plan():
+        return (
+            spark.range(0, 50_000_000, 1, 32)
+            .groupBy((F.col("id") % 1024).alias("g"))
+            .agg(
+                # decimal(38,0) sum: 5e7 signed-64 hashes overflow a
+                # LongType sum under ANSI mode
+                F.sum(F.xxhash64("id").cast("decimal(38,0)")).alias("h")
+            )
+        )
+
+    _plan().write.format("noop").mode("overwrite").save()  # warm
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _plan().write.format("noop").mode("overwrite").save()
+        reps.append(time.perf_counter() - t0)
+    cal = round(sorted(reps)[1], 4)
+    print(f"# calibration: {cal:.3f}s (reps {[round(r, 3) for r in reps]})",
+          file=sys.stderr)
+    return cal
 
 
 def _bench_serving_reads(spark, sf_dir: str, timings: dict, exclude) -> None:
@@ -239,8 +283,26 @@ def _bench_serving_reads(spark, sf_dir: str, timings: dict, exclude) -> None:
             _write_latest_manifest_atomic(
                 latest_root, {"dir": "snap=0", "batch_id": 0}, spark
             )
+            # time on a FRESH engine instance (ADVICE r9 #1): the
+            # instance above batch-ingested, so ITS latest() takes the
+            # _batch_ingested mixed-path guard and re-runs the batch
+            # argmax — timing two scans, not the snapshot read. A
+            # fresh instance over the same warehouse is exactly the
+            # serving process the route runs in.
+            snap_eng = TimeseriesEngine(spark, wh)
+            snap_df = snap_eng.latest()
+            # fail LOUDLY if the guard ever redirects this entry back
+            # to the batch face: the snapshot plan must read only the
+            # snap dir, never the telemetry base
+            snap_files = set(snap_df.inputFiles())
+            assert snap_files and all(
+                "/latest/snap=" in f for f in snap_files
+            ), (
+                "serve_latest_snapshot is NOT reading the snapshot dir "
+                f"— gate is timing the wrong path: {sorted(snap_files)[:3]}"
+            )
             t0 = time.perf_counter()
-            eng.latest().write.format("noop").mode("overwrite").save()
+            snap_df.write.format("noop").mode("overwrite").save()
             timings["serve_latest_snapshot"] = round(
                 time.perf_counter() - t0, 4
             )

@@ -102,6 +102,27 @@ def _manifest_versions(spark: SparkSession, dir_path: str, stem: str):
     return out
 
 
+def _is_manifest_read_error(e: Exception) -> bool:
+    """True for the failures ``read_json_manifest`` produces on a torn
+    or VANISHED manifest file — decode errors (json.JSONDecodeError /
+    UnicodeDecodeError ⊂ ValueError), missing-file IO errors
+    (FileNotFoundError/IOError ⊂ OSError), and the Py4J-wrapped
+    ``java.io.FileNotFoundException`` a GC race surfaces between the
+    exists probe and the open. False for everything else (JVM/Py4J
+    connectivity, FS auth, ...) — those are environment failures, not
+    manifest damage, and must propagate (ADVICE r9 #3)."""
+    if isinstance(e, (ValueError, OSError)):
+        return True
+    jexc = getattr(e, "java_exception", None)
+    if jexc is not None:
+        try:
+            cls = str(jexc.getClass().getName())
+        except Exception:
+            return False
+        return cls.endswith("FileNotFoundException")
+    return False
+
+
 def read_versioned_manifest(
     spark: SparkSession, dir_path: str, stem: str
 ) -> dict | None:
@@ -128,7 +149,15 @@ def read_versioned_manifest(
         for n, path in reversed(versions):
             try:
                 payload = read_json_manifest(spark, path)
-            except Exception as e:  # torn JSON, or vanished post-glob
+            except Exception as e:
+                if not _is_manifest_read_error(e):
+                    # genuine infrastructure failure (JVM/Py4J hiccup,
+                    # FS connectivity/auth): propagate with its own
+                    # message — misreporting it as 'every version
+                    # unreadable' would direct the operator to repair
+                    # healthy manifest files (ADVICE r9 #3)
+                    raise
+                # torn JSON, or vanished post-glob — try the predecessor
                 last_exc = e
                 continue
             if payload is not None:

@@ -22,7 +22,10 @@ Capability extension beyond the reference's two routes:
   discipline as /query_by_id: ``toLocalIterator`` + row cap + 413.
 - ``GET /latest`` — current state: the latest row per series
   (engine.latest, the batch face of the streaming last-value cache).
-  One row per series, same row cap.
+  One row per series, same row cap. ``?prefer_snapshot=false`` (r10,
+  ADVICE r9 #2) opts into the correct-anywhere batch scan for
+  warehouses that another process batch-appends into (the mixed-path
+  guard is per-engine-instance and cannot see cross-process appends).
 
 Implementation notes: ``ThreadingHTTPServer`` on a daemon thread; the
 Spark driver is shared (py4j is thread-safe) and every request funnels
@@ -204,9 +207,21 @@ class TelemetryHttpServer:
                     # narrows to one series (the "what is sensor X
                     # now" point read). Output is one row per series,
                     # so the same row cap bounds driver memory.
-                    sid = parse_qs(url.query).get(
-                        "timeseries_id", [None]
-                    )[0]
+                    qs = parse_qs(url.query)
+                    sid = qs.get("timeseries_id", [None])[0]
+                    # ?prefer_snapshot=false (ADVICE r9 #2): the
+                    # _batch_ingested mixed-path guard is per-engine-
+                    # instance, so a warehouse some OTHER process
+                    # batch-appends into can serve a stale streaming
+                    # snapshot with no HTTP-reachable remediation —
+                    # this opt-in forwards the correct-anywhere batch
+                    # scan to such deployments without code changes.
+                    # Anything except an explicit false/0/no keeps the
+                    # snapshot-preferring default.
+                    prefer = qs.get("prefer_snapshot", ["true"])[0]
+                    prefer_snapshot = prefer.strip().lower() not in (
+                        "false", "0", "no",
+                    )
                     payload = []
                     try:
                         # execution-time Spark failures must map to the
@@ -214,7 +229,8 @@ class TelemetryHttpServer:
                         # socket from an uncaught handler exception
                         # (ADVICE r8 #3)
                         for r in engine.latest(
-                            timeseries_id=sid
+                            prefer_snapshot=prefer_snapshot,
+                            timeseries_id=sid,
                         ).toLocalIterator():
                             if len(payload) >= max_query_rows:
                                 self._reply(

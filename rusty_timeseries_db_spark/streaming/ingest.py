@@ -262,7 +262,7 @@ def _read_manifest(path: str, spark: SparkSession | None = None) -> dict:
     if m is None:
         return {
             "dirs": [], "committed_ids": [], "compact_seq": 0,
-            "fingerprints": {},
+            "fingerprints": {}, "hwm": -1, "folded_fps": [],
         }
     try:
         return {
@@ -270,6 +270,14 @@ def _read_manifest(path: str, spark: SparkSession | None = None) -> dict:
             "committed_ids": list(m["committed_ids"]),
             "compact_seq": int(m.get("compact_seq", 0)),
             "fingerprints": dict(m.get("fingerprints", {})),
+            # round 10 (ADVICE r9 #4): compaction folds per-batch
+            # ledger entries below its point into (hwm, folded_fps) so
+            # the per-micro-batch manifest rewrite stops growing one
+            # dict entry per batch forever — ids <= hwm are committed
+            # by definition, their content fingerprints pooled in one
+            # flat set. Pre-r10 manifests: no fold yet.
+            "hwm": int(m.get("hwm", -1)),
+            "folded_fps": list(m.get("folded_fps", [])),
         }
     except (TypeError, KeyError, ValueError) as e:
         # parses as JSON but the wrong shape: same damage contract,
@@ -291,9 +299,14 @@ def committed_batch_ids(
     path: str, spark: SparkSession | None = None
 ) -> list[int]:
     """Every micro-batch id whose write has committed — the replay-skip
-    set. Survives compaction (ids stay listed after their directories
-    are folded away, or a replayed old batch would re-append)."""
-    return _read_manifest(path, spark)["committed_ids"]
+    set. Survives compaction: ids folded below the manifest's
+    high-water mark are re-materialized here (Spark numbers epochs
+    densely, so the implied set is exactly ``range(hwm+1)``); this is
+    a diagnostic helper — on a manifest with millions of folded
+    batches the materialized list is large, while the commit path
+    itself only compares against ``hwm``."""
+    man = _read_manifest(path, spark)
+    return sorted(set(man["committed_ids"]) | set(range(man["hwm"] + 1)))
 
 
 def visible_batch_dirs(
@@ -340,10 +353,19 @@ def commit_batch_exactly_once(
     spark = normalized.sparkSession
     man = _read_manifest(path, spark)
     fps = man["fingerprints"]
-    seen = list(fps.get(str(batch_id), []))
+    own = list(fps.get(str(batch_id), []))
+    seen = list(own)
+    folded = batch_id <= man["hwm"]
+    if folded:
+        # ids at/below the compaction fold verify against the pooled
+        # fingerprint set (their per-id entries were collapsed) — a
+        # replay whose content is committed ANYWHERE below the fold is
+        # safely skipped: that content already lives in the compacted
+        # dir, so re-admitting it under a different id would duplicate
+        seen += man["folded_fps"]
     d = f"batch_id={batch_id}"
     fp = None
-    if batch_id in man["committed_ids"]:
+    if folded or batch_id in man["committed_ids"]:
         if not seen:
             return False  # legacy manifest: unverifiable — old behavior
         fp = _batch_fingerprint(normalized)
@@ -380,9 +402,12 @@ def commit_batch_exactly_once(
     if obs is not None:
         got = obs.get
         fp = _format_fp(got["n"], got["h"])
-    fps[str(batch_id)] = seen + [fp]
+    # per-id entry regains only ITS OWN fingerprints plus the new one —
+    # never the pooled folded set it was compared against
+    fps[str(batch_id)] = own + [fp]
     man["dirs"] = sorted(set(man["dirs"]) | {d})
-    man["committed_ids"] = sorted(set(man["committed_ids"]) | {batch_id})
+    if not folded:  # ids <= hwm are committed by definition already
+        man["committed_ids"] = sorted(set(man["committed_ids"]) | {batch_id})
     _write_manifest(path, man, spark)
     return True
 
@@ -456,16 +481,33 @@ def compact_exactly_once(
         .partitionBy("series_bucket")
         .parquet(os.path.join(path, out))
     )
+    # Fold the ledger below the compaction point (round 10, ADVICE r9
+    # #4): the per-batch ids/fingerprint entries collapse into a
+    # high-water mark + one pooled fingerprint set, so the JSON the
+    # sink rewrites EVERY micro-batch stops growing one dict entry per
+    # batch forever. The exactly-once meaning is preserved exactly:
+    # id <= hwm ⇒ committed; a folded id replaying committed content
+    # (fp ∈ folded_fps) skips; a folded id delivering NEW content
+    # (checkpoint-loss renumbering) still misses the pool and lands in
+    # a content-addressed dir with a warning — never silently dropped.
+    # folded_fps itself grows one ~22-char string per folded batch
+    # (the irreducible cost of content-verified replays; bound
+    # documented in SCALE.md) — the dict keys, list nesting and
+    # committed_ids ints it replaces roughly double that, and dirs
+    # stays O(1) after every compaction.
+    all_ids = set(man["committed_ids"]) | set(range(man["hwm"] + 1))
+    folded_fps = set(man["folded_fps"])
+    for entry in man["fingerprints"].values():
+        folded_fps.update(entry)
     _write_manifest(
         path,
         {
             "dirs": [out],
-            # committed_ids AND their fingerprints survive compaction:
-            # a replayed already-folded batch must still verify as
-            # already-committed content, not re-append
-            "committed_ids": man["committed_ids"],
+            "committed_ids": [],
             "compact_seq": seq + 1,
-            "fingerprints": man["fingerprints"],
+            "fingerprints": {},
+            "hwm": max(all_ids, default=-1),
+            "folded_fps": sorted(folded_fps),
         },
         spark,
     )
@@ -740,6 +782,14 @@ def start_latest_value_sink(
             "(sweep_latest_snapshots' contract)"
         )
 
+    #: warn-once latch for the checkpoint-reset branch below (ADVICE
+    #: r9 #5): after a reset, EVERY subsequent batch id of the re-
+    #: numbered stream sits below the (bumped) manifest id — the gap
+    #: is expected steady state, and re-warning per micro-batch
+    #: forever would drown the one genuine reset signal. Per-query-run
+    #: scope (closure), so a NEW restart of the sink warns once again.
+    _reset_warned = {"done": False}
+
     def _sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         man = _read_latest_manifest(path, spark)
@@ -790,16 +840,21 @@ def start_latest_value_sink(
                 stacklevel=2,
             )
         elif man is not None and man["batch_id"] > batch_id:
-            import warnings
+            if not _reset_warned["done"]:
+                _reset_warned["done"] = True
+                import warnings
 
-            warnings.warn(
-                f"last-value sink at {path}: replayed batch_id="
-                f"{batch_id} is BELOW the committed manifest batch_id="
-                f"{man['batch_id']} — this indicates checkpoint "
-                "loss/reset; processing the batch (not skipping) so "
-                "new rows in replayed ids are not dropped",
-                stacklevel=2,
-            )
+                warnings.warn(
+                    f"last-value sink at {path}: replayed batch_id="
+                    f"{batch_id} is BELOW the committed manifest "
+                    f"batch_id={man['batch_id']} — this indicates "
+                    "checkpoint loss/reset; processing the batch (not "
+                    "skipping) so new rows in replayed ids are not "
+                    "dropped (warned once per sink run; post-reset "
+                    "batches stay below the bumped manifest id by "
+                    "construction)",
+                    stacklevel=2,
+                )
         obs = None
         if fp is None:
             # common (non-replay) path: fuse the fingerprint

@@ -431,6 +431,64 @@ def test_get_latest_route_serves_committed_snapshot(spark, tmp_path):
     assert rows["s-2"]["value"] == 0.2
 
 
+def test_get_latest_prefer_snapshot_false_param(spark, tmp_path):
+    """ADVICE r9 #2: the _batch_ingested guard is per-engine-instance,
+    so a warehouse that a DIFFERENT process batch-appends into can be
+    served a stale snapshot with no HTTP remediation —
+    ?prefer_snapshot=false must forward to engine.latest's batch-face
+    scan so mixed-path deployments can opt into the correct-anywhere
+    read without code changes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        _write_latest_manifest_atomic,
+    )
+
+    wh = str(tmp_path / "wh")
+    # another process batch-appends a newer row for s-1...
+    writer_eng = TimeseriesEngine(spark, wh)
+    writer_eng.ingest_rows([
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T13:00:00Z",
+         "value": 5.0, "fc1_flag": None, "timeseries_id": "s-1"},
+    ])
+    # ...while the warehouse still carries an older committed snapshot
+    snap = spark.createDataFrame(
+        [("Sa", "2024-08-28T12:05:00Z", 0.9, None, "s-1", 11)],
+        "sensor_name string, ts_raw string, value double, "
+        "fc1_flag tinyint, timeseries_id string, ingest_seq long",
+    ).withColumn("ts", F.to_timestamp("ts_raw")).select(
+        "sensor_name", "ts", "ts_raw", "value", "fc1_flag",
+        "timeseries_id", "ingest_seq",
+    )
+    snap.write.parquet(os.path.join(wh, "latest", "snap=4"))
+    _write_latest_manifest_atomic(
+        os.path.join(wh, "latest"), {"dir": "snap=4", "batch_id": 4}, spark
+    )
+
+    # the SERVING engine is a fresh instance: its per-instance guard
+    # cannot know about the other process's append
+    srv = TelemetryHttpServer(TimeseriesEngine(spark, wh), port=0).start()
+    try:
+        with urllib.request.urlopen(f"{srv.base_url}/latest") as resp:
+            stale = json.loads(resp.read())
+        with urllib.request.urlopen(
+            f"{srv.base_url}/latest?prefer_snapshot=false"
+        ) as resp:
+            fresh = json.loads(resp.read())
+        # garbage values keep the snapshot-preferring default
+        with urllib.request.urlopen(
+            f"{srv.base_url}/latest?prefer_snapshot=maybe"
+        ) as resp:
+            dflt = json.loads(resp.read())
+    finally:
+        srv.stop()
+    assert [r["value"] for r in stale] == [0.9]  # the documented trap
+    assert [r["value"] for r in fresh] == [5.0]  # the opt-out sees it
+    assert [r["value"] for r in dflt] == [0.9]
+
+
 def test_get_latest_execution_error_maps_to_400(spark, tmp_path):
     """ADVICE r8 #3: an execution-time failure inside GET /latest must
     reply 400 with the error text — not drop the socket."""

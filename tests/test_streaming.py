@@ -362,6 +362,68 @@ def test_exactly_once_checkpoint_reset_new_content_not_dropped(
     assert read_committed_telemetry(spark, wh).count() == 2
 
 
+def test_exactly_once_compaction_folds_ledger(spark, tmp_path):
+    """Round 10 (ADVICE r9 #4): compaction collapses the per-batch
+    ids/fingerprint dict into (hwm, folded_fps) so the manifest the
+    sink rewrites every micro-batch stops growing one entry per batch
+    forever — while keeping every replay semantic: folded-content
+    replays skip, new content under a folded id content-addresses with
+    a warning, and committed_batch_ids still materializes the implied
+    id set."""
+    import warnings as _warnings
+
+    from rusty_timeseries_db_spark.streaming.ingest import _read_manifest
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows,
+            "sensor_name string, timestamp string, value double, "
+            "fc1_flag int, timeseries_id string",
+        )
+
+    a = _df([("x", "2024-08-28T12:00:00Z", 1.0, None, "s1")])
+    b = _df([("x", "2024-08-28T12:01:00Z", 2.0, None, "s1")])
+    c = _df([("x", "2024-08-28T12:02:00Z", 3.0, None, "s1")])
+    assert commit_batch_exactly_once(normalize_batch(a, 0), 0, path)
+    assert commit_batch_exactly_once(normalize_batch(b, 1), 1, path)
+    assert compact_exactly_once(spark, wh) == 2
+
+    man = _read_manifest(path, spark)
+    assert man["hwm"] == 1
+    assert man["committed_ids"] == [] and man["fingerprints"] == {}
+    assert len(man["folded_fps"]) == 2
+    assert committed_batch_ids(path, spark) == [0, 1]
+
+    # a post-fold commit adds exactly ONE per-id entry; a second
+    # compaction folds it into the pool without re-growing the dict
+    assert commit_batch_exactly_once(normalize_batch(c, 2), 2, path)
+    man = _read_manifest(path, spark)
+    assert man["committed_ids"] == [2]
+    assert list(man["fingerprints"]) == ["2"]
+    assert compact_exactly_once(spark, wh) == 2
+    man = _read_manifest(path, spark)
+    assert man["hwm"] == 2 and man["committed_ids"] == []
+    assert len(man["folded_fps"]) == 3
+
+    # folded-content replay skips; new content under a folded id is
+    # content-addressed and warned — never dropped, never duplicated
+    assert commit_batch_exactly_once(normalize_batch(a, 0), 0, path) is False
+    d = _df([("x", "2024-08-28T12:09:00Z", 9.0, None, "s1")])
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert commit_batch_exactly_once(
+            normalize_batch(d, 1), 1, path
+        ) is True
+    assert any("NEW content" in str(w.message) for w in caught)
+    got = read_committed_telemetry(spark, wh)
+    assert got.count() == 4
+    assert commit_batch_exactly_once(normalize_batch(d, 1), 1, path) is False
+    assert read_committed_telemetry(spark, wh).count() == 4
+
+
 def test_exactly_once_legacy_manifest_skips_on_id(spark, tmp_path):
     """Pre-round-9 manifests carry no fingerprints: a committed id
     replay cannot be content-verified, so the old skip-on-id behavior

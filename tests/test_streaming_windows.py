@@ -687,6 +687,60 @@ def test_latest_value_sink_checkpoint_reset_keeps_new_data(spark, tmp_path):
     assert got == {"s1": ("2024-08-28 12:05:00", 9.0)}
 
 
+def test_latest_value_sink_reset_warns_once_per_run(spark, tmp_path):
+    """ADVICE r9 #5: after a checkpoint reset, EVERY batch of the
+    renumbered stream sits below the bumped manifest id — the warning
+    must fire once per sink run, not once per micro-batch, or the
+    perpetual noise drowns the one genuine reset signal. A fresh sink
+    START warns again (new run, new latch)."""
+    import shutil
+    import warnings as _warnings
+
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_latest_values,
+        start_latest_value_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    for i in range(3):
+        _drop(src, [
+            {"sensor_name": "x", "timestamp": f"2024-08-28T12:0{i}:00Z",
+             "value": float(i), "fc1_flag": None, "timeseries_id": "s1"},
+        ], f"b{i}.jsonl")
+
+    def run():
+        raw = (
+            spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = start_latest_value_sink(raw, wh, available_now=True)
+        q.awaitTermination(120)
+
+    run()  # manifest now at batch_id=2
+
+    # reset with THREE genuinely-new files: they replay as batches
+    # 0/1/2, all below the (progressively re-bumped) manifest id
+    shutil.rmtree(str(tmp_path / "wh" / "_checkpoints" / "latest"))
+    shutil.rmtree(src)
+    for i in range(3):
+        _drop(src, [
+            {"sensor_name": "x", "timestamp": f"2024-08-28T13:0{i}:00Z",
+             "value": 10.0 + i, "fc1_flag": None, "timeseries_id": "s1"},
+        ], f"c{i}.jsonl")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        run()
+    resets = [w for w in caught if "checkpoint loss" in str(w.message)]
+    assert len(resets) == 1, [str(w.message) for w in resets]
+    # all three new rows still merged (warn-once must not skip-once)
+    got = {r.timeseries_id: r.value
+           for r in read_latest_values(spark, wh).collect()}
+    assert got == {"s1": 12.0}
+
+
 # ---------------------------------------------------------------------------
 # Round 9: snapshot-backed serving + storage-agnostic streaming manifests
 # ---------------------------------------------------------------------------
@@ -881,6 +935,7 @@ def test_manifest_legacy_single_file_fallback(spark, tmp_path):
     assert man == {
         "dirs": ["batch_id=0"], "committed_ids": [0], "compact_seq": 2,
         "fingerprints": {},  # legacy manifests carry none
+        "hwm": -1, "folded_fps": [],  # ...nor a round-10 ledger fold
     }
     assert committed_batch_ids(eo, spark) == [0]
 
@@ -1286,6 +1341,39 @@ def test_damaged_manifests_raise_instead_of_wiping(spark, tmp_path):
     with open(os.path.join(vd, "_m.v1.json"), "w") as f:
         f.write("{torn too")
     os.remove(os.path.join(vd, "._m.v1.json.crc"))
+    with pytest.raises(IOError, match="unreadable"):
+        read_versioned_manifest(spark, vd, "_m")
+
+
+def test_versioned_manifest_infra_errors_propagate(spark, tmp_path, monkeypatch):
+    """ADVICE r9 #3: a transient ENVIRONMENT failure (JVM/Py4J hiccup,
+    FS connectivity) that persists across the relist attempts must
+    propagate with its own message — not be misreported as 'every
+    committed version is unreadable' damage directing the operator to
+    repair healthy manifest files. Decode/missing-file errors keep the
+    damage path."""
+    import pytest
+
+    from rusty_timeseries_db_spark import fsutil
+    from rusty_timeseries_db_spark.fsutil import (
+        read_versioned_manifest,
+        write_versioned_manifest,
+    )
+
+    vd = str(tmp_path / "vd")
+    write_versioned_manifest(spark, vd, "_m", {"i": 1})
+
+    def _infra_boom(spark_, path):
+        raise RuntimeError("Py4J connection dropped")
+
+    monkeypatch.setattr(fsutil, "read_json_manifest", _infra_boom)
+    with pytest.raises(RuntimeError, match="Py4J connection dropped"):
+        read_versioned_manifest(spark, vd, "_m")
+
+    def _damage_boom(spark_, path):
+        raise ValueError("torn bytes")
+
+    monkeypatch.setattr(fsutil, "read_json_manifest", _damage_boom)
     with pytest.raises(IOError, match="unreadable"):
         read_versioned_manifest(spark, vd, "_m")
 
