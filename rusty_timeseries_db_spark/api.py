@@ -735,11 +735,66 @@ class TimeseriesEngine:
             return None
         overlay = self._read_overlay()
         if overlay is not None:
+            self._warn_if_retrofitted_snapshot()
             snap = apply_overlay(snap, overlay)
         cols = ["timeseries_id"] + [
             c for c in snap.columns if c != "timeseries_id"
         ]
         return snap.select(*cols)
+
+    def _warn_if_retrofitted_snapshot(self) -> None:
+        """Turn the one SILENT snapshot-face divergence window into an
+        operational signal (VERDICT r9 next-round #3): a last-value
+        sink retrofitted onto a warehouse whose telemetry checkpoint
+        already advanced numbers its micro-batches from 0 while the
+        telemetry rows carry higher batch-id-embedded ``ingest_seq`` —
+        the overlay merge below keys on ``ingest_seq``, so flag
+        updates silently stay invisible on the snapshot face (the
+        docstring contract on ``latest``). Detection: compare the two
+        sinks' committed checkpoint epochs. Under the supported wiring
+        (``start_streaming_ingest`` starting both sinks over one
+        source with fresh checkpoints) they track within one batch of
+        each other; a telemetry checkpoint MORE than one epoch ahead
+        means the snapshot's seq lineage cannot match the overlay
+        keys. Warned once per engine instance, and only when an
+        overlay actually exists to merge (without one there is nothing
+        to diverge). Local-FS checkpoint layout only — same assumption
+        the engine's version pointer already makes."""
+        if getattr(self, "_retrofit_warned", False):
+            return
+
+        def _max_epoch(d: str) -> Optional[int]:
+            try:
+                return max(
+                    (int(n) for n in os.listdir(d) if n.isdigit()),
+                    default=None,
+                )
+            except OSError:
+                return None
+
+        tel = _max_epoch(
+            os.path.join(self.warehouse_dir, "_checkpoints/ingest/offsets")
+        )
+        lat = _max_epoch(
+            os.path.join(self.warehouse_dir, "_checkpoints/latest/offsets")
+        )
+        if tel is None or lat is None:
+            return  # not a dual-sink streaming warehouse (or remote FS)
+        if tel > lat + 1:
+            self._retrofit_warned = True
+            import warnings
+
+            warnings.warn(
+                f"last-value sink checkpoint (epoch {lat}) trails the "
+                f"telemetry sink checkpoint (epoch {tel}) by more than "
+                "one batch — the snapshot was likely retrofitted onto "
+                "an already-advanced warehouse, so overlay flag "
+                "updates CANNOT match the snapshot's ingest_seq "
+                "lineage and are invisible on the snapshot face; serve "
+                "latest(prefer_snapshot=False) or restart both sinks "
+                "with fresh checkpoints (engine.latest docstring)",
+                stacklevel=3,
+            )
 
     def start_streaming_ingest(
         self,

