@@ -556,6 +556,20 @@ class TimeseriesEngine:
             self.spark, self.telemetry_path, "ds", cutoff_date, depth=1
         )
 
+    def drop_exactly_once_before(self, cutoff_ts: str) -> list[str]:
+        """Retention for the exactly-once table (round 10): drop every
+        committed ``telemetry_eo`` directory whose rows are all older
+        than ``cutoff_ts``, manifest-atomically — the
+        :meth:`drop_chunks_before` analog for the ``batch_id=N`` /
+        ``compact=N`` layout (streaming/ingest.py
+        drop_exactly_once_older_than for the protocol and the
+        whole-dir granularity contract)."""
+        from .streaming.ingest import drop_exactly_once_older_than
+
+        return drop_exactly_once_older_than(
+            self.spark, self.warehouse_dir, cutoff_ts
+        )
+
     def continuous_rollup(
         self,
         window: str = "5 minutes",

