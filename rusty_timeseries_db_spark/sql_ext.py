@@ -391,12 +391,22 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
     # ASOF+QUALIFY statement
     # identifiers only — \w+\.\w+ would also match decimal literals
     # like 0.95 and wrongly flip the rewrite order
+    masked_pred = _mask_string_literals(pred)
     dotted = re.search(
-        r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*\b(?!\s*\()",
-        _mask_string_literals(pred),
+        r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*\b(?!\s*\()", masked_pred
+    )
+    # the other documented nested-form can't-resolve shape (round 10):
+    # an AGGREGATE call in the predicate under a GROUP BY head
+    # ("QUALIFY rank() OVER (ORDER BY sum(v) ...)") — the aggregate's
+    # input columns don't survive the subquery boundary either, so
+    # the nested form is a guaranteed analysis failure there too
+    agg_under_group = _AGG_CALL_RE.search(masked_pred) and (
+        _has_top_level_group_by(_mask_string_literals(head))
     )
     first, second = (
-        (inlined, outer) if (dotted and inlined) else (outer, inlined)
+        (inlined, outer)
+        if ((dotted or agg_under_group) and inlined)
+        else (outer, inlined)
     )
     try:
         return spark.sql(first).drop("__qualify")
@@ -407,6 +417,32 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
             return spark.sql(second).drop("__qualify")
         except AnalysisException:
             raise first_err from None
+
+
+#: aggregate-function calls whose presence in a QUALIFY predicate
+#: (under a GROUP BY head) routes the inline form first — window
+#: functions like rank()/row_number() are absent deliberately: they
+#: resolve fine in the nested form unless their OVER clause contains
+#: one of these
+_AGG_CALL_RE = re.compile(
+    r"\b(?:sum|count|avg|mean|min|max|stddev(?:_samp|_pop)?|"
+    r"var(?:iance)?(?:_samp|_pop)?|first|last|any_value|"
+    r"collect_(?:list|set)|percentile(?:_approx)?|median|"
+    r"approx_count_distinct|count_if|bool_(?:and|or)|"
+    r"string_agg|listagg)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _has_top_level_group_by(masked_head: str) -> bool:
+    """True when the (masked) head carries a paren-depth-0 GROUP BY."""
+    for mm in re.finditer(r"\bGROUP\s+BY\b", masked_head, re.IGNORECASE):
+        depth = masked_head.count("(", 0, mm.start()) - masked_head.count(
+            ")", 0, mm.start()
+        )
+        if depth == 0:
+            return True
+    return False
 
 
 def _inline_qualify_form(head: str, pred: str, tail: str) -> str | None:
