@@ -126,6 +126,22 @@ class Repl:
             if not dropped:
                 return "Retention: nothing older than " + cutoff + "."
             return f"Dropped {len(dropped)} chunk(s): {', '.join(dropped)}."
+        if line.startswith("retention_eo "):
+            # maintenance verb (round 10): retention on the
+            # exactly-once batch_id=N/compact=N layout — whole
+            # committed dirs fully older than the cutoff, dropped
+            # manifest-atomically (api.drop_exactly_once_before)
+            cutoff = line.split(None, 1)[1].strip()
+            try:
+                dropped = self.engine.drop_exactly_once_before(cutoff)
+            except ValueError as e:
+                return f"Error: {e}"
+            if not dropped:
+                return "Retention: nothing fully older than " + cutoff + "."
+            return (
+                f"Dropped {len(dropped)} committed dir(s): "
+                f"{', '.join(dropped)}."
+            )
         if line == "latest" or line.startswith("latest "):
             # current-state verb (round 8): latest row per series.
             # Round 9: served from the streaming last-value snapshot

@@ -173,6 +173,35 @@ def test_repl_maintenance_verbs(spark, tmp_path):
     assert Repl(eng2).execute("retention 2024-01-01").startswith("Error:")
 
 
+def test_repl_retention_eo_verb(spark, tmp_path):
+    """Round 10: the retention_eo verb maps onto
+    drop_exactly_once_before with the same plain-summary replies."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.repl import Repl
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        commit_batch_exactly_once,
+        normalize_batch,
+    )
+
+    wh = str(tmp_path / "wh")
+    raw = spark.createDataFrame(
+        [("x", "2024-01-01T00:00:00Z", 1.0, None, "s1")],
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string",
+    )
+    commit_batch_exactly_once(
+        normalize_batch(raw, 0), 0, os.path.join(wh, "telemetry_eo")
+    )
+    repl = Repl(TimeseriesEngine(spark, wh))
+    assert repl.execute("retention_eo nonsense").startswith("Error:")
+    assert repl.execute("retention_eo 2023-01-01") == (
+        "Retention: nothing fully older than 2023-01-01."
+    )
+    assert repl.execute("retention_eo 2024-06-01") == (
+        "Dropped 1 committed dir(s): batch_id=0."
+    )
+
+
 def test_sweep_residue_removes_only_crash_leftovers(spark, tmp_path):
     from rusty_timeseries_db_spark.operators.maintenance import sweep_residue
 
