@@ -46,6 +46,24 @@ STORED_TELEMETRY_SCHEMA = StructType(
 DEFAULT_FAULT_THRESHOLD = 0.95
 DEFAULT_FLAG_VALUE = 1
 
+#: Read-time remap offset for exactly-once rows' ingest_seq (round 10,
+#: code-review): the EO sink and the batch path assign seqs from two
+#: UNRELATED lineages (stream batch_id * 1e12 + i vs engine-local
+#: dense/bulk counters), so raw values collide — and the overlay merge
+#: keys row identity on ingest_seq alone, which would let a flag
+#: update targeting a batch row silently substitute an unrelated EO
+#: row's whole payload (or vice versa). The union therefore serves EO
+#: rows with seq' = seq - 2^62: a strictly NEGATIVE band (stream seqs
+#: stay far below 2^62 — batch ids would need ~4.6e6 years at 1 batch/
+#: second to reach it) disjoint from the batch path's non-negative
+#: seqs, with EO-internal order preserved (constant shift). Overlay
+#: rows built from the read surface inherit the remapped key, so they
+#: rebind to exactly the store they targeted. Same-(series, ts) ties
+#: between the two stores order the batch row last (positive > any
+#: negative) — ties across unrelated lineages carry no arrival-order
+#: meaning either way.
+_EO_SEQ_OFFSET = 1 << 62
+
 
 class TimeseriesEngine:
     """A telemetry store + query surface over a Parquet warehouse dir.
@@ -149,6 +167,12 @@ class TimeseriesEngine:
             if not self.exactly_once:
                 return None  # auto-detect: nothing committed
             df = self.spark.createDataFrame([], STORED_TELEMETRY_SCHEMA)
+        # remap into the reserved negative seq band (_EO_SEQ_OFFSET):
+        # overlay row identity must be unambiguous across the two
+        # seq lineages the union serves
+        df = df.withColumn(
+            "ingest_seq", F.col("ingest_seq") - F.lit(_EO_SEQ_OFFSET)
+        )
         if keep_ds:
             df = df.withColumn(
                 "ds",
@@ -190,12 +214,21 @@ class TimeseriesEngine:
         REPL and every HTTP route serve the stronger-guarantee table
         through the SAME surface (VERDICT r9 next-round #2; see
         ``exactly_once`` on the constructor for the mode switch).
+        ``as_of_seq`` snapshots remain defined on the BATCH lineage
+        only: a sequence number from ``current_seq()`` says nothing
+        about which stream batches had committed at that moment (the
+        two lineages are unrelated counters), so a seq-filtered read
+        of the union would be neither the pre-stream view nor any
+        consistent point in time — exactly-once rows are excluded
+        from snapshot reads; use the EO manifest's ``committed_ids``
+        for stream-side replay/audit semantics.
         """
-        base = self._read_base_union_eo()
         if as_of_seq is not None:
-            return base.filter(F.col("ingest_seq") <= as_of_seq).drop(
-                "series_bucket"
-            )
+            # batch lineage only — see the contract note above
+            return self._read_base().filter(
+                F.col("ingest_seq") <= as_of_seq
+            ).drop("series_bucket")
+        base = self._read_base_union_eo()
         overlay = self._read_overlay()
         df = apply_overlay(base, overlay) if overlay is not None else base
         return df.drop("series_bucket")
@@ -412,12 +445,39 @@ class TimeseriesEngine:
            merge of identical rows);
         4. best-effort delete the previous base dir (a crash leaves an
            orphan dir that the next compact removes).
+
+        Round 10 (code-review): overlay rows targeting EXACTLY-ONCE
+        rows (negative remapped seqs — FDD write-back / update_rows
+        against stream-committed data) cannot fold into the batch
+        base; they are RETAINED in the overlay instead of deleted —
+        deleting them would silently erase every flag set on EO rows.
+        Only batch-targeting (non-negative-seq) rows fold and clear.
         """
         import shutil
 
+        # crash recovery: a previous compact() that died between its
+        # overlay clear and the retained-rows rename (the one narrow
+        # loss window below) leaves the EO overlay stranded in the
+        # sibling dir — restore it before anything else, or the early
+        # return on an 'absent' overlay would orphan it forever
+        retained_tmp = self.overlay_path + "__retained"
+        if not os.path.isdir(self.overlay_path) and os.path.isdir(
+            retained_tmp
+        ):
+            os.rename(retained_tmp, self.overlay_path)
         overlay = self._read_overlay()
         if overlay is None:
             return self.count()
+        # split by target store BEFORE any mutation; the retained EO
+        # rows are written to a sibling dir NOW (pre-swap) so the
+        # post-swap step is just a rename — never a Spark job reading
+        # the directory it replaces, and the loss window is one rename
+        eo_overlay = overlay.filter(F.col("ingest_seq") < 0)
+        shutil.rmtree(retained_tmp, ignore_errors=True)
+        n_eo = eo_overlay.count()
+        if n_eo:
+            eo_overlay.write.mode("overwrite").parquet(retained_tmp)
+        overlay = overlay.filter(F.col("ingest_seq") >= 0)
         old_version = self._active_version()
         new_version = 1 if old_version is None else old_version + 1
         new_path = os.path.join(
@@ -446,6 +506,16 @@ class TimeseriesEngine:
             os.fsync(f.fileno())
         os.replace(tmp_ptr, self._version_file)
         shutil.rmtree(self.overlay_path, ignore_errors=True)
+        if n_eo:
+            # re-seed the overlay with the retained EO-targeting rows.
+            # Crash windows: before the pointer swap nothing changed
+            # (the retained dir is overwritten next run); after the
+            # swap but before the rmtree, the FULL old overlay
+            # re-applies onto the new base — idempotent for the folded
+            # rows, EO rows untouched; between rmtree and this rename
+            # the EO flags are absent from reads until compact()
+            # re-runs (the narrowest achievable window: one rename)
+            os.rename(retained_tmp, self.overlay_path)
         # reclaim superseded bases (incl. orphans from crashed compacts)
         for name in os.listdir(self.warehouse_dir):
             full = os.path.join(self.warehouse_dir, name)

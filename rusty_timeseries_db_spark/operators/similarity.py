@@ -471,8 +471,21 @@ class IvfIndex:
     #: default drift threshold for should_rebuild / the query() warning
     #: — past 20% incrementally-added rows, probe-ordering quality has
     #: measurably drifted for typical corpora (the FAISS add-vs-train
-    #: rule of thumb); callers with recall tests can tune per index.
+    #: rule of thumb). Callers with recall tests tune per index by
+    #: setting ``idx.max_added_frac`` (consulted by BOTH should_rebuild
+    #: and query()'s warning, so a validated policy silences the hot
+    #: path too) or per call via the max_added_frac arguments.
     DEFAULT_MAX_ADDED_FRAC = 0.2
+
+    #: per-instance override of DEFAULT_MAX_ADDED_FRAC (None = default)
+    max_added_frac: float | None = None
+
+    def _drift_threshold(self, override: float | None = None) -> float:
+        if override is not None:
+            return override
+        if self.max_added_frac is not None:
+            return self.max_added_frac
+        return self.DEFAULT_MAX_ADDED_FRAC
 
     def should_rebuild(self, max_added_frac: float | None = None) -> bool:
         """The recall-drift contract of :meth:`add`, as a method
@@ -486,11 +499,7 @@ class IvfIndex:
 
         man = self._manifest()
         frac = self._added_frac(man)
-        limit = (
-            self.DEFAULT_MAX_ADDED_FRAC
-            if max_added_frac is None
-            else max_added_frac
-        )
+        limit = self._drift_threshold(max_added_frac)
         logging.getLogger(__name__).info(
             "IVF index %s: n_added/n_rows = %.4f (threshold %.4f)",
             self.index_path, frac, limit,
@@ -513,15 +522,17 @@ class IvfIndex:
     ) -> DataFrame:
         man = self._manifest()
         frac = self._added_frac(man)
-        if frac > self.DEFAULT_MAX_ADDED_FRAC:
+        limit = self._drift_threshold()
+        if frac > limit:
             import warnings
 
             warnings.warn(
                 f"IVF index {self.index_path}: {frac:.1%} of rows were "
                 "added after the quantizer was fit — probe-ordering "
-                "recall has drifted past the documented threshold "
-                f"({self.DEFAULT_MAX_ADDED_FRAC:.0%}); rebuild with "
-                "build() (results stay exact within probed cells)",
+                "recall has drifted past the configured threshold "
+                f"({limit:.0%}); rebuild with build() (results stay "
+                "exact within probed cells), or set idx.max_added_frac "
+                "to a recall-validated bound",
                 stacklevel=2,
             )
         corpus_id = man["corpus_id"]

@@ -250,8 +250,8 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
 
 def _ordered_registry() -> list[QuerySpec]:
     """This round's new/modified queries first, then stalest-driver-row
-    first (r05-last, then r06, r07, r08); declaration order breaks
-    ties (Python sort is stable)."""
+    first (r06-last, then r07, then the r08 dict-default, then r09);
+    declaration order breaks ties (Python sort is stable)."""
     names = {q.name for q in _REGISTRY}
     assert _ROUND_MODIFIED <= names, (
         f"stale name in _ROUND_MODIFIED: {_ROUND_MODIFIED - names}"

@@ -271,10 +271,14 @@ def _extract_nested_qualify(spark: SparkSession, query: str) -> str:
     hand-written nested-subquery rewrite (WindowGroupLimit still
     applies to row_number QUALIFYs; plan-asserted in tests).
 
-    Limitation (documented): a CORRELATED subquery whose QUALIFY block
-    references outer-query columns cannot be planned standalone — the
-    recursive rewrite surfaces Spark's unresolved-column
-    AnalysisException naming the outer column."""
+    Blocks that CANNOT be planned standalone — a CTE body referencing
+    a PRECEDING CTE of the same WITH clause, or a correlated subquery
+    referencing outer-query columns — fall back to a pure-text rewrite
+    left in place (``_textual_qualify_rewrite``), so those names
+    resolve in their original scope when the full statement is planned
+    (code-review r10; the view path is preferred when it works because
+    its runtime two-form retry is more robust than the textual
+    heuristic)."""
     while True:
         span = _find_deepest_nested_qualify(_mask_string_literals(query))
         if span is None:
@@ -287,8 +291,18 @@ def _extract_nested_qualify(spark: SparkSession, query: str) -> str:
                 f"block {block[:80]!r}... does not start a SELECT/WITH/"
                 "VALUES/TABLE subquery"
             )
+        try:
+            df = sql_with_qualify(spark, block)
+        except AnalysisException:
+            # scope-dependent block: rewrite in place, textually
+            query = (
+                query[: open_idx + 1]
+                + _textual_qualify_rewrite(block)
+                + query[close_idx:]
+            )
+            continue
         view = f"_qualify_sql_{next(_VIEW_SEQ)}"
-        sql_with_qualify(spark, block).createOrReplaceTempView(view)
+        df.createOrReplaceTempView(view)
         query = (
             query[: open_idx + 1]
             + f"SELECT * FROM {view}"
@@ -389,23 +403,9 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
     # nested form; going inline first avoids a guaranteed analysis
     # failure (and the ERROR Spark logs for it) on the common composed
     # ASOF+QUALIFY statement
-    # identifiers only — \w+\.\w+ would also match decimal literals
-    # like 0.95 and wrongly flip the rewrite order
-    masked_pred = _mask_string_literals(pred)
-    dotted = re.search(
-        r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*\b(?!\s*\()", masked_pred
-    )
-    # the other documented nested-form can't-resolve shape (round 10):
-    # an AGGREGATE call in the predicate under a GROUP BY head
-    # ("QUALIFY rank() OVER (ORDER BY sum(v) ...)") — the aggregate's
-    # input columns don't survive the subquery boundary either, so
-    # the nested form is a guaranteed analysis failure there too
-    agg_under_group = _AGG_CALL_RE.search(masked_pred) and (
-        _has_top_level_group_by(_mask_string_literals(head))
-    )
     first, second = (
         (inlined, outer)
-        if ((dotted or agg_under_group) and inlined)
+        if (_prefers_inline_form(head, pred) and inlined)
         else (outer, inlined)
     )
     try:
@@ -445,11 +445,37 @@ def _has_top_level_group_by(masked_head: str) -> bool:
     return False
 
 
-def _inline_qualify_form(head: str, pred: str, tail: str) -> str | None:
+def _prefers_inline_form(head: str, pred: str) -> bool:
+    """True when the predicate references names that cannot survive
+    the nested form's subquery boundary, so the inline form should be
+    tried (or chosen textually) first:
+
+    - a dotted identifier (``l.k`` — not a function call) references
+      an inner-query table alias; identifiers only — ``\\w+\\.\\w+``
+      would also match decimal literals like 0.95 and wrongly flip
+      the order;
+    - an AGGREGATE call under a GROUP BY head (``rank() OVER (ORDER
+      BY sum(v))``) — the aggregate's input columns don't survive the
+      boundary either (round 10).
+    """
+    masked_pred = _mask_string_literals(pred)
+    if re.search(r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*\b(?!\s*\()", masked_pred):
+        return True
+    return bool(
+        _AGG_CALL_RE.search(masked_pred)
+        and _has_top_level_group_by(_mask_string_literals(head))
+    )
+
+
+def _inline_qualify_form(
+    head: str, pred: str, tail: str, star: str = "*"
+) -> str | None:
     """The fallback rewrite: predicate inlined into the original
     select list (same query block — table aliases and aggregate inputs
     resolve), filtered one level up. Returns None when the head has no
-    top-level FROM to anchor on."""
+    top-level FROM to anchor on. ``star`` is the outer projection —
+    the textual path passes ``* EXCEPT (__qualify)`` because it has no
+    DataFrame ``.drop`` downstream."""
     masked = _mask_string_literals(head)
     depth = 0
     pos = -1
@@ -463,7 +489,46 @@ def _inline_qualify_form(head: str, pred: str, tail: str) -> str | None:
     if pos < 0:
         return None
     inner = f"{head[:pos]}, ({pred}) AS __qualify {head[pos:]}"
-    outer = f"SELECT * FROM ({inner}) __qualify_base WHERE __qualify"
+    outer = f"SELECT {star} FROM ({inner}) __qualify_base WHERE __qualify"
+    return outer + (" " + tail if tail else "")
+
+
+def _textual_qualify_rewrite(block: str) -> str:
+    """Pure-TEXT rewrite of one query block ending in QUALIFY — no
+    planning, no temp view. Used by ``_extract_nested_qualify`` for
+    blocks that cannot be analyzed standalone (a CTE body referencing
+    a PRECEDING CTE, or a correlated subquery referencing outer
+    columns): the rewritten text stays in place, so those names
+    resolve in their original scope when the FULL statement is
+    planned. With no DataFrame downstream to ``.drop`` the helper
+    column, ``__qualify`` is excluded via ``SELECT * EXCEPT``.
+
+    Unlike the runtime path (which tries the nested form first and
+    RETRIES on analysis failure), this path gets exactly one shot —
+    so it always picks the INLINE form when the head has a FROM to
+    anchor on: the predicate evaluates in the original query block,
+    where table columns, aggregate inputs AND select-list aliases
+    (lateral column alias resolution, Spark ≥3.4) all resolve; the
+    nested form covers only the aliases. Headless blocks (no
+    top-level FROM) fall back to the nested form."""
+    matches = _top_level_qualify_matches(_mask_string_literals(block))
+    if len(matches) != 1:
+        raise ValueError("only one QUALIFY clause is supported per query block")
+    m = matches[0]
+    pred, tail = _split_qualify_pred(block[m.end():])
+    pred = pred.strip().rstrip(";")
+    tail = tail.strip().rstrip(";")
+    if not pred:
+        raise ValueError("empty QUALIFY predicate")
+    head = block[: m.start()].strip()
+    star = "* EXCEPT (__qualify)"
+    inlined = _inline_qualify_form(head, pred, tail, star=star)
+    if inlined:
+        return inlined
+    inner = f"SELECT *, ({pred}) AS __qualify FROM ({head}) __qualify_base"
+    outer = (
+        f"SELECT {star} FROM ({inner}) __qualify_filtered WHERE __qualify"
+    )
     return outer + (" " + tail if tail else "")
 
 

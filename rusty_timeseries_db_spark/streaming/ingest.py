@@ -622,7 +622,17 @@ def drop_exactly_once_older_than(
         (dropped if all_aged else keep).append(d)
     if not dropped:
         return []
-    man["dirs"] = sorted(keep)
+    # Re-read the manifest at write time and subtract the drop set
+    # from the FRESH dir list (code-review r10): the per-dir age scans
+    # above take seconds, and a live sink may have committed new
+    # batches meanwhile — writing back the stale snapshot would delist
+    # them (permanently hiding committed data and re-admitting their
+    # replays). The re-read shrinks the clobber window to this one
+    # read→write gap; the manifest's single-writer contract still
+    # applies, so prefer running retention from the sink process (or
+    # quiesced), like compaction.
+    man = _read_manifest(path, spark)
+    man["dirs"] = sorted(set(man["dirs"]) - set(dropped))
     _write_manifest(path, man, spark)
     for d in dropped:
         delete_path(spark, os.path.join(path, d))
@@ -703,9 +713,17 @@ def windowed_ohlc(
     rows, but the picked value (all a bar reports) is then identical
     either way — total-order deterministic, though same-ts ties may
     pick a different row than the batch query would (the pre-r10
-    documented divergence, now opt-out-only). State per open (series,
-    window) cell is O(1): two running extrema + two running argmins +
-    count."""
+    documented divergence, now opt-out-only).
+
+    UPGRADE NOTE (pre-r10 checkpoints): the order struct is part of
+    the aggregation STATE schema, so a running query whose stream
+    carries ingest_seq/event_id cannot restart from a pre-r10
+    checkpoint under the new auto-detect (value:double →
+    id:bigint fails Spark's state-schema compatibility check) — pass
+    ``order_col="value"`` to pin the old policy on existing
+    checkpoints, or discard the checkpoint to adopt the id tiebreak.
+    State per open (series, window) cell is O(1): two running extrema
+    + two running argmins + count."""
     if order_col is None:
         order_col = next(
             (c for c in ("ingest_seq", "event_id") if c in stream.columns),

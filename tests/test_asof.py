@@ -527,6 +527,42 @@ def test_sql_qualify_nested_plus_top_level_compose(spark):
         )
 
 
+def test_sql_qualify_nested_in_cte_referencing_preceding_cte(spark):
+    """code-review r10 #5: a QUALIFY inside a CTE body that references
+    a PRECEDING CTE cannot be planned standalone — the extraction must
+    fall back to the in-place textual rewrite so the name resolves in
+    its original scope, with no __qualify leak through SELECT *."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    _nested_qualify_fixture(spark)
+    out = sql_with_qualify(
+        spark,
+        "WITH pool AS ("
+        "  SELECT k, v, id FROM qualify_nested_t WHERE v > 4"
+        "), top1 AS ("
+        "  SELECT k, v FROM pool"
+        "  QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) = 1"
+        ") SELECT * FROM top1 ORDER BY k",
+    )
+    assert out.columns == ["k", "v"]  # no __qualify leak
+    assert [(r.k, r.v) for r in out.collect()] == [("a", 30.0), ("b", 7.0)]
+
+    # a DOTTED predicate in a preceding-CTE block routes the textual
+    # fallback through the inline form (alias stays in scope there)
+    out2 = sql_with_qualify(
+        spark,
+        "WITH pool AS ("
+        "  SELECT k, v, id FROM qualify_nested_t"
+        "), top1 AS ("
+        "  SELECT p.k, p.v FROM pool p"
+        "  QUALIFY row_number() OVER ("
+        "    PARTITION BY p.k ORDER BY p.v DESC, p.id) = 1"
+        ") SELECT * FROM top1 ORDER BY k",
+    )
+    assert out2.columns == ["k", "v"]
+    assert [(r.k, r.v) for r in out2.collect()] == [("a", 30.0), ("b", 7.0)]
+
+
 def test_sql_qualify_two_nested_blocks(spark):
     """Two independent QUALIFY subqueries in one FROM (self-join of a
     top-1 and a bottom-1 block) — the extraction loop rewrites each."""

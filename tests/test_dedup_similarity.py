@@ -438,3 +438,12 @@ def test_ivf_should_rebuild_and_query_drift_warning(spark, tmp_path):
         _warnings.simplefilter("always")
         idx.query(queries, k=2, n_probe=2).collect()
     assert [w for w in caught if "drifted" in str(w.message)]
+
+    # a recall-validated instance threshold aligns BOTH surfaces
+    # (code-review r10 #7): no hot-path warning, no rebuild verdict
+    idx.max_added_frac = 10.0
+    assert idx.should_rebuild() is False
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        idx.query(queries, k=2, n_probe=2).collect()
+    assert not [w for w in caught if "drifted" in str(w.message)]

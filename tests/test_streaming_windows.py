@@ -1646,6 +1646,74 @@ def test_exactly_once_table_served_through_engine_surface(spark, tmp_path):
     ).telemetry().count() == 0
 
 
+def test_eo_overlay_seq_remap_prevents_cross_store_corruption(
+    spark, tmp_path
+):
+    """code-review r10 #1/#2/#4: the EO sink and the batch path assign
+    ingest_seq from unrelated lineages, and the overlay merge keys on
+    ingest_seq alone — without the read-time remap, a flag update
+    targeting a batch row would wholesale-substitute an unrelated EO
+    row's payload. Pins: (a) updates to a batch row leave colliding-seq
+    EO rows untouched; (b) FDD flags ON EO rows work and survive
+    compact() (which must retain, not delete, EO-targeting overlay
+    rows); (c) as_of_seq snapshots exclude the EO store entirely."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        commit_batch_exactly_once,
+        normalize_batch,
+    )
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+    # EO batch 0 → raw seqs 0..1 — the exact values the batch path
+    # will also assign below
+    eo_raw = spark.createDataFrame(
+        [("eo", "2024-08-28T10:00:00Z", 0.99, None, "se"),
+         ("eo", "2024-08-28T10:01:00Z", 0.98, None, "se")],
+        TELEMETRY_INGEST_SCHEMA,
+    )
+    assert commit_batch_exactly_once(normalize_batch(eo_raw, 0), 0, path)
+
+    eng = TimeseriesEngine(spark, wh)
+    eng.ingest_rows([
+        {"sensor_name": "b", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 1.0, "fc1_flag": None, "timeseries_id": "sb"},
+        {"sensor_name": "b", "timestamp": "2024-08-28T12:01:00Z",
+         "value": 2.0, "fc1_flag": None, "timeseries_id": "sb"},
+    ])  # batch seqs 0..1 — collide with EO raw seqs
+
+    # (a) update the batch row keyed (timestamp, timeseries_id):
+    # overlay seq 0 must bind ONLY the batch store's row 0
+    assert eng.update_rows([
+        {"sensor_name": "b", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 7.0, "fc1_flag": None, "timeseries_id": "sb"},
+    ]) == 1
+    t = {(r.timeseries_id, r.ts_raw): r.value
+         for r in eng.telemetry().collect()}
+    assert t[("sb", "2024-08-28T12:00:00Z")] == 7.0
+    assert t[("se", "2024-08-28T10:00:00Z")] == 0.99  # EO row untouched
+    assert len(t) == 4
+
+    # (b) FDD flags on EO rows bind the EO store and survive compact()
+    assert eng.run_fault_detection(
+        "se", "2024-08-28T10:00:00Z", "2024-08-28T10:02:00Z"
+    ) == 2
+    flagged = {r.ts_raw for r in eng.telemetry()
+               .filter("fc1_flag = 1").collect()}
+    assert flagged == {"2024-08-28T10:00:00Z", "2024-08-28T10:01:00Z"}
+    eng.compact()  # folds the batch-row update, must RETAIN EO flags
+    after = {(r.timeseries_id, r.ts_raw): (r.value, r.fc1_flag)
+             for r in eng.telemetry().collect()}
+    assert after[("sb", "2024-08-28T12:00:00Z")] == (7.0, None)
+    assert after[("se", "2024-08-28T10:00:00Z")][1] == 1
+    assert after[("se", "2024-08-28T10:01:00Z")][1] == 1
+
+    # (c) time travel stays a batch-lineage feature: EO rows excluded
+    snap = eng.telemetry(as_of_seq=eng.current_seq())
+    assert {r.timeseries_id for r in snap.collect()} == {"sb"}
+
+
 def test_exactly_once_damaged_manifest_propagates_to_reads(spark, tmp_path):
     """The EO serving reader has no correct fallback (committed rows
     exist nowhere else), so a damaged manifest RAISES through
