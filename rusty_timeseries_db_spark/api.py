@@ -53,16 +53,21 @@ DEFAULT_FLAG_VALUE = 1
 #: keys row identity on ingest_seq alone, which would let a flag
 #: update targeting a batch row silently substitute an unrelated EO
 #: row's whole payload (or vice versa). The union therefore serves EO
-#: rows with seq' = seq - 2^62: a strictly NEGATIVE band (stream seqs
-#: stay far below 2^62 — batch ids would need ~4.6e6 years at 1 batch/
-#: second to reach it) disjoint from the batch path's non-negative
-#: seqs, with EO-internal order preserved (constant shift). Overlay
-#: rows built from the read surface inherit the remapped key, so they
-#: rebind to exactly the store they targeted. Same-(series, ts) ties
-#: between the two stores order the batch row last (positive > any
-#: negative) — ties across unrelated lineages carry no arrival-order
-#: meaning either way.
-_EO_SEQ_OFFSET = 1 << 62
+#: rows with seq' = seq - 2^63: a bijective, order-preserving shift of
+#: the ENTIRE non-negative long range into the strictly NEGATIVE band
+#: [-2^63, -1] (2nd review pass: a 2^62 offset ran out after ~4.6M
+#: micro-batches — 53 days at 1 batch/s — and silently re-entered the
+#: batch band; the full-range shift cannot, for any representable
+#: seq; the stream's own stride arithmetic ANSI-fails loudly near
+#: batch_id ~9.2e6 long before any remap concern). Overlay rows built
+#: from the read surface inherit the remapped key, so they rebind to
+#: exactly the store they targeted. Same-(series, ts) ties between
+#: the two stores order the batch row last (positive > any negative)
+#: — ties across unrelated lineages carry no arrival-order meaning
+#: either way. Expressed as addition of long-min (representable;
+#: result stays in range for every non-negative seq, so ANSI mode
+#: never trips).
+_EO_SEQ_OFFSET = -(1 << 63)
 
 
 class TimeseriesEngine:
@@ -171,7 +176,7 @@ class TimeseriesEngine:
         # overlay row identity must be unambiguous across the two
         # seq lineages the union serves
         df = df.withColumn(
-            "ingest_seq", F.col("ingest_seq") - F.lit(_EO_SEQ_OFFSET)
+            "ingest_seq", F.col("ingest_seq") + F.lit(_EO_SEQ_OFFSET)
         )
         if keep_ds:
             df = df.withColumn(
@@ -332,7 +337,16 @@ class TimeseriesEngine:
         updates = normalize_ingest(
             self.spark.createDataFrame(payload, TELEMETRY_INGEST_SCHEMA).coalesce(1)
         ).drop("ingest_seq")
-        overlay = build_overlay_for_updates(self._read_base(), updates).withColumn(
+        # target the FULL read surface (2nd review pass): updates
+        # keyed to exactly-once rows must bind their remapped negative
+        # seqs — building from the batch base alone made R2 updates
+        # against stream-committed rows a silent no-op. When both
+        # stores hold the key, min(ingest_seq) picks the EO row
+        # (negative < any batch seq) — 'first match' across unrelated
+        # lineages is otherwise undefined; deterministic and documented.
+        overlay = build_overlay_for_updates(
+            self._read_base_union_eo(), updates
+        ).withColumn(
             "overlay_version", F.lit(self._next_overlay_version())
         )
         n = overlay.count()
@@ -340,7 +354,23 @@ class TimeseriesEngine:
         return n
 
     def _next_overlay_version(self) -> int:
-        self._overlay_ver = getattr(self, "_overlay_ver", 0) + 1
+        """Monotonic last-write-wins version for overlay appends.
+        Seeded from the on-disk maximum on first use (2nd review
+        pass): a fresh engine instance over a warehouse whose overlay
+        survived — which compaction now makes the steady state for
+        EO-targeting rows — must number ABOVE the surviving rows, or
+        its updates silently lose the version-desc tie-break to stale
+        retained entries."""
+        if not hasattr(self, "_overlay_ver"):
+            base = 0
+            overlay = self._read_overlay()
+            if overlay is not None and "overlay_version" in overlay.columns:
+                row = overlay.agg(
+                    F.max("overlay_version").alias("v")
+                ).collect()[0]
+                base = int(row.v or 0)
+            self._overlay_ver = base
+        self._overlay_ver += 1
         return self._overlay_ver
 
     # -------------------------------------------------------- queries
@@ -458,13 +488,24 @@ class TimeseriesEngine:
         # crash recovery: a previous compact() that died between its
         # overlay clear and the retained-rows rename (the one narrow
         # loss window below) leaves the EO overlay stranded in the
-        # sibling dir — restore it before anything else, or the early
-        # return on an 'absent' overlay would orphan it forever
+        # sibling dir — restore it before anything else. When new
+        # updates have ALREADY recreated the overlay dir since the
+        # crash, the stranded rows are APPENDED rather than skipped
+        # (2nd review pass: the rename-only recovery was defeated by
+        # any intervening update_rows/run_fault_detection, and the
+        # cleanup below would then delete the stranded flags forever);
+        # duplicates from a pre-swap crash re-append identical rows,
+        # which the version-desc row_number merge resolves to the same
+        # content.
         retained_tmp = self.overlay_path + "__retained"
-        if not os.path.isdir(self.overlay_path) and os.path.isdir(
-            retained_tmp
-        ):
-            os.rename(retained_tmp, self.overlay_path)
+        if os.path.isdir(retained_tmp):
+            if not os.path.isdir(self.overlay_path):
+                os.rename(retained_tmp, self.overlay_path)
+            else:
+                self.spark.read.parquet(retained_tmp).write.mode(
+                    "append"
+                ).parquet(self.overlay_path)
+                shutil.rmtree(retained_tmp, ignore_errors=True)
         overlay = self._read_overlay()
         if overlay is None:
             return self.count()
@@ -817,6 +858,17 @@ class TimeseriesEngine:
             return None
         if snap is None:
             return None
+        if self._eo_wired():
+            # pure exactly-once wiring (2nd review pass): the
+            # last-value sink shares the EO sink's source and batch
+            # numbering, so the snapshot's raw seqs belong to the EO
+            # lineage — remap them exactly like _read_committed_eo
+            # does, or overlay rows built from the (remapped) union
+            # can never match and flag updates silently vanish from
+            # the snapshot face
+            snap = snap.withColumn(
+                "ingest_seq", F.col("ingest_seq") + F.lit(_EO_SEQ_OFFSET)
+            )
         overlay = self._read_overlay()
         if overlay is not None:
             self._warn_if_retrofitted_snapshot()
@@ -825,6 +877,31 @@ class TimeseriesEngine:
             c for c in snap.columns if c != "timeseries_id"
         ]
         return snap.select(*cols)
+
+    def _checkpoint_epoch(self, sink: str) -> Optional[int]:
+        """Highest committed offsets-file epoch of a streaming sink's
+        checkpoint under this warehouse, or None when the sink has no
+        checkpoint here (local-FS layout — the assumption the version
+        pointer already makes)."""
+        d = os.path.join(self.warehouse_dir, "_checkpoints", sink, "offsets")
+        try:
+            return max(
+                (int(n) for n in os.listdir(d) if n.isdigit()),
+                default=None,
+            )
+        except OSError:
+            return None
+
+    def _eo_wired(self) -> bool:
+        """True when this warehouse's streaming lineage is the
+        exactly-once sink's: the EO checkpoint exists and the
+        at-least-once one does not (the two wirings are exclusive per
+        ``start_streaming_ingest`` call; a warehouse carrying BOTH is
+        treated as batch-lineage — the retrofit warning covers it)."""
+        return (
+            self._checkpoint_epoch("ingest") is None
+            and self._checkpoint_epoch("ingest_eo") is not None
+        )
 
     def _warn_if_retrofitted_snapshot(self) -> None:
         """Turn the one SILENT snapshot-face divergence window into an
@@ -847,21 +924,13 @@ class TimeseriesEngine:
         if getattr(self, "_retrofit_warned", False):
             return
 
-        def _max_epoch(d: str) -> Optional[int]:
-            try:
-                return max(
-                    (int(n) for n in os.listdir(d) if n.isdigit()),
-                    default=None,
-                )
-            except OSError:
-                return None
-
-        tel = _max_epoch(
-            os.path.join(self.warehouse_dir, "_checkpoints/ingest/offsets")
-        )
-        lat = _max_epoch(
-            os.path.join(self.warehouse_dir, "_checkpoints/latest/offsets")
-        )
+        tel = self._checkpoint_epoch("ingest")
+        if tel is None:
+            # exactly-once wiring checkpoints under ingest_eo — the
+            # same retrofit geometry applies to that sink's lineage
+            # (2nd review pass)
+            tel = self._checkpoint_epoch("ingest_eo")
+        lat = self._checkpoint_epoch("latest")
         if tel is None or lat is None:
             return  # not a dual-sink streaming warehouse (or remote FS)
         if tel > lat + 1:

@@ -213,6 +213,11 @@ def _top_level_qualify_matches(masked: str) -> list[re.Match]:
     return top
 
 
+#: '<name> AS (' — CTE definitions (also matches WINDOW w AS (...),
+#: which only makes the scope guard above more conservative)
+_CTE_DEF_RE = re.compile(r"\b([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+
+
 def _find_deepest_nested_qualify(
     masked: str,
 ) -> tuple[int, int] | None:
@@ -291,10 +296,36 @@ def _extract_nested_qualify(spark: SparkSession, query: str) -> str:
                 f"block {block[:80]!r}... does not start a SELECT/WITH/"
                 "VALUES/TABLE subquery"
             )
+        # Scope guard (2nd review pass): a block referencing a CTE
+        # name defined ELSEWHERE in the statement must not be planned
+        # standalone — if that name also exists as a temp view
+        # (engine.register_views registers 'telemetry'!), standalone
+        # planning resolves it against the VIEW silently instead of
+        # failing, and the block quietly reads the wrong source. The
+        # check is textual and conservative (a column merely sharing
+        # a CTE's name also routes textual — which is correct
+        # wherever it resolves), so shadowing can never go silent.
+        outside = query[: open_idx + 1] + query[close_idx:]
+        cte_names = {
+            m.group(1).lower()
+            for m in _CTE_DEF_RE.finditer(_mask_string_literals(outside))
+        }
+        block_words = {
+            w.lower()
+            for w in re.findall(r"[A-Za-z_]\w*", _mask_string_literals(block))
+        }
+        if cte_names & block_words:
+            query = (
+                query[: open_idx + 1]
+                + _textual_qualify_rewrite(block)
+                + query[close_idx:]
+            )
+            continue
         try:
             df = sql_with_qualify(spark, block)
         except AnalysisException:
-            # scope-dependent block: rewrite in place, textually
+            # scope-dependent block (correlated outer refs, ...):
+            # rewrite in place, textually
             query = (
                 query[: open_idx + 1]
                 + _textual_qualify_rewrite(block)

@@ -570,9 +570,14 @@ def drop_exactly_once_older_than(
     cutoff (or with unparseable-ts rows — ts NULL — which have no
     defined age) is kept whole; run :func:`compact_exactly_once` on a
     cadence and retention then retires whole compacted generations.
-    Age is decided by a per-dir (max ts, null count) aggregate — a
-    ts-column-only scan Parquet answers mostly from row-group stats,
-    never a full-table read.
+    Age is decided by ONE Spark job over all visible dirs (each
+    tagged with its dir name, grouped, counted) — a ts-column-only
+    scan, never a full-table read, and never the O(#dirs) sequential
+    job launches an uncompacted layout would make of a per-dir loop
+    (2nd review pass). The cutoff comparison runs JVM-side against
+    the UTC session clock: collecting timestamps to Python would
+    convert them into the DRIVER's OS timezone and silently mis-drop
+    on non-UTC hosts.
 
     Protocol mirrors compaction: (1) compute the drop set, (2) swap
     the manifest to the surviving dirs (versioned atomic commit —
@@ -592,7 +597,8 @@ def drop_exactly_once_older_than(
 
     raw = cutoff_ts.strip().replace("T", " ").removesuffix("Z").rstrip()
     try:
-        cutoff = _dt.datetime.fromisoformat(raw)
+        _dt.datetime.fromisoformat(raw)  # validation only — the
+        # comparison itself stays JVM-side (see docstring)
     except ValueError:
         raise ValueError(
             f"cutoff_ts {cutoff_ts!r} must be ISO YYYY-MM-DD[ HH:MM:SS]"
@@ -601,25 +607,33 @@ def drop_exactly_once_older_than(
         ) from None
     path = os.path.join(warehouse_dir, "telemetry_eo")
     man = _read_manifest(path, spark)
-    keep: list[str] = []
-    dropped: list[str] = []
-    for d in man["dirs"]:
-        row = (
-            spark.read.parquet(os.path.join(path, d))
-            .agg(
-                F.max("ts").alias("mx"),
-                F.count(F.lit(1)).alias("n"),
-                F.count("ts").alias("n_ts"),
-            )
-            .collect()[0]
+    if not man["dirs"]:
+        return []
+    cutoff_col = F.to_timestamp(F.lit(raw))  # UTC session semantics
+    tagged = [
+        spark.read.parquet(os.path.join(path, d))
+        .select(F.lit(d).alias("_dir"), "ts")
+        for d in man["dirs"]
+    ]
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    stats = (
+        union.groupBy("_dir")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ts").alias("n_ts"),
+            F.count(F.when(F.col("ts") >= cutoff_col, 1)).alias("n_new"),
         )
-        all_aged = (
-            row.n > 0
-            and row.n_ts == row.n  # no NULL-ts rows of undefined age
-            and row.mx is not None
-            and row.mx < cutoff
-        )
-        (dropped if all_aged else keep).append(d)
+        .collect()
+    )
+    aged = {
+        r._dir
+        for r in stats
+        # every row parseable and strictly pre-cutoff; empty dirs kept
+        if r.n > 0 and r.n_ts == r.n and r.n_new == 0
+    }
+    dropped = sorted(d for d in man["dirs"] if d in aged)
     if not dropped:
         return []
     # Re-read the manifest at write time and subtract the drop set

@@ -563,6 +563,31 @@ def test_sql_qualify_nested_in_cte_referencing_preceding_cte(spark):
     assert [(r.k, r.v) for r in out2.collect()] == [("a", 30.0), ("b", 7.0)]
 
 
+def test_sql_qualify_nested_cte_shadowing_temp_view(spark):
+    """2nd review pass: a CTE whose name SHADOWS a registered temp
+    view must resolve to the CTE — standalone block planning would
+    silently hit the view (no AnalysisException to trigger the
+    fallback), so the scope guard must route the block textual."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    _nested_qualify_fixture(spark)
+    # a temp view with the SAME name as the CTE, holding decoy rows
+    spark.createDataFrame(
+        [("z", 999.0, 9)], "k string, v double, id int"
+    ).createOrReplaceTempView("shadow_pool")
+    out = sql_with_qualify(
+        spark,
+        "WITH shadow_pool AS ("
+        "  SELECT k, v, id FROM qualify_nested_t WHERE v < 100"
+        "), t2 AS ("
+        "  SELECT k, v FROM shadow_pool"
+        "  QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) = 1"
+        ") SELECT * FROM t2 ORDER BY k",
+    ).collect()
+    # the decoy ('z', 999.0) must NOT appear: the CTE won
+    assert [(r.k, r.v) for r in out] == [("a", 30.0), ("b", 7.0)]
+
+
 def test_sql_qualify_two_nested_blocks(spark):
     """Two independent QUALIFY subqueries in one FROM (self-join of a
     top-1 and a bottom-1 block) — the extraction loop rewrites each."""

@@ -345,9 +345,10 @@ def test_exactly_once_retention_drops_aged_dirs(spark, tmp_path):
     assert eng.drop_exactly_once_before("2024-02-02") == ["batch_id=1"]
     assert eng.telemetry().count() == 2  # EO serving sees the drop
 
-    # compaction + retention compose: fold, then retire the compacted
+    # compaction + retention compose: with one dir left compaction is
+    # a no-op (returns 0), and retention can then retire the surviving
     # generation once it ages out entirely
-    assert compact_exactly_once(spark, wh) == 1 or True  # 1 dir: no-op
+    assert compact_exactly_once(spark, wh) == 0
     man = _read_manifest(path, spark)
     assert man["dirs"] == ["batch_id=2"]
     assert drop_exactly_once_older_than(spark, wh, "2030-01-01") == [

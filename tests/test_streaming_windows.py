@@ -1713,6 +1713,111 @@ def test_eo_overlay_seq_remap_prevents_cross_store_corruption(
     snap = eng.telemetry(as_of_seq=eng.current_seq())
     assert {r.timeseries_id for r in snap.collect()} == {"sb"}
 
+    # (d) R2 point update against an EO row binds the EO store (2nd
+    # review pass: built from the batch base it was a silent no-op)
+    assert eng.update_rows([
+        {"sensor_name": "eo", "timestamp": "2024-08-28T10:01:00Z",
+         "value": 5.5, "fc1_flag": None, "timeseries_id": "se"},
+    ]) == 1
+    t2 = {(r.timeseries_id, r.ts_raw): r.value
+          for r in eng.telemetry().collect()}
+    assert t2[("se", "2024-08-28T10:01:00Z")] == 5.5
+    assert t2[("sb", "2024-08-28T12:00:00Z")] == 7.0  # batch untouched
+
+    # (e) a FRESH instance's overlay-version counter seeds from disk
+    # (retained rows survive compaction indefinitely now): its update
+    # to the same EO row must win last-write-wins, not lose to the
+    # retained higher-versioned entry
+    eng.compact()
+    eng2 = TimeseriesEngine(spark, wh)
+    assert eng2.update_rows([
+        {"sensor_name": "eo", "timestamp": "2024-08-28T10:01:00Z",
+         "value": 6.6, "fc1_flag": None, "timeseries_id": "se"},
+    ]) == 1
+    t3 = {(r.timeseries_id, r.ts_raw): r.value
+          for r in eng2.telemetry().collect()}
+    assert t3[("se", "2024-08-28T10:01:00Z")] == 6.6
+
+
+def test_eo_wiring_snapshot_face_sees_overlay_flags(spark, tmp_path):
+    """2nd review pass: under start_streaming_ingest(exactly_once=True,
+    latest_cache=True), overlay rows carry remapped (negative) EO seqs
+    while the snapshot stores raw stream seqs — the snapshot face must
+    remap its seqs before the overlay merge, or FDD flags silently
+    vanish from the dashboard route while telemetry() shows them."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    _drop(src, [
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 0.99, "fc1_flag": None, "timeseries_id": "s1"},
+    ], "b0.jsonl")
+    eng = TimeseriesEngine(spark, wh)
+    for q in eng.start_streaming_ingest(
+        src, exactly_once=True, latest_cache=True, available_now=True
+    ):
+        q.awaitTermination(120)
+    assert eng.run_fault_detection(
+        "s1", "2024-08-28T12:00:00Z", "2024-08-28T12:01:00Z"
+    ) == 1
+    serving = TimeseriesEngine(spark, wh)  # fresh: snapshot-preferring
+    got = serving.latest().collect()
+    assert [(r.timeseries_id, r.value, r.fc1_flag) for r in got] == [
+        ("s1", 0.99, 1)
+    ]
+    # and the batch face agrees (the two faces may not diverge here)
+    batch = serving.latest(prefer_snapshot=False).collect()
+    assert [(r.timeseries_id, r.fc1_flag) for r in batch] == [("s1", 1)]
+
+
+def test_compact_recovery_merges_stranded_retained_overlay(
+    spark, tmp_path
+):
+    """2nd review pass: if compact() crashed in its one-rename window
+    and a later update RECREATED the overlay dir, the next compact()
+    must MERGE the stranded retained rows back instead of deleting
+    them as residue."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.schema import TELEMETRY_INGEST_SCHEMA
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        commit_batch_exactly_once,
+        normalize_batch,
+    )
+
+    wh = str(tmp_path / "wh")
+    eo_raw = spark.createDataFrame(
+        [("eo", "2024-08-28T10:00:00Z", 0.99, None, "se")],
+        TELEMETRY_INGEST_SCHEMA,
+    )
+    commit_batch_exactly_once(
+        normalize_batch(eo_raw, 0), 0, os.path.join(wh, "telemetry_eo")
+    )
+    eng = TimeseriesEngine(spark, wh)
+    eng.ingest_rows([
+        {"sensor_name": "b", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 1.0, "fc1_flag": None, "timeseries_id": "sb"},
+    ])
+    # flag the EO row, then simulate the crash window: the EO-targeting
+    # overlay rows sit ONLY in the stranded sibling dir
+    assert eng.run_fault_detection(
+        "se", "2024-08-28T10:00:00Z", "2024-08-28T10:01:00Z"
+    ) == 1
+    import shutil
+
+    shutil.move(eng.overlay_path, eng.overlay_path + "__retained")
+    # an intervening update recreates the overlay dir
+    assert eng.update_rows([
+        {"sensor_name": "b", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 9.0, "fc1_flag": None, "timeseries_id": "sb"},
+    ]) == 1
+    eng.compact()  # must merge the stranded rows, not rmtree them
+    t = {(r.timeseries_id, r.ts_raw): (r.value, r.fc1_flag)
+         for r in eng.telemetry().collect()}
+    assert t[("se", "2024-08-28T10:00:00Z")][1] == 1  # flag recovered
+    assert t[("sb", "2024-08-28T12:00:00Z")][0] == 9.0
+    assert not os.path.isdir(eng.overlay_path + "__retained")
+
 
 def test_exactly_once_damaged_manifest_propagates_to_reads(spark, tmp_path):
     """The EO serving reader has no correct fallback (committed rows
