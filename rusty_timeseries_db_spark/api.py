@@ -363,12 +363,23 @@ class TimeseriesEngine:
         retained entries."""
         if not hasattr(self, "_overlay_ver"):
             base = 0
-            overlay = self._read_overlay()
-            if overlay is not None and "overlay_version" in overlay.columns:
-                row = overlay.agg(
-                    F.max("overlay_version").alias("v")
-                ).collect()[0]
-                base = int(row.v or 0)
+            # scan the live overlay AND the crash-stranded retained
+            # sibling (3rd review pass): after a compact() crash in
+            # the rename window the highest versions live only in
+            # __retained, and numbering below them would let the next
+            # recovery merge resurrect stale values over newer ones
+            for path in (self.overlay_path, self.overlay_path + "__retained"):
+                if not os.path.isdir(path):
+                    continue
+                try:
+                    df = self.spark.read.parquet(path)
+                except Exception:
+                    continue
+                if "overlay_version" in df.columns:
+                    row = df.agg(
+                        F.max("overlay_version").alias("v")
+                    ).collect()[0]
+                    base = max(base, int(row.v or 0))
             self._overlay_ver = base
         self._overlay_ver += 1
         return self._overlay_ver
@@ -502,10 +513,33 @@ class TimeseriesEngine:
             if not os.path.isdir(self.overlay_path):
                 os.rename(retained_tmp, self.overlay_path)
             else:
-                self.spark.read.parquet(retained_tmp).write.mode(
-                    "append"
-                ).parquet(self.overlay_path)
-                shutil.rmtree(retained_tmp, ignore_errors=True)
+                try:
+                    retained = self.spark.read.parquet(retained_tmp)
+                except Exception:
+                    # unreadable sibling (3rd review pass): an
+                    # EMPTY/partial dir — a crash before any part file
+                    # landed, or external cleanup — holds nothing to
+                    # recover and must not block every future
+                    # compact(); a dir that DOES hold part files but
+                    # cannot be read is damage, and deleting it would
+                    # silently discard flags — raise actionably.
+                    if any(
+                        n.endswith(".parquet")
+                        for n in os.listdir(retained_tmp)
+                    ):
+                        raise IOError(
+                            f"stranded retained overlay {retained_tmp} "
+                            "holds parquet files but cannot be read — "
+                            "refusing to delete it (it may carry the "
+                            "only copy of exactly-once flag updates); "
+                            "repair or remove it deliberately"
+                        )
+                    shutil.rmtree(retained_tmp, ignore_errors=True)
+                else:
+                    retained.write.mode("append").parquet(
+                        self.overlay_path
+                    )
+                    shutil.rmtree(retained_tmp, ignore_errors=True)
         overlay = self._read_overlay()
         if overlay is None:
             return self.count()
@@ -893,11 +927,17 @@ class TimeseriesEngine:
             return None
 
     def _eo_wired(self) -> bool:
-        """True when this warehouse's streaming lineage is the
-        exactly-once sink's: the EO checkpoint exists and the
-        at-least-once one does not (the two wirings are exclusive per
-        ``start_streaming_ingest`` call; a warehouse carrying BOTH is
-        treated as batch-lineage — the retrofit warning covers it)."""
+        """True when this warehouse's streaming lineage is
+        UNAMBIGUOUSLY the exactly-once sink's: the EO checkpoint
+        exists and the at-least-once one does not (the two wirings
+        are exclusive per ``start_streaming_ingest`` call). A
+        warehouse carrying BOTH checkpoints has an unknowable snapshot
+        lineage — it is treated as batch-lineage and
+        ``_warn_if_retrofitted_snapshot`` warns on the AMBIGUITY
+        itself (3rd review pass: a stale at-least-once checkpoint
+        from an earlier wiring previously made flags vanish from the
+        snapshot face with no signal, since the epoch comparison
+        alone stayed quiet)."""
         return (
             self._checkpoint_epoch("ingest") is None
             and self._checkpoint_epoch("ingest_eo") is not None
@@ -925,12 +965,32 @@ class TimeseriesEngine:
             return
 
         tel = self._checkpoint_epoch("ingest")
+        eo = self._checkpoint_epoch("ingest_eo")
+        lat = self._checkpoint_epoch("latest")
+        if tel is not None and eo is not None and lat is not None:
+            # BOTH ingest lineages present: the snapshot's seq lineage
+            # is unknowable (it numbered with whichever sink shared
+            # its source), so overlay keys may or may not match — the
+            # one case the epoch comparison below cannot adjudicate.
+            # Warn on the ambiguity itself (3rd review pass).
+            self._retrofit_warned = True
+            import warnings
+
+            warnings.warn(
+                "this warehouse carries BOTH at-least-once and "
+                "exactly-once ingest checkpoints — the last-value "
+                "snapshot's ingest_seq lineage is ambiguous and "
+                "overlay flag updates may not be visible on the "
+                "snapshot face; serve latest(prefer_snapshot=False) "
+                "or rebuild the warehouse with one wiring",
+                stacklevel=3,
+            )
+            return
         if tel is None:
             # exactly-once wiring checkpoints under ingest_eo — the
             # same retrofit geometry applies to that sink's lineage
             # (2nd review pass)
-            tel = self._checkpoint_epoch("ingest_eo")
-        lat = self._checkpoint_epoch("latest")
+            tel = eo
         if tel is None or lat is None:
             return  # not a dual-sink streaming warehouse (or remote FS)
         if tel > lat + 1:

@@ -213,9 +213,23 @@ def _top_level_qualify_matches(masked: str) -> list[re.Match]:
     return top
 
 
-#: '<name> AS (' — CTE definitions (also matches WINDOW w AS (...),
-#: which only makes the scope guard above more conservative)
-_CTE_DEF_RE = re.compile(r"\b([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+#: '<name> [(cols)] AS (' — CTE definitions, INCLUDING the column-list
+#: form ``WITH t(a, b) AS (...)`` (3rd review pass: the plain form
+#: missed it, letting a column-list CTE shadow a temp view silently).
+#: Also matches WINDOW w AS (...), which only makes the scope guard
+#: more conservative.
+_CTE_DEF_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\s*(?:\([^()]*\))?\s+AS\s*\(", re.IGNORECASE
+)
+
+#: table references inside a block: identifiers following FROM/JOIN,
+#: plus comma-separated continuations (``FROM a, b``). Aliased comma
+#: lists (``FROM a AS x, b``) stop at the alias — a rare residual the
+#: guard's conservative direction tolerates.
+_TABLE_REF_RE = re.compile(
+    r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)",
+    re.IGNORECASE,
+)
 
 
 def _find_deepest_nested_qualify(
@@ -296,25 +310,29 @@ def _extract_nested_qualify(spark: SparkSession, query: str) -> str:
                 f"block {block[:80]!r}... does not start a SELECT/WITH/"
                 "VALUES/TABLE subquery"
             )
-        # Scope guard (2nd review pass): a block referencing a CTE
-        # name defined ELSEWHERE in the statement must not be planned
-        # standalone — if that name also exists as a temp view
+        # Scope guard (2nd review pass; narrowed in the 3rd): a block
+        # whose FROM/JOIN clauses reference a CTE name defined
+        # ELSEWHERE in the statement must not be planned standalone —
+        # if that name also exists as a temp view
         # (engine.register_views registers 'telemetry'!), standalone
         # planning resolves it against the VIEW silently instead of
         # failing, and the block quietly reads the wrong source. The
-        # check is textual and conservative (a column merely sharing
-        # a CTE's name also routes textual — which is correct
-        # wherever it resolves), so shadowing can never go silent.
+        # check considers only TABLE-REFERENCE positions: matching any
+        # identifier in the block (the 2nd-pass version) false-
+        # positived on select aliases sharing a CTE's name and routed
+        # previously-working blocks to the brittler one-shot textual
+        # form.
         outside = query[: open_idx + 1] + query[close_idx:]
         cte_names = {
             m.group(1).lower()
             for m in _CTE_DEF_RE.finditer(_mask_string_literals(outside))
         }
-        block_words = {
-            w.lower()
-            for w in re.findall(r"[A-Za-z_]\w*", _mask_string_literals(block))
+        block_refs = {
+            name.strip().lower()
+            for m in _TABLE_REF_RE.finditer(_mask_string_literals(block))
+            for name in re.split(r"\s*,\s*", m.group(1))
         }
-        if cte_names & block_words:
+        if cte_names & block_refs:
             query = (
                 query[: open_idx + 1]
                 + _textual_qualify_rewrite(block)

@@ -597,8 +597,15 @@ def drop_exactly_once_older_than(
 
     raw = cutoff_ts.strip().replace("T", " ").removesuffix("Z").rstrip()
     try:
-        _dt.datetime.fromisoformat(raw)  # validation only — the
-        # comparison itself stays JVM-side (see docstring)
+        # parse AND re-canonicalize (3rd review pass): Python's
+        # fromisoformat accepts forms Spark's parser does not (ISO
+        # basic '20300101'), and passing such a cutoff through would
+        # either raise an uncontracted SparkDateTimeException (ANSI
+        # on) or — on an ANSI-off session — cast to NULL, make
+        # 'ts >= NULL' never true, and silently age out EVERY dir.
+        # The canonical 'YYYY-MM-DD HH:MM:SS' literal below parses
+        # identically everywhere.
+        cutoff_canon = _dt.datetime.fromisoformat(raw).isoformat(sep=" ")
     except ValueError:
         raise ValueError(
             f"cutoff_ts {cutoff_ts!r} must be ISO YYYY-MM-DD[ HH:MM:SS]"
@@ -609,7 +616,7 @@ def drop_exactly_once_older_than(
     man = _read_manifest(path, spark)
     if not man["dirs"]:
         return []
-    cutoff_col = F.to_timestamp(F.lit(raw))  # UTC session semantics
+    cutoff_col = F.to_timestamp(F.lit(cutoff_canon))  # UTC session semantics
     tagged = [
         spark.read.parquet(os.path.join(path, d))
         .select(F.lit(d).alias("_dir"), "ts")
@@ -627,13 +634,13 @@ def drop_exactly_once_older_than(
         )
         .collect()
     )
-    aged = {
+    # group keys come exclusively from man["dirs"], so aged ⊆ dirs
+    dropped = sorted(
         r._dir
         for r in stats
         # every row parseable and strictly pre-cutoff; empty dirs kept
         if r.n > 0 and r.n_ts == r.n and r.n_new == 0
-    }
-    dropped = sorted(d for d in man["dirs"] if d in aged)
+    )
     if not dropped:
         return []
     # Re-read the manifest at write time and subtract the drop set
@@ -650,7 +657,7 @@ def drop_exactly_once_older_than(
     _write_manifest(path, man, spark)
     for d in dropped:
         delete_path(spark, os.path.join(path, d))
-    return sorted(dropped)
+    return dropped
 
 
 def read_committed_telemetry(

@@ -587,6 +587,43 @@ def test_sql_qualify_nested_cte_shadowing_temp_view(spark):
     # the decoy ('z', 999.0) must NOT appear: the CTE won
     assert [(r.k, r.v) for r in out] == [("a", 30.0), ("b", 7.0)]
 
+    # column-list CTE form shadows too (3rd review pass: the plain
+    # regex missed 'WITH t(a,b) AS (...)')
+    out2 = sql_with_qualify(
+        spark,
+        "WITH shadow_pool(k, v, id) AS ("
+        "  SELECT k, v, id FROM qualify_nested_t WHERE v < 100"
+        "), t2 AS ("
+        "  SELECT k, v FROM shadow_pool"
+        "  QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) = 1"
+        ") SELECT * FROM t2 ORDER BY k",
+    ).collect()
+    assert [(r.k, r.v) for r in out2] == [("a", 30.0), ("b", 7.0)]
+
+
+def test_sql_qualify_nested_alias_sharing_cte_name_not_misrouted(spark):
+    """3rd review pass: the scope guard must check TABLE-REFERENCE
+    positions only — a select alias that merely shares a CTE's name
+    must NOT route the block to the one-shot textual form (which
+    cannot express a lateral alias inside a window and would fail a
+    previously-working statement)."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    _nested_qualify_fixture(spark)
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "qualify_one_row"
+    )
+    out = sql_with_qualify(
+        spark,
+        # CTE 's' is never referenced by the QUALIFY block; the
+        # block's own aggregate alias also happens to be 's'
+        "WITH s AS (SELECT x FROM qualify_one_row), q AS ("
+        "  SELECT k, SUM(v) AS s FROM qualify_nested_t GROUP BY k"
+        "  QUALIFY row_number() OVER (ORDER BY SUM(v) DESC) = 1"
+        ") SELECT q.k, q.s FROM q CROSS JOIN s",
+    ).collect()
+    assert [(r.k, r.s) for r in out] == [("a", 60.0)]
+
 
 def test_sql_qualify_two_nested_blocks(spark):
     """Two independent QUALIFY subqueries in one FROM (self-join of a

@@ -1305,6 +1305,46 @@ def test_retrofitted_snapshot_with_overlay_warns_once(spark, tmp_path):
     assert len(hits) == 1, [str(w.message) for w in caught]
 
 
+def test_mixed_lineage_checkpoints_warn_on_snapshot_serve(spark, tmp_path):
+    """3rd review pass: a warehouse carrying BOTH at-least-once and
+    exactly-once ingest checkpoints has an unknowable snapshot seq
+    lineage — serving the snapshot face with an overlay present must
+    warn on the ambiguity itself (the epoch comparison alone stayed
+    quiet and flags could vanish silently)."""
+    import warnings as _warnings
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    _drop(src, [
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 0.99, "fc1_flag": None, "timeseries_id": "s1"},
+    ], "b0.jsonl")
+    eng = TimeseriesEngine(spark, wh)
+    # first wiring: at-least-once + latest cache
+    for q in eng.start_streaming_ingest(
+        src, latest_cache=True, available_now=True
+    ):
+        q.awaitTermination(120)
+    # re-wired later: exactly-once over the same warehouse
+    _drop(src, [
+        {"sensor_name": "Sa", "timestamp": "2024-08-28T12:05:00Z",
+         "value": 0.98, "fc1_flag": None, "timeseries_id": "s1"},
+    ], "b1.jsonl")
+    eng.start_streaming_ingest(
+        src, exactly_once=True, available_now=True
+    )[0].awaitTermination(120)
+    assert eng.run_fault_detection(
+        "s1", "2024-08-28T12:00:00Z", "2024-08-28T12:06:00Z"
+    ) >= 1
+    serving = TimeseriesEngine(spark, wh)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        serving.latest().collect()
+    assert [w for w in caught if "ambiguous" in str(w.message)]
+
+
 def test_supported_dual_sink_wiring_does_not_warn(spark, tmp_path):
     """The supported wiring (start_streaming_ingest starting BOTH
     sinks over one source with fresh checkpoints) numbers both
@@ -1817,6 +1857,33 @@ def test_compact_recovery_merges_stranded_retained_overlay(
     assert t[("se", "2024-08-28T10:00:00Z")][1] == 1  # flag recovered
     assert t[("sb", "2024-08-28T12:00:00Z")][0] == 9.0
     assert not os.path.isdir(eng.overlay_path + "__retained")
+
+    # a fresh instance seeds its version counter from the overlay AND
+    # any stranded sibling (3rd review pass): its update must outrank
+    # everything recovered, never lose to a resurrected stale row
+    eng3 = TimeseriesEngine(spark, wh)
+    assert eng3.update_rows([
+        {"sensor_name": "eo", "timestamp": "2024-08-28T10:00:00Z",
+         "value": 4.2, "fc1_flag": None, "timeseries_id": "se"},
+    ]) == 1
+    shutil.move(eng3.overlay_path, eng3.overlay_path + "__retained")
+    eng4 = TimeseriesEngine(spark, wh)
+    assert eng4._next_overlay_version() > 1  # saw the stranded rows
+
+    # an EMPTY stranded sibling (crash before part files landed) must
+    # not block compaction forever — swallowed with cleanup
+    shutil.rmtree(eng3.overlay_path + "__retained")
+    os.makedirs(eng3.overlay_path + "__retained")
+    eng3.ingest_rows([
+        {"sensor_name": "b", "timestamp": "2024-08-28T13:00:00Z",
+         "value": 1.0, "fc1_flag": None, "timeseries_id": "sb"},
+    ])
+    eng3.update_rows([
+        {"sensor_name": "b", "timestamp": "2024-08-28T13:00:00Z",
+         "value": 2.0, "fc1_flag": None, "timeseries_id": "sb"},
+    ])
+    eng3.compact()  # would raise 'Unable to infer schema' unguarded
+    assert not os.path.isdir(eng3.overlay_path + "__retained")
 
 
 def test_exactly_once_damaged_manifest_propagates_to_reads(spark, tmp_path):
