@@ -601,6 +601,36 @@ def test_sql_qualify_nested_cte_shadowing_temp_view(spark):
     assert [(r.k, r.v) for r in out2] == [("a", 30.0), ("b", 7.0)]
 
 
+def test_sql_asof_inside_nested_qualify_block_composes(spark):
+    """The full dialect composition: an ASOF JOIN clause INSIDE a
+    derived table that also carries a QUALIFY — the ASOF rewrite runs
+    first (statement-wide, replacing the clause with a view
+    reference), then the nested-QUALIFY extraction handles the block.
+    Pins that the two rewrites compose at any nesting depth."""
+    from rusty_timeseries_db_spark.sql_ext import sql
+
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 3, 30.0), ("b", 2, 5.0)],
+        "k string, ts int, v double",
+    ).createOrReplaceTempView("compose_l")
+    spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)],
+        "k string, ts int, p double",
+    ).createOrReplaceTempView("compose_r")
+    out = sql(
+        spark,
+        "SELECT k, COUNT(*) AS n, SUM(p_right) AS p FROM ("
+        "  SELECT l.k, l.ts, p_right"
+        "  FROM compose_l AS l ASOF JOIN compose_r AS r"
+        "  ON l.k = r.k AND l.ts >= r.ts"
+        "  QUALIFY row_number() OVER (PARTITION BY l.k ORDER BY l.ts DESC) = 1"
+        ") t GROUP BY k ORDER BY k",
+    ).collect()
+    # per key: the latest left row only, carrying its as-of right
+    # payload (a: ts=3 -> p=2.0; b: ts=2 -> p=3.0)
+    assert [(r.k, r.n, r.p) for r in out] == [("a", 1, 2.0), ("b", 1, 3.0)]
+
+
 def test_sql_qualify_nested_alias_sharing_cte_name_not_misrouted(spark):
     """3rd review pass: the scope guard must check TABLE-REFERENCE
     positions only — a select alias that merely shares a CTE's name
