@@ -374,6 +374,22 @@ class TimeseriesEngine:
                 try:
                     df = self.spark.read.parquet(path)
                 except Exception:
+                    # same damage split as compact()'s recovery (4th
+                    # review pass): silently skipping an unreadable
+                    # dir that HOLDS parquet files would seed the
+                    # counter low and let a later recovery merge
+                    # resurrect stale higher-versioned rows over this
+                    # instance's updates — raise actionably; an
+                    # empty/partial dir carries no versions to beat
+                    if any(
+                        n.endswith(".parquet") for n in os.listdir(path)
+                    ):
+                        raise IOError(
+                            f"overlay dir {path} holds parquet files "
+                            "but cannot be read — refusing to number "
+                            "new updates below its (unknown) versions; "
+                            "repair or remove it deliberately"
+                        )
                     continue
                 if "overlay_version" in df.columns:
                     row = df.agg(

@@ -222,14 +222,6 @@ _CTE_DEF_RE = re.compile(
     r"\b([A-Za-z_]\w*)\s*(?:\([^()]*\))?\s+AS\s*\(", re.IGNORECASE
 )
 
-#: table references inside a block: identifiers following FROM/JOIN,
-#: plus comma-separated continuations (``FROM a, b``). Aliased comma
-#: lists (``FROM a AS x, b``) stop at the alias — a rare residual the
-#: guard's conservative direction tolerates.
-_TABLE_REF_RE = re.compile(
-    r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)",
-    re.IGNORECASE,
-)
 
 
 def _find_deepest_nested_qualify(
@@ -310,29 +302,42 @@ def _extract_nested_qualify(spark: SparkSession, query: str) -> str:
                 f"block {block[:80]!r}... does not start a SELECT/WITH/"
                 "VALUES/TABLE subquery"
             )
-        # Scope guard (2nd review pass; narrowed in the 3rd): a block
-        # whose FROM/JOIN clauses reference a CTE name defined
-        # ELSEWHERE in the statement must not be planned standalone —
-        # if that name also exists as a temp view
-        # (engine.register_views registers 'telemetry'!), standalone
-        # planning resolves it against the VIEW silently instead of
-        # failing, and the block quietly reads the wrong source. The
-        # check considers only TABLE-REFERENCE positions: matching any
-        # identifier in the block (the 2nd-pass version) false-
-        # positived on select aliases sharing a CTE's name and routed
-        # previously-working blocks to the brittler one-shot textual
-        # form.
+        # Scope guard (2nd review pass; refined twice since): a block
+        # referencing a CTE name defined ELSEWHERE in the statement
+        # must not be planned standalone when that name ALSO resolves
+        # in the session catalog (engine.register_views registers
+        # 'telemetry'!) — standalone planning would silently read the
+        # VIEW instead of the CTE. Silent-wrong-source is the only
+        # failure mode needing a textual pre-route: a CTE name with NO
+        # catalog entry makes standalone planning raise, and the
+        # AnalysisException handler below goes textual anyway. So the
+        # guard checks catalog existence FIRST (cheap, precise) and
+        # only then word-matches the block — the broad word match is
+        # safe here because it is scoped to names that genuinely exist
+        # as tables (4th review pass: a FROM/JOIN-position regex
+        # missed aliased comma-list and backticked references — false
+        # NEGATIVES in the unsafe direction; the unscoped 2nd-pass
+        # word match false-POSITIVED on select aliases and broke
+        # working statements).
         outside = query[: open_idx + 1] + query[close_idx:]
         cte_names = {
             m.group(1).lower()
             for m in _CTE_DEF_RE.finditer(_mask_string_literals(outside))
         }
-        block_refs = {
-            name.strip().lower()
-            for m in _TABLE_REF_RE.finditer(_mask_string_literals(block))
-            for name in re.split(r"\s*,\s*", m.group(1))
+        shadowed = set()
+        for name in cte_names:
+            try:
+                if spark.catalog.tableExists(name):
+                    shadowed.add(name)
+            except Exception:
+                # unresolvable name (reserved word artifact of the
+                # regex, etc.) cannot shadow anything
+                continue
+        block_words = {
+            w.lower()
+            for w in re.findall(r"[A-Za-z_]\w*", _mask_string_literals(block))
         }
-        if cte_names & block_refs:
+        if shadowed & block_words:
             query = (
                 query[: open_idx + 1]
                 + _textual_qualify_rewrite(block)

@@ -587,6 +587,24 @@ def test_sql_qualify_nested_cte_shadowing_temp_view(spark):
     # the decoy ('z', 999.0) must NOT appear: the CTE won
     assert [(r.k, r.v) for r in out] == [("a", 30.0), ("b", 7.0)]
 
+    # an aliased comma-list FROM reference (4th review pass: the
+    # FROM/JOIN-position regex stopped at 'AS d' and missed the CTE
+    # name after the comma — silently reading the decoy view)
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, d int"
+    ).createOrReplaceTempView("shadow_dims")
+    out_c = sql_with_qualify(
+        spark,
+        "WITH shadow_pool AS ("
+        "  SELECT k, v, id FROM qualify_nested_t WHERE v < 100"
+        "), t2 AS ("
+        "  SELECT p.k, p.v FROM shadow_dims AS d, shadow_pool p"
+        "  WHERE d.k = p.k"
+        "  QUALIFY row_number() OVER (PARTITION BY p.k ORDER BY p.v DESC, p.id) = 1"
+        ") SELECT * FROM t2 ORDER BY k",
+    ).collect()
+    assert [(r.k, r.v) for r in out_c] == [("a", 30.0), ("b", 7.0)]
+
     # column-list CTE form shadows too (3rd review pass: the plain
     # regex missed 'WITH t(a,b) AS (...)')
     out2 = sql_with_qualify(
