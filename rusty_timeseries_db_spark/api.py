@@ -245,6 +245,11 @@ class TimeseriesEngine:
     # --------------------------------------------------------- writes
 
     def count(self) -> int:
+        """Row count of the BATCH store only — this backs the optional
+        ``max_rows`` quota, which guards the batch ingest path (the
+        reference's capacity cap, main.rs:21); exactly-once rows are
+        governed by their own sink and never count against it. Use
+        ``telemetry().count()`` for the full served row count."""
         return self._read_base().count()
 
     def ingest_rows(self, rows: Iterable[Mapping]) -> int:
