@@ -327,3 +327,87 @@ def test_scrub_pii_reaches_fixed_point(spark, texts):
     assert all((residue[k] or 0) == 0 for k in PII_SCRUB_ORDER), residue
     twice = once.select(scrub_pii("s").alias("s2"), "s")
     assert twice.filter(F.col("s2") != F.col("s")).count() == 0
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["(", ")", " QUALIFY ", "SELECT x", " FROM t ", "'QUALIFY'"]
+        ),
+        max_size=24,
+    ).map("".join)
+)
+@settings(max_examples=300, deadline=None)
+def test_find_deepest_nested_qualify_span_properties(s):
+    """round 10: the nested-QUALIFY locator either returns a valid
+    enclosing-paren span containing a QUALIFY keyword, None (no
+    nested occurrence), or raises the documented unbalanced-parens
+    error — never a bogus span."""
+    from rusty_timeseries_db_spark.sql_ext import (
+        _find_deepest_nested_qualify,
+        _mask_string_literals,
+    )
+
+    masked = _mask_string_literals(s)
+    try:
+        span = _find_deepest_nested_qualify(masked)
+    except ValueError as e:
+        assert "unbalanced" in str(e)
+        return
+    if span is None:
+        # every QUALIFY (if any) sits at depth <= 0 positions
+        depth = 0
+        for i, c in enumerate(masked):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+        return
+    o, c = span
+    assert masked[o] == "(" and masked[c] == ")" and o < c
+    assert "QUALIFY" in masked[o + 1: c]
+    # the span's parens balance
+    body = masked[o: c + 1]
+    assert body.count("(") == body.count(")")
+
+
+@given(
+    pred=st.lists(
+        st.sampled_from(
+            ["row_number()", " OVER (", "ORDER BY v", ")", " = 1",
+             " rn", " <= 3", "sum(v)"]
+        ),
+        min_size=1, max_size=8,
+    ).map("".join).filter(lambda p: p.count("(") == p.count(")")),
+    tail=st.sampled_from(["", " ORDER BY k", " LIMIT 5"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_textual_qualify_rewrite_structure(pred, tail):
+    """round 10: the one-shot textual rewrite of a QUALIFY block must
+    eliminate the QUALIFY keyword, preserve the head and predicate
+    text, keep parens balanced, and exclude the __qualify helper from
+    the final projection."""
+    from rusty_timeseries_db_spark.sql_ext import (
+        _mask_string_literals,
+        _textual_qualify_rewrite,
+    )
+
+    from rusty_timeseries_db_spark.sql_ext import _split_qualify_pred
+
+    block = f"SELECT k, v FROM t QUALIFY {pred}{tail}"
+    try:
+        out = _textual_qualify_rewrite(block)
+    except ValueError:
+        # empty/degenerate predicate fragments may be rejected — fine
+        return
+    masked = _mask_string_literals(out)
+    assert "QUALIFY " not in masked.replace("__qualify", "")
+    assert out.count("(") == out.count(")") + (
+        pred.count("(") - pred.count(")")
+    )
+    # the rewrite embeds exactly the splitter's predicate partition (a
+    # depth-0 ORDER BY/LIMIT inside the fragment legitimately ends the
+    # predicate and becomes trailing-clause text)
+    exp_pred, _exp_tail = _split_qualify_pred(f" {pred}{tail}")
+    assert exp_pred.strip() in out and "FROM t" in out
+    assert "EXCEPT (__qualify)" in out
