@@ -311,6 +311,55 @@ def _bench_serving_reads(spark, sf_dir: str, timings: dict, exclude) -> None:
                 f"{timings['serve_latest_snapshot']:.3f}s",
                 file=sys.stderr,
             )
+
+        if "serve_eo_union" not in exclude:
+            # round 11: the exactly-once union read path
+            # (engine.telemetry() over manifest-committed batch dirs —
+            # api._read_base_union_eo) gets its own regression gate:
+            # every engine read now rides this plan on EO-wired
+            # warehouses, so a manifest-glob or union regression
+            # would tax the whole serving surface. A SEPARATE
+            # warehouse: committing an EO manifest into `wh` would
+            # flip the auto-detect for the entries above.
+            from rusty_timeseries_db_spark.streaming.ingest import (
+                commit_batch_exactly_once,
+                normalize_batch,
+            )
+
+            wh_eo = wh + "_eo"
+            shutil.rmtree(wh_eo, ignore_errors=True)
+            try:
+                path = os.path.join(wh_eo, "telemetry_eo")
+                half = F.col("timeseries_id").substr(-1, 1).isin(
+                    *[str(d) for d in range(5)]
+                )
+                commit_batch_exactly_once(
+                    normalize_batch(raw.filter(half), 0), 0, path
+                )
+                commit_batch_exactly_once(
+                    normalize_batch(raw.filter(~half), 1), 1, path
+                )
+                eo_eng = TimeseriesEngine(spark, wh_eo)
+                eo_df = eo_eng.telemetry()
+                eo_files = set(eo_df.inputFiles())
+                assert eo_files and all(
+                    "/telemetry_eo/" in f for f in eo_files
+                ), (
+                    "serve_eo_union is NOT reading only committed EO "
+                    f"dirs: {sorted(eo_files)[:3]}"
+                )
+                t0 = time.perf_counter()
+                eo_df.write.format("noop").mode("overwrite").save()
+                timings["serve_eo_union"] = round(
+                    time.perf_counter() - t0, 4
+                )
+                print(
+                    "# serve_eo_union: "
+                    f"{timings['serve_eo_union']:.3f}s",
+                    file=sys.stderr,
+                )
+            finally:
+                shutil.rmtree(wh_eo, ignore_errors=True)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 

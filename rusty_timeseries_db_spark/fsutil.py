@@ -89,6 +89,14 @@ import re as _re
 _VERSION_RE = _re.compile(r"\.v(\d+)\.json$")
 
 
+class ManifestVersionConflict(Exception):
+    """A compare-and-swap manifest write found the committed version
+    moved past the caller's expectation — another writer committed in
+    between. The caller's read snapshot is stale: re-read and retry
+    (or abort). Raised BEFORE any byte of the new version is renamed
+    into place, so the manifest is untouched."""
+
+
 def _manifest_versions(spark: SparkSession, dir_path: str, stem: str):
     """Sorted [(N, full_path)] of committed versions of a manifest."""
     fs = fs_for(spark, dir_path)
@@ -127,14 +135,26 @@ def read_versioned_manifest(
     spark: SparkSession, dir_path: str, stem: str
 ) -> dict | None:
     """The highest-version manifest's dict, or None when NO version
-    exists (cold start). A version that vanished (raced the GC — even
-    between the exists probe and the open) or fails to decode (torn
-    bytes on a store without atomic rename) falls back to the
-    predecessor — the commit protocol keeps one. If versions EXIST but
-    none is readable, raise: returning None there would let the caller
-    treat a live-but-damaged manifest as a cold start and rebuild over
-    it, silently discarding the ledger/pointer it held (code-review
-    r9) — crashing keeps the data and lets an operator repair."""
+    exists (cold start). See ``read_versioned_manifest_versioned`` for
+    the (version, dict) form CAS writers need."""
+    got = read_versioned_manifest_versioned(spark, dir_path, stem)
+    return None if got is None else got[1]
+
+
+def read_versioned_manifest_versioned(
+    spark: SparkSession, dir_path: str, stem: str
+) -> tuple[int, dict] | None:
+    """(version N, dict) of the highest readable manifest version, or
+    None when NO version exists (cold start). The N is the CAS token
+    for ``write_versioned_manifest(expected_version=N)`` (round 11).
+    A version that vanished (raced the GC — even between the exists
+    probe and the open) or fails to decode (torn bytes on a store
+    without atomic rename) falls back to the predecessor — the commit
+    protocol keeps one. If versions EXIST but none is readable, raise:
+    returning None there would let the caller treat a live-but-damaged
+    manifest as a cold start and rebuild over it, silently discarding
+    the ledger/pointer it held (code-review r9) — crashing keeps the
+    data and lets an operator repair."""
     last_exc: Exception | None = None
     prev_versions = None
     # nothing-readable is re-listed before raising: an external reader
@@ -161,7 +181,7 @@ def read_versioned_manifest(
                 last_exc = e
                 continue
             if payload is not None:
-                return payload
+                return (n, payload)
         if versions == prev_versions:
             break  # stable AND unreadable: damage, not a race
         prev_versions = versions
@@ -174,12 +194,38 @@ def read_versioned_manifest(
 
 
 def write_versioned_manifest(
-    spark: SparkSession, dir_path: str, stem: str, payload: dict
+    spark: SparkSession,
+    dir_path: str,
+    stem: str,
+    payload: dict,
+    expected_version: int | None = ...,
 ) -> int:
     """Commit the next version of ``{dir_path}/{stem}.v{N}.json`` and
-    GC versions older than the predecessor. Returns the committed N."""
+    GC versions older than the predecessor. Returns the committed N.
+
+    ``expected_version`` (round 11 — VERDICT r10 next-round #3) makes
+    the commit a compare-and-swap: pass the N the caller's read
+    observed (or None for 'no version existed yet'), and the write
+    raises :class:`ManifestVersionConflict` when the committed highest
+    version has since moved — the detection a read-modify-write
+    maintenance job (EO retention) needs to avoid clobbering a live
+    sink's interleaved commit. Omit it (the default) for plain
+    last-writer-wins appends (the sinks themselves: single writer by
+    contract). The check happens immediately before the rename, so
+    the race window shrinks from the caller's whole scan to one
+    list→rename gap; on stores whose rename clobbers (POSIX) two
+    true-simultaneous CAS writers can still both pass — the contract
+    is conflict DETECTION for cooperating writers, not a lock."""
     fs = fs_for(spark, dir_path)
     versions = _manifest_versions(spark, dir_path, stem)
+    current = versions[-1][0] if versions else None
+    if expected_version is not ... and current != expected_version:
+        raise ManifestVersionConflict(
+            f"manifest {dir_path}/{stem}: committed version is "
+            f"{current}, caller expected {expected_version} — another "
+            "writer committed since the caller's read; re-read and "
+            "retry"
+        )
     n = (versions[-1][0] + 1) if versions else 1
     target = dir_path.rstrip("/") + f"/{stem}.v{n}.json"
     tmp = hpath(spark, target + ".tmp")

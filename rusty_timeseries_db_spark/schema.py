@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ByteType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -56,6 +57,18 @@ TELEMETRY_SCHEMA = StructType(
         StructField("timeseries_id", StringType(), False),
         StructField("ingest_seq", LongType(), False),
     ]
+)
+
+#: On-disk telemetry schema = canonical schema + the physical bucket
+#: partition column (moved here from api.py in round 11 so the
+#: streaming module can read committed dirs with a KNOWN schema — a
+#: committed zero-row batch dir has no part files and would otherwise
+#: fail schema inference, ADVICE r10 #3). Built as a fresh StructType
+#: (StructType.add mutates in place — never call it on the shared
+#: schema).
+STORED_TELEMETRY_SCHEMA = StructType(
+    list(TELEMETRY_SCHEMA.fields)
+    + [StructField("series_bucket", IntegerType(), True)]
 )
 
 #: series_catalog dimension — realizes the dead ``TimeseriesReference``

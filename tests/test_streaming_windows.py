@@ -1958,3 +1958,115 @@ def test_damaged_pointer_reader_falls_back_writer_raises(spark, tmp_path):
         _json.dump([1, 2], f)
     with pytest.raises(IOError, match="unexpected shape"):
         _read_manifest(eo, spark)
+
+
+def test_eo_time_travel_as_of_hwm(spark, tmp_path):
+    """Round 11 (VERDICT r10 next-round #2): the exactly-once lineage
+    gets its own snapshot cursor — telemetry(as_of_eo_hwm=N) reads
+    exactly the rows of committed micro-batches with id <= N (the
+    consistent cut the EO manifest's hwm defines), survives
+    compaction via the seq-embedded batch id, excludes overlay
+    mutations like as_of_seq does, and composes with the batch cursor
+    for a two-lineage snapshot."""
+    import pytest
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        commit_batch_exactly_once,
+        compact_exactly_once,
+        normalize_batch,
+    )
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+
+    def _batch(k):
+        return spark.createDataFrame(
+            [("S", f"2024-01-0{k + 1}T00:00:00Z", float(k), None, "s1")],
+            "sensor_name string, timestamp string, value double, "
+            "fc1_flag int, timeseries_id string",
+        )
+
+    for k in range(3):
+        assert commit_batch_exactly_once(normalize_batch(_batch(k), k), k, path)
+
+    eng = TimeseriesEngine(spark, wh)
+    assert eng.current_eo_hwm() == 2
+    assert {r.value for r in eng.telemetry(as_of_eo_hwm=1).collect()} == {0.0, 1.0}
+    assert eng.telemetry(as_of_eo_hwm=-1).count() == 0
+    assert {r.value for r in eng.telemetry(as_of_eo_hwm=2).collect()} == {0.0, 1.0, 2.0}
+
+    # overlay mutations are LATER than any committed cut — excluded
+    # from snapshots (same contract as as_of_seq), served live
+    eng.update_rows([
+        {"sensor_name": "S", "timestamp": "2024-01-01T00:00:00Z",
+         "value": 100.0, "fc1_flag": None, "timeseries_id": "s1"},
+    ])
+    assert 100.0 in {r.value for r in eng.telemetry().collect()}
+    assert {r.value for r in eng.telemetry(as_of_eo_hwm=2).collect()} == {0.0, 1.0, 2.0}
+
+    # the cut SURVIVES compaction: batch dirs fold into compact=0, and
+    # the row filter on ingest_seq's embedded batch id still selects
+    # exactly batches <= N
+    assert compact_exactly_once(spark, wh) == 3
+    assert {r.value for r in eng.telemetry(as_of_eo_hwm=1).collect()} == {0.0, 1.0}
+    assert eng.current_eo_hwm() == 2
+    # a post-compaction commit advances the cursor; old cuts unchanged
+    assert commit_batch_exactly_once(normalize_batch(_batch(3), 3), 3, path)
+    assert eng.current_eo_hwm() == 3
+    assert {r.value for r in eng.telemetry(as_of_eo_hwm=1).collect()} == {0.0, 1.0}
+
+    # two-cursor snapshot: batch lineage + EO lineage, each cut by its
+    # own counter; one cursor alone reads the other lineage as empty
+    eng.ingest_rows([
+        {"sensor_name": "B", "timestamp": "2024-02-01T00:00:00Z",
+         "value": 50.0, "fc1_flag": None, "timeseries_id": "s2"},
+    ])
+    seq = eng.current_seq()
+    both = eng.telemetry(as_of_seq=seq, as_of_eo_hwm=1)
+    assert {r.value for r in both.collect()} == {50.0, 0.0, 1.0}
+    assert {r.value for r in eng.telemetry(as_of_seq=seq).collect()} == {50.0}
+
+    # an engine pinned exactly_once=False has no EO lineage to cut
+    with pytest.raises(ValueError, match="as_of_eo_hwm"):
+        TimeseriesEngine(spark, wh, exactly_once=False).telemetry(
+            as_of_eo_hwm=1
+        )
+    # nothing committed yet: the explicit EO cut is the EMPTY cut
+    empty = TimeseriesEngine(spark, str(tmp_path / "wh_empty"))
+    assert empty.telemetry(as_of_eo_hwm=5).count() == 0
+    assert empty.current_eo_hwm() == -1
+
+
+def test_batch_ingest_into_eo_wired_warehouse_warns(spark, tmp_path):
+    """Round 11 (VERDICT r10 next-round #4): batch ingest into a
+    warehouse whose streaming lineage is purely exactly-once creates
+    the dual-lineage ambiguity AT WRITE TIME — warn there (once per
+    engine instance), not only when latest() later serves a
+    snapshot. A plain warehouse stays silent."""
+    import warnings
+
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    row = {"sensor_name": "S", "timestamp": "2024-03-01T00:00:00Z",
+           "value": 1.0, "fc1_flag": None, "timeseries_id": "s1"}
+
+    eo_wh = str(tmp_path / "eo_wh")
+    os.makedirs(os.path.join(eo_wh, "_checkpoints/ingest_eo/offsets"))
+    with open(
+        os.path.join(eo_wh, "_checkpoints/ingest_eo/offsets/0"), "w"
+    ) as f:
+        f.write("{}")
+    eng = TimeseriesEngine(spark, eo_wh)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.ingest_rows([row])
+        eng.ingest_rows([row])  # once per engine instance
+    hits = [x for x in w if "mixed-lineage" in str(x.message)]
+    assert len(hits) == 1
+
+    plain_wh = str(tmp_path / "plain_wh")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        TimeseriesEngine(spark, plain_wh).ingest_rows([row])
+    assert not [x for x in w if "mixed-lineage" in str(x.message)]
