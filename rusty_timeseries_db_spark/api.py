@@ -226,9 +226,21 @@ class TimeseriesEngine:
         row set every read surface serves. The two stores hold
         disjoint rows by construction (batch appends write
         ``telemetry``; the exactly-once sink writes only
-        ``telemetry_eo``), so the union is duplication-free."""
-        base = self._read_base(keep_ds=keep_ds)
+        ``telemetry_eo``), so the union is duplication-free.
+
+        Pure-EO warehouses (no batch dir) skip the union entirely
+        (round 11, measured): the synthesized zero-row base frame is
+        semantically a no-op but plans as a Python-RDD ``Scan
+        ExistingRDD`` whose driver-side setup costs ~0.3 s PER ACTION
+        — a constant tax on every serving read of an exactly-once
+        deployment (3.5× on the bench's serve_eo_union entry)."""
         eo = self._read_committed_eo(keep_ds=keep_ds)
+        if eo is not None and not os.path.isdir(self.telemetry_path):
+            cols = [f.name for f in STORED_TELEMETRY_SCHEMA.fields]
+            if self.partition_by_date and keep_ds:
+                cols.append("ds")
+            return eo.select(*cols)
+        base = self._read_base(keep_ds=keep_ds)
         if eo is not None:
             base = base.unionByName(eo.select(*base.columns))
         return base
