@@ -396,9 +396,10 @@ def committed_batch_ids(
     return sorted(full)
 
 
-committed_batch_ids.__doc__ = committed_batch_ids.__doc__.format(
-    cap=_COMMITTED_IDS_CAP
-)
+if committed_batch_ids.__doc__:  # absent under python -OO
+    committed_batch_ids.__doc__ = committed_batch_ids.__doc__.format(
+        cap=_COMMITTED_IDS_CAP
+    )
 
 
 def visible_batch_dirs(

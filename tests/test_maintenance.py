@@ -508,3 +508,66 @@ def test_committed_batch_summary_and_ids_cap(spark, tmp_path):
     assert SI.committed_batch_summary(small, spark) == {
         "hwm": 2, "sparse_ids": [5],
     }
+
+
+def test_eo_cas_exhaustion_raises_without_damage(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11: when every CAS attempt loses (a pathologically hot
+    writer), retention and the sink commit give up LOUDLY — retention
+    with nothing deleted and the manifest unchanged; the commit with
+    its data directory written so a stream retry is safe."""
+    import pytest
+
+    import rusty_timeseries_db_spark.streaming.ingest as SI
+    from rusty_timeseries_db_spark.fsutil import ManifestVersionConflict
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+    old = spark.createDataFrame(
+        [("x", "2024-01-01T00:00:00Z", 1.0, None, "s1")],
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string",
+    )
+    assert SI.commit_batch_exactly_once(SI.normalize_batch(old, 0), 0, path)
+    man_before = SI._read_manifest(path, spark)
+
+    real_write = SI._write_manifest
+
+    def always_conflict(p, manifest, spark_=None, expected_version=...):
+        if expected_version is not ...:
+            raise ManifestVersionConflict("injected: version moved")
+        return real_write(
+            p, manifest, spark_, expected_version=expected_version
+        )
+
+    # retention: loud IOError, nothing deleted, manifest unchanged
+    monkeypatch.setattr(SI, "_write_manifest", always_conflict)
+    with pytest.raises(IOError, match="compare-and-swap"):
+        SI.drop_exactly_once_older_than(spark, wh, "2030-01-01")
+    assert SI._read_manifest(path, spark) == man_before
+    assert os.path.isdir(os.path.join(path, "batch_id=0"))
+
+    # sink commit: loud IOError, data dir written (retry-safe), the
+    # manifest does not list the unfinished batch
+    new = spark.createDataFrame(
+        [("x", "2024-06-01T00:00:00Z", 2.0, None, "s1")],
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string",
+    )
+
+    def conflict_all(p, manifest, spark_=None, expected_version=...):
+        raise ManifestVersionConflict("injected: version moved")
+
+    monkeypatch.setattr(SI, "_write_manifest", conflict_all)
+    with pytest.raises(IOError, match="compare-and-swap"):
+        SI.commit_batch_exactly_once(SI.normalize_batch(new, 1), 1, path)
+    monkeypatch.undo()
+    assert os.path.isdir(os.path.join(path, "batch_id=1"))
+    assert SI._read_manifest(path, spark) == man_before
+    assert SI.read_committed_telemetry(spark, wh).count() == 1
+    # the retry (a restarted stream re-delivering the batch) succeeds
+    assert SI.commit_batch_exactly_once(
+        SI.normalize_batch(new, 1), 1, path
+    ) is True
+    assert SI.read_committed_telemetry(spark, wh).count() == 2

@@ -701,3 +701,150 @@ def test_eo_compaction_cas_carries_concurrent_commit(
     man = SI._read_manifest(path, spark)
     assert man["dirs"] == ["compact=1"] and man["hwm"] == 7
     assert SI.read_committed_telemetry(spark, wh).count() == 3
+
+
+def test_eo_cas_randomized_interleavings(spark, tmp_path, monkeypatch):
+    """Round 11, protocol stress: a seeded random schedule of sink
+    commits, same-content replays, new-content replays, compactions
+    and retentions, where a fraction of CAS manifest writes get a
+    concurrent commit injected between read and write. Invariants
+    checked after EVERY op against a Python-side model:
+
+    1. served rows == the model's multiset (no loss, no duplication,
+       retired dirs subtracted exactly);
+    2. every dir the manifest lists exists on disk (no resurrection
+       of deleted dirs — the cross-writer clobber CAS exists to stop);
+    3. at the end, a replay of every batch's content skips.
+
+    The model maps each manifest dir to its row multiset by diffing
+    the manifest around each op, so compaction folds and
+    content-addressed replay dirs are tracked without re-implementing
+    the protocol."""
+    import random
+
+    import rusty_timeseries_db_spark.streaming.ingest as SI
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows,
+            "sensor_name string, timestamp string, value double, "
+            "fc1_flag int, timeseries_id string",
+        )
+
+    def _rows_for(batch_id, salt, old):
+        ts = "2024-01-01T00:00:00Z" if old else "2024-06-01T00:00:00Z"
+        return [("x", ts, float(batch_id * 1000 + salt), None, "s1")]
+
+    dir_rows: dict[str, tuple] = {}  # dir name -> sorted row values
+    batch_content: dict[int, list] = {}  # batch id -> last rows payload
+
+    def _manifest_dirs():
+        return set(SI._read_manifest(path, spark)["dirs"])
+
+    def _tracked_commit(batch_id, rows):
+        before = _manifest_dirs()
+        wrote = SI.commit_batch_exactly_once(
+            SI.normalize_batch(_df(rows), batch_id), batch_id, path
+        )
+        if wrote:
+            # an injected commit mid-write already tracked its own dir
+            # (the nested _tracked_commit ran first) — this commit's
+            # dir is the one the model has not seen yet
+            added = [
+                d for d in _manifest_dirs() - before if d not in dir_rows
+            ]
+            assert len(added) == 1, f"commit added {added}"
+            dir_rows[added[0]] = tuple(sorted(r[2] for r in rows))
+            batch_content.setdefault(batch_id, []).append(rows)
+        return wrote
+
+    rng = random.Random(1107)
+    inject_ids = iter(range(900, 999))
+
+    real_write = SI._write_manifest
+    state = {"arm": False}
+
+    def wrapped(p, manifest, spark_=None, expected_version=...):
+        if state["arm"] and rng.random() < 0.5:
+            state["arm"] = False  # one injection per armed op, no recursion
+            nid = next(inject_ids)
+            _tracked_commit(nid, _rows_for(nid, 0, old=False))
+        return real_write(
+            p, manifest, spark_, expected_version=expected_version
+        )
+
+    monkeypatch.setattr(SI, "_write_manifest", wrapped)
+
+    next_id = 0
+    for step in range(14):
+        op = rng.choice(["commit", "commit", "replay_same",
+                         "replay_new", "compact", "retention"])
+        state["arm"] = True
+        if op == "commit":
+            bid, next_id = next_id, next_id + 1
+            assert _tracked_commit(bid, _rows_for(bid, 0, old=bool(bid % 2)))
+        elif op == "replay_same" and batch_content:
+            bid = rng.choice(sorted(batch_content))
+            assert SI.commit_batch_exactly_once(
+                SI.normalize_batch(_df(batch_content[bid][-1]), bid),
+                bid, path,
+            ) is False
+        elif op == "replay_new" and batch_content:
+            bid = rng.choice(sorted(batch_content))
+            salt = len(batch_content[bid])
+            with __import__("warnings").catch_warnings():
+                __import__("warnings").simplefilter("ignore")
+                assert _tracked_commit(
+                    bid, _rows_for(bid, salt, old=False)
+                )
+        elif op == "compact":
+            before = _manifest_dirs()
+            n = SI.compact_exactly_once(spark, wh)
+            if n:
+                after = _manifest_dirs()
+                folded = before - after
+                # an injected commit mid-compaction adds ITS dir to
+                # (after - before) too; the fold target is the one new
+                # compact= dir the model has not tracked yet
+                new_compact = [
+                    d for d in (after - before)
+                    if d.startswith("compact=") and d not in dir_rows
+                ]
+                assert len(new_compact) == 1, f"compact made {after - before}"
+                merged = tuple(sorted(
+                    v for d in folded for v in dir_rows.pop(d)
+                ))
+                dir_rows[new_compact[0]] = merged
+        elif op == "retention":
+            dropped = SI.drop_exactly_once_older_than(
+                spark, wh, "2024-03-01"
+            )
+            for d in dropped:
+                dir_rows.pop(d)
+        state["arm"] = False
+
+        # invariant 1: served rows == model multiset
+        got = SI.read_committed_telemetry(spark, wh)
+        served = sorted(r.value for r in got.collect()) if got is not None else []
+        expect = sorted(v for vals in dir_rows.values() for v in vals)
+        assert served == expect, f"step {step} op {op}: {served} != {expect}"
+        # invariant 2: every listed dir exists on disk
+        for d in _manifest_dirs():
+            assert os.path.isdir(os.path.join(path, d)), (
+                f"step {step} op {op}: manifest lists deleted dir {d}"
+            )
+
+    # the schedule must not be vacuous: at least one concurrent commit
+    # was injected into a CAS write window (seed-pinned)
+    assert next(inject_ids) > 900, "no conflict was ever injected"
+
+    # invariant 3: every batch's every content replays to a skip
+    # (retired batches included — retention preserves the ledger)
+    for bid, contents in batch_content.items():
+        for rows in contents:
+            assert SI.commit_batch_exactly_once(
+                SI.normalize_batch(_df(rows), bid), bid, path
+            ) is False
