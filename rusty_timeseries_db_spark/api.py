@@ -1181,8 +1181,11 @@ class TimeseriesEngine:
         and union the committed rows in (constructor ``exactly_once``
         pins the mode explicitly; the raw reader remains
         ``streaming.ingest.read_committed_telemetry``).
-        ``quarantine_dir``/``rollup`` forward to
-        :func:`~.streaming.ingest.start_telemetry_sink`.
+        ``quarantine_dir``/``rollup`` forward to whichever sink is
+        wired — since round 11 the exactly-once sink supports both
+        (quarantine is per-batch-dir OVERWRITE there, so replays do
+        not duplicate bad lines; rollup refreshes only on batches
+        that actually wrote), closing the r9 pick-one guard.
         """
         from .streaming.ingest import (
             read_telemetry_stream,
@@ -1191,17 +1194,6 @@ class TimeseriesEngine:
             start_telemetry_sink_exactly_once,
         )
 
-        if exactly_once and (quarantine_dir is not None or rollup is not None):
-            # the EO sink has no corrupt-record split or rollup hook:
-            # passing them through would silently commit garbage lines
-            # as all-NULL rows / never refresh the rollup (code-review
-            # r9) — fail loudly instead
-            raise ValueError(
-                "quarantine_dir/rollup are only supported on the "
-                "at-least-once path (exactly_once=False): the "
-                "exactly-once sink has no corrupt-record split or "
-                "rollup refresh hook"
-            )
         queries = []
         stream = read_telemetry_stream(
             self.spark,
@@ -1215,6 +1207,8 @@ class TimeseriesEngine:
                     self.warehouse_dir,
                     trigger_seconds=trigger_seconds,
                     available_now=available_now,
+                    rollup=rollup,
+                    quarantine_dir=quarantine_dir,
                 )
             )
         else:

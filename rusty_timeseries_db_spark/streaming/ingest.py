@@ -726,22 +726,79 @@ def start_telemetry_sink_exactly_once(
     warehouse_dir: str,
     trigger_seconds: int | None = None,
     available_now: bool = False,
+    rollup=None,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Exactly-once variant of :func:`start_telemetry_sink` (opt-in;
     at-least-once append stays the default). Idempotent per-batch-id
     directories + atomic manifest commit — see
-    :func:`commit_batch_exactly_once`."""
+    :func:`commit_batch_exactly_once`.
+
+    ``rollup`` / ``quarantine_dir`` (round 11): the feature asymmetry
+    the r9 guard froze — "exactly-once OR quarantine/rollup, pick
+    one" — is closed:
+
+    - ``quarantine_dir`` gets the EXACTLY-ONCE treatment the data
+      itself has: bad lines land in ``{quarantine_dir}/batch_id=<id>``
+      with ``overwrite`` mode, so a replayed micro-batch rewrites its
+      own quarantine dir instead of re-appending every bad line per
+      replay (the at-least-once sink's ``append`` would duplicate
+      them — acceptable there, where the DATA is at-least-once too,
+      but wrong beside a zero-duplicate table). A checkpoint-loss
+      redelivery of the same id overwrites with the latest delivery's
+      lines — quarantine tracks deliveries, the manifest tracks
+      content;
+    - ``rollup.refresh()`` runs after each batch that actually WROTE
+      (replay skips don't re-aggregate); refresh is incremental +
+      idempotent, same contract as the at-least-once wiring. Wire the
+      rollup over ``engine.telemetry()`` so it reads the committed
+      union."""
     path = os.path.join(warehouse_dir, "telemetry_eo")
+    if quarantine_dir is not None and "_corrupt_record" not in stream.columns:
+        raise ValueError(
+            "quarantine_dir needs the stream read with "
+            "read_telemetry_stream(..., with_corrupt_record=True) — "
+            "without the _corrupt_record column there is nothing to "
+            "quarantine and garbage lines become all-NULL rows"
+        )
+    if quarantine_dir is None and "_corrupt_record" in stream.columns:
+        import warnings
+
+        warnings.warn(
+            "stream carries _corrupt_record but no quarantine_dir was "
+            "given: corrupt lines will be dropped without a trace",
+            stacklevel=2,
+        )
     #: per-sink-run warn-once latch for the checkpoint-reset
     #: new-content warning (ADVICE r10 #1) — a NEW restart of the sink
     #: warns once again
     warn_state: dict = {}
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        commit_batch_exactly_once(
+        cached = None
+        if quarantine_dir is not None and "_corrupt_record" in batch.columns:
+            cached = batch.cache()
+            bad = cached.filter(F.col("_corrupt_record").isNotNull())
+            bad.select("_corrupt_record").write.mode("overwrite").text(
+                os.path.join(quarantine_dir, f"batch_id={batch_id}")
+            )
+            batch = cached.filter(
+                F.col("_corrupt_record").isNull()
+            ).drop("_corrupt_record")
+        elif "_corrupt_record" in batch.columns:
+            # normalize_payload would silently turn corrupt rows into
+            # all-NULL telemetry rows — drop them (warned at start)
+            batch = batch.filter(
+                F.col("_corrupt_record").isNull()
+            ).drop("_corrupt_record")
+        wrote = commit_batch_exactly_once(
             normalize_batch(batch, batch_id), batch_id, path,
             warn_state=warn_state,
         )
+        if cached is not None:
+            cached.unpersist()
+        if rollup is not None and wrote:
+            rollup.refresh()
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation",

@@ -848,3 +848,18 @@ def test_eo_cas_randomized_interleavings(spark, tmp_path, monkeypatch):
             assert SI.commit_batch_exactly_once(
                 SI.normalize_batch(_df(rows), bid), bid, path
             ) is False
+
+
+def test_eo_sink_quarantine_requires_corrupt_column(spark, tmp_path):
+    """The r8 misconfiguration guard applies to the exactly-once sink
+    too (round 11): quarantine without the corrupt-record column would
+    silently commit garbage lines as all-NULL rows."""
+    import pytest
+
+    os.makedirs(str(tmp_path / "drop"))
+    stream = read_telemetry_stream(spark, str(tmp_path / "drop"))
+    with pytest.raises(ValueError, match="with_corrupt_record"):
+        start_telemetry_sink_exactly_once(
+            stream, str(tmp_path / "wh"),
+            quarantine_dir=str(tmp_path / "q"),
+        )

@@ -1377,26 +1377,65 @@ def test_supported_dual_sink_wiring_does_not_warn(spark, tmp_path):
     assert got[0].fc1_flag == 1
 
 
-def test_engine_streaming_ingest_rejects_eo_quarantine_combo(
-    spark, tmp_path
-):
-    """code-review r9 #1: the exactly-once sink has no corrupt-record
-    split or rollup hook — asking for them must fail loudly, not
-    silently commit garbage as all-NULL rows."""
-    import pytest
+def test_eo_sink_quarantine_idempotent_and_rollup(spark, tmp_path):
+    """Round 11 (closing the r9 pick-one guard): the exactly-once sink
+    supports quarantine_dir and rollup. Quarantine writes bad lines to
+    {quarantine_dir}/batch_id=<id> with OVERWRITE, so re-delivering
+    the same batches after a checkpoint loss rewrites the same dirs
+    instead of duplicating every bad line — while the data table's
+    content-verified skip keeps zero duplicate rows. The rollup
+    refreshes on batches that wrote and serves the streamed rows."""
+    import glob as _glob
+    import shutil
 
     from rusty_timeseries_db_spark.api import TimeseriesEngine
 
-    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
-    with pytest.raises(ValueError, match="at-least-once"):
-        eng.start_streaming_ingest(
-            str(tmp_path / "drop"), exactly_once=True,
-            quarantine_dir=str(tmp_path / "q"),
-        )
-    with pytest.raises(ValueError, match="at-least-once"):
-        eng.start_streaming_ingest(
-            str(tmp_path / "drop"), exactly_once=True, rollup=object(),
-        )
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "drop")
+    qdir = str(tmp_path / "quarantine")
+    good = [
+        {"sensor_name": "S", "timestamp": f"2024-08-28T12:0{i}:00Z",
+         "value": float(i), "fc1_flag": None, "timeseries_id": "s1"}
+        for i in range(3)
+    ]
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b0.jsonl"), "w") as f:
+        f.write(json.dumps(good[0]) + "\n")
+        f.write("{this is not json\n")
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for r in good[1:]:
+            f.write(json.dumps(r) + "\n")
+        f.write("also garbage\n")
+
+    eng = TimeseriesEngine(spark, wh)
+    rollup = eng.continuous_rollup(window="5 minutes")
+    eng.start_streaming_ingest(
+        src, exactly_once=True, available_now=True,
+        quarantine_dir=qdir, rollup=rollup,
+    )[0].awaitTermination(120)
+
+    def _qlines():
+        out = []
+        for fp in _glob.glob(os.path.join(qdir, "batch_id=*", "part-*")):
+            with open(fp) as f:
+                out += [ln for ln in f.read().splitlines() if ln]
+        return sorted(out)
+
+    assert eng.telemetry().count() == 3  # garbage not committed
+    first = _qlines()
+    assert first == ["also garbage", "{this is not json"]
+    assert rollup.read().agg(F.sum("n")).collect()[0][0] == 3
+
+    # checkpoint loss: same files re-delivered under the same batch
+    # ids — data skips (content-verified), quarantine dirs are
+    # OVERWRITTEN, not appended beside
+    shutil.rmtree(os.path.join(wh, "_checkpoints/ingest_eo"))
+    eng.start_streaming_ingest(
+        src, exactly_once=True, available_now=True,
+        quarantine_dir=qdir, rollup=rollup,
+    )[0].awaitTermination(120)
+    assert eng.telemetry().count() == 3
+    assert _qlines() == first
 
 
 def test_latest_stops_preferring_snapshot_after_batch_ingest(
