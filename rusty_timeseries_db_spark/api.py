@@ -843,6 +843,22 @@ class TimeseriesEngine:
             self.spark, self.telemetry_path, "ds", cutoff_date, depth=1
         )
 
+    def compact_exactly_once(self) -> int:
+        """Fold the exactly-once table's visible ``batch_id=N`` /
+        ``compact=N`` directories into one compacted generation
+        (round 11 — the engine facade the maintenance pair was
+        missing: retention got ``drop_exactly_once_before`` in r10
+        while compaction required importing the streaming module).
+        Small-files control for the per-micro-batch dir layout; the
+        replay ledger folds into (hwm, pooled fingerprints) so the
+        per-batch manifest stops growing — see
+        :func:`~.streaming.ingest.compact_exactly_once` for the
+        protocol and its CAS carry-forward merge. Returns the number
+        of directories folded (0 = nothing to do)."""
+        from .streaming.ingest import compact_exactly_once
+
+        return compact_exactly_once(self.spark, self.warehouse_dir)
+
     def drop_exactly_once_before(self, cutoff_ts: str) -> list[str]:
         """Retention for the exactly-once table (round 10): drop every
         committed ``telemetry_eo`` directory whose rows are all older

@@ -126,6 +126,15 @@ class Repl:
             if not dropped:
                 return "Retention: nothing older than " + cutoff + "."
             return f"Dropped {len(dropped)} chunk(s): {', '.join(dropped)}."
+        if line == "compact_eo":
+            # maintenance verb (round 11): fold the exactly-once
+            # table's per-micro-batch dirs into one compacted
+            # generation (api.compact_exactly_once) — the small-files
+            # counterpart to retention_eo, same layout
+            n = self.engine.compact_exactly_once()
+            if not n:
+                return "Compaction: nothing to fold."
+            return f"Folded {n} committed dir(s) into one generation."
         if line.startswith("retention_eo "):
             # maintenance verb (round 10): retention on the
             # exactly-once batch_id=N/compact=N layout — whole

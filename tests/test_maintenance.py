@@ -571,3 +571,39 @@ def test_eo_cas_exhaustion_raises_without_damage(
         SI.normalize_batch(new, 1), 1, path
     ) is True
     assert SI.read_committed_telemetry(spark, wh).count() == 2
+
+
+def test_repl_compact_eo_verb_and_engine_facade(spark, tmp_path):
+    """Round 11: compact_eo folds the exactly-once dirs through the
+    engine facade (api.compact_exactly_once) — the small-files
+    counterpart retention_eo got in r10. Replays of folded batches
+    still skip through the folded ledger."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.repl import Repl
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        commit_batch_exactly_once,
+        normalize_batch,
+        visible_batch_dirs,
+    )
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "telemetry_eo")
+    raw = spark.createDataFrame(
+        [("x", "2024-01-01T00:00:00Z", 1.0, None, "s1"),
+         ("x", "2024-01-02T00:00:00Z", 2.0, None, "s1")],
+        "sensor_name string, timestamp string, value double, "
+        "fc1_flag int, timeseries_id string",
+    )
+    eng = TimeseriesEngine(spark, wh)
+    repl = Repl(eng)
+    assert repl.execute("compact_eo") == "Compaction: nothing to fold."
+    commit_batch_exactly_once(normalize_batch(raw, 0), 0, path)
+    commit_batch_exactly_once(normalize_batch(raw, 1), 1, path)
+    assert repl.execute("compact_eo") == (
+        "Folded 2 committed dir(s) into one generation."
+    )
+    assert visible_batch_dirs(path, spark) == ["compact=0"]
+    assert eng.telemetry().count() == 4
+    assert commit_batch_exactly_once(
+        normalize_batch(raw, 0), 0, path
+    ) is False
