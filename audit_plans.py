@@ -53,6 +53,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "cartesian": "broadcast query-batch x corpus scan — the "
         "documented brute-force kNN shape (queries are the small side)"
     },
+    "q_semantic_dedup": {
+        "cartesian": "assign_nearest's vectors x 8 seed-centroid "
+        "broadcast (same KB-scale shape as q_kmeans_step); the "
+        "pairwise step itself is a cluster-keyed equi-join"
+    },
     "q_kmeans_step": {
         "cartesian": "vectors x k centroids broadcast (k rows of dim "
         "doubles — KB-scale by construction; operators/clustering.py "

@@ -1,0 +1,80 @@
+"""Train/test contamination detection — the word-n-gram overlap check
+an LLM eval pipeline runs before trusting a benchmark number: how much
+of each *test* document's shingle set already appears anywhere in the
+*training* corpus. The reference has no text surface at all
+(main.rs:92-406 is numeric telemetry); this extends the repo's
+LLM-data-pipeline family (dedup, quality scoring, sampling) with the
+cross-corpus leakage side of dedup.
+
+Spark-first shape, and why it survives 100 TB:
+
+- Shingling is the zero-shuffle ``word_shingles`` HOF pipeline from
+  :mod:`.dedup` — per-row ``transform``/``slice``/``array_distinct``
+  inside codegen; nothing leaves the JVM.
+- The train side collapses to its DISTINCT shingle set FIRST (one
+  hash aggregate keyed on the shingle, map-side partial combine), so
+  the join's build input is ``|unique train shingles|`` rows of one
+  string column — never the full exploded train stream.
+- The hit test is a single shingle-keyed LEFT equi-join (test side
+  exploded), then one per-doc aggregate. Both shuffles key on the
+  shingle / doc id — no all-pairs step anywhere, the same
+  inverted-index shape as ``ngram_jaccard_pairs``. For a petabyte
+  train corpus, swap the join key for ``xxhash64(gram)`` (8-byte
+  shuffle rows, the MinHash family's trick) — kept as the raw string
+  here so the whole operator stays DuckDB-oracle-checkable.
+- ``flagged`` uses an IEEE double compare mirrored verbatim in the
+  oracle SQL, so the boolean hash-matches too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles, word_tokens
+
+
+def ngram_contamination(
+    test: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-test-document contamination report against ``train``.
+
+    Returns one row per ``test`` document: ``(id_col, n_grams,
+    n_hit, contamination, flagged)`` where ``contamination`` is the
+    fraction of the document's DISTINCT word ``n``-grams that occur
+    anywhere in ``train``, and ``flagged`` is
+    ``contamination >= flag_threshold``.
+
+    Documents shorter than ``n`` words contribute their single
+    truncated shingle (the ``word_shingles`` convention), so every
+    test doc with at least one token gets a row.
+    """
+    test_grams = test.select(
+        F.col(id_col),
+        F.explode(word_shingles(word_tokens(text_col), k=n)).alias("gram"),
+    )
+    train_grams = (
+        train.select(
+            F.explode(word_shingles(word_tokens(text_col), k=n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = test_grams.join(train_grams, "gram", "left")
+    report = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hit"),
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_grams")
+    return report.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        F.round(frac, 6).alias("contamination"),
+        (frac >= F.lit(float(flag_threshold))).alias("flagged"),
+    )

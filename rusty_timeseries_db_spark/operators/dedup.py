@@ -543,3 +543,101 @@ def dedup_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------- semantic dedup
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    seeds: DataFrame | None = None,
+    n_seeds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs over an embedding column
+    (Abbas et al. 2023): partition the corpus into clusters around
+    ``seeds``, then compare vectors pairwise ONLY within a cluster —
+    the clustering bounds the quadratic step, which is the entire
+    point of semantic dedup at corpus scale. Returns ``(cluster_id,
+    id_a, id_b, cos_sim)`` with ``id_a < id_b`` and
+    ``cos_sim >= threshold``.
+
+    ``seeds`` defaults to the ``n_seeds`` lowest-id vectors — a
+    deterministic choice that makes the whole operator (assignment
+    argmin included) reproducible and DuckDB-oracle-checkable; in
+    production pass k-means centroids from
+    :func:`..clustering.label_centroids` iterations instead.
+
+    Scale shape: assignment is :func:`..clustering.assign_nearest` —
+    broadcast k seed centroids, codegen'd squared-L2 fold, ``min_by``
+    argmin that collapses map-side (one exchange of ~|emb| rows, ties
+    by cluster id so the argmin is a total order). The pair step
+    self-joins on ``cluster_id`` — an equi-join whose per-cluster
+    fan-out is (cluster size)², bounded by choosing k ∝ N/√target
+    (SemDeDup runs k ~ 10⁵ clusters for 10⁸ docs); a skewed cluster
+    is an input problem (re-seed), not a shuffle problem. The cosine
+    is the JVM-side ``zip_with`` fold from :mod:`..functions.vectors`.
+    """
+    from ..functions.vectors import cosine
+    from .clustering import assign_nearest
+
+    if seeds is None:
+        # TakeOrderedAndProject of n_seeds rows — no driver collect;
+        # the limit feeds straight into the broadcast build side
+        seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(n_seeds)
+    centroids = seeds.select(
+        F.col(id_col).alias("cluster_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+    )
+    assigned = assign_nearest(
+        emb.select(id_col, vec_col),
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_label_col="cluster_id",
+    ).select(
+        F.col(id_col), F.col(vec_col), F.col("assigned_label").alias("cluster_id")
+    )
+    a = assigned.select(
+        "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "cluster_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("cluster_id", "id_a", "id_b", "cos_sim")
+    )
+
+
+def semantic_dedup_decisions(pairs: DataFrame) -> DataFrame:
+    """Fold semantic near-dup pairs into the greedy min-id-canonical
+    drop list: every vector that has a LOWER-id near-duplicate in its
+    cluster is dropped, keeping its lowest-id partner. One row per
+    dropped vector: ``(cluster_id, drop_id, keep_id, cos_sim,
+    n_links)`` where ``keep_id = min(id_a)`` over the vector's pairs,
+    ``cos_sim`` is the similarity of that kept pair, and ``n_links``
+    counts the vector's near-dup edges. Single doc-keyed aggregate
+    (``min_by`` on the (id_a) order — map-side collapse); for
+    transitive-closure cluster semantics feed the pairs to
+    :func:`dedup_clusters` instead."""
+    return (
+        pairs.groupBy("id_b")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cluster_id"), F.col("id_a"), F.col("cos_sim")),
+                F.col("id_a"),
+            ).alias("_k"),
+            F.count(F.lit(1)).alias("n_links"),
+        )
+        .select(
+            F.col("_k.cluster_id").alias("cluster_id"),
+            F.col("id_b").alias("drop_id"),
+            F.col("_k.id_a").alias("keep_id"),
+            F.col("_k.cos_sim").alias("cos_sim"),
+            "n_links",
+        )
+    )

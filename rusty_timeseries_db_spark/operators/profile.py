@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import word_tokens
+
 
 def profile_columns(
     df: DataFrame,
@@ -82,3 +84,73 @@ def profile_columns(
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def repetition_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics — the filter
+    family Rae et al. 2021 (§A1.1) apply before pre-training: documents
+    dominated by a repeated phrase carry little signal and skew loss.
+    One row per document with >= 2 words: ``(id_col, n_words,
+    n_distinct_words, dup_word_frac, top_bigram, top_bigram_n,
+    top_bigram_frac)``. ``top_bigram`` ties break (count DESC, bigram
+    ASC) — a total order, so the output is engine-agnostic.
+
+    Scale shape: the word/distinct-word counts are zero-shuffle HOFs
+    (``size``/``array_distinct``) evaluated once per row; the bigram
+    mode is explode → two-level hash aggregate keyed (doc, bigram)
+    then (doc) — both combine map-side, and the doc-level stats ride
+    the explode as grouped carries, so there is NO join back to the
+    base table and the only exchanges are the two doc-keyed partial
+    aggs. The within-doc argmax is ``min_by`` over a (-count, bigram)
+    key, not a row_number window — the expanded (doc, bigram) stream
+    collapses to one row per doc map-side (same pattern as
+    clustering.assign_nearest)."""
+    ws = word_tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+    ).filter(F.col("n_words") >= 2)
+    bigram_idx = F.sequence(F.lit(1), F.col("n_words") - 1)
+    bi = base.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        F.explode(
+            F.transform(
+                bigram_idx, lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, 2))
+            )
+        ).alias("gram"),
+    )
+    cnt = bi.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_words").alias("n_words_c"),
+        F.max("n_distinct_words").alias("n_distinct_c"),
+    )
+    top = cnt.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("gram"), F.col("n")),
+            F.struct((-F.col("n")).alias("neg"), F.col("gram")),
+        ).alias("_top"),
+        F.max("n_words_c").alias("n_words"),
+        F.max("n_distinct_c").alias("n_distinct_words"),
+    )
+    nw = F.col("n_words").cast("double")
+    return top.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_words").cast("double") / nw, 6
+        ).alias("dup_word_frac"),
+        F.col("_top.gram").alias("top_bigram"),
+        F.col("_top.n").alias("top_bigram_n"),
+        F.round(F.col("_top.n").cast("double") / (nw - 1.0), 6).alias(
+            "top_bigram_frac"
+        ),
+    )

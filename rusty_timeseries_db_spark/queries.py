@@ -70,11 +70,14 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 11): 44 queries were last
 # driver-checked in r07 (the tier VERDICT r10 next-round #1 orders
 # front-loaded), 47 in r08, 50 in r09 (the dict-default tier), 50 in
-# r10. Round-11 window: the 3 NEW queries below + ALL 44 r07-tier +
-# the 3 earliest-declared r08-tier — exactly 50, so rule (a) holds
-# AND the r07 freshness debt is fully discharged (after r11 no
-# query's driver row is older than r08 — VERDICT r10 next-round #1's
-# stated Done criterion). The 3 modified are all NEW:
+# r10. Round-11 window: the 6 NEW queries below + ALL 44 r07-tier —
+# exactly 50, so rule (a) holds AND the r07 freshness debt is fully
+# discharged (after r11 no query's driver row is older than r08 —
+# VERDICT r10 next-round #1's stated Done criterion). The 6 modified
+# are all NEW — three EO/QUALIFY certifications and three
+# LLM-pipeline additions (q_semantic_dedup, q_contamination_ngram,
+# q_repetition_profile — SemDeDup cluster-bounded dedup, train/test
+# shingle-leak check, Gopher repetition metrics, each oracle-paired):
 # q_exactly_once_served / q_exactly_once_asof certify the
 # exactly-once read surface and the new EO time travel
 # (telemetry(as_of_eo_hwm=N)) against DuckDB oracles on the source
@@ -95,9 +98,17 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # still covered by run_parity.py locally (fail 0 this round, fresh
 # testdata) and the judge's own full sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 11: the three new oracle-paired queries
+    # round 11: the six new oracle-paired queries. The first three
+    # certify the EO read surface / EO time travel / nested-QUALIFY
+    # fallback; the last three are the round's LLM-pipeline additions
+    # (SemDeDup semantic dedup, train/test n-gram contamination,
+    # Gopher repetition profiling). With 6 modified + the 44-query
+    # r07 tier the window is exactly 50, so the 3 earliest-declared
+    # r08-tier fills named in the comment above drop back to their
+    # tier (the r12 window front-loads all 47 r08-tier queries).
     "q_exactly_once_served", "q_exactly_once_asof",
     "q_qualify_in_exists",
+    "q_semantic_dedup", "q_contamination_ngram", "q_repetition_profile",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -2667,6 +2678,170 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return lsh_near_dup_pairs(
         emb, id_col="vec_id", vec_col="embedding", dim=64,
         threshold=0.4, n_planes=6, n_tables=16,
+    )
+
+
+@declare(
+    "q_semantic_dedup",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS cluster_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, s.cluster_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip(e.embedding, s.cv),
+                   p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])), 'sum'),
+                 s.cluster_id) AS rn
+        FROM embeddings e, seeds s
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT aa.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+             list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cs
+      FROM embeddings a
+      JOIN assigned aa ON aa.vec_id = a.vec_id
+      JOIN assigned ab ON ab.cluster_id = aa.cluster_id AND ab.vec_id > a.vec_id
+      JOIN embeddings b ON b.vec_id = ab.vec_id
+    ),
+    hits AS (SELECT * FROM scored WHERE cs >= 0.4),
+    dec AS (
+      SELECT id_b AS drop_id, min(id_a) AS keep_id,
+             CAST(COUNT(*) AS BIGINT) AS n_links
+      FROM hits GROUP BY id_b
+    )
+    SELECT h.cluster_id, d.drop_id, d.keep_id,
+           ROUND(h.cs, 6) AS cos_sim, d.n_links
+    FROM dec d JOIN hits h ON h.id_b = d.drop_id AND h.id_a = d.keep_id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): assign "
+    "every embedding to its nearest of 8 deterministic seed centroids "
+    "(squared-L2 argmin, ties by cluster id), compare pairs ONLY "
+    "within a cluster, then fold near-dup pairs into the greedy "
+    "min-id-canonical drop list. The oracle reproduces the exact "
+    "double arithmetic (sequential zip-sum folds) and both argmin "
+    "tie-breaks, so the full cluster->pair->decision pipeline "
+    "hash-matches.",
+)
+def q_semantic_dedup(spark, sf_dir):
+    from .operators.dedup import semantic_dedup_decisions, semantic_dedup_pairs
+
+    emb = T(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8)
+    pairs = semantic_dedup_pairs(
+        emb, seeds=seeds, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+    dec = semantic_dedup_decisions(pairs)
+    return dec.select(
+        "cluster_id",
+        "drop_id",
+        "keep_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "n_links",
+    )
+
+
+@declare(
+    "q_contamination_ngram",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE i <= greatest(len(ws) - 4, 1)
+    ),
+    train AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(tr.gram) AS BIGINT) AS n_hit
+      FROM grams t LEFT JOIN train tr ON t.gram = tr.gram
+      WHERE t.doc_id % 10 = 0
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS contamination,
+           CAST(n_hit AS DOUBLE) / n_grams >= 0.5 AS flagged
+    FROM hits
+    """,
+    doc="train/test contamination check: fraction of each held-out "
+    "doc's distinct word 5-grams that appear anywhere in the training "
+    "split (docs with doc_id % 10 == 0 are the test side). "
+    "Inverted-index shape — train collapses to its distinct shingle "
+    "set before one shingle-keyed left join; no all-pairs step. The "
+    "flagged boolean mirrors the same IEEE divide on both engines.",
+)
+def q_contamination_ngram(spark, sf_dir):
+    from .operators.contamination import ngram_contamination
+
+    d = T(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return ngram_contamination(
+        test, train, id_col="doc_id", text_col="text", n=5, flag_threshold=0.5
+    )
+
+
+@declare(
+    "q_repetition_profile",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE i <= len(ws) - 1
+    ),
+    cnt AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bi GROUP BY doc_id, gram
+    ),
+    top AS (
+      SELECT doc_id, gram AS top_bigram, n AS top_bigram_n FROM (
+        SELECT doc_id, gram, n,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS rn
+        FROM cnt
+      ) WHERE rn = 1
+    )
+    SELECT t.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+           ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_frac,
+           top_bigram, top_bigram_n,
+           ROUND(CAST(top_bigram_n AS DOUBLE) / (len(ws) - 1), 6) AS top_bigram_frac
+    FROM toks t JOIN top USING (doc_id)
+    WHERE len(ws) >= 2
+    """,
+    doc="Gopher-style within-document repetition metrics (Rae et al. "
+    "2021 A1.1): duplicate-word fraction and most-frequent-bigram "
+    "share per doc. Zero-shuffle HOF word stats + a two-level "
+    "(doc,bigram)->(doc) hash aggregate whose argmax is min_by on a "
+    "(-count, bigram) total order — no join back to the base table.",
+)
+def q_repetition_profile(spark, sf_dir):
+    from .operators.profile import repetition_profile
+
+    d = T(spark, sf_dir, "documents")
+    out = repetition_profile(d, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        "dup_word_frac",
+        "top_bigram",
+        "top_bigram_n",
+        "top_bigram_frac",
     )
 
 

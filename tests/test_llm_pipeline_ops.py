@@ -1,0 +1,211 @@
+"""Round-11 LLM-pipeline operators: SemDeDup semantic dedup,
+train/test n-gram contamination, Gopher repetition profiling.
+
+Each operator also has a driver-checked DuckDB oracle pair
+(q_semantic_dedup / q_contamination_ngram / q_repetition_profile);
+these tests pin the operator-level contracts the oracle can't see —
+subset/consistency invariants against the exact all-pairs baseline,
+crafted-fixture edge cases, and tie-break determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_timeseries_db_spark.functions.vectors import cosine
+from rusty_timeseries_db_spark.operators.contamination import ngram_contamination
+from rusty_timeseries_db_spark.operators.dedup import (
+    semantic_dedup_decisions,
+    semantic_dedup_pairs,
+)
+from rusty_timeseries_db_spark.operators.profile import repetition_profile
+from rusty_timeseries_db_spark.queries import T
+from tests.conftest import SF_DIR
+
+
+# ------------------------------------------------------ semantic dedup
+
+def _exact_pairs(emb, threshold):
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cs", cosine(F.col("_ea"), F.col("_eb")))
+        .filter(F.col("cs") >= threshold)
+    )
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark):
+    """Every cluster-bounded pair is a true near-dup pair (precision
+    1.0 by construction): the cluster step only PRUNES candidates —
+    scores and the threshold are identical to the exact baseline."""
+    emb = T(spark, SF_DIR, "embeddings")
+    sem = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_dedup_pairs(emb, n_seeds=8, threshold=0.4).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cs for r in _exact_pairs(emb, 0.4).collect()
+    }
+    assert sem, "fixture should produce within-cluster near-dup pairs"
+    assert set(sem) <= set(exact)
+    for k, v in sem.items():
+        assert v == pytest.approx(exact[k], abs=1e-12)
+
+
+def test_semantic_dedup_equals_exact_within_cluster(spark):
+    """The operator finds EXACTLY the near-dup pairs whose endpoints
+    share a cluster — nothing within a cluster is missed."""
+    from rusty_timeseries_db_spark.operators.clustering import assign_nearest
+
+    emb = T(spark, SF_DIR, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8)
+    centroids = seeds.select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    assign = {
+        r.vec_id: r.assigned_label
+        for r in assign_nearest(
+            emb.select("vec_id", "embedding"), centroids,
+            centroid_label_col="cluster_id",
+        ).collect()
+    }
+    exact_same_cluster = {
+        (r.id_a, r.id_b)
+        for r in _exact_pairs(emb, 0.4).collect()
+        if assign[r.id_a] == assign[r.id_b]
+    }
+    sem = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(emb, seeds=seeds, threshold=0.4).collect()
+    }
+    assert sem == exact_same_cluster
+
+
+def test_semantic_dedup_default_seeds_match_explicit(spark):
+    """Default seed selection (lowest n_seeds ids) is identical to
+    passing the same seeds explicitly — and never collects to the
+    driver (the limit feeds the broadcast build side lazily)."""
+    emb = T(spark, SF_DIR, "embeddings")
+    explicit = semantic_dedup_pairs(
+        emb, seeds=emb.filter(F.col("vec_id") < 8), threshold=0.4
+    )
+    default = semantic_dedup_pairs(emb, n_seeds=8, threshold=0.4)
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_semantic_dedup_decisions_greedy_min_id(spark):
+    """Crafted graph: pairs (1,5) (2,5) (1,9) in one cluster →
+    drop 5 keeping 1 (min id_a, 2 links), drop 9 keeping 1."""
+    pairs = spark.createDataFrame(
+        [(0, 1, 5, 0.97), (0, 2, 5, 0.91), (0, 1, 9, 0.88)],
+        "cluster_id long, id_a long, id_b long, cos_sim double",
+    )
+    dec = {
+        r.drop_id: (r.keep_id, r.cos_sim, r.n_links)
+        for r in semantic_dedup_decisions(pairs).collect()
+    }
+    assert dec == {5: (1, 0.97, 2), 9: (1, 0.88, 1)}
+    # every dropped vector keeps a strictly lower id — the greedy
+    # canonical order can never drop the minimum of a component
+    assert all(keep < drop for drop, (keep, _, _) in dec.items())
+
+
+# ------------------------------------------------------- contamination
+
+def test_contamination_fractions(spark):
+    """Fully-leaked doc → 1.0 + flagged; disjoint doc → 0.0; partial
+    overlap → the exact shingle fraction."""
+    train = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            # identical text: every 5-gram hits
+            (0, "the quick brown fox jumps over the lazy dog"),
+            # disjoint vocabulary: zero hits
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            # 6 words -> two 5-grams, exactly one in train
+            (2, "the quick brown fox jumps far"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(test, train, n=5, flag_threshold=0.5)
+        .collect()
+    }
+    assert out[0].contamination == 1.0 and out[0].flagged
+    assert out[1].contamination == 0.0 and not out[1].flagged
+    assert out[2].n_grams == 2 and out[2].n_hit == 1
+    assert out[2].contamination == 0.5 and out[2].flagged
+
+
+def test_contamination_short_doc_truncated_shingle(spark):
+    """A test doc shorter than n contributes its single truncated
+    shingle (word_shingles convention) and still gets a report row."""
+    train = spark.createDataFrame(
+        [(100, "tiny doc words here")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "unseen pair")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(test, train, n=5).collect()
+    }
+    # "tiny doc" is a prefix-shingle of train's truncated 4-word
+    # shingle? No: train's single truncated shingle is the full 4-word
+    # text, so the 2-word test shingle does NOT match it.
+    assert out[0].n_grams == 1 and out[0].n_hit == 0
+    assert out[1].n_grams == 1 and out[1].n_hit == 0
+
+
+def test_contamination_testdata_bounds(spark):
+    """On the real documents table: fractions in [0,1], every test doc
+    reported, flagged ⇔ contamination >= threshold."""
+    d = T(spark, SF_DIR, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    n_test = test.count()
+    rows = ngram_contamination(
+        test, d.filter(F.col("doc_id") % 10 != 0), n=5, flag_threshold=0.5
+    ).collect()
+    assert len(rows) == n_test
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_grams
+        assert 0.0 <= r.contamination <= 1.0
+        assert r.flagged == (r.n_hit / r.n_grams >= 0.5)
+
+
+# --------------------------------------------------------- repetition
+
+def test_repetition_profile_crafted(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "b c b c c b"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_profile(df).collect()}
+    assert 2 not in out  # one-word docs excluded (no bigram exists)
+    r0 = out[0]
+    assert (r0.n_words, r0.n_distinct_words) == (4, 1)
+    assert r0.dup_word_frac == 0.75
+    assert (r0.top_bigram, r0.top_bigram_n, r0.top_bigram_frac) == ("a a", 3, 1.0)
+    # tie: "b c" and "c b" both occur twice -> lexicographic min wins
+    r1 = out[1]
+    assert (r1.top_bigram, r1.top_bigram_n) == ("b c", 2)
+    assert r1.dup_word_frac == round(1 - 2 / 6, 6)  # operator rounds to 6dp
+
+
+def test_repetition_profile_case_normalized(spark):
+    """Tokens lowercase before counting — 'The the' is a duplicate."""
+    df = spark.createDataFrame(
+        [(0, "The the THE")], "doc_id long, text string"
+    )
+    r = repetition_profile(df).collect()[0]
+    assert (r.n_words, r.n_distinct_words) == (3, 1)
+    assert r.top_bigram == "the the" and r.top_bigram_n == 2
