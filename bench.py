@@ -82,6 +82,13 @@ HEADLINE = [
     # distributed vector-aggregation stress test)
     "q_ohlc_bars",
     "q_kmeans_step",
+    # added round 11 (subtract for apples-to-apples vs r10): the two
+    # new LLM-pipeline flagships — SemDeDup cluster-bounded semantic
+    # dedup (broadcast assignment + within-cluster pair join) and the
+    # train/test shingle-contamination report (distinct-collapsed
+    # inverted-index left join)
+    "q_semantic_dedup",
+    "q_contamination_ngram",
 ]
 
 
