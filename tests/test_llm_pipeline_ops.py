@@ -209,3 +209,25 @@ def test_repetition_profile_case_normalized(spark):
     r = repetition_profile(df).collect()[0]
     assert (r.n_words, r.n_distinct_words) == (3, 1)
     assert r.top_bigram == "the the" and r.top_bigram_n == 2
+
+
+def test_contamination_monotone_in_train_corpus(spark):
+    """Growing the train corpus can only raise (never lower) each test
+    doc's contamination — the report is a containment fraction against
+    the train shingle UNION, so it is monotone in train. Checked on
+    the real table with nested train splits."""
+    d = T(spark, SF_DIR, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train_small = d.filter(F.col("doc_id") % 10 == 1)
+    train_big = d.filter(F.col("doc_id") % 10 != 0)  # superset of small
+    small = {
+        r.doc_id: r.n_hit
+        for r in ngram_contamination(test, train_small, n=5).collect()
+    }
+    big = {
+        r.doc_id: r.n_hit
+        for r in ngram_contamination(test, train_big, n=5).collect()
+    }
+    assert set(small) == set(big)
+    assert all(big[k] >= v for k, v in small.items())
+    assert any(big[k] > v for k, v in small.items())
