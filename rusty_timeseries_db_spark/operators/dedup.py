@@ -641,3 +641,92 @@ def semantic_dedup_decisions(pairs: DataFrame) -> DataFrame:
             "n_links",
         )
     )
+
+
+# --------------------------------------------------- duplicate spans
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_span_tokens: int = 10,
+    max_gram_df: int | None = 50,
+) -> DataFrame:
+    """Maximal duplicated token spans ACROSS documents (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    every pair of documents sharing a run of >= ``min_span_tokens``
+    identical consecutive tokens yields one row per maximal run —
+    ``(id_a, id_b, start_a, start_b, span_tokens)`` with 0-based token
+    offsets and ``id_a < id_b``. Doc-level near-dup (Jaccard/MinHash)
+    misses partial plagiarism — a paragraph pasted into an otherwise
+    unique doc; this finds the paragraph and WHERE it sits, which is
+    what span-level dedup actually rewrites.
+
+    Mechanics: positions of word ``k``-grams are matched across docs
+    (one gram-keyed self equi-join), and matches lying on the same
+    DIAGONAL (``pos_a - pos_b`` constant) with consecutive ``pos_a``
+    are one duplicated run — merged with the classic gaps-and-islands
+    ``pos_a - row_number()`` trick per (id_a, id_b, diagonal), so a
+    shared m-token span collapses from its m-k+1 shingle matches to
+    ONE row of length m.
+
+    Scale shape: the ONLY dangerous step is the gram self-join —
+    ubiquitous shingles ("in the of a ...") would fan out
+    quadratically. ``max_gram_df`` caps it: grams occurring in more
+    than that many documents are dropped from matching BEFORE the
+    join (one doc-distinct aggregate; those grams are boilerplate —
+    profile them with shingle document frequencies instead of pairwise
+    spans). With the cap, per-gram fan-out is bounded at
+    ``max_gram_df``² pairs and the join stays an id-keyed shuffle;
+    the islands window sorts only matched positions per (pair,
+    diagonal). Pass ``None`` to disable the cap on corpora known to
+    carry no boilerplate (e.g. already-cleaned eval sets).
+    """
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    # (doc, pos, gram) with pos 0-based; docs shorter than k emit no
+    # grams (a span must be k full tokens to match exactly), and the
+    # sequence runs only to n-k+1 so no truncated tail shingles exist
+    grams = df.filter(n >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    if max_gram_df is not None:
+        rare = (
+            grams.select(id_col, "gram")
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("gram")
+        )
+        grams = grams.join(rare, "gram")
+    a = grams.select(
+        F.col("gram"), F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a")
+    )
+    b = grams.select(
+        F.col("gram"), F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b")
+    )
+    m = a.join(b, "gram").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pos_a", "pos_b"
+    )
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    runs = m.withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
+    spans = runs.groupBy(
+        "id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("_diag"), "_isl"
+    ).agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+    )
+    return spans.filter(F.col("span_tokens") >= min_span_tokens).select(
+        "id_a", "id_b", "start_a", "start_b", "span_tokens"
+    )

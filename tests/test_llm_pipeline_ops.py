@@ -231,3 +231,73 @@ def test_contamination_monotone_in_train_corpus(spark):
     assert set(small) == set(big)
     assert all(big[k] >= v for k, v in small.items())
     assert any(big[k] > v for k, v in small.items())
+
+
+# ----------------------------------------------------- duplicate spans
+
+def test_duplicate_spans_maximal_run(spark):
+    """A 10-token span shared at different offsets collapses to ONE
+    maximal row with exact 0-based starts and length."""
+    from rusty_timeseries_db_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, "x1 x2 x3 x4 x5 " + shared + " y1 y2"),
+            (2, "z1 " + shared + " z2 z3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(df, k=5, min_span_tokens=10).collect()
+    assert [(r.id_a, r.id_b, r.start_a, r.start_b, r.span_tokens) for r in rows] == [
+        (1, 2, 5, 1, 10)
+    ]
+
+
+def test_duplicate_spans_min_length_and_multiple_runs(spark):
+    """Two disjoint shared runs in one doc pair yield two rows; runs
+    below min_span_tokens are dropped."""
+    from rusty_timeseries_db_spark.operators.dedup import duplicate_spans
+
+    run1 = " ".join(f"a{i}" for i in range(8))
+    run2 = " ".join(f"b{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [
+            (1, run1 + " gap1 gap2 " + run2),
+            (2, "pre " + run1 + " mid1 mid2 mid3 " + run2 + " post"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.start_a, r.start_b, r.span_tokens)
+        for r in duplicate_spans(df, k=4, min_span_tokens=6).collect()
+    }
+    assert got == {(0, 1, 8), (10, 12, 6)}
+    only_long = duplicate_spans(df, k=4, min_span_tokens=7).collect()
+    assert {(r.start_a, r.span_tokens) for r in only_long} == {(0, 8)}
+
+
+def test_duplicate_spans_df_cap_drops_boilerplate(spark):
+    """A phrase present in MORE than max_gram_df docs is boilerplate:
+    excluded from matching under the cap, found without it."""
+    from rusty_timeseries_db_spark.operators.dedup import duplicate_spans
+
+    phrase = " ".join(f"p{i}" for i in range(6))
+    docs = [(i, f"u{i}a u{i}b " + phrase + f" v{i}") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = duplicate_spans(df, k=5, min_span_tokens=6, max_gram_df=3)
+    assert capped.count() == 0
+    uncapped = duplicate_spans(df, k=5, min_span_tokens=6, max_gram_df=None)
+    assert uncapped.count() == 10  # C(5,2) pairs, one span each
+    r = uncapped.filter((F.col("id_a") == 0) & (F.col("id_b") == 1)).collect()[0]
+    assert (r.start_a, r.start_b, r.span_tokens) == (2, 2, 6)
+
+
+def test_duplicate_spans_short_docs_excluded(spark):
+    """Docs shorter than k emit no grams and can never pair."""
+    from rusty_timeseries_db_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    assert duplicate_spans(df, k=5, min_span_tokens=5).count() == 0
