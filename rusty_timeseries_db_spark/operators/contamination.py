@@ -78,3 +78,77 @@ def ngram_contamination(
         F.round(frac, 6).alias("contamination"),
         (frac >= F.lit(float(flag_threshold))).alias("flagged"),
     )
+
+
+def boilerplate_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 10,
+) -> DataFrame:
+    """The corpus's boilerplate vocabulary: word ``n``-grams occurring
+    in at least ``min_df`` distinct documents, with their document
+    frequencies — ``(gram, gram_df)``. Headers, footers, license
+    blurbs and navigation chrome surface here; span-level dedup
+    (:func:`..dedup.duplicate_spans`) deliberately EXCLUDES these via
+    its ``max_gram_df`` cap, so this is the report that covers what
+    the cap skipped. One doc-distinct aggregate + one gram-keyed
+    count — both combine map-side."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(word_tokens(text_col), k=n)).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .filter(F.col("gram_df") >= min_df)
+    )
+
+
+def boilerplate_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 10,
+) -> DataFrame:
+    """Per-document boilerplate saturation: what fraction of each
+    doc's distinct ``n``-grams are corpus boilerplate (document
+    frequency >= ``min_df``). Docs that are MOSTLY boilerplate
+    (templated pages) score near 1.0 and are prime removal
+    candidates that near-dup pipelines miss when the template is
+    interleaved with unique snippets. Returns ``(id_col, n_grams,
+    n_boiler, boilerplate_frac)``.
+
+    Scale shape: the gram-frequency side is
+    :func:`boilerplate_grams` (already collapsed to one row per
+    boilerplate gram) joined back on the gram key; per-doc totals
+    are one doc-keyed aggregate. Same inverted-index shape as
+    :func:`ngram_contamination` — no all-pairs step. Note
+    ``word_shingles`` dedups per doc, so the fraction is over
+    DISTINCT shingles (a doc repeating its own boilerplate 50×
+    counts it once — within-doc repetition is
+    ``repetition_profile``'s job)."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(word_tokens(text_col), k=n)).alias("gram"),
+    )
+    boiler = boilerplate_grams(df, id_col, text_col, n=n, min_df=min_df
+                               ).select("gram").withColumn("_b", F.lit(1))
+    return (
+        grams.join(boiler, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_b").alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_grams"), 6
+            ).alias("boilerplate_frac"),
+        )
+    )

@@ -301,3 +301,39 @@ def test_duplicate_spans_short_docs_excluded(spark):
         [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
     )
     assert duplicate_spans(df, k=5, min_span_tokens=5).count() == 0
+
+
+# -------------------------------------------------------- boilerplate
+
+def test_boilerplate_grams_and_profile(spark):
+    from rusty_timeseries_db_spark.operators.contamination import (
+        boilerplate_grams,
+        boilerplate_profile,
+    )
+
+    phrase = " ".join(f"p{i}" for i in range(6))  # two distinct 5-grams
+    docs = [(i, phrase + f" u{i}a u{i}b u{i}c u{i}d") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab = {r.gram: r.gram_df for r in boilerplate_grams(df, min_df=4).collect()}
+    # the two full-phrase 5-grams appear in all 5 docs; every gram
+    # touching the unique u-suffix tokens is below min_df
+    assert set(vocab.values()) == {5} and len(vocab) == 2
+    prof = {r.doc_id: r for r in boilerplate_profile(df, min_df=4).collect()}
+    for r in prof.values():
+        # 10 tokens -> 6 distinct 5-grams, 2 of them boilerplate
+        assert (r.n_grams, r.n_boiler) == (6, 2)
+        assert r.boilerplate_frac == round(2 / 6, 6)
+
+
+def test_boilerplate_profile_all_unique_corpus(spark):
+    from rusty_timeseries_db_spark.operators.contamination import (
+        boilerplate_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(8))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = boilerplate_profile(df, min_df=2).collect()
+    assert len(rows) == 4
+    assert all(r.n_boiler == 0 and r.boilerplate_frac == 0.0 for r in rows)
