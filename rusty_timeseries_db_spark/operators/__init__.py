@@ -1,10 +1,18 @@
 from .asof import asof_join, asof_join_tolerance
 from .dedup import (
     content_hash,
+    duplicate_spans,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup_decisions,
+    semantic_dedup_pairs,
     simhash_pairs,
+)
+from .contamination import (
+    boilerplate_grams,
+    boilerplate_profile,
+    ngram_contamination,
 )
 from .overlay import apply_overlay, build_overlay_for_updates, compact
 from .resample import cumulative_agg, locf_fill, resample, rolling_agg, time_spine
@@ -22,7 +30,7 @@ from .maintenance import (
     sweep_residue,
 )
 from .rollup import ContinuousRollup, RollupScheduler
-from .profile import profile_columns
+from .profile import profile_columns, repetition_profile
 from .clustering import assign_nearest, label_centroids
 from .packing import assign_packs, pack_stats
 from .sampling import (
@@ -38,13 +46,15 @@ from .topk import topk, topk_per_group
 __all__ = [
     "asof_join", "asof_join_tolerance", "content_hash", "exact_dedup",
     "minhash_dedup_pairs", "ngram_jaccard_pairs", "simhash_pairs",
+    "duplicate_spans", "semantic_dedup_pairs", "semantic_dedup_decisions",
+    "boilerplate_grams", "boilerplate_profile", "ngram_contamination",
     "apply_overlay", "build_overlay_for_updates", "compact",
     "cumulative_agg", "locf_fill", "resample", "rolling_agg", "time_spine",
     "IvfIndex", "cosine_topk", "counter_rate", "lsh_cosine_topk", "topk", "topk_per_group",
     "optimize_layout", "file_stats", "overlap_fraction", "zorder_layout",
     "ContinuousRollup",
     "RollupScheduler",
-    "profile_columns",
+    "profile_columns", "repetition_profile",
     "assign_nearest", "label_centroids",
     "chunk_documents",
     "compact_partitions", "drop_partitions_older_than", "sweep_residue",
