@@ -554,6 +554,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.85,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style near-duplicate pairs over an embedding column
     (Abbas et al. 2023): partition the corpus into clusters around
@@ -565,9 +566,13 @@ def semantic_dedup_pairs(
 
     ``seeds`` defaults to the ``n_seeds`` lowest-id vectors — a
     deterministic choice that makes the whole operator (assignment
-    argmin included) reproducible and DuckDB-oracle-checkable; in
-    production pass k-means centroids from
-    :func:`..clustering.label_centroids` iterations instead.
+    argmin included) reproducible and DuckDB-oracle-checkable. In
+    production pass trained cluster centers instead: either
+    ``seeds=`` (rows of the corpus) or ``centroids=`` — a
+    ``(cluster_id, centroid array<double>)`` frame, e.g.
+    ``IvfIndex.centroids_df()`` or
+    :func:`..clustering.label_centroids` output — so one trained
+    quantizer serves both similarity search and dedup.
 
     Scale shape: assignment is :func:`..clustering.assign_nearest` —
     broadcast k seed centroids, codegen'd squared-L2 fold, ``min_by``
@@ -582,14 +587,19 @@ def semantic_dedup_pairs(
     from ..functions.vectors import cosine
     from .clustering import assign_nearest
 
-    if seeds is None:
-        # TakeOrderedAndProject of n_seeds rows — no driver collect;
-        # the limit feeds straight into the broadcast build side
-        seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(n_seeds)
-    centroids = seeds.select(
-        F.col(id_col).alias("cluster_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
-    )
+    if centroids is None:
+        if seeds is None:
+            # TakeOrderedAndProject of n_seeds rows — no driver
+            # collect; the limit feeds the broadcast build side
+            seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(n_seeds)
+        centroids = seeds.select(
+            F.col(id_col).alias("cluster_id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double")
+            ).alias("centroid"),
+        )
+    elif seeds is not None:
+        raise ValueError("pass seeds= or centroids=, not both")
     assigned = assign_nearest(
         emb.select(id_col, vec_col),
         centroids,

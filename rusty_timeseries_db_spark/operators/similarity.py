@@ -468,6 +468,20 @@ class IvfIndex:
             )
         return man
 
+    def centroids_df(self) -> DataFrame:
+        """The index's frozen centroids as a ``(cluster_id, centroid)``
+        DataFrame — the shape :func:`..dedup.semantic_dedup_pairs`
+        accepts via its ``centroids=`` parameter, so one trained
+        quantizer serves BOTH similarity search and semantic dedup
+        (SemDeDup's own recipe: dedup within the k-means cells the
+        index already paid to train). k rows of dim doubles —
+        broadcast-scale by construction."""
+        man = self._manifest()
+        return self.spark.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(man["centroids"])],
+            "cluster_id bigint, centroid array<double>",
+        )
+
     #: default drift threshold for should_rebuild / the query() warning
     #: — past 20% incrementally-added rows, probe-ordering quality has
     #: measurably drifted for typical corpora (the FAISS add-vs-train

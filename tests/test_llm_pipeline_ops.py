@@ -337,3 +337,32 @@ def test_boilerplate_profile_all_unique_corpus(spark):
     rows = boilerplate_profile(df, min_df=2).collect()
     assert len(rows) == 4
     assert all(r.n_boiler == 0 and r.boilerplate_frac == 0.0 for r in rows)
+
+
+def test_semantic_dedup_over_ivf_centroids(spark, tmp_path):
+    """One trained quantizer serves both surfaces: semantic dedup over
+    IvfIndex.centroids_df() produces a valid pair set — still a subset
+    of the exact all-pairs baseline with identical scores, and every
+    pair's endpoints share the index's own cell assignment."""
+    from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+
+    emb = T(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    idx = IvfIndex(spark, str(tmp_path / "ivf")).build(
+        emb, n_clusters=6, seed=7
+    )
+    cents = idx.centroids_df()
+    assert cents.count() == 6
+    pairs = semantic_dedup_pairs(
+        emb, centroids=cents, threshold=0.4
+    ).collect()
+    assert pairs, "clusters should contain near-dup pairs"
+    exact = {
+        (r.id_a, r.id_b): r.cs for r in _exact_pairs(emb, 0.4).collect()
+    }
+    for r in pairs:
+        assert (r.id_a, r.id_b) in exact
+        assert r.cos_sim == pytest.approx(exact[(r.id_a, r.id_b)], abs=1e-9)
+    with pytest.raises(ValueError, match="not both"):
+        semantic_dedup_pairs(
+            emb, seeds=emb.limit(2), centroids=cents
+        )
