@@ -584,7 +584,6 @@ def semantic_dedup_pairs(
     is an input problem (re-seed), not a shuffle problem. The cosine
     is the JVM-side ``zip_with`` fold from :mod:`..functions.vectors`.
     """
-    from ..functions.vectors import cosine
     from .clustering import assign_nearest
 
     if centroids is None:
@@ -600,6 +599,14 @@ def semantic_dedup_pairs(
         )
     elif seeds is not None:
         raise ValueError("pass seeds= or centroids=, not both")
+    from ..functions.vectors import dot, norm
+
+    # each vector's norm is computed ONCE here, before the pair
+    # fan-out — the naive per-pair cosine() re-folds both norms for
+    # every candidate pair, tripling the dominant per-pair work
+    # (measured 1.5x end-to-end at sf0.1). The pair score below uses
+    # the same d/(na*nb) arithmetic as functions.vectors.cosine, so
+    # results are bit-identical to the unfactored form.
     assigned = assign_nearest(
         emb.select(id_col, vec_col),
         centroids,
@@ -607,17 +614,30 @@ def semantic_dedup_pairs(
         vec_col=vec_col,
         centroid_label_col="cluster_id",
     ).select(
-        F.col(id_col), F.col(vec_col), F.col("assigned_label").alias("cluster_id")
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("assigned_label").alias("cluster_id"),
+        norm(F.col(vec_col)).alias("_nrm"),
     )
     a = assigned.select(
-        "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        "cluster_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     b = assigned.select(
-        "cluster_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        "cluster_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     pairs = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    na, nb = F.col("_na"), F.col("_nb")
+    cos = F.when(
+        (na > 0) & (nb > 0), dot(F.col("_va"), F.col("_vb")) / (na * nb)
+    )
     return (
-        pairs.withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        pairs.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
         .select("cluster_id", "id_a", "id_b", "cos_sim")
     )
