@@ -2845,6 +2845,111 @@ def q_repetition_profile(spark, sf_dir):
     )
 
 
+# Declared late in round 11 (after the driver window locked at the six
+# _ROUND_MODIFIED + 44-query r07 tier): judge-sweep-covered this round,
+# queued for the r12 window's free slots (see the rotation comment).
+
+@declare(
+    "q_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE len(ws) >= 5 AND i <= len(ws) - 4
+    ),
+    rare AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+      ) WHERE df <= 50
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM g a JOIN rare r ON a.gram = r.gram
+      JOIN g b ON b.gram = a.gram
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+             ) AS isl
+      FROM m
+    ),
+    spans AS (
+      SELECT id_a, id_b,
+             CAST(MIN(pos_a) AS INT) AS start_a,
+             CAST(MIN(pos_b) AS INT) AS start_b,
+             CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens
+      FROM runs GROUP BY id_a, id_b, diag, isl
+    )
+    SELECT id_a, id_b, start_a, start_b, span_tokens
+    FROM spans WHERE span_tokens >= 8
+    """,
+    doc="cross-document duplicated token spans (Lee et al. 2021 "
+    "ExactSubstr, word granularity): every maximal run of >= 8 "
+    "identical consecutive tokens shared by a document pair, with "
+    "0-based start offsets on both sides. 5-gram positions matched "
+    "by one gram-keyed self equi-join (grams in > 50 docs dropped "
+    "first — the boilerplate cap that bounds per-gram fan-out), then "
+    "same-diagonal consecutive matches merged to one row via the "
+    "gaps-and-islands pos - row_number() trick. The oracle replays "
+    "the identical island construction in SQL.",
+)
+def q_duplicate_spans(spark, sf_dir):
+    from .operators.dedup import duplicate_spans
+
+    d = T(spark, sf_dir, "documents")
+    return duplicate_spans(
+        d, id_col="doc_id", text_col="text", k=5, min_span_tokens=8,
+        max_gram_df=50,
+    )
+
+
+@declare(
+    "q_boilerplate_profile",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE i <= greatest(len(ws) - 2, 1)
+    ),
+    boiler AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(*) AS gram_df FROM grams GROUP BY gram
+      ) WHERE gram_df >= 5
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(b.gram) AS BIGINT) AS n_boiler,
+           ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 6) AS boilerplate_frac
+    FROM grams g LEFT JOIN boiler b ON g.gram = b.gram
+    GROUP BY g.doc_id
+    """,
+    doc="per-document boilerplate saturation: the fraction of each "
+    "doc's DISTINCT word 3-grams that are corpus boilerplate "
+    "(document frequency >= 5) — templated pages score near 1.0. "
+    "The vocabulary side is one doc-distinct aggregate collapsed to "
+    "one row per boilerplate gram before a gram-keyed left join; "
+    "per-doc totals are one hash aggregate. Complements "
+    "q_duplicate_spans, which EXCLUDES these grams via max_gram_df.",
+)
+def q_boilerplate_profile(spark, sf_dir):
+    from .operators.contamination import boilerplate_profile
+
+    d = T(spark, sf_dir, "documents")
+    return boilerplate_profile(
+        d, id_col="doc_id", text_col="text", n=3, min_df=5
+    )
+
+
 # ======================================================================
 # TPC-H-shaped composite queries (multi-join + agg + top-k pipelines)
 # ======================================================================
