@@ -2,6 +2,7 @@ from .asof import asof_join, asof_join_tolerance
 from .dedup import (
     content_hash,
     duplicate_spans,
+    duplicated_paragraph_removal,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -35,6 +36,7 @@ from .clustering import assign_nearest, label_centroids
 from .packing import assign_packs, pack_stats
 from .sampling import (
     deterministic_sample,
+    dsir_weights,
     hash_split,
     stratified_sample,
     weighted_sample,
@@ -46,7 +48,8 @@ from .topk import topk, topk_per_group
 __all__ = [
     "asof_join", "asof_join_tolerance", "content_hash", "exact_dedup",
     "minhash_dedup_pairs", "ngram_jaccard_pairs", "simhash_pairs",
-    "duplicate_spans", "semantic_dedup_pairs", "semantic_dedup_decisions",
+    "duplicate_spans", "duplicated_paragraph_removal",
+    "semantic_dedup_pairs", "semantic_dedup_decisions",
     "boilerplate_grams", "boilerplate_profile", "ngram_contamination",
     "apply_overlay", "build_overlay_for_updates", "compact",
     "cumulative_agg", "locf_fill", "resample", "rolling_agg", "time_spine",
@@ -60,6 +63,6 @@ __all__ = [
     "compact_partitions", "drop_partitions_older_than", "sweep_residue",
     "lttb", "minmax_decimate",
     "assign_packs", "pack_stats",
-    "deterministic_sample", "hash_split", "stratified_sample",
-    "weighted_sample",
+    "deterministic_sample", "dsir_weights", "hash_split",
+    "stratified_sample", "weighted_sample",
 ]

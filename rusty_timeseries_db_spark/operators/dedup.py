@@ -760,3 +760,101 @@ def duplicate_spans(
     return spans.filter(F.col("span_tokens") >= min_span_tokens).select(
         "id_a", "id_b", "start_a", "start_b", "span_tokens"
     )
+
+
+# ---------------------------------------------- paragraph-level dedup
+
+def duplicated_paragraph_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+    keep_canonical: bool = True,
+) -> DataFrame:
+    """Remove corpus-duplicated paragraphs from every document
+    (CCNet-style paragraph dedup, Wenzek et al. 2019: CommonCrawl
+    cleaning hashes each paragraph and drops repeated ones — the
+    workhorse that strips headers, footers, and mirrored pages BEFORE
+    doc-level dedup ever runs). Returns one row per input document:
+    ``(id, clean_text, n_paras, n_removed)`` where ``clean_text`` is
+    the document with duplicated paragraphs deleted, paragraph order
+    preserved.
+
+    A "paragraph" here is a run of ``window_tokens`` consecutive
+    tokens (the corpus has no layout newlines; on real corpora swap
+    the segmenter — everything downstream keys on the paragraph
+    STRING, not on how it was cut). With ``keep_canonical`` (default)
+    the corpus-wide FIRST occurrence — min ``(id, pos)`` over the
+    paragraph's hash group — survives and every other copy is
+    deleted, so shared boilerplate remains represented exactly once;
+    with ``keep_canonical=False`` every copy of a duplicated
+    paragraph is dropped (the stricter CCNet eval-cleaning mode).
+
+    Scale shape: paragraphs shuffle ONCE on their md5 hash into a
+    groupBy whose map-side partial agg collapses even a
+    million-way-repeated header to one row per map task before the
+    exchange — that skew-immunity is why this is a groupBy + equi-join
+    on the hash rather than a count()-over-hash window, which would
+    buffer the whole skewed hash partition to count it. The join back
+    is hash-keyed on the same key (the exchange is reused), and
+    reassembly is one groupBy on the doc id with an
+    ``array_sort(collect_list(struct(pos, para)))`` making the
+    rebuild order explicit rather than partition-dependent. Nothing
+    touches the driver; paragraph rows are (hash, id, pos) — text
+    rides only to the reassembly shuffle.
+    """
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    w = window_tokens
+    paras = df.filter(n >= 1).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(n / F.lit(w)).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i - F.lit(1)) * w + 1, w)
+                ),
+            )
+        ).alias("pos", "para"),
+    ).withColumn("_h", F.md5("para"))
+    canon = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    joined = paras.join(canon, "_h")
+    if keep_canonical:
+        keep = (F.col("_cnt") == 1) | (
+            (F.col(f"_first.{id_col}") == F.col(id_col))
+            & (F.col("_first.pos") == F.col("pos"))
+        )
+    else:
+        keep = F.col("_cnt") == 1
+    # one doc-keyed groupBy does rebuild + both counters: collect_list
+    # skips the NULLs the when() leaves on dropped paragraphs, so the
+    # kept set never needs its own filter+aggregate pass
+    per_doc = joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "para")))
+                ),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(keep, 1)).alias("_n_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            (
+                F.coalesce("n_paras", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )

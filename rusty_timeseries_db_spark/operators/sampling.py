@@ -149,3 +149,111 @@ def stratified_sample(
         .filter(F.col("_sample_rn") <= n_per_stratum)
         .drop("_sample_rn")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    weight_decimals: int = 6,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    DSIR): score every document by how target-domain-like its hashed
+    n-gram profile is — ``sum_f c_doc[f] * (ln p_target[f] - ln
+    q_raw[f])`` over hashed-bigram feature buckets, the log importance
+    weight the DSIR estimator resamples raw data by. ``target_col``
+    names a boolean column the caller sets (e.g. ``source == 'wiki'``)
+    splitting the corpus into the target sample and the raw pool; both
+    bucket distributions are add-``alpha`` smoothed so unseen buckets
+    stay finite. Returns ``(id, is_target, n_bigrams, dsir_weight)``
+    for every document — downstream selection is "top-k raw docs by
+    weight" or Gumbel-top-k resampling on it.
+
+    Feature hashing is the engine-agnostic md5 bucket (`hash_bucket`'s
+    recipe inlined on the bigram string), NOT xxhash64, so the whole
+    pipeline is oracle-checkable cross-engine.
+
+    Scale shape: three aggregates, no joins wider than ``n_buckets``
+    rows. (1) per-(doc, bucket) counts — one shuffle with map-side
+    combine (the explode never crosses the exchange un-combined);
+    (2) the two bucket distributions — an ``n_buckets``-row aggregate
+    (map-side combine again) that is then BROADCAST; (3) per-doc
+    weight sums — one shuffle on the doc id. The log-ratio table is
+    O(n_buckets) regardless of corpus size, which is the entire point
+    of hashed features at 100 TB: the "model" travels to the data.
+    The per-term products are rounded only at the end
+    (``weight_decimals``) so the oracle's different summation order
+    agrees to the printed precision.
+    """
+    from .dedup import word_tokens
+
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    grams = df.filter(n >= 2).select(
+        F.col(id_col),
+        F.col(target_col).alias("_is_t"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        ).alias("_gram"),
+    ).select(
+        id_col,
+        "_is_t",
+        (
+            F.conv(F.substring(F.md5("_gram"), 1, 8), 16, 10).cast("bigint")
+            % F.lit(n_buckets)
+        ).alias("_b"),
+    )
+    doc_counts = grams.groupBy(id_col, "_is_t", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    buckets = doc_counts.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_t"), F.col("_c")).otherwise(0)).alias("_ct"),
+        F.sum(F.when(~F.col("_is_t"), F.col("_c")).otherwise(0)).alias("_cr"),
+    )
+    # corpus totals ride a constant-key broadcast equi-join (not a
+    # crossJoin, which plans as a nested loop; not an unpartitioned
+    # window, which drags every bucket row to one partition) — the key
+    # derives 1 from a real column so Catalyst cannot fold it away and
+    # re-plan the join as cartesian
+    one = F.least(F.lit(1), F.greatest(F.lit(1), F.abs(F.col("_b")) + 1))
+    totals = buckets.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr"),
+        F.least(F.lit(1), F.greatest(F.lit(1), F.count(F.lit(1)))).alias("_k"),
+    )
+    dist = (
+        buckets.withColumn("_k", one.cast("long"))
+        .join(F.broadcast(totals), "_k")
+        .select(
+            "_b",
+            (
+                F.log((F.col("_ct") + alpha) / (F.col("_nt") + alpha * n_buckets))
+                - F.log((F.col("_cr") + alpha) / (F.col("_nr") + alpha * n_buckets))
+            ).alias("_logratio"),
+        )
+    )
+    weights = (
+        doc_counts.join(F.broadcast(dist), "_b")
+        .groupBy(id_col, "_is_t")
+        .agg(
+            F.sum("_c").alias("_n_bigrams"),
+            F.sum(F.col("_c") * F.col("_logratio")).alias("_w"),
+        )
+    )
+    return (
+        df.select(id_col, F.col(target_col).alias("is_target"))
+        .join(weights, id_col, "left")
+        .select(
+            id_col,
+            "is_target",
+            F.coalesce("_n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(F.coalesce("_w", F.lit(0.0)), weight_decimals).alias(
+                "dsir_weight"
+            ),
+        )
+    )

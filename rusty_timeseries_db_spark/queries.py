@@ -2950,6 +2950,129 @@ def q_boilerplate_profile(spark, sf_dir):
     )
 
 
+@declare(
+    "q_paragraph_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             array_to_string(ws[(i-1)*20+1:(i-1)*20+20], ' ') AS para
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE len(ws) >= 1 AND i <= CAST(ceil(len(ws) / 20.0) AS INT)
+    ),
+    marked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(para) ORDER BY doc_id, pos
+      ) AS rn
+      FROM paras
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS clean_text,
+             COUNT(*) AS n_paras,
+             COUNT(*) FILTER (WHERE rn = 1) AS n_kept
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(clean_text, '') AS clean_text,
+           CAST(COALESCE(n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(COALESCE(n_paras, 0) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="CCNet-style paragraph-level dedup (Wenzek et al. 2019; "
+    "operators/dedup.py duplicated_paragraph_removal): every corpus-"
+    "duplicated 20-token paragraph is deleted except its corpus-wide "
+    "first occurrence (min (doc_id, pos) over the paragraph's md5 "
+    "group), and each document is rebuilt with paragraph order "
+    "preserved — clean_text plus kept/removed counters per doc. "
+    "Paragraphs shuffle ONCE on their hash into a map-side-combining "
+    "groupBy (skew-immune where a count-over-hash window would buffer "
+    "the whole repeated-header partition), rejoin on the same key, and "
+    "reassemble via ONE doc-keyed aggregate whose "
+    "array_sort(collect_list(struct(pos, para))) makes rebuild order "
+    "explicit. The oracle states the same keep rule as row_number() = 1 "
+    "over (hash ORDER BY doc_id, pos) — equivalent to the min-struct "
+    "canonical — and rebuilds with an ordered string_agg.",
+)
+def q_paragraph_dedup(spark, sf_dir):
+    from .operators.dedup import duplicated_paragraph_removal
+
+    d = T(spark, sf_dir, "documents")
+    return duplicated_paragraph_removal(
+        d, id_col="doc_id", text_col="text", window_tokens=20
+    )
+
+
+@declare(
+    "q_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE len(ws) >= 2 AND i <= len(ws) - 1
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1024 AS b,
+             COUNT(*) AS c
+      FROM bg GROUP BY 1, 2
+    ),
+    flags AS (SELECT doc_id, source = 'src0' AS is_target FROM documents),
+    fc AS (SELECT f.doc_id, b, c, is_target FROM f JOIN flags USING (doc_id)),
+    dist AS (
+      SELECT b,
+             SUM(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+             SUM(CASE WHEN NOT is_target THEN c ELSE 0 END) AS cr
+      FROM fc GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dist),
+    lr AS (
+      SELECT b, ln((ct + 1.0) / (nt + 1.0 * 1024))
+               - ln((cr + 1.0) / (nr + 1.0 * 1024)) AS logratio
+      FROM dist, tot
+    ),
+    w AS (
+      SELECT fc.doc_id, SUM(c) AS n_bigrams, SUM(c * logratio) AS wsum
+      FROM fc JOIN lr USING (b) GROUP BY fc.doc_id
+    )
+    SELECT d.doc_id, (d.source = 'src0') AS is_target,
+           CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(COALESCE(w.wsum, 0.0), 6) AS dsir_weight
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, Data Selection with "
+    "Importance Resampling; operators/sampling.py dsir_weights): score "
+    "every document by sum_f c_doc[f]*(ln p_target[f] - ln q_raw[f]) "
+    "over 1024 hashed-bigram buckets (md5 bucket — engine-agnostic, "
+    "unlike xxhash64), add-1 smoothed, target = source='src0'. Three "
+    "aggregates and nothing wider than the 1024-row log-ratio table, "
+    "which BROADCASTS (the corpus totals ride a constant-key broadcast "
+    "equi-join, not a crossJoin or an unpartitioned window): per-(doc,"
+    "bucket) counts with map-side combine, the bucket distributions, "
+    "per-doc weight sums. Weights round at 6 decimals only after the "
+    "final sum so both engines' summation orders agree; target docs "
+    "score positive, out-of-distribution raw docs strongly negative — "
+    "the ranking DSIR resamples by.",
+)
+def q_dsir_weights(spark, sf_dir):
+    from .operators.sampling import dsir_weights
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "is_t", F.col("source") == "src0"
+    )
+    return dsir_weights(
+        d, id_col="doc_id", text_col="text", target_col="is_t",
+        n_buckets=1024, alpha=1.0,
+    )
+
+
 # ======================================================================
 # TPC-H-shaped composite queries (multi-join + agg + top-k pipelines)
 # ======================================================================

@@ -366,3 +366,149 @@ def test_semantic_dedup_over_ivf_centroids(spark, tmp_path):
         semantic_dedup_pairs(
             emb, seeds=emb.limit(2), centroids=cents
         )
+
+
+# --------------------------------------- CCNet paragraph-level dedup
+
+def _para_fixture(spark):
+    # W=3 paragraphs: A="pa pb pc", B="qa qb qc", C="ra rb rc".
+    # doc1=A+B (canonical holder of both), doc2=A+C, doc3=B+B
+    # (a WITHIN-doc repeat whose canonical lives in doc1).
+    return spark.createDataFrame(
+        [
+            (1, "pa pb pc qa qb qc"),
+            (2, "pa pb pc ra rb rc"),
+            (3, "qa qb qc qa qb qc"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_paragraph_dedup_keep_canonical(spark):
+    from rusty_timeseries_db_spark.operators.dedup import (
+        duplicated_paragraph_removal,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in duplicated_paragraph_removal(
+            _para_fixture(spark), window_tokens=3
+        ).collect()
+    }
+    assert out[1].clean_text == "pa pb pc qa qb qc"  # first occurrences
+    assert (out[1].n_paras, out[1].n_removed) == (2, 0)
+    assert out[2].clean_text == "ra rb rc"  # A's copy removed
+    assert (out[2].n_paras, out[2].n_removed) == (2, 1)
+    assert out[3].clean_text == ""  # both B copies lose to doc1
+    assert (out[3].n_paras, out[3].n_removed) == (2, 2)
+
+
+def test_paragraph_dedup_drop_all_mode(spark):
+    """keep_canonical=False deletes EVERY copy of a duplicated
+    paragraph — the eval-set-cleaning mode: doc1's own A and B
+    disappear because copies exist elsewhere."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        duplicated_paragraph_removal,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in duplicated_paragraph_removal(
+            _para_fixture(spark), window_tokens=3, keep_canonical=False
+        ).collect()
+    }
+    assert out[1].clean_text == "" and out[1].n_removed == 2
+    assert out[2].clean_text == "ra rb rc" and out[2].n_removed == 1
+    assert out[3].clean_text == "" and out[3].n_removed == 2
+
+
+def test_paragraph_dedup_identity_on_unique_corpus(spark):
+    """With no duplicated paragraph anywhere, clean_text reconstructs
+    the whitespace-normalized original exactly — including a tail
+    paragraph shorter than the window."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        duplicated_paragraph_removal,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "One  two THREE four five six seven")],  # 7 toks, W=3
+        "doc_id long, text string",
+    )
+    row = duplicated_paragraph_removal(df, window_tokens=3).collect()[0]
+    assert row.clean_text == "one two three four five six seven"
+    assert (row.n_paras, row.n_removed) == (3, 0)
+
+
+def test_paragraph_dedup_testdata_nontrivial(spark):
+    """The synthetic corpus carries real cross-doc duplication at
+    W=20 (same signal q_duplicate_spans sees), and removal only ever
+    shrinks: n_removed >= 0, kept tokens <= original tokens."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        duplicated_paragraph_removal,
+    )
+
+    d = T(spark, SF_DIR, "documents")
+    out = duplicated_paragraph_removal(d, window_tokens=20)
+    agg = out.agg(
+        F.sum("n_removed").alias("removed"),
+        F.count(F.lit(1)).alias("docs"),
+        F.min("n_removed").alias("min_removed"),
+    ).collect()[0]
+    assert agg.docs == d.count()  # one row per input doc, always
+    assert agg.removed > 0
+    assert agg.min_removed >= 0
+
+
+# ------------------------------------------- DSIR importance weights
+
+def test_dsir_separates_target_like_raw_docs(spark):
+    """A raw doc written in the target's bigram distribution must
+    outscore a raw doc written in a disjoint distribution — the whole
+    point of the importance weight."""
+    from rusty_timeseries_db_spark.operators.sampling import dsir_weights
+
+    rows = [(i, "x y x y x y x y", True) for i in range(3)]
+    rows += [(10, "x y x y x y", False), (11, "a b a b a b", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    w = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights(
+            df, id_col="doc_id", text_col="text", target_col="is_t"
+        ).collect()
+    }
+    assert w[10] > w[11]
+
+
+def test_dsir_zero_bigram_doc(spark):
+    """Docs too short for any bigram get weight 0 and n_bigrams 0 but
+    still appear in the output (one row per input doc)."""
+    from rusty_timeseries_db_spark.operators.sampling import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "lonely", False), (2, "two tokens here", True)],
+        "doc_id long, text string, is_t boolean",
+    )
+    out = {r.doc_id: r for r in dsir_weights(
+        df, id_col="doc_id", text_col="text", target_col="is_t"
+    ).collect()}
+    assert out[1].n_bigrams == 0 and out[1].dsir_weight == 0.0
+    assert out[2].n_bigrams == 2
+
+
+def test_dsir_testdata_target_scores_higher(spark):
+    """On the synthetic corpus with source='src0' as target, target
+    docs' mean weight exceeds the raw pool's (they ARE the target
+    distribution)."""
+    from rusty_timeseries_db_spark.operators.sampling import dsir_weights
+
+    d = T(spark, SF_DIR, "documents").withColumn(
+        "is_t", F.col("source") == "src0"
+    )
+    out = dsir_weights(d, id_col="doc_id", text_col="text", target_col="is_t")
+    m = (
+        out.groupBy("is_target")
+        .agg(F.avg("dsir_weight").alias("mw"))
+        .collect()
+    )
+    means = {r.is_target: r.mw for r in m}
+    assert means[True] > means[False]
