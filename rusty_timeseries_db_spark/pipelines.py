@@ -70,6 +70,15 @@ class CorpusPipelineConfig:
     #: oracle are unchanged.
     max_dup_word_frac: float | None = None
     max_top_bigram_frac: float | None = None
+    #: opt-in CCNet-style paragraph dedup (round 11): rewrite every
+    #: document with corpus-duplicated ``paragraph_dedup_window``-token
+    #: paragraphs removed (first occurrence kept) BEFORE any doc-level
+    #: stage — the CCNet position: boilerplate stripped here no longer
+    #: inflates near-dup similarity or survives into packs, and a doc
+    #: reduced to nothing falls out at the min_tokens gate, which sees
+    #: the CLEANED token count. Default off: the documented 7-stage
+    #: output and its end-to-end oracle are unchanged.
+    paragraph_dedup_window: int | None = None
     #: persist the quality-gated, exact-deduped corpus
     #: (MEMORY_AND_DISK) before the branching stages. Five downstream
     #: consumers re-derive it otherwise (near-dup grams, contamination
@@ -113,6 +122,18 @@ def build_training_corpus(
        packed).
     """
     cfg = config or CorpusPipelineConfig()
+
+    # 0 (opt-in). paragraph dedup — rewrite text first so every later
+    # stage (including the quality gate's token count) sees the
+    # cleaned corpus; one id-keyed join swaps the text column
+    if cfg.paragraph_dedup_window:
+        from .operators.dedup import duplicated_paragraph_removal
+
+        cleaned = duplicated_paragraph_removal(
+            docs, id_col=id_col, text_col=text_col,
+            window_tokens=cfg.paragraph_dedup_window,
+        ).select(id_col, F.col("clean_text").alias(text_col))
+        docs = docs.drop(text_col).join(cleaned, id_col)
 
     toks = _tokens(F.col(text_col))
     d = docs.withColumn("n_tok", F.size(toks))
