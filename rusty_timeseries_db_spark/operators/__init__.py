@@ -36,6 +36,7 @@ from .clustering import assign_nearest, label_centroids
 from .packing import assign_packs, pack_stats
 from .sampling import (
     deterministic_sample,
+    dsir_select,
     dsir_weights,
     hash_split,
     stratified_sample,
@@ -63,6 +64,6 @@ __all__ = [
     "compact_partitions", "drop_partitions_older_than", "sweep_residue",
     "lttb", "minmax_decimate",
     "assign_packs", "pack_stats",
-    "deterministic_sample", "dsir_weights", "hash_split",
+    "deterministic_sample", "dsir_select", "dsir_weights", "hash_split",
     "stratified_sample", "weighted_sample",
 ]

@@ -257,3 +257,58 @@ def dsir_weights(
             ),
         )
     )
+
+
+def dsir_select(
+    weights: DataFrame,
+    id_col: str,
+    weight_col: str = "dsir_weight",
+    k: int = 100,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+    key_decimals: int = 6,
+) -> DataFrame:
+    """The RESAMPLING half of DSIR: draw ``k`` documents without
+    replacement with probability proportional to
+    ``exp(weight / temperature)`` via the Gumbel-top-k trick — add an
+    independent Gumbel to each log-weight and take the k largest keys
+    (Gumbel-max argmax == categorical sampling; top-k == sampling
+    without replacement). The Gumbel is DETERMINISTIC: uniform
+    ``u = (md5_bucket(seed || id) + 0.5) / 2^32`` then
+    ``g = -ln(-ln(u))`` — content-stable, partitioning-independent,
+    and reproducible on any engine with md5 and ln, so the sampled
+    SET (not just its distribution) is oracle-checkable. Returns
+    ``(id, weight, sample_key)`` for the selected rows.
+
+    ``temperature`` flattens (>1) or sharpens (<1) the implied
+    distribution, the standard knob when raw importance weights are
+    too peaked to give coverage.
+
+    Scale shape: the key is a map-side expression; selection is
+    ``ORDER BY key LIMIT k``, which Spark plans as
+    TakeOrderedAndProject — per-partition top-k heaps then a k-row
+    driver merge, never a global sort of the corpus.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(2**32))
+    key = F.col(weight_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        weights.withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            F.round("_key", key_decimals).alias("sample_key"),
+        )
+    )

@@ -3073,6 +3073,85 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+@declare(
+    "q_dsir_select",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE len(ws) >= 2 AND i <= len(ws) - 1
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1024 AS b,
+             COUNT(*) AS c
+      FROM bg GROUP BY 1, 2
+    ),
+    flags AS (SELECT doc_id, source = 'src0' AS is_target FROM documents),
+    fc AS (SELECT f.doc_id, b, c, is_target FROM f JOIN flags USING (doc_id)),
+    dist AS (
+      SELECT b,
+             SUM(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+             SUM(CASE WHEN NOT is_target THEN c ELSE 0 END) AS cr
+      FROM fc GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dist),
+    lr AS (
+      SELECT b, ln((ct + 1.0) / (nt + 1.0 * 1024))
+               - ln((cr + 1.0) / (nr + 1.0 * 1024)) AS logratio
+      FROM dist, tot
+    ),
+    w AS (
+      SELECT fc.doc_id, SUM(c * logratio) AS wsum
+      FROM fc JOIN lr USING (b) GROUP BY fc.doc_id
+    ),
+    wt AS (
+      SELECT d.doc_id, (d.source = 'src0') AS is_target,
+             ROUND(COALESCE(w.wsum, 0.0), 6) AS dsir_weight
+      FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    ),
+    sel AS (
+      SELECT doc_id, dsir_weight,
+             dsir_weight / 2.0 - ln(-ln(
+               (CAST(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0
+             )) AS key
+      FROM wt WHERE NOT is_target
+    )
+    SELECT doc_id, dsir_weight, ROUND(key, 6) AS sample_key
+    FROM sel ORDER BY key DESC, doc_id LIMIT 50
+    """,
+    doc="DSIR's RESAMPLING half (Xie et al. 2023 §2; operators/"
+    "sampling.py dsir_select): draw 50 raw-pool documents without "
+    "replacement with probability proportional to exp(weight / T), "
+    "T=2, via Gumbel-top-k — a DETERMINISTIC per-id Gumbel "
+    "(-ln(-ln(u)), u = (md5_bucket('dsir'||id)+0.5)/2^32) added to "
+    "the temperature-scaled weight, k largest keys win. The noise is "
+    "content-stable and engine-agnostic, so the selected SET itself "
+    "hash-matches the oracle, not merely its distribution. Composes "
+    "q_dsir_weights' full scoring pipeline; selection plans as "
+    "TakeOrderedAndProject (per-partition top-k heaps + a k-row "
+    "driver merge), never a global sort.",
+)
+def q_dsir_select(spark, sf_dir):
+    from .operators.sampling import dsir_select, dsir_weights
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "is_t", F.col("source") == "src0"
+    )
+    w = dsir_weights(
+        d, id_col="doc_id", text_col="text", target_col="is_t",
+        n_buckets=1024, alpha=1.0,
+    ).filter(~F.col("is_target"))
+    return dsir_select(
+        w, id_col="doc_id", k=50, temperature=2.0, seed="dsir"
+    )
+
+
 # ======================================================================
 # TPC-H-shaped composite queries (multi-join + agg + top-k pipelines)
 # ======================================================================

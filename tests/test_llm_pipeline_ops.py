@@ -512,3 +512,47 @@ def test_dsir_testdata_target_scores_higher(spark):
     )
     means = {r.is_target: r.mw for r in m}
     assert means[True] > means[False]
+
+
+def test_dsir_select_gumbel_topk(spark):
+    """Gumbel-top-k selection: k rows come back, the set is
+    deterministic and partitioning-independent, a different seed
+    draws a different sample, and an overwhelming weight is always
+    selected (Gumbel noise is O(1); a huge log-weight dominates)."""
+    from rusty_timeseries_db_spark.operators.sampling import dsir_select
+
+    rows = [(i, float(-i % 7)) for i in range(200)] + [(999, 1e6)]
+    df = spark.createDataFrame(rows, "doc_id long, dsir_weight double")
+    a = dsir_select(df, id_col="doc_id", k=20, seed="s1")
+    b = dsir_select(df.repartition(13), id_col="doc_id", k=20, seed="s1")
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert len(ids_a) == 20 and ids_a == ids_b
+    assert 999 in ids_a
+    c = sorted(
+        r.doc_id
+        for r in dsir_select(df, id_col="doc_id", k=20, seed="s2").collect()
+    )
+    assert c != ids_a  # seed moves the sample
+    assert 999 in c    # ...but never the dominating weight
+
+
+def test_dsir_select_temperature_flattens(spark):
+    """At a huge temperature the weight term vanishes and selection is
+    pure (seeded) Gumbel order — identical for ANY weight vector; at
+    tiny temperature it is argmax-by-weight."""
+    from rusty_timeseries_db_spark.operators.sampling import dsir_select
+
+    w1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "doc_id long, dsir_weight double"
+    )
+    w2 = spark.createDataFrame(
+        [(i, float(-i)) for i in range(50)], "doc_id long, dsir_weight double"
+    )
+    hot = lambda d: sorted(  # noqa: E731
+        r.doc_id
+        for r in dsir_select(d, id_col="doc_id", k=10, temperature=1e12).collect()
+    )
+    assert hot(w1) == hot(w2)
+    cold = dsir_select(w1, id_col="doc_id", k=3, temperature=1e-9).collect()
+    assert sorted(r.doc_id for r in cold) == [47, 48, 49]
