@@ -89,6 +89,13 @@ HEADLINE = [
     # inverted-index left join)
     "q_semantic_dedup",
     "q_contamination_ngram",
+    # added round 11, second half (subtract for apples-to-apples vs the
+    # first r11 runs): CCNet paragraph dedup (md5-keyed decision groupBy
+    # + doc-keyed rebuild — the text-heaviest shuffle in the registry)
+    # and the DSIR scoring pipeline (three aggregates, 1024-row
+    # broadcast model)
+    "q_paragraph_dedup",
+    "q_dsir_weights",
 ]
 
 

@@ -64,18 +64,47 @@ def word_tokens(col: Column | str, delimiter: str = " ") -> Column:
     )
 
 
-def word_shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles from a token array (JVM-side).
+def word_grams(tokens: Column, k: int) -> Column:
+    """POSITIONAL word k-grams (length ``max(n-k+1, 1)``; a doc shorter
+    than ``k`` yields its single truncated gram; an empty token array
+    yields no grams) as a ``zip_with`` chain over k SHIFTED SLICES of
+    the token array.
+
+    Why not ``transform(sequence(1, n-k+1), i -> slice(tokens, i, k))``:
+    a column expression captured inside a higher-order-function lambda
+    is re-evaluated PER ELEMENT — when ``tokens`` is the usual
+    ``word_tokens(text)`` pipeline (lower + split + filter), every gram
+    re-tokenizes the whole document, turning an O(n) builder into
+    O(n²) per doc (measured 5× slower already at ~50-token docs; it
+    compounds with document length). The shifted-slice chain references
+    ``tokens`` exactly ``k+1`` times per ROW, so the cost stays O(k·n)
+    even when Catalyst inlines the tokenization into each reference.
+    ``zip_with`` pads the shorter (suffix) slices with NULL and
+    ``concat_ws`` skips NULLs, which is precisely the truncated-gram
+    convention for docs shorter than ``k``.
 
     (``element_at``-based variants measured *slower* under ANSI mode —
     bounds/overflow checks defeat codegen — so this stays slice-based.)"""
     n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k))
+    m = F.greatest(n - (k - 1), F.lit(1))
+    g = F.slice(tokens, 1, m)
+    for j in range(1, k):
+        g = F.zip_with(
+            g, F.slice(tokens, 1 + j, m),
+            lambda x, y: F.concat_ws(" ", x, y),
         )
-    )
+    return g
+
+
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a token array (JVM-side) — the
+    :func:`word_grams` builder deduped, with the historical empty-doc
+    contract preserved (a zero-token doc contributes one EMPTY
+    shingle, so every doc has a non-empty shingle set)."""
+    grams = F.when(
+        F.size(tokens) == 0, F.array(F.lit(""))
+    ).otherwise(word_grams(tokens, k))
+    return F.array_distinct(grams)
 
 
 # ------------------------------------------------------------- minhash
@@ -720,12 +749,9 @@ def duplicate_spans(
     # sequence runs only to n-k+1 so no truncated tail shingles exist
     grams = df.filter(n >= k).select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
-        ).alias("pos", "gram"),
+        # word_grams, not a slice-capturing transform: the zip_with
+        # chain keeps tokenization O(k·n) per doc (see its docstring)
+        F.posexplode(word_grams(toks, k)).alias("pos", "gram"),
     )
     if max_gram_df is not None:
         rare = (
@@ -806,17 +832,31 @@ def duplicated_paragraph_removal(
     toks = word_tokens(text_col)
     n = F.size(toks)
     w = window_tokens
-    paras = df.filter(n >= 1).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.ceil(n / F.lit(w)).cast("int")),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, (i - F.lit(1)) * w + 1, w)
-                ),
-            )
-        ).alias("pos", "para"),
-    ).withColumn("_h", F.md5("para"))
+    # explode the window INDEX first, slice after: Generate evaluates
+    # the token array once per input row, and each output row slices
+    # the materialized array — a slice-capturing transform would
+    # re-tokenize the doc once per paragraph (word_grams' docstring;
+    # chunk_documents uses the same shape)
+    paras = (
+        df.filter(n >= 1)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.ceil(n / F.lit(w)).cast("int") - 1
+                )
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.concat_ws(
+                " ", F.slice("_toks", F.col("pos") * w + 1, w)
+            ).alias("para"),
+        )
+        .withColumn("_h", F.md5("para"))
+    )
     canon = paras.groupBy("_h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
         F.count(F.lit(1)).alias("_cnt"),

@@ -116,16 +116,17 @@ def repetition_profile(
         F.size(ws).alias("n_words"),
         F.size(F.array_distinct(ws)).alias("n_distinct_words"),
     ).filter(F.col("n_words") >= 2)
-    bigram_idx = F.sequence(F.lit(1), F.col("n_words") - 1)
+    # word_grams, not a slice-capturing transform: even though _ws is
+    # projected above, CollapseProject can re-inline the tokenization
+    # into the lambda, where a captured reference is re-evaluated per
+    # element (see word_grams' docstring)
+    from .dedup import word_grams
+
     bi = base.select(
         id_col,
         "n_words",
         "n_distinct_words",
-        F.explode(
-            F.transform(
-                bigram_idx, lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, 2))
-            )
-        ).alias("gram"),
+        F.explode(word_grams(F.col("_ws"), 2)).alias("gram"),
     )
     cnt = bi.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("n"),

@@ -188,19 +188,16 @@ def dsir_weights(
     (``weight_decimals``) so the oracle's different summation order
     agrees to the printed precision.
     """
-    from .dedup import word_tokens
+    from .dedup import word_grams, word_tokens
 
     toks = word_tokens(text_col)
     n = F.size(toks)
     grams = df.filter(n >= 2).select(
         F.col(id_col),
         F.col(target_col).alias("_is_t"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-            )
-        ).alias("_gram"),
+        # word_grams keeps tokenization O(n) per doc (its docstring);
+        # a captured-slice transform re-tokenizes once per bigram
+        F.explode(word_grams(toks, 2)).alias("_gram"),
     ).select(
         id_col,
         "_is_t",

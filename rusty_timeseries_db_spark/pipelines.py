@@ -184,19 +184,15 @@ def build_training_corpus(
     # stages above commute with this map-side projection
     d = hash_split(d, id_col, weights=cfg.split_weights)
 
-    # 4. decontamination: train docs too similar to the held-out set
+    # 4. decontamination: train docs too similar to the held-out set.
+    # word_grams, not per-element element_at over a captured _tokens()
+    # expression — that re-tokenized the document once per gram per
+    # offset (O(n·k) tokenizations; see word_grams' docstring)
+    from .operators.dedup import word_grams
+
     grams = F.when(
         F.col("n_tok") >= cfg.contamination_ngram,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tok") - (cfg.contamination_ngram - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                *[
-                    F.element_at(_tokens(F.col(text_col)), i + off)
-                    for off in range(cfg.contamination_ngram)
-                ],
-            ),
-        ),
+        word_grams(_tokens(F.col(text_col)), cfg.contamination_ngram),
     ).otherwise(F.array().cast("array<string>"))
     g = d.select(id_col, "split", F.explode(grams).alias("gram")).distinct()
     held_grams = (
