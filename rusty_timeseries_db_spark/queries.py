@@ -4566,17 +4566,16 @@ def q_ewma(spark, sf_dir):
     "statistics pass of a tokenizer-training pipeline, all JVM-side",
 )
 def q_bigram_vocab(spark, sf_dir):
+    from .operators.dedup import word_grams
+
     d = T(spark, sf_dir, "documents")
     t = F.filter(F.split(F.lower(F.col("text")), " "),
                  lambda s: F.length(s) > 0)
     n = F.size(t)
+    # word_grams, not per-element element_at over the captured
+    # tokenization (O(n²) per doc — see word_grams' docstring)
     bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i),
-                                  F.element_at(t, i + 1)),
-        ),
+        n >= 2, word_grams(t, 2)
     ).otherwise(F.array().cast("array<string>"))
     return (
         d.select(F.explode(bigrams).alias("bigram"))
@@ -5033,21 +5032,17 @@ def q_dedup_keep_canonical(spark, sf_dir):
     "hash_split so both engines derive identical membership",
 )
 def q_contamination_check(spark, sf_dir):
+    from .operators.dedup import word_grams
     from .operators.sampling import hash_split
 
     d = hash_split(T(spark, sf_dir, "documents"), "doc_id")
     t = F.filter(F.split(F.lower(F.col("text")), " "),
                  lambda s: F.length(s) > 0)
     n = F.size(t)
+    # word_grams, not per-element element_at over the captured
+    # tokenization (O(n²) per doc — see word_grams' docstring)
     grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1),
-                F.element_at(t, i + 2)
-            ),
-        ),
+        n >= 3, word_grams(t, 3)
     ).otherwise(F.array().cast("array<string>"))
     with_grams = d.select(
         "doc_id", "split", F.explode(grams).alias("gram")
