@@ -42,7 +42,7 @@ from .sampling import (
     stratified_sample,
     weighted_sample,
 )
-from .resample import counter_rate
+from .resample import counter_rate, predict_linear
 from .similarity import IvfIndex, cosine_topk, lsh_cosine_topk
 from .topk import topk, topk_per_group
 
@@ -54,7 +54,8 @@ __all__ = [
     "boilerplate_grams", "boilerplate_profile", "ngram_contamination",
     "apply_overlay", "build_overlay_for_updates", "compact",
     "cumulative_agg", "locf_fill", "resample", "rolling_agg", "time_spine",
-    "IvfIndex", "cosine_topk", "counter_rate", "lsh_cosine_topk", "topk", "topk_per_group",
+    "IvfIndex", "cosine_topk", "counter_rate", "lsh_cosine_topk",
+    "predict_linear", "topk", "topk_per_group",
     "optimize_layout", "file_stats", "overlap_fraction", "zorder_layout",
     "ContinuousRollup",
     "RollupScheduler",

@@ -361,3 +361,62 @@ def linear_interp_fill(
             ).alias("value_interp"),
         )
     )
+
+
+def predict_linear(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    horizon_seconds: int = 300,
+    anchor_epoch: int = 1_704_067_200,
+) -> DataFrame:
+    """PromQL ``predict_linear()`` / ``deriv()``: per-series
+    least-squares trend of a GAUGE against time, extrapolated
+    ``horizon_seconds`` past the series' last sample. The caller
+    bounds the lookback (PromQL's ``[d]``) with an ordinary ts filter
+    — it composes with partition pruning instead of hiding a range
+    scan inside the operator. Returns ``(key, n, slope_per_second,
+    predicted_value, at_ts)``; slope and prediction are NULL for
+    degenerate series (fewer than 2 samples, or all samples on one
+    timestamp), exactly PromQL's no-answer.
+
+    Shape: ONE grouped aggregate of exact integer/decimal sufficient
+    statistics (the q_linear_regression pattern — map-side partials,
+    no second pass, no window), with the float division deferred to
+    the #series-row result so both engines round identically.
+    ``anchor_epoch`` recenters x to keep the decimal(38) products
+    exact; the slope/prediction are anchor-invariant.
+    """
+    x = (
+        F.expr(f"unix_micros({ts}) div 1000000") - F.lit(anchor_epoch)
+    ).alias("x")
+    y = F.col(value).cast("decimal(18,2)").alias("y")
+    s = (
+        df.select(F.col(key), x, y)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("_sx"),
+            F.sum("y").alias("_sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,2)")).alias("_sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("_sxx"),
+            F.max("x").alias("_xmax"),
+        )
+    )
+    num = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    slope = F.when(den != 0, num / den)
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("n")
+    x_pred = F.col("_xmax") + F.lit(horizon_seconds)
+    return s.select(
+        key,
+        "n",
+        F.round(slope, 6).alias("slope_per_second"),
+        F.round(intercept + slope * x_pred.cast("double"), 6).alias(
+            "predicted_value"
+        ),
+        F.timestamp_seconds(x_pred + F.lit(anchor_epoch)).alias("at_ts"),
+    )

@@ -4662,6 +4662,61 @@ def q_linear_regression(spark, sf_dir):
 
 
 @declare(
+    "q_predict_linear",
+    """
+    WITH t AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - 1704067200 AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+             MAX(x) AS xmax
+      FROM t GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n, xmax,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM s
+    ),
+    e AS (
+      SELECT event_type, n, xmax,
+             CASE WHEN den <> 0 THEN num / den END AS slope,
+             (syd - CASE WHEN den <> 0 THEN num / den END * sxd) / n AS icept
+      FROM d
+    )
+    SELECT event_type, n,
+           ROUND(slope, 6) AS slope_per_second,
+           ROUND(icept + slope * CAST(xmax + 300 AS DOUBLE), 6) AS predicted_value,
+           make_timestamp((xmax + 300 + 1704067200) * 1000000) AS at_ts
+    FROM e
+    """,
+    doc="PromQL predict_linear()/deriv() (operators/resample.py "
+    "predict_linear): per-series least-squares GAUGE trend "
+    "extrapolated 300 s past the series' last sample — completes the "
+    "PromQL family next to rate()/increase()/histogram_quantile. ONE "
+    "grouped aggregate of exact integer/decimal sufficient statistics "
+    "(the q_linear_regression pattern; decimal(38) widenings for ANSI "
+    "overflow), float division deferred to the #series-row result so "
+    "both engines round identically; degenerate series answer NULL, "
+    "exactly PromQL's no-answer.",
+)
+def q_predict_linear(spark, sf_dir):
+    from .operators.resample import predict_linear
+
+    e = T(spark, sf_dir, "events")
+    return predict_linear(
+        e, key="event_type", ts="ts", value="value", horizon_seconds=300
+    )
+
+
+@declare(
     "q_tfidf_top_terms",
     """
     WITH tok AS (

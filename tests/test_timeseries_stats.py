@@ -167,3 +167,37 @@ def test_linear_interp_no_extrapolation(spark):
     df = _series(spark, [("s", "2024-01-01 00:00:00", 5.0, 0)])
     out = linear_interp_fill(df, key="k", ts="ts", value="value").collect()
     assert [(r.value_interp) for r in out] == [5.0]
+
+
+def test_predict_linear_exact_trend_and_degenerates(spark):
+    """A perfectly linear gauge predicts exactly on the line; a
+    single-sample series and a constant-timestamp series answer NULL
+    (PromQL's no-answer); the horizon lands at last_ts + 300 s."""
+    from datetime import datetime
+
+    from rusty_timeseries_db_spark.operators.resample import predict_linear
+
+    t0 = 1704067200  # the anchor; x starts at 0
+    rows = [
+        # series 'lin': value = 10 + 2*t over 5 samples, 1 s apart
+        *[("lin", datetime.fromtimestamp(t0 + i), 10.0 + 2.0 * i)
+          for i in range(5)],
+        ("single", datetime.fromtimestamp(t0), 7.0),
+        ("same_ts", datetime.fromtimestamp(t0 + 9), 1.0),
+        ("same_ts", datetime.fromtimestamp(t0 + 9), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r.k: r
+        for r in predict_linear(
+            df, key="k", ts="ts", value="value", horizon_seconds=300
+        ).collect()
+    }
+    lin = out["lin"]
+    assert lin.slope_per_second == 2.0
+    # last sample at x=4, prediction at x=304: 10 + 2*304
+    assert lin.predicted_value == 618.0
+    assert int(lin.at_ts.timestamp()) == t0 + 4 + 300
+    assert out["single"].slope_per_second is None
+    assert out["single"].predicted_value is None
+    assert out["same_ts"].slope_per_second is None  # den = 0
