@@ -1249,6 +1249,45 @@ class TimeseriesEngine:
             )
         return queries
 
+    def start_corpus_ingest(
+        self,
+        source_dir: str,
+        min_tokens: int = 5,
+        max_tokens: int = 100_000,
+        min_quality: Optional[float] = None,
+        dedup_watermark: Optional[str] = "10 minutes",
+        quarantine_dir: Optional[str] = None,
+        rejects_dir: Optional[str] = None,
+        trigger_seconds: Optional[int] = None,
+        available_now: bool = False,
+    ):
+        """The documents-domain sibling of ``start_streaming_ingest``:
+        continuously-arriving JSON documents through the corpus
+        pipeline's stage-1 decisions (quality gate, watermark-bounded
+        content dedup, quarantine/reject side channels) into
+        ``<warehouse>/documents``, partitioned by source. See
+        ``streaming.corpus.start_corpus_sink`` for the contracts;
+        returns the started StreamingQuery."""
+        from .streaming.corpus import read_document_stream, start_corpus_sink
+
+        stream = read_document_stream(
+            self.spark,
+            source_dir,
+            with_corrupt_record=quarantine_dir is not None,
+        )
+        return start_corpus_sink(
+            stream,
+            self.warehouse_dir,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            min_quality=min_quality,
+            dedup_watermark=dedup_watermark,
+            quarantine_dir=quarantine_dir,
+            rejects_dir=rejects_dir,
+            trigger_seconds=trigger_seconds,
+            available_now=available_now,
+        )
+
     def fault_count(
         self, df: DataFrame, threshold: float = DEFAULT_FAULT_THRESHOLD
     ) -> int:

@@ -149,3 +149,26 @@ def test_corpus_sink_requires_corrupt_flag_for_quarantine(spark, tmp_path):
         start_corpus_sink(
             stream, str(tmp_path / "wh"), quarantine_dir=str(tmp_path / "qq")
         )
+
+
+def test_engine_facade_corpus_ingest(spark, tmp_path):
+    """engine.start_corpus_ingest wires source -> sink -> warehouse
+    documents table end-to-end, with the corrupt flag derived from
+    quarantine_dir exactly like start_streaming_ingest."""
+    from rusty_timeseries_db_spark import TimeseriesEngine
+
+    src = str(tmp_path / "drop")
+    quarantine = str(tmp_path / "q")
+    _write_jsonl(
+        os.path.join(src, "f.json"),
+        [_doc(1, GOOD)],
+        raw_lines=["not json at all"],
+    )
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    q = eng.start_corpus_ingest(
+        src, quarantine_dir=quarantine, available_now=True
+    )
+    q.awaitTermination(120)
+    docs = spark.read.parquet(str(tmp_path / "wh" / "documents"))
+    assert [r.doc_id for r in docs.collect()] == [1]
+    assert spark.read.text(quarantine).count() == 1
