@@ -548,24 +548,26 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("_nl").alias("_min_nl"))
         )
+        # labels only ever DECREASE (min-propagation), so "changed" is
+        # simply new < old — carried as a flag on the same checkpointed
+        # frame, costing the convergence check one cached-filter count
+        # instead of a join of old vs new labels every round
+        upd = F.least(
+            F.col("label"), F.coalesce(F.col("_min_nl"), F.col("label"))
+        )
         new = _ckpt(
             labels.join(
                 neigh.select(F.col("src").alias("id"), "_min_nl"), "id", "left"
             )
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_min_nl"), F.col("label"))
-                ).alias("label"),
+                upd.alias("_label"),
+                (upd < F.col("label")).alias("_chg"),
             )
+            .withColumnRenamed("_label", "label")
         )
-        changed = (
-            new.withColumnRenamed("label", "_new")
-            .join(labels, "id")
-            .filter(F.col("_new") != F.col("label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("_chg")).count()
+        labels = new.drop("_chg")
         if changed == 0:
             break
     edges.unpersist()

@@ -411,3 +411,42 @@ def test_textual_qualify_rewrite_structure(pred, tail):
     exp_pred, _exp_tail = _split_qualify_pred(f" {pred}{tail}")
     assert exp_pred.strip() in out and "FROM t" in out
     assert "EXCEPT (__qualify)" in out
+
+
+# ------------------------------------------------- word_grams builder
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=0, max_size=30,
+        ),
+        min_size=1, max_size=12,
+    ),
+    k=st.integers(2, 6),
+)
+def test_word_grams_matches_python_reference(spark, docs, k):
+    """dedup.word_grams == the straightforward Python n-gram builder
+    for every token array: n-k+1 positional grams when n >= k, one
+    truncated gram when 0 < n < k, none when n == 0. This is the
+    contract every shingle-consuming operator (minhash, jaccard,
+    contamination, boilerplate, spans, DSIR) now rides on."""
+    from rusty_timeseries_db_spark.operators.dedup import word_grams
+
+    def ref(toks, k):
+        if not toks:
+            return []
+        if len(toks) < k:
+            return [" ".join(toks)]
+        return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "id long, toks array<string>"
+    )
+    got = {
+        r.id: r.g
+        for r in df.select("id", word_grams(F.col("toks"), k).alias("g")).collect()
+    }
+    for i, toks in enumerate(docs):
+        assert got[i] == ref(toks, k), (toks, k)
