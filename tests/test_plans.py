@@ -280,3 +280,53 @@ def test_rotation_window_holds_modified_and_r03_tiers():
     )
     r03 = {k for k, v in Q._LAST_DRIVER_ROUND.items() if v == 3}
     assert r03 <= window, sorted(r03 - window)
+
+
+def test_dsir_weights_plan_shape(spark):
+    """The DSIR model side broadcasts (constant-key equi-join, never a
+    nested loop) and nothing buffers a single-partition window — the
+    1024-row log-ratio table is the ONLY thing that crosses to every
+    task."""
+    from rusty_timeseries_db_spark.queries import q_dsir_weights
+
+    plan = formatted_plan(q_dsir_weights(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_select_is_take_ordered(spark):
+    """Gumbel-top-k selection plans as TakeOrderedAndProject —
+    per-partition heaps + a k-row driver merge, never a global sort."""
+    from rusty_timeseries_db_spark.queries import q_dsir_select
+
+    plan = formatted_plan(q_dsir_select(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_paragraph_dedup_no_window_no_nested_loop(spark):
+    """The keep/drop decision is a map-side-combining groupBy + hash
+    join, NOT a count-over-hash window (which would buffer a skewed
+    paragraph hash's whole partition to count it)."""
+    from rusty_timeseries_db_spark.queries import q_paragraph_dedup
+
+    plan = formatted_plan(q_paragraph_dedup(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_predict_linear_single_aggregate(spark):
+    """predict_linear is ONE grouped aggregate: exactly one shuffle
+    exchange (to the series key), no window, no join."""
+    from rusty_timeseries_db_spark.queries import q_predict_linear
+
+    import re
+
+    plan = formatted_plan(q_predict_linear(spark, SF_DIR))
+    assert "Window" not in plan and "Join" not in plan
+    # the formatted plan names each node once in the tree and once in
+    # the detail section — count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
