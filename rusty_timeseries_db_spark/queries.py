@@ -1130,6 +1130,64 @@ def q_asof_qualify_sql(spark, sf_dir):
 
 
 @declare(
+    "q_sql_star_exclude",
+    """
+    SELECT * EXCLUDE (props)
+    FROM (SELECT * EXCLUDE ts FROM events)
+    WHERE event_id <= 200
+    """,
+    doc="DuckDB star-modifier dialect: SELECT * EXCLUDE — both the "
+    "parenthesized list and the bare single-column form in one "
+    "statement (outer + derived table) — rewritten to Spark's native "
+    "* EXCEPT by sql_ext._rewrite_exclude (literal-masked keyword "
+    "splice; the bare form gains the parens Spark requires). The "
+    "oracle runs the ORIGINAL EXCLUDE spelling natively on DuckDB, so "
+    "the pair certifies the rewrite preserves the DuckDB semantics "
+    "exactly. Column pruning survives: the excluded columns never "
+    "reach the scan's ReadSchema.",
+)
+def q_sql_star_exclude(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "events").createOrReplaceTempView("_q_ex_events")
+    return dialect_sql(
+        spark,
+        "SELECT * EXCLUDE (props) "
+        "FROM (SELECT * EXCLUDE ts FROM _q_ex_events) "
+        "WHERE event_id <= 200",
+    )
+
+
+@declare(
+    "q_sql_group_by_all",
+    """
+    SELECT event_type, user_id % 10 AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+    FROM events GROUP BY ALL
+    """,
+    doc="DuckDB/modern-SQL GROUP BY ALL through the same dialect entry "
+    "(sql_ext.sql): Spark 4 parses it natively, so the statement "
+    "passes through unchanged — the query certifies the dialect entry "
+    "does not mangle pass-through statements AND that both engines "
+    "infer the same grouping keys (all non-aggregate select items, "
+    "including the computed cohort). Sums ride exact decimal so the "
+    "double result is order-independent.",
+)
+def q_sql_group_by_all(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "events").createOrReplaceTempView("_q_gba_events")
+    return dialect_sql(
+        spark,
+        "SELECT event_type, user_id % 10 AS cohort, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv "
+        "FROM _q_gba_events GROUP BY ALL",
+    )
+
+
+@declare(
     "q_interval_overlap_join",
     """
     SELECT w.window_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_events,

@@ -682,13 +682,48 @@ def is_query_statement(query: str) -> bool:
     return not _has_top_level_write_kw(head)
 
 
+_EXCLUDE_PAREN = re.compile(r"(\*\s*)EXCLUDE(\s*\()", re.IGNORECASE)
+_EXCLUDE_BARE = re.compile(
+    r"(\*\s*)EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE
+)
+
+
+def _rewrite_exclude(query: str) -> str:
+    """DuckDB's ``SELECT * EXCLUDE (a, b)`` / ``* EXCLUDE a`` → Spark's
+    native ``* EXCEPT (a, b)``. Purely textual (keyword spelling, same
+    semantics both engines); literal-masked so 'EXCLUDE' inside a
+    string never matches; the bare single-column form gains the parens
+    Spark requires. ``alias.* EXCLUDE (...)`` works too — the ``*`` the
+    regex anchors on is the one EXCLUDE follows."""
+    masked = _mask_string_literals(query)
+    spans: list[tuple[int, int, str]] = []
+    for m in _EXCLUDE_PAREN.finditer(masked):
+        spans.append((m.start(), m.end(), m.group(1) + "EXCEPT" + m.group(2)))
+    for m in _EXCLUDE_BARE.finditer(masked):
+        spans.append(
+            (m.start(), m.end(), m.group(1) + "EXCEPT (" + m.group(2) + ")")
+        )
+    if not spans:
+        return query
+    out, last = [], 0
+    for s, e, rep in sorted(spans):
+        out.append(query[last:s])
+        out.append(rep)
+        last = e
+    out.append(query[last:])
+    return "".join(out)
+
+
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:
-    """DuckDB-dialect entry point: applies the ASOF JOIN rewrite first
-    (its clause sits in FROM, textually before any QUALIFY), then the
-    QUALIFY rewrite on the rewritten statement, then plain
-    ``spark.sql``. The two compose — ``FROM a ASOF JOIN b ... QUALIFY
-    row_number() OVER (...) = 1`` is the natural "latest reading per
-    sensor, keep rank 1" TSDB query (VERDICT r7 gap #3). Statements
-    using neither pass through unchanged."""
-    rewritten = _rewrite_asof(spark, query, right_order=right_order)
+    """DuckDB-dialect entry point: applies the ``* EXCLUDE`` spelling
+    rewrite, then the ASOF JOIN rewrite (its clause sits in FROM,
+    textually before any QUALIFY), then the QUALIFY rewrite on the
+    rewritten statement, then plain ``spark.sql``. They compose —
+    ``FROM a ASOF JOIN b ... QUALIFY row_number() OVER (...) = 1`` is
+    the natural "latest reading per sensor, keep rank 1" TSDB query
+    (VERDICT r7 gap #3). Statements using none pass through unchanged
+    (GROUP BY ALL / ORDER BY ALL / ``* EXCEPT`` need no rewrite —
+    Spark parses those natively)."""
+    rewritten = _rewrite_asof(spark, _rewrite_exclude(query),
+                              right_order=right_order)
     return sql_with_qualify(spark, rewritten)

@@ -828,3 +828,38 @@ def test_sql_qualify_in_correlated_exists(spark):
         ")",
     )
     assert [r.k for r in out3.collect()] == ["a"]
+
+
+# ------------------------------------------------ * EXCLUDE rewrite
+
+def test_rewrite_exclude_forms():
+    """Paren list, bare single column, alias-qualified star, and the
+    case-insensitive spelling all rewrite to Spark's * EXCEPT; the
+    keyword inside a string literal is untouched."""
+    from rusty_timeseries_db_spark.sql_ext import _rewrite_exclude as rw
+
+    assert rw("SELECT * EXCLUDE (a, b) FROM t") == "SELECT * EXCEPT (a, b) FROM t"
+    assert rw("SELECT * EXCLUDE v FROM t") == "SELECT * EXCEPT (v) FROM t"
+    assert rw("SELECT t.* exclude (x) FROM t") == "SELECT t.* EXCEPT (x) FROM t"
+    s = "SELECT * EXCLUDE a FROM t WHERE c = 'do not EXCLUDE me'"
+    assert rw(s) == "SELECT * EXCEPT (a) FROM t WHERE c = 'do not EXCLUDE me'"
+    # statements without the keyword pass through by identity
+    q = "SELECT a, b FROM t"
+    assert rw(q) is q
+
+
+def test_dialect_sql_exclude_end_to_end(spark):
+    """The dialect entry runs DuckDB-spelled EXCLUDE statements on
+    Spark, composing with derived tables; excluded columns are gone
+    and the rest survive."""
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [(1, "k1", 2.0, "drop me")], "id long, k string, v double, junk string"
+    ).createOrReplaceTempView("_t_excl")
+    out = dialect_sql(
+        spark,
+        "SELECT * EXCLUDE junk FROM (SELECT * EXCLUDE (v) FROM _t_excl)",
+    )
+    assert out.columns == ["id", "k"]
+    assert out.collect()[0].k == "k1"
