@@ -1159,6 +1159,37 @@ def q_sql_star_exclude(spark, sf_dir):
 
 
 @declare(
+    "q_sql_distinct_on",
+    """
+    SELECT DISTINCT ON (user_id) user_id, event_id, event_type, value
+    FROM events
+    ORDER BY user_id, ts DESC, event_id DESC
+    """,
+    doc="DuckDB/Postgres DISTINCT ON through the dialect entry "
+    "(sql_ext._rewrite_distinct_on): latest event per user — the "
+    "canonical 'current state' TSDB read in its most popular SQL "
+    "spelling — rewritten to the row_number() OVER (PARTITION BY "
+    "keys ORDER BY <order list>) = 1 subquery Spark optimizes "
+    "(WindowGroupLimit prunes per-group). A missing ORDER BY raises "
+    "(the kept row would be arbitrary — irreproducible across "
+    "engines); the tiebreak on event_id makes the pick total even on "
+    "duplicate truncated-second timestamps, so the oracle (running "
+    "the ORIGINAL spelling natively on DuckDB) hash-matches the "
+    "selected ROWS, not just the group keys.",
+)
+def q_sql_distinct_on(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "events").createOrReplaceTempView("_q_don_events")
+    return dialect_sql(
+        spark,
+        "SELECT DISTINCT ON (user_id) user_id, event_id, event_type, value "
+        "FROM _q_don_events "
+        "ORDER BY user_id, ts DESC, event_id DESC",
+    )
+
+
+@declare(
     "q_sql_group_by_all",
     """
     SELECT event_type, user_id % 10 AS cohort,

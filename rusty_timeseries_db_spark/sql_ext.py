@@ -682,6 +682,106 @@ def is_query_statement(query: str) -> bool:
     return not _has_top_level_write_kw(head)
 
 
+_DISTINCT_ON = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+
+def _depth_at(masked: str, pos: int) -> int:
+    d = 0
+    for c in masked[:pos]:
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+    return d
+
+
+def _rewrite_distinct_on(query: str) -> str:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys) cols FROM ...
+    ORDER BY ...`` → the ``row_number() OVER (PARTITION BY keys
+    ORDER BY <order list>) = 1`` subquery Spark optimizes (the same
+    WindowGroupLimit-friendly form the QUALIFY rewrite produces).
+
+    Scope (honest-error boundaries, the nested-QUALIFY precedent):
+    the DISTINCT ON must be the TOP-LEVEL select (a nested one raises
+    with a workaround) and the statement must carry a top-level ORDER
+    BY — DISTINCT ON without one picks an ARBITRARY row per group,
+    which is exactly the irreproducibility this engine exists to
+    avoid, so it raises. Window order = the full ORDER BY list (a
+    leading partition-key entry is constant within its partition —
+    harmless); entries referencing select-list aliases are not
+    resolvable inside the window and fail Spark analysis loudly.
+    The outer ORDER BY / LIMIT are preserved.
+    """
+    masked = _mask_string_literals(query)
+    m = _DISTINCT_ON.search(masked)
+    if m is None:
+        return query
+    if _depth_at(masked, m.start()) != 0:
+        raise NotImplementedError(
+            "DISTINCT ON inside a subquery is not supported yet — "
+            "rewrite the inner block as row_number() OVER "
+            "(PARTITION BY ...) = 1 by hand"
+        )
+    if _DISTINCT_ON.search(masked, m.end()) is not None:
+        raise NotImplementedError(
+            "multiple DISTINCT ON blocks in one statement are not "
+            "supported yet"
+        )
+    open_paren = m.end() - 1
+    depth, close = 1, None
+    for i in range(open_paren + 1, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                close = i
+                break
+    if close is None:
+        raise ValueError("unbalanced parens in DISTINCT ON (...)")
+    on_cols = query[open_paren + 1:close].strip()
+    from_m = None
+    for fm in re.finditer(r"\bFROM\b", masked, re.IGNORECASE):
+        if fm.start() > close and _depth_at(masked, fm.start()) == 0:
+            from_m = fm
+            break
+    if from_m is None:
+        raise ValueError("DISTINCT ON statement has no top-level FROM")
+    select_list = query[close + 1:from_m.start()].strip()
+    tail = query[from_m.start():]
+    tail_masked = masked[from_m.start():]
+    ob = None
+    for om in re.finditer(r"\bORDER\s+BY\b", tail_masked, re.IGNORECASE):
+        if _depth_at(tail_masked, om.start()) == 0:
+            ob = om
+    if ob is None:
+        raise ValueError(
+            "DISTINCT ON requires a top-level ORDER BY — without one "
+            "the kept row per group is arbitrary (not reproducible "
+            "across runs or engines)"
+        )
+    body = tail[:ob.start()].rstrip()
+    order_tail = tail[ob.end():]  # '<order list> [LIMIT ...]'
+    lim = None
+    for lm in re.finditer(r"\bLIMIT\b", _mask_string_literals(order_tail),
+                          re.IGNORECASE):
+        if _depth_at(_mask_string_literals(order_tail), lm.start()) == 0:
+            lim = lm
+            break
+    order_list = (order_tail if lim is None else order_tail[:lim.start()]).strip()
+    limit_clause = "" if lim is None else " " + order_tail[lim.start():].strip()
+    # the * EXCEPT shell strips the helper rn so a bare `SELECT
+    # DISTINCT ON (k) *` stays clean (WHERE sees __don_rn pre-projection)
+    return (
+        f"SELECT {select_list} FROM ("
+        f"SELECT * EXCEPT (__don_rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {on_cols} "
+        f"ORDER BY {order_list}) AS __don_rn {body}"
+        f") __don0 WHERE __don_rn = 1"
+        f") __don ORDER BY {order_list}{limit_clause}"
+    )
+
+
 _EXCLUDE_PAREN = re.compile(r"(\*\s*)EXCLUDE(\s*\()", re.IGNORECASE)
 _EXCLUDE_BARE = re.compile(
     r"(\*\s*)EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE
@@ -724,6 +824,9 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     (VERDICT r7 gap #3). Statements using none pass through unchanged
     (GROUP BY ALL / ORDER BY ALL / ``* EXCEPT`` need no rewrite —
     Spark parses those natively)."""
-    rewritten = _rewrite_asof(spark, _rewrite_exclude(query),
-                              right_order=right_order)
+    rewritten = _rewrite_asof(
+        spark,
+        _rewrite_distinct_on(_rewrite_exclude(query)),
+        right_order=right_order,
+    )
     return sql_with_qualify(spark, rewritten)

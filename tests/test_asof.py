@@ -863,3 +863,53 @@ def test_dialect_sql_exclude_end_to_end(spark):
     )
     assert out.columns == ["id", "k"]
     assert out.collect()[0].k == "k1"
+
+
+# ----------------------------------------------- DISTINCT ON rewrite
+
+def test_distinct_on_picks_first_per_order(spark):
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", 9.0), (2, "c", 1.0), (2, "d", 1.0)],
+        "k long, tag string, v double",
+    ).createOrReplaceTempView("_t_don")
+    out = dialect_sql(
+        spark,
+        "SELECT DISTINCT ON (k) k, tag FROM _t_don "
+        "ORDER BY k, v DESC, tag",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "b"), (2, "c")]
+
+
+def test_distinct_on_star_strips_helper_and_honors_limit(spark):
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [(1, 5.0), (1, 9.0), (2, 1.0)], "k long, v double"
+    ).createOrReplaceTempView("_t_don2")
+    out = dialect_sql(
+        spark,
+        "SELECT DISTINCT ON (k) * FROM _t_don2 ORDER BY k, v DESC LIMIT 1",
+    )
+    assert out.columns == ["k", "v"]
+    assert [tuple(r) for r in out.collect()] == [(1, 9.0)]
+
+
+def test_distinct_on_guardrails():
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import _rewrite_distinct_on as rw
+
+    with pytest.raises(ValueError, match="ORDER BY"):
+        rw("SELECT DISTINCT ON (k) k FROM t")
+    with pytest.raises(NotImplementedError, match="subquery"):
+        rw("SELECT * FROM (SELECT DISTINCT ON (k) k FROM t ORDER BY k) q")
+    with pytest.raises(NotImplementedError, match="multiple"):
+        rw(
+            "SELECT DISTINCT ON (k) k FROM t ORDER BY k UNION ALL "
+            "SELECT DISTINCT ON (j) j FROM u ORDER BY j"
+        )
+    # plain statements pass through by identity
+    q = "SELECT k FROM t ORDER BY k"
+    assert rw(q) is q
