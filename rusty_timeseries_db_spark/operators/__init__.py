@@ -40,6 +40,7 @@ from .sampling import (
     dsir_weights,
     hash_split,
     stratified_sample,
+    temperature_sample,
     weighted_sample,
 )
 from .resample import counter_rate, predict_linear
@@ -66,5 +67,5 @@ __all__ = [
     "lttb", "minmax_decimate",
     "assign_packs", "pack_stats",
     "deterministic_sample", "dsir_select", "dsir_weights", "hash_split",
-    "stratified_sample", "weighted_sample",
+    "stratified_sample", "temperature_sample", "weighted_sample",
 ]

@@ -309,3 +309,68 @@ def dsir_select(
             F.round("_key", key_decimals).alias("sample_key"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    target_fraction: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the mT5/multilingual
+    recipe, Xue et al. 2021 §3.1): sample domains with probability
+    ``p_d ∝ c_d^alpha`` — ``alpha < 1`` UPWEIGHTS small domains
+    (low-resource languages, rare sources) relative to their natural
+    share, ``alpha = 1`` keeps the natural mixture. The expected
+    output size is ``target_fraction`` of the corpus; each domain's
+    keep rate is ``min(1, n_target · p_d / c_d)`` (a head domain
+    cannot be sampled above its own size).
+
+    Unlike :func:`weighted_sample` the rates are not caller-supplied:
+    they are computed IN the plan from the actual domain counts (one
+    tiny groupBy + the constant-key broadcast of the `dsir_weights`
+    pattern), so the operator composes lazily, stays correct when the
+    corpus changes under it, and is oracle-checkable end-to-end. The
+    keep/drop decision is the same content-stable md5 bucket as every
+    sampler here — per-id deterministic, append-safe, engine-agnostic.
+
+    Scale shape: one #domains-row aggregate broadcast back to a
+    map-side filter. The data itself never shuffles.
+    """
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_c"))
+    one = F.least(F.lit(1), F.greatest(F.lit(1), F.col("_c"))).cast("long")
+    totals = counts.agg(
+        F.sum(F.pow(F.col("_c").cast("double"), F.lit(float(alpha)))).alias("_z"),
+        F.sum("_c").alias("_n"),
+        F.least(F.lit(1), F.greatest(F.lit(1), F.count(F.lit(1))))
+        .cast("long")
+        .alias("_k"),
+    )
+    rates = (
+        counts.withColumn("_k", one)
+        .join(F.broadcast(totals), "_k")
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_fraction))
+                * F.col("_n").cast("double")
+                * F.pow(F.col("_c").cast("double"), F.lit(float(alpha)))
+                / (F.col("_z") * F.col("_c").cast("double")),
+            ).alias("_rate"),
+        )
+    )
+    bucket = hash_bucket(F.col(id_col), _SPLIT_BUCKETS, salt)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.round(F.col("_rate") * _SPLIT_BUCKETS, 0))
+        .drop("_rate")
+    )

@@ -3054,6 +3054,46 @@ def q_boilerplate_profile(spark, sf_dir):
 
 
 @declare(
+    "q_temperature_sample",
+    """
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(POW(CAST(c AS DOUBLE), 0.6)) AS z, SUM(c) AS n FROM c),
+    r AS (
+      SELECT source,
+             LEAST(1.0, 0.5 * CAST(n AS DOUBLE)
+                        * POW(CAST(c AS DOUBLE), 0.6)
+                        / (z * CAST(c AS DOUBLE))) AS rate
+      FROM c, t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          < ROUND(rate * 10000, 0)
+    """,
+    doc="temperature-based mixture resampling (mT5 recipe, Xue et al. "
+    "2021 §3.1; operators/sampling.py temperature_sample): sample "
+    "domains with p_d ∝ c_d^0.6 at an expected half-corpus output — "
+    "alpha < 1 upweights small sources relative to their natural "
+    "share, and a head domain's keep rate caps at 1. The rates are "
+    "computed IN the plan from the actual domain counts (one "
+    "#domains-row aggregate + the constant-key broadcast), so the "
+    "oracle certifies the whole count→rate→per-id-md5-decision "
+    "pipeline, not a caller-supplied rate table. Data never shuffles "
+    "— the decision is a map-side filter behind a broadcast join.",
+)
+def q_temperature_sample(spark, sf_dir):
+    from .operators.sampling import temperature_sample
+
+    d = T(spark, sf_dir, "documents")
+    return temperature_sample(
+        d, domain_col="source", id_col="doc_id",
+        alpha=0.6, target_fraction=0.5, salt="temp",
+    ).select("doc_id", "source")
+
+
+@declare(
     "q_paragraph_dedup",
     """
     WITH toks AS (

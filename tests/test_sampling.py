@@ -132,3 +132,56 @@ def test_weighted_sample_rejects_bad_rate(spark):
         weighted_sample(d, "source", "doc_id", {"src0": 1.5})
     with pytest.raises(ValueError):
         weighted_sample(d, "source", "doc_id", {}, default_rate=-0.1)
+
+
+def test_temperature_sample_upweights_small_domains(spark):
+    """alpha < 1 lifts a tail domain's keep RATE above a head
+    domain's; alpha = 1 reproduces the flat target fraction for every
+    domain (natural mixture); the head domain's rate caps at 1 for
+    tiny alpha; determinism under repartitioning."""
+    from rusty_timeseries_db_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, "head") for i in range(900)] + [
+        (i, "tail") for i in range(900, 1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def rates(alpha, frac=0.5):
+        out = temperature_sample(
+            df, domain_col="source", id_col="doc_id",
+            alpha=alpha, target_fraction=frac,
+        )
+        kept = {r.source: r.n for r in
+                out.groupBy("source").count().withColumnRenamed("count", "n")
+                .collect()}
+        return kept.get("head", 0) / 900, kept.get("tail", 0) / 100
+
+    head_r, tail_r = rates(0.3)
+    assert tail_r > head_r  # small domain upweighted
+    h1, t1 = rates(1.0)
+    # natural mixture: both near the flat 50% (md5 noise ~ +-5%)
+    assert abs(h1 - 0.5) < 0.06 and abs(t1 - 0.5) < 0.2
+    # alpha -> 0 pushes the tail to p=1/2 of the mix; its rate caps at 1
+    _, t0 = rates(0.01, frac=0.2)
+    assert t0 == 1.0
+    a = temperature_sample(df, "source", "doc_id", alpha=0.3)
+    b = temperature_sample(df.repartition(7), "source", "doc_id", alpha=0.3)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+
+
+def test_temperature_sample_validation(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="target_fraction"):
+        temperature_sample(df, "source", "doc_id", target_fraction=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "source", "doc_id", alpha=-1.0)
