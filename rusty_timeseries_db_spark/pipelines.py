@@ -47,6 +47,14 @@ class CorpusPipelineConfig:
     contamination_max: float = 0.8
     mixture: Mapping[str, float] = field(default_factory=dict)
     mixture_default: float = 1.0
+    #: opt-in temperature mixture (round 11): when set, the mixture
+    #: stage resamples domains with p_d ∝ c_d^mixture_alpha at an
+    #: expected ``mixture_target_fraction`` of the surviving corpus
+    #: (the mT5 recipe — rates derived from the ACTUAL post-dedup
+    #: domain counts in-plan) instead of the fixed per-domain ``mixture``
+    #: rates. Mutually exclusive with ``mixture``; default off.
+    mixture_alpha: float | None = None
+    mixture_target_fraction: float = 0.5
     split_weights: Mapping[str, float] | None = None
     pack_budget: int = 512
     pack_shards: int = 32
@@ -211,8 +219,23 @@ def build_training_corpus(
     )
     d = d.join(train_contam, id_col, "left_anti")
 
-    # 5. mixture sampling — map-side
-    if cfg.mixture:
+    # 5. mixture sampling — map-side (fixed rates), or the opt-in
+    # temperature resampling whose rates derive from the ACTUAL
+    # post-dedup domain counts in-plan
+    if cfg.mixture and cfg.mixture_alpha is not None:
+        raise ValueError(
+            "set either mixture (fixed per-domain rates) or "
+            "mixture_alpha (temperature resampling), not both"
+        )
+    if cfg.mixture_alpha is not None:
+        from .operators.sampling import temperature_sample
+
+        d = temperature_sample(
+            d, domain_col, id_col,
+            alpha=cfg.mixture_alpha,
+            target_fraction=cfg.mixture_target_fraction,
+        )
+    elif cfg.mixture:
         d = weighted_sample(
             d, domain_col, id_col, cfg.mixture, cfg.mixture_default
         )

@@ -224,3 +224,32 @@ def test_paragraph_dedup_optional_stage(spark):
     assert set(on) == {1, 2}          # doc 3 cleaned to nothing
     assert on[1].n_tok == 6           # canonical copies survive intact
     assert on[2].n_tok == 3           # A removed, C kept
+
+
+def test_temperature_mixture_optional_stage(spark):
+    """Opt-in temperature mixture: the tail domain's survival RATE
+    beats the head domain's at alpha < 1 (rates derived from the
+    post-dedup counts in-plan); setting both mixture forms raises."""
+    import pytest
+
+    rows = [(i, f"unique head doc number {i} with several tokens", "head")
+            for i in range(300)]
+    rows += [(1000 + i, f"unique tail doc number {i} more tokens", "tail")
+             for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = dict(min_tokens=2, near_dup_threshold=1.01,
+                split_weights={"train": 1.0}, pack_budget=64, pack_shards=1)
+    out = build_training_corpus(
+        docs, CorpusPipelineConfig(
+            **base, mixture_alpha=0.3, mixture_target_fraction=0.5
+        )
+    )
+    kept = {r.source: r.n for r in out.groupBy("source")
+            .count().withColumnRenamed("count", "n").collect()}
+    assert kept.get("tail", 0) / 30 > kept.get("head", 0) / 300
+    with pytest.raises(ValueError, match="not both"):
+        build_training_corpus(
+            docs, CorpusPipelineConfig(
+                **base, mixture={"head": 0.5}, mixture_alpha=0.5
+            )
+        )
