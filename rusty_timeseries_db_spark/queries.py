@@ -4723,6 +4723,81 @@ def q_bigram_vocab(spark, sf_dir):
 
 
 @declare(
+    "q_domain_kl_divergence",
+    """
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> len(x) > 0)) AS w
+      FROM documents
+    ),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+      FROM tok GROUP BY source, w
+    ),
+    cw AS (SELECT w, SUM(c_sw) AS c_w FROM sw GROUP BY w),
+    ns AS (SELECT source, SUM(c_sw) AS n_s FROM sw GROUP BY source),
+    n AS (SELECT SUM(c_sw) AS n FROM sw)
+    SELECT sw.source,
+           CAST(ns.n_s AS BIGINT) AS n_tokens,
+           ROUND(SUM(
+             (CAST(c_sw AS DOUBLE) / n_s)
+             * ln((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n))
+           ), 6) AS kl_nats
+    FROM sw JOIN cw USING (w) JOIN ns USING (source), n
+    GROUP BY sw.source, ns.n_s
+    """,
+    doc="per-source unigram KL divergence vs the whole corpus — the "
+    "domain-drift statistic a mixture pipeline monitors (a source "
+    "whose KL jumps changed its content distribution; the natural "
+    "companion to temperature_sample's rate table). Sum over words "
+    "PRESENT in the source of p_ws·ln(p_ws/q_w) with unsmoothed exact "
+    "count ratios (well-defined: corpus count >= source count > 0). "
+    "Shape: one (source, word) count aggregate; the corpus word "
+    "counts derive from IT (groupBy word over the per-source counts "
+    "— never a second scan), totals ride the constant-key broadcast, "
+    "one final per-source sum. Float division deferred to the "
+    "summed terms, rounded at 6 after the per-source fold.",
+)
+def q_domain_kl_divergence(spark, sf_dir):
+    from .operators.dedup import word_tokens
+
+    d = T(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(word_tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    one = lambda c: F.least(  # noqa: E731
+        F.lit(1), F.greatest(F.lit(1), F.abs(c) + 1)
+    ).cast("long")
+    n_tot = sw.agg(
+        F.sum("c_sw").alias("n"),
+        F.least(F.lit(1), F.greatest(F.lit(1), F.count(F.lit(1))))
+        .cast("long").alias("_k"),
+    )
+    term = (F.col("c_sw").cast("double") / F.col("n_s")) * F.log(
+        (F.col("c_sw").cast("double") / F.col("n_s"))
+        / (F.col("c_w").cast("double") / F.col("n"))
+    )
+    return (
+        sw.join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .withColumn("_k", one(F.col("c_sw")))
+        .join(F.broadcast(n_tot), "_k")
+        .groupBy("source", "n_s")
+        .agg(F.round(F.sum(term), 6).alias("kl_nats"))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            "kl_nats",
+        )
+    )
+
+
+@declare(
     "q_linear_regression",
     """
     WITH t AS (
