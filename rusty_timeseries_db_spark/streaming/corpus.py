@@ -119,6 +119,11 @@ def start_corpus_sink(
     - accepted rows carry ``(n_tok, quality, content_hash, batch_id)``
       so downstream consumers (mixture, splits, packing) run without
       re-deriving stage-1 columns.
+
+    A schema-valid row with NULL ``ingest_ts`` is NOT lost (pinned by
+    test), but its dedup state entry has no event time to age on and
+    therefore never watermark-evicts — producers that omit the stamp
+    slowly grow the state store. Stamp ``ingest_ts`` at the producer.
     """
     path = os.path.join(warehouse_dir, "documents")
     if quarantine_dir is not None and "_corrupt_record" not in stream.columns:

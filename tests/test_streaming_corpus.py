@@ -172,3 +172,26 @@ def test_engine_facade_corpus_ingest(spark, tmp_path):
     docs = spark.read.parquet(str(tmp_path / "wh" / "documents"))
     assert [r.doc_id for r in docs.collect()] == [1]
     assert spark.read.text(quarantine).count() == 1
+
+
+def test_null_ingest_ts_row_is_not_lost_in_dedup_mode(spark, tmp_path):
+    """A schema-valid row missing the ingest_ts stamp still lands in
+    the table (its dedup state just never watermark-evicts — the
+    documented producer contract); pinned so a Spark behavior change
+    here fails loudly instead of silently dropping data."""
+    src = str(tmp_path / "drop")
+    wh = str(tmp_path / "wh")
+    _write_jsonl(
+        os.path.join(src, "f.json"),
+        [
+            _doc(1, GOOD, minute=0),
+            {**_doc(2, GOOD + " two"), "ingest_ts": None},
+        ],
+    )
+    q = start_corpus_sink(
+        read_document_stream(spark, src), wh,
+        min_tokens=3, dedup_watermark="10 minutes", available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(os.path.join(wh, "documents"))
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
