@@ -66,116 +66,40 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r{01..10}.json (rebuilt
-# with gen_rotation.py entering round 11): 44 queries were last
-# driver-checked in r07 (the tier VERDICT r10 next-round #1 orders
-# front-loaded), 47 in r08, 50 in r09 (the dict-default tier), 50 in
-# r10. Round-11 window: the 6 NEW queries below + ALL 44 r07-tier —
-# exactly 50, so rule (a) holds AND the r07 freshness debt is fully
-# discharged (after r11 no query's driver row is older than r08 —
-# VERDICT r10 next-round #1's stated Done criterion). The 6 modified
-# are all NEW — three EO/QUALIFY certifications and three
-# LLM-pipeline additions (q_semantic_dedup, q_contamination_ngram,
-# q_repetition_profile — SemDeDup cluster-bounded dedup, train/test
-# shingle-leak check, Gopher repetition metrics, each oracle-paired):
-# q_exactly_once_served / q_exactly_once_asof certify the
-# exactly-once read surface and the new EO time travel
-# (telemetry(as_of_eo_hwm=N)) against DuckDB oracles on the source
-# definition; q_qualify_in_exists locks the nested-QUALIFY textual
-# fallback (correlated EXISTS body) under the hash gate. The round's
-# deepest code change — every EO manifest write became a versioned
-# compare-and-swap (sink commit merge, compaction carry-forward,
-# retention rescan-retry; streaming/ingest.py) — sits INSIDE the two
-# new EO queries' fixtures (commit_batch_exactly_once +
-# compact_exactly_once), so rule (a) holds for it through them. Every
-# OTHER round-11 change is additive/test-covered (the r9/r10
-# pattern): the committed_batch_ids cap, the write-time mixed-lineage
-# warning and the schema'd EO dir reads touch no declared query's
-# code path (telemetry()'s new as-of parameters default to the
-# unchanged branch), and all of it is pinned by new pytest coverage
-# in tests/test_maintenance.py, tests/test_streaming.py and
-# tests/test_streaming_windows.py. Two late-r11 exceptions, both
-# full-sweep-verified: (a) the word_grams rewrite (dedup.py) replaced
-# every gram/shingle builder's slice-capturing transform (hidden
-# O(n²) per-doc tokenization) with a shifted-slice zip_with chain —
-# it touches shingle-consuming queries in AND out of the window, is
-# string-for-string hash-neutral by construction, and was proven so
-# by a full parity sweep (0 fail) plus element-level fixture
-# comparison (SCALE.md "Gram builders"); (b) the dialect entry
-# sql_ext.sql gained the * EXCLUDE and DISTINCT ON rewrites AHEAD of
-# the ASOF/QUALIFY steps — statements without those keywords pass the
-# new steps by identity (unit-tested), and every window query routing
-# through the entry (q_asof_qualify_sql, q_qualify_sql,
-# q_qualify_in_exists, q_qualify_nested, q_asof_sql) was re-verified
-# hash-green at sf0.001/0.01/0.1 after the change. Every query not
-# in the window is still covered by run_parity.py locally (fail 0
-# this round, fresh testdata, re-run after each change) and the
-# judge's own full sweep.
+# the per-query max round over CORRECTNESS_r{01..11}.json (rebuilt
+# with gen_rotation.py entering round 12): 47 queries were last
+# driver-checked in r08, 50 in r09 (the dict-default tier), 50 in
+# r10, 50 in r11; 11 declared in r11 have NEVER had a driver row
+# (VERDICT r11 next-round #1 — judge-hash-green, but the strict bar
+# wants driver rows). Round-12 window: those 11 + this round's new
+# queries in _ROUND_MODIFIED, then the stalest r08-tier queries fill
+# the remaining slots (declaration order breaks ties). TWO-ROUND
+# PLAN (VERDICT r11 next-round #1 Done criterion): with
+# len(_ROUND_MODIFIED) = M, (50 - M) of the 47 r08-tier queries run
+# in r12 and the remaining (M - 3) r08-tier queries MUST head the
+# r13 window (they will then be the oldest tier by construction —
+# gen_rotation.py entering r13 will show them as the min tier, so
+# the standard stalest-first rule discharges the plan
+# automatically). Every query not in the window is still covered by
+# run_parity.py locally (full 208-query sweep, re-run after each
+# change on fresh testdata) and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 11: the six new oracle-paired queries. The first three
-    # certify the EO read surface / EO time travel / nested-QUALIFY
-    # fallback; the last three are the round's LLM-pipeline additions
-    # (SemDeDup semantic dedup, train/test n-gram contamination,
-    # Gopher repetition profiling). With 6 modified + the 44-query
-    # r07 tier the window is exactly 50, so the 3 earliest-declared
-    # r08-tier fills named in the comment above drop back to their
-    # tier (the r12 window front-loads all 47 r08-tier queries).
-    "q_exactly_once_served", "q_exactly_once_asof",
-    "q_qualify_in_exists",
-    "q_semantic_dedup", "q_contamination_ngram", "q_repetition_profile",
+    # round 12, tier 1: the 11 r11-declared queries that have never
+    # had a driver CORRECTNESS row (VERDICT r11 next-round #1) —
+    # every r11 operator earns its green row this round.
+    "q_duplicate_spans", "q_boilerplate_profile", "q_paragraph_dedup",
+    "q_dsir_weights", "q_dsir_select", "q_temperature_sample",
+    "q_domain_kl_divergence", "q_predict_linear", "q_sql_distinct_on",
+    "q_sql_star_exclude", "q_sql_group_by_all",
+    # round 12, tier 2: new queries declared this round (each enters
+    # this set in the same commit that declares it).
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r{01..10}.json): 44 last ran in r07, 47 in r08, 50 in
-#: r10; the remaining 50 ran in r09 and form the dict default
+#: CORRECTNESS_r{01..11}.json): 47 last ran in r08, 50 in r10, 50 in
+#: r11; the remaining 50 ran in r09 and form the dict default
 #: (`.get(name, 9)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
-    **dict.fromkeys([
-        "q_approx_aggregates",
-        "q_arrow_transform",
-        "q_asof_join",
-        "q_asof_tolerance",
-        "q_collect_set",
-        "q_csv_roundtrip",
-        "q_dedup_clusters",
-        "q_dedup_keep_canonical",
-        "q_embedding_knn_classify",
-        "q_grouping_sets",
-        "q_having",
-        "q_higher_order_fns",
-        "q_hll_distinct_rollup",
-        "q_interval_overlap_join",
-        "q_join_anti",
-        "q_join_cross",
-        "q_join_full_outer",
-        "q_join_inner_broadcast",
-        "q_join_left_outer",
-        "q_join_range_bands",
-        "q_join_semi",
-        "q_json_roundtrip",
-        "q_map_ops",
-        "q_minhash_pairs",
-        "q_orc_roundtrip",
-        "q_schema_evolution",
-        "q_simhash_pairs",
-        "q_similarity_lsh",
-        "q_tfidf_top_terms",
-        "q_tpch_q11_important_stock",
-        "q_tpch_q12_priority_class",
-        "q_tpch_q13_custdist",
-        "q_tpch_q15_top_supplier",
-        "q_tpch_q16_supplier_count",
-        "q_tpch_q17_small_qty_revenue",
-        "q_tpch_q20_excess_stock",
-        "q_tpch_q22_global_sales_opportunity",
-        "q_tpch_q4_order_priority",
-        "q_tpch_q8_market_share",
-        "q_tpch_q9_product_profit",
-        "q_unigram_surprisal",
-        "q_window_cumulative",
-        "q_window_lag_lead",
-        "q_window_topk_per_group",
-    ], 7),
     **dict.fromkeys([
         "q_approx_top_k",
         "q_audience_jaccard",
@@ -277,6 +201,58 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_unpivot",
         "q_weighted_domain_sample",
     ], 10),
+    **dict.fromkeys([
+        "q_approx_aggregates",
+        "q_arrow_transform",
+        "q_asof_join",
+        "q_asof_tolerance",
+        "q_collect_set",
+        "q_contamination_ngram",
+        "q_csv_roundtrip",
+        "q_dedup_clusters",
+        "q_dedup_keep_canonical",
+        "q_embedding_knn_classify",
+        "q_exactly_once_asof",
+        "q_exactly_once_served",
+        "q_grouping_sets",
+        "q_having",
+        "q_higher_order_fns",
+        "q_hll_distinct_rollup",
+        "q_interval_overlap_join",
+        "q_join_anti",
+        "q_join_cross",
+        "q_join_full_outer",
+        "q_join_inner_broadcast",
+        "q_join_left_outer",
+        "q_join_range_bands",
+        "q_join_semi",
+        "q_json_roundtrip",
+        "q_map_ops",
+        "q_minhash_pairs",
+        "q_orc_roundtrip",
+        "q_qualify_in_exists",
+        "q_repetition_profile",
+        "q_schema_evolution",
+        "q_semantic_dedup",
+        "q_simhash_pairs",
+        "q_similarity_lsh",
+        "q_tfidf_top_terms",
+        "q_tpch_q11_important_stock",
+        "q_tpch_q12_priority_class",
+        "q_tpch_q13_custdist",
+        "q_tpch_q15_top_supplier",
+        "q_tpch_q16_supplier_count",
+        "q_tpch_q17_small_qty_revenue",
+        "q_tpch_q20_excess_stock",
+        "q_tpch_q22_global_sales_opportunity",
+        "q_tpch_q4_order_priority",
+        "q_tpch_q8_market_share",
+        "q_tpch_q9_product_profit",
+        "q_unigram_surprisal",
+        "q_window_cumulative",
+        "q_window_lag_lead",
+        "q_window_topk_per_group",
+    ], 11),
 }
 
 
