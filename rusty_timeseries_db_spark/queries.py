@@ -93,6 +93,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_sql_star_exclude", "q_sql_group_by_all",
     # round 12, tier 2: new queries declared this round (each enters
     # this set in the same commit that declares it).
+    "q_sql_distinct_on_nested",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -1169,6 +1170,46 @@ def q_sql_distinct_on(spark, sf_dir):
         "SELECT DISTINCT ON (user_id) user_id, event_id, event_type, value "
         "FROM _q_don_events "
         "ORDER BY user_id, ts DESC, event_id DESC",
+    )
+
+
+@declare(
+    "q_sql_distinct_on_nested",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+    FROM (
+      SELECT DISTINCT ON (user_id) user_id, event_type, value
+      FROM events
+      ORDER BY user_id, ts DESC, event_id DESC
+    ) latest
+    GROUP BY event_type
+    """,
+    doc="Nested DISTINCT ON through the dialect entry (round 12 — "
+    "VERDICT r11 next-round #2, sql_ext._rewrite_distinct_on_nested): "
+    "the derived-table block is located deepest-first with the nested-"
+    "QUALIFY block finder and rewritten IN PLACE to the row_number() "
+    "= 1 form — purely textual, so CTE scope and outer references "
+    "survive with no view extraction. The outer aggregate groups the "
+    "per-user latest rows; the oracle runs the ORIGINAL nested "
+    "spelling natively on DuckDB. Tiebreak on event_id keeps the "
+    "per-user pick total; exact-decimal sum keeps the double "
+    "order-independent.",
+)
+def q_sql_distinct_on_nested(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "events").createOrReplaceTempView("_q_donn_events")
+    return dialect_sql(
+        spark,
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv "
+        "FROM ("
+        "  SELECT DISTINCT ON (user_id) user_id, event_type, value "
+        "  FROM _q_donn_events "
+        "  ORDER BY user_id, ts DESC, event_id DESC"
+        ") latest "
+        "GROUP BY event_type",
     )
 
 

@@ -913,3 +913,129 @@ def test_distinct_on_guardrails():
     # plain statements pass through by identity
     q = "SELECT k FROM t ORDER BY k"
     assert rw(q) is q
+
+
+# ---------------------------------------- nested DISTINCT ON (round 12)
+
+def _nested_don_fixture(spark):
+    spark.createDataFrame(
+        [
+            (1, "a", 5.0, 10),
+            (1, "b", 9.0, 11),
+            (2, "c", 1.0, 12),
+            (2, "d", 7.0, 13),
+            (3, "e", 4.0, 14),
+        ],
+        "k long, tag string, v double, id long",
+    ).createOrReplaceTempView("don_nested_t")
+
+
+def test_distinct_on_nested_in_derived_table(spark):
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    _nested_don_fixture(spark)
+    out = dialect_sql(
+        spark,
+        "SELECT q.k, q.tag FROM ("
+        "  SELECT DISTINCT ON (k) k, tag FROM don_nested_t"
+        "  ORDER BY k, v DESC"
+        ") q WHERE q.k <= 2 ORDER BY q.k",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "b"), (2, "d")]
+
+
+def test_distinct_on_nested_in_cte_body(spark):
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    _nested_don_fixture(spark)
+    out = dialect_sql(
+        spark,
+        "WITH best AS ("
+        "  SELECT DISTINCT ON (k) k, tag, v FROM don_nested_t"
+        "  ORDER BY k, v DESC"
+        ") SELECT k, tag FROM best ORDER BY v DESC LIMIT 2",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "b"), (2, "d")]
+
+
+def test_distinct_on_nested_in_in_subquery(spark):
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    _nested_don_fixture(spark)
+    out = dialect_sql(
+        spark,
+        "SELECT tag FROM don_nested_t WHERE id IN ("
+        "  SELECT DISTINCT ON (k) id FROM don_nested_t ORDER BY k, v DESC"
+        ") ORDER BY tag",
+    )
+    assert [r.tag for r in out.collect()] == ["b", "d", "e"]
+
+
+def test_distinct_on_two_nested_blocks(spark):
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    _nested_don_fixture(spark)
+    out = dialect_sql(
+        spark,
+        "SELECT hi.k AS hk, lo.k AS lk FROM ("
+        "  SELECT DISTINCT ON (k) k, v FROM don_nested_t ORDER BY k, v DESC"
+        ") hi JOIN ("
+        "  SELECT DISTINCT ON (k) k, v FROM don_nested_t ORDER BY k, v ASC"
+        ") lo ON hi.k = lo.k WHERE hi.v > lo.v ORDER BY hk",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 1), (2, 2)]
+
+
+def test_distinct_on_nested_composes_with_top_level(spark):
+    # nested block rewritten in place AND the remaining top-level
+    # DISTINCT ON still goes through the depth-0 rewrite
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    _nested_don_fixture(spark)
+    out = dialect_sql(
+        spark,
+        "SELECT DISTINCT ON (tag) tag, k FROM ("
+        "  SELECT DISTINCT ON (k) k, tag FROM don_nested_t"
+        "  ORDER BY k, v DESC"
+        ") q ORDER BY tag, k",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("b", 1), ("d", 2), ("e", 3),
+    ]
+
+
+def test_distinct_on_nested_cte_scope_preserved(spark):
+    # the in-place textual rewrite must keep a CTE-body DISTINCT ON
+    # resolving the PRECEDING CTE of the same WITH clause — the exact
+    # scope shape the QUALIFY path needs its view machinery to dodge
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    _nested_don_fixture(spark)
+    out = dialect_sql(
+        spark,
+        "WITH small AS (SELECT * FROM don_nested_t WHERE k <= 2), "
+        "best AS ("
+        "  SELECT DISTINCT ON (k) k, tag FROM small ORDER BY k, v DESC"
+        ") SELECT k, tag FROM best ORDER BY k",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "b"), (2, "d")]
+
+
+def test_distinct_on_nested_guardrails(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import (
+        _rewrite_distinct_on_nested as rwn,
+    )
+
+    # a nested block still demands its own ORDER BY
+    with pytest.raises(ValueError, match="ORDER BY"):
+        rwn("SELECT * FROM (SELECT DISTINCT ON (k) k FROM t) q")
+    # non-query parenthesis containing the keyword raises loudly
+    with pytest.raises(ValueError, match="non-query"):
+        rwn("SELECT 1 WHERE x = (SELECT 1) AND (SELECT DISTINCT ON"
+            " (k) k FROM t ORDER BY k UNION SELECT 2 WHERE (y) > 1)"
+            .replace("SELECT DISTINCT", "y + SELECT DISTINCT"))
+    # plain statements pass through by identity
+    q = "SELECT k FROM t ORDER BY k"
+    assert rwn(q) is q
