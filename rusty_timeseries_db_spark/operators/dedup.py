@@ -790,6 +790,115 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite the corpus with duplicated spans CUT (round 12 — the
+    removal half of Lee et al. 2021 that :func:`duplicate_spans` only
+    reports): for every span row ``(id_a, id_b, start_b,
+    span_tokens)`` the tokens ``[start_b, start_b + span_tokens)`` are
+    deleted from document ``id_b`` — the occurrence in the LOWER-id
+    document survives as the canonical copy. Because
+    :func:`duplicate_spans` emits every pair with ``id_a < id_b``, a
+    span shared by k documents is cut from all but the minimum-id one
+    (each non-minimum doc appears as ``id_b`` of at least one pair),
+    the same greedy min-id-canonical rule
+    :func:`semantic_dedup_decisions` applies. Returns one row per
+    input document: ``(id, clean_text, n_tokens_removed, n_spans)``
+    with ``clean_text`` the token-spliced rebuild (lowercased,
+    single-space joined — :func:`word_tokens`' normal form, matching
+    ``duplicated_paragraph_removal``'s output convention) and
+    ``n_spans`` the count of merged removal intervals.
+
+    Mechanics: per-doc removal intervals are overlap-merged first
+    (two same-doc spans from different partners may overlap) with the
+    classic running-max gaps-and-islands pass — new island when a
+    span starts past the max end seen so far — then each doc's merged
+    intervals ride ONE array column into an indexed ``filter`` HOF
+    that keeps tokens covered by no interval. The interval array is a
+    join attribute, not a computed expression, so referencing it
+    inside the lambda is a per-element attribute read — NOT the
+    capture trap ``word_grams``' docstring documents; the token array
+    is materialized once per row before the HOF.
+
+    Scale shape: interval merge windows partition on the doc id
+    (per-doc span counts are small by construction — the
+    ``max_gram_df`` cap upstream bounds them); the rebuild is one
+    doc-keyed broadcast-or-shuffle join of O(#affected docs) interval
+    rows against the corpus, then pure per-row HOF work. Nothing
+    collects; text never shuffles except docs→output.
+
+    Caveat (also Lee et al.'s): splicing can ABUT previously-distant
+    tokens, so a re-run may find new (rare) short matches across the
+    cut point; run-to-fixed-point if the corpus demands it. On
+    non-pathological corpora one pass removes everything it reported
+    (idempotence property-tested)."""
+    iv0 = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").cast("long").alias("s"),
+        (F.col("start_b") + F.col("span_tokens")).cast("long").alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    pmax = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv1 = iv0.select(
+        id_col, "s", "e",
+        F.when(pmax.isNull() | (F.col("s") > pmax), 1)
+        .otherwise(0).alias("_new"),
+    )
+    iv2 = iv1.select(
+        id_col, "s", "e", F.sum("_new").over(w).alias("_isl")
+    )
+    merged = (
+        iv2.groupBy(id_col, "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("_iv")
+        )
+    )
+    toks = word_tokens(text_col)
+    out = (
+        df.select(id_col, toks.alias("_toks"))
+        .join(merged, id_col, "left")
+        .select(
+            id_col,
+            "_toks",
+            F.coalesce(
+                "_iv",
+                F.lit(None).cast("array<struct<s:bigint,e:bigint>>"),
+            ).alias("_iv"),
+        )
+    )
+    iv = F.col("_iv")
+    kept = F.when(iv.isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            F.col("_toks"),
+            # filter's index param is 0-based, matching the spans'
+            # 0-based token offsets
+            lambda x, i: ~F.exists(
+                iv, lambda v: (i >= v["s"]) & (i < v["e"])
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("_toks") - F.size(kept))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+        F.coalesce(F.size(iv), F.lit(0))
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+
+
 # ---------------------------------------------- paragraph-level dedup
 
 def duplicated_paragraph_removal(

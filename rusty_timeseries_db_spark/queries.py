@@ -93,7 +93,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_sql_star_exclude", "q_sql_group_by_all",
     # round 12, tier 2: new queries declared this round (each enters
     # this set in the same commit that declares it).
-    "q_sql_distinct_on_nested",
+    "q_sql_distinct_on_nested", "q_duplicate_span_removal",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -3026,6 +3026,119 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(
         d, id_col="doc_id", text_col="text", k=5, min_span_tokens=8,
         max_gram_df=50,
+    )
+
+
+@declare(
+    "q_duplicate_span_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE len(ws) >= 5 AND i <= len(ws) - 4
+    ),
+    rare AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+      ) WHERE df <= 50
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM g a JOIN rare r ON a.gram = r.gram
+      JOIN g b ON b.gram = a.gram
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+             ) AS isl
+      FROM m
+    ),
+    spans AS (
+      SELECT id_a, id_b,
+             CAST(MIN(pos_b) AS BIGINT) AS start_b,
+             CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens
+      FROM runs GROUP BY id_a, id_b, diag, isl
+    ),
+    iv0 AS (
+      SELECT id_b AS doc_id, start_b AS s, start_b + span_tokens AS e
+      FROM spans WHERE span_tokens >= 8
+    ),
+    iv1 AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv0
+    ),
+    iv2 AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+      FROM iv1
+    ),
+    mi AS (
+      SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM iv2
+      GROUP BY doc_id, isl
+    ),
+    nsp AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM mi
+      GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS tok
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE i <= len(ws)
+    ),
+    keep AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok t LEFT JOIN mi
+        ON mi.doc_id = t.doc_id AND t.pos >= mi.s AND t.pos < mi.e
+      WHERE mi.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(len(t.ws) - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed,
+           COALESCE(n.n_spans, CAST(0 AS BIGINT)) AS n_spans
+    FROM toks t
+    LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    LEFT JOIN nsp n ON n.doc_id = t.doc_id
+    """,
+    doc="span-level dedup REWRITE (round 12 — VERDICT r11 next-round "
+    "#5; Lee et al. 2021's removal step, which q_duplicate_spans only "
+    "reports): every >= 8-token cross-document duplicated run is CUT "
+    "from the higher-id document (each span's minimum-id holder keeps "
+    "the canonical copy — the pairwise id_a < id_b rows make that "
+    "greedy rule emerge from plain per-pair removal), overlapping "
+    "removal intervals merged with a running-max islands pass before "
+    "one indexed-filter HOF splices the token array "
+    "(operators/dedup.py remove_duplicate_spans). Hashes the REBUILT "
+    "text of every document, plus tokens-removed and merged-interval "
+    "counts; the oracle replays span discovery, interval merge, and "
+    "a position-anti-join token splice in SQL. Idempotence (rewriting "
+    "twice = once) is property-tested in tests/test_llm_pipeline_ops.",
+)
+def q_duplicate_span_removal(spark, sf_dir):
+    from .operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    d = T(spark, sf_dir, "documents")
+    spans = duplicate_spans(
+        d, id_col="doc_id", text_col="text", k=5, min_span_tokens=8,
+        max_gram_df=50,
+    )
+    return remove_duplicate_spans(
+        d, spans, id_col="doc_id", text_col="text"
     )
 
 

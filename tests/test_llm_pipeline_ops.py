@@ -556,3 +556,97 @@ def test_dsir_select_temperature_flattens(spark):
     assert hot(w1) == hot(w2)
     cold = dsir_select(w1, id_col="doc_id", k=3, temperature=1e-9).collect()
     assert sorted(r.doc_id for r in cold) == [47, 48, 49]
+
+
+# ------------------------------------ span removal rewrite (round 12)
+
+def test_remove_duplicate_spans_keeps_canonical(spark):
+    """The lowest-id document keeps the span; every other holder is
+    cut; untouched docs round-trip to word_tokens' normal form."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "unique one two three " + common + " tail here"),
+            (2, "start " + common + " other words follow now ok"),
+            (3, common + " totally different ending text here"),
+            (4, "no duplicated content at all in this doc"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(df, k=5, min_span_tokens=8, max_gram_df=50)
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, spans).collect()
+    }
+    assert common in out[1].clean_text and out[1].n_tokens_removed == 0
+    assert "alpha" not in out[2].clean_text
+    assert out[2].clean_text == "start other words follow now ok"
+    assert out[2].n_tokens_removed == 10 and out[2].n_spans == 1
+    assert out[3].clean_text == "totally different ending text here"
+    assert out[4].n_tokens_removed == 0 and out[4].n_spans == 0
+
+
+def test_remove_duplicate_spans_merges_overlapping_intervals(spark):
+    """Two spans from DIFFERENT partners overlapping in one doc merge
+    into a single removal interval — tokens are never double-counted
+    and the splice is contiguous."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(9, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        # [2,7) from partner 1, [5,9) from partner 2 -> merged [2,9)
+        [(1, 9, 0, 2, 5), (2, 9, 0, 5, 4)],
+        "id_a long, id_b long, start_a int, start_b int, "
+        "span_tokens long",
+    )
+    r = remove_duplicate_spans(df, spans).collect()[0]
+    assert r.clean_text == "t0 t1 t9"
+    assert r.n_tokens_removed == 7
+    assert r.n_spans == 1
+
+
+def test_remove_duplicate_spans_idempotent(spark):
+    """Rewriting twice equals rewriting once: the cleaned corpus
+    reports no spans, and a second removal pass is the identity."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+    from pyspark.sql import functions as F
+
+    common = (
+        "one two three four five six seven eight nine ten "
+        "eleven twelve"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "intro " + common + " outro words distinct a"),
+            (2, "other " + common + " closing words distinct b"),
+            (3, common + " and a third holder of the span"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def clean(frame):
+        spans = duplicate_spans(
+            frame, k=5, min_span_tokens=8, max_gram_df=50
+        )
+        return remove_duplicate_spans(frame, spans).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+
+    once = clean(df)
+    twice = clean(once)
+    assert {tuple(r) for r in once.collect()} == {
+        tuple(r) for r in twice.collect()
+    }
