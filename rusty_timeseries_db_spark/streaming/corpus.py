@@ -63,13 +63,19 @@ DOCUMENT_INGEST_SCHEMA = StructType(
 
 
 def read_document_stream(
-    spark: SparkSession, source_dir: str, with_corrupt_record: bool = False
+    spark: SparkSession,
+    source_dir: str,
+    with_corrupt_record: bool = False,
+    max_files_per_trigger: int = 16,
 ) -> DataFrame:
     """JSON-lines drop-dir source with the document ingest schema.
     ``with_corrupt_record=True`` adds the PERMISSIVE ``_corrupt_record``
     column (raw text of unparseable lines) that
     :func:`start_corpus_sink`'s quarantine path splits on — the same
-    contract as ``read_telemetry_stream``."""
+    contract as ``read_telemetry_stream``. ``max_files_per_trigger``
+    bounds micro-batch size (files are taken in modification-time
+    order); fixtures that need a DETERMINISTIC file→batch mapping set
+    it to 1 (q_corpus_stream_served)."""
     schema = DOCUMENT_INGEST_SCHEMA
     if with_corrupt_record:
         schema = StructType(
@@ -78,7 +84,7 @@ def read_document_stream(
         )
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "16")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(source_dir)
     )
 
