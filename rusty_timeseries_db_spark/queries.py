@@ -94,7 +94,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # round 12, tier 2: new queries declared this round (each enters
     # this set in the same commit that declares it).
     "q_sql_distinct_on_nested", "q_duplicate_span_removal",
-    "q_corpus_stream_served",
+    "q_corpus_stream_served", "q_corpus_pipeline_dsir",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -5661,6 +5661,185 @@ def q_training_corpus_pipeline(spark, sf_dir):
         mixture_default=0.8,
         pack_budget=256,
         pack_shards=4,
+    )
+    return build_training_corpus(docs, cfg)
+
+
+@declare(
+    "q_corpus_pipeline_dsir",
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, text, ws, len(ws) AS n_tok
+      FROM base WHERE len(ws) BETWEEN 10 AND 100000
+    ),
+    keep_exact AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM q
+      ) GROUP BY fp
+    ),
+    d2 AS (SELECT q.* FROM q JOIN keep_exact USING (doc_id)),
+    grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        FROM d2, LATERAL (
+          SELECT unnest(generate_series(1, greatest(len(d2.ws) - 2, 1))) AS i
+        ) idx
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    dropped AS (SELECT id FROM reach GROUP BY id HAVING MIN(r) <> id),
+    d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT id FROM dropped)),
+    d4 AS (
+      SELECT *,
+        CASE WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'train'
+             WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9500 THEN 'val'
+             ELSE 'test' END AS split
+      FROM d3
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, split,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM d4, LATERAL (
+        SELECT unnest(generate_series(1, d4.n_tok - 2)) AS i
+      ) idx
+      WHERE n_tok >= 3
+    ),
+    held AS (SELECT DISTINCT gram FROM cg WHERE split = 'test'),
+    contam AS (
+      SELECT c.doc_id FROM cg c LEFT JOIN held h ON c.gram = h.gram
+      WHERE c.split = 'train'
+      GROUP BY c.doc_id
+      HAVING CAST(COUNT(h.gram) AS DOUBLE) / COUNT(*) > 0.8
+    ),
+    d5 AS (SELECT * FROM d4
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    -- stage 5 (DSIR): hashed-bigram importance weights over the whole
+    -- post-decontamination corpus, target = source 'src0'
+    bgp AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      FROM d5, LATERAL (
+        SELECT unnest(generate_series(1, d5.n_tok - 1)) AS i
+      ) idx
+      WHERE n_tok >= 2
+    ),
+    fdp AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1024 AS b,
+             COUNT(*) AS c
+      FROM bgp GROUP BY 1, 2
+    ),
+    fcp AS (
+      SELECT f.doc_id, b, c, (d5.source = 'src0') AS is_target
+      FROM fdp f JOIN d5 USING (doc_id)
+    ),
+    distp AS (
+      SELECT b,
+             SUM(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+             SUM(CASE WHEN NOT is_target THEN c ELSE 0 END) AS cr
+      FROM fcp GROUP BY b
+    ),
+    totp AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM distp),
+    lrp AS (
+      SELECT b, ln((ct + 1.0) / (nt + 1.0 * 1024))
+               - ln((cr + 1.0) / (nr + 1.0 * 1024)) AS logratio
+      FROM distp, totp
+    ),
+    wp AS (
+      SELECT fcp.doc_id, SUM(c * logratio) AS wsum
+      FROM fcp JOIN lrp USING (b) GROUP BY fcp.doc_id
+    ),
+    selp AS (
+      SELECT d5.doc_id,
+             ROUND(COALESCE(wp.wsum, 0.0), 6) / 2.0 - ln(-ln(
+               (CAST(('0x' || substr(md5('dsir' || CAST(d5.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0
+             )) AS key
+      FROM d5 LEFT JOIN wp USING (doc_id)
+      WHERE d5.split = 'train' AND d5.source <> 'src0'
+    ),
+    chosen AS (SELECT doc_id FROM selp ORDER BY key DESC, doc_id LIMIT 50),
+    d6 AS (
+      SELECT * FROM d5
+      WHERE split <> 'train' OR source = 'src0'
+         OR doc_id IN (SELECT doc_id FROM chosen)
+    ),
+    tp AS (
+      SELECT doc_id, source, n_tok, split, shard, hk,
+             CAST(FLOOR((SUM(n_tok) OVER (
+                 PARTITION BY shard ORDER BY hk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / 256.0) AS BIGINT) AS pack_id
+      FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+               md5('pack' || CAST(doc_id AS VARCHAR)) AS hk
+        FROM d6 WHERE split = 'train'
+      )
+    )
+    SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, split,
+           CAST(shard AS BIGINT) AS shard, pack_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard, pack_id ORDER BY hk, doc_id
+           ) - 1 AS BIGINT) AS pack_pos
+    FROM tp
+    UNION ALL
+    SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, split,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pack_id,
+           CAST(NULL AS BIGINT) AS pack_pos
+    FROM d6 WHERE split <> 'train'
+    """,
+    doc="END-TO-END corpus pipeline with the opt-in DSIR stage (round "
+    "12 — VERDICT r11 next-round #6; pipelines.py dsir_select_k): "
+    "stage 5 becomes importance RESAMPLING toward the 'src0' domain — "
+    "hashed-bigram DSIR weights estimated over the whole "
+    "post-decontamination corpus, then the train split's non-target "
+    "docs Gumbel-top-k resampled to k=50 at T=2 while target-domain "
+    "train docs and all val/test rows ride through — before the "
+    "standard packing stage. The oracle is the 7-stage CTE with the "
+    "q_dsir_weights/q_dsir_select CTEs spliced in as stage 5, so the "
+    "selected SET (not just its size) is certified inside the full "
+    "pipeline composition. Deterministic end-to-end: md5 buckets, "
+    "content-stable Gumbel, hash splits/packs.",
+)
+def q_corpus_pipeline_dsir(spark, sf_dir):
+    from .pipelines import CorpusPipelineConfig, build_training_corpus
+
+    docs = T(spark, sf_dir, "documents")
+    cfg = CorpusPipelineConfig(
+        min_tokens=10,
+        pack_budget=256,
+        pack_shards=4,
+        dsir_target_domain="src0",
+        dsir_select_k=50,
+        dsir_temperature=2.0,
     )
     return build_training_corpus(docs, cfg)
 

@@ -247,9 +247,69 @@ def test_temperature_mixture_optional_stage(spark):
     kept = {r.source: r.n for r in out.groupBy("source")
             .count().withColumnRenamed("count", "n").collect()}
     assert kept.get("tail", 0) / 30 > kept.get("head", 0) / 300
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         build_training_corpus(
             docs, CorpusPipelineConfig(
                 **base, mixture={"head": 0.5}, mixture_alpha=0.5
             )
+        )
+
+
+def test_dsir_optional_stage(spark):
+    """Opt-in DSIR selection (round 12): target-domain train docs all
+    survive, the raw train pool is cut to exactly k, val/test rows are
+    untouched, and the selected ids are deterministic across runs.
+    Default-off is pinned by the unchanged-manifest check; combining
+    DSIR with a mixture raises."""
+    import pytest
+
+    rows = [
+        (i, f"target style doc number {i} common target phrasing here",
+         "wiki")
+        for i in range(20)
+    ]
+    rows += [
+        (100 + i, f"raw pool document {i} with its own distinct words "
+                  f"variant {i * 7}", "crawl")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    base = dict(
+        min_tokens=2, near_dup_threshold=1.01,
+        split_weights={"train": 1.0}, pack_budget=64, pack_shards=1,
+    )
+    out = build_training_corpus(
+        docs,
+        CorpusPipelineConfig(
+            **base, dsir_target_domain="wiki", dsir_select_k=10
+        ),
+    )
+    kept = {r.source: r.n for r in out.groupBy("source").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert kept["wiki"] == 20          # target train docs all stay
+    assert kept["crawl"] == 10         # raw pool resampled to k
+    ids_a = {r.doc_id for r in out.select("doc_id").collect()}
+    out_b = build_training_corpus(
+        docs,
+        CorpusPipelineConfig(
+            **base, dsir_target_domain="wiki", dsir_select_k=10
+        ),
+    )
+    assert ids_a == {r.doc_id for r in out_b.select("doc_id").collect()}
+    # default-off: a config without dsir_select_k keeps every doc
+    plain = build_training_corpus(docs, CorpusPipelineConfig(**base))
+    assert plain.count() == 80
+    with pytest.raises(ValueError, match="at most one"):
+        build_training_corpus(
+            docs,
+            CorpusPipelineConfig(
+                **base, mixture={"wiki": 1.0},
+                dsir_target_domain="wiki", dsir_select_k=10,
+            ),
+        )
+    with pytest.raises(ValueError, match="dsir_target_domain"):
+        build_training_corpus(
+            docs, CorpusPipelineConfig(**base, dsir_select_k=10)
         )
