@@ -95,6 +95,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # this set in the same commit that declares it).
     "q_sql_distinct_on_nested", "q_duplicate_span_removal",
     "q_corpus_stream_served", "q_corpus_pipeline_dsir",
+    "q_bm25_topk",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -5055,6 +5056,66 @@ def q_predict_linear(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     return predict_linear(
         e, key="event_type", ts="ts", value="value", horizon_seconds=300
+    )
+
+
+@declare(
+    "q_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(ws)) AS avgdl
+      FROM toks
+    ),
+    hits AS (
+      SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+             unnest(list_filter(ws,
+               x -> list_contains(['hash', 'merge', 'scan', 'slow'], x)
+             )) AS t
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY 1, 2, 3
+    ),
+    dfq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY t),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             ROUND(SUM(
+               ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 6) AS bm25
+      FROM tf CROSS JOIN stats JOIN dfq USING (t)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50
+    """,
+    doc="Okapi BM25 top-k lexical retrieval (round 12; operators/"
+    "retrieval.py bm25_topk) — the candidate generator for RAG "
+    "corpora, eval-set mining, and targeted decontamination: top 50 "
+    "docs by Lucene-flavor BM25 (k1=1.2, b=0.75, idf = ln(1+(N-df+.5)"
+    "/(df+.5))) against a 4-term query. Scale shape: the token array "
+    "is HOF-filtered against the literal term set BEFORE the explode "
+    "(fan-out O(matches), not O(corpus tokens)); N/avgdl ride the "
+    "constant-key broadcast; the idf table is a <=|terms|-row "
+    "broadcast join; selection plans as TakeOrderedAndProject. "
+    "Scores round at 6 decimals after the <=|terms|-summand per-doc "
+    "sum; ties break on doc_id so the SET is engine-reproducible.",
+)
+def q_bm25_topk(spark, sf_dir):
+    from .operators.retrieval import bm25_topk
+
+    d = T(spark, sf_dir, "documents")
+    return bm25_topk(
+        d, ["hash", "merge", "scan", "slow"], id_col="doc_id",
+        text_col="text", k=50,
     )
 
 

@@ -650,3 +650,60 @@ def test_remove_duplicate_spans_idempotent(spark):
     assert {tuple(r) for r in once.collect()} == {
         tuple(r) for r in twice.collect()
     }
+
+
+# ------------------------------------------- BM25 retrieval (round 12)
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc matching the RARE query term scores above docs matching
+    only the ubiquitous one (idf); more matched terms beat fewer at
+    comparable tf; non-matching docs return no row."""
+    from rusty_timeseries_db_spark.operators.retrieval import bm25_topk
+
+    rows = [(i, "common filler words appear here often") for i in range(8)]
+    rows += [
+        (100, "common words plus the rare zebra appears once"),
+        (101, "zebra zebra zebra dense rare doc"),
+        (102, "totally unrelated content nothing matches"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["common", "zebra"], k=20)
+    got = {r.doc_id: r for r in out.collect()}
+    assert 102 not in got
+    assert got[100].n_terms_hit == 2
+    # rare-term docs rank above common-only docs
+    common_only_best = max(got[i].bm25 for i in range(8))
+    assert got[101].bm25 > common_only_best
+    assert got[100].bm25 > common_only_best
+
+
+def test_bm25_length_normalization_and_determinism(spark):
+    """Same tf in a shorter doc scores higher (b-normalization); the
+    top-k SET and order are stable across runs."""
+    from rusty_timeseries_db_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "target word short"),
+            (2, "target word inside a much longer document with many "
+                "extra tokens diluting the match strength overall"),
+            (3, "no match at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["target"], k=10)
+    rows = out.collect()
+    assert [r.doc_id for r in rows][:2] == [1, 2]
+    assert rows[0].bm25 > rows[1].bm25
+    again = bm25_topk(df, ["target"], k=10).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_bm25_empty_query_raises(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [])
