@@ -271,6 +271,65 @@ def counter_rate(
     )
 
 
+def counter_irate(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Instantaneous counter rate from the LAST TWO samples per series
+    (the PromQL ``irate()`` / ``idelta()`` semantics — the fast-moving
+    twin of :func:`counter_rate`, which averages the whole range).
+    Returns ``(key, idelta, iinc, irate_per_second, gap_us)`` where
+    ``idelta`` is the raw last-pair delta (PromQL's gauge ``idelta()``),
+    ``iinc`` is the reset-corrected instantaneous increase (a drop
+    counts the post-reset absolute value, like ``increase()``), and
+    ``irate_per_second = iinc / gap``. All three are NULL for
+    single-sample series and irate additionally for a zero gap —
+    PromQL returns nothing there too.
+
+    Scale shape: one rank window partitioned on the series key ordered
+    ts-descending with a ``row_number() <= 2`` filter — Spark's
+    WindowGroupLimit prunes each group to its top 2 rows BEFORE the
+    sort buffers anything (the same per-group top-k shape
+    operators/topk.py plan-asserts) — then one tiny grouped pivot
+    aggregate over <= 2 rows per series. Deltas run in exact decimal;
+    ties on duplicate timestamps break on ``order_tiebreak`` so the
+    picked pair is a total order, engine-reproducible."""
+    order = [F.col(ts).desc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    top2 = (
+        df.select(
+            F.col(key),
+            F.unix_micros(F.col(ts)).alias("_tus"),
+            F.col(value).cast("decimal(18,2)").alias("_v"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= 2)
+    )
+    agg = top2.groupBy(key).agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("_v"))).alias("_vl"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_v"))).alias("_vp"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_tus"))).alias("_tl"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_tus"))).alias("_tp"),
+    )
+    delta = F.col("_vl") - F.col("_vp")
+    iinc = F.when(delta >= 0, delta).otherwise(F.col("_vl"))
+    gap = F.col("_tl") - F.col("_tp")
+    return agg.select(
+        key,
+        delta.cast("double").alias("idelta"),
+        iinc.cast("double").alias("iinc"),
+        F.when(
+            gap > 0, iinc.cast("double") / gap.cast("double") * F.lit(1e6)
+        ).alias("irate_per_second"),
+        gap.alias("gap_us"),
+    )
+
+
 def linear_interp_fill(
     df: DataFrame,
     key: str,

@@ -95,7 +95,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # this set in the same commit that declares it).
     "q_sql_distinct_on_nested", "q_duplicate_span_removal",
     "q_corpus_stream_served", "q_corpus_pipeline_dsir",
-    "q_bm25_topk",
+    "q_bm25_topk", "q_promql_irate",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -4473,6 +4473,57 @@ def q_counter_increase(spark, sf_dir):
 
     e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     return counter_increase(
+        e, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
+    )
+
+
+@declare(
+    "q_promql_irate",
+    """
+    WITH r AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             epoch_us(ts) AS tus,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events WHERE user_id < 50
+    ),
+    p AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN v END) AS vl,
+             MAX(CASE WHEN rn = 2 THEN v END) AS vp,
+             MAX(CASE WHEN rn = 1 THEN tus END) AS tl,
+             MAX(CASE WHEN rn = 2 THEN tus END) AS tp
+      FROM r WHERE rn <= 2 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(vl - vp AS DOUBLE) AS idelta,
+           CAST(CASE WHEN vl - vp >= 0 THEN vl - vp ELSE vl END
+                AS DOUBLE) AS iinc,
+           CASE WHEN tl - tp > 0 THEN
+             CAST(CASE WHEN vl - vp >= 0 THEN vl - vp ELSE vl END
+                  AS DOUBLE) / CAST(tl - tp AS DOUBLE) * 1e6
+           END AS irate_per_second,
+           tl - tp AS gap_us
+    FROM p
+    """,
+    doc="PromQL irate()/idelta() — instantaneous rate from the LAST "
+    "TWO samples per series (round 12; operators/resample.py "
+    "counter_irate), completing the counter family next to rate()/"
+    "increase()/predict_linear()/deriv(): raw last-pair delta (gauge "
+    "idelta), reset-corrected instantaneous increase, and "
+    "per-second irate, NULL on degenerate series exactly like "
+    "PromQL. One rank window ordered ts-desc with row_number() <= 2 "
+    "— WindowGroupLimit prunes each group to 2 rows before anything "
+    "buffers — then a tiny grouped pivot; exact-decimal deltas, "
+    "(ts, event_id) total order on ties.",
+)
+def q_promql_irate(spark, sf_dir):
+    from .operators.resample import counter_irate
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return counter_irate(
         e, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
     )
 

@@ -201,3 +201,53 @@ def test_predict_linear_exact_trend_and_degenerates(spark):
     assert out["single"].slope_per_second is None
     assert out["single"].predicted_value is None
     assert out["same_ts"].slope_per_second is None  # den = 0
+
+
+# ------------------------------------------- PromQL irate (round 12)
+
+def test_counter_irate_last_pair_and_reset(spark):
+    from rusty_timeseries_db_spark.operators.resample import counter_irate
+
+    df = _series(spark, [
+        ("c", "2024-01-01 00:00:00", 0.0, 0),
+        ("c", "2024-01-01 00:00:01", 5.0, 1),
+        ("c", "2024-01-01 00:00:03", 9.0, 2),    # last pair: +4 over 2s
+        ("r", "2024-01-01 00:00:00", 10.0, 0),
+        ("r", "2024-01-01 00:00:02", 3.0, 1),    # reset: iinc = 3 over 2s
+        ("s", "2024-01-01 00:00:00", 7.0, 0),    # single sample -> NULLs
+    ])
+    got = {r.k: r for r in counter_irate(
+        df, key="k", ts="ts", value="value", order_tiebreak="seq"
+    ).collect()}
+    assert (got["c"].idelta, got["c"].iinc) == (4.0, 4.0)
+    assert got["c"].irate_per_second == 2.0 and got["c"].gap_us == 2_000_000
+    assert (got["r"].idelta, got["r"].iinc) == (-7.0, 3.0)
+    assert got["r"].irate_per_second == 1.5
+    assert got["s"].idelta is None and got["s"].irate_per_second is None
+
+
+def test_counter_irate_tiebreak_and_zero_gap(spark):
+    from rusty_timeseries_db_spark.operators.resample import counter_irate
+
+    df = _series(spark, [
+        ("t", "2024-01-01 00:00:00", 1.0, 0),
+        ("t", "2024-01-01 00:00:01", 2.0, 1),
+        ("t", "2024-01-01 00:00:01", 6.0, 2),  # same ts: seq picks last
+    ])
+    (r,) = counter_irate(
+        df, key="k", ts="ts", value="value", order_tiebreak="seq"
+    ).collect()
+    # last two rows share the timestamp: idelta from (seq1, seq2),
+    # gap 0 -> irate NULL (PromQL returns nothing on a zero gap)
+    assert r.idelta == 4.0 and r.gap_us == 0
+    assert r.irate_per_second is None
+
+
+def test_counter_irate_plans_window_group_limit(spark):
+    from rusty_timeseries_db_spark.operators.resample import counter_irate
+
+    df = _series(spark, [("c", "2024-01-01 00:00:00", 1.0, 0)])
+    plan = counter_irate(
+        df, key="k", ts="ts", value="value", order_tiebreak="seq"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "WindowGroupLimit" in plan
