@@ -790,6 +790,76 @@ def duplicate_spans(
     )
 
 
+def cross_duplicate_spans(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_span_tokens: int = 10,
+    max_gram_df: int | None = 50,
+) -> DataFrame:
+    """Maximal duplicated token spans BETWEEN two corpora (round 12 —
+    the cross-corpus face of :func:`duplicate_spans`): every (doc in
+    ``df_a``, doc in ``df_b``) pair sharing a run of >=
+    ``min_span_tokens`` identical consecutive tokens yields one row
+    ``(id_a, id_b, start_a, start_b, span_tokens)`` — ``id_a`` from
+    ``df_a``, ``id_b`` from ``df_b``, ids never compared across the
+    two frames (they may collide; the SIDES are the identity). The
+    decontamination primitive: with ``df_a`` = the held-out set and
+    ``df_b`` = the train corpus, the spans are exactly the
+    evaluation text leaked into training, positioned for
+    :func:`remove_duplicate_spans` to cut from the train side.
+
+    Same mechanics and scale bounds as :func:`duplicate_spans` —
+    gram-keyed equi-join (never all-pairs), per-(pair, diagonal)
+    gaps-and-islands merge, and a document-frequency cap computed
+    over BOTH corpora combined (boilerplate is boilerplate wherever
+    it lives) that bounds per-gram fan-out before the join."""
+    def _grams(df, side):
+        toks = word_tokens(text_col)
+        return df.filter(F.size(toks) >= k).select(
+            F.col(id_col),
+            F.posexplode(word_grams(toks, k)).alias("pos", "gram"),
+        ).select(F.lit(side).alias("_side"), id_col, "pos", "gram")
+
+    ga, gb = _grams(df_a, "a"), _grams(df_b, "b")
+    if max_gram_df is not None:
+        rare = (
+            ga.unionByName(gb)
+            .select("_side", id_col, "gram")
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("gram")
+        )
+        ga = ga.join(rare, "gram")
+        gb = gb.join(rare, "gram")
+    a = ga.select(
+        "gram", F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a")
+    )
+    b = gb.select(
+        "gram", F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b")
+    )
+    m = a.join(b, "gram").select("id_a", "id_b", "pos_a", "pos_b")
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    runs = m.withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
+    spans = runs.groupBy(
+        "id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("_diag"),
+        "_isl",
+    ).agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+    )
+    return spans.filter(F.col("span_tokens") >= min_span_tokens).select(
+        "id_a", "id_b", "start_a", "start_b", "span_tokens"
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     spans: DataFrame,

@@ -95,7 +95,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # this set in the same commit that declares it).
     "q_sql_distinct_on_nested", "q_duplicate_span_removal",
     "q_corpus_stream_served", "q_corpus_pipeline_dsir",
-    "q_bm25_topk", "q_promql_irate",
+    "q_bm25_topk", "q_promql_irate", "q_span_decontamination",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -3141,6 +3141,126 @@ def q_duplicate_span_removal(spark, sf_dir):
     )
     return remove_duplicate_spans(
         d, spans, id_col="doc_id", text_col="text"
+    )
+
+
+@declare(
+    "q_span_decontamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, (doc_id % 10 = 0) AS is_test,
+             list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, is_test, CAST(i - 1 AS INT) AS pos,
+             array_to_string(ws[i:i+4], ' ') AS gram
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE len(ws) >= 5 AND i <= len(ws) - 4
+    ),
+    rare AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+      ) WHERE df <= 50
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM g a JOIN rare r ON a.gram = r.gram
+      JOIN g b ON b.gram = a.gram
+      WHERE a.is_test AND NOT b.is_test
+    ),
+    runs AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+             ) AS isl
+      FROM m
+    ),
+    spans AS (
+      SELECT id_a, id_b,
+             CAST(MIN(pos_b) AS BIGINT) AS start_b,
+             CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens
+      FROM runs GROUP BY id_a, id_b, diag, isl
+    ),
+    iv0 AS (
+      SELECT id_b AS doc_id, start_b AS s, start_b + span_tokens AS e
+      FROM spans WHERE span_tokens >= 8
+    ),
+    iv1 AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv0
+    ),
+    iv2 AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+      FROM iv1
+    ),
+    mi AS (
+      SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM iv2
+      GROUP BY doc_id, isl
+    ),
+    nsp AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM mi
+      GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS tok
+      FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+      WHERE NOT is_test AND i <= len(ws)
+    ),
+    keep AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok t LEFT JOIN mi
+        ON mi.doc_id = t.doc_id AND t.pos >= mi.s AND t.pos < mi.e
+      WHERE mi.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(len(t.ws) - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed,
+           COALESCE(n.n_spans, CAST(0 AS BIGINT)) AS n_spans
+    FROM toks t
+    LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    LEFT JOIN nsp n ON n.doc_id = t.doc_id
+    WHERE NOT t.is_test
+    """,
+    doc="span-level DECONTAMINATION (round 12; operators/dedup.py "
+    "cross_duplicate_spans + remove_duplicate_spans): every >= "
+    "8-token run a train document shares with the held-out set "
+    "(doc_id % 10 = 0 plays the eval split) is located by the "
+    "cross-corpus gram join — sides are the identity, ids never "
+    "compared across frames — and CUT from the train side, so "
+    "evaluation text leaked into training is excised rather than the "
+    "whole document dropped (the surgical alternative to "
+    "q_contamination_ngram's doc-level gate). Hashes the rebuilt "
+    "train corpus + removal counters; the oracle replays cross-side "
+    "matching, interval merge, and the token splice in SQL.",
+)
+def q_span_decontamination(spark, sf_dir):
+    from .operators.dedup import (
+        cross_duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    spans = cross_duplicate_spans(
+        test, train, id_col="doc_id", text_col="text", k=5,
+        min_span_tokens=8, max_gram_df=50,
+    )
+    return remove_duplicate_spans(
+        train, spans, id_col="doc_id", text_col="text"
     )
 
 

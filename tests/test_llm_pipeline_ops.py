@@ -707,3 +707,65 @@ def test_bm25_empty_query_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
         bm25_topk(df, [])
+
+
+# -------------------------------- span decontamination (round 12)
+
+def test_cross_duplicate_spans_sides_and_id_collisions(spark):
+    """Cross-corpus spans pair (a-side, b-side) only — identical ids
+    in the two frames are DIFFERENT documents and never suppress a
+    match; within-side duplicates are not reported."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        cross_duplicate_spans,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    test = spark.createDataFrame(
+        [(1, "eval question " + leak + " answer here")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "train doc same id " + leak + " trailing words"),
+            (2, leak + " another train holder of the leak"),
+            (3, "clean train doc with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = cross_duplicate_spans(
+        test, train, k=5, min_span_tokens=8, max_gram_df=50
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    # test doc 1 vs train docs 1 and 2 — including the id collision
+    assert got == {(1, 1), (1, 2)}
+    assert all(r.span_tokens == 10 for r in rows)
+
+
+def test_span_decontamination_cuts_train_side_only(spark):
+    from rusty_timeseries_db_spark.operators.dedup import (
+        cross_duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    leak = "one two three four five six seven eight nine ten"
+    test = spark.createDataFrame(
+        [(100, "held out " + leak + " eval tail")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro " + leak + " outro"),
+            (2, "untouched training document stays whole"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = cross_duplicate_spans(
+        test, train, k=5, min_span_tokens=8, max_gram_df=50
+    )
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(train, spans).collect()}
+    assert out[1].clean_text == "intro outro"
+    assert out[1].n_tokens_removed == 10
+    assert out[2].n_tokens_removed == 0
+    # the held-out frame is never rewritten (only train rows return)
+    assert set(out) == {1, 2}
