@@ -96,6 +96,14 @@ HEADLINE = [
     # broadcast model)
     "q_paragraph_dedup",
     "q_dsir_weights",
+    # added round 12 (subtract for apples-to-apples vs r11): the
+    # span-removal rewrite (the gram self-join + interval merge + HOF
+    # token splice — the heaviest new text shape), cross-corpus span
+    # decontamination (same machinery, two-sided), and BM25 top-k
+    # retrieval (filtered-explode inverted index + broadcast idf)
+    "q_duplicate_span_removal",
+    "q_span_decontamination",
+    "q_bm25_topk",
 ]
 
 
