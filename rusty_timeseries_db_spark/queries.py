@@ -96,6 +96,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_sql_distinct_on_nested", "q_duplicate_span_removal",
     "q_corpus_stream_served", "q_corpus_pipeline_dsir",
     "q_bm25_topk", "q_promql_irate", "q_span_decontamination",
+    "q_sql_star_replace",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -1212,6 +1213,38 @@ def q_sql_distinct_on_nested(spark, sf_dir):
         "  ORDER BY user_id, ts DESC, event_id DESC"
         ") latest "
         "GROUP BY event_type",
+    )
+
+
+@declare(
+    "q_sql_star_replace",
+    """
+    SELECT event_id, event_type, user_id,
+           CAST(value * 2 AS DOUBLE) AS value
+    FROM (
+      SELECT event_id, event_type, user_id, value
+      FROM events WHERE event_id <= 200
+    ) t
+    """,
+    doc="DuckDB ``SELECT * REPLACE (expr AS col)`` through the "
+    "dialect entry (round 12; sql_ext._rewrite_star_replace): "
+    "rewritten to Spark's ``* EXCEPT (col), expr AS col`` — purely "
+    "textual, literal-masked, cast-safe AS parsing; the bare "
+    "replace() function never matches. The oracle runs the "
+    "equivalent explicit projection (DuckDB's own REPLACE keeps "
+    "column position, the rewrite moves the replaced column to the "
+    "tail — the differential harness compares by NAME, which is the "
+    "documented contract).",
+)
+def q_sql_star_replace(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "events").createOrReplaceTempView("_q_rep_events")
+    return dialect_sql(
+        spark,
+        "SELECT * REPLACE (CAST(value * 2 AS DOUBLE) AS value) "
+        "FROM (SELECT event_id, event_type, user_id, value "
+        "FROM _q_rep_events WHERE event_id <= 200) t",
     )
 
 

@@ -866,9 +866,97 @@ def _rewrite_exclude(query: str) -> str:
     return "".join(out)
 
 
+_REPLACE_KW = re.compile(r"(\*\s*)REPLACE\s*\(", re.IGNORECASE)
+_AS_KW = re.compile(r"\bAS\b", re.IGNORECASE)
+
+
+def _split_top_level_commas(masked: str, text: str) -> list[str]:
+    """Split ``text`` on commas at paren depth 0 of ``masked`` (its
+    literal-masked twin, same length)."""
+    parts, depth, last = [], 0, 0
+    for i, c in enumerate(masked):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return parts
+
+
+def _rewrite_star_replace(query: str) -> str:
+    """DuckDB's ``SELECT * REPLACE (expr AS col, ...)`` → Spark's
+    ``* EXCEPT (col, ...), expr AS col, ...`` (round 12; Spark has
+    EXCEPT but no REPLACE). Purely textual and literal-masked; the
+    ``alias.* REPLACE (...)`` form works (the ``*`` the regex anchors
+    on is the one REPLACE follows), and the bare function call
+    ``replace(x, y, z)`` never matches (no preceding ``*``). Each item
+    must carry a top-level ``AS <name>`` — the replaced column's name
+    is syntactically required in DuckDB too — located as the LAST
+    depth-0 AS so casts inside the expression (``CAST(x AS INT) AS
+    x``) split correctly. Replaced columns MOVE to the select list's
+    tail in the rewrite; engine-side column ORDER is not part of the
+    oracle contract (the differential harness sorts columns by name),
+    and callers needing the original order project explicitly.
+    Composing REPLACE with EXCLUDE/EXCEPT on the same star is not
+    supported (the regex requires REPLACE adjacent to its star) —
+    Spark then fails the leftover REPLACE loudly at parse."""
+    while True:
+        masked = _mask_string_literals(query)
+        m = _REPLACE_KW.search(masked)
+        if m is None:
+            return query
+        open_idx = m.end() - 1
+        depth, close = 0, None
+        for i in range(open_idx, len(masked)):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close is None:
+            raise ValueError("unbalanced parens in * REPLACE (...)")
+        inner = query[open_idx + 1 : close]
+        inner_masked = masked[open_idx + 1 : close]
+        names, exprs = [], []
+        for item_masked, item in zip(
+            _split_top_level_commas(inner_masked, inner_masked),
+            _split_top_level_commas(inner_masked, inner),
+        ):
+            as_pos = None
+            for am in _AS_KW.finditer(item_masked):
+                if _depth_at(item_masked, am.start()) == 0:
+                    as_pos = am
+            if as_pos is None:
+                raise ValueError(
+                    f"* REPLACE item {item.strip()!r} has no AS <name> "
+                    "— DuckDB requires one and the rewrite needs it to "
+                    "know which column to except"
+                )
+            name = item[as_pos.end():].strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*|`[^`]+`", name):
+                raise ValueError(
+                    f"* REPLACE alias {name!r} is not a plain column name"
+                )
+            names.append(name)
+            exprs.append(item.strip())
+        star = m.group(1)
+        query = (
+            query[: m.start()]
+            + f"{star}EXCEPT ({', '.join(names)}), {', '.join(exprs)}"
+            + query[close + 1 :]
+        )
+
+
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:
-    """DuckDB-dialect entry point: applies the ``* EXCLUDE`` spelling
-    rewrite, then the ASOF JOIN rewrite (its clause sits in FROM,
+    """DuckDB-dialect entry point: applies the ``* REPLACE`` and
+    ``* EXCLUDE`` spelling rewrites, then the DISTINCT ON rewrite
+    (nested blocks innermost-first, then top-level), then the ASOF
+    JOIN rewrite (its clause sits in FROM,
     textually before any QUALIFY), then the QUALIFY rewrite on the
     rewritten statement, then plain ``spark.sql``. They compose —
     ``FROM a ASOF JOIN b ... QUALIFY row_number() OVER (...) = 1`` is
@@ -878,7 +966,9 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     Spark parses those natively)."""
     rewritten = _rewrite_asof(
         spark,
-        _rewrite_distinct_on_nested(_rewrite_exclude(query)),
+        _rewrite_distinct_on_nested(
+            _rewrite_exclude(_rewrite_star_replace(query))
+        ),
         right_order=right_order,
     )
     return sql_with_qualify(spark, rewritten)

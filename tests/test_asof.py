@@ -1039,3 +1039,54 @@ def test_distinct_on_nested_guardrails(spark):
     # plain statements pass through by identity
     q = "SELECT k FROM t ORDER BY k"
     assert rwn(q) is q
+
+
+# ------------------------------------------- * REPLACE rewrite (round 12)
+
+def test_star_replace_forms():
+    from rusty_timeseries_db_spark.sql_ext import _rewrite_star_replace as rw
+
+    assert (
+        rw("SELECT * REPLACE (v + 1 AS v) FROM t")
+        == "SELECT * EXCEPT (v), v + 1 AS v FROM t"
+    )
+    # alias-qualified star; cast's AS does not split the item
+    assert (
+        rw("SELECT a.* REPLACE (CAST(x AS INT) AS x, y * 2 AS y) FROM a")
+        == "SELECT a.* EXCEPT (x, y), CAST(x AS INT) AS x, y * 2 AS y FROM a"
+    )
+    # plain replace() function never matches; identity pass-through
+    q = "SELECT replace(s, 'a', 'b') FROM t"
+    assert rw(q) is q
+    # masked literals: 'REPLACE (' inside a string is untouched
+    q2 = "SELECT '* REPLACE (v AS v)' AS lit FROM t"
+    assert rw(q2) == q2
+    import pytest
+
+    with pytest.raises(ValueError, match="AS <name>"):
+        rw("SELECT * REPLACE (v + 1) FROM t")
+    with pytest.raises(ValueError, match="plain column name"):
+        rw("SELECT * REPLACE (v AS a.b) FROM t")
+
+
+def test_dialect_sql_star_replace_end_to_end(spark):
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [(1, 10.0, "k1"), (2, 20.0, "k2")], "id long, v double, k string"
+    ).createOrReplaceTempView("_t_repl")
+    out = dialect_sql(
+        spark,
+        "SELECT * REPLACE (v * 2 AS v) FROM _t_repl ORDER BY id",
+    )
+    assert set(out.columns) == {"id", "v", "k"}
+    assert [(r.id, r.v) for r in out.collect()] == [(1, 20.0), (2, 40.0)]
+    # composes with nested subqueries and EXCLUDE on a different star
+    out2 = dialect_sql(
+        spark,
+        "SELECT * EXCLUDE (k) FROM ("
+        "  SELECT * REPLACE (v + 1 AS v) FROM _t_repl"
+        ") ORDER BY id",
+    )
+    assert out2.columns == ["id", "v"]
+    assert [r.v for r in out2.collect()] == [11.0, 21.0]
