@@ -31,6 +31,7 @@ def asof_join(
     right_order: str | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    how: str = "left",
 ) -> DataFrame:
     """For each left row, attach the payload of the matching right row
     within the same ``on`` key. Directions (pandas.merge_asof parity):
@@ -40,9 +41,17 @@ def asof_join(
     - ``nearest``: whichever of the two is closer in time (backward wins
       exact ties, matching pandas).
 
-    Left rows with no match keep NULL payloads. ``right_order`` breaks
-    ties among right rows sharing (key, ts) deterministically.
+    ``how`` (round 12): ``"left"`` (default — pandas.merge_asof
+    parity) keeps left rows with no match, NULL payloads;
+    ``"inner"`` drops them (DuckDB's bare ``ASOF JOIN`` semantics —
+    its ``ASOF LEFT JOIN`` is the default form here). The match test
+    is the payload STRUCT's nullness, so a matched right row whose
+    every payload field is NULL still counts as matched — row
+    identity, not value presence. ``right_order`` breaks ties among
+    right rows sharing (key, ts) deterministically.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"unknown how: {how!r} (left | inner)")
     on = list(on)
     # Resolve the payload default BEFORE any direction recursion so
     # backward/forward produce identical schemas (the forward mirror
@@ -67,17 +76,27 @@ def asof_join(
             right_order=right_order,
             suffix=suffix,
             direction="backward",
+            how=how,
         )
         return out.drop("_asof_negts")
     if direction == "nearest":
         return asof_join_nearest(
-            left, right, on, left_ts, right_ts, right_cols, right_order, suffix
+            left, right, on, left_ts, right_ts, right_cols, right_order,
+            suffix, how=how,
         )
     if direction != "backward":
         raise ValueError(f"unknown direction: {direction}")
     payload = [f"{c}{suffix}" for c in right_cols]
-    if not payload:
+    if not payload and how == "left":
         return left
+    if not payload:
+        # inner with no payload columns still needs the match test:
+        # carry the right ts as a probe column, then drop it
+        probe = asof_join(
+            left, right.select(*on, right_ts), on, left_ts, right_ts,
+            [right_ts], right_order, "_asof_probe", "backward", how="inner",
+        )
+        return probe.drop(f"{right_ts}_asof_probe")
 
     # Tag and union: right rows sort before left rows at equal ts so an
     # exact-timestamp right row is visible to the left row (inclusive).
@@ -119,8 +138,11 @@ def asof_join(
     filled = unioned.withColumn(
         "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
     )
+    out = filled.filter(F.col("_asof_side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("_asof_payload").isNotNull())
     return (
-        filled.filter(F.col("_asof_side") == 1)
+        out
         .select(
             *[c for c in left.columns],
             # getField, not a dotted string path: a right column whose
@@ -139,11 +161,13 @@ def asof_join_nearest(
     right_cols: Sequence[str] | None = None,
     right_order: str | None = None,
     suffix: str = "_right",
+    how: str = "left",
 ) -> DataFrame:
     """Nearest-in-time as-of: backward and forward candidates per left
     row, keep the closer one (backward wins exact-distance ties —
     pandas.merge_asof semantics). Two union+window passes → still no
-    join blow-up."""
+    join blow-up. ``how="inner"`` drops left rows with a match in
+    NEITHER direction (see :func:`asof_join`)."""
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
@@ -169,6 +193,11 @@ def asof_join_nearest(
     use_back = F.when(
         F.col(f"{right_ts}_bk").isNull(), F.lit(False)
     ).otherwise(F.col(f"_fw_{right_ts}").isNull() | (bdist <= fdist))
+    if how == "inner":
+        j = j.filter(
+            F.col(f"{right_ts}_bk").isNotNull()
+            | F.col(f"_fw_{right_ts}").isNotNull()
+        )
     out = j.select(
         *[c for c in left.columns],
         *[

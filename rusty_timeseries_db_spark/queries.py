@@ -96,7 +96,11 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_sql_distinct_on_nested", "q_duplicate_span_removal",
     "q_corpus_stream_served", "q_corpus_pipeline_dsir",
     "q_bm25_topk", "q_promql_irate", "q_span_decontamination",
-    "q_sql_star_replace",
+    "q_sql_star_replace", "q_asof_inner_sql",
+    # the ASOF dialect's join-type change (bare = inner since r12)
+    # touches these two certified queries' SQL text (now spelled
+    # ASOF LEFT JOIN; results unchanged) — window rule (a):
+    "q_asof_sql", "q_asof_qualify_sql",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -1042,8 +1046,12 @@ def q_asof_tolerance(spark, sf_dir):
     LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.o_orderkey = o.o_orderkey
     """,
     doc="SQL surface for the as-of join (sql_ext.sql_with_asof rewrites "
-    "the DuckDB-style ASOF JOIN clause onto the union+window plan); "
-    "same result as q_asof_join",
+    "the DuckDB-style clause onto the union+window plan); same result "
+    "as q_asof_join. Spelled ASOF LEFT JOIN since r12 — the dialect "
+    "now follows DuckDB join-type semantics (bare = inner, LEFT = "
+    "keep unmatched with NULL payloads; this query is the LEFT form, "
+    "q_asof_inner_sql certifies the bare form against DuckDB running "
+    "ASOF JOIN natively)",
 )
 def q_asof_sql(spark, sf_dir):
     from .sql_ext import sql_with_asof
@@ -1057,7 +1065,7 @@ def q_asof_sql(spark, sf_dir):
     return sql_with_asof(
         spark,
         "SELECT o.o_orderkey, o.o_custkey, value_right "
-        "FROM _q_asof_sql_orders AS o ASOF JOIN _q_asof_sql_events AS e "
+        "FROM _q_asof_sql_orders AS o ASOF LEFT JOIN _q_asof_sql_events AS e "
         "ON o.o_custkey = e.o_custkey AND o.o_orderdate >= e.ts",
         right_order="event_id",
     )
@@ -1088,7 +1096,7 @@ def q_asof_sql(spark, sf_dir):
       FROM a
     ) q WHERE rn2 = 1
     """,
-    doc="ASOF JOIN + QUALIFY composed in ONE statement (sql_ext.sql, "
+    doc="ASOF LEFT JOIN + QUALIFY composed in ONE statement (sql_ext.sql, "
     "round 8 — VERDICT r7 gap #3): each customer's LATEST order with "
     "its as-of event value — 'latest reading per sensor, keep rank 1', "
     "the canonical TSDB shape. The QUALIFY predicate references the "
@@ -1108,10 +1116,59 @@ def q_asof_qualify_sql(spark, sf_dir):
     return dialect_sql(
         spark,
         "SELECT o.o_orderkey, o.o_custkey, value_right "
-        "FROM _q_aq_orders AS o ASOF JOIN _q_aq_events AS e "
+        "FROM _q_aq_orders AS o ASOF LEFT JOIN _q_aq_events AS e "
         "ON o.o_custkey = e.o_custkey AND o.o_orderdate >= e.ts "
         "QUALIFY row_number() OVER (PARTITION BY o.o_custkey "
         "ORDER BY o.o_orderdate DESC, o.o_orderkey) = 1",
+        right_order="event_id",
+    )
+
+
+@declare(
+    "q_asof_inner_sql",
+    """
+    SELECT p.event_id, p.user_id, e.value AS value_right
+    FROM (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0
+    ) p
+    ASOF JOIN (
+      SELECT user_id, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id, ts ORDER BY event_id DESC
+             ) AS rn
+      FROM events WHERE event_id % 20 <> 0 QUALIFY rn = 1
+    ) e
+    ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    doc="bare ASOF JOIN through the dialect entry with DuckDB's INNER "
+    "semantics (round 12; sql_ext._rewrite_asof how='inner'): every "
+    "20th event probes for its user's latest EARLIER other-event; "
+    "probes whose user has none DROP — and the oracle runs DuckDB's "
+    "own native ASOF JOIN on the same spelling, certifying join-type "
+    "parity directly against the dialect's reference implementation "
+    "(q_asof_sql certifies the LEFT form). DuckDB's ASOF picks an "
+    "arbitrary row among right rows tied on (key, ts) (no tie-break "
+    "syntax), so the oracle's right side is pre-deduped to the "
+    "max-event_id row per (user, ts) — the same total order "
+    "right_order='event_id' gives the Spark plan; the engine serves "
+    "the matched-row test from the payload struct's nullness "
+    "(operators/asof.py how='inner').",
+)
+def q_asof_inner_sql(spark, sf_dir):
+    from .sql_ext import sql_with_asof
+
+    e = T(spark, sf_dir, "events")
+    e.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("_q_ai_probes")
+    e.filter(F.col("event_id") % 20 != 0).select(
+        "user_id", "ts", "value", "event_id"
+    ).createOrReplaceTempView("_q_ai_events")
+    return sql_with_asof(
+        spark,
+        "SELECT p.event_id, p.user_id, value_right "
+        "FROM _q_ai_probes AS p ASOF JOIN _q_ai_events AS e "
+        "ON p.user_id = e.user_id AND p.ts >= e.ts",
         right_order="event_id",
     )
 

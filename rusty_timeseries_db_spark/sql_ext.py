@@ -18,9 +18,16 @@ Supported grammar (deliberately narrow and documented; anything else
 raises ``ValueError`` rather than mis-parsing):
 
     SELECT ... FROM <ltable> [AS] [lalias]
-        ASOF JOIN <rtable> [AS] [ralias]
+        ASOF [LEFT] JOIN <rtable> [AS] [ralias]
         ON <eq> [AND <eq>]... AND <ineq>
     [WHERE/GROUP BY/ORDER BY/... rest passes through]
+
+DuckDB join-type parity (round 12): bare ``ASOF JOIN`` is INNER —
+left rows with no right match drop; ``ASOF LEFT JOIN`` keeps them
+with NULL payloads. (Before r12 the bare spelling behaved as LEFT —
+the pandas default of the underlying operator; ported DuckDB
+statements now get DuckDB answers, and both forms are oracle-paired
+against DuckDB running the ORIGINAL spelling natively.)
 
 - ``<eq>``: ``lalias.k = ralias.k`` — same column name on both sides
   (the as-of key);
@@ -55,7 +62,7 @@ _ASOF_RE = re.compile(
     \bFROM\s+
     (?P<lt>[\w.]+)
     (?:\s+(?:AS\s+)?(?!ASOF\b)(?P<la>\w+))?
-    \s+ASOF\s+JOIN\s+
+    \s+ASOF\s+(?P<how>LEFT\s+)?JOIN\s+
     (?P<rt>[\w.]+)
     (?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?
     \s+ON\s+
@@ -98,7 +105,7 @@ def _rewrite_asof(
         if re.search(r"\bASOF\b", masked, re.IGNORECASE):
             raise ValueError(
                 "ASOF present but not in the supported form "
-                "'FROM l [AS a] ASOF JOIN r [AS b] ON ...'"
+                "'FROM l [AS a] ASOF [LEFT] JOIN r [AS b] ON ...'"
             )
         return query
 
@@ -146,6 +153,12 @@ def _rewrite_asof(
         right_ts=right_ts,
         right_order=right_order,
         direction=direction,
+        # DuckDB semantics (round 12): bare ASOF JOIN is INNER —
+        # unmatched left rows drop; ASOF LEFT JOIN keeps them with
+        # NULL payloads. (The Python asof_join API defaults to
+        # how="left" for pandas.merge_asof parity; the SQL surface
+        # follows the dialect it spells.)
+        how="left" if m.group("how") else "inner",
     )
     view = f"_asof_sql_{next(_VIEW_SEQ)}"
     joined.createOrReplaceTempView(view)

@@ -265,7 +265,7 @@ def test_sql_asof_matches_python_api(spark):
     out = sql_with_asof(
         spark,
         "SELECT l.k, l.ts, l.lid, v_right "
-        "FROM asof_l AS l ASOF JOIN asof_r AS r "
+        "FROM asof_l AS l ASOF LEFT JOIN asof_r AS r "
         "ON l.k = r.k AND l.ts >= r.ts",
         right_order="rid",
     ).toPandas().sort_values("lid")
@@ -282,7 +282,7 @@ def test_sql_asof_matches_python_api(spark):
     # forward direction flips the operator
     fwd = sql_with_asof(
         spark,
-        "SELECT lid, v_right FROM asof_l l ASOF JOIN asof_r r "
+        "SELECT lid, v_right FROM asof_l l ASOF LEFT JOIN asof_r r "
         "ON l.k = r.k AND l.ts <= r.ts",
         right_order="rid",
     ).toPandas()
@@ -298,7 +298,68 @@ def test_sql_asof_matches_python_api(spark):
         "ON l.k = r.k AND l.ts >= r.ts WHERE l.k = 'a' ORDER BY lid",
         right_order="rid",
     ).toPandas()
-    assert list(filt["lid"]) == [1, 2, 3]
+    # bare ASOF JOIN is inner (r12): lid 3 has no backward match and
+    # drops; the WHERE still passed through the rewrite
+    assert list(filt["lid"]) == [1, 2]
+
+
+def test_sql_asof_bare_is_inner_left_keeps_unmatched(spark):
+    """DuckDB join-type parity (round 12): the bare ASOF JOIN spelling
+    drops unmatched left rows (DuckDB inner); ASOF LEFT JOIN keeps
+    them with NULL payloads (the pre-r12 behavior, now opt-in by
+    spelling — and the Python API's unchanged how="left" default)."""
+    from rusty_timeseries_db_spark.sql_ext import sql_with_asof
+
+    left, right = _mk(spark)
+    left.createOrReplaceTempView("asof_l")
+    right.createOrReplaceTempView("asof_r")
+    inner = sql_with_asof(
+        spark,
+        "SELECT lid, v_right FROM asof_l l ASOF JOIN asof_r r "
+        "ON l.k = r.k AND l.ts >= r.ts",
+        right_order="rid",
+    ).toPandas()
+    outer = sql_with_asof(
+        spark,
+        "SELECT lid, v_right FROM asof_l l ASOF LEFT JOIN asof_r r "
+        "ON l.k = r.k AND l.ts >= r.ts",
+        right_order="rid",
+    ).toPandas()
+    # lid 5 (key with no right rows) AND lid 3 (before any right
+    # row) drop under inner; LEFT keeps both with NULL payloads
+    assert set(outer["lid"]) - set(inner["lid"]) == {3, 5}
+    matched = outer[~outer["lid"].isin([3, 5])].sort_values("lid")
+    pd.testing.assert_frame_equal(
+        inner.sort_values("lid").reset_index(drop=True),
+        matched.reset_index(drop=True),
+    )
+
+
+def test_asof_join_inner_python_api(spark):
+    """how="inner" on the Python operator: unmatched left rows drop;
+    a MATCHED right row whose payload fields are all NULL still
+    counts as matched (row identity, not value presence)."""
+    left, right = _mk(spark)
+    out = asof_join(
+        left, right, on=["k"], right_cols=["v"], right_order="rid",
+        how="inner",
+    )
+    lids = {r.lid for r in out.collect()}
+    assert lids == {1, 2, 4}  # lid 3 pre-window, lid 5 keyless: drop
+    # null-payload right row still matches
+    l2 = spark.createDataFrame([("x", 5, 1)], "k string, ts int, lid int")
+    r2 = spark.createDataFrame(
+        [("x", 1, None)], "k string, ts int, v double"
+    )
+    rows = asof_join(
+        l2, r2, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], how="inner",
+    ).collect()
+    assert len(rows) == 1 and rows[0].v_right is None
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown how"):
+        asof_join(left, right, on=["k"], how="upsert")
 
 
 def test_sql_asof_rejects_bad_grammar(spark):
@@ -429,7 +490,7 @@ def test_sql_asof_composes_with_qualify(spark):
     out = sql(
         spark,
         "SELECT l.k, l.ts, l.lid, v_right "
-        "FROM asof_cl AS l ASOF JOIN asof_cr AS r "
+        "FROM asof_cl AS l ASOF LEFT JOIN asof_cr AS r "
         "ON l.k = r.k AND l.ts >= r.ts "
         "QUALIFY row_number() OVER (PARTITION BY l.k ORDER BY l.ts DESC, l.lid) = 1",
         right_order="rid",
