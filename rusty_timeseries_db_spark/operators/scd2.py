@@ -120,3 +120,72 @@ def scd2_apply(
         .unionByName(changed_new)
         .unionByName(brand_new)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics on immutable frames (round 12 — the
+    SET-level sibling of the reference's R2 point update,
+    main.rs:106-117, and of this module's SCD2 history merge): WHEN
+    MATCHED, update ``update_cols`` to the source's values (source
+    NULLs win — MERGE assigns, it does not coalesce); WHEN NOT
+    MATCHED, insert the source row with NULL in every target column
+    the source does not carry. Returns the merged frame in the
+    target's exact schema.
+
+    Contract: source keys must be unique (real MERGE engines raise on
+    multi-match at runtime; here a duplicate source key would update
+    a target row twice into two output rows — dedupe upstream).
+
+    Shuffle shape (the scd2_apply decomposition): the TARGET never
+    shuffles. A full-outer join cannot broadcast either side, so the
+    merge runs as two broadcast legs instead — (1) ``target LEFT
+    OUTER broadcast(source)`` applies updates in one probe of the
+    big side; (2) inserts = ``source LEFT ANTI broadcast(matched
+    keys)`` where the matched-key set (<= |source| rows) comes from
+    ``target SEMI broadcast(source)`` — a second probe of the
+    target, still no shuffle. CDC batches are tiny next to the
+    target at scale, so both joins build on the small side."""
+    keys = list(keys)
+    if update_cols is None:
+        update_cols = [c for c in source.columns if c not in keys]
+    update_cols = list(update_cols)
+    missing = [c for c in keys + update_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks columns {missing}")
+
+    src = source.select(
+        *keys,
+        *[F.col(c).alias(f"_m_{c}") for c in update_cols],
+        F.lit(1).alias("_m_hit"),
+    )
+    joined = target.join(F.broadcast(src), keys, "left")
+    hit = F.col("_m_hit").isNotNull()
+    updated = joined.select(
+        *[
+            F.when(hit, F.col(f"_m_{c}")).otherwise(F.col(c)).alias(c)
+            if c in update_cols
+            else F.col(c)
+            for c in target.columns
+        ]
+    )
+    matched_keys = (
+        target.select(*keys).join(F.broadcast(src.select(*keys)), keys,
+                                  "left_semi")
+    )
+    inserts = source.join(
+        F.broadcast(matched_keys), keys, "left_anti"
+    ).select(
+        *[
+            F.col(c) if c in keys or c in update_cols
+            else F.lit(None).cast(dict(
+                (f.name, f.dataType) for f in target.schema.fields
+            )[c]).alias(c)
+            for c in target.columns
+        ]
+    )
+    return updated.unionByName(inserts)

@@ -96,7 +96,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_sql_distinct_on_nested", "q_duplicate_span_removal",
     "q_corpus_stream_served", "q_corpus_pipeline_dsir",
     "q_bm25_topk", "q_promql_irate", "q_span_decontamination",
-    "q_sql_star_replace", "q_asof_inner_sql",
+    "q_sql_star_replace", "q_asof_inner_sql", "q_merge_upsert",
     # the ASOF dialect's join-type change (bare = inner since r12)
     # touches these two certified queries' SQL text (now spelled
     # ASOF LEFT JOIN; results unchanged) — window rule (a):
@@ -4684,6 +4684,72 @@ def q_counter_increase(spark, sf_dir):
     e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     return counter_increase(
         e, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
+    )
+
+
+@declare(
+    "q_merge_upsert",
+    """
+    WITH t AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+    ),
+    s AS (
+      SELECT event_id, 'patched' AS event_type,
+             CAST(value * 2 AS DOUBLE) AS value
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT event_id + 10000000, 'inserted',
+             CAST(value + 1000 AS DOUBLE)
+      FROM events WHERE event_id % 7 = 3
+    ),
+    upd AS (
+      SELECT t.event_id, t.ts, t.user_id,
+             CASE WHEN s.event_id IS NOT NULL
+                  THEN s.event_type ELSE t.event_type END AS event_type,
+             CASE WHEN s.event_id IS NOT NULL
+                  THEN s.value ELSE t.value END AS value
+      FROM t LEFT JOIN s ON t.event_id = s.event_id
+    ),
+    ins AS (
+      SELECT s.event_id, CAST(NULL AS TIMESTAMP) AS ts,
+             CAST(NULL AS BIGINT) AS user_id, s.event_type, s.value
+      FROM s LEFT JOIN t ON t.event_id = s.event_id
+      WHERE t.event_id IS NULL
+    )
+    SELECT * FROM upd UNION ALL SELECT * FROM ins
+    """,
+    doc="bulk MERGE INTO semantics on immutable frames (round 12; "
+    "operators/scd2.py merge_upsert — the set-level sibling of the "
+    "reference's R2 point update, main.rs:106-117): WHEN MATCHED "
+    "update (event_type, value) to the source's values, WHEN NOT "
+    "MATCHED insert with NULLs in the columns the source lacks. "
+    "Fixture: every 5th event patched, every 7th re-keyed +1e7 as an "
+    "insert. Scale shape = the scd2_apply decomposition: the target "
+    "NEVER shuffles — updates ride target LEFT OUTER "
+    "broadcast(source), inserts ride source LEFT ANTI "
+    "broadcast(matched keys from target SEMI broadcast(source)); a "
+    "full-outer join (which can broadcast neither side) never "
+    "appears.",
+)
+def q_merge_upsert(spark, sf_dir):
+    from .operators.scd2 import merge_upsert
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    updates = e.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        F.lit("patched").alias("event_type"),
+        (F.col("value") * 2).cast("double").alias("value"),
+    )
+    inserts = e.filter(F.col("event_id") % 7 == 3).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        F.lit("inserted").alias("event_type"),
+        (F.col("value") + 1000).cast("double").alias("value"),
+    )
+    return merge_upsert(
+        e, updates.unionByName(inserts), keys=["event_id"],
+        update_cols=["event_type", "value"],
     )
 
 

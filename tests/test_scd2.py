@@ -92,3 +92,54 @@ def test_scd2_point_in_time_query(spark):
     )
     got = {r.k: r.addr for r in asof.collect()}
     assert got == {"k1": "addr_v2", "k2": "addr_b"}  # the 2023-08 view
+
+
+# ------------------------------------------ MERGE upsert (round 12)
+
+def test_merge_upsert_update_insert_and_null_assignment(spark):
+    """Matched rows take the source's values INCLUDING NULLs (MERGE
+    assigns, never coalesces); unmatched source rows insert with NULL
+    in the target columns the source lacks; untouched target rows pass
+    through; output schema is the target's exactly."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.scd2 import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0, "keep1"), (2, "b", 20.0, "keep2"),
+         (3, "c", 30.0, "keep3")],
+        "id long, tag string, v double, extra string",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", None), (9, "new", 99.0)],
+        "id long, tag string, v double",
+    )
+    out = merge_upsert(target, source, keys=["id"])
+    assert out.columns == ["id", "tag", "v", "extra"]
+    got = {r.id: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 9}
+    assert (got[1].tag, got[1].v) == ("a", 10.0)        # untouched
+    assert got[2].tag == "B" and got[2].v is None       # NULL assigned
+    assert got[2].extra == "keep2"                      # non-update col kept
+    assert got[9].v == 99.0 and got[9].extra is None    # insert NULL-fills
+
+
+def test_merge_upsert_update_cols_subset_and_missing_col_raises(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.scd2 import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0)], "id long, tag string, v double"
+    )
+    source = spark.createDataFrame(
+        [(1, "Z", 77.0)], "id long, tag string, v double"
+    )
+    out = merge_upsert(
+        target, source, keys=["id"], update_cols=["v"]
+    ).collect()[0]
+    assert out.tag == "a" and out.v == 77.0   # tag not in update set
+    with pytest.raises(ValueError, match="lacks columns"):
+        merge_upsert(
+            target, source.drop("v"), keys=["id"], update_cols=["v"]
+        )
