@@ -450,3 +450,55 @@ def test_word_grams_matches_python_reference(spark, docs, k):
     }
     for i, toks in enumerate(docs):
         assert got[i] == ref(toks, k), (toks, k)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(1, 8)),  # (start, len)
+        min_size=0,
+        max_size=8,
+    ),
+    n_tok=st.integers(1, 40),
+)
+def test_remove_duplicate_spans_matches_python_interval_model(
+    spark, spans, n_tok
+):
+    """Property (round 12): for ANY span set — overlapping, nested,
+    duplicated, beyond-the-end — remove_duplicate_spans' splice equals
+    a plain Python interval-merge reference on the same token list:
+    same kept tokens, same removed count, same merged-interval
+    count."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    toks = [f"t{i}" for i in range(n_tok)]
+    df = spark.createDataFrame(
+        [(7, " ".join(toks))], "doc_id long, text string"
+    )
+    span_rows = [(1, 7, 0, s, ln) for s, ln in spans]
+    sdf = spark.createDataFrame(
+        span_rows,
+        "id_a long, id_b long, start_a int, start_b int, span_tokens long",
+    ) if span_rows else spark.createDataFrame(
+        [],
+        "id_a long, id_b long, start_a int, start_b int, span_tokens long",
+    )
+    r = remove_duplicate_spans(df, sdf).collect()[0]
+
+    # python reference: merge intervals, splice
+    ivs = sorted((s, s + ln) for s, ln in spans)
+    merged = []
+    for s, e in ivs:
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    kept = [
+        t for i, t in enumerate(toks)
+        if not any(s <= i < e for s, e in merged)
+    ]
+    assert r.clean_text == " ".join(kept)
+    assert r.n_tokens_removed == n_tok - len(kept)
+    assert r.n_spans == len(merged)
