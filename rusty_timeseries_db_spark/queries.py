@@ -97,6 +97,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_corpus_stream_served", "q_corpus_pipeline_dsir",
     "q_bm25_topk", "q_promql_irate", "q_span_decontamination",
     "q_sql_star_replace", "q_asof_inner_sql", "q_merge_upsert",
+    "q_embedding_quantization",
     # the ASOF dialect's join-type change (bare = inner since r12)
     # touches these two certified queries' SQL text (now spelled
     # ASOF LEFT JOIN; results unchanged) — window rule (a):
@@ -2273,6 +2274,66 @@ def q_similarity_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_cosine_topk(emb, q, k=10, dim=64, n_planes=4, n_tables=16)
+
+
+@declare(
+    "q_embedding_quantization",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_aggregate(
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               'max'
+             ) / 127.0 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT e.vec_id, s.scale,
+             list_transform(
+               e.embedding,
+               x -> CAST(CASE WHEN s.scale > 0
+                              THEN round(CAST(x AS DOUBLE) / s.scale)
+                              ELSE 0 END AS SMALLINT)
+             ) AS qv
+      FROM embeddings e JOIN s USING (vec_id)
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           CAST(len(qv) AS BIGINT) AS n_dims,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+           md5(array_to_string(qv, ',')) AS q_md5
+    FROM q
+    """,
+    doc="int8 symmetric scalar quantization of the embedding store "
+    "(round 12; functions/vectors.py quantize_symmetric) — the 4x "
+    "byte-cut a 100 TB vector corpus takes before ANN: per-vector "
+    "scale = max|x|/127, codes = round(x/scale), zero-vector guarded. "
+    "Pure higher-order expressions with the scale BOUND once per row "
+    "through a single-element transform (the captured-aggregate "
+    "O(d²) trap word_grams documents — avoided by construction). The "
+    "oracle md5-hashes the CODE ARRAYS themselves, so both engines "
+    "must agree on every int8 code of every vector, not just "
+    "summary statistics; round() is half-away-from-zero on both.",
+)
+def q_embedding_quantization(spark, sf_dir):
+    from .functions.vectors import quantize_symmetric
+
+    e = T(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", quantize_symmetric("embedding").alias("_qz")
+    ).select(
+        "vec_id",
+        F.round("_qz.scale", 6).alias("scale"),
+        F.size("_qz.q").cast("bigint").alias("n_dims"),
+        F.aggregate(
+            "_qz.q", F.lit(0).cast("bigint"),
+            lambda a, x: a + x.cast("bigint"),
+        ).alias("sum_q"),
+        F.md5(
+            F.array_join(
+                F.transform("_qz.q", lambda x: x.cast("string")), ","
+            )
+        ).alias("q_md5"),
+    )
 
 
 @declare(

@@ -447,3 +447,82 @@ def test_ivf_should_rebuild_and_query_drift_warning(spark, tmp_path):
         _warnings.simplefilter("always")
         idx.query(queries, k=2, n_probe=2).collect()
     assert not [w for w in caught if "drifted" in str(w.message)]
+
+
+# ------------------------------- embedding quantization (round 12)
+
+def test_quantize_roundtrip_error_bound_and_zero_guard(spark):
+    """Every dequantized coordinate is within scale/2 of the original
+    (the symmetric-quantization contract); the all-zero vector
+    quantizes to scale 0 / all-zero codes instead of dividing by 0."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.functions.vectors import (
+        dequantize,
+        quantize_symmetric,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(40)]
+    rows.append((999, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.select("vec_id", "embedding",
+                  quantize_symmetric("embedding").alias("z"))
+    checked = q.select(
+        "vec_id",
+        F.col("z.scale").alias("s"),
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                dequantize(F.col("z.q"), F.col("z.scale")),
+                lambda a, b: F.abs(a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+    ).collect()
+    for r in checked:
+        assert r.max_err <= r.s / 2 + 1e-12, (r.vec_id, r.max_err, r.s)
+    zero = {r.vec_id: r for r in q.collect()}[999]
+    assert zero.z.scale == 0.0 and set(zero.z.q) == {0}
+
+
+def test_quantized_cosine_topk_recall(spark):
+    """ANN fidelity: brute-force cosine top-10 over DEQUANTIZED int8
+    vectors recovers >= 8 of the exact top-10 on the testdata
+    embeddings — the recall bar the storage cut must clear."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.functions.vectors import (
+        cosine,
+        dequantize,
+        quantize_symmetric,
+    )
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").limit(300)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = {
+        r.vec_id
+        for r in base.crossJoin(F.broadcast(qv))
+        .select("vec_id", cosine("embedding", "qe").alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id").limit(10).collect()
+    }
+    dq = base.select(
+        "vec_id", quantize_symmetric("embedding").alias("z")
+    ).select(
+        "vec_id", dequantize(F.col("z.q"), F.col("z.scale")).alias("de")
+    )
+    approx = {
+        r.vec_id
+        for r in dq.crossJoin(F.broadcast(qv))
+        .select("vec_id", cosine("de", "qe").alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id").limit(10).collect()
+    }
+    assert len(exact & approx) >= 8, (exact, approx)
