@@ -15,7 +15,7 @@ tests/test_asof.py and a SQL oracle in the declared-query manifest.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -257,3 +257,46 @@ def asof_join_tolerance(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_l_uid", "_r_ts", "_r_tie", *[f"_r_{c}" for c in on])
     )
+
+
+def pit_join(
+    spine: DataFrame,
+    features: Mapping[str, DataFrame],
+    on: Sequence[str],
+    spine_ts: str = "ts",
+    feature_ts: str = "ts",
+    right_order: str | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Point-in-time multi-table join (round 12) — the feature-store
+    primitive (Feast/Tecton's ``get_historical_features`` shape): for
+    every spine row, attach each feature table's latest row at or
+    before the spine timestamp, named ``<col>_<feature name>``. No
+    feature value from the future ever leaks into a training row —
+    the entire reason this is its own operator rather than N plain
+    joins. ``tolerance_seconds`` bounds staleness (a feature older
+    than the bound reads NULL — the serving-parity guard against
+    joining a months-dead feature).
+
+    Scale shape: one :func:`asof_join` pass per feature table — each
+    a single union+window shuffle on the SAME ``on`` keys, never a
+    join blow-up; feature tables are processed sequentially so the
+    plan is a chain of N single-shuffle stages, not one N-way join.
+    Spine rows always survive (left semantics — a missing feature is
+    NULL, exactly what the training matrix wants)."""
+    if not features:
+        raise ValueError("features must be non-empty")
+    out = spine
+    for name, fdf in features.items():
+        if tolerance_seconds is not None:
+            out = asof_join_tolerance(
+                out, fdf, on=on, tolerance_seconds=tolerance_seconds,
+                left_ts=spine_ts, right_ts=feature_ts,
+                right_order=right_order, suffix=f"_{name}",
+            )
+        else:
+            out = asof_join(
+                out, fdf, on=on, left_ts=spine_ts, right_ts=feature_ts,
+                right_order=right_order, suffix=f"_{name}",
+            )
+    return out

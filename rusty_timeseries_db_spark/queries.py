@@ -97,7 +97,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_corpus_stream_served", "q_corpus_pipeline_dsir",
     "q_bm25_topk", "q_promql_irate", "q_span_decontamination",
     "q_sql_star_replace", "q_asof_inner_sql", "q_merge_upsert",
-    "q_embedding_quantization",
+    "q_embedding_quantization", "q_pit_features",
     # the ASOF dialect's join-type change (bare = inner since r12)
     # touches these two certified queries' SQL text (now spelled
     # ASOF LEFT JOIN; results unchanged) — window rule (a):
@@ -1122,6 +1122,70 @@ def q_asof_qualify_sql(spark, sf_dir):
         "QUALIFY row_number() OVER (PARTITION BY o.o_custkey "
         "ORDER BY o.o_orderdate DESC, o.o_orderkey) = 1",
         right_order="event_id",
+    )
+
+
+@declare(
+    "q_pit_features",
+    """
+    WITH sp AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0
+    ),
+    ck AS (
+      SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'click'
+    ),
+    pu AS (
+      SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'purchase'
+    ),
+    jc AS (
+      SELECT sp.event_id, f.value,
+             row_number() OVER (PARTITION BY sp.event_id
+                                ORDER BY f.ts DESC, f.event_id DESC) AS rn
+      FROM sp JOIN ck f ON f.user_id = sp.user_id AND f.ts <= sp.ts
+    ),
+    jp AS (
+      SELECT sp.event_id, f.value,
+             row_number() OVER (PARTITION BY sp.event_id
+                                ORDER BY f.ts DESC, f.event_id DESC) AS rn
+      FROM sp JOIN pu f ON f.user_id = sp.user_id AND f.ts <= sp.ts
+    )
+    SELECT sp.event_id, sp.user_id,
+           c.value AS value_click, p.value AS value_purchase
+    FROM sp
+    LEFT JOIN (SELECT event_id, value FROM jc WHERE rn = 1) c
+      USING (event_id)
+    LEFT JOIN (SELECT event_id, value FROM jp WHERE rn = 1) p
+      USING (event_id)
+    """,
+    doc="point-in-time multi-table feature join (round 12; "
+    "operators/asof.py pit_join — the Feast/Tecton "
+    "get_historical_features shape): every 10th event is a training "
+    "spine row; each spine row attaches its user's latest click value "
+    "and latest purchase value AT OR BEFORE the spine timestamp — no "
+    "future leakage by construction, missing features NULL (left "
+    "semantics, what the training matrix wants). One single-shuffle "
+    "union+window asof pass per feature table, chained — never an "
+    "N-way join; (ts, event_id) total order on ties.",
+)
+def q_pit_features(spark, sf_dir):
+    from .operators.asof import pit_join
+
+    e = T(spark, sf_dir, "events")
+    spine = e.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    feats = {
+        name: e.filter(F.col("event_type") == name).select(
+            "user_id", "ts", "value", "event_id"
+        )
+        for name in ("click", "purchase")
+    }
+    return pit_join(
+        spine, feats, on=["user_id"], right_order="event_id"
+    ).select(
+        "event_id", "user_id", "value_click", "value_purchase"
     )
 
 

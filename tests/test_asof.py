@@ -1151,3 +1151,41 @@ def test_dialect_sql_star_replace_end_to_end(spark):
     )
     assert out2.columns == ["id", "v"]
     assert [r.v for r in out2.collect()] == [11.0, 21.0]
+
+
+# -------------------------------------------- PIT feature join (round 12)
+
+def test_pit_join_no_future_leakage_and_tolerance(spark):
+    from rusty_timeseries_db_spark.operators.asof import pit_join
+
+    spine = spark.createDataFrame(
+        [("u1", "2024-01-01 00:10:00", 1),
+         ("u2", "2024-01-01 00:10:00", 2)],
+        "k string, ts_s string, sid int",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "sid")
+    fa = spark.createDataFrame(
+        [("u1", "2024-01-01 00:05:00", 5.0),    # in the past: joins
+         ("u1", "2024-01-01 00:11:00", 9.0)],   # FUTURE: must not leak
+        "k string, ts_s string, v double",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    fb = spark.createDataFrame(
+        [("u2", "2023-12-01 00:00:00", 3.0)],   # 31 days stale
+        "k string, ts_s string, v double",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+
+    out = {r.sid: r for r in pit_join(
+        spine, {"a": fa, "b": fb}, on=["k"]
+    ).collect()}
+    assert out[1].v_a == 5.0          # past value, not the future 9.0
+    assert out[1].v_b is None         # u1 has no b-feature
+    assert out[2].v_b == 3.0          # unbounded staleness joins
+    # tolerance bounds staleness: the 31-day-old b-feature reads NULL
+    tol = {r.sid: r for r in pit_join(
+        spine, {"a": fa, "b": fb}, on=["k"], tolerance_seconds=86400
+    ).collect()}
+    assert tol[2].v_b is None
+    assert tol[1].v_a == 5.0          # 5 min old: inside the bound
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        pit_join(spine, {}, on=["k"])
