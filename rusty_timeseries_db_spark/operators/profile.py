@@ -155,3 +155,151 @@ def repetition_profile(
             "top_bigram_frac"
         ),
     )
+
+
+def data_quality_report(
+    df: DataFrame,
+    rules: "list[dict]",
+    refs: "dict[str, DataFrame] | None" = None,
+) -> DataFrame:
+    """Declarative data-quality assertion suite (round 12 — the
+    expectations surface every warehouse runs before serving a
+    table): evaluate ``rules`` against ``df`` and return one row per
+    rule: ``(rule_id, rule, column, n_violations, n_checked,
+    violation_frac)``. Supported rules (dicts):
+
+    - ``{"rule": "not_null", "col": c}``
+    - ``{"rule": "in_range", "col": c, "lo": x, "hi": y}`` (NULL
+      passes — pair with not_null to reject)
+    - ``{"rule": "in_set", "col": c, "values": [...]}``
+    - ``{"rule": "matches", "col": c, "pattern": regex}``
+    - ``{"rule": "unique", "cols": [c, ...]}``
+    - ``{"rule": "ref_integrity", "col": c, "ref": name,
+      "ref_col": rc}`` — every non-NULL value exists in
+      ``refs[name]``'s ``rc`` column
+
+    Scale shape: every ROW-LOCAL rule (not_null / in_range / in_set /
+    matches) compiles to one conditional SUM in a SINGLE wide
+    aggregate — the whole rule set costs ONE scan of the table, the
+    same one-pass trick :func:`profile_columns` uses. ``unique`` is
+    one groupBy on its key (map-side combine collapses the
+    duplicate-free bulk); ``ref_integrity`` is a LEFT ANTI join
+    against the (dimension-sized, broadcast) reference's distinct
+    keys. Results union as 1-row frames — driver-side cost is
+    O(#rules)."""
+    refs = refs or {}
+    row_local: list[tuple[int, dict, Column]] = []
+    heavy: list[tuple[int, dict]] = []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        if kind == "not_null":
+            bad = F.col(r["col"]).isNull()
+        elif kind == "in_range":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & (
+                (c < F.lit(r["lo"])) | (c > F.lit(r["hi"]))
+            )
+        elif kind == "in_set":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ~c.isin(*r["values"])
+        elif kind == "matches":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ~c.rlike(r["pattern"])
+        elif kind in ("unique", "ref_integrity"):
+            heavy.append((i, r))
+            continue
+        else:
+            raise ValueError(f"unknown rule: {kind!r}")
+        row_local.append((i, r, bad))
+
+    out_schema = (
+        "rule_id bigint, rule string, column string, "
+        "n_violations bigint, n_checked bigint"
+    )
+    parts: list[DataFrame] = []
+    if row_local:
+        wide = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.when(bad, 1).otherwise(0)).alias(f"_v{i}")
+                for i, _, bad in row_local
+            ],
+        )
+        for i, r, _ in row_local:
+            parts.append(
+                wide.select(
+                    F.lit(i).cast("bigint").alias("rule_id"),
+                    F.lit(r["rule"]).alias("rule"),
+                    F.lit(r["col"]).alias("column"),
+                    F.col(f"_v{i}").cast("bigint").alias("n_violations"),
+                    F.col("_n").cast("bigint").alias("n_checked"),
+                )
+            )
+    for i, r in heavy:
+        if r["rule"] == "unique":
+            cols = list(r["cols"])
+            grouped = df.groupBy(*cols).agg(
+                F.count(F.lit(1)).alias("_c")
+            )
+            parts.append(
+                grouped.agg(
+                    F.lit(i).cast("bigint").alias("rule_id"),
+                    F.lit("unique").alias("rule"),
+                    F.lit(",".join(cols)).alias("column"),
+                    # violations = surplus rows beyond one per key
+                    F.coalesce(
+                        F.sum(F.col("_c") - 1), F.lit(0)
+                    ).cast("bigint").alias("n_violations"),
+                    F.coalesce(F.sum("_c"), F.lit(0))
+                    .cast("bigint").alias("n_checked"),
+                )
+            )
+        else:
+            ref = refs[r["ref"]]
+            missing = (
+                df.filter(F.col(r["col"]).isNotNull())
+                .join(
+                    F.broadcast(
+                        ref.select(
+                            F.col(r["ref_col"]).alias(r["col"])
+                        ).distinct()
+                    ),
+                    r["col"],
+                    "left_anti",
+                )
+            )
+            total = df.filter(F.col(r["col"]).isNotNull())
+            # attach_scalar, not crossJoin: two 1-row aggregates glued
+            # by a constant-key BROADCAST equi-join so no
+            # nested-loop/cartesian node appears in audited plans
+            from ..queries import attach_scalar
+
+            parts.append(
+                attach_scalar(
+                    missing.agg(
+                        F.count(F.lit(1)).cast("bigint")
+                        .alias("n_violations")
+                    ),
+                    total.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_checked")
+                    ),
+                ).select(
+                    F.lit(i).cast("bigint").alias("rule_id"),
+                    F.lit("ref_integrity").alias("rule"),
+                    F.lit(r["col"]).alias("column"),
+                    "n_violations",
+                    "n_checked",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_checked") > 0,
+            F.round(
+                F.col("n_violations").cast("double") / F.col("n_checked"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("violation_frac"),
+    )

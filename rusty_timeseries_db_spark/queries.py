@@ -4813,6 +4813,85 @@ def q_counter_increase(spark, sf_dir):
 
 
 @declare(
+    "q_data_quality_report",
+    """
+    WITH w AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 100) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM events
+    ),
+    uq AS (
+      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n
+      FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_id)
+    ),
+    ri AS (
+      SELECT CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+      SELECT CAST(0 AS BIGINT) AS rule_id, 'not_null' AS rule,
+             'event_id' AS "column", v0 AS n_violations, n AS n_checked
+      FROM w
+      UNION ALL SELECT 1, 'in_range', 'value', v1, n FROM w
+      UNION ALL SELECT 2, 'in_set', 'event_type', v2, n FROM w
+      UNION ALL SELECT 3, 'matches', 'event_type', v3, n FROM w
+      UNION ALL SELECT 4, 'unique', 'event_id', v, n FROM uq
+      UNION ALL SELECT 5, 'ref_integrity', 'o_custkey', v, n FROM ri
+    )
+    SELECT *, CASE WHEN n_checked > 0
+                   THEN ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6)
+                   ELSE 0.0 END AS violation_frac
+    FROM r
+    """,
+    doc="declarative data-quality assertion suite (round 12; "
+    "operators/profile.py data_quality_report — the expectations "
+    "surface a warehouse runs before serving a table): six rules over "
+    "events + orders->customer referential integrity, one report row "
+    "per rule with violation counts and fractions. The in_range "
+    "[0,100] and in_set (excluding 'error') rules are deliberately "
+    "violated so non-zero counts are certified, not just zeros. "
+    "Scale shape: all four row-local rules fuse into ONE wide "
+    "conditional aggregate — the whole rule set costs one scan "
+    "(profile_columns' one-pass trick); unique is one map-side-"
+    "combining groupBy; ref_integrity is a LEFT ANTI against the "
+    "broadcast dimension keys; the two 1-row count frames glue via "
+    "the constant-key broadcast (attach_scalar), never a cartesian.",
+)
+def q_data_quality_report(spark, sf_dir):
+    from .operators.profile import data_quality_report
+
+    e = T(spark, sf_dir, "events")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    rules = [
+        {"rule": "not_null", "col": "event_id"},
+        {"rule": "in_range", "col": "value", "lo": 0, "hi": 100},
+        {"rule": "in_set", "col": "event_type",
+         "values": ["click", "view", "purchase", "signup"]},
+        {"rule": "matches", "col": "event_type", "pattern": "^[a-z]+$"},
+        {"rule": "unique", "cols": ["event_id"]},
+    ]
+    report_e = data_quality_report(e, rules)
+    report_o = data_quality_report(
+        o.select(F.col("o_custkey")),
+        [{"rule": "ref_integrity", "col": "o_custkey", "ref": "customer",
+          "ref_col": "c_custkey"}],
+        refs={"customer": c},
+    ).select(
+        (F.col("rule_id") + 5).alias("rule_id"),
+        "rule", "column", "n_violations", "n_checked", "violation_frac",
+    )
+    return report_e.unionByName(report_o)
+
+
+@declare(
     "q_merge_upsert",
     """
     WITH t AS (

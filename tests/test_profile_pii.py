@@ -137,3 +137,49 @@ def test_label_centroids_and_assignment(spark):
     }
     for k, (cv, _) in cent.items():
         assert all(abs(x - y) < 1e-9 for x, y in zip(cv, loose[k]))
+
+
+# ------------------------------------ data-quality rules (round 12)
+
+def test_data_quality_report_rules(spark):
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.profile import (
+        data_quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "ok"),
+            (2, -1.0, "ok"),          # in_range violation
+            (2, 50.0, "BAD!"),        # dup id + in_set + matches
+            (None, 200.0, "ok"),      # not_null + in_range
+        ],
+        "id long, v double, tag string",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rid long")
+    out = {r.rule_id: r for r in data_quality_report(
+        df,
+        [
+            {"rule": "not_null", "col": "id"},
+            {"rule": "in_range", "col": "v", "lo": 0, "hi": 100},
+            {"rule": "in_set", "col": "tag", "values": ["ok"]},
+            {"rule": "matches", "col": "tag", "pattern": "^[a-z]+$"},
+            {"rule": "unique", "cols": ["id"]},
+            {"rule": "ref_integrity", "col": "id", "ref": "r",
+             "ref_col": "rid"},
+        ],
+        refs={"r": ref},
+    ).collect()}
+    assert out[0].n_violations == 1 and out[0].n_checked == 4
+    assert out[1].n_violations == 2          # -1 and 200
+    assert out[2].n_violations == 1          # BAD!
+    assert out[3].n_violations == 1
+    assert out[4].n_violations == 1          # one surplus row for id 2
+    assert out[5].n_violations == 0          # NULL id skipped, 1/2 in ref
+    assert out[5].n_checked == 3
+    assert out[1].violation_frac == 0.5
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown rule"):
+        data_quality_report(df, [{"rule": "nope", "col": "id"}])
