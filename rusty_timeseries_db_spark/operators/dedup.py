@@ -1079,3 +1079,64 @@ def duplicated_paragraph_removal(
             ).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    weight_decimals: int = 6,
+) -> DataFrame:
+    """Soft deduplication weights (round 12 — the reweight-don't-delete
+    alternative to hard dedup, after SoftDeDup, Xia et al. 2024): score
+    every document by the corpus-wide COMMONNESS of its content and
+    emit a down-weight for common (duplicated / boilerplate-heavy)
+    docs instead of dropping them. Per document: ``commonness`` = the
+    geometric mean of its distinct word ``n``-grams' document
+    frequencies (as fractions of the corpus), ``soft_weight`` =
+    1 / (N · commonness) clamped to [0, 1] — a doc whose every shingle
+    is unique scores weight 1; a doc duplicated k times scores ~1/k
+    (each of its shingles appears in k docs), which is exactly the
+    loss-mass equalization hard dedup achieves by deletion, minus the
+    information loss. Returns ``(id, n_grams, commonness,
+    soft_weight)``; docs shorter than ``n`` tokens carry their single
+    truncated shingle (word_grams' convention), so every doc gets a
+    weight.
+
+    Scale shape: the inverted-index pattern — distinct (doc, gram)
+    explode, ONE gram-keyed document-frequency aggregate (map-side
+    combine collapses boilerplate shingles), join back gram-keyed,
+    then a doc-keyed mean of logs. Two shuffles, both on content
+    keys; no all-pairs anything — that is the entire point vs
+    pairwise dedup. Geometric (not arithmetic) mean so a single
+    ubiquitous shingle cannot dominate a long unique doc."""
+    toks = word_tokens(text_col)
+    grams = (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(toks, n)).alias("_g")
+        )
+    )
+    gdf = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        grams.join(gdf, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.avg(F.log(F.col("_df").cast("double"))).alias("_mean_log_df"),
+        )
+    )
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    from ..queries import attach_scalar
+
+    out = attach_scalar(per_doc, total)
+    commonness = F.exp(F.col("_mean_log_df")) / F.col("_n_docs")
+    weight = F.least(
+        F.lit(1.0), F.lit(1.0) / (F.col("_n_docs") * commonness)
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        F.round(commonness, weight_decimals).alias("commonness"),
+        F.round(weight, weight_decimals).alias("soft_weight"),
+    )

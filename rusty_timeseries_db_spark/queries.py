@@ -3360,6 +3360,52 @@ def q_duplicate_span_removal(spark, sf_dir):
 
 
 @declare(
+    "q_soft_dedup_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(toks.ws) - 2, 1))) AS i
+      ) idx
+    ),
+    dfq AS (SELECT gram, CAST(COUNT(*) AS DOUBLE) AS dfc FROM g GROUP BY gram),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    pd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             AVG(ln(dfc)) AS mlog
+      FROM g JOIN dfq USING (gram) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           ROUND(exp(mlog) / n_docs, 6) AS commonness,
+           ROUND(least(1.0, 1.0 / (n_docs * (exp(mlog) / n_docs))), 6)
+             AS soft_weight
+    FROM pd, tot
+    """,
+    doc="soft deduplication weights (round 12; operators/dedup.py "
+    "soft_dedup_weights — the reweight-don't-delete alternative after "
+    "SoftDeDup, Xia et al. 2024): per doc, commonness = geometric "
+    "mean of its distinct 3-shingles' document frequencies as corpus "
+    "fractions; soft_weight = 1/(N*commonness) clamped to 1 — a "
+    "k-times-duplicated doc weighs ~1/k (loss-mass equalization "
+    "without deletion's information loss), unique docs weigh 1. "
+    "Inverted-index shape: distinct (doc, gram) explode, ONE "
+    "gram-keyed df aggregate (map-side combine eats boilerplate), "
+    "gram-keyed join back, doc-keyed mean of logs; the corpus total "
+    "rides the constant-key broadcast. Geometric mean so one "
+    "ubiquitous shingle cannot dominate a long unique doc.",
+)
+def q_soft_dedup_weights(spark, sf_dir):
+    from .operators.dedup import soft_dedup_weights
+
+    d = T(spark, sf_dir, "documents")
+    return soft_dedup_weights(d, id_col="doc_id", text_col="text", n=3)
+
+
+@declare(
     "q_span_decontamination",
     """
     WITH toks AS (

@@ -769,3 +769,48 @@ def test_span_decontamination_cuts_train_side_only(spark):
     assert out[2].n_tokens_removed == 0
     # the held-out frame is never rewritten (only train rows return)
     assert set(out) == {1, 2}
+
+
+# --------------------------------------- soft dedup weights (round 12)
+
+def test_soft_dedup_duplicated_doc_downweighted(spark):
+    """A doc duplicated k times weighs ~1/k; unique docs weigh 1; the
+    weight never exceeds 1."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    dup = "this exact content repeats across several documents verbatim"
+    rows = [(i, dup) for i in range(4)]
+    # truly unique docs share NO 3-shingles: disjoint word sets
+    rows += [
+        (100 + i,
+         " ".join(f"w{i}x{j}" for j in range(8)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+    for i in range(4):
+        assert abs(got[i].soft_weight - 0.25) < 1e-6      # 1/k, k=4
+    for i in range(6):
+        assert got[100 + i].soft_weight == 1.0
+    assert all(r.soft_weight <= 1.0 for r in got.values())
+
+
+def test_soft_dedup_boilerplate_partial_downweight(spark):
+    """A doc that is half boilerplate lands strictly between the
+    duplicated and unique extremes — the soft gradation hard dedup
+    cannot express."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    boiler = "standard footer text appears on every single page here"
+    rows = [(i, f"unique body {i} content words {i * 7} " + boiler)
+            for i in range(5)]
+    rows.append((99, "totally unique document with no footer at all ok"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+    assert got[99].soft_weight == 1.0
+    for i in range(5):
+        assert 1 / 5 < got[i].soft_weight < 1.0
