@@ -98,6 +98,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_bm25_topk", "q_promql_irate", "q_span_decontamination",
     "q_sql_star_replace", "q_asof_inner_sql", "q_merge_upsert",
     "q_embedding_quantization", "q_pit_features",
+    "q_data_quality_report", "q_soft_dedup_weights",
     # the ASOF dialect's join-type change (bare = inner since r12)
     # touches these two certified queries' SQL text (now spelled
     # ASOF LEFT JOIN; results unchanged) — window rule (a):
