@@ -45,14 +45,19 @@ GROUPS = [
     ("Sources & interchange",
      ["q_orc", "q_json_roundtrip", "q_csv_roundtrip",
       "q_schema_evolution", "q_arrow_transform"]),
-    ("SQL dialect surface", ["q_qualify_sql", "q_python_udtf"]),
+    ("SQL dialect surface",
+     ["q_qualify", "q_python_udtf", "q_sql_"]),
     ("UDF surface", ["q_udf"]),
     ("FDD", ["q_fdd"]),
     ("LLM-pipeline: dedup & decontamination",
      ["q_dedup", "q_ngram", "q_minhash", "q_simhash",
-      "q_embedding_neardup", "q_quality_filter", "q_contamination"]),
-    ("LLM-pipeline: similarity / embeddings",
-     ["q_similarity", "q_embedding_knn", "q_kmeans"]),
+      "q_embedding_neardup", "q_quality_filter", "q_contamination",
+      "q_semantic_dedup", "q_duplicate_span", "q_soft_dedup",
+      "q_span_decontamination", "q_paragraph_dedup",
+      "q_boilerplate", "q_repetition_profile"]),
+    ("LLM-pipeline: similarity / embeddings & retrieval",
+     ["q_similarity", "q_embedding_knn", "q_kmeans",
+      "q_embedding_quantization", "q_bm25"]),
     ("LLM-pipeline: text analysis", ["q_token", "q_quality_score", "q_langid",
                                      "q_rolling_hash", "q_bigram_vocab",
                                      "q_tfidf", "q_unigram_surprisal",
@@ -60,8 +65,17 @@ GROUPS = [
     ("LLM-pipeline: sampling, splitting, chunking & packing",
      ["q_hash_split", "q_deterministic_sample", "q_stratified_sample",
       "q_weighted_domain_sample", "q_sequence_packing", "q_chunk",
-      "q_training_corpus_pipeline", "q_corpus_pipeline"]),
+      "q_training_corpus_pipeline", "q_corpus_pipeline",
+      "q_dsir", "q_temperature_sample", "q_domain_kl"]),
     ("Multimodal", ["q_multimodal"]),
+    ("Feature serving & PIT", ["q_pit", "q_latest_values"]),
+    ("Warehouse maintenance, serving & exactly-once",
+     ["q_compaction", "q_exactly_once", "q_corpus_stream_served"]),
+    ("Data quality & CDC",
+     ["q_data_quality", "q_merge_upsert", "q_scd2"]),
+    ("PromQL / counters",
+     ["q_promql", "q_predict_linear", "q_counter", "q_rate_per_second",
+      "q_histogram_quantile"]),
 ]
 
 
