@@ -502,3 +502,78 @@ def test_remove_duplicate_spans_matches_python_interval_model(
     assert r.clean_text == " ".join(kept)
     assert r.n_tokens_removed == n_tok - len(kept)
     assert r.n_spans == len(merged)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 15), st.floats(-5, 5, allow_nan=False),
+                  st.integers(0, 9)),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    source=st.lists(
+        st.tuples(st.integers(0, 25),
+                  st.one_of(st.none(), st.floats(-5, 5, allow_nan=False))),
+        min_size=0, max_size=12, unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_matches_dict_model(spark, target, source):
+    """Property (round 12): merge_upsert equals the obvious Python
+    dict replay — update matched keys (source NULL wins), insert the
+    rest with NULL fill — for any unique-keyed target/source pair."""
+    from rusty_timeseries_db_spark.operators.scd2 import merge_upsert
+
+    tdf = spark.createDataFrame(target, "id long, v double, keep long")
+    sdf = (
+        spark.createDataFrame(source, "id long, v double")
+        if source
+        else spark.createDataFrame([], "id long, v double")
+    )
+    got = {
+        r.id: (r.v, r.keep)
+        for r in merge_upsert(tdf, sdf, keys=["id"]).collect()
+    }
+    model = {k: (v, keep) for k, v, keep in target}
+    for k, v in source:
+        model[k] = (v, model[k][1]) if k in model else (v, None)
+    assert got == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    spine=st.lists(st.integers(0, 1000), min_size=1, max_size=15),
+    fa=st.lists(st.tuples(st.integers(0, 1000), st.integers(0, 99)),
+                min_size=0, max_size=10, unique_by=lambda t: t[0]),
+    fb=st.lists(st.tuples(st.integers(0, 1000), st.integers(100, 199)),
+                min_size=0, max_size=10, unique_by=lambda t: t[0]),
+)
+def test_pit_join_matches_python_model(spark, spine, fa, fb):
+    """Property (round 12): pit_join over two feature tables equals
+    the per-row Python model 'latest feature at or before the spine
+    ts, independently per table' — one key, integer timestamps."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.asof import pit_join
+
+    sdf = spark.createDataFrame(
+        [("k", t, i) for i, t in enumerate(spine)],
+        "k string, ts long, sid long",
+    )
+    fadf = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in fa] or [],
+        "k string, ts long, v double",
+    )
+    fbdf = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in fb] or [],
+        "k string, ts long, v double",
+    )
+    out = {r.sid: (r.v_a, r.v_b) for r in pit_join(
+        sdf, {"a": fadf, "b": fbdf}, on=["k"]
+    ).collect()}
+
+    def latest(feats, ts):
+        past = [(t, v) for t, v in feats if t <= ts]
+        return float(max(past)[1]) if past else None
+
+    for i, t in enumerate(spine):
+        assert out[i] == (latest(fa, t), latest(fb, t)), (i, t)
