@@ -195,3 +195,77 @@ def test_null_ingest_ts_row_is_not_lost_in_dedup_mode(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(os.path.join(wh, "documents"))
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+# ------------------------- streaming PIT enrichment (round 12)
+
+def test_streaming_enrichment_stream_batch_parity(spark, tmp_path):
+    """Every micro-batch enriches against the static feature tables
+    with full as-of semantics; the union of landed rows equals the
+    BATCH pit_join over the same input — including a future-dated
+    feature that must not leak and a missing feature reading NULL."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.asof import pit_join
+    from rusty_timeseries_db_spark.streaming.enrich import (
+        read_enriched,
+        start_enriched_sink,
+    )
+
+    src = str(tmp_path / "drop")
+    wh = str(tmp_path / "wh")
+    os.makedirs(src)
+
+    def _ev(i, user, minute):
+        return {
+            "doc_id": i, "text": "x", "lang": "en", "source": user,
+            "ingest_ts": f"2026-01-01T00:{minute:02d}:00",
+        }
+
+    # reuse the corpus drop-dir schema as a generic event stream:
+    # (doc_id=event id, source=user key, ingest_ts=event time)
+    with open(os.path.join(src, "f1.json"), "w") as f:
+        for row in [_ev(1, "u1", 10), _ev(2, "u2", 10)]:
+            f.write(json.dumps(row) + "\n")
+    with open(os.path.join(src, "f2.json"), "w") as f:
+        f.write(json.dumps(_ev(3, "u1", 30)) + "\n")
+
+    feats = {
+        "a": spark.createDataFrame(
+            [("u1", "2026-01-01 00:05:00", 5.0),
+             ("u1", "2026-01-01 00:20:00", 7.0),   # future for ev 1
+             ("u2", "2026-01-01 00:50:00", 9.0)],  # future for ev 2
+            "source string, ts_s string, v double",
+        ).select("source", F.to_timestamp("ts_s").alias("ts"), "v"),
+    }
+
+    from rusty_timeseries_db_spark.streaming.corpus import (
+        read_document_stream,
+    )
+
+    stream = read_document_stream(spark, src).withColumnRenamed(
+        "ingest_ts", "ts"
+    ).select("doc_id", "source", "ts")
+    q = start_enriched_sink(
+        stream, feats, wh, on=["source"], available_now=True
+    )
+    assert q.awaitTermination(120)
+
+    landed = read_enriched(spark, wh)
+    got = {r.doc_id: r.v_a for r in landed.collect()}
+    assert got == {1: 5.0, 2: None, 3: 7.0}
+
+    # parity: batch pit_join over the same rows
+    batch = spark.createDataFrame(
+        [(1, "u1", "2026-01-01 00:10:00"),
+         (2, "u2", "2026-01-01 00:10:00"),
+         (3, "u1", "2026-01-01 00:30:00")],
+        "doc_id long, source string, ts_s string",
+    ).select("doc_id", "source", F.to_timestamp("ts_s").alias("ts"))
+    ref = {r.doc_id: r.v_a for r in pit_join(
+        batch, feats, on=["source"]
+    ).collect()}
+    assert got == ref
