@@ -187,6 +187,8 @@ def data_quality_report(
     against the (dimension-sized, broadcast) reference's distinct
     keys. Results union as 1-row frames — driver-side cost is
     O(#rules)."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
     refs = refs or {}
     row_local: list[tuple[int, dict, Column]] = []
     heavy: list[tuple[int, dict]] = []
