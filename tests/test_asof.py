@@ -1189,3 +1189,23 @@ def test_pit_join_no_future_leakage_and_tolerance(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         pit_join(spine, {}, on=["k"])
+
+
+def test_star_replace_composes_with_distinct_on(spark):
+    """* REPLACE inside a DISTINCT ON select list: the REPLACE rewrite
+    runs first (star-adjacent), then DISTINCT ON wraps the rewritten
+    list — keeps one row per key AND applies the replacement."""
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [(1, 5.0), (1, 9.0), (2, 1.0)], "k long, v double"
+    ).createOrReplaceTempView("_t_comp_rd")
+    out = dialect_sql(
+        spark,
+        "SELECT DISTINCT ON (k) * REPLACE (v * 10 AS v) "
+        "FROM _t_comp_rd ORDER BY k, v DESC",
+    )
+    assert out.columns == ["k", "v"]
+    assert [tuple(r) for r in out.orderBy("k").collect()] == [
+        (1, 90.0), (2, 10.0),
+    ]
