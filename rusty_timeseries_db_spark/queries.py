@@ -99,6 +99,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_sql_star_replace", "q_asof_inner_sql", "q_merge_upsert",
     "q_embedding_quantization", "q_pit_features",
     "q_data_quality_report", "q_soft_dedup_weights",
+    "q_sql_columns_expr",
     # the ASOF dialect's join-type change (bare = inner since r12)
     # touches these two certified queries' SQL text (now spelled
     # ASOF LEFT JOIN; results unchanged) — window rule (a):
@@ -1368,6 +1369,41 @@ def q_sql_star_replace(spark, sf_dir):
         "SELECT * REPLACE (CAST(value * 2 AS DOUBLE) AS value) "
         "FROM (SELECT event_id, event_type, user_id, value "
         "FROM _q_rep_events WHERE event_id <= 200) t",
+    )
+
+
+@declare(
+    "q_sql_columns_expr",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(COLUMNS('^l_(quantity|tax|discount)$')
+                         AS DECIMAL(18,2))) AS DOUBLE)
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="DuckDB's COLUMNS('regex') star variant through the dialect "
+    "entry (round 12; sql_ext._rewrite_columns): the select item "
+    "expands to one copy per matching column of the FROM table with "
+    "the wrapping expression applied to each — semantics pinned "
+    "against DuckDB's native behavior (pattern is a SEARCH over "
+    "column names, table column order, outputs keep the BARE column "
+    "name however deep the wrapper), and the oracle runs the "
+    "ORIGINAL spelling natively on DuckDB. Exact-decimal sums keep "
+    "the doubles order-independent. Joins/subqueries/multi-COLUMNS "
+    "items raise honestly (which table would COLUMNS bind to?).",
+)
+def q_sql_columns_expr(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_q_cols_lineitem"
+    )
+    return dialect_sql(
+        spark,
+        "SELECT l_returnflag, "
+        "CAST(SUM(CAST(COLUMNS('^l_(quantity|tax|discount)$') "
+        "AS DECIMAL(18,2))) AS DOUBLE) "
+        "FROM _q_cols_lineitem GROUP BY l_returnflag",
     )
 
 

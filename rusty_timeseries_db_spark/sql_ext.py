@@ -879,6 +879,111 @@ def _rewrite_exclude(query: str) -> str:
     return "".join(out)
 
 
+_COLUMNS_KW = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+
+
+def _rewrite_columns(spark: SparkSession, query: str) -> str:
+    """DuckDB's ``COLUMNS('regex')`` / ``COLUMNS(*)`` star variant
+    (round 12): expand each select item containing a COLUMNS call
+    into one copy PER MATCHING COLUMN of the FROM table, with the
+    surrounding expression applied to each — ``SUM(COLUMNS('^l_'))``
+    becomes ``SUM(l_a) AS l_a, SUM(l_b) AS l_b, …``. Semantics pinned
+    against DuckDB's native behavior: the pattern is a SEARCH (not a
+    fullmatch) over column names, expansion follows table column
+    order, and every output keeps the BARE source column name no
+    matter how the expression wraps it (verified: DuckDB names
+    ``round(sum(COLUMNS(...)))`` outputs just the column).
+
+    Scope (honest-raise boundaries): the statement's top-level FROM
+    must be a single resolvable table/view (no joins/subqueries —
+    which table would COLUMNS bind to?), one COLUMNS call per select
+    item, no trailing alias on an expanded item (the expansion names
+    each copy after its column). Resolution uses ``spark.table`` at
+    rewrite time — same requirement the ASOF rewrite already makes."""
+    masked = _mask_string_literals(query)
+    if not _COLUMNS_KW.search(masked):
+        return query
+    sel = re.match(r"\s*SELECT\s+", masked, re.IGNORECASE)
+    if sel is None:
+        raise ValueError("COLUMNS(...) outside a SELECT statement")
+    from_m = None
+    for fm in re.finditer(r"\bFROM\b", masked, re.IGNORECASE):
+        if _depth_at(masked, fm.start()) == 0:
+            from_m = fm
+            break
+    if from_m is None:
+        raise ValueError("COLUMNS(...) needs a FROM clause to bind to")
+    tbl = re.match(r"\s*([A-Za-z_][\w.]*)", query[from_m.end():])
+    if tbl is None:
+        raise ValueError(
+            "COLUMNS(...) needs a single-table FROM (joins/subqueries "
+            "are ambiguous about which table COLUMNS binds to)"
+        )
+    table_cols = spark.table(tbl.group(1)).columns
+
+    list_text = query[sel.end(): from_m.start()]
+    list_masked = masked[sel.end(): from_m.start()]
+    out_items: list[str] = []
+    for im, item in zip(
+        _split_top_level_commas(list_masked, list_masked),
+        _split_top_level_commas(list_masked, list_text),
+    ):
+        cm = _COLUMNS_KW.search(im)
+        if cm is None:
+            out_items.append(item.strip())
+            continue
+        if _COLUMNS_KW.search(im, cm.end()):
+            raise ValueError(
+                "multiple COLUMNS(...) calls in one select item are "
+                "not supported"
+            )
+        open_idx = cm.end() - 1
+        depth, close = 0, None
+        for i in range(open_idx, len(im)):
+            if im[i] == "(":
+                depth += 1
+            elif im[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close is None:
+            raise ValueError("unbalanced parens in COLUMNS(...)")
+        arg = item[open_idx + 1: close].strip()
+        if arg == "*":
+            matched = list(table_cols)
+        else:
+            pm = re.fullmatch(r"'([^']*)'", arg)
+            if pm is None:
+                raise ValueError(
+                    f"unsupported COLUMNS argument {arg!r} — use "
+                    "COLUMNS(*) or COLUMNS('regex')"
+                )
+            pat = re.compile(pm.group(1))
+            matched = [c for c in table_cols if pat.search(c)]
+        if not matched:
+            raise ValueError(
+                f"COLUMNS({arg}) matches no column of {tbl.group(1)!r}"
+            )
+        tail = im[close + 1:]
+        if re.search(r"\bAS\s+\w+\s*$", tail, re.IGNORECASE):
+            raise ValueError(
+                "an alias on a COLUMNS(...) item is not supported — "
+                "each expansion is named after its column"
+            )
+        for c in matched:
+            out_items.append(
+                (item[:cm.start()] + c + item[close + 1:]).strip()
+                + f" AS {c}"
+            )
+    return (
+        query[: sel.end()]
+        + ", ".join(out_items)
+        + " "
+        + query[from_m.start():]
+    )
+
+
 _REPLACE_KW = re.compile(r"(\*\s*)REPLACE\s*\(", re.IGNORECASE)
 _AS_KW = re.compile(r"\bAS\b", re.IGNORECASE)
 
@@ -980,7 +1085,9 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     rewritten = _rewrite_asof(
         spark,
         _rewrite_distinct_on_nested(
-            _rewrite_exclude(_rewrite_star_replace(query))
+            _rewrite_exclude(
+                _rewrite_star_replace(_rewrite_columns(spark, query))
+            )
         ),
         right_order=right_order,
     )

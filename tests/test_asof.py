@@ -1209,3 +1209,63 @@ def test_star_replace_composes_with_distinct_on(spark):
     assert [tuple(r) for r in out.orderBy("k").collect()] == [
         (1, 90.0), (2, 10.0),
     ]
+
+
+# --------------------------------------- COLUMNS() expansion (round 12)
+
+def test_columns_expansion_forms(spark):
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [(1, 2.0, 3.0, "x"), (4, 5.0, 6.0, "y")],
+        "a_id long, m_one double, m_two double, tag string",
+    ).createOrReplaceTempView("_t_cols")
+    # bare COLUMNS('re') — projection keeps bare names, table order
+    out = dialect_sql(
+        spark, "SELECT COLUMNS('^m_') FROM _t_cols ORDER BY m_one"
+    )
+    assert out.columns == ["m_one", "m_two"]
+    # wrapped in an aggregate + other select items untouched
+    out2 = dialect_sql(
+        spark,
+        "SELECT tag, CAST(SUM(COLUMNS('^m_')) AS DOUBLE) FROM _t_cols "
+        "GROUP BY tag ORDER BY tag",
+    )
+    assert out2.columns == ["tag", "m_one", "m_two"]
+    assert [tuple(r) for r in out2.collect()] == [
+        ("x", 2.0, 3.0), ("y", 5.0, 6.0),
+    ]
+    # COLUMNS(*) expands every column
+    out3 = dialect_sql(spark, "SELECT COLUMNS(*) FROM _t_cols LIMIT 1")
+    assert out3.columns == ["a_id", "m_one", "m_two", "tag"]
+
+
+def test_columns_expansion_guardrails(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import _rewrite_columns
+
+    spark.createDataFrame(
+        [(1, 2.0)], "a long, b double"
+    ).createOrReplaceTempView("_t_cols_g")
+    with pytest.raises(ValueError, match="matches no column"):
+        _rewrite_columns(
+            spark, "SELECT COLUMNS('zzz') FROM _t_cols_g"
+        )
+    with pytest.raises(ValueError, match="single-table FROM"):
+        _rewrite_columns(
+            spark,
+            "SELECT COLUMNS('a') FROM (SELECT * FROM _t_cols_g) q",
+        )
+    with pytest.raises(ValueError, match="alias"):
+        _rewrite_columns(
+            spark, "SELECT SUM(COLUMNS('a')) AS s FROM _t_cols_g"
+        )
+    with pytest.raises(ValueError, match="multiple COLUMNS"):
+        _rewrite_columns(
+            spark,
+            "SELECT COLUMNS('a') + COLUMNS('b') FROM _t_cols_g",
+        )
+    # statements without COLUMNS pass through by identity
+    q = "SELECT a FROM _t_cols_g"
+    assert _rewrite_columns(spark, q) is q
