@@ -1070,6 +1070,29 @@ def _rewrite_star_replace(query: str) -> str:
         )
 
 
+_SUMMARIZE_RE = re.compile(
+    r"^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _maybe_summarize(spark: SparkSession, query: str):
+    """DuckDB's ``SUMMARIZE <table>`` verb (round 12): routed to the
+    engine's one-pass column profiler (operators/profile.py
+    profile_columns — count / nulls / distinct / numeric min-max per
+    column, ONE aggregate job over the table). The output schema is
+    this engine's profile row, not DuckDB's SUMMARIZE layout (whose
+    approx percentiles are engine-specific anyway) — the verb is
+    paste-compatibility sugar, documented as such. Returns None when
+    the statement is not a SUMMARIZE."""
+    m = _SUMMARIZE_RE.match(_mask_string_literals(query))
+    if m is None:
+        return None
+    from .operators.profile import profile_columns
+
+    t = spark.table(m.group(1))
+    return profile_columns(t, t.columns)
+
+
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:
     """DuckDB-dialect entry point: applies the ``* REPLACE`` and
     ``* EXCLUDE`` spelling rewrites, then the DISTINCT ON rewrite
@@ -1081,7 +1104,11 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     the natural "latest reading per sensor, keep rank 1" TSDB query
     (VERDICT r7 gap #3). Statements using none pass through unchanged
     (GROUP BY ALL / ORDER BY ALL / ``* EXCEPT`` need no rewrite —
-    Spark parses those natively)."""
+    Spark parses those natively). ``SUMMARIZE <table>`` routes to the
+    column profiler (r12 — see ``_maybe_summarize``)."""
+    summarized = _maybe_summarize(spark, query)
+    if summarized is not None:
+        return summarized
     rewritten = _rewrite_asof(
         spark,
         _rewrite_distinct_on_nested(

@@ -1269,3 +1269,26 @@ def test_columns_expansion_guardrails(spark):
     # statements without COLUMNS pass through by identity
     q = "SELECT a FROM _t_cols_g"
     assert _rewrite_columns(spark, q) is q
+
+
+def test_summarize_verb_routes_to_profiler(spark):
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [(1, 2.0, None), (2, 4.0, "x"), (2, None, "y")],
+        "id long, v double, tag string",
+    ).createOrReplaceTempView("_t_summ")
+    out = dialect_sql(spark, "SUMMARIZE _t_summ")
+    rows = {r.column_name: r for r in out.collect()}
+    assert set(rows) == {"id", "v", "tag"}
+    assert rows["id"].n == 3 and rows["id"].n_nulls == 0
+    assert rows["id"].n_distinct == 2
+    assert rows["v"].n_nulls == 1 and rows["v"].max_num == 4.0
+    assert rows["tag"].n_nulls == 1
+    # a column named 'summarize' inside a normal statement is untouched
+    spark.createDataFrame(
+        [(1,)], "summarize long"
+    ).createOrReplaceTempView("_t_summ2")
+    assert dialect_sql(
+        spark, "SELECT summarize FROM _t_summ2"
+    ).collect()[0][0] == 1
