@@ -17,7 +17,7 @@ GROUPS = [
                      "q_bool_aggs", "q_quantile_buckets",
                      "q_running_distinct"]),
     ("Joins", ["q_join", "q_asof", "q_interval", "q_tpch", "q_null_safe",
-               "q_scd2", "q_correlated_subquery"]),
+               "q_correlated_subquery"]),
     ("Window functions", ["q_window"]),
     ("Sort / limit / top-k", ["q_topk", "q_global_sort"]),
     ("Set operations", ["q_union", "q_intersect", "q_except"]),
@@ -25,7 +25,7 @@ GROUPS = [
                                   "q_array", "q_map", "q_posexplode",
                                   "q_higher", "q_from_json", "q_to_json"]),
     ("Time-series ops", ["q_tumbling", "q_resample", "q_locf", "q_gaps",
-                         "q_session", "q_time_weighted", "q_counter",
+                         "q_session", "q_time_weighted",
                          "q_linear_interp", "q_ewma", "q_sliding_window",
                          "q_event_transitions", "q_funnel",
                          "q_cohort_retention", "q_merge_intervals",
@@ -34,7 +34,7 @@ GROUPS = [
     ("Series statistics & change detection",
      ["q_moving_median", "q_series_align_ratio", "q_cusum", "q_sax",
       "q_autocorr", "q_series_gap_report", "q_interarrival",
-      "q_heavy_hitter", "q_daily_vs_trailing_week", "q_rate_per_second",
+      "q_heavy_hitter", "q_daily_vs_trailing_week",
       "q_outlier_mad", "q_spearman", "q_seasonal_backtest"]),
     ("Downsampling & visualization",
      ["q_minmax_decimate", "q_lttb", "q_ohlc", "q_topn_with_others",
@@ -73,9 +73,11 @@ GROUPS = [
      ["q_compaction", "q_exactly_once", "q_corpus_stream_served"]),
     ("Data quality & CDC",
      ["q_data_quality", "q_merge_upsert", "q_scd2"]),
+    # NOTE group_of is FIRST-match: a prefix listed here must not also
+    # match an earlier group (review round 12 — q_histogram_quantile
+    # stays under Aggregation via its q_histogram prefix)
     ("PromQL / counters",
-     ["q_promql", "q_predict_linear", "q_counter", "q_rate_per_second",
-      "q_histogram_quantile"]),
+     ["q_promql", "q_predict_linear", "q_counter", "q_rate_per_second"]),
 ]
 
 

@@ -937,14 +937,7 @@ def remove_duplicate_spans(
     out = (
         df.select(id_col, toks.alias("_toks"))
         .join(merged, id_col, "left")
-        .select(
-            id_col,
-            "_toks",
-            F.coalesce(
-                "_iv",
-                F.lit(None).cast("array<struct<s:bigint,e:bigint>>"),
-            ).alias("_iv"),
-        )
+        .select(id_col, "_toks", "_iv")
     )
     iv = F.col("_iv")
     kept = F.when(iv.isNull(), F.col("_toks")).otherwise(

@@ -214,10 +214,6 @@ def data_quality_report(
             raise ValueError(f"unknown rule: {kind!r}")
         row_local.append((i, r, bad))
 
-    out_schema = (
-        "rule_id bigint, rule string, column string, "
-        "n_violations bigint, n_checked bigint"
-    )
     parts: list[DataFrame] = []
     if row_local:
         wide = df.agg(

@@ -317,7 +317,14 @@ def counter_irate(
         F.max(F.when(F.col("_rn") == 2, F.col("_tus"))).alias("_tp"),
     )
     delta = F.col("_vl") - F.col("_vp")
-    iinc = F.when(delta >= 0, delta).otherwise(F.col("_vl"))
+    # single-sample series: _vp is NULL, so delta's >= test is NULL
+    # (falsy) — without the explicit first branch the otherwise() would
+    # leak _vl as a phantom "increase" (review round 12)
+    iinc = (
+        F.when(F.col("_vp").isNull(), F.lit(None).cast("decimal(19,2)"))
+        .when(delta >= 0, delta)
+        .otherwise(F.col("_vl"))
+    )
     gap = F.col("_tl") - F.col("_tp")
     return agg.select(
         key,

@@ -157,6 +157,14 @@ def merge_upsert(
     missing = [c for c in keys + update_cols if c not in source.columns]
     if missing:
         raise ValueError(f"source lacks columns {missing}")
+    not_in_target = [
+        c for c in keys + update_cols if c not in target.columns
+    ]
+    if not_in_target:
+        # without this the _m_<col> value would join in and silently
+        # drop (the select iterates target.columns only) — every
+        # matched row a no-op, every insert losing the value
+        raise ValueError(f"target lacks columns {not_in_target}")
 
     src = source.select(
         *keys,

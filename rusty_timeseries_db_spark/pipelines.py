@@ -265,7 +265,12 @@ def build_training_corpus(
         # O(n_buckets) broadcast model) plus one k-row semi join.
         w = dsir_weights(
             d.withColumn(
-                "_is_tgt", F.col(domain_col) == cfg.dsir_target_domain
+                # eqNullSafe: a NULL domain is a RAW-pool doc that
+                # competes for selection — plain == would make
+                # is_target NULL and the ~is_target pool filter would
+                # silently drop it everywhere (review round 12)
+                "_is_tgt",
+                F.col(domain_col).eqNullSafe(cfg.dsir_target_domain),
             ),
             id_col,
             text_col,
@@ -281,9 +286,9 @@ def build_training_corpus(
             pool, id_col, k=cfg.dsir_select_k,
             temperature=cfg.dsir_temperature,
         ).select(id_col)
-        keep_always = (F.col("split") != "train") | (
-            F.col(domain_col) == cfg.dsir_target_domain
-        )
+        keep_always = (F.col("split") != "train") | F.col(
+            domain_col
+        ).eqNullSafe(cfg.dsir_target_domain)
         d = (
             d.join(chosen.withColumn("_dsir", F.lit(1)), id_col, "left")
             .filter(keep_always | F.col("_dsir").isNotNull())

@@ -5062,10 +5062,12 @@ def q_merge_upsert(spark, sf_dir):
     )
     SELECT user_id,
            CAST(vl - vp AS DOUBLE) AS idelta,
-           CAST(CASE WHEN vl - vp >= 0 THEN vl - vp ELSE vl END
+           CAST(CASE WHEN vp IS NULL THEN NULL
+                     WHEN vl - vp >= 0 THEN vl - vp ELSE vl END
                 AS DOUBLE) AS iinc,
            CASE WHEN tl - tp > 0 THEN
-             CAST(CASE WHEN vl - vp >= 0 THEN vl - vp ELSE vl END
+             CAST(CASE WHEN vp IS NULL THEN NULL
+                       WHEN vl - vp >= 0 THEN vl - vp ELSE vl END
                   AS DOUBLE) / CAST(tl - tp AS DOUBLE) * 1e6
            END AS irate_per_second,
            tl - tp AS gap_us

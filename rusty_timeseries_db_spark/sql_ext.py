@@ -913,11 +913,35 @@ def _rewrite_columns(spark: SparkSession, query: str) -> str:
             break
     if from_m is None:
         raise ValueError("COLUMNS(...) needs a FROM clause to bind to")
-    tbl = re.match(r"\s*([A-Za-z_][\w.]*)", query[from_m.end():])
+    tbl = re.match(
+        r"\s*([A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?"
+        r"(?!(?i:WHERE|GROUP|ORDER|HAVING|LIMIT|QUALIFY|WINDOW|UNION|"
+        r"INTERSECT|EXCEPT|JOIN|ON|USING)\b)"
+        r"[A-Za-z_]\w*)?",
+        query[from_m.end():],
+    )
     if tbl is None:
         raise ValueError(
             "COLUMNS(...) needs a single-table FROM (joins/subqueries "
             "are ambiguous about which table COLUMNS binds to)"
+        )
+    # the FROM clause must END at the table (+ optional alias): a
+    # trailing JOIN / comma-list would make the binding ambiguous AND
+    # diverge from DuckDB, which expands over the whole join's columns
+    # (review round 12 — the first-token match silently bound to the
+    # left table)
+    rest_masked = _mask_string_literals(query)[from_m.end() + tbl.end():]
+    nxt = re.match(r"\s*(\S+)", rest_masked)
+    if nxt is not None and not re.match(
+        r"(?i)(WHERE|GROUP|ORDER|HAVING|LIMIT|QUALIFY|WINDOW|UNION|"
+        r"INTERSECT|EXCEPT)$",
+        nxt.group(1).rstrip(";"),
+    ):
+        raise ValueError(
+            "COLUMNS(...) needs a single-table FROM (joins/subqueries "
+            "are ambiguous about which table COLUMNS binds to); found "
+            f"{nxt.group(1)!r} after the table"
         )
     table_cols = spark.table(tbl.group(1)).columns
 
@@ -1023,7 +1047,25 @@ def _rewrite_star_replace(query: str) -> str:
     Spark then fails the leftover REPLACE loudly at parse."""
     while True:
         masked = _mask_string_literals(query)
-        m = _REPLACE_KW.search(masked)
+        m = None
+        for cand in _REPLACE_KW.finditer(masked):
+            # a star MODIFIER's * follows SELECT / ',' / '(' / '.'
+            # (alias.*); a * preceded by an identifier, literal, or ')'
+            # is MULTIPLICATION and 'replace(' is the plain function —
+            # pass through (review round 12: 'amount * replace(s, a, b)'
+            # must not trip the rewrite)
+            j = cand.start() - 1
+            while j >= 0 and masked[j].isspace():
+                j -= 1
+            before = masked[: j + 1].rstrip()
+            if (
+                j < 0
+                or masked[j] in ",(."
+                or re.search(r"(?i)\b(SELECT|DISTINCT|ALL)$", before)
+                or re.search(r"(?i)\bDISTINCT\s+ON\s*\([^()]*\)$", before)
+            ):
+                m = cand
+                break
         if m is None:
             return query
         open_idx = m.end() - 1

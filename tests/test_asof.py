@@ -1292,3 +1292,56 @@ def test_summarize_verb_routes_to_profiler(spark):
     assert dialect_sql(
         spark, "SELECT summarize FROM _t_summ2"
     ).collect()[0][0] == 1
+
+
+def test_star_replace_ignores_multiplication_by_replace_fn(spark):
+    """Review round 12: 'amount * replace(...)' is MULTIPLICATION by
+    the plain replace() function — the star-modifier rewrite must pass
+    it through, while the true modifier forms still fire (including
+    after SELECT DISTINCT)."""
+    from rusty_timeseries_db_spark.sql_ext import (
+        _rewrite_star_replace as rw,
+    )
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    q = "SELECT amount * replace(qty_str, ',', '') FROM t"
+    assert rw(q) is q
+    q2 = "SELECT (a + b) * REPLACE(s, 'x', 'y') FROM t"
+    assert rw(q2) is q2
+    assert "EXCEPT (v)" in rw("SELECT DISTINCT * REPLACE (v + 1 AS v) FROM t")
+    # end-to-end: the multiplication statement must actually run
+    spark.createDataFrame(
+        [(3.0, "1,5")], "amount double, qty_str string"
+    ).createOrReplaceTempView("_t_mul_rep")
+    out = dialect_sql(
+        spark,
+        "SELECT amount * replace(qty_str, ',', '') AS x FROM _t_mul_rep",
+    ).collect()
+    assert out[0].x == 45.0
+
+
+def test_columns_raises_on_join_from(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import _rewrite_columns
+
+    spark.createDataFrame([(1,)], "a long").createOrReplaceTempView(
+        "_t_cj1"
+    )
+    spark.createDataFrame([(1,)], "b long").createOrReplaceTempView(
+        "_t_cj2"
+    )
+    with pytest.raises(ValueError, match="single-table FROM"):
+        _rewrite_columns(
+            spark,
+            "SELECT COLUMNS('a') FROM _t_cj1 JOIN _t_cj2 ON a = b",
+        )
+    with pytest.raises(ValueError, match="single-table FROM"):
+        _rewrite_columns(
+            spark, "SELECT COLUMNS('a') FROM _t_cj1, _t_cj2"
+        )
+    # an aliased single table still works
+    out = _rewrite_columns(
+        spark, "SELECT COLUMNS('a') FROM _t_cj1 AS t WHERE t.a > 0"
+    )
+    assert "a AS a" in out

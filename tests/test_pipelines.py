@@ -313,3 +313,24 @@ def test_dsir_optional_stage(spark):
         build_training_corpus(
             docs, CorpusPipelineConfig(**base, dsir_select_k=10)
         )
+
+
+def test_dsir_null_domain_doc_competes_in_pool(spark):
+    """Review round 12: a train doc with a NULL domain is a RAW-pool
+    candidate — with k large enough it survives; it must never vanish
+    unconditionally (the plain == NULL trap)."""
+    rows = [(i, f"target style doc {i} phrasing here now", "wiki")
+            for i in range(10)]
+    rows += [(100, "null domain document with several words here", None)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = build_training_corpus(
+        docs,
+        CorpusPipelineConfig(
+            min_tokens=2, near_dup_threshold=1.01,
+            split_weights={"train": 1.0}, pack_budget=64, pack_shards=1,
+            dsir_target_domain="wiki", dsir_select_k=5,
+        ),
+    )
+    assert out.filter(F.col("doc_id") == 100).count() == 1

@@ -143,3 +143,17 @@ def test_merge_upsert_update_cols_subset_and_missing_col_raises(spark):
         merge_upsert(
             target, source.drop("v"), keys=["id"], update_cols=["v"]
         )
+
+
+def test_merge_upsert_target_missing_update_col_raises(spark):
+    """Review round 12: an update column absent from the TARGET was a
+    silent no-op (the select iterates target columns only) — now it
+    raises like the source-side check."""
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.scd2 import merge_upsert
+
+    target = spark.createDataFrame([(1, 10.0)], "id long, value double")
+    source = spark.createDataFrame([(1, 99.0)], "id long, val double")
+    with pytest.raises(ValueError, match="target lacks"):
+        merge_upsert(target, source, keys=["id"], update_cols=["val"])

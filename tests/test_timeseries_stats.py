@@ -224,6 +224,7 @@ def test_counter_irate_last_pair_and_reset(spark):
     assert (got["r"].idelta, got["r"].iinc) == (-7.0, 3.0)
     assert got["r"].irate_per_second == 1.5
     assert got["s"].idelta is None and got["s"].irate_per_second is None
+    assert got["s"].iinc is None  # single sample: NO phantom increase
 
 
 def test_counter_irate_tiebreak_and_zero_gap(spark):
