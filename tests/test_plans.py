@@ -330,3 +330,60 @@ def test_predict_linear_single_aggregate(spark):
     # the formatted plan names each node once in the tree and once in
     # the detail section — count the numbered detail headers
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+# --------------------------------------- round-12 operator plan shapes
+
+def test_merge_upsert_never_shuffles_target(spark):
+    """merge_upsert's contract plan: two broadcast legs, ZERO
+    exchanges, zero sort-merge joins — the target is only ever the
+    streamed probe side."""
+    import re
+
+    from rusty_timeseries_db_spark.operators.scd2 import merge_upsert
+    from rusty_timeseries_db_spark.queries import T
+
+    target = T(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    source = target.filter(F.col("event_id") % 50 == 0).select(
+        "event_id", (F.col("value") * 2).alias("value")
+    )
+    plan = formatted_plan(
+        merge_upsert(target, source, keys=["event_id"],
+                     update_cols=["value"])
+    )
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bm25_plans_take_ordered_and_broadcasts(spark):
+    """bm25_topk's contract plan: TakeOrderedAndProject selection (no
+    global sort), broadcast joins only, no nested loop."""
+    from rusty_timeseries_db_spark.operators.retrieval import bm25_topk
+    from rusty_timeseries_db_spark.queries import T
+
+    plan = formatted_plan(
+        bm25_topk(
+            T(spark, SF_DIR, "documents"),
+            ["hash", "merge", "scan", "slow"],
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_counter_irate_plans_window_group_limit_shape(spark):
+    """counter_irate's rank window prunes each group to 2 rows before
+    anything buffers."""
+    from rusty_timeseries_db_spark.operators.resample import counter_irate
+    from rusty_timeseries_db_spark.queries import T
+
+    e = T(spark, SF_DIR, "events").filter(F.col("user_id") < 50)
+    plan = formatted_plan(
+        counter_irate(e, key="user_id", ts="ts", value="value",
+                      order_tiebreak="event_id")
+    )
+    assert "WindowGroupLimit" in plan
