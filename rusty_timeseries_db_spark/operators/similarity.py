@@ -431,7 +431,19 @@ class IvfIndex:
         corpus_vec: str = "embedding",
         n_clusters: int = 16,
         seed: int = 42,
+        quantize_bits: int | None = None,
     ) -> "IvfIndex":
+        """``quantize_bits`` (round 12 — IVF+SQ, the standard serving
+        deployment; FAISS's ``IVF,SQ8``): store each vector as
+        per-vector-scaled integer codes instead of floats — int8 cuts
+        index bytes ~4x, which at 100 TB of embeddings is the
+        difference between an index that fits hot storage and one
+        that does not. The quantizer fit, cell assignment, probe
+        routing, and partition pruning are IDENTICAL to the
+        full-precision form; only the rerank inside probed cells
+        scores against dequantized vectors (recall bounded by the
+        scale/2-per-coordinate error — pytest pins >= 8/10 top-10
+        overlap vs the full-precision index on testdata)."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -444,10 +456,24 @@ class IvfIndex:
             k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell"
         )
         model = km.fit(c)
+        assigned = model.transform(c)
+        if quantize_bits is not None:
+            from ..functions.vectors import quantize_symmetric
+
+            stored = assigned.select(
+                "_cid",
+                quantize_symmetric("_cvec", bits=quantize_bits).alias("_qz"),
+                "_cell",
+            ).select(
+                "_cid",
+                F.col("_qz.scale").alias("_qscale"),
+                F.col("_qz.q").alias("_qcodes"),
+                "_cell",
+            )
+        else:
+            stored = assigned.select("_cid", "_cvec", "_cell")
         (
-            model.transform(c)
-            .select("_cid", "_cvec", "_cell")
-            .write.mode("overwrite")
+            stored.write.mode("overwrite")
             .partitionBy("_cell")
             .parquet(self.index_path)
         )
@@ -457,6 +483,7 @@ class IvfIndex:
             "n_clusters": n_clusters,
             "seed": seed,
             "corpus_id": corpus_id,
+            "quantize_bits": quantize_bits,
         })
         return self
 
@@ -555,10 +582,18 @@ class IvfIndex:
             queries, query_id, query_vec, man["centroids"], n_probe
         )
         cand = assigned.join(F.broadcast(probed), "_cell")
+        if man.get("quantize_bits") is not None:
+            from ..functions.vectors import dequantize
+
+            corpus_vec_col = dequantize(
+                F.col("_qcodes"), F.col("_qscale")
+            )
+        else:
+            corpus_vec_col = F.col("_cvec")
         scored = cand.select(
             F.col("_qid").alias(query_id),
             F.col("_cid").alias(corpus_id),
-            cosine(F.col("_cvec"), F.col("_qvec")).alias("cos_sim"),
+            cosine(corpus_vec_col, F.col("_qvec")).alias("cos_sim"),
         )
         w = Window.partitionBy(query_id).orderBy(
             F.col("cos_sim").desc(), F.col(corpus_id).asc()
@@ -601,17 +636,34 @@ class IvfIndex:
         man = self._manifest()
         corpus_id = corpus_id or man["corpus_id"]
         stored = self.spark.read.parquet(self.index_path).schema
-        assigned = _probe_cells(
+        routed = _probe_cells(
             corpus, corpus_id, corpus_vec, man["centroids"], n_probe=1
-        ).select(
-            # BOTH stored columns are cast to the build-time types —
-            # a long-id add into a string-id index (or double vectors
-            # into float) would otherwise poison the parquet
-            # schema merge for every later read (code-review r9)
-            F.col("_qid").cast(stored["_cid"].dataType).alias("_cid"),
-            F.col("_qvec").cast(stored["_cvec"].dataType).alias("_cvec"),
-            "_cell",
         )
+        if man.get("quantize_bits") is not None:
+            from ..functions.vectors import quantize_symmetric
+
+            assigned = routed.select(
+                F.col("_qid").cast(stored["_cid"].dataType).alias("_cid"),
+                quantize_symmetric(
+                    "_qvec", bits=int(man["quantize_bits"])
+                ).alias("_qz"),
+                "_cell",
+            ).select(
+                "_cid",
+                F.col("_qz.scale").alias("_qscale"),
+                F.col("_qz.q").alias("_qcodes"),
+                "_cell",
+            )
+        else:
+            assigned = routed.select(
+                # BOTH stored columns are cast to the build-time types —
+                # a long-id add into a string-id index (or double vectors
+                # into float) would otherwise poison the parquet
+                # schema merge for every later read (code-review r9)
+                F.col("_qid").cast(stored["_cid"].dataType).alias("_cid"),
+                F.col("_qvec").cast(stored["_cvec"].dataType).alias("_cvec"),
+                "_cell",
+            )
         # count once, then append from the cached assignment (a
         # recompute between count and write could double-assign under
         # a nondeterministic source)

@@ -526,3 +526,46 @@ def test_quantized_cosine_topk_recall(spark):
         .orderBy(F.col("c").desc(), "vec_id").limit(10).collect()
     }
     assert len(exact & approx) >= 8, (exact, approx)
+
+
+def test_ivf_index_quantized_mode(spark, tmp_path):
+    """IVF+SQ (round 12): a quantize_bits=8 index stores int codes
+    (no float vector column), serves the same probe routing, keeps
+    >= 8/10 top-10 overlap with the full-precision index, and
+    incremental add() quantizes appended vectors to the same layout."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").limit(400)
+    base = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = IvfIndex(spark, str(tmp_path / "ivf_full")).build(
+        base, n_clusters=8
+    )
+    quant = IvfIndex(spark, str(tmp_path / "ivf_q8")).build(
+        base, n_clusters=8, quantize_bits=8
+    )
+    schema = {f.name for f in spark.read.parquet(quant.index_path).schema}
+    assert "_cvec" not in schema and {"_qscale", "_qcodes"} <= schema
+
+    f_top = full.query(queries, k=10, n_probe=8)
+    q_top = quant.query(queries, k=10, n_probe=8)
+    for qid in [0, 1, 2]:
+        a = {r.vec_id for r in f_top.filter(f"query_id = {qid}").collect()}
+        b = {r.vec_id for r in q_top.filter(f"query_id = {qid}").collect()}
+        assert len(a & b) >= 8, (qid, a, b)
+
+    # incremental add into the quantized layout; the added vector is
+    # then findable (it is its own nearest neighbor, cos ~ 1)
+    probe = emb.filter(F.col("vec_id") == 5)
+    assert quant.add(probe) == 1
+    got = quant.query(
+        probe.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=1, n_probe=8,
+    ).collect()
+    assert got and got[0].vec_id == 5 and got[0].cos_sim > 0.99
