@@ -577,3 +577,39 @@ def test_pit_join_matches_python_model(spark, spine, fa, fb):
 
     for i, t in enumerate(spine):
         assert out[i] == (latest(fa, t), latest(fb, t)), (i, t)
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["SELECT ", "a", "b", ", ", " * ", "(", ")", "'x'",
+             " FROM t ", " WHERE ", " replace(s, 'a', 'b') ",
+             " + 1 ", " ORDER BY a "]
+        ),
+        min_size=1,
+        max_size=12,
+    ).map("".join)
+)
+@settings(max_examples=200, deadline=None)
+def test_new_rewrites_identity_on_nonmatching_statements(q):
+    """Property (round 12): statements carrying NONE of the new
+    dialect keywords pass the purely-textual rewrites through by
+    IDENTITY (the `is`-level contract the dialect entry documents) —
+    including ones full of stars, parens, and plain replace() calls.
+    Statements that DO trip a guard may raise ValueError (honest
+    raise), but must never silently mutate."""
+    from rusty_timeseries_db_spark.sql_ext import (
+        _rewrite_distinct_on_nested,
+        _rewrite_exclude,
+        _rewrite_star_replace,
+    )
+
+    for fn in (_rewrite_star_replace, _rewrite_exclude,
+               _rewrite_distinct_on_nested):
+        try:
+            out = fn(q)
+        except ValueError:
+            continue
+        assert out is q or out == q
+        if fn is _rewrite_star_replace and "REPLACE" not in q.upper():
+            assert out is q
