@@ -690,6 +690,11 @@ def is_query_statement(query: str) -> bool:
     head, sep, rest = masked.partition(";")
     if sep and rest.strip():
         return False
+    # SUMMARIZE <table> (r12): strictly a read (routes to the column
+    # profiler) — the narrow regex admits only one bare identifier, so
+    # nothing writable can hide behind the keyword
+    if _SUMMARIZE_RE.match(head):
+        return True
     if not _QUERY_START.match(head):
         return False
     # Spark's grammar allows a CTE prologue before DML ("WITH t AS
