@@ -53,7 +53,12 @@ def quantize_symmetric(vec: Column | str, bits: int = 8) -> Column:
     engine-agnostic arithmetic (round = half-away-from-zero on both
     Spark and DuckDB), so quantized CODES are oracle-checkable, not
     just their statistics. ``smallint`` (not tinyint) so bits up to
-    15 work with one schema."""
+    16 work with one schema; out-of-range bits raise."""
+    if not 2 <= bits <= 16:
+        # bits=1 makes qmax 0 (division by zero -> NULL scales, all-zero
+        # codes, silent empty search results); bits>16 overflows the
+        # smallint codes (review round 12)
+        raise ValueError(f"quantize bits must be in [2, 16], got {bits}")
     v = _c(vec)
     qmax = float(2 ** (bits - 1) - 1)
     scale = (

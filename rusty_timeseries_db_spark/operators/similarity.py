@@ -583,11 +583,13 @@ class IvfIndex:
         )
         cand = assigned.join(F.broadcast(probed), "_cell")
         if man.get("quantize_bits") is not None:
-            from ..functions.vectors import dequantize
-
-            corpus_vec_col = dequantize(
-                F.col("_qcodes"), F.col("_qscale")
-            )
+            # cosine is SCALE-invariant: cos(s*q, v) == cos(q, v) for
+            # s > 0, and s == 0 means all-zero codes (NULL either
+            # way) — score the raw codes and skip the per-candidate
+            # dequantize multiply entirely (review round 12; the
+            # transform would otherwise run inside both the dot and
+            # norm folds of every probed-cell candidate)
+            corpus_vec_col = F.col("_qcodes")
         else:
             corpus_vec_col = F.col("_cvec")
         scored = cand.select(

@@ -1131,7 +1131,13 @@ def _maybe_summarize(spark: SparkSession, query: str):
     approx percentiles are engine-specific anyway) — the verb is
     paste-compatibility sugar, documented as such. Returns None when
     the statement is not a SUMMARIZE."""
-    m = _SUMMARIZE_RE.match(_mask_string_literals(query))
+    # strip comments exactly like the read-only gate does — the gate
+    # admits "SUMMARIZE t -- note" as a read, so the executor must
+    # recognize the same spelling (review round 12)
+    head = _mask_string_literals(query)
+    head = re.sub(r"--[^\n]*", " ", head)
+    head = re.sub(r"/\*.*?\*/", " ", head, flags=re.DOTALL)
+    m = _SUMMARIZE_RE.match(head)
     if m is None:
         return None
     from .operators.profile import profile_columns

@@ -539,7 +539,9 @@ def test_ivf_index_quantized_mode(spark, tmp_path):
     from rusty_timeseries_db_spark.queries import T
     from tests.conftest import SF_DIR
 
-    emb = T(spark, SF_DIR, "embeddings").limit(400)
+    # deterministic subset (NOT an unordered limit(), which may pick
+    # different rows per job and flake the overlap assertion)
+    emb = T(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 400)
     base = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
