@@ -613,3 +613,52 @@ def test_new_rewrites_identity_on_nonmatching_statements(q):
         assert out is q or out == q
         if fn is _rewrite_star_replace and "REPLACE" not in q.upper():
             assert out is q
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["apple", "banana", "cherry", "date",
+                                  "fig", "grape"]),
+                 min_size=1, max_size=12),
+        min_size=2, max_size=10,
+    ),
+)
+def test_bm25_matches_python_reference(spark, docs):
+    """Property (round 12): bm25_topk equals a direct Python Okapi
+    BM25 implementation (Lucene +1 idf, k1=1.2, b=0.75) on arbitrary
+    small corpora — scores to 6 decimals, identical ranking under the
+    (score desc, id) total order."""
+    import math
+
+    from rusty_timeseries_db_spark.operators.retrieval import bm25_topk
+
+    terms = ["apple", "cherry"]
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.n_terms_hit, r.bm25)
+        for r in bm25_topk(df, terms, k=50).collect()
+    ]
+
+    n = float(len(docs))
+    avgdl = sum(len(w) for w in docs) / n
+    tf = {
+        i: {t: words.count(t) for t in terms if t in words}
+        for i, words in enumerate(docs)
+    }
+    dfreq = {t: float(sum(1 for d in tf.values() if t in d))
+             for t in terms}
+    expected = []
+    for i, words in enumerate(docs):
+        if not tf[i]:
+            continue
+        dl = float(len(words))
+        s = sum(
+            math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            * c * 2.2 / (c + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            for t, c in tf[i].items()
+        )
+        expected.append((i, len(tf[i]), round(s, 6)))
+    expected.sort(key=lambda x: (-x[2], x[0]))
+    assert got == expected, (got, expected)
