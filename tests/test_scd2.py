@@ -157,3 +157,25 @@ def test_merge_upsert_target_missing_update_col_raises(spark):
     source = spark.createDataFrame([(1, 99.0)], "id long, val double")
     with pytest.raises(ValueError, match="target lacks"):
         merge_upsert(target, source, keys=["id"], update_cols=["val"])
+
+
+def test_merge_upsert_composite_keys(spark):
+    from rusty_timeseries_db_spark.operators.scd2 import merge_upsert
+
+    target = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0)],
+        "region string, id long, v double",
+    )
+    source = spark.createDataFrame(
+        [("a", 2, 99.0), ("b", 2, 40.0)],
+        "region string, id long, v double",
+    )
+    out = {(r.region, r.id): r.v for r in merge_upsert(
+        target, source, keys=["region", "id"]
+    ).collect()}
+    assert out == {
+        ("a", 1): 10.0,   # untouched
+        ("a", 2): 99.0,   # matched on BOTH keys
+        ("b", 1): 30.0,   # untouched (id matches, region does not)
+        ("b", 2): 40.0,   # inserted
+    }
