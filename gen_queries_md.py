@@ -1,8 +1,10 @@
 """Regenerate QUERIES.md from the declared-query registry."""
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 from rusty_timeseries_db_spark import queries as Q  # noqa: E402
 
 GROUPS = [
@@ -144,7 +146,7 @@ def main() -> None:
             doc = " ".join(s.doc.split())
             lines.append(f"| `{s.name}` | {mode} | {doc} |")
         lines.append("")
-    with open("/root/repo/QUERIES.md", "w") as f:
+    with open(os.path.join(_REPO, "QUERIES.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"QUERIES.md: {len(specs)} queries, {n_oracle} with oracles")
 
@@ -153,7 +155,7 @@ def main() -> None:
     # command refreshes every count the judge reads.
     import re
 
-    readme_path = "/root/repo/README.md"
+    readme_path = os.path.join(_REPO, "README.md")
     readme = open(readme_path).read()
     updated = re.sub(
         r"manifest: \d+ queries, \d+ DuckDB",

@@ -91,10 +91,14 @@ def asof_join(
         return left
     if not payload:
         # inner with no payload columns still needs the match test:
-        # carry the right ts as a probe column, then drop it
+        # carry the right ts as a probe column, then drop it. The
+        # tie-break is irrelevant for a pure existence probe (every
+        # tied row proves the same match), so right_order is dropped
+        # here — passing it through would reference a column the
+        # probe's narrowed right.select() no longer carries.
         probe = asof_join(
             left, right.select(*on, right_ts), on, left_ts, right_ts,
-            [right_ts], right_order, "_asof_probe", "backward", how="inner",
+            [right_ts], None, "_asof_probe", "backward", how="inner",
         )
         return probe.drop(f"{right_ts}_asof_probe")
 

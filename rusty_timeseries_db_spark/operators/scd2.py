@@ -134,7 +134,10 @@ def merge_upsert(
     MATCHED, update ``update_cols`` to the source's values (source
     NULLs win — MERGE assigns, it does not coalesce); WHEN NOT
     MATCHED, insert the source row with NULL in every target column
-    the source does not carry. Returns the merged frame in the
+    the source does not carry. A narrowed ``update_cols`` scopes the
+    WHEN MATCHED assignment list only (SQL MERGE's ``UPDATE SET``):
+    inserts still take every source-carried target column — a new row
+    has no old value to preserve. Returns the merged frame in the
     target's exact schema.
 
     Contract: source keys must be unique (real MERGE engines raise on
@@ -185,14 +188,19 @@ def merge_upsert(
         target.select(*keys).join(F.broadcast(src.select(*keys)), keys,
                                   "left_semi")
     )
+    # the insert leg takes EVERY source-carried target column, not just
+    # keys + update_cols: a narrowed update_cols scopes WHEN MATCHED
+    # assignment only (SQL MERGE's UPDATE SET list) — a brand-new row
+    # has no old value to preserve, so discarding carried source values
+    # there would silently NULL data the caller supplied (advice r12)
+    target_types = {f.name: f.dataType for f in target.schema.fields}
+    src_carried = set(source.columns)
     inserts = source.join(
         F.broadcast(matched_keys), keys, "left_anti"
     ).select(
         *[
-            F.col(c) if c in keys or c in update_cols
-            else F.lit(None).cast(dict(
-                (f.name, f.dataType) for f in target.schema.fields
-            )[c]).alias(c)
+            F.col(c).cast(target_types[c]).alias(c) if c in src_carried
+            else F.lit(None).cast(target_types[c]).alias(c)
             for c in target.columns
         ]
     )

@@ -253,6 +253,12 @@ def build_training_corpus(
             "(DSIR importance resampling) — they are alternative "
             "stage-5 flavors"
         )
+    if cfg.dsir_target_domain is not None and cfg.dsir_select_k is None:
+        # symmetric with the inverse guard below: a target domain with
+        # no k would otherwise be silently ignored (stage 5 runs
+        # un-resampled) — surprising config deserves a raise, not a
+        # no-op (advice r12)
+        raise ValueError("dsir_target_domain needs dsir_select_k")
     if cfg.dsir_select_k is not None:
         if cfg.dsir_target_domain is None:
             raise ValueError("dsir_select_k needs dsir_target_domain")

@@ -1,0 +1,120 @@
+"""Persisted BM25 index (round 13 — operators/retrieval.py
+Bm25Index): result-equality with the ad-hoc bm25_topk operator,
+restart-from-manifest, incremental add exactness, and shard
+partition-pruning on the query path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from rusty_timeseries_db_spark.operators.retrieval import (
+    Bm25Index,
+    _term_shard_py,
+    bm25_topk,
+)
+
+from tests.conftest import SF_DIR
+
+TERMS = ["hash", "merge", "scan", "slow"]
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _rows(df):
+    return [
+        (r[0], r[1], r[2])
+        for r in df.orderBy(df.columns[2], df.columns[0]).collect()
+    ]
+
+
+def test_index_equals_adhoc(spark, tmp_path):
+    docs = _docs(spark)
+    idx = Bm25Index(spark, str(tmp_path / "bm25")).build(docs)
+    got = _rows(idx.query(TERMS, k=25))
+    want = _rows(bm25_topk(docs, TERMS, k=25))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_restart_from_manifest(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    Bm25Index(spark, path).build(docs)
+    # a FRESH instance (new process restart analog) serves identically
+    reopened = Bm25Index(spark, path)
+    got = _rows(reopened.query(TERMS, k=10))
+    want = _rows(bm25_topk(docs, TERMS, k=10))
+    assert got == want
+
+
+def test_incremental_add_exact(spark, tmp_path):
+    """BM25 has no quantizer: after add() the index must be EXACT for
+    the union corpus (df spread over delta rows, manifest N/avgdl
+    bumped), not approximately right."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    first = docs.filter(F.col("doc_id") % 3 != 0)
+    rest = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(first)
+    n = idx.add(rest)
+    assert n == rest.count()
+    got = _rows(idx.query(TERMS, k=25))
+    want = _rows(bm25_topk(docs, TERMS, k=25))
+    assert got == want
+    man = idx._manifest()
+    assert man["n_docs"] == docs.count()
+    assert man["n_added"] == n
+
+
+def test_add_empty_batch_is_noop(spark, tmp_path):
+    docs = _docs(spark)
+    idx = Bm25Index(spark, str(tmp_path / "bm25")).build(docs)
+    before = idx._manifest()
+    assert idx.add(docs.limit(0)) == 0
+    assert idx._manifest() == before
+
+
+def test_query_before_build_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        Bm25Index(spark, str(tmp_path / "bm25")).query(TERMS)
+
+
+def test_query_prunes_unprobed_shards(spark, tmp_path):
+    """The serving contract, plan-asserted: the query's postings AND
+    terms scans carry a ``_shard IN (...)`` PartitionFilter naming
+    exactly the driver-computed shards of the query terms (so unprobed
+    shard directories are never listed), and the ``term IN`` predicate
+    is pushed into the parquet scan. (``inputFiles()`` can't test this
+    — it lists the relation's files BEFORE partition filters.)"""
+    import re
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs, n_shards=32)
+    man = idx._manifest()
+    shards = {_term_shard_py(t, man["n_shards"]) for t in TERMS}
+    assert len(shards) < man["n_shards"]
+    plan = (
+        idx.query(TERMS, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    part_filters = re.findall(
+        r"PartitionFilters: \[_shard#\d+ IN \(([\d,]+)\)\]", plan
+    )
+    assert len(part_filters) == 2, plan  # postings scan + terms scan
+    for pf in part_filters:
+        assert {int(s) for s in pf.split(",")} == shards
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_empty_terms_raises(spark, tmp_path):
+    docs = _docs(spark)
+    idx = Bm25Index(spark, str(tmp_path / "bm25")).build(docs)
+    with pytest.raises(ValueError):
+        idx.query([])
