@@ -46,13 +46,19 @@ def start_enriched_sink(
     tolerance_seconds: int | None = None,
     trigger_seconds: int | None = None,
     available_now: bool = False,
+    with_batch_id: bool = False,
 ) -> StreamingQuery:
     """Append ``pit_join(batch, features)`` of every micro-batch to
     ``<warehouse>/enriched`` Parquet. Feature frames are captured at
     sink start; swap features by restarting the sink (the checkpoint
     resumes from the last committed offset, and already-landed rows
     keep the features they were enriched with — an audit property,
-    not a bug: re-enriching history is a batch backfill's job)."""
+    not a bug: re-enriching history is a batch backfill's job).
+    ``with_batch_id=True`` stamps each landed row with its micro-batch
+    id (round 13 — the corpus sink's certification column: lets an
+    oracle attribute every row to the batch that enriched it)."""
+    from pyspark.sql import functions as F
+
     path = os.path.join(warehouse_dir, "enriched")
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -65,6 +71,10 @@ def start_enriched_sink(
             right_order=right_order,
             tolerance_seconds=tolerance_seconds,
         )
+        if with_batch_id:
+            enriched = enriched.withColumn(
+                "batch_id", F.lit(batch_id).cast("bigint")
+            )
         enriched.write.mode("append").parquet(path)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
