@@ -1389,8 +1389,9 @@ def q_sql_star_replace(spark, sf_dir):
     "column names, table column order, outputs keep the BARE column "
     "name however deep the wrapper), and the oracle runs the "
     "ORIGINAL spelling natively on DuckDB. Exact-decimal sums keep "
-    "the doubles order-independent. Joins/subqueries/multi-COLUMNS "
-    "items raise honestly (which table would COLUMNS bind to?).",
+    "the doubles order-independent. Since round 13 joins expand too "
+    "(q_sql_columns_join); subqueries/USING/multi-COLUMNS items "
+    "still raise honestly.",
 )
 def q_sql_columns_expr(spark, sf_dir):
     from .sql_ext import sql as dialect_sql
@@ -1404,6 +1405,46 @@ def q_sql_columns_expr(spark, sf_dir):
         "CAST(SUM(CAST(COLUMNS('^l_(quantity|tax|discount)$') "
         "AS DECIMAL(18,2))) AS DOUBLE) "
         "FROM _q_cols_lineitem GROUP BY l_returnflag",
+    )
+
+
+@declare(
+    "q_sql_columns_join",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(
+             COLUMNS('^(l_(quantity|extendedprice)|o_totalprice)$')
+             AS DECIMAL(18,2))) AS DOUBLE)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="COLUMNS('regex') over a JOIN (round 13 — VERDICT r12 "
+    "next-round #5; sql_ext._from_table_list): the expansion now "
+    "binds to the CONCATENATED column set of a depth-0 FROM join "
+    "list in FROM order — DuckDB's own join-expansion semantics, "
+    "pinned by running the ORIGINAL spelling natively on DuckDB as "
+    "the oracle. The pattern here matches columns of BOTH sides "
+    "(two lineitem measures, one orders measure), so any "
+    "binding-order or single-side regression diverges the hash. "
+    "Derived tables, USING joins (whose fold would shrink the "
+    "expansion set) and NATURAL/SEMI/ANTI joins keep honest raises; "
+    "an ambiguous cross-table name match raises instead of emitting "
+    "a duplicate bare name.",
+)
+def q_sql_columns_join(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("_q_cj_lineitem")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_q_cj_orders")
+    return dialect_sql(
+        spark,
+        "SELECT o_orderpriority, "
+        "CAST(SUM(CAST("
+        "COLUMNS('^(l_(quantity|extendedprice)|o_totalprice)$') "
+        "AS DECIMAL(18,2))) AS DOUBLE) "
+        "FROM _q_cj_lineitem JOIN _q_cj_orders "
+        "ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority",
     )
 
 

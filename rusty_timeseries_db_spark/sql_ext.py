@@ -886,6 +886,101 @@ def _rewrite_exclude(query: str) -> str:
 
 _COLUMNS_KW = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
 
+_CLAUSE_END_RE = re.compile(
+    r"\b(?:WHERE|GROUP|ORDER|HAVING|LIMIT|QUALIFY|WINDOW|UNION|"
+    r"INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+_JOIN_CONNECT_RE = re.compile(
+    r"\s*(?:(?:INNER|CROSS|(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?)\s+)?JOIN\b",
+    re.IGNORECASE,
+)
+_JOIN_SCAN_RE = re.compile(
+    r",|\b(?:INNER|CROSS|LEFT|RIGHT|FULL|NATURAL|SEMI|ANTI|ASOF|JOIN)\b",
+    re.IGNORECASE,
+)
+_FROM_KEYWORDS = frozenset(
+    {"JOIN", "ON", "USING", "INNER", "LEFT", "RIGHT", "FULL", "OUTER",
+     "CROSS", "NATURAL", "SEMI", "ANTI", "ASOF", "LATERAL"}
+)
+
+
+def _from_table_list(masked: str, start: int) -> list[str]:
+    """Table/view names, in FROM order, of the depth-0 FROM list
+    beginning at ``start`` in ``masked`` (string literals already
+    masked). Supported shapes: a comma list and ``[INNER|LEFT|RIGHT|
+    FULL [OUTER]|CROSS] JOIN … ON …`` chains. Raises (honest scope
+    boundaries, see ``_rewrite_columns``) on derived tables, USING
+    joins, and NATURAL/SEMI/ANTI/ASOF joins."""
+    end = len(masked)
+    for m in _CLAUSE_END_RE.finditer(masked, start):
+        if _depth_at(masked, m.start()) == 0:
+            end = m.start()
+            break
+    clause = masked[start:end].rstrip().rstrip(";")
+    tables: list[str] = []
+
+    def take_table(pos: int) -> int:
+        if re.match(r"\s*\(", clause[pos:]):
+            raise ValueError(
+                "COLUMNS(...) cannot bind through a derived table/"
+                "subquery in FROM — no resolvable column list at "
+                "rewrite time"
+            )
+        m = re.match(r"\s*([A-Za-z_][\w.]*)", clause[pos:])
+        if m is None:
+            raise ValueError(
+                "cannot parse the FROM clause for COLUMNS(...) at "
+                f"{clause[pos:pos + 40]!r}"
+            )
+        if m.group(1).upper() in _FROM_KEYWORDS:
+            raise ValueError(
+                f"COLUMNS(...) cannot bind through {m.group(1)!r} in "
+                "FROM (supported: a comma list and [INNER|LEFT|RIGHT|"
+                "FULL [OUTER]|CROSS] JOIN ... ON)"
+            )
+        tables.append(m.group(1))
+        pos += m.end()
+        am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", clause[pos:],
+                      re.IGNORECASE)
+        if am and am.group(1).upper() not in _FROM_KEYWORDS:
+            pos += am.end()
+        return pos
+
+    pos = take_table(0)
+    while pos < len(clause) and clause[pos:].strip():
+        cm = re.match(r"\s*,", clause[pos:])
+        if cm:
+            pos = take_table(pos + cm.end())
+            continue
+        jm = _JOIN_CONNECT_RE.match(clause, pos)
+        if jm:
+            pos = take_table(jm.end())
+            if re.match(r"\s*USING\b", clause[pos:], re.IGNORECASE):
+                raise ValueError(
+                    "COLUMNS(...) over a USING join is not supported "
+                    "(USING folds the join columns out of the "
+                    "expansion set) — spell the ON form"
+                )
+            om = re.match(r"\s*ON\b", clause[pos:], re.IGNORECASE)
+            if om:
+                pos += om.end()
+                nxt = len(clause)
+                for m2 in _JOIN_SCAN_RE.finditer(clause, pos):
+                    if _depth_at(clause, m2.start()) == 0:
+                        nxt = m2.start()
+                        break
+                pos = nxt
+            continue
+        raise ValueError(
+            "COLUMNS(...) cannot bind through "
+            f"{clause[pos:pos + 30].strip()!r} in FROM (supported: a "
+            "comma list and [INNER|LEFT|RIGHT|FULL [OUTER]|CROSS] "
+            "JOIN ... ON; NATURAL/SEMI/ANTI/ASOF/USING joins and "
+            "derived tables raise)"
+        )
+    return tables
+
 
 def _rewrite_columns(spark: SparkSession, query: str) -> str:
     """DuckDB's ``COLUMNS('regex')`` / ``COLUMNS(*)`` star variant
@@ -899,11 +994,23 @@ def _rewrite_columns(spark: SparkSession, query: str) -> str:
     matter how the expression wraps it (verified: DuckDB names
     ``round(sum(COLUMNS(...)))`` outputs just the column).
 
-    Scope (honest-raise boundaries): the statement's top-level FROM
-    must be a single resolvable table/view (no joins/subqueries —
-    which table would COLUMNS bind to?), one COLUMNS call per select
-    item, no trailing alias on an expanded item (the expansion names
-    each copy after its column). Resolution uses ``spark.table`` at
+    FROM binding (round 13 — VERDICT r12 next-round #5): a depth-0
+    FROM list of plain tables/views — comma joins and
+    ``[INNER|LEFT|RIGHT|FULL [OUTER]|CROSS] JOIN … ON`` chains —
+    expands over the CONCATENATED column lists in FROM order, which
+    is DuckDB's own join-expansion order (pinned: ``customer c,
+    nation n`` expands c's matches before n's). A pattern matching
+    the same column name in two FROM tables raises (the bare-name
+    projection would be ambiguous — DuckDB qualifies such output
+    names, we stay honest instead).
+
+    Scope (honest-raise boundaries): derived tables/subqueries in
+    FROM (no resolvable column list at rewrite time), ``USING``
+    joins (USING folds the join columns out of the expansion set —
+    spell the ON form), NATURAL/SEMI/ANTI/ASOF joins (folded or
+    one-sided column sets), one COLUMNS call per select item, no
+    trailing alias on an expanded item (the expansion names each
+    copy after its column). Resolution uses ``spark.table`` at
     rewrite time — same requirement the ASOF rewrite already makes."""
     masked = _mask_string_literals(query)
     if not _COLUMNS_KW.search(masked):
@@ -918,37 +1025,13 @@ def _rewrite_columns(spark: SparkSession, query: str) -> str:
             break
     if from_m is None:
         raise ValueError("COLUMNS(...) needs a FROM clause to bind to")
-    tbl = re.match(
-        r"\s*([A-Za-z_][\w.]*)"
-        r"(?:\s+(?:AS\s+)?"
-        r"(?!(?i:WHERE|GROUP|ORDER|HAVING|LIMIT|QUALIFY|WINDOW|UNION|"
-        r"INTERSECT|EXCEPT|JOIN|ON|USING)\b)"
-        r"[A-Za-z_]\w*)?",
-        query[from_m.end():],
-    )
-    if tbl is None:
-        raise ValueError(
-            "COLUMNS(...) needs a single-table FROM (joins/subqueries "
-            "are ambiguous about which table COLUMNS binds to)"
-        )
-    # the FROM clause must END at the table (+ optional alias): a
-    # trailing JOIN / comma-list would make the binding ambiguous AND
-    # diverge from DuckDB, which expands over the whole join's columns
-    # (review round 12 — the first-token match silently bound to the
-    # left table)
-    rest_masked = _mask_string_literals(query)[from_m.end() + tbl.end():]
-    nxt = re.match(r"\s*(\S+)", rest_masked)
-    if nxt is not None and not re.match(
-        r"(?i)(WHERE|GROUP|ORDER|HAVING|LIMIT|QUALIFY|WINDOW|UNION|"
-        r"INTERSECT|EXCEPT)$",
-        nxt.group(1).rstrip(";"),
-    ):
-        raise ValueError(
-            "COLUMNS(...) needs a single-table FROM (joins/subqueries "
-            "are ambiguous about which table COLUMNS binds to); found "
-            f"{nxt.group(1)!r} after the table"
-        )
-    table_cols = spark.table(tbl.group(1)).columns
+    tables = _from_table_list(masked, from_m.end())
+    # concatenated in FROM order = DuckDB's join expansion order; a
+    # name repeated ACROSS tables only raises if a pattern matches it
+    # (checked per expansion below)
+    table_cols: list[str] = [
+        c for t in tables for c in spark.table(t).columns
+    ]
 
     list_text = query[sel.end(): from_m.start()]
     list_masked = masked[sel.end(): from_m.start()]
@@ -990,9 +1073,16 @@ def _rewrite_columns(spark: SparkSession, query: str) -> str:
                 )
             pat = re.compile(pm.group(1))
             matched = [c for c in table_cols if pat.search(c)]
+        if len(matched) != len(set(matched)):
+            dups = sorted({c for c in matched if matched.count(c) > 1})
+            raise ValueError(
+                f"COLUMNS({arg}) matches column(s) {dups} in more than "
+                "one FROM table — the bare-name expansion would be "
+                "ambiguous; narrow the pattern"
+            )
         if not matched:
             raise ValueError(
-                f"COLUMNS({arg}) matches no column of {tbl.group(1)!r}"
+                f"COLUMNS({arg}) matches no column of {tables!r}"
             )
         tail = im[close + 1:]
         if re.search(r"\bAS\s+\w+\s*$", tail, re.IGNORECASE):
@@ -1126,9 +1216,11 @@ def _maybe_summarize(spark: SparkSession, query: str):
     """DuckDB's ``SUMMARIZE <table>`` verb (round 12): routed to the
     engine's one-pass column profiler (operators/profile.py
     profile_columns — count / nulls / distinct / numeric min-max per
-    column, ONE aggregate job over the table). The output schema is
-    this engine's profile row, not DuckDB's SUMMARIZE layout (whose
-    approx percentiles are engine-specific anyway) — the verb is
+    column, ONE aggregate job over the table; since round 13 with the
+    q25/q50/q75 approx-percentile trio in the same pass, closing
+    DuckDB's SUMMARIZE column set). The output schema remains this
+    engine's profile row ordering, and the quartile VALUES are this
+    engine's sketch (DuckDB's SUMMARIZE quotes its own) — the verb is
     paste-compatibility sugar, documented as such. Returns None when
     the statement is not a SUMMARIZE."""
     # strip comments exactly like the read-only gate does — the gate
@@ -1143,7 +1235,7 @@ def _maybe_summarize(spark: SparkSession, query: str):
     from .operators.profile import profile_columns
 
     t = spark.table(m.group(1))
-    return profile_columns(t, t.columns)
+    return profile_columns(t, t.columns, percentiles=True)
 
 
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:

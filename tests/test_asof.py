@@ -1252,7 +1252,7 @@ def test_columns_expansion_guardrails(spark):
         _rewrite_columns(
             spark, "SELECT COLUMNS('zzz') FROM _t_cols_g"
         )
-    with pytest.raises(ValueError, match="single-table FROM"):
+    with pytest.raises(ValueError, match="derived table"):
         _rewrite_columns(
             spark,
             "SELECT COLUMNS('a') FROM (SELECT * FROM _t_cols_g) q",
@@ -1279,12 +1279,24 @@ def test_summarize_verb_routes_to_profiler(spark):
         "id long, v double, tag string",
     ).createOrReplaceTempView("_t_summ")
     out = dialect_sql(spark, "SUMMARIZE _t_summ")
+    # round 13: the verb carries DuckDB SUMMARIZE's quartile trio
+    assert out.columns == [
+        "column_name", "n", "n_nulls", "n_distinct",
+        "min_num", "max_num", "q25", "q50", "q75",
+    ]
     rows = {r.column_name: r for r in out.collect()}
     assert set(rows) == {"id", "v", "tag"}
     assert rows["id"].n == 3 and rows["id"].n_nulls == 0
     assert rows["id"].n_distinct == 2
     assert rows["v"].n_nulls == 1 and rows["v"].max_num == 4.0
     assert rows["tag"].n_nulls == 1
+    # quartile sanity: within [min, max], monotone, exact median of
+    # {2.0, 4.0}'s two-point sketch picks an observed value
+    v = rows["v"]
+    assert v.min_num <= v.q25 <= v.q50 <= v.q75 <= v.max_num
+    assert rows["id"].q50 in (1.0, 2.0)
+    # a non-numeric column profiles with NULL quartiles
+    assert rows["tag"].q50 is None
     # a column named 'summarize' inside a normal statement is untouched
     spark.createDataFrame(
         [(1,)], "summarize long"
@@ -1320,28 +1332,77 @@ def test_star_replace_ignores_multiplication_by_replace_fn(spark):
     assert out[0].x == 45.0
 
 
-def test_columns_raises_on_join_from(spark):
+def test_columns_expands_over_joins(spark):
+    """Round 13 (VERDICT r12 next-round #5): COLUMNS binds to the
+    CONCATENATED column set of a depth-0 FROM join list in FROM order
+    — DuckDB's own join-expansion semantics — for comma joins and
+    ON-joins, alias-qualified or not; derived tables / USING /
+    NATURAL joins keep honest raises."""
     import pytest
 
     from rusty_timeseries_db_spark.sql_ext import _rewrite_columns
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
 
-    spark.createDataFrame([(1,)], "a long").createOrReplaceTempView(
-        "_t_cj1"
+    spark.createDataFrame([(1, 10.0)], "a long, av double") \
+        .createOrReplaceTempView("_t_cj1")
+    spark.createDataFrame([(1, 20.0)], "b long, bv double") \
+        .createOrReplaceTempView("_t_cj2")
+
+    # ON join: expansion covers BOTH tables' matches, left first
+    out = dialect_sql(
+        spark,
+        "SELECT COLUMNS('v$') FROM _t_cj1 JOIN _t_cj2 ON a = b",
     )
-    spark.createDataFrame([(1,)], "b long").createOrReplaceTempView(
-        "_t_cj2"
+    assert out.columns == ["av", "bv"]
+    assert out.collect()[0][:] == (10.0, 20.0)
+
+    # comma join + WHERE, aliased tables, expression wrapper
+    out2 = dialect_sql(
+        spark,
+        "SELECT CAST(SUM(COLUMNS('v$')) AS DOUBLE) "
+        "FROM _t_cj1 t1, _t_cj2 t2 WHERE t1.a = t2.b",
     )
-    with pytest.raises(ValueError, match="single-table FROM"):
+    assert out2.columns == ["av", "bv"]
+
+    # LEFT OUTER JOIN chain of three tables
+    spark.createDataFrame([(1, 30.0)], "c long, cv double") \
+        .createOrReplaceTempView("_t_cj3")
+    out3 = dialect_sql(
+        spark,
+        "SELECT COLUMNS('v$') FROM _t_cj1 "
+        "LEFT OUTER JOIN _t_cj2 ON a = b "
+        "LEFT JOIN _t_cj3 ON a = c",
+    )
+    assert out3.columns == ["av", "bv", "cv"]
+
+    # ambiguous match across tables raises
+    spark.createDataFrame([(1, 1.0)], "a long, av double") \
+        .createOrReplaceTempView("_t_cj1b")
+    with pytest.raises(ValueError, match="more than one FROM table"):
         _rewrite_columns(
             spark,
-            "SELECT COLUMNS('a') FROM _t_cj1 JOIN _t_cj2 ON a = b",
+            "SELECT COLUMNS('^a') FROM _t_cj1 JOIN _t_cj1b ON 1 = 1",
         )
-    with pytest.raises(ValueError, match="single-table FROM"):
+
+    # honest-raise boundaries
+    with pytest.raises(ValueError, match="USING"):
         _rewrite_columns(
-            spark, "SELECT COLUMNS('a') FROM _t_cj1, _t_cj2"
+            spark,
+            "SELECT COLUMNS('v$') FROM _t_cj1 JOIN _t_cj2 USING (a)",
         )
+    with pytest.raises(ValueError, match="derived table"):
+        _rewrite_columns(
+            spark,
+            "SELECT COLUMNS('v$') FROM (SELECT * FROM _t_cj1) q",
+        )
+    with pytest.raises(ValueError, match="cannot bind through"):
+        _rewrite_columns(
+            spark,
+            "SELECT COLUMNS('v$') FROM _t_cj1 NATURAL JOIN _t_cj2",
+        )
+
     # an aliased single table still works
-    out = _rewrite_columns(
-        spark, "SELECT COLUMNS('a') FROM _t_cj1 AS t WHERE t.a > 0"
+    out4 = _rewrite_columns(
+        spark, "SELECT COLUMNS('^a$') FROM _t_cj1 AS t WHERE t.a > 0"
     )
-    assert "a AS a" in out
+    assert "a AS a" in out4

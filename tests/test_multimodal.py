@@ -315,3 +315,88 @@ def test_resize_stub(assets):
         assert len(r.payload) == 64
         assert r.meta.width == 8 and r.meta.height == 8
         assert len(r.meta.sha256) == 64
+
+
+# -------------------------------- JPEG SOF scan + meta probe (round 13)
+
+def _jpeg_bytes(width: int, height: int, sof: int = 0xC0, ncomp: int = 3
+                ) -> bytes:
+    """Minimal well-formed JPEG header stream: SOI, an APP0 (JFIF), a
+    DQT the scanner must skip, the SOFn frame header under test, SOS,
+    fake entropy bytes, EOI. The marker walk never needs real entropy
+    data — dimensions live entirely in SOF."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + bytes(65)
+    sof_body = (
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([ncomp])
+        + bytes(3 * ncomp)
+    )
+    sof_seg = bytes([0xFF, sof]) + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes(6)
+    return b"\xff\xd8" + app0 + dqt + sof_seg + sos + b"\x12\x34" + b"\xff\xd9"
+
+
+def test_jpeg_sof_dimensions():
+    from rusty_timeseries_db_spark.operators.multimodal import (
+        decode_jpeg_meta,
+    )
+
+    assert decode_jpeg_meta(_jpeg_bytes(9, 7)) == (9, 7, 3)
+    # progressive (SOF2) and grayscale flavors
+    assert decode_jpeg_meta(_jpeg_bytes(640, 480, sof=0xC2)) == (640, 480, 3)
+    assert decode_jpeg_meta(_jpeg_bytes(31, 17, ncomp=1)) == (31, 17, 1)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_meta(b"not a jpeg")
+    with pytest.raises(ValueError, match="SOF"):
+        # SOI + EOI only: no frame header
+        decode_jpeg_meta(b"\xff\xd8\xff\xd9")
+    # DHT (0xC4) is NOT a SOF flavor and must be skipped, not parsed
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + bytes(3)
+    assert decode_jpeg_meta(
+        b"\xff\xd8" + dht + _jpeg_bytes(5, 4)[2:]
+    ) == (5, 4, 3)
+
+
+def test_probe_asset_meta_fills_headers(spark):
+    from rusty_timeseries_db_spark.operators.multimodal import (
+        encode_bmp,
+        probe_asset_meta,
+    )
+
+    bmp = encode_bmp([[(1, 2, 3), (4, 5, 6)]])  # 2x1 BMP
+    jpg = _jpeg_bytes(123, 45)
+    wav = _wav_bytes()
+    df = spark.createDataFrame(
+        [("j", "image/jpeg", bytearray(jpg)),
+         ("b", "image/bmp", bytearray(bmp)),
+         ("w", "audio/wav", bytearray(wav)),
+         ("x", "video/mp4", bytearray(b"\x00\x00junk"))],
+        "id string, m string, payload binary",
+    )
+    out = {}
+    for mime in ["image/jpeg", "image/bmp", "audio/wav", "video/mp4"]:
+        a = make_assets(
+            df.filter(F.col("m") == mime), "id", "payload", mime
+        )
+        for r in probe_asset_meta(a).collect():
+            out[r.asset_id] = r
+    assert (out["j"].meta.width, out["j"].meta.height) == (123, 45)
+    assert (out["b"].meta.width, out["b"].meta.height) == (2, 1)
+    assert out["w"].meta.duration_ms is not None
+    # unknown mime: probe is an enrichment, meta passes through intact
+    assert out["x"].meta.width is None
+    assert out["x"].meta.sha256 is not None  # make_assets' sha survives
+
+
+def _wav_bytes(rate: int = 8000, n: int = 4000) -> bytes:
+    """Mono 16-bit PCM WAV of n zero samples (n/rate seconds)."""
+    body = struct.pack(f"<{n}h", *([0] * n))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
