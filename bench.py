@@ -178,6 +178,7 @@ def main() -> None:
 
     _bench_serving_reads(spark, sf_dir, timings, exclude)
     calibration = _calibration_seconds(spark)
+    calibration_io = _calibration_io_seconds(spark, sf_dir)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -196,6 +197,15 @@ def main() -> None:
                 # calibration ratio separates machine drift from code
                 # regressions without a worktree A/B.
                 "calibration_seconds": calibration,
+                # second, I/O-SHAPED probe (VERDICT r12 what's-wrong
+                # #1): the r12 driver run slowed the parquet-heavy
+                # suite ~1.3x while the CPU probe read FASTER — one
+                # scalar cannot normalize contention that hits
+                # compute and I/O differently. Drift attribution now
+                # requires BOTH ratios to agree (SCALE.md two-probe
+                # rule); disagreement marks the run's suite delta
+                # unattributable environment skew, not a code signal.
+                "calibration_io_seconds": calibration_io,
             }
         )
     )
@@ -232,6 +242,45 @@ def _calibration_seconds(spark) -> float:
     cal = round(sorted(reps)[1], 4)
     print(f"# calibration: {cal:.3f}s (reps {[round(r, 3) for r in reps]})",
           file=sys.stderr)
+    return cal
+
+
+def _calibration_io_seconds(spark, sf_dir: str) -> float:
+    """Fixed I/O-shaped calibration: a full scan + cheap aggregate of
+    the bench scale factor's ``lineitem.parquet`` (the suite's
+    heaviest input, already page-cache-warm from the suite itself —
+    so this measures the steady-state read path the timed queries
+    actually use: file listing, footer decode, column decompression,
+    and the scan→agg pipeline, with negligible compute). Paired with
+    the CPU-bound probe above it spans both resource axes an external
+    co-tenant can contend on; the reported figure is the median of 3
+    timed runs after one warm run, same protocol."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if not os.path.exists(path):
+        return float("nan")
+
+    def _plan():
+        return (
+            spark.read.parquet(path)
+            .select(
+                F.sum(F.col("l_quantity").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    _plan().write.format("noop").mode("overwrite").save()  # warm
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _plan().write.format("noop").mode("overwrite").save()
+        reps.append(time.perf_counter() - t0)
+    cal = round(sorted(reps)[1], 4)
+    print(
+        f"# calibration_io: {cal:.3f}s (reps {[round(r, 3) for r in reps]})",
+        file=sys.stderr,
+    )
     return cal
 
 

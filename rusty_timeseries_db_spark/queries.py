@@ -66,97 +66,59 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r{01..11}.json (rebuilt
-# with gen_rotation.py entering round 12): 47 queries were last
-# driver-checked in r08, 50 in r09 (the dict-default tier), 50 in
-# r10, 50 in r11; 11 declared in r11 have NEVER had a driver row
-# (VERDICT r11 next-round #1 — judge-hash-green, but the strict bar
-# wants driver rows). Round-12 window: those 11 + this round's new
-# queries in _ROUND_MODIFIED, then the stalest r08-tier queries fill
-# the remaining slots (declaration order breaks ties). TWO-ROUND
-# PLAN (VERDICT r11 next-round #1 Done criterion): with
-# len(_ROUND_MODIFIED) = M, (50 - M) of the 47 r08-tier queries run
-# in r12 and the remaining (M - 3) r08-tier queries MUST head the
-# r13 window (they will then be the oldest tier by construction —
-# gen_rotation.py entering r13 will show them as the min tier, so
-# the standard stalest-first rule discharges the plan
-# automatically). Every query not in the window is still covered by
-# run_parity.py locally (full 208-query sweep, re-run after each
-# change on fresh testdata) and the judge's own sweep.
+# the per-query max round over CORRECTNESS_r{01..12}.json (rebuilt
+# with gen_rotation.py entering round 13): 25 queries were last
+# driver-checked in r08, 50 in r09 (the dict-default tier), 48 in
+# r10, 50 in r11, 50 in r12. Round-13 window (VERDICT r12 next-round
+# #1, discharging the r11 two-round plan): _ROUND_MODIFIED (3 new +
+# 2 re-certified) first, then ALL 25 r08-tier queries, then the
+# stalest r09-tier queries fill the remaining slots (declaration
+# order breaks ties) — after this round no query's latest driver row
+# is older than r09. Every query not in the window is still covered
+# by run_parity.py locally (full sweep, re-run after each change on
+# fresh testdata) and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 12, tier 1: the 11 r11-declared queries that have never
-    # had a driver CORRECTNESS row (VERDICT r11 next-round #1) —
-    # every r11 operator earns its green row this round.
-    "q_duplicate_spans", "q_boilerplate_profile", "q_paragraph_dedup",
-    "q_dsir_weights", "q_dsir_select", "q_temperature_sample",
-    "q_domain_kl_divergence", "q_predict_linear", "q_sql_distinct_on",
-    "q_sql_star_exclude", "q_sql_group_by_all",
-    # round 12, tier 2: new queries declared this round (each enters
-    # this set in the same commit that declares it).
-    "q_sql_distinct_on_nested", "q_duplicate_span_removal",
-    "q_corpus_stream_served", "q_corpus_pipeline_dsir",
-    "q_bm25_topk", "q_promql_irate", "q_span_decontamination",
-    "q_sql_star_replace", "q_asof_inner_sql", "q_merge_upsert",
-    "q_embedding_quantization", "q_pit_features",
-    "q_data_quality_report", "q_soft_dedup_weights",
-    "q_sql_columns_expr",
-    # the ASOF dialect's join-type change (bare = inner since r12)
-    # touches these two certified queries' SQL text (now spelled
-    # ASOF LEFT JOIN; results unchanged) — window rule (a):
-    "q_asof_sql", "q_asof_qualify_sql",
+    # round 13, new queries (each enters this set in the same commit
+    # that declares it): the persisted-BM25-index slot, the
+    # oracle-certified streaming PIT enrichment sink, and the
+    # COLUMNS-over-joins dialect slot
+    "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
+    # round 13, re-certified after behavior-relevant changes:
+    # counter_irate's value precision widened to decimal(28,12)
+    # (oracle SQL changed in lockstep); merge_upsert's insert leg now
+    # carries every source-carried target column
+    "q_promql_irate", "q_merge_upsert",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r{01..11}.json): 47 last ran in r08, 50 in r10, 50 in
-#: r11; the remaining 50 ran in r09 and form the dict default
-#: (`.get(name, 9)` in _ordered_registry).
+#: CORRECTNESS_r{01..12}.json): 25 last ran in r08, 48 in r10, 50 in
+#: r11, 50 in r12; the remaining 50 ran in r09 and form the dict
+#: default (`.get(name, 9)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
     **dict.fromkeys([
-        "q_approx_top_k",
         "q_audience_jaccard",
         "q_autocorr_lag1",
-        "q_chunk_documents",
         "q_column_profile",
-        "q_continuous_rollup",
         "q_corpus_pipeline_chunked",
-        "q_counter_increase",
         "q_cusum_changepoints",
         "q_daily_vs_trailing_week",
         "q_delta_compression_stats",
-        "q_embedding_neardup_lsh",
         "q_heavy_hitter_share",
-        "q_histogram",
-        "q_histogram_quantile",
         "q_interarrival_burstiness",
         "q_kmeans_step",
-        "q_linear_interp",
-        "q_lttb_downsample",
-        "q_minmax_decimate",
         "q_moving_median",
         "q_ohlc_bars",
         "q_outlier_mad",
         "q_pii_scrub",
-        "q_python_udtf",
-        "q_rate_per_second",
-        "q_rolling_hash_fingerprint",
         "q_sax_motifs",
         "q_sax_symbols",
-        "q_scd2_merge",
         "q_seasonal_backtest",
         "q_series_align_ratio",
         "q_series_gap_report",
-        "q_similarity_ivf",
         "q_similarity_ivf_index",
         "q_spearman_corr",
-        "q_time_weighted_avg",
         "q_top_movers",
         "q_topk_with_ties",
-        "q_topn_with_others",
-        "q_tpch_q10_returned_items",
-        "q_tpch_q2_min_cost_supplier",
-        "q_tpch_q3_shipping_priority",
-        "q_tpch_q5_local_supplier",
-        "q_training_corpus_pipeline",
         "q_value_heatmap_2d",
         "q_zorder_stats",
     ], 8),
@@ -164,8 +126,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_agg_pricing_summary",
         "q_agg_stats",
         "q_asof_nearest",
-        "q_asof_qualify_sql",
-        "q_asof_sql",
         "q_bigram_vocab",
         "q_bool_aggs",
         "q_cohort_retention",
@@ -264,12 +224,64 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_window_lag_lead",
         "q_window_topk_per_group",
     ], 11),
+    **dict.fromkeys([
+        "q_approx_top_k",
+        "q_asof_inner_sql",
+        "q_asof_qualify_sql",
+        "q_asof_sql",
+        "q_bm25_topk",
+        "q_boilerplate_profile",
+        "q_chunk_documents",
+        "q_continuous_rollup",
+        "q_corpus_pipeline_dsir",
+        "q_corpus_stream_served",
+        "q_counter_increase",
+        "q_data_quality_report",
+        "q_domain_kl_divergence",
+        "q_dsir_select",
+        "q_dsir_weights",
+        "q_duplicate_span_removal",
+        "q_duplicate_spans",
+        "q_embedding_neardup_lsh",
+        "q_embedding_quantization",
+        "q_histogram",
+        "q_histogram_quantile",
+        "q_linear_interp",
+        "q_lttb_downsample",
+        "q_merge_upsert",
+        "q_minmax_decimate",
+        "q_paragraph_dedup",
+        "q_pit_features",
+        "q_predict_linear",
+        "q_promql_irate",
+        "q_python_udtf",
+        "q_rate_per_second",
+        "q_rolling_hash_fingerprint",
+        "q_scd2_merge",
+        "q_similarity_ivf",
+        "q_soft_dedup_weights",
+        "q_span_decontamination",
+        "q_sql_columns_expr",
+        "q_sql_distinct_on",
+        "q_sql_distinct_on_nested",
+        "q_sql_group_by_all",
+        "q_sql_star_exclude",
+        "q_sql_star_replace",
+        "q_temperature_sample",
+        "q_time_weighted_avg",
+        "q_topn_with_others",
+        "q_tpch_q10_returned_items",
+        "q_tpch_q2_min_cost_supplier",
+        "q_tpch_q3_shipping_priority",
+        "q_tpch_q5_local_supplier",
+        "q_training_corpus_pipeline",
+    ], 12),
 }
 
 
 def _ordered_registry() -> list[QuerySpec]:
     """This round's new/modified queries first, then stalest-driver-row
-    first (r07-last, then r08, then the r09 dict-default, then r10);
+    first (r08-last, then the r09 dict-default, then r10/r11/r12);
     declaration order breaks ties (Python sort is stable)."""
     names = {q.name for q in _REGISTRY}
     assert _ROUND_MODIFIED <= names, (
