@@ -30,7 +30,7 @@ Scale shape (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import word_tokens
@@ -378,3 +378,58 @@ class Bm25Index:
             "n_added": int(man.get("n_added", 0)) + n,
         })
         return n
+
+
+# ------------------------------------------------- hybrid retrieval
+
+def rrf_fuse(
+    rankings: "dict[str, tuple[DataFrame, str]]",
+    id_col: str = "doc_id",
+    k: int = 50,
+    rrf_k: int = 60,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    bounded candidate lists — the standard hybrid-retrieval combiner
+    (BM25 ∪ dense-embedding top-k feeding a RAG pipeline): each list
+    contributes ``1 / (rrf_k + rank)`` per candidate and the fused
+    score is the sum, so agreement between retrievers dominates any
+    single retriever's score scale (scores are never compared across
+    lists — only RANKS are, which is the whole trick).
+
+    ``rankings`` maps a list name to ``(df, score_col)``; each df is
+    ranked by ``score_col`` DESC with ties broken by ``id_col`` ASC —
+    a total order, so ranks (and therefore the fused output) are
+    engine-reproducible. Returns ``(id_col, n_lists, rrf)`` sorted by
+    fused score desc / id asc, limited to ``k``.
+
+    Scale contract: inputs are TOP-K CANDIDATE LISTS (the bounded
+    outputs of :func:`bm25_topk` / ``Bm25Index.query`` /
+    ``similarity.cosine_topk``), so the union this operator ranks is
+    ≤ |rankings|·k rows — broadcast-scale by construction. The
+    per-list rank is a single-partition window, which is exactly
+    right at that size and would be wrong on corpus-sized input; the
+    expensive work (scoring the corpus) already happened inside the
+    retrievers, each with its own distributed plan."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    ranked = None
+    for name, (df, score_col) in rankings.items():
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        r = df.select(
+            F.col(id_col),
+            F.row_number().over(w).alias("_r"),
+        )
+        ranked = r if ranked is None else ranked.unionByName(r)
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("_r"))),
+                score_decimals,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -83,6 +83,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # oracle-certified streaming PIT enrichment sink, and the
     # COLUMNS-over-joins dialect slot
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
+    "q_hybrid_rrf",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -5847,6 +5848,102 @@ def q_bm25_index(spark, sf_dir):
     idx = Bm25Index(spark, path).build(d.filter(F.col("doc_id") % 4 != 1))
     idx.add(d.filter(F.col("doc_id") % 4 == 1))
     return idx.query(["dup", "filter", "sort", "stream", "vector"], k=40)
+
+
+@declare(
+    "q_hybrid_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(ws)) AS avgdl
+      FROM toks
+    ),
+    hits AS (
+      SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+             unnest(list_filter(ws,
+               x -> list_contains(['hash', 'merge', 'scan', 'slow'], x)
+             )) AS t
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY 1, 2, 3
+    ),
+    dfq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY t),
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 6) AS bm25
+      FROM tf CROSS JOIN stats JOIN dfq USING (t)
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             list_aggregate(list_transform(list_zip(c.embedding, qv.v),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(qv.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cs
+      FROM embeddings c, qv
+      ORDER BY cs DESC, doc_id LIMIT 50
+    ),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm
+      UNION ALL
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+      FROM cos
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           ROUND(SUM(1.0 / (60 + r)), 6) AS rrf
+    FROM ranked GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 25
+    """,
+    doc="hybrid retrieval via reciprocal-rank fusion (round 13; "
+    "operators/retrieval.py rrf_fuse — Cormack et al. 2009, the "
+    "standard BM25-union-dense combiner in RAG stacks): the BM25 "
+    "top-50 lexical list and the exact cosine top-50 dense list "
+    "(query = embedding 0) fuse by 1/(60+rank) — only RANKS cross "
+    "the list boundary, never score scales — and the top 25 fused "
+    "candidates return. Scale shape: each retriever runs its own "
+    "distributed plan (filtered-explode inverted index; broadcast-"
+    "query brute cosine); the fusion itself ranks a <= 2*k-row "
+    "union, broadcast-scale by construction. Oracle recomputes both "
+    "lists and the fusion in DuckDB SQL; ranks make the hash immune "
+    "to score-scale drift, so any retriever-ordering or fusion "
+    "regression diverges it.",
+)
+def q_hybrid_rrf(spark, sf_dir):
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    d = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    bm = bm25_topk(
+        d, ["hash", "merge", "scan", "slow"], id_col="doc_id",
+        text_col="text", k=50,
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cos = cosine_topk(
+        emb, qv, k=50, corpus_id="vec_id", corpus_vec="embedding",
+        query_id="query_id", query_vec="embedding",
+    ).select(F.col("vec_id").alias("doc_id"), "cos_sim")
+    return rrf_fuse(
+        {"lexical": (bm, "bm25"), "dense": (cos, "cos_sim")},
+        id_col="doc_id", k=25,
+    )
 
 
 @declare(

@@ -118,3 +118,47 @@ def test_empty_terms_raises(spark, tmp_path):
     idx = Bm25Index(spark, str(tmp_path / "bm25")).build(docs)
     with pytest.raises(ValueError):
         idx.query([])
+
+
+# ----------------------------------------------- RRF fusion (round 13)
+
+def test_rrf_fuse_hand_computed(spark):
+    """Fused scores equal the hand-computed 1/(60+rank) sums; a doc in
+    both lists outranks a doc in one; ranks come from (score desc, id
+    asc) so a score tie breaks deterministically."""
+    from rusty_timeseries_db_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, s double"
+    )
+    out = {
+        r.doc_id: (r.n_lists, r.rrf)
+        for r in rrf_fuse(
+            {"a": (a, "s"), "b": (b, "s")}, id_col="doc_id", k=10
+        ).collect()
+    }
+    # list a ranks: 1->1, 2->2 (tie with 3 broken by id), 3->3
+    # list b ranks: 2->1, 4->2
+    assert out[1] == (1, round(1 / 61, 6))
+    assert out[2] == (2, round(1 / 62 + 1 / 61, 6))
+    assert out[3] == (1, round(1 / 63, 6))
+    assert out[4] == (1, round(1 / 62, 6))
+    # both-lists doc 2 beats every single-list doc
+    assert out[2][1] > max(out[1][1], out[3][1], out[4][1])
+
+
+def test_rrf_fuse_k_cut_and_empty_raises(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "doc_id long, s double"
+    )
+    got = rrf_fuse({"a": (a, "s")}, id_col="doc_id", k=3).collect()
+    assert [r.doc_id for r in got] == [0, 1, 2]
+    with pytest.raises(ValueError):
+        rrf_fuse({}, id_col="doc_id")
