@@ -45,6 +45,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "cartesian": "documented broadcast brute-force ANN baseline "
         "(breaks even vs bucketed at corpus scale, SCALE.md)"
     },
+    "q_hybrid_rrf": {
+        "cartesian": "the dense leg IS cosine_topk's documented "
+        "broadcast brute-force baseline (1-row query batch x corpus; "
+        "same allowance as q_similarity_bruteforce) — swap in the "
+        "IVF index for the dense list at corpus scale, the fusion "
+        "is retriever-agnostic"
+    },
     "q_embedding_neardup_exact": {
         "cartesian": "exact all-pairs oracle baseline for the LSH "
         "recall tests (excluded from bench; QUERIES.md rationale)"

@@ -215,6 +215,23 @@ class Bm25Index:
     ) -> "Bm25Index":
         from ..fsutil import write_json_manifest
 
+        # corpus stats count EVERY doc (a token-less doc has no
+        # posting but still dilutes avgdl); computed FIRST so an
+        # empty corpus raises before any files land (an all-empty
+        # partitioned write leaves nothing to re-read for df)
+        n, sum_dl = corpus.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.size(word_tokens(text_col)).cast("double")),
+                F.lit(0.0),
+            ).alias("s"),
+        ).first()
+        if int(n) == 0 or float(sum_dl) == 0.0:
+            raise ValueError(
+                "Bm25Index.build needs a corpus with at least one "
+                "token (stream increments join via add()/the "
+                "streaming index sink)"
+            )
         post = self._postings(corpus, id_col, text_col, n_shards)
         (
             post.write.mode("overwrite")
@@ -232,16 +249,6 @@ class Bm25Index:
         terms.write.mode("overwrite").partitionBy("_shard").parquet(
             self.terms_path
         )
-        # corpus stats count EVERY doc (a token-less doc has no
-        # posting but still dilutes avgdl — bm25_topk's stats frame
-        # does the same); 1-row collect, the rollup-bound precedent
-        n, sum_dl = corpus.select(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.size(word_tokens(text_col)).cast("double")),
-                F.lit(0.0),
-            ).alias("s"),
-        ).first()
         write_json_manifest(self.spark, self.manifest_path, {
             "n_docs": int(n),
             "sum_dl": float(sum_dl),

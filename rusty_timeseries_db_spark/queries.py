@@ -83,7 +83,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # oracle-certified streaming PIT enrichment sink, and the
     # COLUMNS-over-joins dialect slot
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
-    "q_hybrid_rrf",
+    "q_hybrid_rrf", "q_bm25_stream_indexed",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -5848,6 +5848,102 @@ def q_bm25_index(spark, sf_dir):
     idx = Bm25Index(spark, path).build(d.filter(F.col("doc_id") % 4 != 1))
     idx.add(d.filter(F.col("doc_id") % 4 == 1))
     return idx.query(["dup", "filter", "sort", "stream", "vector"], k=40)
+
+
+@declare(
+    "q_bm25_stream_indexed",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(ws)) AS avgdl
+      FROM toks
+    ),
+    hits AS (
+      SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+             unnest(list_filter(ws,
+               x -> list_contains(['batch', 'key', 'window'], x)
+             )) AS t
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY 1, 2, 3
+    ),
+    dfq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY t),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             ROUND(SUM(
+               ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 6) AS bm25
+      FROM tf CROSS JOIN stats JOIN dfq USING (t)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 30
+    """,
+    doc="STREAMING BM25 index maintenance, oracle-certified end-to-end "
+    "(round 13; streaming/index.py start_bm25_index_sink): the index "
+    "is built on ~60% of documents, the rest arrive as a JSON "
+    "drop-dir stream in two mtime-ordered micro-batches applied by "
+    "the REAL foreachBatch sink (Bm25Index.add postings + df-delta "
+    "appends, manifest last_applied_batch watermark making replays "
+    "idempotent — contract unit-tested in tests/test_retrieval.py), "
+    "then the index serves the query and the ORACLE IS THE "
+    "FULL-CORPUS DuckDB BM25 — any missed batch, double-applied "
+    "replay, or df-delta miscount diverges the hash.",
+)
+def q_bm25_stream_indexed(spark, sf_dir):
+    import glob
+    import json
+
+    from .operators.retrieval import Bm25Index
+    from .streaming.index import start_bm25_index_sink
+
+    root = _fixture_dir("q_bm25_stream_indexed")
+    path = os.path.join(root, "bm25")
+    src = os.path.join(root, "drop")
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 5 < 3)
+    stream_docs = d.filter(F.col("doc_id") % 5 >= 3)
+    Bm25Index(spark, path).build(base)
+
+    # micro-batch 0: one coalesced file; micro-batch 1: a second file
+    # mtime-ordered after it
+    stream_docs.filter(F.col("doc_id") % 5 == 3).coalesce(1) \
+        .write.mode("overwrite").json(src)
+    p2 = os.path.join(src, "zz_batch2.json")
+    with open(p2, "w") as f:
+        for r in stream_docs.filter(F.col("doc_id") % 5 == 4).collect():
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    latest = max(
+        os.path.getmtime(p) for p in glob.glob(os.path.join(src, "part-*"))
+    )
+    os.utime(p2, (latest + 10, latest + 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_bm25_index_sink(
+        stream, path, os.path.join(root, "ckpt"), available_now=True
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("bm25 index stream did not drain in 300s")
+
+    idx = Bm25Index(spark, path)
+    if idx._manifest()["last_applied_batch"] < 1:
+        raise RuntimeError("expected two applied micro-batches")
+    return idx.query(["batch", "key", "window"], k=30)
 
 
 @declare(

@@ -1,0 +1,90 @@
+"""Streaming search-index maintenance — keep a persisted
+:class:`..operators.retrieval.Bm25Index` current as documents stream
+in (round 13; the serving loop the persisted index exists for:
+ingest → index → query without ever re-scanning the corpus).
+
+Shape: the index is BUILT once from the initial corpus (build() — the
+batch operator), then every micro-batch of new documents is applied
+with ``Bm25Index.add`` inside ``foreachBatch`` — postings + df-delta
+appends into the term-sharded layout, O(batch) work, after which
+queries see the new documents with EXACT scores (BM25 has no
+quantizer; there is no recall drift to watch, unlike the IVF add
+path).
+
+Delivery contract (honest): at-least-once with an idempotent skip of
+FULLY-applied batches — ``apply_bm25_batch`` records
+``last_applied_batch`` in the index manifest and a replayed
+``batch_id`` ≤ that mark is a no-op, so the common restart (crash
+AFTER a batch commits, offsets not yet advanced) does not
+double-count documents. A crash strictly BETWEEN the postings append
+and the manifest bump can still double-apply that one batch on
+replay — the same window every append-mode foreachBatch sink has;
+the corpus telemetry sink closes it with a CAS ledger
+(streaming/ingest.py), and the equivalent here is a full
+``build()`` re-run, which heals the index from the source corpus.
+No reference analog (main.rs is numeric telemetry only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..fsutil import write_json_manifest
+from ..operators.retrieval import Bm25Index
+
+
+def apply_bm25_batch(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    id_col: str | None = None,
+    text_col: str = "text",
+) -> int:
+    """Apply ONE micro-batch to the index, idempotently: returns the
+    number of docs added, or 0 when ``batch_id`` was already fully
+    applied (manifest ``last_applied_batch`` watermark). Factored out
+    of the sink so the replay contract is unit-testable without a
+    streaming harness."""
+    idx = Bm25Index(spark, index_path)
+    man = idx._manifest()  # raises FileNotFoundError before build()
+    if batch_id <= int(man.get("last_applied_batch", -1)):
+        return 0
+    n = idx.add(batch, id_col=id_col, text_col=text_col)
+    man2 = idx._manifest()
+    man2["last_applied_batch"] = int(batch_id)
+    write_json_manifest(spark, idx.manifest_path, man2)
+    return n
+
+
+def start_bm25_index_sink(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str | None = None,
+    text_col: str = "text",
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Maintain a built ``Bm25Index`` from a document stream: each
+    micro-batch runs :func:`apply_bm25_batch`. The index must exist
+    (``Bm25Index(...).build(initial_corpus)``) before the sink starts
+    — the build defines the sharding the appends route into."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        apply_bm25_batch(
+            batch.sparkSession, index_path, batch, batch_id,
+            id_col=id_col, text_col=text_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", os.path.join(checkpoint_dir, "bm25_index")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

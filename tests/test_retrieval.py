@@ -162,3 +162,87 @@ def test_rrf_fuse_k_cut_and_empty_raises(spark):
     assert [r.doc_id for r in got] == [0, 1, 2]
     with pytest.raises(ValueError):
         rrf_fuse({}, id_col="doc_id")
+
+
+# ------------------------------- streaming index maintenance (round 13)
+
+def test_apply_bm25_batch_idempotent(spark, tmp_path):
+    """The replay contract: a batch_id at or below the manifest's
+    last_applied_batch watermark is a no-op — the common foreachBatch
+    restart (crash after commit, offsets not advanced) cannot
+    double-count documents."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.streaming.index import apply_bm25_batch
+
+    docs = _docs(spark)
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(first)
+
+    n1 = apply_bm25_batch(spark, path, rest, batch_id=0)
+    assert n1 == rest.count()
+    want = _rows(idx.query(TERMS, k=20))
+    # replayed batch: skipped, index unchanged
+    assert apply_bm25_batch(spark, path, rest, batch_id=0) == 0
+    assert _rows(Bm25Index(spark, path).query(TERMS, k=20)) == want
+    # a NEW batch id still applies — an empty batch adds nothing but
+    # IS processed, so the watermark advances past it
+    extra = rest.limit(0)
+    assert apply_bm25_batch(spark, path, extra, batch_id=1) == 0
+    assert idx._manifest()["last_applied_batch"] == 1
+
+
+def test_streaming_bm25_index_sink_end_to_end(spark, tmp_path):
+    """Build on half the corpus, stream the other half through the
+    REAL sink in two micro-batches — queries after the drain must
+    equal the ad-hoc operator over the FULL corpus (add() is exact)."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.streaming.index import (
+        start_bm25_index_sink,
+    )
+
+    docs = _docs(spark).select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") < 250)
+    rest = docs.filter(F.col("doc_id") >= 250)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(first)
+
+    src = str(tmp_path / "drop")
+    rest.filter(F.col("doc_id") < 400).coalesce(1) \
+        .write.mode("overwrite").json(src)
+    # second file, mtime-ordered into its own micro-batch
+    p2 = os.path.join(src, "zz_batch2.json")
+    with open(p2, "w") as f:
+        for r in rest.filter(F.col("doc_id") >= 400).collect():
+            import json as _json
+
+            f.write(_json.dumps(
+                {"doc_id": r.doc_id, "text": r.text}) + "\n")
+    latest = max(
+        os.path.getmtime(p) for p in glob.glob(os.path.join(src, "part-*"))
+    )
+    os.utime(p2, (latest + 10, latest + 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_bm25_index_sink(
+        stream, path, str(tmp_path / "ckpt"), available_now=True
+    )
+    assert q.awaitTermination(180)
+
+    man = idx._manifest()
+    assert man["last_applied_batch"] >= 1  # two micro-batches landed
+    assert man["n_docs"] == docs.count()
+    got = _rows(Bm25Index(spark, path).query(TERMS, k=25))
+    want = _rows(bm25_topk(docs, TERMS, k=25))
+    assert got == want
