@@ -104,6 +104,13 @@ HEADLINE = [
     "q_duplicate_span_removal",
     "q_span_decontamination",
     "q_bm25_topk",
+    # added round 13 (subtract for apples-to-apples vs r12): the
+    # persisted BM25 index lifecycle (build + incremental add + a
+    # shard-pruned query — gates the INDEX-build path, the one-time
+    # cost the serving deployment amortizes) and hybrid RRF retrieval
+    # (both retrievers + the bounded-union fusion)
+    "q_bm25_index",
+    "q_hybrid_rrf",
 ]
 
 
