@@ -83,7 +83,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # oracle-certified streaming PIT enrichment sink, and the
     # COLUMNS-over-joins dialect slot
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
-    "q_hybrid_rrf", "q_bm25_stream_indexed",
+    "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -1458,6 +1458,41 @@ def q_sql_columns_join(spark, sf_dir):
         "FROM _q_cj_lineitem JOIN _q_cj_orders "
         "ON l_orderkey = o_orderkey "
         "GROUP BY o_orderpriority",
+    )
+
+
+@declare(
+    "q_sql_pivot",
+    """
+    PIVOT events ON event_type
+    USING min(CAST(round(value * 100) AS BIGINT)) AS mn,
+          max(CAST(round(value * 100) AS BIGINT)) AS mx
+    GROUP BY user_id
+    """,
+    doc="DuckDB's PIVOT statement through the dialect entry (round "
+    "13; sql_ext._maybe_pivot): PIVOT <table> ON <col> USING <agg> "
+    "AS <name>[, ...] [GROUP BY <cols>] routes to "
+    "groupBy().pivot(col, values).agg(...) with the pivot values "
+    "resolved at rewrite time (distinct non-NULL, sorted — DuckDB's "
+    "expansion) and output columns renamed <value>_<alias> to "
+    "DuckDB's naming. The oracle runs the ORIGINAL statement "
+    "natively on DuckDB, so value discovery, implicit NULL-row "
+    "drop, grouping and cell aggregation must all line up. "
+    "Exact-integer cell values (cents) keep the hash "
+    "engine-agnostic. Pinned divergence (documented): an EMPTY cell "
+    "under a count aggregate reads 0 in DuckDB, NULL in Spark's "
+    "pivot — this query's min/max cells agree on NULL.",
+)
+def q_sql_pivot(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return dialect_sql(
+        spark,
+        "PIVOT events ON event_type "
+        "USING min(CAST(round(value * 100) AS BIGINT)) AS mn, "
+        "max(CAST(round(value * 100) AS BIGINT)) AS mx "
+        "GROUP BY user_id",
     )
 
 

@@ -695,6 +695,11 @@ def is_query_statement(query: str) -> bool:
     # nothing writable can hide behind the keyword
     if _SUMMARIZE_RE.match(head):
         return True
+    # PIVOT <table> ON <col> USING ... (r13): a read (routes to
+    # groupBy().pivot()); the strict head regex pins the shape and the
+    # write-keyword scan below rejects anything writable in USING
+    if _PIVOT_HEAD_RE.match(head):
+        return not _has_top_level_write_kw(head)
     if not _QUERY_START.match(head):
         return False
     # Spark's grammar allows a CTE prologue before DML ("WITH t AS
@@ -1238,6 +1243,161 @@ def _maybe_summarize(spark: SparkSession, query: str):
     return profile_columns(t, t.columns, percentiles=True)
 
 
+_PIVOT_HEAD_RE = re.compile(
+    r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s+USING\s+",
+    re.IGNORECASE,
+)
+_GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+#: Spark's own spark.sql.pivotMaxValues default — the cardinality past
+#: which a pivot is a data-modeling error, not a reshape
+_PIVOT_MAX_VALUES = 10_000
+
+
+def _maybe_pivot(spark: SparkSession, query: str):
+    """DuckDB's ``PIVOT`` statement (round 13): ``PIVOT <table> ON
+    <col> USING <agg> [AS <name>][, ...] [GROUP BY <cols>]`` routed to
+    ``df.groupBy(...).pivot(col, values).agg(...)``. Semantics pinned
+    against DuckDB native behavior (verified on duckdb in this repo's
+    test suite):
+
+    - pivot values = the column's distinct NON-NULL values, sorted
+      ascending (rows with a NULL pivot value drop out — Spark's
+      explicit-values pivot does the same);
+    - no GROUP BY → implicit grouping by every table column that is
+      neither the pivot column nor referenced in a USING expression
+      (DuckDB's rule);
+    - output columns are named ``<value>`` for a single unaliased
+      aggregate and ``<value>_<alias>`` when aliased or when several
+      aggregates are given (several UNALIASED aggregates raise — the
+      engines disagree on fallback names, so the rewrite demands the
+      spelling they agree on).
+
+    Values resolve at rewrite time (one distinct scan of the pivot
+    column — dimension-sized by the nature of a pivot; > 10k distinct
+    values raises like Spark's own ``spark.sql.pivotMaxValues``).
+    Multi-column ON, expression ON, and derived-table PIVOT raise
+    honestly. Returns None when the statement is not a PIVOT."""
+    # LENGTH-PRESERVING comment blanking (unlike SUMMARIZE's, which
+    # only classifies): this rewrite slices the ORIGINAL statement at
+    # positions found on the masked copy, so offsets must line up
+    head = _mask_string_literals(query)
+    head = re.sub(
+        r"--[^\n]*", lambda mm: " " * len(mm.group(0)), head
+    )
+    head = re.sub(
+        r"/\*.*?\*/", lambda mm: " " * len(mm.group(0)), head,
+        flags=re.DOTALL,
+    )
+    if not re.match(r"\s*PIVOT\b", head, re.IGNORECASE):
+        return None
+    m = _PIVOT_HEAD_RE.match(head)
+    if m is None:
+        raise ValueError(
+            "unsupported PIVOT spelling — the rewrite handles "
+            "PIVOT <table> ON <column> USING <agg> [AS <name>][, ...] "
+            "[GROUP BY <cols>] (single plain ON column; derived "
+            "tables and multi-column/expression ON raise)"
+        )
+    table_name, pivot_col = m.group(1), m.group(2)
+    # strip trailing whitespace/';' by MASKED length so the original
+    # slice stays aligned (the original may end in a blanked comment)
+    tail = head[m.end():]
+    cut = len(tail.rstrip())
+    if cut and tail[cut - 1] == ";":
+        cut = len(tail[: cut - 1].rstrip())
+    rest_masked = tail[:cut]
+    rest_orig = query[m.end():][:cut]
+    gb = None
+    for gm in _GROUP_BY_RE.finditer(rest_masked):
+        if _depth_at(rest_masked, gm.start()) == 0:
+            gb = gm
+            break
+    if gb is not None:
+        using_masked = rest_masked[: gb.start()]
+        using_orig = rest_orig[: gb.start()]
+        group_text = rest_masked[gb.end():]
+        group_cols = [g.strip() for g in group_text.split(",")]
+        bad = [g for g in group_cols if not re.fullmatch(r"[A-Za-z_]\w*", g)]
+        if bad:
+            raise ValueError(
+                f"PIVOT GROUP BY items must be plain columns, got {bad!r}"
+            )
+    else:
+        using_masked = rest_masked
+        using_orig = rest_orig
+        group_cols = None
+
+    aggs: list[tuple[str, str | None]] = []
+    for im, item in zip(
+        _split_top_level_commas(using_masked, using_masked),
+        _split_top_level_commas(using_masked, using_orig),
+    ):
+        as_m = None
+        for am in _AS_KW.finditer(im):
+            if _depth_at(im, am.start()) == 0:
+                as_m = am  # keep the LAST depth-0 AS
+        if as_m is not None:
+            alias = item[as_m.end():].strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*", alias):
+                raise ValueError(
+                    f"PIVOT aggregate alias {alias!r} is not a plain name"
+                )
+            aggs.append((item[: as_m.start()].strip(), alias))
+        else:
+            aggs.append((item.strip(), None))
+    if len(aggs) > 1 and any(a is None for _, a in aggs):
+        raise ValueError(
+            "several PIVOT aggregates need an AS <name> each (Spark "
+            "and DuckDB disagree on unaliased fallback names)"
+        )
+
+    from pyspark.sql import functions as F
+
+    t = spark.table(table_name)
+    if pivot_col not in t.columns:
+        raise ValueError(
+            f"PIVOT column {pivot_col!r} not in {table_name!r}"
+        )
+    vrows = (
+        t.select(pivot_col).filter(F.col(pivot_col).isNotNull())
+        .distinct().limit(_PIVOT_MAX_VALUES + 1).collect()
+    )
+    if len(vrows) > _PIVOT_MAX_VALUES:
+        raise ValueError(
+            f"PIVOT ON {pivot_col!r} exceeds {_PIVOT_MAX_VALUES} "
+            "distinct values — that is a join key, not a pivot axis"
+        )
+    values = sorted(r[0] for r in vrows)
+
+    if group_cols is None:
+        # DuckDB's implicit rule: group by every column not otherwise
+        # referenced in the PIVOT statement
+        used = {pivot_col}
+        for expr_text, _ in aggs:
+            for c in t.columns:
+                if re.search(rf"\b{re.escape(c)}\b", expr_text):
+                    used.add(c)
+        group_cols = [c for c in t.columns if c not in used]
+    if not group_cols:
+        raise ValueError(
+            "PIVOT has no grouping columns left — every column is "
+            "either the pivot axis or referenced in USING"
+        )
+
+    agg_exprs = [
+        F.expr(e).alias(a) if a is not None else F.expr(e)
+        for e, a in aggs
+    ]
+    out = t.groupBy(*group_cols).pivot(pivot_col, values).agg(*agg_exprs)
+    if len(aggs) == 1 and aggs[0][1] is not None:
+        # Spark names single-aggregate pivot columns by value alone,
+        # even when aliased; DuckDB appends _<alias> — rename to match
+        alias = aggs[0][1]
+        for v in values:
+            out = out.withColumnRenamed(str(v), f"{v}_{alias}")
+    return out
+
+
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:
     """DuckDB-dialect entry point: applies the ``* REPLACE`` and
     ``* EXCLUDE`` spelling rewrites, then the DISTINCT ON rewrite
@@ -1254,6 +1414,9 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     summarized = _maybe_summarize(spark, query)
     if summarized is not None:
         return summarized
+    pivoted = _maybe_pivot(spark, query)
+    if pivoted is not None:
+        return pivoted
     rewritten = _rewrite_asof(
         spark,
         _rewrite_distinct_on_nested(

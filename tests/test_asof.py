@@ -1406,3 +1406,69 @@ def test_columns_expands_over_joins(spark):
         spark, "SELECT COLUMNS('^a$') FROM _t_cj1 AS t WHERE t.a > 0"
     )
     assert "a AS a" in out4
+
+
+def test_pivot_statement_forms(spark):
+    """Round 13: DuckDB's PIVOT statement routed to
+    groupBy().pivot() — naming pinned against DuckDB native
+    (<value> unaliased, <value>_<alias> aliased/multi), NULL pivot
+    rows drop, implicit grouping excludes USING-referenced columns."""
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import (
+        _maybe_pivot,
+        is_query_statement,
+    )
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [("a", "x", 1.5), ("a", "y", 2.5), ("b", "x", 3.0),
+         ("b", None, 9.0)],
+        "g string, c string, x double",
+    ).createOrReplaceTempView("_t_pvt")
+
+    # implicit grouping (g survives: not the axis, not in USING)
+    out = dialect_sql(spark, "PIVOT _t_pvt ON c USING sum(x)")
+    assert out.columns == ["g", "x", "y"]
+    got = {r.g: (r.x, r.y) for r in out.collect()}
+    assert got == {"a": (1.5, 2.5), "b": (3.0, None)}  # NULL row dropped
+
+    # aliased single agg renames to DuckDB's <value>_<alias>
+    out2 = dialect_sql(
+        spark, "PIVOT _t_pvt ON c USING sum(x) AS s GROUP BY g"
+    )
+    assert out2.columns == ["g", "x_s", "y_s"]
+
+    # multi-agg naming matches natively
+    out3 = dialect_sql(
+        spark,
+        "PIVOT _t_pvt ON c USING sum(x) AS s, count(*) AS n GROUP BY g",
+    )
+    assert out3.columns == ["g", "x_s", "x_n", "y_s", "y_n"]
+
+    # comments + trailing semicolon survive the offset-aligned slicing
+    out4 = dialect_sql(
+        spark,
+        "PIVOT _t_pvt ON c USING sum(x) AS s GROUP BY g; -- note",
+    )
+    assert out4.columns == ["g", "x_s", "y_s"]
+
+    # guardrails
+    with pytest.raises(ValueError, match="AS <name> each"):
+        _maybe_pivot(
+            spark, "PIVOT _t_pvt ON c USING sum(x), count(*) GROUP BY g"
+        )
+    with pytest.raises(ValueError, match="unsupported PIVOT"):
+        _maybe_pivot(spark, "PIVOT (SELECT * FROM _t_pvt) ON c USING sum(x)")
+    with pytest.raises(ValueError, match="not in"):
+        _maybe_pivot(spark, "PIVOT _t_pvt ON zz USING sum(x)")
+    with pytest.raises(ValueError, match="no grouping columns"):
+        _maybe_pivot(spark, "PIVOT _t_pvt ON c USING sum(x + len(g))")
+    # non-PIVOT statements pass through
+    assert _maybe_pivot(spark, "SELECT 1") is None
+
+    # the HTTP read-only gate admits the statement, rejects write rides
+    assert is_query_statement("PIVOT _t_pvt ON c USING sum(x) GROUP BY g")
+    assert not is_query_statement(
+        "PIVOT _t_pvt ON c USING sum(x); DROP TABLE _t_pvt"
+    )
