@@ -205,3 +205,77 @@ def merge_upsert(
         ]
     )
     return updated.unionByName(inserts)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff (round 13) — the release-validation primitive a
+    100 TB pipeline runs before swapping a rebuilt table in: one row
+    per key whose presence or compared values CHANGED between the two
+    snapshots, ``(keys..., change_type added|removed|changed,
+    changed_cols)`` where ``changed_cols`` is the comma-joined sorted
+    list of differing columns (empty for added/removed — presence is
+    the change). Identical keys produce no row, so the diff is
+    report-sized, not table-sized. Comparison is NULL-SAFE per column
+    (NULL -> value and value -> NULL both count as a change; NULL ->
+    NULL does not).
+
+    Contract: keys must be unique per snapshot (it is a snapshot
+    diff, not a multiset diff — pre-aggregate or dedupe first).
+
+    Shuffle shape: ONE co-keyed shuffle per side into a full-outer
+    sort-merge/hash join on ``keys`` — unavoidable and optimal: both
+    sides are table-scale so neither leg broadcasts (unlike
+    merge_upsert's CDC-batch asymmetry), and every comparison after
+    the join is row-local JVM work. At 100 TB bucket both snapshots
+    on ``keys`` to make the diff shuffle-free."""
+    keys = list(keys)
+    if compare_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    compare_cols = list(compare_cols)
+    missing = [
+        c for c in keys + compare_cols
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(f"diff columns missing from a side: {missing}")
+
+    o = old.select(
+        *keys,
+        F.lit(1).alias("_d_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_d_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                    F.lit(c),
+                )
+                for c in sorted(compare_cols)
+            ]
+        )
+    ) if compare_cols else F.array().cast("array<string>")
+    out = j.select(
+        *keys,
+        F.when(F.col("_d_old").isNull(), F.lit("added"))
+        .when(F.col("_d_new").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .alias("change_type"),
+        F.when(
+            F.col("_d_old").isNotNull() & F.col("_d_new").isNotNull(),
+            F.array_join(diffs, ","),
+        ).otherwise(F.lit("")).alias("changed_cols"),
+    )
+    return out.filter(F.col("change_type").isNotNull())

@@ -83,7 +83,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # oracle-certified streaming PIT enrichment sink, and the
     # COLUMNS-over-joins dialect slot
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
-    "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot",
+    "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -5180,6 +5180,88 @@ def q_promql_irate(spark, sf_dir):
     return counter_irate(
         e, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
     )
+
+
+@declare(
+    "q_table_diff",
+    """
+    WITH old AS (
+      SELECT event_id, event_type, user_id,
+             CAST(value AS DECIMAL(18,2)) AS value
+      FROM events
+    ),
+    new AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 3 THEN 'mutated'
+                  ELSE event_type END AS event_type,
+             user_id,
+             CASE WHEN event_id % 7 = 2
+                  THEN CAST(value AS DECIMAL(18,2)) + 1
+                  ELSE CAST(value AS DECIMAL(18,2)) END AS value
+      FROM events WHERE event_id % 13 <> 5
+      UNION ALL
+      SELECT event_id + 10000000, 'inserted', user_id,
+             CAST(value AS DECIMAL(18,2))
+      FROM events WHERE event_id % 17 = 1
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN (o.event_type IS DISTINCT FROM n.event_type)
+                  OR (o.user_id IS DISTINCT FROM n.user_id)
+                  OR (o.value IS DISTINCT FROM n.value)
+                THEN 'changed' END AS change_type,
+           CASE WHEN o.event_id IS NULL OR n.event_id IS NULL THEN ''
+                ELSE array_to_string(list_filter([
+                  CASE WHEN o.event_type IS DISTINCT FROM n.event_type
+                       THEN 'event_type' END,
+                  CASE WHEN o.user_id IS DISTINCT FROM n.user_id
+                       THEN 'user_id' END,
+                  CASE WHEN o.value IS DISTINCT FROM n.value
+                       THEN 'value' END
+                ], x -> x IS NOT NULL), ',') END AS changed_cols
+    FROM old o FULL OUTER JOIN new n USING (event_id)
+    WHERE o.event_id IS NULL OR n.event_id IS NULL
+       OR (o.event_type IS DISTINCT FROM n.event_type)
+       OR (o.user_id IS DISTINCT FROM n.user_id)
+       OR (o.value IS DISTINCT FROM n.value)
+    """,
+    doc="snapshot diff (round 13; operators/scd2.py table_diff) — the "
+    "release-validation primitive before swapping a rebuilt table "
+    "in: one row per key whose presence or compared values changed "
+    "(added/removed/changed + the comma-joined sorted list of "
+    "differing columns, NULL-safe per column), identical keys "
+    "produce NO row so the report is diff-sized. The fixture "
+    "mutates event_type on one stripe, bumps value on another "
+    "(overlap -> multi-column changed_cols), deletes a third and "
+    "inserts clones — every change_type and a two-column diff all "
+    "exercised. Shuffle shape: ONE co-keyed full-outer join "
+    "(table-scale both sides — bucket on keys at 100 TB); all "
+    "comparisons row-local JVM work after it.",
+)
+def q_table_diff(spark, sf_dir):
+    from .operators.scd2 import table_diff
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        dec(F.col("value"), 2).alias("value")
+    )
+    mutated = e.filter(F.col("event_id") % 13 != 5).select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 3, F.lit("mutated"))
+        .otherwise(F.col("event_type")).alias("event_type"),
+        "user_id",
+        F.when(F.col("event_id") % 7 == 2, F.col("value") + 1)
+        .otherwise(F.col("value")).alias("value"),
+    )
+    inserted = e.filter(F.col("event_id") % 17 == 1).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        F.lit("inserted").alias("event_type"),
+        "user_id",
+        "value",
+    )
+    new = mutated.unionByName(inserted)
+    return table_diff(e, new, keys=["event_id"])
 
 
 @declare(

@@ -179,3 +179,58 @@ def test_merge_upsert_composite_keys(spark):
         ("b", 1): 30.0,   # untouched (id matches, region does not)
         ("b", 2): 40.0,   # inserted
     }
+
+
+# ------------------------------------------ snapshot diff (round 13)
+
+def test_table_diff_change_types_and_null_safety(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rusty_timeseries_db_spark.operators.scd2 import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged -> no row
+         (2, "b", 20.0),          # NULL -> value: changed (null-safe)
+         (4, None, 40.0),         # NULL == NULL: unchanged -> no row
+         (5, "e", 50.0)],         # added
+        "k long, s string, v double",
+    )
+    got = {
+        r.k: (r.change_type, r.changed_cols)
+        for r in table_diff(old, new, keys=["k"]).collect()
+    }
+    assert got == {
+        2: ("changed", "v"),
+        3: ("removed", ""),
+        5: ("added", ""),
+    }
+
+
+def test_table_diff_multi_column_and_scope(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.scd2 import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0, "keep")], "k long, s string, v double, z string"
+    )
+    new = spark.createDataFrame(
+        [(1, "b", 2.0, "DIFFERENT")], "k long, s string, v double, z string"
+    )
+    # changed_cols sorted, comma-joined
+    row = table_diff(old, new, keys=["k"]).collect()[0]
+    assert (row.change_type, row.changed_cols) == ("changed", "s,v,z")
+    # compare_cols narrows the scope: z excluded -> s,v only
+    row2 = table_diff(old, new, keys=["k"], compare_cols=["v", "s"]).collect()[0]
+    assert row2.changed_cols == "s,v"
+    # default scope is the SHARED non-key columns — a column present
+    # on one side only is excluded, not an error
+    row3 = table_diff(old, new.drop("z"), keys=["k"]).collect()[0]
+    assert row3.changed_cols == "s,v"
+    # but EXPLICITLY naming a missing column raises
+    with pytest.raises(ValueError, match="missing"):
+        table_diff(old, new.drop("z"), keys=["k"], compare_cols=["z"])
