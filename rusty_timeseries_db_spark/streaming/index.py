@@ -88,3 +88,66 @@ def start_bm25_index_sink(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# ------------------------------------------------ IVF (ANN) index
+
+def apply_ivf_batch(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_id: str | None = None,
+    corpus_vec: str = "embedding",
+) -> int:
+    """The :func:`apply_bm25_batch` contract for the ANN index
+    (:class:`..operators.similarity.IvfIndex`): assign the batch's
+    vectors to their frozen nearest centroids, append into the touched
+    cell partitions, bump the manifest — skipping any ``batch_id``
+    at or below the ``last_applied_batch`` watermark. IVF adds are
+    exact *within probed cells* but carry the documented recall-drift
+    contract as cells grow away from frozen centroids —
+    ``IvfIndex.should_rebuild`` / the query-time warning fire off the
+    same ``n_added/n_rows`` ratio this sink keeps bumping, so drift
+    stays observable in streaming deployments too."""
+    from ..operators.similarity import IvfIndex
+
+    idx = IvfIndex(spark, index_path)
+    man = idx._manifest()
+    if batch_id <= int(man.get("last_applied_batch", -1)):
+        return 0
+    n = idx.add(batch, corpus_id=corpus_id, corpus_vec=corpus_vec)
+    man2 = idx._manifest()
+    man2["last_applied_batch"] = int(batch_id)
+    write_json_manifest(spark, idx.manifest_path, man2)
+    return n
+
+
+def start_ivf_index_sink(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    corpus_id: str | None = None,
+    corpus_vec: str = "embedding",
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Maintain a built ``IvfIndex`` from an embedding stream — the
+    ANN twin of :func:`start_bm25_index_sink`, same delivery contract
+    (at-least-once, idempotent skip of fully-applied batches, the
+    append-vs-manifest window healed by ``build()``)."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        apply_ivf_batch(
+            batch.sparkSession, index_path, batch, batch_id,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", os.path.join(checkpoint_dir, "ivf_index")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

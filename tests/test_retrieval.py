@@ -246,3 +246,80 @@ def test_streaming_bm25_index_sink_end_to_end(spark, tmp_path):
     got = _rows(Bm25Index(spark, path).query(TERMS, k=25))
     want = _rows(bm25_topk(docs, TERMS, k=25))
     assert got == want
+
+
+def test_streaming_ivf_index_sink_parity_with_batch_add(spark, tmp_path):
+    """Stream-maintained IVF index == the same adds applied batch-wise:
+    identical query results, identical n_added bookkeeping, idempotent
+    replay skip."""
+    import glob
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+    from rusty_timeseries_db_spark.streaming.index import (
+        apply_ivf_batch,
+        start_ivf_index_sink,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter(F.col("vec_id") >= 300)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # reference: batch build + add
+    ref_path = str(tmp_path / "ivf_ref")
+    ref = IvfIndex(spark, ref_path).build(base, n_clusters=8, seed=7)
+    ref.add(extra)
+    want = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ref.query(queries, k=5, n_probe=3).collect()
+    )
+
+    # streamed: same base build, extras arrive as two micro-batches
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, path).build(base, n_clusters=8, seed=7)
+    src = str(tmp_path / "drop")
+    os.makedirs(src)
+    half = extra.filter(F.col("vec_id") < 400).collect()
+    rest = extra.filter(F.col("vec_id") >= 400).collect()
+    for fname, rows in [("a.json", half), ("zz.json", rest)]:
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(
+                    {"vec_id": r.vec_id,
+                     "embedding": [float(x) for x in r.embedding]}) + "\n")
+    first = os.path.join(src, "a.json")
+    os.utime(os.path.join(src, "zz.json"),
+             (os.path.getmtime(first) + 10, os.path.getmtime(first) + 10))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_ivf_index_sink(
+        stream, path, str(tmp_path / "ckpt"), corpus_id="vec_id",
+        available_now=True,
+    )
+    assert q.awaitTermination(180)
+
+    man = IvfIndex(spark, path)._manifest()
+    assert man["last_applied_batch"] >= 1
+    assert man["n_added"] == extra.count()
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in IvfIndex(spark, path).query(queries, k=5, n_probe=3).collect()
+    )
+    assert got == want
+
+    # replayed batch id: skipped
+    assert apply_ivf_batch(
+        spark, path, extra.limit(3), batch_id=0, corpus_id="vec_id"
+    ) == 0
