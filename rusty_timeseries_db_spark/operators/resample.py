@@ -491,3 +491,44 @@ def predict_linear(
         ),
         F.timestamp_seconds(x_pred + F.lit(anchor_epoch)).alias("at_ts"),
     )
+
+
+def gauge_changes(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """PromQL ``changes()`` — how many times the value CHANGED between
+    consecutive samples per series (round 13; completes the counter/
+    gauge range family next to rate/increase/irate/resets): the alert
+    primitive for flapping detection (a config gauge that "changed 40
+    times in 10 minutes" is an incident). The first sample has no
+    predecessor and counts no change, PromQL parity; the comparison
+    is NULL-SAFE, so NULL -> value and value -> NULL transitions
+    count (engine extension — PromQL has no NULL samples) and
+    NULL -> NULL does not.
+
+    Scale shape: one ``lag`` window + one aggregate on the series key
+    — a single co-keyed shuffle, the same plan as counter_increase.
+    Values compare in exact decimal so the count is engine-exact.
+    Returns ``(key, n_samples, n_changes)``.
+    """
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    cur = F.col(value).cast("decimal(18,2)")
+    prev = F.lag(cur).over(w)
+    # lag yields NULL for the first row; distinguish "no predecessor"
+    # from "NULL-valued predecessor" with a row counter
+    rn = F.row_number().over(w)
+    stepped = df.select(
+        F.col(key),
+        F.when(
+            (rn > 1) & ~cur.eqNullSafe(prev), 1
+        ).otherwise(0).alias("_chg"),
+    )
+    return stepped.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+    )

@@ -84,6 +84,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # COLUMNS-over-joins dialect slot
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
     "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
+    "q_promql_changes",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -5262,6 +5263,42 @@ def q_table_diff(spark, sf_dir):
     )
     new = mutated.unionByName(inserted)
     return table_diff(e, new, keys=["event_id"])
+
+
+@declare(
+    "q_promql_changes",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn,
+             lag(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS pv
+      FROM events WHERE user_id < 60
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN rn > 1 AND v IS DISTINCT FROM pv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+    FROM s GROUP BY user_id
+    """,
+    doc="PromQL changes() — consecutive-sample value changes per "
+    "series (round 13; operators/resample.py gauge_changes), the "
+    "flapping-detection alert primitive completing the counter/gauge "
+    "range family next to rate()/increase()/irate()/resets. First "
+    "sample counts no change (PromQL parity); the comparison is "
+    "NULL-safe in exact decimal. One lag window + one aggregate on "
+    "the series key — a single co-keyed shuffle, the "
+    "counter_increase plan.",
+)
+def q_promql_changes(spark, sf_dir):
+    from .operators.resample import gauge_changes
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    return gauge_changes(
+        e, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
+    )
 
 
 @declare(

@@ -252,3 +252,29 @@ def test_counter_irate_plans_window_group_limit(spark):
         df, key="k", ts="ts", value="value", order_tiebreak="seq"
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_gauge_changes_promql_parity(spark):
+    """Round 13: changes() counts consecutive-sample transitions —
+    first sample free, NULL-safe compare, tie-broken sample order."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.resample import gauge_changes
+
+    rows = [
+        # series a: 1 -> 1 -> 2 -> NULL -> NULL -> 2  = 3 changes
+        ("a", 1, 1.0), ("a", 2, 1.0), ("a", 3, 2.0),
+        ("a", 4, None), ("a", 5, None), ("a", 6, 2.0),
+        # series b: single sample = 0 changes
+        ("b", 1, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, value double") \
+        .select("k", F.col("seq").cast("timestamp").alias("ts"),
+                "value", F.col("seq").alias("event_id"))
+    got = {
+        r.k: (r.n_samples, r.n_changes)
+        for r in gauge_changes(
+            df, key="k", ts="ts", value="value", order_tiebreak="event_id"
+        ).collect()
+    }
+    assert got == {"a": (6, 3), "b": (1, 0)}
