@@ -84,7 +84,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # COLUMNS-over-joins dialect slot
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
     "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
-    "q_promql_changes",
+    "q_promql_changes", "q_sql_unpivot", "q_sql_unpivot",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -1494,6 +1494,45 @@ def q_sql_pivot(spark, sf_dir):
         "USING min(CAST(round(value * 100) AS BIGINT)) AS mn, "
         "max(CAST(round(value * 100) AS BIGINT)) AS mx "
         "GROUP BY user_id",
+    )
+
+
+@declare(
+    "q_sql_unpivot",
+    """
+    WITH l_measures AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_quantity * 100) AS BIGINT) AS l_quantity,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS l_extendedprice,
+             CAST(round(l_discount * 100) AS BIGINT) AS l_discount
+      FROM lineitem WHERE l_orderkey < 1000
+    )
+    UNPIVOT l_measures ON l_quantity, l_extendedprice, l_discount
+    INTO NAME measure VALUE amount
+    """,
+    doc="DuckDB's UNPIVOT statement through the dialect entry (round "
+    "13; sql_ext._maybe_unpivot, the PIVOT verb's inverse): UNPIVOT "
+    "<table> ON <cols> [INTO NAME n VALUE v] routes to "
+    "DataFrame.unpivot with DuckDB's semantics pinned — id columns "
+    "are every unlisted table column in order, default output names "
+    "name/value, and NULL unpivoted values DROP (Spark's unpivot "
+    "keeps them; the rewrite filters). ON items may be plain "
+    "columns or COLUMNS('regex'). The oracle runs the statement "
+    "natively on DuckDB (CTE + UNPIVOT); exact-integer cents keep "
+    "the melted value column engine-agnostic.",
+)
+def q_sql_unpivot(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint").alias(c)  # noqa: E731
+    T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000).select(
+        "l_orderkey", "l_linenumber",
+        cents("l_quantity"), cents("l_extendedprice"), cents("l_discount"),
+    ).createOrReplaceTempView("l_measures")
+    return dialect_sql(
+        spark,
+        "UNPIVOT l_measures ON l_quantity, l_extendedprice, l_discount "
+        "INTO NAME measure VALUE amount",
     )
 
 

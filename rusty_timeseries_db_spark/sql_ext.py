@@ -700,6 +700,9 @@ def is_query_statement(query: str) -> bool:
     # write-keyword scan below rejects anything writable in USING
     if _PIVOT_HEAD_RE.match(head):
         return not _has_top_level_write_kw(head)
+    # UNPIVOT <table> ON ... (r13): same admission rule
+    if _UNPIVOT_HEAD_RE.match(head):
+        return not _has_top_level_write_kw(head)
     if not _QUERY_START.match(head):
         return False
     # Spark's grammar allows a CTE prologue before DML ("WITH t AS
@@ -1398,6 +1401,104 @@ def _maybe_pivot(spark: SparkSession, query: str):
     return out
 
 
+_UNPIVOT_HEAD_RE = re.compile(
+    r"^\s*UNPIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+", re.IGNORECASE
+)
+_UNPIVOT_INTO_RE = re.compile(
+    r"\bINTO\s+NAME\s+([A-Za-z_]\w*)\s+VALUE\s+([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _maybe_unpivot(spark: SparkSession, query: str):
+    """DuckDB's ``UNPIVOT`` statement (round 13, the PIVOT verb's
+    inverse): ``UNPIVOT <table> ON <col>[, ...] [INTO NAME <n> VALUE
+    <v>]`` routed to ``DataFrame.unpivot`` — id columns are every
+    table column NOT listed in ON (DuckDB's rule, table order kept),
+    default output names ``name``/``value`` (DuckDB's defaults), and
+    rows whose unpivoted value is NULL are DROPPED (DuckDB semantics;
+    Spark's unpivot keeps them, so the rewrite filters). ON items may
+    be plain columns or ``COLUMNS('regex')`` (expanded against the
+    table like the SELECT-side rewrite). Returns None when the
+    statement is not an UNPIVOT."""
+    head = _mask_string_literals(query)
+    head = re.sub(r"--[^\n]*", lambda mm: " " * len(mm.group(0)), head)
+    head = re.sub(
+        r"/\*.*?\*/", lambda mm: " " * len(mm.group(0)), head,
+        flags=re.DOTALL,
+    )
+    if not re.match(r"\s*UNPIVOT\b", head, re.IGNORECASE):
+        return None
+    m = _UNPIVOT_HEAD_RE.match(head)
+    if m is None:
+        raise ValueError(
+            "unsupported UNPIVOT spelling — the rewrite handles "
+            "UNPIVOT <table> ON <col>[, ...] [INTO NAME <n> VALUE <v>] "
+            "(derived tables raise)"
+        )
+    table_name = m.group(1)
+    tail = head[m.end():]
+    cut = len(tail.rstrip())
+    if cut and tail[cut - 1] == ";":
+        cut = len(tail[: cut - 1].rstrip())
+    rest_masked = tail[:cut]
+    rest_orig = query[m.end():][:cut]
+    into = _UNPIVOT_INTO_RE.search(rest_masked)
+    if into is not None:
+        name_col, value_col = into.group(1), into.group(2)
+        on_masked = rest_masked[: into.start()]
+        on_orig = rest_orig[: into.start()]
+    else:
+        name_col, value_col = "name", "value"
+        on_masked, on_orig = rest_masked, rest_orig
+
+    from pyspark.sql import functions as F
+
+    t = spark.table(table_name)
+    on_cols: list[str] = []
+    for im, item in zip(
+        _split_top_level_commas(on_masked, on_masked),
+        _split_top_level_commas(on_masked, on_orig),
+    ):
+        item = item.strip()
+        cm = _COLUMNS_KW.match(im.strip())
+        if cm is not None:
+            arg = item[item.index("(") + 1 : item.rindex(")")].strip()
+            if arg == "*":
+                on_cols.extend(t.columns)
+                continue
+            pm = re.fullmatch(r"'([^']*)'", arg)
+            if pm is None:
+                raise ValueError(
+                    f"unsupported COLUMNS argument {arg!r} in UNPIVOT ON"
+                )
+            pat = re.compile(pm.group(1))
+            matched = [c for c in t.columns if pat.search(c)]
+            if not matched:
+                raise ValueError(
+                    f"UNPIVOT ON COLUMNS({arg}) matches no column of "
+                    f"{table_name!r}"
+                )
+            on_cols.extend(matched)
+        elif re.fullmatch(r"[A-Za-z_]\w*", item):
+            if item not in t.columns:
+                raise ValueError(
+                    f"UNPIVOT ON column {item!r} not in {table_name!r}"
+                )
+            on_cols.append(item)
+        else:
+            raise ValueError(
+                f"UNPIVOT ON item {item!r} must be a plain column or "
+                "COLUMNS('regex')"
+            )
+    if not on_cols:
+        raise ValueError("UNPIVOT ON list is empty")
+    ids = [c for c in t.columns if c not in set(on_cols)]
+    out = t.unpivot(ids, on_cols, name_col, value_col)
+    # DuckDB drops NULL unpivoted values; Spark keeps them
+    return out.filter(F.col(value_col).isNotNull())
+
+
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:
     """DuckDB-dialect entry point: applies the ``* REPLACE`` and
     ``* EXCLUDE`` spelling rewrites, then the DISTINCT ON rewrite
@@ -1417,6 +1518,9 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     pivoted = _maybe_pivot(spark, query)
     if pivoted is not None:
         return pivoted
+    unpivoted = _maybe_unpivot(spark, query)
+    if unpivoted is not None:
+        return unpivoted
     rewritten = _rewrite_asof(
         spark,
         _rewrite_distinct_on_nested(

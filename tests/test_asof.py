@@ -1472,3 +1472,42 @@ def test_pivot_statement_forms(spark):
     assert not is_query_statement(
         "PIVOT _t_pvt ON c USING sum(x); DROP TABLE _t_pvt"
     )
+
+
+def test_unpivot_statement_forms(spark):
+    """Round 13: DuckDB's UNPIVOT statement — id columns are the
+    unlisted table columns in order, default names name/value, NULL
+    unpivoted values drop, COLUMNS('regex') expands in ON."""
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import (
+        _maybe_unpivot,
+        is_query_statement,
+    )
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [("a", 1.5, 2.5, 10), ("b", 3.0, None, 20)],
+        "g string, x double, y double, z long",
+    ).createOrReplaceTempView("_t_unp")
+
+    out = dialect_sql(spark, "UNPIVOT _t_unp ON x, y INTO NAME m VALUE v")
+    assert out.columns == ["g", "z", "m", "v"]
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", 10, "x", 1.5), ("a", 10, "y", 2.5), ("b", 20, "x", 3.0),
+    ]  # b's NULL y dropped — DuckDB parity
+
+    # default output names + regex ON
+    out2 = dialect_sql(spark, "UNPIVOT _t_unp ON COLUMNS('^[xy]$')")
+    assert out2.columns == ["g", "z", "name", "value"]
+    assert out2.count() == 3
+
+    with pytest.raises(ValueError, match="not in"):
+        _maybe_unpivot(spark, "UNPIVOT _t_unp ON nope")
+    with pytest.raises(ValueError, match="matches no column"):
+        _maybe_unpivot(spark, "UNPIVOT _t_unp ON COLUMNS('zzz')")
+    with pytest.raises(ValueError, match="unsupported UNPIVOT"):
+        _maybe_unpivot(spark, "UNPIVOT (SELECT 1) ON x")
+    assert _maybe_unpivot(spark, "SELECT 1") is None
+    assert is_query_statement("UNPIVOT _t_unp ON x, y")
+    assert not is_query_statement("UNPIVOT _t_unp ON x; DROP TABLE _t_unp")
