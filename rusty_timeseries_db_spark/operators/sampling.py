@@ -374,3 +374,74 @@ def temperature_sample(
         .filter(bucket < F.round(F.col("_rate") * _SPLIT_BUCKETS, 0))
         .drop("_rate")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    default_budget: int | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-domain TOKEN-budget selection (round 13): training mixtures
+    are specified in tokens, not documents — "50 M tokens of code,
+    10 M of forums" — so the selection unit must be the running token
+    count. Per domain, documents are ordered by their deterministic
+    md5 sampling key (uniform → an unbiased shuffle, stable across
+    engines/runs/partitionings) and kept while the RUNNING token
+    total, measured BEFORE the candidate document, is still under the
+    domain's budget — i.e. the first document that crosses the line
+    is kept (budgets are a floor-crossing, matching the "fill until
+    you have enough" semantics; callers wanting a hard ceiling drop
+    the last doc per domain). Domains missing from ``budgets`` use
+    ``default_budget``; with ``default_budget=None`` they are
+    excluded entirely.
+
+    Scale shape: one ``size(word_tokens)`` map-side pass, ONE window
+    (cumulative sum per domain, ordered by the hash key) on a
+    domain-keyed shuffle, then a map-side filter — the same
+    single-shuffle plan as every per-series cumulative analytic. At
+    100 TB the window serializes per DOMAIN; mixtures have tens of
+    domains with heavy rows, so salt the window into hash-key ranges
+    and pre-aggregate per range if a single domain's doc list
+    outgrows a reducer (same remedy as cosine_topk's
+    salt_partitions).
+
+    Returns the selected rows with ``n_tok`` and the pre-candidate
+    running total ``tokens_before`` attached.
+    """
+    from .dedup import word_tokens
+
+    budget_items = sorted(budgets.items())
+    budget_col = None
+    for dom, b in budget_items:
+        cond = F.col(domain_col).eqNullSafe(F.lit(dom))
+        budget_col = (
+            F.when(cond, F.lit(int(b)))
+            if budget_col is None
+            else budget_col.when(cond, F.lit(int(b)))
+        )
+    if budget_col is None:
+        budget_col = F.lit(default_budget)
+    elif default_budget is not None:
+        budget_col = budget_col.otherwise(F.lit(int(default_budget)))
+    base = df.select(
+        *df.columns,
+        F.size(word_tokens(text_col)).cast("bigint").alias("n_tok"),
+        budget_col.cast("bigint").alias("_budget"),
+        hash_key(F.col(id_col), salt).alias("_hk"),
+    ).filter(F.col("_budget").isNotNull())
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("_hk"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = base.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return (
+        out.filter(F.col("tokens_before") < F.col("_budget"))
+        .drop("_budget", "_hk")
+    )

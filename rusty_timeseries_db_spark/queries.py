@@ -84,7 +84,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # COLUMNS-over-joins dialect slot
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
     "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
-    "q_promql_changes", "q_sql_unpivot", "q_sql_unpivot",
+    "q_promql_changes", "q_sql_unpivot", "q_token_budget_sample", "q_sql_unpivot",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -5302,6 +5302,55 @@ def q_table_diff(spark, sf_dir):
     )
     new = mutated.unionByName(inserted)
     return table_diff(e, new, keys=["event_id"])
+
+
+@declare(
+    "q_token_budget_sample",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> len(x) > 0)) AS BIGINT) AS n_tok,
+             md5('budget' || CAST(doc_id AS VARCHAR)) AS hk,
+             CASE WHEN source = 'src0' THEN 400
+                  WHEN source = 'src1' THEN 150
+                  ELSE 60 END AS budget
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, source, lang, n_tok, budget,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tokens_before
+      FROM toks
+    )
+    SELECT doc_id, source, lang, n_tok, tokens_before
+    FROM run WHERE tokens_before < budget
+    """,
+    doc="per-domain TOKEN-budget selection (round 13; operators/"
+    "sampling.py token_budget_sample): training mixtures are "
+    "specified in tokens, not documents — per domain, docs order by "
+    "their deterministic md5 sampling key (an unbiased, "
+    "engine-stable shuffle) and are kept while the running token "
+    "total BEFORE the candidate is under the domain's budget (the "
+    "crossing doc is kept — fill-until-enough semantics). src0 gets "
+    "400 tokens, src1 150, everything else the 60-token default. "
+    "ONE domain-keyed cumulative-sum window + map-side filter — the "
+    "per-series cumulative-analytic plan; salt the window per the "
+    "docstring if a single domain outgrows a reducer at 100 TB.",
+)
+def q_token_budget_sample(spark, sf_dir):
+    from .operators.sampling import token_budget_sample
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    out = token_budget_sample(
+        d, {"src0": 400, "src1": 150}, id_col="doc_id",
+        text_col="text", domain_col="source", default_budget=60,
+    )
+    return out.select("doc_id", "source", "lang", "n_tok", "tokens_before")
 
 
 @declare(

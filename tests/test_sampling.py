@@ -185,3 +185,46 @@ def test_temperature_sample_validation(spark):
         temperature_sample(df, "source", "doc_id", target_fraction=0.0)
     with pytest.raises(ValueError, match="alpha"):
         temperature_sample(df, "source", "doc_id", alpha=-1.0)
+
+
+def test_token_budget_sample_semantics(spark):
+    """Round 13: per-domain fill-until-enough — the doc that CROSSES
+    the budget is kept, later docs are not; unbudgeted domains honor
+    default_budget (None = excluded); selection is order-stable."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rusty_timeseries_db_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, "d1", "w " * 10) for i in range(8)       # 10 tokens each
+    ] + [(100 + i, "d2", "w " * 10) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = token_budget_sample(
+        df, {"d1": 25}, domain_col="source", default_budget=None
+    ).collect()
+    # d2 excluded entirely (no budget, default None)
+    assert {r.source for r in out} == {"d1"}
+    # 25-token budget over 10-token docs: kept docs have
+    # tokens_before in {0, 10, 20} — the 20 -> 30 crosser stays
+    assert sorted(r.tokens_before for r in out) == [0, 10, 20]
+    assert all(r.n_tok == 10 for r in out)
+
+    # default budget applies to unlisted domains
+    out2 = token_budget_sample(
+        df, {"d1": 25}, domain_col="source", default_budget=15
+    ).collect()
+    d2 = [r for r in out2 if r.source == "d2"]
+    assert sorted(r.tokens_before for r in d2) == [0, 10]
+
+    # determinism: same selection on repeated runs
+    a = sorted(r.doc_id for r in out)
+    b = sorted(
+        r.doc_id
+        for r in token_budget_sample(
+            df, {"d1": 25}, domain_col="source", default_budget=None
+        ).collect()
+    )
+    assert a == b
