@@ -252,7 +252,7 @@ def _calibration_seconds(spark) -> float:
     return cal
 
 
-def _calibration_io_seconds(spark, sf_dir: str) -> float:
+def _calibration_io_seconds(spark, sf_dir: str) -> float | None:
     """Fixed I/O-shaped calibration: a full scan + cheap aggregate of
     the bench scale factor's ``lineitem.parquet`` (the suite's
     heaviest input, already page-cache-warm from the suite itself —
@@ -266,7 +266,9 @@ def _calibration_io_seconds(spark, sf_dir: str) -> float:
 
     path = os.path.join(sf_dir, "lineitem.parquet")
     if not os.path.exists(path):
-        return float("nan")
+        # None -> JSON null; float('nan') would print a bare NaN
+        # token and break any strict JSON consumer of the bench line
+        return None
 
     def _plan():
         return (

@@ -302,11 +302,15 @@ def probe_asset_meta(assets: DataFrame) -> DataFrame:
                         out["width"], out["height"] = int(w), int(h)
                     elif mime in ("audio/wav", "audio/x-wav"):
                         rate, channels, samples = decode_wav(data)
-                        out["duration_ms"] = int(
-                            len(samples) / max(channels, 1) * 1000 // rate
-                        )
-                except (ValueError, struct.error):
-                    pass  # enrichment probe: keep incoming meta
+                        if rate > 0:  # fmt chunk may declare rate=0
+                            out["duration_ms"] = int(
+                                len(samples) / max(channels, 1) * 1000 // rate
+                            )
+                except (ValueError, struct.error, ZeroDivisionError):
+                    # enrichment probe: an unparseable/degenerate
+                    # payload keeps its incoming meta — one bad asset
+                    # must never fail a 100 TB metadata sweep's task
+                    pass
                 metas.append(out)
             pdf = pdf.copy()
             pdf["meta"] = metas

@@ -512,12 +512,16 @@ def gauge_changes(
 
     Scale shape: one ``lag`` window + one aggregate on the series key
     — a single co-keyed shuffle, the same plan as counter_increase.
-    Values compare in exact decimal so the count is engine-exact.
-    Returns ``(key, n_samples, n_changes)``.
+    Values compare at ``decimal(28,12)`` (the counter_irate precision
+    contract, review round 13): a CHANGE detector must see sub-0.01
+    transitions the engine-wide 2-dp display model would quantize
+    away — a milliunits-flapping gauge reading "0 changes" is exactly
+    the false negative this operator exists to prevent. Returns
+    ``(key, n_samples, n_changes)``.
     """
     order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
-    cur = F.col(value).cast("decimal(18,2)")
+    cur = F.col(value).cast("decimal(28,12)")
     prev = F.lag(cur).over(w)
     # lag yields NULL for the first row; distinguish "no predecessor"
     # from "NULL-valued predecessor" with a row counter

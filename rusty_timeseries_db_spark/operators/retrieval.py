@@ -127,12 +127,14 @@ def bm25_topk(
 def _term_shard_col(term_col, n_shards: int):
     """Shard id of a term — md5-prefix mod, NOT xxhash64: the query
     path must compute the same shard for its literal terms DRIVER-side
-    (plain ``hashlib.md5``) to prune partitions without running a
-    Spark job first, and xxhash64 has no stdlib Python twin."""
-    return (
-        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10)
-        .cast("long") % n_shards
-    )
+    (plain ``hashlib.md5``, :func:`_term_shard_py`) to prune
+    partitions without running a Spark job first, and xxhash64 has no
+    stdlib Python twin. Delegates to the canonical
+    :func:`..sampling.hash_bucket` (same arithmetic, salt="") so the
+    engine has exactly ONE md5-bucket implementation."""
+    from .sampling import hash_bucket
+
+    return hash_bucket(term_col, n_shards)
 
 
 def _term_shard_py(term: str, n_shards: int) -> int:
@@ -182,15 +184,29 @@ class Bm25Index:
         self.manifest_path = self.index_path + ".bm25.json"
 
     # -- build -------------------------------------------------------
-    def _postings(
-        self, corpus: DataFrame, id_col: str, text_col: str, n_shards: int
+    def _stage_docs(
+        self, corpus: DataFrame, id_col: str, text_col: str
     ) -> DataFrame:
-        toks = corpus.select(
+        """Freeze the batch as ``(doc, token array)`` parquet under
+        ``<index>/_staging`` and read it back. Every downstream
+        derivation — stats, postings, df deltas — then comes from ONE
+        materialization, so a NONDETERMINISTIC source (a seedless
+        ``sample()``, a re-listed stream directory) cannot write
+        postings that disagree with the stats/df recorded beside them
+        (review round 13; the same reason IvfIndex.add materializes
+        its cell assignment before appending). Overwritten by the
+        next build/add; batch-sized, not corpus-sized."""
+        staging = self.index_path + "/_staging"
+        corpus.select(
             F.col(id_col).alias("_doc"),
             word_tokens(text_col).alias("_ws"),
-        )
+        ).write.mode("overwrite").parquet(staging)
+        return self.spark.read.parquet(staging)
+
+    @staticmethod
+    def _postings_from_staged(staged: DataFrame, n_shards: int) -> DataFrame:
         return (
-            toks.select(
+            staged.select(
                 "_doc",
                 F.size("_ws").cast("double").alias("dl"),
                 F.explode("_ws").alias("term"),
@@ -206,6 +222,16 @@ class Bm25Index:
             )
         )
 
+    @staticmethod
+    def _staged_stats(staged: DataFrame) -> tuple[int, float]:
+        n, sum_dl = staged.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.size("_ws").cast("double")), F.lit(0.0)
+            ).alias("s"),
+        ).first()
+        return int(n), float(sum_dl)
+
     def build(
         self,
         corpus: DataFrame,
@@ -215,24 +241,19 @@ class Bm25Index:
     ) -> "Bm25Index":
         from ..fsutil import write_json_manifest
 
+        staged = self._stage_docs(corpus, id_col, text_col)
         # corpus stats count EVERY doc (a token-less doc has no
-        # posting but still dilutes avgdl); computed FIRST so an
-        # empty corpus raises before any files land (an all-empty
-        # partitioned write leaves nothing to re-read for df)
-        n, sum_dl = corpus.select(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.size(word_tokens(text_col)).cast("double")),
-                F.lit(0.0),
-            ).alias("s"),
-        ).first()
-        if int(n) == 0 or float(sum_dl) == 0.0:
+        # posting but still dilutes avgdl); checked BEFORE the
+        # postings land (an all-empty partitioned write would leave
+        # nothing to re-read for df)
+        n, sum_dl = self._staged_stats(staged)
+        if n == 0 or sum_dl == 0.0:
             raise ValueError(
                 "Bm25Index.build needs a corpus with at least one "
                 "token (stream increments join via add()/the "
                 "streaming index sink)"
             )
-        post = self._postings(corpus, id_col, text_col, n_shards)
+        post = self._postings_from_staged(staged, n_shards)
         (
             post.write.mode("overwrite")
             .partitionBy("_shard")
@@ -250,8 +271,8 @@ class Bm25Index:
             self.terms_path
         )
         write_json_manifest(self.spark, self.manifest_path, {
-            "n_docs": int(n),
-            "sum_dl": float(sum_dl),
+            "n_docs": n,
+            "sum_dl": sum_dl,
             "n_shards": n_shards,
             "id_col": id_col,
             "n_added": 0,
@@ -348,7 +369,10 @@ class Bm25Index:
     ) -> int:
         """Append new docs — postings rows into their shard
         directories, per-term df DELTA rows into ``terms/``, manifest
-        N/sum_dl bumped. Cost is one pass over the NEW rows only.
+        N/sum_dl bumped. Cost is one pass over the NEW rows only (the
+        batch is staged once — see ``_stage_docs`` — so the appended
+        postings, the df deltas and the stats bump all describe the
+        SAME rows even for a nondeterministic source).
         Caller contract: doc ids must be new (re-adding an id would
         double-count it, as in any postings append)."""
         from ..fsutil import write_json_manifest
@@ -356,17 +380,11 @@ class Bm25Index:
         man = self._manifest()
         id_col = id_col or man.get("id_col", "doc_id")
         n_shards = int(man["n_shards"])
-        n, sum_dl = corpus.select(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.size(word_tokens(text_col)).cast("double")),
-                F.lit(0.0),
-            ).alias("s"),
-        ).first()
-        n = int(n)
+        staged = self._stage_docs(corpus, id_col, text_col)
+        n, sum_dl = self._staged_stats(staged)
         if n == 0:
             return 0
-        post = self._postings(corpus, id_col, text_col, n_shards)
+        post = self._postings_from_staged(staged, n_shards)
         post.write.mode("append").partitionBy("_shard").parquet(
             self.postings_path
         )
@@ -381,7 +399,7 @@ class Bm25Index:
         write_json_manifest(self.spark, self.manifest_path, {
             **man,
             "n_docs": int(man["n_docs"]) + n,
-            "sum_dl": float(man["sum_dl"]) + float(sum_dl),
+            "sum_dl": float(man["sum_dl"]) + sum_dl,
             "n_added": int(man.get("n_added", 0)) + n,
         })
         return n

@@ -70,21 +70,23 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 13): 25 queries were last
 # driver-checked in r08, 50 in r09 (the dict-default tier), 48 in
 # r10, 50 in r11, 50 in r12. Round-13 window (VERDICT r12 next-round
-# #1, discharging the r11 two-round plan): _ROUND_MODIFIED (3 new +
-# 2 re-certified) first, then ALL 25 r08-tier queries, then the
-# stalest r09-tier queries fill the remaining slots (declaration
+# #1, discharging the r11 two-round plan): _ROUND_MODIFIED (10 new +
+# 2 re-certified = 12) first, then ALL 25 r08-tier queries, then the
+# 13 stalest r09-tier queries fill the remaining slots (declaration
 # order breaks ties) — after this round no query's latest driver row
 # is older than r09. Every query not in the window is still covered
 # by run_parity.py locally (full sweep, re-run after each change on
 # fresh testdata) and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
     # round 13, new queries (each enters this set in the same commit
-    # that declares it): the persisted-BM25-index slot, the
-    # oracle-certified streaming PIT enrichment sink, and the
-    # COLUMNS-over-joins dialect slot
+    # that declares it): the persisted-BM25-index slots (batch +
+    # streaming maintenance), the oracle-certified streaming PIT
+    # enrichment sink, hybrid RRF retrieval, the COLUMNS-over-joins /
+    # PIVOT / UNPIVOT dialect slots, snapshot diff, PromQL changes(),
+    # and token-budget mixture sampling
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
     "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
-    "q_promql_changes", "q_sql_unpivot", "q_token_budget_sample", "q_sql_unpivot",
+    "q_promql_changes", "q_sql_unpivot", "q_token_budget_sample",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -5357,11 +5359,11 @@ def q_token_budget_sample(spark, sf_dir):
     "q_promql_changes",
     """
     WITH s AS (
-      SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+      SELECT user_id, CAST(value AS DECIMAL(28,12)) AS v,
              row_number() OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS rn,
-             lag(CAST(value AS DECIMAL(18,2))) OVER (
+             lag(CAST(value AS DECIMAL(28,12))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS pv
       FROM events WHERE user_id < 60

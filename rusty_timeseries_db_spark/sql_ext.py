@@ -1246,6 +1246,21 @@ def _maybe_summarize(spark: SparkSession, query: str):
     return profile_columns(t, t.columns, percentiles=True)
 
 
+def _blank_comments_preserving(masked: str) -> str:
+    """Blank -- and /* */ comments with SPACES of the same length, so
+    positions found on the result still index into the original
+    statement (the PIVOT/UNPIVOT rewrites slice the original at
+    masked-copy offsets — a shrinking substitution would misalign
+    them)."""
+    masked = re.sub(
+        r"--[^\n]*", lambda mm: " " * len(mm.group(0)), masked
+    )
+    return re.sub(
+        r"/\*.*?\*/", lambda mm: " " * len(mm.group(0)), masked,
+        flags=re.DOTALL,
+    )
+
+
 _PIVOT_HEAD_RE = re.compile(
     r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s+USING\s+",
     re.IGNORECASE,
@@ -1280,17 +1295,7 @@ def _maybe_pivot(spark: SparkSession, query: str):
     values raises like Spark's own ``spark.sql.pivotMaxValues``).
     Multi-column ON, expression ON, and derived-table PIVOT raise
     honestly. Returns None when the statement is not a PIVOT."""
-    # LENGTH-PRESERVING comment blanking (unlike SUMMARIZE's, which
-    # only classifies): this rewrite slices the ORIGINAL statement at
-    # positions found on the masked copy, so offsets must line up
-    head = _mask_string_literals(query)
-    head = re.sub(
-        r"--[^\n]*", lambda mm: " " * len(mm.group(0)), head
-    )
-    head = re.sub(
-        r"/\*.*?\*/", lambda mm: " " * len(mm.group(0)), head,
-        flags=re.DOTALL,
-    )
+    head = _blank_comments_preserving(_mask_string_literals(query))
     if not re.match(r"\s*PIVOT\b", head, re.IGNORECASE):
         return None
     m = _PIVOT_HEAD_RE.match(head)
@@ -1331,6 +1336,7 @@ def _maybe_pivot(spark: SparkSession, query: str):
         group_cols = None
 
     aggs: list[tuple[str, str | None]] = []
+    aggs_masked: list[str] = []
     for im, item in zip(
         _split_top_level_commas(using_masked, using_masked),
         _split_top_level_commas(using_masked, using_orig),
@@ -1346,8 +1352,10 @@ def _maybe_pivot(spark: SparkSession, query: str):
                     f"PIVOT aggregate alias {alias!r} is not a plain name"
                 )
             aggs.append((item[: as_m.start()].strip(), alias))
+            aggs_masked.append(im[: as_m.start()])
         else:
             aggs.append((item.strip(), None))
+            aggs_masked.append(im)
     if len(aggs) > 1 and any(a is None for _, a in aggs):
         raise ValueError(
             "several PIVOT aggregates need an AS <name> each (Spark "
@@ -1376,9 +1384,12 @@ def _maybe_pivot(spark: SparkSession, query: str):
         # DuckDB's implicit rule: group by every column not otherwise
         # referenced in the PIVOT statement
         used = {pivot_col}
-        for expr_text, _ in aggs:
+        # scan the MASKED expr text: a column name inside a string
+        # literal is not a reference (review round 13 — DuckDB keeps
+        # grouping by a column that only a literal mentions)
+        for expr_masked in aggs_masked:
             for c in t.columns:
-                if re.search(rf"\b{re.escape(c)}\b", expr_text):
+                if re.search(rf"\b{re.escape(c)}\b", expr_masked):
                     used.add(c)
         group_cols = [c for c in t.columns if c not in used]
     if not group_cols:
@@ -1394,10 +1405,20 @@ def _maybe_pivot(spark: SparkSession, query: str):
     out = t.groupBy(*group_cols).pivot(pivot_col, values).agg(*agg_exprs)
     if len(aggs) == 1 and aggs[0][1] is not None:
         # Spark names single-aggregate pivot columns by value alone,
-        # even when aliased; DuckDB appends _<alias> — rename to match
+        # even when aliased; DuckDB appends _<alias>. Rename
+        # POSITIONALLY (review round 13): withColumnRenamed would
+        # no-op on boolean values (Spark names 'true', str(True) is
+        # 'True') and would also rename a group column that string-
+        # collides with a pivot value. Column order out of pivot is
+        # group cols then one column per value, so toDF is exact.
         alias = aggs[0][1]
-        for v in values:
-            out = out.withColumnRenamed(str(v), f"{v}_{alias}")
+        vname = lambda v: (  # noqa: E731 — DuckDB's value spelling
+            str(v).lower() if isinstance(v, bool) else str(v)
+        )
+        assert len(out.columns) == len(group_cols) + len(values)
+        out = out.toDF(
+            *group_cols, *[f"{vname(v)}_{alias}" for v in values]
+        )
     return out
 
 
@@ -1421,12 +1442,7 @@ def _maybe_unpivot(spark: SparkSession, query: str):
     be plain columns or ``COLUMNS('regex')`` (expanded against the
     table like the SELECT-side rewrite). Returns None when the
     statement is not an UNPIVOT."""
-    head = _mask_string_literals(query)
-    head = re.sub(r"--[^\n]*", lambda mm: " " * len(mm.group(0)), head)
-    head = re.sub(
-        r"/\*.*?\*/", lambda mm: " " * len(mm.group(0)), head,
-        flags=re.DOTALL,
-    )
+    head = _blank_comments_preserving(_mask_string_literals(query))
     if not re.match(r"\s*UNPIVOT\b", head, re.IGNORECASE):
         return None
     m = _UNPIVOT_HEAD_RE.match(head)

@@ -1511,3 +1511,46 @@ def test_unpivot_statement_forms(spark):
     assert _maybe_unpivot(spark, "SELECT 1") is None
     assert is_query_statement("UNPIVOT _t_unp ON x, y")
     assert not is_query_statement("UNPIVOT _t_unp ON x; DROP TABLE _t_unp")
+
+
+def test_pivot_review_round13_fixes(spark):
+    """Review round 13: (a) a column name inside a STRING LITERAL in
+    USING is not a reference — it stays in the implicit grouping
+    (DuckDB parity); (b) boolean pivot values rename to DuckDB's
+    lowercase 'true_s'/'false_s'; (c) a group column string-colliding
+    with a pivot value is not clobbered by the rename."""
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    # (a) only a STRING LITERAL mentions g; column g must survive as
+    # the implicit group column (it is not actually referenced)
+    spark.createDataFrame(
+        [("g", "x", "n1", 1.0), ("h", "y", "g", 2.0)],
+        "g string, c string, note string, x double",
+    ).createOrReplaceTempView("_t_pvt_lit")
+    out = dialect_sql(
+        spark,
+        "PIVOT _t_pvt_lit ON c USING "
+        "sum(CASE WHEN note = 'g' THEN x ELSE 0.0 END) AS s",
+    )
+    assert out.columns == ["g", "x_s", "y_s"]
+
+    # (b) boolean axis
+    spark.createDataFrame(
+        [("a", True, 1.0), ("a", False, 2.0)],
+        "g string, flag boolean, x double",
+    ).createOrReplaceTempView("_t_pvt_bool")
+    out2 = dialect_sql(
+        spark, "PIVOT _t_pvt_bool ON flag USING sum(x) AS s GROUP BY g"
+    )
+    assert out2.columns == ["g", "false_s", "true_s"]
+
+    # (c) pivot value equals the group column's NAME
+    spark.createDataFrame(
+        [("r1", "g", 5.0), ("r1", "h", 6.0)],
+        "g string, c string, x double",
+    ).createOrReplaceTempView("_t_pvt_coll")
+    out3 = dialect_sql(
+        spark, "PIVOT _t_pvt_coll ON c USING sum(x) AS s GROUP BY g"
+    )
+    assert out3.columns == ["g", "g_s", "h_s"]
+    assert out3.collect()[0][:] == ("r1", 5.0, 6.0)

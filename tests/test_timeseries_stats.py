@@ -278,3 +278,18 @@ def test_gauge_changes_promql_parity(spark):
         ).collect()
     }
     assert got == {"a": (6, 3), "b": (1, 0)}
+
+
+def test_gauge_changes_sees_sub_cent_transitions(spark):
+    """Review round 13: a change detector must not quantize away
+    sub-0.01 transitions (the counter_irate precision contract)."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.resample import gauge_changes
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.001), ("a", 2, 10.004), ("a", 3, 10.001)],
+        "k string, seq int, value double",
+    ).select("k", F.col("seq").cast("timestamp").alias("ts"), "value")
+    got = gauge_changes(df, key="k", ts="ts", value="value").collect()[0]
+    assert (got.n_samples, got.n_changes) == (3, 2)
