@@ -1,0 +1,95 @@
+"""Link-graph analytics — PageRank (round 13).
+
+Web-scale corpus curation weights documents by link authority
+(Common-Crawl-derived corpora carry a link graph; OPIC/harmonic-
+centrality weighting is a standard quality prior next to the text
+heuristics in functions/text.py). The engine already has the other
+graph primitive — connected components (operators/dedup.py
+``duplicate_clusters``'s min-label propagation); this module adds the
+ranking one.
+
+Spark-first shape: one iteration = one join of the edge list with the
+current rank vector (co-partitioned on ``src``) + one ``dst``-keyed
+aggregate — the classic two-shuffle PageRank step, all JVM-side.
+Iterations UNROLL into one lazy plan (the iteration count is small
+and fixed); past ~8 iterations call ``.checkpoint()`` between steps
+like duplicate_clusters does, or lineage grows geometrically.
+
+Determinism (the oracle story): ranks are INTEGER micro-units
+(1.0 == 1_000_000) and every step is integer arithmetic — ``r //
+outdeg`` per edge, ``0.15*SCALE + 850 * Σcontrib // 1000`` per node —
+so results are bit-identical on any engine/partitioning (floating
+PageRank sums are order-dependent; integer sums are not). The
+variant: dangling-node mass is DROPPED, not redistributed (the
+common simplification; document-quality weighting only needs the
+ordering, which dropping preserves for the overwhelmingly-common
+sparse graphs), and nodes with no inlinks hold the base mass
+``0.15 * SCALE``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: integer rank scale: 1.0 of probability mass == 1_000_000 units
+SCALE = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_permille: int = 850,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list. Returns
+    ``(node, rank_micro)`` for every node appearing as src or dst,
+    where ``rank_micro`` is the rank in millionths (see module
+    docstring for the determinism/variant contract).
+
+    ``damping_permille``: the damping factor in thousandths (850 =
+    the canonical 0.85) — an integer so every engine computes the
+    identical ``damping * sum // 1000``.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 <= damping_permille <= 1000:
+        raise ValueError("damping_permille must be in [0, 1000]")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("_src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_outdeg")
+    )
+    base = (1000 - damping_permille) * SCALE // 1000
+    ranks = nodes.select("node", F.lit(SCALE).cast("bigint").alias("_r"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .join(out_deg, "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("_r div _outdeg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sc"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_permille} * coalesce(_sc, 0) div 1000"
+                    )
+                ).cast("bigint").alias("_r"),
+            )
+        )
+    return ranks.select("node", F.col("_r").alias("rank_micro"))

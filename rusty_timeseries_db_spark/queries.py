@@ -87,6 +87,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
     "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
     "q_promql_changes", "q_sql_unpivot", "q_token_budget_sample",
+    "q_pagerank",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -5304,6 +5305,77 @@ def q_table_diff(spark, sf_dir):
     )
     new = mutated.unionByName(inserted)
     return table_diff(e, new, keys=["event_id"])
+
+
+@declare(
+    "q_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (
+      SELECT e.dst AS node, SUM(r0.r // od.outdeg) AS sc
+      FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.node,
+             CAST(150000 + (850 * COALESCE(c1.sc, 0)) // 1000 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node, SUM(r1.r // od.outdeg) AS sc
+      FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.node,
+             CAST(150000 + (850 * COALESCE(c2.sc, 0)) // 1000 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+    ),
+    c3 AS (
+      SELECT e.dst AS node, SUM(r2.r // od.outdeg) AS sc
+      FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n.node,
+             CAST(150000 + (850 * COALESCE(c3.sc, 0)) // 1000 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c3 ON n.node = c3.node
+    )
+    SELECT node, r AS rank_micro FROM r3
+    """,
+    doc="integer-exact PageRank (round 13; operators/graph.py "
+    "pagerank) over the supplier->customer supply graph (distinct "
+    "(l_suppkey, o_custkey) pairs, domain-prefixed so the two key "
+    "spaces cannot collide) — the link-authority prior web-corpus "
+    "curation uses as a document-quality weight; completes the graph "
+    "family next to dedup's connected components. Ranks are integer "
+    "MICRO-units with per-edge r div outdeg and damping "
+    "(850*sum) div 1000 — every step order-independent integer "
+    "arithmetic, so 3 unrolled iterations hash-match DuckDB exactly "
+    "(floating PageRank could not). Dangling mass dropped; no-inlink "
+    "nodes hold the 0.15 base — documented variant. Per iteration: "
+    "one src-keyed join + one dst-keyed aggregate (two co-keyed "
+    "shuffles); checkpoint between iterations past ~8 like "
+    "duplicate_clusters.",
+)
+def q_pagerank(spark, sf_dir):
+    from .operators.graph import pagerank
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iterations=3)
 
 
 @declare(

@@ -171,3 +171,36 @@ def test_zorder_three_columns_all_selective(spark, tmp_path):
     for c in ("user_id", "value", "event_id"):
         ov = overlap_fraction(file_stats(spark, z3, c))
         assert ov < 0.8, (c, ov)
+
+
+# ---------------------------------------------- PageRank (round 13)
+
+def test_pagerank_hand_computed_and_guards(spark):
+    """Integer PageRank on a 3-node chain a->b->c plus c->b: exact
+    hand-computed micro-unit ranks after 1 and 2 iterations."""
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    # iter 1 from r=1_000_000 each, outdeg all 1:
+    #   b <- a(1e6) + c(1e6) = 2e6 -> 150000 + 850*2e6//1000 = 1_850_000
+    #   c <- b(1e6)                -> 150000 + 850*1e6//1000 = 1_000_000
+    #   a <- nothing               -> 150_000
+    r1 = {r.node: r.rank_micro for r in pagerank(edges, iterations=1).collect()}
+    assert r1 == {"a": 150_000, "b": 1_850_000, "c": 1_000_000}
+    # iter 2: b <- a(150000) + c(1000000) -> 150000 + 850*1150000//1000
+    #         = 150000 + 977500 = 1_127_500
+    #         c <- b(1850000) -> 150000 + 850*1850000//1000 = 1_722_500
+    r2 = {r.node: r.rank_micro for r in pagerank(edges, iterations=2).collect()}
+    assert r2 == {"a": 150_000, "b": 1_127_500, "c": 1_722_500}
+    # determinism across runs
+    assert r2 == {
+        r.node: r.rank_micro for r in pagerank(edges, iterations=2).collect()
+    }
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(edges, damping_permille=2000)
