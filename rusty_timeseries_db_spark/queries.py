@@ -87,7 +87,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
     "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
     "q_promql_changes", "q_sql_unpivot", "q_token_budget_sample",
-    "q_pagerank",
+    "q_pagerank", "q_multimodal_probe",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -2682,6 +2682,88 @@ def q_multimodal_features(spark, sf_dir):
         F.round(F.element_at("features", 1), 6).alias("sample_rate"),
         F.round(F.element_at("features", 3), 6).alias("duration_s"),
         F.size("features").cast("int").alias("dim"),
+    )
+
+
+@declare(
+    "q_multimodal_probe",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg'
+                ELSE 'image/bmp' END AS mime,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 200
+                     ELSE 2 + doc_id % 7 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 9 + doc_id % 100
+                     ELSE 1 END AS INT) AS height
+    FROM documents WHERE doc_id < 60
+    """,
+    doc="REAL header-only metadata probe end-to-end (round 13; "
+    "operators/multimodal.py probe_asset_meta + decode_jpeg_meta): "
+    "even docs synthesize a JPEG marker stream (SOI/APP0/DQT/SOF0/"
+    "SOS) with dimensions derived from doc_id, odd docs a real "
+    "encode_bmp 1-row bitmap — both distributed mapInPandas, no "
+    "collect — then the probe parses ONLY the headers. The oracle "
+    "recomputes width/height from the synthesis rule, so a broken "
+    "marker walk (skipping DQT wrong, misreading the big-endian SOF "
+    "dims, BMP little-endian confusion) fails the hash.",
+)
+def q_multimodal_probe(spark, sf_dir):
+    import pandas as pd
+
+    from .operators.multimodal import make_assets, probe_asset_meta
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        # absolute import: the closure is unpickled on executors where
+        # a relative spelling has no reliable package context
+        from rusty_timeseries_db_spark.operators.multimodal import (
+            encode_bmp,
+        )
+
+        def jpeg(width, height):
+            app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+            dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + bytes(65)
+            sof_body = (
+                bytes([8]) + height.to_bytes(2, "big")
+                + width.to_bytes(2, "big") + bytes([3]) + bytes(9)
+            )
+            sof = b"\xff\xc0" + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+            sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes(6)
+            return b"\xff\xd8" + app0 + dqt + sof + sos + b"\x00" + b"\xff\xd9"
+
+        for pdf in batches:
+            payloads, mimes = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    payloads.append(jpeg(16 + did % 200, 9 + did % 100))
+                    mimes.append("image/jpeg")
+                else:
+                    w = 2 + did % 7
+                    payloads.append(encode_bmp([[(0, 0, 0)] * w]))
+                    mimes.append("image/bmp")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "mime": mimes, "payload": payloads,
+            })
+
+    imgs = d.mapInPandas(synth, "doc_id long, mime string, payload binary")
+    jp = make_assets(
+        imgs.filter(F.col("mime") == "image/jpeg"), "doc_id", "payload",
+        "image/jpeg",
+    )
+    bm = make_assets(
+        imgs.filter(F.col("mime") == "image/bmp"), "doc_id", "payload",
+        "image/bmp",
+    )
+    probed = probe_asset_meta(jp.unionByName(bm))
+    return probed.select(
+        "asset_id",
+        "mime",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
     )
 
 
