@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from .dedup import word_tokens
 
@@ -181,6 +182,8 @@ class Bm25Index:
         self.index_path = index_path.rstrip("/")
         self.postings_path = self.index_path + "/postings"
         self.terms_path = self.index_path + "/terms"
+        self.docs_path = self.index_path + "/docs"
+        self.tombstones_path = self.index_path + "/tombstones"
         self.manifest_path = self.index_path + ".bm25.json"
 
     # -- build -------------------------------------------------------
@@ -270,12 +273,23 @@ class Bm25Index:
         terms.write.mode("overwrite").partitionBy("_shard").parquet(
             self.terms_path
         )
+        # per-doc (doc, dl) sidecar (round 13 — the deletion story):
+        # remove() needs each doc's length to decrement sum_dl exactly,
+        # including token-less docs that have no posting row
+        staged.select(
+            F.col("_doc").alias("doc"),
+            F.size("_ws").cast("double").alias("dl"),
+        ).write.mode("overwrite").parquet(self.docs_path)
+        from ..fsutil import delete_path
+
+        delete_path(self.spark, self.tombstones_path)  # fresh build
         write_json_manifest(self.spark, self.manifest_path, {
             "n_docs": n,
             "sum_dl": sum_dl,
             "n_shards": n_shards,
             "id_col": id_col,
             "n_added": 0,
+            "n_removed": 0,
         })
         return self
 
@@ -324,6 +338,30 @@ class Bm25Index:
             .groupBy("term")
             .agg(F.sum("df").alias("_df"))
         )
+        tomb = self._tombstones()
+        if tomb is not None:
+            # logical deletes (remove()): drop tombstoned candidates
+            # AND subtract their df contribution — both computed from
+            # the SAME pruned scan, so deletion costs no extra shards.
+            # N/avgdl were already decremented by remove(); scores are
+            # therefore EXACT for the live corpus (compact() later
+            # makes it physical without changing results).
+            dead_df = (
+                post.join(tomb, "doc", "left_semi")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("double").alias("_df_dead"))
+            )
+            dfreq = (
+                dfreq.join(dead_df, "term", "left")
+                .select(
+                    "term",
+                    (
+                        F.col("_df")
+                        - F.coalesce(F.col("_df_dead"), F.lit(0.0))
+                    ).alias("_df"),
+                )
+            )
+            post = post.join(tomb, "doc", "left_anti")
         scored = (
             post.join(F.broadcast(dfreq), "term")
             .withColumn(
@@ -396,6 +434,10 @@ class Bm25Index:
         delta.write.mode("append").partitionBy("_shard").parquet(
             self.terms_path
         )
+        staged.select(
+            F.col("_doc").alias("doc"),
+            F.size("_ws").cast("double").alias("dl"),
+        ).write.mode("append").parquet(self.docs_path)
         write_json_manifest(self.spark, self.manifest_path, {
             **man,
             "n_docs": int(man["n_docs"]) + n,
@@ -403,6 +445,125 @@ class Bm25Index:
             "n_added": int(man.get("n_added", 0)) + n,
         })
         return n
+
+    # -- delete ------------------------------------------------------
+    def _dir_exists(self, path: str) -> bool:
+        from ..fsutil import fs_for, hpath
+
+        return fs_for(self.spark, path).exists(hpath(self.spark, path))
+
+    def _tombstones(self) -> DataFrame | None:
+        if not self._dir_exists(self.tombstones_path):
+            return None
+        return self.spark.read.parquet(self.tombstones_path)
+
+    def remove(self, doc_ids) -> int:
+        """Delete documents from the SERVING index without a rebuild
+        (round 13 — the GDPR/right-to-erasure story a corpus index
+        needs): append the LIVE subset of ``doc_ids`` to a tombstone
+        list and decrement the manifest's N / total-doc-length using
+        the per-doc ``docs/`` sidecar. No postings shard is rewritten;
+        :meth:`query` subtracts tombstoned rows from both the
+        candidate set AND the per-term df inside the shards it was
+        already reading, so post-remove scores are EXACT for the live
+        corpus (pinned against a fresh build of the live subset in
+        tests). :meth:`compact` later makes the deletion physical.
+
+        ``doc_ids``: a list of ids or a single-column DataFrame.
+        Idempotent: ids already removed (or never present) are
+        ignored — safe under at-least-once delivery. Returns the
+        number of docs actually removed."""
+        from ..fsutil import write_json_manifest
+
+        man = self._manifest()
+        if not isinstance(doc_ids, DataFrame):
+            docs_schema = self.spark.read.parquet(self.docs_path).schema
+            ids = self.spark.createDataFrame(
+                [(i,) for i in doc_ids],
+                StructType([docs_schema["doc"]]),
+            )
+        else:
+            ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc"))
+        live = self.spark.read.parquet(self.docs_path).join(
+            ids.distinct(), "doc", "left_semi"
+        )
+        tomb = self._tombstones()
+        if tomb is not None:
+            live = live.join(tomb, "doc", "left_anti")
+        k, dl = live.select(
+            F.count(F.lit(1)).alias("k"),
+            F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
+        ).first()
+        k = int(k)
+        if k == 0:
+            return 0
+        live.select("doc").write.mode("append").parquet(
+            self.tombstones_path
+        )
+        write_json_manifest(self.spark, self.manifest_path, {
+            **man,
+            "n_docs": int(man["n_docs"]) - k,
+            "sum_dl": float(man["sum_dl"]) - float(dl),
+            "n_removed": int(man.get("n_removed", 0)) + k,
+        })
+        return k
+
+    def compact(self) -> int:
+        """Apply the tombstones physically: rewrite ``postings/`` and
+        ``docs/`` without the removed docs, recompute ``terms/`` from
+        the rewritten postings (exact df, folding every add()-era
+        delta row too), drop the tombstone list. Query results are
+        IDENTICAL before and after (equality pinned in tests) — this
+        reclaims bytes and removes the per-query tombstone join, it
+        never changes scores. Returns the number of tombstones
+        applied. Cost: one full index rewrite — run it like any
+        compaction job, when the tombstone fraction warrants."""
+        from ..fsutil import delete_path, fs_for, hpath
+
+        tomb = self._tombstones()
+        if tomb is None:
+            return 0
+        n_tomb = tomb.count()
+        man = self._manifest()
+        n_shards = int(man["n_shards"])
+
+        def _rewrite(src_path: str, partitioned: bool, transform):
+            tmp = src_path + "__compact"
+            df = transform(self.spark.read.parquet(src_path))
+            w = df.write.mode("overwrite")
+            if partitioned:
+                w = w.partitionBy("_shard")
+            w.parquet(tmp)
+            fs = fs_for(self.spark, src_path)
+            fs.delete(hpath(self.spark, src_path), True)
+            fs.rename(hpath(self.spark, tmp), hpath(self.spark, src_path))
+
+        _rewrite(
+            self.postings_path, True,
+            lambda df: df.join(tomb, "doc", "left_anti"),
+        )
+        # terms rebuilt from the REWRITTEN postings — one pass, exact,
+        # and it also folds historical add() df-delta rows into one
+        # row per term
+        terms = (
+            self.spark.read.parquet(self.postings_path)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+            .withColumn("_shard", _term_shard_col(F.col("term"), n_shards))
+        )
+        tmp_terms = self.terms_path + "__compact"
+        terms.write.mode("overwrite").partitionBy("_shard").parquet(tmp_terms)
+        fs = fs_for(self.spark, self.terms_path)
+        fs.delete(hpath(self.spark, self.terms_path), True)
+        fs.rename(
+            hpath(self.spark, tmp_terms), hpath(self.spark, self.terms_path)
+        )
+        _rewrite(
+            self.docs_path, False,
+            lambda df: df.join(tomb, "doc", "left_anti"),
+        )
+        delete_path(self.spark, self.tombstones_path)
+        return int(n_tomb)
 
 
 # ------------------------------------------------- hybrid retrieval

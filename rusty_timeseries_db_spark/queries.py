@@ -6193,7 +6193,7 @@ def q_bm25_topk(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
-      FROM documents
+      FROM documents WHERE doc_id % 10 <> 7
     ),
     stats AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
@@ -6235,8 +6235,12 @@ def q_bm25_topk(spark, sf_dir):
     "with `term IN` pushed into the parquet inside them. This slot "
     "certifies the INCREMENTAL path end-to-end: build on ~3/4 of "
     "documents, add() the rest (postings + df-delta appends + "
-    "manifest bump), query — and the oracle is the full-corpus "
-    "DuckDB BM25, so the add must be exact, not approximately right.",
+    "manifest bump), then remove() every doc_id % 10 == 7 (r13: "
+    "tombstones + manifest decrement; query() drops tombstoned "
+    "candidates AND subtracts their per-term df inside the probed "
+    "shards), query — and the oracle is the DuckDB BM25 over the "
+    "LIVE corpus (doc_id % 10 <> 7), so both the add and the "
+    "logical delete must be exact, not approximately right.",
 )
 def q_bm25_index(spark, sf_dir):
     from .operators.retrieval import Bm25Index
@@ -6245,6 +6249,7 @@ def q_bm25_index(spark, sf_dir):
     path = os.path.join(_fixture_dir("q_bm25_index"), "bm25")
     idx = Bm25Index(spark, path).build(d.filter(F.col("doc_id") % 4 != 1))
     idx.add(d.filter(F.col("doc_id") % 4 == 1))
+    idx.remove(d.filter(F.col("doc_id") % 10 == 7).select("doc_id"))
     return idx.query(["dup", "filter", "sort", "stream", "vector"], k=40)
 
 

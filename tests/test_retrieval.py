@@ -323,3 +323,93 @@ def test_streaming_ivf_index_sink_parity_with_batch_add(spark, tmp_path):
     assert apply_ivf_batch(
         spark, path, extra.limit(3), batch_id=0, corpus_id="vec_id"
     ) == 0
+
+
+# ------------------------------------- deletion + compaction (round 13)
+
+def test_remove_is_exact_vs_live_rebuild(spark, tmp_path):
+    """The deletion contract: after remove(), query() must EXACTLY
+    equal a fresh index built on the live subset — N/avgdl decremented
+    from the docs sidecar, tombstoned candidates dropped, and their
+    per-term df contribution subtracted inside the probed shards."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    gone = docs.filter(F.col("doc_id") % 5 == 2)
+    live = docs.filter(F.col("doc_id") % 5 != 2)
+
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    k = idx.remove(gone.select("doc_id"))
+    assert k == gone.count()
+
+    ref = Bm25Index(spark, str(tmp_path / "bm25_live")).build(live)
+    got = _rows(idx.query(TERMS, k=25))
+    want = _rows(ref.query(TERMS, k=25))
+    assert got == want
+    # and equals the ad-hoc operator over the live corpus
+    assert got == _rows(bm25_topk(live, TERMS, k=25))
+    # no removed doc can surface
+    gone_ids = {r.doc_id for r in gone.collect()}
+    assert not gone_ids & {t[0] for t in got}
+
+
+def test_remove_idempotent_and_unknown_ids(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    man0 = idx._manifest()
+    assert idx.remove([1, 2, 3]) == 3
+    man1 = idx._manifest()
+    assert man1["n_docs"] == man0["n_docs"] - 3
+    assert man1["n_removed"] == 3
+    # re-removing the same ids (and never-present ids) is a no-op
+    assert idx.remove([1, 2, 3, 999_999]) == 0
+    assert idx._manifest()["n_docs"] == man1["n_docs"]
+
+
+def test_compact_preserves_results_and_clears_tombstones(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(
+        docs.filter(F.col("doc_id") % 3 != 0)
+    )
+    idx.add(docs.filter(F.col("doc_id") % 3 == 0))  # df-delta rows exist
+    idx.remove([r.doc_id for r in docs.filter(
+        F.col("doc_id") % 4 == 1).collect()])
+    before = _rows(idx.query(TERMS, k=25))
+    man_before = idx._manifest()
+
+    applied = idx.compact()
+    assert applied > 0
+    assert idx._tombstones() is None  # physically gone
+    after = _rows(Bm25Index(spark, path).query(TERMS, k=25))
+    assert after == before
+    man_after = idx._manifest()
+    assert man_after["n_docs"] == man_before["n_docs"]
+    # the docs sidecar no longer holds the removed ids
+    remaining = spark.read.parquet(idx.docs_path).count()
+    assert remaining == man_after["n_docs"]
+    # a second compact is a no-op
+    assert idx.compact() == 0
+
+
+def test_add_after_remove(spark, tmp_path):
+    """Interleaved lifecycle: build, remove, add — the final index
+    equals the ad-hoc operator over (base - removed + added)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") < 400)
+    extra = docs.filter(F.col("doc_id") >= 400)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(base)
+    idx.remove([r.doc_id for r in base.filter(
+        F.col("doc_id") % 10 == 0).collect()])
+    idx.add(extra)
+    expect_corpus = base.filter(F.col("doc_id") % 10 != 0).unionByName(extra)
+    assert _rows(idx.query(TERMS, k=25)) == _rows(
+        bm25_topk(expect_corpus, TERMS, k=25)
+    )
