@@ -690,6 +690,16 @@ def is_query_statement(query: str) -> bool:
     head, sep, rest = masked.partition(";")
     if sep and rest.strip():
         return False
+    # EXPLAIN is planning-only — admit it exactly when the statement
+    # UNDER it would be admitted (the dialect entry additionally
+    # re-checks the inner statement before its recursive spark.sql)
+    head = re.sub(
+        r"^\s*EXPLAIN(?:\s+(?:EXTENDED|CODEGEN|COST|FORMATTED))?\s+",
+        " ",
+        head,
+        count=1,
+        flags=re.IGNORECASE,
+    )
     # SUMMARIZE <table> (r12): strictly a read (routes to the column
     # profiler) — the narrow regex admits only one bare identifier, so
     # nothing writable can hide behind the keyword
@@ -1527,7 +1537,36 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     (VERDICT r7 gap #3). Statements using none pass through unchanged
     (GROUP BY ALL / ORDER BY ALL / ``* EXCEPT`` need no rewrite —
     Spark parses those natively). ``SUMMARIZE <table>`` routes to the
-    column profiler (r12 — see ``_maybe_summarize``)."""
+    column profiler (r12 — see ``_maybe_summarize``).
+
+    ``EXPLAIN [EXTENDED|CODEGEN|COST|FORMATTED] <stmt>`` (r13): the
+    prefix is peeled, the inner statement goes through THIS function
+    recursively — so every dialect feature (ASOF/QUALIFY/DISTINCT
+    ON/COLUMNS/star modifiers AND the SUMMARIZE/PIVOT/UNPIVOT verbs)
+    explains exactly as it would run — and the resulting plan renders
+    through the same JVM path ``DataFrame.explain`` uses, returned as
+    Spark's native 1-row ``(plan string)`` EXPLAIN shape. Planning
+    only; nothing executes."""
+    em = re.match(
+        r"\s*EXPLAIN(?:\s+(EXTENDED|CODEGEN|COST|FORMATTED))?\s+",
+        query,
+        re.IGNORECASE,
+    )
+    if em is not None:
+        mode = (em.group(1) or "simple").lower()
+        inner = query[em.end():]
+        if not is_query_statement(inner):
+            # the recursion runs the inner statement through spark.sql,
+            # which EXECUTES DDL/DML eagerly — "EXPLAIN INSERT ..."
+            # must never become a write that merely LOOKS planned
+            raise ValueError(
+                "EXPLAIN supports read-only query statements only"
+            )
+        inner_df = sql(spark, inner, right_order=right_order)
+        text = spark._jvm.PythonSQLUtils.explainString(
+            inner_df._jdf.queryExecution(), mode
+        )
+        return spark.createDataFrame([(text,)], "plan string")
     summarized = _maybe_summarize(spark, query)
     if summarized is not None:
         return summarized

@@ -1554,3 +1554,46 @@ def test_pivot_review_round13_fixes(spark):
     )
     assert out3.columns == ["g", "g_s", "h_s"]
     assert out3.collect()[0][:] == ("r1", 5.0, 6.0)
+
+
+def test_explain_through_dialect(spark):
+    """Round 13: EXPLAIN peels off, the inner statement takes the FULL
+    dialect (verbs included), the plan renders via the DataFrame.explain
+    JVM path as Spark's native (plan string) row — and EXPLAIN can
+    never execute a write."""
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import (
+        is_query_statement,
+    )
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [("a", "x", 1.5), ("a", "y", 2.5)], "g string, c string, x double"
+    ).createOrReplaceTempView("_t_expl")
+
+    out = dialect_sql(
+        spark, "EXPLAIN SELECT g, sum(x) AS s FROM _t_expl GROUP BY g"
+    )
+    assert out.columns == ["plan"]
+    assert "== Physical Plan ==" in out.collect()[0].plan
+
+    # dialect features compose under EXPLAIN
+    q = dialect_sql(
+        spark,
+        "EXPLAIN SELECT * FROM _t_expl "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY x) = 1",
+    )
+    assert "Window" in q.collect()[0].plan
+    # ...including the statement verbs
+    p = dialect_sql(
+        spark,
+        "EXPLAIN FORMATTED PIVOT _t_expl ON c USING sum(x) AS s GROUP BY g",
+    )
+    assert "HashAggregate" in p.collect()[0].plan
+
+    # writes never ride EXPLAIN (the recursion would execute them)
+    with pytest.raises(ValueError, match="read-only"):
+        dialect_sql(spark, "EXPLAIN DROP TABLE _t_expl")
+    assert is_query_statement("EXPLAIN EXTENDED SELECT 1")
+    assert not is_query_statement("EXPLAIN INSERT INTO _t_expl VALUES (1)")
