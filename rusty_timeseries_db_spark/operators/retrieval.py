@@ -422,6 +422,25 @@ class Bm25Index:
         n, sum_dl = self._staged_stats(staged)
         if n == 0:
             return 0
+        tomb = self._tombstones()
+        if tomb is not None:
+            # re-adding a REMOVED id is neither suppressible (the
+            # tombstone would hide the new postings) nor safely
+            # clearable (clearing it would resurrect the old, still-
+            # physical postings alongside the new — a double-counted
+            # doc). compact() first makes re-insertion clean; one
+            # tombstone-sized join guards the invariant (review r13).
+            n_clash = staged.select(F.col("_doc").alias("doc")).join(
+                tomb, "doc", "left_semi"
+            ).count()
+            if n_clash:
+                raise ValueError(
+                    f"{n_clash} doc id(s) in this batch were previously "
+                    "remove()d — run compact() before re-adding "
+                    "removed ids (a tombstone would otherwise hide the "
+                    "new rows, and clearing it would resurrect the old "
+                    "ones)"
+                )
         post = self._postings_from_staged(staged, n_shards)
         post.write.mode("append").partitionBy("_shard").parquet(
             self.postings_path

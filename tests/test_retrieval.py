@@ -413,3 +413,24 @@ def test_add_after_remove(spark, tmp_path):
     assert _rows(idx.query(TERMS, k=25)) == _rows(
         bm25_topk(expect_corpus, TERMS, k=25)
     )
+
+
+def test_readd_of_removed_id_guarded_until_compact(spark, tmp_path):
+    """Re-adding a removed id must raise (a tombstone would hide the
+    new rows; clearing it would resurrect the old ones) — and succeed
+    cleanly after compact()."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs.filter(F.col("doc_id") < 450))
+    idx.remove([7])
+    readd = docs.filter(F.col("doc_id") == 7)
+    with pytest.raises(ValueError, match="compact"):
+        idx.add(readd)
+    idx.compact()
+    assert idx.add(readd) == 1
+    live = docs.filter(F.col("doc_id") < 450)  # 7 removed then re-added
+    assert _rows(idx.query(TERMS, k=20)) == _rows(
+        bm25_topk(live, TERMS, k=20)
+    )
