@@ -184,6 +184,7 @@ class Bm25Index:
         self.terms_path = self.index_path + "/terms"
         self.docs_path = self.index_path + "/docs"
         self.tombstones_path = self.index_path + "/tombstones"
+        self.marker_path = self.index_path + "/_compacting.json"
         self.manifest_path = self.index_path + ".bm25.json"
 
     # -- build -------------------------------------------------------
@@ -283,6 +284,7 @@ class Bm25Index:
         from ..fsutil import delete_path
 
         delete_path(self.spark, self.tombstones_path)  # fresh build
+        delete_path(self.spark, self.marker_path)
         write_json_manifest(self.spark, self.manifest_path, {
             "n_docs": n,
             "sum_dl": sum_dl,
@@ -290,6 +292,9 @@ class Bm25Index:
             "id_col": id_col,
             "n_added": 0,
             "n_removed": 0,
+            # feature flag: remove() requires the per-doc sidecar this
+            # build wrote — a pre-r13 index must rebuild to delete
+            "docs_sidecar": True,
         })
         return self
 
@@ -320,6 +325,12 @@ class Bm25Index:
         parquet scans inside them."""
         if not query_terms:
             raise ValueError("query_terms must be non-empty")
+        if self._dir_exists(self.marker_path):
+            raise RuntimeError(
+                "an interrupted compact() left this index mid-swap — "
+                "re-run compact() (it converges from any interruption "
+                "point) before serving queries"
+            )
         man = self._manifest()
         n_shards = int(man["n_shards"])
         n_docs = float(man["n_docs"])
@@ -453,10 +464,13 @@ class Bm25Index:
         delta.write.mode("append").partitionBy("_shard").parquet(
             self.terms_path
         )
-        staged.select(
-            F.col("_doc").alias("doc"),
-            F.size("_ws").cast("double").alias("dl"),
-        ).write.mode("append").parquet(self.docs_path)
+        if man.get("docs_sidecar"):
+            staged.select(
+                F.col("_doc").alias("doc"),
+                F.size("_ws").cast("double").alias("dl"),
+            ).write.mode("append").parquet(self.docs_path)
+        # (no sidecar: a pre-r13 index keeps its old layout — writing a
+        # PARTIAL sidecar would let remove() silently miss old docs)
         write_json_manifest(self.spark, self.manifest_path, {
             **man,
             "n_docs": int(man["n_docs"]) + n,
@@ -480,21 +494,37 @@ class Bm25Index:
         """Delete documents from the SERVING index without a rebuild
         (round 13 — the GDPR/right-to-erasure story a corpus index
         needs): append the LIVE subset of ``doc_ids`` to a tombstone
-        list and decrement the manifest's N / total-doc-length using
-        the per-doc ``docs/`` sidecar. No postings shard is rewritten;
-        :meth:`query` subtracts tombstoned rows from both the
-        candidate set AND the per-term df inside the shards it was
-        already reading, so post-remove scores are EXACT for the live
-        corpus (pinned against a fresh build of the live subset in
-        tests). :meth:`compact` later makes the deletion physical.
+        list; the manifest's N / total-doc-length are then RE-DERIVED
+        from the docs-sidecar-minus-tombstones state (not
+        decremented), so a crash between the tombstone append and the
+        manifest write heals on the next remove() call — the
+        documented at-least-once retry really is safe. No postings
+        shard is rewritten; :meth:`query` subtracts tombstoned rows
+        from both the candidate set AND the per-term df inside the
+        shards it was already reading, so post-remove scores are
+        EXACT for the live corpus (pinned against a fresh build of
+        the live subset in tests). :meth:`compact` later makes the
+        deletion physical.
+
+        The id batch is STAGED to parquet before use (the
+        ``_stage_docs`` discipline): a nondeterministic ``doc_ids``
+        plan cannot tombstone one realization and account another.
 
         ``doc_ids``: a list of ids or a single-column DataFrame.
         Idempotent: ids already removed (or never present) are
-        ignored — safe under at-least-once delivery. Returns the
-        number of docs actually removed."""
+        ignored. Returns the number of docs newly removed. Requires
+        the r13 ``docs/`` sidecar (raises on an index built by an
+        older build() — rebuild to enable deletion; a partial sidecar
+        would silently miss pre-upgrade docs)."""
         from ..fsutil import write_json_manifest
 
         man = self._manifest()
+        if not man.get("docs_sidecar"):
+            raise ValueError(
+                "this index predates the per-doc docs/ sidecar "
+                "(round 13) — remove() needs it for exact N/avgdl "
+                "accounting; rebuild with build() to enable deletion"
+            )
         if not isinstance(doc_ids, DataFrame):
             docs_schema = self.spark.read.parquet(self.docs_path).schema
             ids = self.spark.createDataFrame(
@@ -509,23 +539,33 @@ class Bm25Index:
         tomb = self._tombstones()
         if tomb is not None:
             live = live.join(tomb, "doc", "left_anti")
-        k, dl = live.select(
-            F.count(F.lit(1)).alias("k"),
+        # STAGE the resolved id set, then do everything from the
+        # frozen copy — one realization tombstones AND accounts
+        staging = self.index_path + "/_staging_remove"
+        live.select("doc").write.mode("overwrite").parquet(staging)
+        staged = self.spark.read.parquet(staging)
+        k = staged.count()
+        if k > 0:
+            staged.write.mode("append").parquet(self.tombstones_path)
+        # manifest DERIVED from authoritative state (docs minus
+        # tombstones): self-healing under interrupted earlier calls
+        live_docs = self.spark.read.parquet(self.docs_path)
+        tomb_now = self._tombstones()
+        n_removed = 0
+        if tomb_now is not None:
+            live_docs = live_docs.join(tomb_now, "doc", "left_anti")
+            n_removed = tomb_now.count()
+        n_live, dl_live = live_docs.select(
+            F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
         ).first()
-        k = int(k)
-        if k == 0:
-            return 0
-        live.select("doc").write.mode("append").parquet(
-            self.tombstones_path
-        )
         write_json_manifest(self.spark, self.manifest_path, {
             **man,
-            "n_docs": int(man["n_docs"]) - k,
-            "sum_dl": float(man["sum_dl"]) - float(dl),
-            "n_removed": int(man.get("n_removed", 0)) + k,
+            "n_docs": int(n_live),
+            "sum_dl": float(dl_live),
+            "n_removed": int(n_removed),
         })
-        return k
+        return int(k)
 
     def compact(self) -> int:
         """Apply the tombstones physically: rewrite ``postings/`` and
@@ -536,52 +576,95 @@ class Bm25Index:
         reclaims bytes and removes the per-query tombstone join, it
         never changes scores. Returns the number of tombstones
         applied. Cost: one full index rewrite — run it like any
-        compaction job, when the tombstone fraction warrants."""
-        from ..fsutil import delete_path, fs_for, hpath
+        compaction job, when the tombstone fraction warrants.
+
+        Crash safety: a ``_compacting`` marker is written before the
+        directory swaps and cleared after the tombstones drop;
+        :meth:`query` REFUSES to serve while the marker exists (the
+        intermediate states are internally inconsistent), and
+        re-running compact() from ANY interruption point converges —
+        every rewrite is recomputed from the CURRENT directory state,
+        and anti-joining tombstones is idempotent. Directory swaps
+        check the Hadoop rename/delete return codes (HDFS rename
+        reports failure by returning false, not by raising)."""
+        from ..fsutil import delete_path, fs_for, hpath, write_json_manifest
 
         tomb = self._tombstones()
         if tomb is None:
+            if self._dir_exists(self.marker_path):
+                # an earlier compact() crashed AFTER dropping the
+                # tombstones — every swap is complete; finish the
+                # cleanup so query() serves again
+                delete_path(self.spark, self.marker_path)
             return 0
         n_tomb = tomb.count()
         man = self._manifest()
         n_shards = int(man["n_shards"])
+        # guard BEFORE any destructive step: an all-removed index
+        # would leave an empty partitioned postings dir that cannot
+        # be re-read (the build()-documented hazard) — keep serving
+        # via tombstones instead and tell the caller the honest fix
+        n_live_postings = (
+            self.spark.read.parquet(self.postings_path)
+            .join(tomb, "doc", "left_anti")
+            .count()
+        )
+        if n_live_postings == 0:
+            raise ValueError(
+                "compact() would leave zero postings (every posting-"
+                "bearing doc is tombstoned) — an empty partitioned "
+                "layout is unreadable; keep serving via tombstones or "
+                "rebuild with build() on the live corpus"
+            )
+        write_json_manifest(self.spark, self.marker_path, {
+            "n_tombstones": int(n_tomb),
+        })
 
-        def _rewrite(src_path: str, partitioned: bool, transform):
+        def _swap_in(src_path: str, df: DataFrame, partitioned: bool):
+            """Write ``df`` beside ``src_path`` then swap it into
+            place, raising on any failed FS operation."""
             tmp = src_path + "__compact"
-            df = transform(self.spark.read.parquet(src_path))
             w = df.write.mode("overwrite")
             if partitioned:
                 w = w.partitionBy("_shard")
             w.parquet(tmp)
             fs = fs_for(self.spark, src_path)
-            fs.delete(hpath(self.spark, src_path), True)
-            fs.rename(hpath(self.spark, tmp), hpath(self.spark, src_path))
+            if not fs.delete(hpath(self.spark, src_path), True):
+                raise IOError(f"compact: could not delete {src_path}")
+            if not fs.rename(
+                hpath(self.spark, tmp), hpath(self.spark, src_path)
+            ):
+                raise IOError(
+                    f"compact: rename {tmp} -> {src_path} failed"
+                )
 
-        _rewrite(
-            self.postings_path, True,
-            lambda df: df.join(tomb, "doc", "left_anti"),
+        _swap_in(
+            self.postings_path,
+            self.spark.read.parquet(self.postings_path).join(
+                tomb, "doc", "left_anti"
+            ),
+            partitioned=True,
         )
         # terms rebuilt from the REWRITTEN postings — one pass, exact,
         # and it also folds historical add() df-delta rows into one
         # row per term
-        terms = (
+        _swap_in(
+            self.terms_path,
             self.spark.read.parquet(self.postings_path)
             .groupBy("term")
             .agg(F.count(F.lit(1)).cast("double").alias("df"))
-            .withColumn("_shard", _term_shard_col(F.col("term"), n_shards))
+            .withColumn("_shard", _term_shard_col(F.col("term"), n_shards)),
+            partitioned=True,
         )
-        tmp_terms = self.terms_path + "__compact"
-        terms.write.mode("overwrite").partitionBy("_shard").parquet(tmp_terms)
-        fs = fs_for(self.spark, self.terms_path)
-        fs.delete(hpath(self.spark, self.terms_path), True)
-        fs.rename(
-            hpath(self.spark, tmp_terms), hpath(self.spark, self.terms_path)
-        )
-        _rewrite(
-            self.docs_path, False,
-            lambda df: df.join(tomb, "doc", "left_anti"),
+        _swap_in(
+            self.docs_path,
+            self.spark.read.parquet(self.docs_path).join(
+                tomb, "doc", "left_anti"
+            ),
+            partitioned=False,
         )
         delete_path(self.spark, self.tombstones_path)
+        delete_path(self.spark, self.marker_path)
         return int(n_tomb)
 
 

@@ -2710,7 +2710,7 @@ def q_multimodal_features(spark, sf_dir):
 def q_multimodal_probe(spark, sf_dir):
     import pandas as pd
 
-    from .operators.multimodal import make_assets, probe_asset_meta
+    from .operators.multimodal import probe_asset_meta
 
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
         "doc_id"
@@ -2750,15 +2750,21 @@ def q_multimodal_probe(spark, sf_dir):
             })
 
     imgs = d.mapInPandas(synth, "doc_id long, mime string, payload binary")
-    jp = make_assets(
-        imgs.filter(F.col("mime") == "image/jpeg"), "doc_id", "payload",
-        "image/jpeg",
+    # ONE pass: make_assets takes a constant mime, so two filtered
+    # calls would run the synth stage twice (review round 13) —
+    # inline the asset shape keeping the per-row mime column instead
+    assets = imgs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        "mime",
+        F.col("payload").cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.sha2(F.col("payload").cast("binary"), 256).alias("sha256"),
+        ).alias("meta"),
     )
-    bm = make_assets(
-        imgs.filter(F.col("mime") == "image/bmp"), "doc_id", "payload",
-        "image/bmp",
-    )
-    probed = probe_asset_meta(jp.unionByName(bm))
+    probed = probe_asset_meta(assets)
     return probed.select(
         "asset_id",
         "mime",

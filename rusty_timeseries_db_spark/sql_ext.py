@@ -1547,9 +1547,13 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     through the same JVM path ``DataFrame.explain`` uses, returned as
     Spark's native 1-row ``(plan string)`` EXPLAIN shape. Planning
     only; nothing executes."""
+    # match on a comment-blanked masked copy (length-preserving, so
+    # em.end() indexes into the original): the gate admits
+    # "/* audit */ EXPLAIN ..." and this entry must recognize the
+    # same spelling (review round 13)
     em = re.match(
         r"\s*EXPLAIN(?:\s+(EXTENDED|CODEGEN|COST|FORMATTED))?\s+",
-        query,
+        _blank_comments_preserving(_mask_string_literals(query)),
         re.IGNORECASE,
     )
     if em is not None:

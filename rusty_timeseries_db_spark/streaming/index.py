@@ -43,16 +43,38 @@ def apply_bm25_batch(
     batch_id: int,
     id_col: str | None = None,
     text_col: str = "text",
+    removed_ids: str = "skip",
 ) -> int:
     """Apply ONE micro-batch to the index, idempotently: returns the
     number of docs added, or 0 when ``batch_id`` was already fully
     applied (manifest ``last_applied_batch`` watermark). Factored out
     of the sink so the replay contract is unit-testable without a
-    streaming harness."""
+    streaming harness.
+
+    ``removed_ids`` (review round 13): what to do when the batch
+    carries an id that was ``remove()``d — ``"skip"`` (default) drops
+    those rows and applies the rest, since a stream cannot raise its
+    way out: ``add()``'s re-add guard would otherwise fail the same
+    micro-batch on every restart (the offsets never advance past a
+    raise — a permanent poison pill) and erasure semantics usually
+    WANT a re-published removed doc kept out until an operator
+    compacts and re-admits it deliberately. ``"error"`` keeps
+    ``add()``'s strict contract for pipelines that prefer to stop."""
+    if removed_ids not in ("skip", "error"):
+        raise ValueError(f"removed_ids must be skip|error, got {removed_ids!r}")
     idx = Bm25Index(spark, index_path)
     man = idx._manifest()  # raises FileNotFoundError before build()
     if batch_id <= int(man.get("last_applied_batch", -1)):
         return 0
+    if removed_ids == "skip":
+        tomb = idx._tombstones()
+        if tomb is not None:
+            the_id = id_col or man.get("id_col", "doc_id")
+            from pyspark.sql import functions as F
+
+            batch = batch.join(
+                tomb.select(F.col("doc").alias(the_id)), the_id, "left_anti"
+            )
     n = idx.add(batch, id_col=id_col, text_col=text_col)
     man2 = idx._manifest()
     man2["last_applied_batch"] = int(batch_id)
@@ -68,16 +90,20 @@ def start_bm25_index_sink(
     text_col: str = "text",
     trigger_seconds: int | None = None,
     available_now: bool = False,
+    removed_ids: str = "skip",
 ) -> StreamingQuery:
     """Maintain a built ``Bm25Index`` from a document stream: each
     micro-batch runs :func:`apply_bm25_batch`. The index must exist
     (``Bm25Index(...).build(initial_corpus)``) before the sink starts
-    — the build defines the sharding the appends route into."""
+    — the build defines the sharding the appends route into.
+    ``removed_ids="skip"`` (default — see :func:`apply_bm25_batch`)
+    keeps a re-published removed doc out instead of poison-pilling
+    the stream on ``add()``'s re-add guard."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         apply_bm25_batch(
             batch.sparkSession, index_path, batch, batch_id,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, removed_ids=removed_ids,
         )
 
     writer = stream.writeStream.foreachBatch(_sink).option(

@@ -434,3 +434,117 @@ def test_readd_of_removed_id_guarded_until_compact(spark, tmp_path):
     assert _rows(idx.query(TERMS, k=20)) == _rows(
         bm25_topk(live, TERMS, k=20)
     )
+
+
+def test_compact_guards_all_removed(spark, tmp_path):
+    """Removing every posting-bearing doc must NOT let compact() brick
+    the index: it raises before any destructive step and the index
+    keeps serving (empty result set) via tombstones."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).filter(F.col("doc_id") < 20)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    idx.remove([r.doc_id for r in docs.collect()])
+    with pytest.raises(ValueError, match="zero postings"):
+        idx.compact()
+    # still serving: every doc tombstoned -> empty result, no error
+    assert idx.query(TERMS, k=5).count() == 0
+
+
+def test_query_refuses_mid_compact_marker(spark, tmp_path):
+    """An interrupted compact() (marker present) must refuse queries —
+    the intermediate directory states are inconsistent — and a re-run
+    with no tombstones left finishes the cleanup."""
+    from rusty_timeseries_db_spark.fsutil import write_json_manifest
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    write_json_manifest(spark, idx.marker_path, {"n_tombstones": 1})
+    with pytest.raises(RuntimeError, match="interrupted compact"):
+        idx.query(TERMS, k=5)
+    # simulate crash after the tombstone drop: compact() cleans up
+    assert idx.compact() == 0
+    assert idx.query(TERMS, k=5).count() > 0
+
+
+def test_remove_requires_docs_sidecar(spark, tmp_path):
+    """A pre-r13 index (no docs/ sidecar flag) must fail LOUDLY on
+    remove() — a partial sidecar would silently skip old docs."""
+    from rusty_timeseries_db_spark.fsutil import (
+        read_json_manifest,
+        write_json_manifest,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    man = read_json_manifest(spark, idx.manifest_path)
+    del man["docs_sidecar"]
+    write_json_manifest(spark, idx.manifest_path, man)
+    with pytest.raises(ValueError, match="sidecar"):
+        idx.remove([1])
+    # and add() on the old format does NOT create a partial sidecar
+    import shutil
+
+    shutil.rmtree(idx.docs_path)
+    idx.add(_docs(spark).limit(0))  # no-op add is fine
+    assert not idx._dir_exists(idx.docs_path)
+
+
+def test_remove_manifest_self_heals(spark, tmp_path):
+    """The manifest derives from docs-minus-tombstones: if an earlier
+    remove() crashed after the tombstone append but before the
+    manifest write (simulated by appending tombstones directly), the
+    NEXT remove() call heals N/sum_dl."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    # simulate the torn state: tombstone rows exist, manifest untouched
+    spark.createDataFrame([(3,), (4,)], "doc long").write.mode(
+        "append"
+    ).parquet(idx.tombstones_path)
+    assert idx._manifest()["n_docs"] == docs.count()  # stale
+    idx.remove([5])  # heals while removing one more
+    man = idx._manifest()
+    assert man["n_docs"] == docs.count() - 3
+    assert man["n_removed"] == 3
+    # and scores equal a live-subset rebuild
+    live = docs.filter(~F.col("doc_id").isin([3, 4, 5]))
+    assert _rows(idx.query(TERMS, k=15)) == _rows(
+        bm25_topk(live, TERMS, k=15)
+    )
+
+
+def test_stream_sink_skips_removed_ids(spark, tmp_path):
+    """removed_ids='skip' (review round 13): a re-published removed doc
+    must not poison-pill the stream — the batch applies minus the
+    tombstoned ids; 'error' keeps add()'s strict raise."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.streaming.index import apply_bm25_batch
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs.filter(F.col("doc_id") < 300))
+    idx.remove([5, 10])
+    batch = docs.filter(
+        F.col("doc_id").isin([5, 10, 400, 401])
+    ).select("doc_id", "text")
+    n = apply_bm25_batch(spark, path, batch, batch_id=0)
+    assert n == 2  # 400/401 applied; 5/10 kept out by their tombstones
+    live = docs.filter(
+        (F.col("doc_id") < 300) & ~F.col("doc_id").isin([5, 10])
+    ).unionByName(docs.filter(F.col("doc_id").isin([400, 401])))
+    assert _rows(Bm25Index(spark, path).query(TERMS, k=20)) == _rows(
+        bm25_topk(live.select("doc_id", "text"), TERMS, k=20)
+    )
+    # strict mode still raises (fresh batch id so the watermark skip
+    # does not mask the guard)
+    with pytest.raises(ValueError, match="compact"):
+        apply_bm25_batch(
+            spark, path, batch, batch_id=1, removed_ids="error"
+        )
