@@ -702,3 +702,132 @@ def test_quantize_roundtrip_bound_property(spark, vec, bits):
     assert all(-qmax <= c <= qmax for c in row.z.q)
     bound = row.z.scale / 2 + 1e-9
     assert all(e <= bound for e in row.err)
+
+
+# -------------------------------------- round-13 operators (property)
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=20,
+    ),
+    iters=st.integers(1, 3),
+)
+def test_pagerank_matches_python_reference(spark, edges, iters):
+    """Integer PageRank == a direct Python implementation of the same
+    integer recurrence on arbitrary small digraphs (dangling mass
+    dropped, no-inlink nodes at base)."""
+    from rusty_timeseries_db_spark.operators.graph import SCALE, pagerank
+
+    e = sorted({(f"n{a}", f"n{b}") for a, b in edges})
+    nodes = sorted({x for p in e for x in p})
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: SCALE for n in nodes}
+    base = (1000 - 850) * SCALE // 1000
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, d in e:
+            contrib[d] += r[s] // outdeg[s]
+        r = {n: base + (850 * contrib[n]) // 1000 for n in nodes}
+
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {
+        row.node: row.rank_micro
+        for row in pagerank(df, iterations=iters).collect()
+    }
+    assert got == r
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["a", "b", None]),
+                  st.sampled_from([1.0, 2.0, None])),
+        max_size=12, unique_by=lambda t: t[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["a", "b", None]),
+                  st.sampled_from([1.0, 2.0, None])),
+        max_size=12, unique_by=lambda t: t[0],
+    ),
+)
+def test_table_diff_matches_python_reference(spark, old_rows, new_rows):
+    """table_diff == a direct dict-based diff with NULL-safe compares
+    on arbitrary snapshots (unique keys per side)."""
+    from rusty_timeseries_db_spark.operators.scd2 import table_diff
+
+    schema = "k long, s string, v double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    od = {t[0]: (t[1], t[2]) for t in old_rows}
+    nd = {t[0]: (t[1], t[2]) for t in new_rows}
+    want = {}
+    for k in set(od) | set(nd):
+        if k not in od:
+            want[k] = ("added", "")
+        elif k not in nd:
+            want[k] = ("removed", "")
+        else:
+            changed = [
+                name for name, i in (("s", 0), ("v", 1))
+                if od[k][i] != nd[k][i]
+            ]
+            if changed:
+                want[k] = ("changed", ",".join(sorted(changed)))
+    got = {
+        r.k: (r.change_type, r.changed_cols)
+        for r in table_diff(old, new, keys=["k"]).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lists=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(
+            st.tuples(st.integers(0, 10), st.integers(0, 5)),
+            min_size=1, max_size=8, unique_by=lambda t: t[0],
+        ),
+        min_size=1, max_size=3,
+    ),
+    k=st.integers(1, 8),
+)
+def test_rrf_fuse_matches_python_reference(spark, lists, k):
+    """rrf_fuse == direct Python RRF with (score desc, id asc) ranks
+    and (rrf desc, id asc) final ordering on arbitrary bounded lists."""
+    from rusty_timeseries_db_spark.operators.retrieval import rrf_fuse
+
+    scores = {}
+    nlists = {}
+    for name, rows in lists.items():
+        ranked = sorted(rows, key=lambda t: (-t[1], t[0]))
+        for rank, (doc, _s) in enumerate(ranked, start=1):
+            scores[doc] = scores.get(doc, 0.0) + 1.0 / (60 + rank)
+            nlists[doc] = nlists.get(doc, 0) + 1
+    want = sorted(
+        ((doc, nlists[doc], round(s, 6)) for doc, s in scores.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:k]
+
+    rankings = {
+        name: (
+            spark.createDataFrame(
+                [(d, float(s)) for d, s in rows], "doc_id long, s double"
+            ),
+            "s",
+        )
+        for name, rows in lists.items()
+    }
+    got = [
+        (r.doc_id, r.n_lists, r.rrf)
+        for r in rrf_fuse(rankings, id_col="doc_id", k=k).collect()
+    ]
+    # compare as SETS keyed by doc: ties at the k-cut may order
+    # differently between the reference sort and Spark's limit ONLY
+    # when rrf scores tie at the boundary — both break on doc id, so
+    # the selected set and every (n_lists, rrf) value must agree
+    assert got == want
