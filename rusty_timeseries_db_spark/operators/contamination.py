@@ -152,3 +152,77 @@ def boilerplate_profile(
             ).alias("boilerplate_frac"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Bigram-LM quality scoring (round 13) — the perplexity-style
+    filter CCNet applies with a wiki LM, expressed against the
+    corpus's OWN bigram statistics and kept cross-engine
+    deterministic by the q_unigram_surprisal discipline: no ``ln()``
+    (engines differ in the last ulp), the per-position score is the
+    inverse CONDITIONAL probability ``c(w1) / c(w1 w2)`` — an exact
+    rational of corpus counts, IEEE-divided identically everywhere,
+    rounded to 9 dp and summed as exact decimal so per-doc sums are
+    order-INDEPENDENT. High mean ⇒ the doc's word transitions are
+    improbable under the corpus model (gibberish/shuffled text);
+    ``rare_bigram_frac`` (share of positions whose bigram occurs ≤
+    ``rare_max_count`` times corpus-wide) is the companion
+    novelty-rate signal.
+
+    Only docs with ≥ 2 tokens participate — in the model counts AND
+    the output (a 1-token doc has no transitions; including its
+    unigram in the model would make the score depend on docs that
+    can never be scored).
+
+    Scale shape: bigram model = one gram-keyed count aggregate
+    (map-side combine eats boilerplate skew), unigram model = one
+    term-keyed count; scoring = the exploded positional bigrams
+    joined to both models (content-keyed shuffles, never all-pairs —
+    the inverted-index shape of every corpus-statistics operator
+    here) + one doc-keyed aggregate. Returns ``(id, n_bigrams,
+    mean_inv_cond_prob, rare_bigram_frac)``.
+    """
+    from .dedup import word_grams
+
+    toks = df.select(
+        F.col(id_col), word_tokens(text_col).alias("_ws")
+    ).filter(F.size("_ws") >= 2)
+    uni = (
+        toks.select(F.explode("_ws").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    bi = toks.select(
+        id_col, F.explode(word_grams(F.col("_ws"), 2)).alias("_g")
+    )
+    c12 = bi.groupBy("_g").agg(F.count(F.lit(1)).alias("_c12"))
+    scored = (
+        bi.join(c12, "_g")
+        .withColumn("_w", F.substring_index(F.col("_g"), " ", 1))
+        .join(uni, "_w")
+        .withColumn(
+            "_inv_cp",
+            F.round(
+                F.col("_c1").cast("double") / F.col("_c12").cast("double"),
+                9,
+            ).cast("decimal(28,9)"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("_inv_cp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_inv_cond_prob"),
+        F.round(
+            F.sum(
+                F.when(F.col("_c12") <= rare_max_count, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("rare_bigram_frac"),
+    )

@@ -87,7 +87,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
     "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
     "q_promql_changes", "q_sql_unpivot", "q_token_budget_sample",
-    "q_pagerank", "q_multimodal_probe",
+    "q_pagerank", "q_multimodal_probe", "q_bigram_surprisal",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -7368,6 +7368,63 @@ def q_unigram_surprisal(spark, sf_dir):
             F.sum("inv_p").cast("double") / F.count("*"), 6
         ).alias("mean_inv_prob"),
     )
+
+
+@declare(
+    "q_bigram_surprisal",
+    """
+    WITH t2 AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> len(x) > 0) AS ws
+        FROM documents
+      ) WHERE len(ws) >= 2
+    ),
+    uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(ws) AS term FROM t2) GROUP BY term
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS g
+      FROM t2
+    ),
+    c12 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY g),
+    scored AS (
+      SELECT bi.doc_id,
+             CAST(ROUND(CAST(uni.c1 AS DOUBLE) / CAST(c12.c12 AS DOUBLE), 9)
+                  AS DECIMAL(28,9)) AS inv_cp,
+             c12.c12 AS cc
+      FROM bi JOIN c12 USING (g)
+      JOIN uni ON string_split(bi.g, ' ')[1] = uni.term
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(inv_cp) AS DOUBLE) / COUNT(*), 6)
+             AS mean_inv_cond_prob,
+           ROUND(CAST(SUM(CASE WHEN cc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_bigram_frac
+    FROM scored GROUP BY doc_id
+    """,
+    doc="bigram-LM quality scoring (round 13; operators/"
+    "contamination.py bigram_surprisal) — the CCNet-style perplexity "
+    "filter against the corpus's own bigram model, kept cross-engine "
+    "deterministic by the q_unigram_surprisal discipline: per "
+    "position the INVERSE CONDITIONAL probability c(w1)/c(w1w2) — an "
+    "exact rational of corpus counts, identical IEEE division "
+    "everywhere, 9-dp rounded and summed as exact decimal so per-doc "
+    "sums are order-independent (no ln(), whose last ulp differs by "
+    "engine). rare_bigram_frac = share of positions whose bigram "
+    "occurs <= 2 times corpus-wide. Model counts and output both "
+    "restricted to docs with >= 2 tokens. Two content-keyed count "
+    "aggregates + two content-keyed joins + one doc aggregate — the "
+    "inverted-index shape, never all-pairs.",
+)
+def q_bigram_surprisal(spark, sf_dir):
+    from .operators.contamination import bigram_surprisal
+
+    return bigram_surprisal(T(spark, sf_dir, "documents"))
 
 
 @declare(

@@ -814,3 +814,41 @@ def test_soft_dedup_boilerplate_partial_downweight(spark):
     assert got[99].soft_weight == 1.0
     for i in range(5):
         assert 1 / 5 < got[i].soft_weight < 1.0
+
+
+def test_bigram_surprisal_semantics(spark):
+    """Round 13: gibberish (unique transitions) scores a higher mean
+    inverse conditional probability and rare fraction than text made
+    of the corpus's dominant transitions; 1-token docs drop."""
+    from rusty_timeseries_db_spark.operators.contamination import (
+        bigram_surprisal,
+    )
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)] + [
+        (100, "zq xv wk jm pn bt"),   # transitions seen once
+        (101, "solo"),                # 1 token -> excluded
+        # ambiguous head: "the" continues two ways -> inv_cp > 1
+        (102, "the dog sat on the mat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    assert 101 not in out
+    # hand-computed: c1("the")=22, "the cat" c12=10 -> 2.2;
+    # "the dog"=1 -> 22; "the mat"=11 -> 2.0; "dog sat"=1 -> 1;
+    # "cat sat" = c1("cat")/c12 = 10/10 -> 1.0;
+    # "sat on"/"on the" = 11/11 -> 1.0 each
+    assert out[0].n_bigrams == 5
+    assert out[0].mean_inv_cond_prob == round(
+        (2.2 + 1.0 + 1.0 + 1.0 + 2.0) / 5, 6
+    )
+    assert out[102].mean_inv_cond_prob == round(
+        (22.0 + 1.0 + 1.0 + 1.0 + 2.0) / 5, 6
+    )
+    # inverse CONDITIONAL probability: unique heads give p(w2|w1)=1 —
+    # the gibberish doc's novelty shows in rare_bigram_frac instead
+    assert out[100].mean_inv_cond_prob == 1.0
+    assert out[100].rare_bigram_frac == 1.0
+    assert out[0].rare_bigram_frac == 0.0
+    # the rare-transition doc ("the dog", "dog sat") flags partially
+    assert out[102].rare_bigram_frac == round(2 / 5, 6)
