@@ -111,6 +111,10 @@ HEADLINE = [
     # (both retrievers + the bounded-union fusion)
     "q_bm25_index",
     "q_hybrid_rrf",
+    # added round 13, second half: bigram-LM quality scoring — the
+    # heaviest new corpus-statistics shape (positional bigram explode
+    # joined to both model tables, content-keyed)
+    "q_bigram_surprisal",
 ]
 
 
