@@ -45,6 +45,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "cartesian": "documented broadcast brute-force ANN baseline "
         "(breaks even vs bucketed at corpus scale, SCALE.md)"
     },
+    "q_chi_square_scan": {
+        "cartesian": "the contingency GRID is distinct(a) x "
+        "distinct(b) — two dimension-sized marginal tables (guarded "
+        "by max_cells=10k in the operator); the data-scale work is "
+        "the counts aggregate, never the grid"
+    },
     "q_hybrid_rrf": {
         "cartesian": "the dense leg IS cosine_topk's documented "
         "broadcast brute-force baseline (1-row query batch x corpus; "

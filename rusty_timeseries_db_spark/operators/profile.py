@@ -327,3 +327,87 @@ def data_quality_report(
             ),
         ).otherwise(F.lit(0.0)).alias("violation_frac"),
     )
+
+
+def chi_square_cells(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 10_000,
+) -> DataFrame:
+    """Chi-square independence scan over two CATEGORICAL columns
+    (round 13) — the dependence check a data-quality pass runs before
+    trusting a stratification or a supposedly-independent feature
+    pair: one row per contingency cell ``(a_value, b_value, observed,
+    expected_r6, chi2_term_r9)`` including ZERO-observed cells (their
+    ``e`` still contributes), so ``sum(chi2_term_r9)`` is the full
+    chi-square statistic with ``(|A|-1)(|B|-1)`` degrees of freedom.
+
+    Determinism discipline (q_unigram_surprisal's): every per-cell
+    quantity is a RATIONAL of exact counts — ``e = n_a*n_b/N``,
+    ``(o-e)^2/e`` — computed with identical IEEE arithmetic on every
+    engine and rounded per cell (6/9 dp) BEFORE any cross-cell
+    aggregation, so downstream sums are order-independent.
+
+    Scale shape: one (a,b)-keyed count aggregate + two marginal
+    aggregates (each map-side combining), then the FULL grid =
+    distinct(a) × distinct(b) — an intentional cartesian of two
+    DIMENSION-sized value sets, guarded by ``max_cells`` (chi-square
+    over more cells than that is a modeling error, not a profile) —
+    left-joined to the observed counts. NULL categories participate
+    as their own level (NULL-safe grouping)."""
+    counts = (
+        df.groupBy(
+            F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+        ).agg(F.count(F.lit(1)).alias("_o"))
+    )
+    ma = counts.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    mb = counts.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    n_a = ma.count()
+    n_b = mb.count()
+    if n_a * n_b > max_cells:
+        raise ValueError(
+            f"{n_a} x {n_b} contingency cells exceed max_cells="
+            f"{max_cells} — chi-square over that many levels is a "
+            "modeling error; bucket the columns first"
+        )
+    total = counts.agg(F.sum("_o").alias("_n"))
+    from ..queries import attach_scalar
+
+    # distinct alias names: ma/mb/counts share lineage, and a join
+    # condition on same-named columns from overlapping lineages is
+    # ambiguous to the analyzer
+    grid = ma.select(F.col("_a").alias("_ga"), "_na").crossJoin(
+        mb.select(F.col("_b").alias("_gb"), "_nb")
+    )
+    obs = counts.select(
+        F.col("_a").alias("_ca"), F.col("_b").alias("_cb"),
+        F.col("_o").alias("_co"),
+    )
+    cells = (
+        grid.join(
+            obs,
+            F.col("_ga").eqNullSafe(F.col("_ca"))
+            & F.col("_gb").eqNullSafe(F.col("_cb")),
+            "left",
+        )
+        .select(
+            F.col("_ga").alias("_a"),
+            F.col("_gb").alias("_b"),
+            "_na", "_nb",
+            F.coalesce(F.col("_co"), F.lit(0)).alias("_o"),
+        )
+    )
+    e = (
+        F.col("_na").cast("double")
+        * F.col("_nb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    o = F.col("_o").cast("double")
+    return attach_scalar(cells, total).select(
+        F.col("_a").alias("a_value"),
+        F.col("_b").alias("b_value"),
+        F.col("_o").cast("bigint").alias("observed"),
+        F.round(e, 6).alias("expected_r6"),
+        F.round((o - e) * (o - e) / e, 9).alias("chi2_term_r9"),
+    )

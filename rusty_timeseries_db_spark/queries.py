@@ -90,6 +90,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
     "q_promql_changes", "q_sql_unpivot", "q_token_budget_sample",
     "q_pagerank", "q_multimodal_probe", "q_bigram_surprisal",
+    "q_chi_square_scan",
     # round 13, re-certified after behavior-relevant changes:
     # counter_irate's value precision widened to decimal(28,12)
     # (oracle SQL changed in lockstep); merge_upsert's insert leg now
@@ -7427,6 +7428,51 @@ def q_bigram_surprisal(spark, sf_dir):
     from .operators.contamination import bigram_surprisal
 
     return bigram_surprisal(T(spark, sf_dir, "documents"))
+
+
+@declare(
+    "q_chi_square_scan",
+    """
+    WITH c AS (
+      SELECT event_type AS a, user_id % 8 AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, CAST(SUM(o) AS DOUBLE) AS na FROM c GROUP BY a),
+    mb AS (SELECT b, CAST(SUM(o) AS DOUBLE) AS nb FROM c GROUP BY b),
+    t AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM c),
+    cells AS (
+      SELECT g.a, g.b, g.na, g.nb, CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+      FROM (SELECT * FROM ma CROSS JOIN mb) g
+      LEFT JOIN c ON g.a IS NOT DISTINCT FROM c.a
+                 AND g.b IS NOT DISTINCT FROM c.b
+    )
+    SELECT a AS a_value, CAST(b AS BIGINT) AS b_value, o AS observed,
+           ROUND(na * nb / t.n, 6) AS expected_r6,
+           ROUND((CAST(o AS DOUBLE) - na * nb / t.n)
+                 * (CAST(o AS DOUBLE) - na * nb / t.n)
+                 / (na * nb / t.n), 9) AS chi2_term_r9
+    FROM cells CROSS JOIN t
+    """,
+    doc="chi-square independence scan (round 13; operators/profile.py "
+    "chi_square_cells) — the feature-dependence check a data-quality "
+    "pass runs before trusting a stratification: the full event_type "
+    "x (user_id % 8) contingency grid INCLUDING zero-observed cells "
+    "(their expected count still contributes), one row per cell with "
+    "observed, expected and the chi-square term; sum(chi2_term_r9) "
+    "is the full statistic at (|A|-1)(|B|-1) dof. Determinism is "
+    "the q_unigram_surprisal discipline — every quantity a rational "
+    "of exact counts, identical IEEE arithmetic, rounded per cell "
+    "BEFORE any cross-cell aggregation. One (a,b)-keyed count + two "
+    "marginal aggregates + a dims-only guarded cartesian grid.",
+)
+def q_chi_square_scan(spark, sf_dir):
+    from .operators.profile import chi_square_cells
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 8).alias("user_bucket")
+    )
+    return chi_square_cells(e, "event_type", "user_bucket")
 
 
 @declare(

@@ -217,3 +217,41 @@ def test_data_quality_report_rules(spark):
 
     with pytest.raises(ValueError, match="unknown rule"):
         data_quality_report(df, [{"rule": "nope", "col": "id"}])
+
+
+def test_chi_square_cells_hand_computed(spark):
+    """Round 13: independent columns -> chi2 ~ 0; a deterministic
+    dependence -> each cell's term matches the textbook formula;
+    zero-observed cells contribute their expected count; max_cells
+    guard raises."""
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.profile import (
+        chi_square_cells,
+    )
+
+    # perfect dependence: a == b over 2x2, 10 rows each diagonal
+    rows = [("x", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    cells = {
+        (r.a_value, r.b_value): r
+        for r in chi_square_cells(df, "a", "b").collect()
+    }
+    assert len(cells) == 4
+    # e = 10*10/20 = 5 everywhere; diagonal o=10 -> (10-5)^2/5 = 5;
+    # off-diagonal o=0 -> (0-5)^2/5 = 5; chi2 = 20 = n (phi=1, 2x2)
+    for k, r in cells.items():
+        assert r.expected_r6 == 5.0
+        assert r.chi2_term_r9 == 5.0
+    assert cells[("x", "q")].observed == 0
+
+    # independence: every (a, b) combination equally frequent
+    rows2 = [(a, b) for a in "xy" for b in "pq" for _ in range(5)]
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    terms = [
+        r.chi2_term_r9 for r in chi_square_cells(df2, "a", "b").collect()
+    ]
+    assert sum(terms) == 0.0
+
+    with pytest.raises(ValueError, match="max_cells"):
+        chi_square_cells(df, "a", "b", max_cells=3)
