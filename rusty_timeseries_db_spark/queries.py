@@ -70,11 +70,11 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 13): 25 queries were last
 # driver-checked in r08, 50 in r09 (the dict-default tier), 48 in
 # r10, 50 in r11, 50 in r12. Round-13 window (VERDICT r12 next-round
-# #1, discharging the r11 two-round plan): _ROUND_MODIFIED (13 new +
-# 2 re-certified = 15) first, then ALL 25 r08-tier queries, then the
-# 10 stalest r09-tier queries fill the remaining slots (declaration
+# #1, discharging the r11 two-round plan): _ROUND_MODIFIED (14 new +
+# 2 re-certified = 16) first, then ALL 25 r08-tier queries, then the
+# 9 stalest r09-tier queries fill the remaining slots (declaration
 # order breaks ties) — after this round no query's latest driver row
-# is older than r09; the 40 remaining r09-tier queries become the
+# is older than r09; the 41 remaining r09-tier queries become the
 # stalest tier entering r14 and the standard stalest-first rule
 # schedules them. Every query not in the window is still covered
 # by run_parity.py locally (full sweep, re-run after each change on
