@@ -831,3 +831,49 @@ def test_rrf_fuse_matches_python_reference(spark, lists, k):
     # when rrf scores tie at the boundary — both break on doc id, so
     # the selected set and every (n_lists, rrf) value must agree
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.sampled_from(["d1", "d2"]),
+            st.integers(0, 6),   # token count
+        ),
+        min_size=1, max_size=15, unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(1, 40),
+)
+def test_token_budget_sample_matches_python_reference(spark, docs, budget):
+    """token_budget_sample == a direct Python fill over the md5-key
+    order (the crossing doc kept, exhausted domains fully kept)."""
+    import hashlib
+
+    from rusty_timeseries_db_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, dom, "w " * n) for i, dom, n in docs]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def hk(i):
+        return hashlib.md5(f"budget{i}".encode()).hexdigest()
+
+    want = {}
+    for dom in ("d1", "d2"):
+        run = 0
+        for i, _, n in sorted(
+            (d for d in docs if d[1] == dom), key=lambda d: (hk(d[0]), d[0])
+        ):
+            if run < budget:
+                want[i] = (n, run)
+            run += n
+
+    got = {
+        r.doc_id: (r.n_tok, r.tokens_before)
+        for r in token_budget_sample(
+            df, {"d1": budget, "d2": budget}, domain_col="source"
+        ).collect()
+    }
+    assert got == want
