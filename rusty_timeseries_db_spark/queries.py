@@ -9107,12 +9107,18 @@ def q_corpus_pipeline_chunked(spark, sf_dir):
     "q_similarity_ivf_index",
     None,
     doc="PERSISTED IVF index (round 8, operators/similarity.py "
-    "IvfIndex): build once — k-means cells written as cell-PARTITIONED "
-    "parquet + Hadoop-FS centroid manifest — then serve query batches "
-    "without refitting; the probe list joins on the partition column "
-    "so unprobed cells prune. Rows-only like q_similarity_ivf "
-    "(k-means has no SQL oracle); index==ad-hoc equality and "
-    "restart-from-manifest are pinned in tests/test_dedup_similarity.py",
+    "IvfIndex; FULL lifecycle since round 14 — VERDICT r13 "
+    "next-round #2): build once on ~3/4 of the corpus — k-means cells "
+    "written as cell-PARTITIONED parquet + Hadoop-FS centroid "
+    "manifest — add() the rest against the frozen centroids "
+    "(nearest-cell appends, no refit), remove() every vec_id % 10 == "
+    "3 (tombstone sidecar; query() anti-joins it on the SAME "
+    "cell-pruned scan, so post-delete results are EXACT for the live "
+    "corpus), then serve. Rows-only like q_similarity_ivf (k-means "
+    "has no SQL oracle); the semantic pins live in pytest: "
+    "index==ad-hoc equality, restart-from-manifest, add exactness "
+    "(tests/test_dedup_similarity.py), and remove==compact equality "
+    "+ the removed_ids policy matrix (round 14, same file).",
 )
 def q_similarity_ivf_index(spark, sf_dir):
     from .operators.similarity import IvfIndex
@@ -9123,7 +9129,11 @@ def q_similarity_ivf_index(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     path = os.path.join(_fixture_dir("q_similarity_ivf_index"), "ivf")
-    idx = IvfIndex(spark, path).build(corpus, n_clusters=16, seed=42)
+    idx = IvfIndex(spark, path).build(
+        corpus.filter(F.col("vec_id") % 4 != 1), n_clusters=16, seed=42
+    )
+    idx.add(corpus.filter(F.col("vec_id") % 4 == 1))
+    idx.remove(corpus.filter(F.col("vec_id") % 10 == 3).select("vec_id"))
     return idx.query(queries, k=5, n_probe=4)
 
 

@@ -51,31 +51,30 @@ def apply_bm25_batch(
     of the sink so the replay contract is unit-testable without a
     streaming harness.
 
-    ``removed_ids`` (review round 13): what to do when the batch
-    carries an id that was ``remove()``d — ``"skip"`` (default) drops
-    those rows and applies the rest, since a stream cannot raise its
-    way out: ``add()``'s re-add guard would otherwise fail the same
-    micro-batch on every restart (the offsets never advance past a
-    raise — a permanent poison pill) and erasure semantics usually
-    WANT a re-published removed doc kept out until an operator
-    compacts and re-admits it deliberately. ``"error"`` keeps
-    ``add()``'s strict contract for pipelines that prefer to stop."""
-    if removed_ids not in ("skip", "error"):
-        raise ValueError(f"removed_ids must be skip|error, got {removed_ids!r}")
+    ``removed_ids`` (review round 13; unified with the batch door in
+    round 14 — ONE policy knob, implemented once in
+    ``Bm25Index.add``): what to do when the batch carries an id that
+    was ``remove()``d — ``"skip"`` (streaming default) drops those
+    rows and applies the rest, since a stream cannot raise its way
+    out: a raise would fail the same micro-batch on every restart
+    (the offsets never advance — a permanent poison pill) and erasure
+    semantics usually WANT a re-published removed doc kept out until
+    re-admitted deliberately. ``"error"`` keeps the strict contract
+    for pipelines that prefer to stop. ``"readmit"`` compacts first
+    (deletion becomes physical) and then adds the whole batch —
+    compaction-gated re-admission, at the documented cost of an index
+    rewrite inside the micro-batch that carries the clash."""
+    if removed_ids not in ("skip", "error", "readmit"):
+        raise ValueError(
+            f"removed_ids must be skip|error|readmit, got {removed_ids!r}"
+        )
     idx = Bm25Index(spark, index_path)
     man = idx._manifest()  # raises FileNotFoundError before build()
     if batch_id <= int(man.get("last_applied_batch", -1)):
         return 0
-    if removed_ids == "skip":
-        tomb = idx._tombstones()
-        if tomb is not None:
-            the_id = id_col or man.get("id_col", "doc_id")
-            from pyspark.sql import functions as F
-
-            batch = batch.join(
-                tomb.select(F.col("doc").alias(the_id)), the_id, "left_anti"
-            )
-    n = idx.add(batch, id_col=id_col, text_col=text_col)
+    n = idx.add(
+        batch, id_col=id_col, text_col=text_col, removed_ids=removed_ids
+    )
     man2 = idx._manifest()
     man2["last_applied_batch"] = int(batch_id)
     write_json_manifest(spark, idx.manifest_path, man2)
@@ -125,6 +124,7 @@ def apply_ivf_batch(
     batch_id: int,
     corpus_id: str | None = None,
     corpus_vec: str = "embedding",
+    removed_ids: str = "skip",
 ) -> int:
     """The :func:`apply_bm25_batch` contract for the ANN index
     (:class:`..operators.similarity.IvfIndex`): assign the batch's
@@ -135,14 +135,25 @@ def apply_ivf_batch(
     contract as cells grow away from frozen centroids —
     ``IvfIndex.should_rebuild`` / the query-time warning fire off the
     same ``n_added/n_rows`` ratio this sink keeps bumping, so drift
-    stays observable in streaming deployments too."""
+    stays observable in streaming deployments too. ``removed_ids``
+    (round 14, now that ``IvfIndex`` has the deletion lifecycle): same
+    skip|error|readmit policy as the BM25 sink, streaming default
+    ``"skip"`` — a re-published removed vector must not poison-pill
+    the stream on the re-add guard."""
     from ..operators.similarity import IvfIndex
 
+    if removed_ids not in ("skip", "error", "readmit"):
+        raise ValueError(
+            f"removed_ids must be skip|error|readmit, got {removed_ids!r}"
+        )
     idx = IvfIndex(spark, index_path)
     man = idx._manifest()
     if batch_id <= int(man.get("last_applied_batch", -1)):
         return 0
-    n = idx.add(batch, corpus_id=corpus_id, corpus_vec=corpus_vec)
+    n = idx.add(
+        batch, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        removed_ids=removed_ids,
+    )
     man2 = idx._manifest()
     man2["last_applied_batch"] = int(batch_id)
     write_json_manifest(spark, idx.manifest_path, man2)
@@ -157,16 +168,20 @@ def start_ivf_index_sink(
     corpus_vec: str = "embedding",
     trigger_seconds: int | None = None,
     available_now: bool = False,
+    removed_ids: str = "skip",
 ) -> StreamingQuery:
     """Maintain a built ``IvfIndex`` from an embedding stream — the
     ANN twin of :func:`start_bm25_index_sink`, same delivery contract
     (at-least-once, idempotent skip of fully-applied batches, the
-    append-vs-manifest window healed by ``build()``)."""
+    append-vs-manifest window healed by ``build()``) and the same
+    ``removed_ids`` policy (skip|error|readmit, streaming default
+    skip)."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         apply_ivf_batch(
             batch.sparkSession, index_path, batch, batch_id,
             corpus_id=corpus_id, corpus_vec=corpus_vec,
+            removed_ids=removed_ids,
         )
 
     writer = stream.writeStream.foreachBatch(_sink).option(

@@ -571,3 +571,180 @@ def test_ivf_index_quantized_mode(spark, tmp_path):
         k=1, n_probe=8,
     ).collect()
     assert got and got[0].vec_id == 5 and got[0].cos_sim > 0.99
+
+
+# ---------------------------------------------------------------- round 14
+# IvfIndex deletion lifecycle (VERDICT r13 next-round #2)
+
+
+def test_ivf_remove_exact_and_compact_equality(spark, tmp_path):
+    """remove() must drop the vectors from results with EXACT scores —
+    pinned by equality against compact(), which makes the deletion
+    physical over the SAME frozen centroids (a fresh build() would
+    refit k-means and probe different cells, so compact-equality is
+    the strong pin). Also: manifest bookkeeping, idempotent re-remove,
+    tombstone sidecar lives OUTSIDE the cell tree."""
+    import pytest
+
+    from rusty_timeseries_db_spark.fsutil import read_json_manifest
+    from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter("vec_id >= 20")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx_path = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, idx_path).build(corpus, n_clusters=8, seed=7)
+    n_corpus = corpus.count()
+    assert read_json_manifest(spark, idx.manifest_path)["n_rows"] == n_corpus
+
+    before = idx.query(queries, k=5, n_probe=3).collect()
+    victims = sorted({r.vec_id for r in before})[:3]  # ids that WERE served
+    assert idx.remove(victims) == 3
+    man = read_json_manifest(spark, idx.manifest_path)
+    assert man["n_rows"] == n_corpus - 3 and man["n_removed"] == 3
+    assert idx.remove(victims) == 0  # idempotent
+    assert idx.remove([99999999]) == 0  # unknown id ignored
+
+    got_removed = idx.query(queries, k=5, n_probe=3)
+    served = {r.vec_id for r in got_removed.collect()}
+    assert not served & set(victims)
+    rows_logical = sorted(
+        (r.query_id, r.vec_id, r.rank) for r in got_removed.collect()
+    )
+
+    # the tombstone sidecar is a SIBLING of the cell tree, never inside
+    # it (the index_path parquet root must stay pure data + metadata)
+    import os
+
+    assert os.path.isdir(idx_path + ".tombstones")
+    assert not any("tombstone" in d for d in os.listdir(idx_path))
+
+    assert idx.compact() == 3
+    man2 = read_json_manifest(spark, idx.manifest_path)
+    assert man2["n_rows"] == n_corpus - 3 and man2["n_removed"] == 0
+    assert not idx._dir_exists(idx.tombstones_path)
+    rows_physical = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in idx.query(queries, k=5, n_probe=3).collect()
+    )
+    assert rows_physical == rows_logical  # the pinned equality
+    assert idx.compact() == 0  # nothing left to apply
+
+    # restart: a fresh object serves the post-compact state
+    again = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in IvfIndex(spark, idx_path)
+        .query(queries, k=5, n_probe=3)
+        .collect()
+    )
+    assert again == rows_physical
+
+    with pytest.raises(ValueError, match="zero vectors"):
+        small_path = str(tmp_path / "ivf_small")
+        small = IvfIndex(spark, small_path).build(
+            emb.filter("vec_id >= 20 AND vec_id < 40"), n_clusters=2, seed=7
+        )
+        small.remove(list(range(20, 40)))
+        small.compact()
+
+
+def test_ivf_add_removed_ids_policy_matrix(spark, tmp_path):
+    """The three-policy removed_ids contract on the ANN index, both
+    doors (batch add / streaming apply_ivf_batch): error raises, skip
+    keeps the re-published vector out, readmit compacts first and then
+    serves it again as its own nearest neighbor."""
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+    from rusty_timeseries_db_spark.queries import T
+    from rusty_timeseries_db_spark.streaming.index import apply_ivf_batch
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter("vec_id >= 30")
+    readd = emb.filter("vec_id = 31")
+    self_q = readd.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    idx_path = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, idx_path).build(corpus, n_clusters=8, seed=7)
+    assert idx.remove([31]) == 1
+    # removed vector is not served, not even as its own top-1
+    assert 31 not in {
+        r.vec_id for r in idx.query(self_q, k=1, n_probe=1).collect()
+    }
+
+    with pytest.raises(ValueError, match="remove"):
+        idx.add(readd)  # batch default: error
+    assert idx.add(readd, removed_ids="skip") == 0
+    assert idx._dir_exists(idx.tombstones_path)
+    assert idx.add(readd, removed_ids="readmit") == 1
+    assert not idx._dir_exists(idx.tombstones_path)
+    top1 = idx.query(self_q, k=1, n_probe=1).collect()
+    assert [(r.query_id, r.vec_id) for r in top1] == [(31, 31)]
+    with pytest.raises(ValueError, match="error|skip|readmit"):
+        idx.add(readd, removed_ids="bogus")
+
+    # streaming door: default skip, batch watermark still honored
+    idx2_path = str(tmp_path / "ivf2")
+    idx2 = IvfIndex(spark, idx2_path).build(corpus, n_clusters=8, seed=7)
+    idx2.remove([31])
+    assert apply_ivf_batch(spark, idx2_path, readd, batch_id=1) == 0  # skip
+    with pytest.raises(ValueError, match="remove"):
+        apply_ivf_batch(spark, idx2_path, readd, batch_id=2,
+                        removed_ids="error")
+    assert apply_ivf_batch(
+        spark, idx2_path, readd, batch_id=2, removed_ids="readmit"
+    ) == 1
+    assert apply_ivf_batch(  # replay of an applied batch is a no-op
+        spark, idx2_path, readd, batch_id=2, removed_ids="readmit"
+    ) == 0
+
+
+def test_ivf_marker_refuses_and_compact_recovers(spark, tmp_path):
+    """An interrupted compact() (marker present, index renamed aside
+    mid-swap) refuses query/add/remove and converges on re-run —
+    the Bm25Index crash-safety contract, ported."""
+    import shutil
+
+    import pytest
+
+    from rusty_timeseries_db_spark.fsutil import SWAP_NEW, write_json_manifest
+    from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter("vec_id >= 20")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx_path = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, idx_path).build(corpus, n_clusters=8, seed=7)
+    idx.remove([22, 24])
+    logical = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in idx.query(queries, k=5, n_probe=3).collect()
+    )
+    # simulate the crash window: marker on disk, cell tree renamed aside
+    write_json_manifest(spark, idx.marker_path, {"n_tombstones": 2})
+    shutil.move(idx_path, idx_path + SWAP_NEW)
+    for verb in ("query", "add", "remove"):
+        with pytest.raises(RuntimeError, match="interrupted compact"):
+            if verb == "query":
+                idx.query(queries, k=5)
+            elif verb == "add":
+                idx.add(corpus.limit(1))
+            else:
+                idx.remove([20])
+    assert idx.compact() == 2  # recovers the swap, then applies
+    assert not idx._dir_exists(idx.marker_path)
+    assert not idx._dir_exists(idx.tombstones_path)
+    physical = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in idx.query(queries, k=5, n_probe=3).collect()
+    )
+    assert physical == logical

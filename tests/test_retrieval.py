@@ -548,3 +548,141 @@ def test_stream_sink_skips_removed_ids(spark, tmp_path):
         apply_bm25_batch(
             spark, path, batch, batch_id=1, removed_ids="error"
         )
+
+
+# ---------------------------------------------------------------- round 14
+# crash-safe compact swap (ADVICE r13 #1) + removed_ids policy matrix
+
+
+def test_compact_interrupted_mid_swap_converges(spark, tmp_path):
+    """A crash between compact()'s aside-rename and swap-in must NOT
+    strand the index: recover_dir_swap finishes the swap on re-entry
+    and the compact re-run converges to the exact live-subset scores.
+    Simulated state: src missing, complete rewrite at src+SWAP_NEW,
+    marker present (the exact window ADVICE r13 #1 flagged)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.fsutil import SWAP_NEW, write_json_manifest
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    idx.remove([2, 4, 6])
+    # simulate: marker written, postings renamed aside mid-swap (the
+    # on-disk content IS a complete directory, which is all the
+    # protocol guarantees at that point — compact() re-filters it)
+    write_json_manifest(spark, idx.marker_path, {"n_tombstones": 3})
+    shutil.move(idx.postings_path, idx.postings_path + SWAP_NEW)
+    assert not os.path.exists(idx.postings_path)
+
+    # all three mutators + query refuse while the marker exists
+    with pytest.raises(RuntimeError, match="interrupted compact"):
+        idx.query(TERMS, k=5)
+    with pytest.raises(RuntimeError, match="interrupted compact"):
+        idx.add(docs.limit(1))
+    with pytest.raises(RuntimeError, match="interrupted compact"):
+        idx.remove([1])
+
+    assert idx.compact() == 3  # converges from the torn state
+    assert not os.path.exists(idx.postings_path + SWAP_NEW)
+    assert not idx._dir_exists(idx.marker_path)
+    assert not idx._dir_exists(idx.tombstones_path)
+    live = docs.filter(~F.col("doc_id").isin([2, 4, 6]))
+    assert _rows(idx.query(TERMS, k=15)) == _rows(
+        bm25_topk(live, TERMS, k=15)
+    )
+
+
+def test_compact_never_deletes_live_dir_first(spark, tmp_path):
+    """The swap protocol keeps a complete copy of every directory on
+    disk at every instant: simulate the OTHER crash window (swap-in
+    done for postings, aside copy not yet deleted; terms untouched)
+    and check recovery + re-run."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.fsutil import SWAP_OLD, write_json_manifest
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    idx.remove([1, 3])
+    write_json_manifest(spark, idx.marker_path, {"n_tombstones": 2})
+    # completed swap, aside copy left behind
+    shutil.copytree(idx.postings_path, idx.postings_path + SWAP_OLD)
+    assert idx.compact() == 2
+    assert not os.path.exists(idx.postings_path + SWAP_OLD)
+    live = docs.filter(~F.col("doc_id").isin([1, 3]))
+    assert _rows(idx.query(TERMS, k=15)) == _rows(
+        bm25_topk(live, TERMS, k=15)
+    )
+
+
+def test_removed_ids_policy_matrix_batch_and_stream(spark, tmp_path):
+    """VERDICT r13 next-round #6: ONE removed_ids policy
+    (error|skip|readmit) on BOTH doors. Batch add() defaults to error;
+    the streaming apply defaults to skip; readmit compacts first and
+    then serves the re-published doc with exact scores."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.streaming.index import apply_bm25_batch
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") < 400)
+    readd = docs.filter(F.col("doc_id") == 8)
+
+    # --- batch door
+    path = str(tmp_path / "bm25_batch")
+    idx = Bm25Index(spark, path).build(base)
+    idx.remove([8])
+    with pytest.raises(ValueError, match="remove"):
+        idx.add(readd)  # default error
+    assert idx.add(readd, removed_ids="skip") == 0  # dropped, rest empty
+    assert idx._dir_exists(idx.tombstones_path)
+    assert idx.add(readd, removed_ids="readmit") == 1  # compacts, adds
+    assert not idx._dir_exists(idx.tombstones_path)
+    assert _rows(idx.query(TERMS, k=15)) == _rows(
+        bm25_topk(base, TERMS, k=15)
+    )
+
+    # --- streaming door (same knob, policy implemented once in add())
+    path2 = str(tmp_path / "bm25_stream")
+    idx2 = Bm25Index(spark, path2).build(base)
+    idx2.remove([8])
+    with pytest.raises(ValueError, match="remove"):
+        apply_bm25_batch(spark, path2, readd, batch_id=1,
+                         removed_ids="error")
+    assert apply_bm25_batch(spark, path2, readd, batch_id=1) == 0  # skip
+    assert apply_bm25_batch(
+        spark, path2, readd, batch_id=2, removed_ids="readmit"
+    ) == 1
+    assert _rows(idx2.query(TERMS, k=15)) == _rows(
+        bm25_topk(base, TERMS, k=15)
+    )
+    with pytest.raises(ValueError, match="skip|error|readmit"):
+        apply_bm25_batch(spark, path2, readd, batch_id=3,
+                         removed_ids="bogus")
+
+
+def test_concurrent_staging_dirs_do_not_collide(spark, tmp_path):
+    """ADVICE r13 #4: staging is per-call — two interleaved stage
+    calls (the concurrent-writer window) must not clobber each other's
+    staged batches."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs.filter(F.col("doc_id") < 100))
+    a, pa = idx._stage_docs(
+        docs.filter(F.col("doc_id").between(100, 109)), "doc_id", "text")
+    b, pb = idx._stage_docs(
+        docs.filter(F.col("doc_id").between(110, 124)), "doc_id", "text")
+    assert pa != pb
+    assert a.count() == 10 and b.count() == 15  # neither overwrote
+    from rusty_timeseries_db_spark.fsutil import delete_path
+
+    delete_path(spark, pa)
+    delete_path(spark, pb)
