@@ -106,6 +106,16 @@ class CorpusPipelineConfig:
     #: the CLEANED token count. Default off: the documented 7-stage
     #: output and its end-to-end oracle are unchanged.
     paragraph_dedup_window: int | None = None
+    #: opt-in language gate (round 14 — the CCNet stage 0 the
+    #: pipeline was missing): when set, documents are classified with
+    #: the char-trigram model (operators/langid.py — exact-integer
+    #: Cavnar-Trenkle, oracle-checked as q_language_id) and only docs
+    #: whose ``lang_id`` is in this collection survive into stage 1.
+    #: Runs FIRST, before even paragraph dedup — every later stage
+    #: then pays only for in-scope languages. Default off: the
+    #: documented 7-stage output and its end-to-end oracle are
+    #: unchanged.
+    langid_keep: tuple[str, ...] | None = None
     #: persist the quality-gated, exact-deduped corpus
     #: (MEMORY_AND_DISK) before the branching stages. Five downstream
     #: consumers re-derive it otherwise (near-dup grams, contamination
@@ -149,6 +159,17 @@ def build_training_corpus(
        packed).
     """
     cfg = config or CorpusPipelineConfig()
+
+    # 0a (opt-in). language gate — classify once, keep in-scope docs;
+    # a semi-join on the (id, lang) classification, so the text column
+    # never widens the join and scan pruning survives
+    if cfg.langid_keep:
+        from .operators.langid import language_id
+
+        keep = language_id(docs, id_col=id_col, text_col=text_col).filter(
+            F.col("lang_id").isin(*cfg.langid_keep)
+        ).select(id_col)
+        docs = docs.join(keep, id_col, "left_semi")
 
     # 0 (opt-in). paragraph dedup — rewrite text first so every later
     # stage (including the quality gate's token count) sees the

@@ -2457,6 +2457,35 @@ def q_langid(spark, sf_dir):
     )
 
 
+def _langid_oracle():
+    from .operators.langid import langid_oracle_sql
+
+    return langid_oracle_sql()
+
+
+@declare(
+    "q_language_id",
+    _langid_oracle(),
+    doc="Char-trigram language identification (round 14 — VERDICT r13 "
+    "next-round #3; operators/langid.py, Cavnar & Trenkle 1994): "
+    "per-doc integer trigram scores against pinned per-language "
+    "profiles derived from pinned common-word seeds; argmax with "
+    "lang-ascending tie-break, 'und' when no profile trigram occurs. "
+    "EXACT integer arithmetic end-to-end, so the DuckDB oracle — "
+    "rendered from the SAME profile constants by langid_oracle_sql() "
+    "— recomputes it verbatim and the driver hash-matches. Scale: "
+    "O(chars) trigram explode, broadcast profile join, two "
+    "map-side-combining hash aggs, struct-max argmax (no window). "
+    "Crafted multilingual fixtures pinned in tests/test_langid.py; "
+    "wired as opt-in corpus-pipeline stage 0 (pipelines.py "
+    "langid_keep, default off).",
+)
+def q_language_id(spark, sf_dir):
+    from .operators.langid import language_id
+
+    return language_id(T(spark, sf_dir, "documents"))
+
+
 # ======================================================================
 # LLM-data-pipeline: similarity search
 # ======================================================================
