@@ -21,11 +21,15 @@ image/audio libraries exist in this container):
 ``image/jpeg`` additionally gets a real HEADER parser (round 13):
 ``decode_jpeg_meta`` walks the marker stream to the first SOFn frame
 header — width/height/components for baseline AND progressive JPEGs,
-no PIL — feeding the ``probe_asset_meta`` metadata pass. Full JPEG
-pixel decode (and MP4/...) still raises ``NotImplementedError`` from
-the executor — a deliberate stub, since real codecs for those need
-PIL/ffmpeg. ``fake=True`` keeps the deterministic payload-hash fake
-for pipeline-shape tests independent of any format.
+no PIL — feeding the ``probe_asset_meta`` metadata pass. ``video/mp4``
+gets the same treatment (round 14): ``decode_mp4_meta`` walks the
+ISO-BMFF box tree — ftyp brand, mvhd duration/timescale (v0+v1),
+tkhd track dimensions — no ffmpeg, O(box headers) per asset. Full
+JPEG pixel decode and MP4 sample decode still raise
+``NotImplementedError`` from the executor — deliberate stubs, since
+real codecs for those need PIL/ffmpeg. ``fake=True`` keeps the
+deterministic payload-hash fake for pipeline-shape tests independent
+of any format.
 """
 
 from __future__ import annotations
@@ -269,6 +273,78 @@ def decode_jpeg_meta(data: bytes) -> tuple[int, int, int]:
     raise ValueError("no JPEG SOF frame header found")
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in ``data[start:end]`` as
+    ``(type4cc, payload_start, payload_end)``. Handles the 64-bit
+    largesize form (size==1) and size==0 (box extends to the end).
+    Raises ValueError on a malformed/overflowing box header."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i:i + 4], "big")
+        btype = data[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated MP4 largesize box header")
+            size = int.from_bytes(data[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError(f"MP4 box {btype!r} overflows its container")
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def decode_mp4_meta(data: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """MP4/ISO-BMFF metadata WITHOUT ffmpeg (round 14 — VERDICT r13
+    next-round #4): a pure-stdlib box walk → ``(major_brand,
+    duration_ms, width, height)``. ``ftyp`` gives the brand; ``moov/
+    mvhd`` gives duration/timescale (version 0 and 1 layouts);
+    ``moov/trak/tkhd`` gives the presentation width/height as 16.16
+    fixed point — the FIRST track with nonzero dimensions wins (audio
+    tracks carry 0x0). Missing boxes yield None fields; genuinely
+    non-BMFF bytes raise ValueError. Header-only: cost is O(box
+    headers), the sample data (mdat) is never touched."""
+    if len(data) < 12:
+        raise ValueError("not an MP4 payload (too short for ftyp)")
+    brand = None
+    duration_ms = None
+    width = height = None
+    for btype, s, e in _mp4_boxes(data, 0, len(data)):
+        if btype == b"ftyp" and e - s >= 4:
+            brand = data[s:s + 4].decode("latin-1")
+        elif btype == b"moov":
+            for ctype, cs, ce in _mp4_boxes(data, s, e):
+                if ctype == b"mvhd" and ce - cs >= 4:
+                    ver = data[cs]
+                    if ver == 1 and ce - cs >= 28 + 4:
+                        timescale = int.from_bytes(data[cs + 20:cs + 24], "big")
+                        duration = int.from_bytes(data[cs + 24:cs + 32], "big")
+                    elif ce - cs >= 20:
+                        timescale = int.from_bytes(data[cs + 12:cs + 16], "big")
+                        duration = int.from_bytes(data[cs + 16:cs + 20], "big")
+                    else:
+                        raise ValueError("truncated MP4 mvhd box")
+                    if timescale > 0:
+                        duration_ms = int(duration * 1000 // timescale)
+                elif ctype == b"trak":
+                    for ttype, ts, te in _mp4_boxes(data, cs, ce):
+                        if ttype != b"tkhd":
+                            continue
+                        ver = data[ts]
+                        off = ts + (88 if ver == 1 else 76)
+                        if off + 8 > te:
+                            raise ValueError("truncated MP4 tkhd box")
+                        w = int.from_bytes(data[off:off + 4], "big") >> 16
+                        h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
+                        if w and h and width is None:
+                            width, height = w, h
+    if brand is None and duration_ms is None and width is None:
+        raise ValueError("no ftyp/moov boxes found (not an MP4)")
+    return brand, duration_ms, width, height
+
+
 def probe_asset_meta(assets: DataFrame) -> DataFrame:
     """Header-only metadata pass (round 13): fill ``meta.width/height``
     (image/bmp, image/png, image/jpeg) and ``meta.duration_ms``
@@ -306,6 +382,12 @@ def probe_asset_meta(assets: DataFrame) -> DataFrame:
                             out["duration_ms"] = int(
                                 len(samples) / max(channels, 1) * 1000 // rate
                             )
+                    elif mime == "video/mp4":
+                        _, dur, w, h = decode_mp4_meta(data)
+                        if dur is not None:
+                            out["duration_ms"] = dur
+                        if w is not None:
+                            out["width"], out["height"] = w, h
                 except (ValueError, struct.error, ZeroDivisionError):
                     # enrichment probe: an unparseable/degenerate
                     # payload keeps its incoming meta — one bad asset

@@ -400,3 +400,93 @@ def _wav_bytes(rate: int = 8000, n: int = 4000) -> bytes:
         + b"fmt " + (16).to_bytes(4, "little") + fmt
         + b"data" + len(body).to_bytes(4, "little") + body
     )
+
+
+# ---------------------------------------------------------------- round 14
+# MP4 metadata probe (VERDICT r13 next-round #4)
+
+
+def _box(t: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + t + payload
+
+
+def _mp4(width=320, height=240, duration=5500, timescale=1000, version=0):
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    if version == 0:
+        mvhd = _box(b"mvhd", bytes(12) + timescale.to_bytes(4, "big")
+                    + duration.to_bytes(4, "big"))
+        tk = bytearray(84)
+        tk[76:80] = (width << 16).to_bytes(4, "big")
+        tk[80:84] = (height << 16).to_bytes(4, "big")
+    else:
+        mvhd = _box(b"mvhd", b"\x01\x00\x00\x00" + bytes(16)
+                    + timescale.to_bytes(4, "big")
+                    + duration.to_bytes(8, "big"))
+        tk = bytearray(96)
+        tk[0] = 1
+        tk[88:92] = (width << 16).to_bytes(4, "big")
+        tk[92:96] = (height << 16).to_bytes(4, "big")
+    audio_trak = _box(b"trak", _box(b"tkhd", bytes(84)))  # 0x0 dims
+    video_trak = _box(b"trak", _box(b"tkhd", bytes(tk)))
+    return ftyp + _box(b"moov", mvhd + audio_trak + video_trak)
+
+
+def test_decode_mp4_meta_v0_v1_and_largesize():
+    """ftyp brand + mvhd duration (both version layouts) + tkhd dims;
+    the audio track's 0x0 tkhd must be skipped; the 64-bit largesize
+    box form must parse."""
+    from rusty_timeseries_db_spark.operators.multimodal import decode_mp4_meta
+
+    assert decode_mp4_meta(_mp4()) == ("isom", 5500, 320, 240)
+    assert decode_mp4_meta(
+        _mp4(1920, 1080, 90000, timescale=600, version=1)
+    ) == ("isom", 150000, 1920, 1080)
+    # largesize ftyp (size==1 + 64-bit length)
+    pay = b"mp42" + bytes(4)
+    large_ftyp = ((1).to_bytes(4, "big") + b"ftyp"
+                  + (16 + len(pay)).to_bytes(8, "big") + pay)
+    plain_ftyp_len = len(_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2"))
+    data = large_ftyp + _mp4()[plain_ftyp_len:]
+    assert decode_mp4_meta(data) == ("mp42", 5500, 320, 240)
+
+
+def test_decode_mp4_meta_malformed():
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.multimodal import decode_mp4_meta
+
+    with pytest.raises(ValueError):
+        decode_mp4_meta(b"RIFF1234")  # too short
+    with pytest.raises(ValueError):
+        decode_mp4_meta(b"RIFF" + bytes(20))  # box size overflows
+    with pytest.raises(ValueError):  # valid walk, no BMFF boxes
+        decode_mp4_meta(_box(b"free", bytes(8)) + _box(b"skip", bytes(8)))
+    with pytest.raises(ValueError):  # truncated tkhd
+        bad = (_box(b"ftyp", b"isom" + bytes(4))
+               + _box(b"moov", _box(b"trak", _box(b"tkhd", bytes(40)))))
+        decode_mp4_meta(bad)
+
+
+def test_probe_asset_meta_mp4(spark):
+    """The probe fills duration_ms AND width/height for video/mp4,
+    keeps meta untouched for an unparseable payload, and never fails
+    the task on one bad asset."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.multimodal import (
+        make_assets,
+        probe_asset_meta,
+    )
+
+    rows = [(1, _mp4(640, 360, 2500)), (2, b"garbage-not-an-mp4-at-all")]
+    df = spark.createDataFrame(rows, "vid bigint, payload binary")
+    probed = probe_asset_meta(
+        make_assets(df, "vid", "payload", "video/mp4")
+    ).select(
+        "asset_id",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+        F.col("meta.duration_ms").alias("d"),
+    )
+    got = {r.asset_id: (r.w, r.h, r.d) for r in probed.collect()}
+    assert got == {"1": (640, 360, 2500), "2": (None, None, None)}
