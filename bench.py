@@ -115,6 +115,11 @@ HEADLINE = [
     # heaviest new corpus-statistics shape (positional bigram explode
     # joined to both model tables, content-keyed)
     "q_bigram_surprisal",
+    # added round 14 (subtract for apples-to-apples vs r13): the
+    # char-trigram language classifier — O(corpus chars) trigram
+    # explode + broadcast profile join + struct-max argmax, the new
+    # widest text expression pipeline
+    "q_language_id",
 ]
 
 

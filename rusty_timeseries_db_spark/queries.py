@@ -66,70 +66,82 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r{01..12}.json (rebuilt
-# with gen_rotation.py entering round 13): 25 queries were last
-# driver-checked in r08, 50 in r09 (the dict-default tier), 48 in
-# r10, 50 in r11, 50 in r12. Round-13 window (VERDICT r12 next-round
-# #1, discharging the r11 two-round plan): _ROUND_MODIFIED (14 new +
-# 2 re-certified = 16) first, then ALL 25 r08-tier queries, then the
-# 9 stalest r09-tier queries fill the remaining slots (declaration
-# order breaks ties) — after this round no query's latest driver row
-# is older than r09; the 41 remaining r09-tier queries become the
-# stalest tier entering r14 and the standard stalest-first rule
-# schedules them. Every query not in the window is still covered
-# by run_parity.py locally (full sweep, re-run after each change on
-# fresh testdata) and the judge's own sweep.
+# the per-query max round over CORRECTNESS_r{01..13}.json (rebuilt
+# with gen_rotation.py entering round 14): 41 queries were last
+# driver-checked in r09, 48 in r10, 50 in r11 (the dict-default
+# tier), 48 in r12, 50 in r13. Round-14 window (VERDICT r13
+# next-round #1): _ROUND_MODIFIED (1 new + 6 re-certified = 7)
+# first, then ALL 41 r09-tier queries, then the 2 stalest r10-tier
+# queries fill the remaining slots (declaration order breaks ties) —
+# after this round no query's latest driver row is older than r10.
+# Every query not in the window is still covered by run_parity.py
+# locally (full sweep, re-run after each change on fresh testdata)
+# and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 13, new queries (each enters this set in the same commit
-    # that declares it): the persisted-BM25-index slots (batch +
-    # streaming maintenance), the oracle-certified streaming PIT
-    # enrichment sink, hybrid RRF retrieval, the COLUMNS-over-joins /
-    # PIVOT / UNPIVOT dialect slots, snapshot diff, PromQL changes(),
-    # and token-budget mixture sampling
-    "q_bm25_index", "q_enriched_stream_served", "q_sql_columns_join",
-    "q_hybrid_rrf", "q_bm25_stream_indexed", "q_sql_pivot", "q_table_diff",
-    "q_promql_changes", "q_sql_unpivot", "q_token_budget_sample",
-    "q_pagerank", "q_multimodal_probe", "q_bigram_surprisal",
-    "q_chi_square_scan",
-    # round 13, re-certified after behavior-relevant changes:
-    # counter_irate's value precision widened to decimal(28,12)
-    # (oracle SQL changed in lockstep); merge_upsert's insert leg now
-    # carries every source-carried target column
-    "q_promql_irate", "q_merge_upsert",
+    # round 14, new query (enters this set in the same commit that
+    # declares it): char-trigram language identification
+    "q_language_id",
+    # round 14, re-certified after behavior-relevant changes:
+    # q_similarity_ivf_index now exercises the full lifecycle
+    # (build + add + remove with the new tombstone path);
+    # q_multimodal_probe gained the MP4 leg (schema + synthesis rule
+    # changed); q_bm25_index / q_bm25_stream_indexed ride the
+    # reworked staging/compaction/removed_ids code; q_sql_pivot rides
+    # the PIVOT rewrite extended with IN lists; q_pagerank rides
+    # graph.py's normalized-flag refactor (default path unchanged,
+    # re-pinned anyway)
+    "q_similarity_ivf_index", "q_multimodal_probe", "q_bm25_index",
+    "q_bm25_stream_indexed", "q_sql_pivot", "q_pagerank",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r{01..12}.json): 25 last ran in r08, 48 in r10, 50 in
-#: r11, 50 in r12; the remaining 50 ran in r09 and form the dict
-#: default (`.get(name, 9)` in _ordered_registry).
+#: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
+#: r12, 50 in r13; the remaining 50 ran in r11 and form the dict
+#: default (`.get(name, 11)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
     **dict.fromkeys([
-        "q_audience_jaccard",
-        "q_autocorr_lag1",
-        "q_column_profile",
-        "q_corpus_pipeline_chunked",
-        "q_cusum_changepoints",
-        "q_daily_vs_trailing_week",
-        "q_delta_compression_stats",
-        "q_heavy_hitter_share",
-        "q_interarrival_burstiness",
-        "q_kmeans_step",
-        "q_moving_median",
-        "q_ohlc_bars",
-        "q_outlier_mad",
-        "q_pii_scrub",
-        "q_sax_motifs",
-        "q_sax_symbols",
-        "q_seasonal_backtest",
-        "q_series_align_ratio",
-        "q_series_gap_report",
-        "q_similarity_ivf_index",
-        "q_spearman_corr",
-        "q_top_movers",
-        "q_topk_with_ties",
-        "q_value_heatmap_2d",
-        "q_zorder_stats",
-    ], 8),
+        "q_array_ops",
+        "q_compaction_stats",
+        "q_dedup_exact",
+        "q_deterministic_sample",
+        "q_embedding_neardup_exact",
+        "q_except_all",
+        "q_fdd_rules_join",
+        "q_from_json_struct",
+        "q_gaps_islands_runs",
+        "q_global_sort_multi",
+        "q_hash_functions",
+        "q_hash_split",
+        "q_langid",
+        "q_latest_values",
+        "q_levenshtein",
+        "q_locf_gapfill",
+        "q_multimodal_features",
+        "q_ngram_jaccard",
+        "q_posexplode",
+        "q_quality_filter_pipeline",
+        "q_quality_score",
+        "q_resample_1d",
+        "q_scalar_conditional",
+        "q_scalar_datetime",
+        "q_scalar_datetime_parts",
+        "q_scalar_json",
+        "q_scalar_math",
+        "q_scalar_string",
+        "q_session_window",
+        "q_similarity_bruteforce",
+        "q_stratified_sample",
+        "q_to_json",
+        "q_token_stats",
+        "q_tpch_q18_large_volume",
+        "q_tpch_q21_suppliers_who_wait",
+        "q_tumbling_window",
+        "q_udf_grouped_agg_median",
+        "q_udf_mapinpandas_clip",
+        "q_udf_sql_registered",
+        "q_udf_zscore_per_group",
+        "q_window_nth_cume",
+    ], 9),
     **dict.fromkeys([
         "q_agg_pricing_summary",
         "q_agg_stats",
@@ -181,58 +193,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_weighted_domain_sample",
     ], 10),
     **dict.fromkeys([
-        "q_approx_aggregates",
-        "q_arrow_transform",
-        "q_asof_join",
-        "q_asof_tolerance",
-        "q_collect_set",
-        "q_contamination_ngram",
-        "q_csv_roundtrip",
-        "q_dedup_clusters",
-        "q_dedup_keep_canonical",
-        "q_embedding_knn_classify",
-        "q_exactly_once_asof",
-        "q_exactly_once_served",
-        "q_grouping_sets",
-        "q_having",
-        "q_higher_order_fns",
-        "q_hll_distinct_rollup",
-        "q_interval_overlap_join",
-        "q_join_anti",
-        "q_join_cross",
-        "q_join_full_outer",
-        "q_join_inner_broadcast",
-        "q_join_left_outer",
-        "q_join_range_bands",
-        "q_join_semi",
-        "q_json_roundtrip",
-        "q_map_ops",
-        "q_minhash_pairs",
-        "q_orc_roundtrip",
-        "q_qualify_in_exists",
-        "q_repetition_profile",
-        "q_schema_evolution",
-        "q_semantic_dedup",
-        "q_simhash_pairs",
-        "q_similarity_lsh",
-        "q_tfidf_top_terms",
-        "q_tpch_q11_important_stock",
-        "q_tpch_q12_priority_class",
-        "q_tpch_q13_custdist",
-        "q_tpch_q15_top_supplier",
-        "q_tpch_q16_supplier_count",
-        "q_tpch_q17_small_qty_revenue",
-        "q_tpch_q20_excess_stock",
-        "q_tpch_q22_global_sales_opportunity",
-        "q_tpch_q4_order_priority",
-        "q_tpch_q8_market_share",
-        "q_tpch_q9_product_profit",
-        "q_unigram_surprisal",
-        "q_window_cumulative",
-        "q_window_lag_lead",
-        "q_window_topk_per_group",
-    ], 11),
-    **dict.fromkeys([
         "q_approx_top_k",
         "q_asof_inner_sql",
         "q_asof_qualify_sql",
@@ -256,12 +216,10 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_histogram_quantile",
         "q_linear_interp",
         "q_lttb_downsample",
-        "q_merge_upsert",
         "q_minmax_decimate",
         "q_paragraph_dedup",
         "q_pit_features",
         "q_predict_linear",
-        "q_promql_irate",
         "q_python_udtf",
         "q_rate_per_second",
         "q_rolling_hash_fingerprint",
@@ -284,6 +242,58 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_tpch_q5_local_supplier",
         "q_training_corpus_pipeline",
     ], 12),
+    **dict.fromkeys([
+        "q_audience_jaccard",
+        "q_autocorr_lag1",
+        "q_bigram_surprisal",
+        "q_bm25_index",
+        "q_bm25_stream_indexed",
+        "q_chi_square_scan",
+        "q_column_profile",
+        "q_corpus_pipeline_chunked",
+        "q_cusum_changepoints",
+        "q_daily_vs_trailing_week",
+        "q_delta_compression_stats",
+        "q_enriched_stream_served",
+        "q_except",
+        "q_heavy_hitter_share",
+        "q_hybrid_rrf",
+        "q_interarrival_burstiness",
+        "q_intersect",
+        "q_intersect_all",
+        "q_kmeans_step",
+        "q_merge_upsert",
+        "q_moving_median",
+        "q_multimodal_probe",
+        "q_ohlc_bars",
+        "q_outlier_mad",
+        "q_pagerank",
+        "q_pii_scrub",
+        "q_promql_changes",
+        "q_promql_irate",
+        "q_sax_motifs",
+        "q_sax_symbols",
+        "q_seasonal_backtest",
+        "q_series_align_ratio",
+        "q_series_gap_report",
+        "q_similarity_ivf_index",
+        "q_spearman_corr",
+        "q_sql_columns_join",
+        "q_sql_pivot",
+        "q_sql_unpivot",
+        "q_table_diff",
+        "q_token_budget_sample",
+        "q_top_movers",
+        "q_topk_global",
+        "q_topk_with_ties",
+        "q_union_all",
+        "q_union_distinct",
+        "q_value_heatmap_2d",
+        "q_window_first_last",
+        "q_window_rank_ntile",
+        "q_window_rolling_time",
+        "q_zorder_stats",
+    ], 13),
 }
 
 
@@ -302,7 +312,7 @@ def _ordered_registry() -> list[QuerySpec]:
         _REGISTRY,
         key=lambda q: (
             q.name not in _ROUND_MODIFIED,
-            _LAST_DRIVER_ROUND.get(q.name, 9),
+            _LAST_DRIVER_ROUND.get(q.name, 11),
         ),
     )
 

@@ -1272,10 +1272,32 @@ def _blank_comments_preserving(masked: str) -> str:
 
 
 _PIVOT_HEAD_RE = re.compile(
-    r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)\s+USING\s+",
+    r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)"
+    r"\s*(?:IN\s*\(([^)]*)\))?\s+USING\s+",
     re.IGNORECASE,
 )
 _GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+
+
+def _parse_pivot_literal(s: str):
+    """One ``PIVOT ... IN (...)`` item as a Python value for
+    ``DataFrame.pivot``'s values list: single-quoted string ('' is the
+    escaped quote), integer, decimal, or TRUE/FALSE. Anything else —
+    expressions, subqueries, bare identifiers — raises: the IN list
+    exists to PIN values without running anything."""
+    if re.fullmatch(r"'(?:[^']|'')*'", s):
+        return s[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", s):
+        return int(s)
+    if re.fullmatch(r"-?\d+\.\d+", s):
+        return float(s)
+    if s.lower() == "true":
+        return True
+    if s.lower() == "false":
+        return False
+    raise ValueError(
+        f"PIVOT IN item {s!r} is not a literal (string/number/boolean)"
+    )
 #: Spark's own spark.sql.pivotMaxValues default — the cardinality past
 #: which a pivot is a data-modeling error, not a reshape
 _PIVOT_MAX_VALUES = 10_000
@@ -1302,7 +1324,12 @@ def _maybe_pivot(spark: SparkSession, query: str):
 
     Values resolve at rewrite time (one distinct scan of the pivot
     column — dimension-sized by the nature of a pivot; > 10k distinct
-    values raises like Spark's own ``spark.sql.pivotMaxValues``).
+    values raises like Spark's own ``spark.sql.pivotMaxValues``) —
+    OR, since round 14, an explicit ``ON <col> IN (v1, v2, ...)``
+    list (DuckDB's own spelling) pins the values with NO scan: output
+    columns follow the list's order, rows with other values drop
+    (both engines agree), and EXPLAIN PIVOT becomes genuinely
+    plan-only. IN items must be literals (strings/numbers/booleans).
     Multi-column ON, expression ON, and derived-table PIVOT raise
     honestly. Returns None when the statement is not a PIVOT."""
     head = _blank_comments_preserving(_mask_string_literals(query))
@@ -1317,6 +1344,18 @@ def _maybe_pivot(spark: SparkSession, query: str):
             "tables and multi-column/expression ON raise)"
         )
     table_name, pivot_col = m.group(1), m.group(2)
+    in_values = None
+    if m.group(3) is not None:
+        # explicit IN list (round 14): parse literals from the ORIGINAL
+        # text at the masked positions (masking is length-preserving)
+        in_masked = m.group(3)
+        in_orig = query[m.start(3):m.end(3)]
+        if not in_masked.strip():
+            raise ValueError("PIVOT IN (...) list must be non-empty")
+        in_values = [
+            _parse_pivot_literal(item.strip())
+            for item in _split_top_level_commas(in_masked, in_orig)
+        ]
     # strip trailing whitespace/';' by MASKED length so the original
     # slice stays aligned (the original may end in a blanked comment)
     tail = head[m.end():]
@@ -1379,16 +1418,19 @@ def _maybe_pivot(spark: SparkSession, query: str):
         raise ValueError(
             f"PIVOT column {pivot_col!r} not in {table_name!r}"
         )
-    vrows = (
-        t.select(pivot_col).filter(F.col(pivot_col).isNotNull())
-        .distinct().limit(_PIVOT_MAX_VALUES + 1).collect()
-    )
-    if len(vrows) > _PIVOT_MAX_VALUES:
-        raise ValueError(
-            f"PIVOT ON {pivot_col!r} exceeds {_PIVOT_MAX_VALUES} "
-            "distinct values — that is a join key, not a pivot axis"
+    if in_values is not None:
+        values = in_values  # pinned: no discovery scan, list order kept
+    else:
+        vrows = (
+            t.select(pivot_col).filter(F.col(pivot_col).isNotNull())
+            .distinct().limit(_PIVOT_MAX_VALUES + 1).collect()
         )
-    values = sorted(r[0] for r in vrows)
+        if len(vrows) > _PIVOT_MAX_VALUES:
+            raise ValueError(
+                f"PIVOT ON {pivot_col!r} exceeds {_PIVOT_MAX_VALUES} "
+                "distinct values — that is a join key, not a pivot axis"
+            )
+        values = sorted(r[0] for r in vrows)
 
     if group_cols is None:
         # DuckDB's implicit rule: group by every column not otherwise
@@ -1545,8 +1587,15 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     ON/COLUMNS/star modifiers AND the SUMMARIZE/PIVOT/UNPIVOT verbs)
     explains exactly as it would run — and the resulting plan renders
     through the same JVM path ``DataFrame.explain`` uses, returned as
-    Spark's native 1-row ``(plan string)`` EXPLAIN shape. Planning
-    only; nothing executes."""
+    Spark's native 1-row ``(plan string)`` EXPLAIN shape. Nothing is
+    WRITTEN (the read-only gate below rejects DDL/DML), and for every
+    verb except one nothing executes at all. The exception (ADVICE
+    r13 #2): ``EXPLAIN PIVOT`` — a PIVOT statement without an IN list
+    cannot even be PLANNED without knowing the pivot values, so
+    ``_maybe_pivot``'s value discovery runs its distinct scan at
+    rewrite time exactly as the bare statement would; on a large
+    table that scan is real work. Pass an explicit ``IN (...)`` list
+    to make EXPLAIN PIVOT plan-only too."""
     # match on a comment-blanked masked copy (length-preserving, so
     # em.end() indexes into the original): the gate admits
     # "/* audit */ EXPLAIN ..." and this entry must recognize the

@@ -1597,3 +1597,63 @@ def test_explain_through_dialect(spark):
         dialect_sql(spark, "EXPLAIN DROP TABLE _t_expl")
     assert is_query_statement("EXPLAIN EXTENDED SELECT 1")
     assert not is_query_statement("EXPLAIN INSERT INTO _t_expl VALUES (1)")
+
+
+def test_pivot_in_list(spark):
+    """Round 14 (ADVICE r13 #2): an explicit ON <col> IN (...) list
+    pins the pivot values — column order follows the LIST (DuckDB's
+    rule), unlisted values drop, no discovery scan runs (so EXPLAIN
+    PIVOT with IN is genuinely plan-only), and non-literal items
+    raise."""
+    import pytest
+
+    from rusty_timeseries_db_spark.sql_ext import _maybe_pivot
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [("a", "x", 1.5), ("a", "y", 2.5), ("b", "x", 3.0),
+         ("b", "z", 7.0)],
+        "g string, c string, x double",
+    ).createOrReplaceTempView("_t_pvt_in")
+
+    out = dialect_sql(
+        spark,
+        "PIVOT _t_pvt_in ON c IN ('y', 'x') USING sum(x) AS s GROUP BY g",
+    )
+    assert out.columns == ["g", "y_s", "x_s"]  # list order, 'z' dropped
+    got = {r.g: (r.y_s, r.x_s) for r in out.collect()}
+    assert got == {"a": (2.5, 1.5), "b": (None, 3.0)}
+
+    # numeric + boolean literals parse; DuckDB native agrees on values
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM (VALUES "
+            "('a','x',1.5),('a','y',2.5),('b','x',3.0),('b','z',7.0)"
+            ") v(g,c,x)")
+    duck = con.sql(
+        "PIVOT t ON c IN ('y','x') USING sum(x) AS s GROUP BY g "
+        "ORDER BY g"
+    ).fetchall()
+    ours = [
+        (r.g, r.y_s, r.x_s) for r in out.orderBy("g").collect()
+    ]
+    assert [(g, ys, xs) for g, ys, xs in duck] == ours
+
+    # EXPLAIN PIVOT with IN runs no job (no discovery collect): the
+    # plan text comes back and references the pivot projection
+    plan = dialect_sql(
+        spark,
+        "EXPLAIN PIVOT _t_pvt_in ON c IN ('x') USING sum(x) AS s "
+        "GROUP BY g",
+    ).collect()[0][0]
+    assert "x_s" in plan or "pivot" in plan.lower()
+
+    with pytest.raises(ValueError, match="not a literal"):
+        _maybe_pivot(
+            spark, "PIVOT _t_pvt_in ON c IN (g) USING sum(x) AS s GROUP BY g"
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        _maybe_pivot(
+            spark, "PIVOT _t_pvt_in ON c IN () USING sum(x) AS s GROUP BY g"
+        )
