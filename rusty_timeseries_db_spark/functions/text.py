@@ -134,6 +134,49 @@ PII_PATTERNS: dict[str, str] = {
 PII_SCRUB_ORDER: list[str] = ["email", "ssn", "phone", "ipv4"]
 
 
+#: Candidate pattern for payment-card numbers: a standalone 13-19
+#: digit run (ISO/IEC 7812 lengths). Like PII_PATTERNS, the string is
+#: shared VERBATIM with the DuckDB oracle — \b/\d only, both dialects
+#: agree. A CANDIDATE is not a card: Luhn-validate with
+#: :func:`luhn_valid` before treating it as one (that is the whole
+#: point — timestamps and ids are 13-19 digit runs too).
+CARD_CANDIDATE_PATTERN: str = r"\b\d{13,19}\b"
+
+
+def card_candidates(col: Column | str) -> Column:
+    """All standalone 13-19-digit runs in the text, as an array —
+    JVM regexp_extract_all, vectorized, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), 0)
+
+
+def luhn_valid(col: Column | str) -> Column:
+    """True when a digit string passes the Luhn check (ISO/IEC 7812
+    check digit — the public card-number checksum): from the RIGHT,
+    double every second digit, subtract 9 when the double exceeds 9,
+    and the total must be divisible by 10. Pure integer expression
+    arithmetic (``transform`` + ``aggregate`` over the digit
+    positions), so DuckDB recomputes it verbatim and q_pii_luhn_cards
+    hash-matches. Assumes an all-digit input (the candidate regex
+    guarantees it); NULL in → NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+
+    def term(i):
+        d = F.substr(c, n - i + F.lit(1), F.lit(1)).cast("int")
+        dbl = d * 2
+        return F.when(
+            i % 2 == 0, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        ).otherwise(d)
+
+    total = F.aggregate(
+        F.transform(F.sequence(F.lit(1), n), term),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total % 10 == 0
+
+
 def pii_count(col: Column | str, kind: str) -> Column:
     """Occurrences of one PII pattern (``PII_PATTERNS`` key) in the
     ORIGINAL text — JVM regexp_count, vectorized, no UDF."""

@@ -411,3 +411,62 @@ def chi_square_cells(
         F.round(e, 6).alias("expected_r6"),
         F.round((o - e) * (o - e) / e, 9).alias("chi2_term_r9"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (round 14) — the
+    classic gibberish/repetition quality signal: natural prose sits
+    around 4-4.5 bits/char, a run of one repeated character reads
+    ~0 bits, base64/hex blobs read high with a flat distribution.
+    Complements :func:`repetition_profile` (word/bigram level) at the
+    character level.
+
+    Returns ``(id_col, n_chars, entropy_bits)`` with one row per
+    input row; empty/NULL text reads ``(0, 0.0)``. Computed from
+    EXACT integer character counts via the algebraic form
+    ``H = log2(n) - (Σ c·log2 c) / n`` — the only floats are the
+    final log2/divide, rounded at 6 dp on both engines (the standard
+    float discipline; the sum has ≤ |alphabet| terms, so
+    summation-order drift stays far under the rounding).
+
+    Scale shape: O(total chars) explode (per-row ``transform`` over
+    1-char substrings, JVM-side), then one (id, char)-keyed and one
+    (id)-keyed hash aggregate, both map-side combining; no window, no
+    skew hazard beyond ordinary id skew. Text is lowercased first so
+    the signal tracks content, not capitalization style.
+    """
+    c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.length(c).cast("int")
+    chars = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(1))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(id_col), F.explode(chars).alias("_ch"))
+        .groupBy(id_col, "_ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c").cast("double") * F.log2(F.col("_c").cast("double")))
+        .alias("_clogc"),
+    )
+    ent = F.log2(F.col("_n").cast("double")) - F.col("_clogc") / F.col(
+        "_n"
+    ).cast("double")
+    scored = per_doc.select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_chars"),
+        F.round(ent, 6).alias("entropy_bits"),
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_chars"), F.lit(0).cast("bigint")).alias("n_chars"),
+        F.coalesce(F.col("entropy_bits"), F.lit(0.0)).alias("entropy_bits"),
+    )

@@ -70,17 +70,19 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 14): 41 queries were last
 # driver-checked in r09, 48 in r10, 50 in r11 (the dict-default
 # tier), 48 in r12, 50 in r13. Round-14 window (VERDICT r13
-# next-round #1): _ROUND_MODIFIED (1 new + 6 re-certified = 7)
-# first, then ALL 41 r09-tier queries, then the 2 stalest r10-tier
-# queries fill the remaining slots (declaration order breaks ties) —
-# after this round no query's latest driver row is older than r10.
+# next-round #1): _ROUND_MODIFIED (3 new + 6 re-certified = 9)
+# first, then ALL 41 r09-tier queries — exactly the 50 slots, so no
+# r10-tier fills this round (declaration order breaks ties) — after
+# this round no query's latest driver row is older than r10.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 14, new query (enters this set in the same commit that
-    # declares it): char-trigram language identification
-    "q_language_id",
+    # round 14, new queries (each enters this set in the same commit
+    # that declares it): char-trigram language identification,
+    # Luhn-validated card-number PII detection, char-level Shannon
+    # entropy quality signal
+    "q_language_id", "q_pii_luhn_cards", "q_char_entropy",
     # round 14, re-certified after behavior-relevant changes:
     # q_similarity_ivf_index now exercises the full lifecycle
     # (build + add + remove with the new tombstone path);
@@ -10274,6 +10276,131 @@ def q_pii_scrub(spark, sf_dir):
         ).alias("n_redacted"),
         F.sum(F.length("scrubbed") - F.length("txt")).alias("char_delta"),
     )
+
+
+def _luhn_oracle() -> str:
+    from .functions.text import CARD_CANDIDATE_PATTERN
+
+    luhn_sql = (
+        "list_sum(list_transform(generate_series(1, length(x)), i -> "
+        "CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN 2 * CAST(substr(x, length(x) - CAST(i AS INT) + 1, 1) AS INT) > 9 "
+        "THEN 2 * CAST(substr(x, length(x) - CAST(i AS INT) + 1, 1) AS INT) - 9 "
+        "ELSE 2 * CAST(substr(x, length(x) - CAST(i AS INT) + 1, 1) AS INT) END "
+        "ELSE CAST(substr(x, length(x) - CAST(i AS INT) + 1, 1) AS INT) END"
+        ")) % 10 = 0"
+    )
+    return f"""
+    WITH t AS (
+      SELECT source, coalesce(text, '') || CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN ' pay 4111111111111111 now'
+          WHEN 1 THEN ' ref 4111111111111112 x'
+          WHEN 2 THEN ' amex 378282246310005 ok'
+          WHEN 3 THEN ' id 123456789012 t'
+          ELSE '' END AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT source,
+             len(regexp_extract_all(s, '{CARD_CANDIDATE_PATTERN}'))
+               AS n_cand,
+             len(list_filter(regexp_extract_all(s, '{CARD_CANDIDATE_PATTERN}'),
+                             x -> {luhn_sql})) AS n_valid
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(n_valid) AS BIGINT) AS n_valid_cards,
+           CAST(SUM(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_card
+    FROM v GROUP BY source
+    """
+
+
+@declare(
+    "q_pii_luhn_cards",
+    _luhn_oracle(),
+    doc="Payment-card PII detection with Luhn validation (round 14; "
+    "functions/text.py card_candidates + luhn_valid): candidate "
+    "13-19-digit runs via the SHARED regex constant, then the "
+    "ISO/IEC 7812 Luhn checksum as a pure integer transform+aggregate "
+    "over digit positions — no UDF, and the DuckDB oracle recomputes "
+    "the identical arithmetic, so a hash match certifies the checksum "
+    "itself. The synthetic corpus carries no digit runs, so the query "
+    "PLANTS fixed public test numbers keyed on doc_id (valid Visa 16 "
+    "/ Amex 15, an off-by-one invalid, a too-short run the candidate "
+    "regex must ignore). The length gate matters: timestamps and ids "
+    "are digit runs too — Luhn is what separates a card from noise.",
+)
+def q_pii_luhn_cards(spark, sf_dir):
+    from .functions.text import card_candidates, luhn_valid
+
+    d = T(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" pay 4111111111111111 now"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" ref 4111111111111112 x"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" amex 378282246310005 ok"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" id 123456789012 t"))
+        .otherwise(F.lit("")),
+    )
+    c = d.select("source", card_candidates(planted).alias("_cands"))
+    n_valid = F.size(F.filter(F.col("_cands"), luhn_valid))
+    return c.select(
+        "source",
+        F.size("_cands").alias("_nc"),
+        n_valid.alias("_nv"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nc").cast("bigint").alias("n_candidates"),
+        F.sum("_nv").cast("bigint").alias("n_valid_cards"),
+        F.sum(F.when(F.col("_nv") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_docs_with_card"),
+    )
+
+
+@declare(
+    "q_char_entropy",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, substr(s, CAST(i AS INT), 1) AS ch
+      FROM (
+        SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i
+        FROM norm
+      )
+    ),
+    counts AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ch GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id, SUM(c) AS n,
+             SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+      FROM counts GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_chars,
+           coalesce(ROUND(log2(CAST(p.n AS DOUBLE))
+                          - p.clogc / CAST(p.n AS DOUBLE), 6), 0.0)
+             AS entropy_bits
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    doc="Per-document character-level Shannon entropy (round 14; "
+    "operators/profile.py char_entropy): the classic gibberish/"
+    "repetition quality signal at the character level, complementing "
+    "the word/bigram repetition_profile. Exact integer char counts "
+    "through the algebraic form H = log2(n) - (sum c*log2 c)/n, "
+    "rounded 6 dp on both engines. O(chars) explode + two map-side-"
+    "combining hash aggs, no window.",
+)
+def q_char_entropy(spark, sf_dir):
+    from .operators.profile import char_entropy
+
+    return char_entropy(T(spark, sf_dir, "documents"))
 
 
 @declare(

@@ -255,3 +255,63 @@ def test_chi_square_cells_hand_computed(spark):
 
     with pytest.raises(ValueError, match="max_cells"):
         chi_square_cells(df, "a", "b", max_cells=3)
+
+
+# ---------------------------------------------------------------- round 14
+
+
+def test_luhn_known_vectors(spark):
+    """Public Luhn test vectors: valid card test numbers pass, an
+    off-by-one fails, and the classic 79927398713 example from the
+    checksum's spec passes while its neighbors fail."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.functions.text import luhn_valid
+
+    cases = [
+        ("4111111111111111", True),   # Visa test number
+        ("4111111111111112", False),
+        ("378282246310005", True),    # Amex test number
+        ("5500005555555559", True),   # MC test number
+        ("79927398713", True),        # the spec's worked example
+        ("79927398710", False),
+        ("79927398714", False),
+    ]
+    df = spark.createDataFrame(cases, "s string, want boolean")
+    got = df.select("s", "want", luhn_valid("s").alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, r.s
+
+
+def test_card_candidates_length_gate(spark):
+    """13-19 digit standalone runs only: 12 too short, 20 too long,
+    digits glued to letters are not standalone."""
+    from rusty_timeseries_db_spark.functions.text import card_candidates
+
+    df = spark.createDataFrame(
+        [("a 123456789012 b 1234567890123 c 12345678901234567890 "
+          "d x4111111111111111y e 4111111111111111",)],
+        "s string",
+    )
+    got = df.select(card_candidates("s").alias("c")).collect()[0].c
+    assert got == ["1234567890123", "4111111111111111"]
+
+
+def test_char_entropy_closed_forms(spark):
+    """Hand-computable entropies: one repeated char = 0 bits, a
+    2-char alternation = 1 bit, 4 distinct chars = 2 bits; case folds
+    (AaAa = 0 bits); empty and NULL read (0, 0.0); one row out per
+    row in."""
+    from rusty_timeseries_db_spark.operators.profile import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "AaAa"),
+         (5, ""), (6, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.n_chars, r.entropy_bits)
+           for r in char_entropy(df).collect()}
+    assert got == {
+        1: (4, 0.0), 2: (4, 1.0), 3: (4, 2.0), 4: (4, 0.0),
+        5: (0, 0.0), 6: (0, 0.0),
+    }
