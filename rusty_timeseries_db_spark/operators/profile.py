@@ -440,13 +440,11 @@ def char_entropy(
     the signal tracks content, not capitalization style.
     """
     c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    n = F.length(c).cast("int")
-    chars = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(1))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # split-to-char-array, ONE O(n) pass — per-position substr would be
+    # O(n²) per doc (UTF8String substr walks to the char offset; the
+    # langid._trigrams lesson). split('') yields [""] for an empty
+    # string, so filter zero-length elements out.
+    chars = F.filter(F.split(c, ""), lambda ch: F.length(ch) > 0)
     counts = (
         df.select(F.col(id_col), F.explode(chars).alias("_ch"))
         .groupBy(id_col, "_ch")
