@@ -648,6 +648,27 @@ class Bm25Index:
         })
         return int(k)
 
+    #: default tombstone fraction past which compact() is advised
+    DEFAULT_MAX_REMOVED_FRAC = 0.2
+
+    def should_compact(self, max_removed_frac: float | None = None) -> bool:
+        """True when the tombstoned fraction ``n_removed / (n_docs +
+        n_removed)`` exceeds the threshold — time to schedule
+        :meth:`compact` (the deletion-side twin of
+        ``IvfIndex.should_rebuild``). An index with no removals never
+        needs one."""
+        man = self._manifest()
+        n_docs = int(man.get("n_docs", 0))
+        n_removed = int(man.get("n_removed", 0))
+        total = n_docs + n_removed
+        frac = (n_removed / total) if total > 0 else 0.0
+        limit = (
+            max_removed_frac
+            if max_removed_frac is not None
+            else self.DEFAULT_MAX_REMOVED_FRAC
+        )
+        return frac > limit
+
     def compact(self) -> int:
         """Apply the tombstones physically: rewrite ``postings/`` and
         ``docs/`` without the removed docs, recompute ``terms/`` from

@@ -862,6 +862,28 @@ class IvfIndex:
         })
         return int(k)
 
+    #: default tombstone fraction past which compact() is advised —
+    #: below it, the per-query anti-join and the dead bytes are noise;
+    #: above it, a rewrite pays for itself in scan savings
+    DEFAULT_MAX_REMOVED_FRAC = 0.2
+
+    def should_compact(self, max_removed_frac: float | None = None) -> bool:
+        """True when the tombstoned fraction ``n_removed / (n_rows +
+        n_removed)`` exceeds the threshold (the :meth:`should_rebuild`
+        contract, for the deletion side): time to schedule
+        :meth:`compact`. An index with no removals never needs one."""
+        man = self._manifest()
+        n_rows = int(man.get("n_rows", 0))
+        n_removed = int(man.get("n_removed", 0))
+        total = n_rows + n_removed
+        frac = (n_removed / total) if total > 0 else 0.0
+        limit = (
+            max_removed_frac
+            if max_removed_frac is not None
+            else self.DEFAULT_MAX_REMOVED_FRAC
+        )
+        return frac > limit
+
     def compact(self) -> int:
         """Apply the tombstones physically: rewrite the cell tree
         without the removed vectors and drop the tombstone sidecar.

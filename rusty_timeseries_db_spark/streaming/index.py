@@ -192,3 +192,70 @@ def start_ivf_index_sink(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# --------------------------------------------- removal (erasure) sinks
+
+def apply_removal_batch(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    kind: str = "bm25",
+) -> int:
+    """Apply ONE micro-batch of deletion requests (a single-column
+    DataFrame of doc/vector ids) to a persisted index — the GDPR/
+    right-to-erasure queue consumed as a stream. No batch watermark is
+    needed: ``remove()`` is idempotent BY CONTENT (already-tombstoned
+    or never-present ids are ignored, and the manifest re-derives from
+    authoritative state), so an at-least-once replay removes nothing
+    twice and converges to the same manifest. Returns the number of
+    ids newly removed.
+
+    Poison-pill contract (deliberate, unlike ``removed_ids="skip"`` on
+    the add sinks): if an interrupted ``compact()`` left the index
+    mid-swap, ``remove()`` raises and the micro-batch fails on every
+    retry — an erasure request must NEVER be silently dropped, so the
+    stream stalls until an operator re-runs compact(). Writer
+    contract: do not run a removal sink concurrently with an add sink
+    on the SAME index (the manifest commit is last-writer-wins; see
+    the index class docstrings)."""
+    if kind == "bm25":
+        idx = Bm25Index(spark, index_path)
+    elif kind == "ivf":
+        from ..operators.similarity import IvfIndex
+
+        idx = IvfIndex(spark, index_path)
+    else:
+        raise ValueError(f"kind must be bm25|ivf, got {kind!r}")
+    return idx.remove(batch)
+
+
+def start_index_removal_sink(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    kind: str = "bm25",
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Consume a deletion-request stream (single id column) into a
+    persisted ``Bm25Index`` (``kind="bm25"``) or ``IvfIndex``
+    (``kind="ivf"``): each micro-batch runs :func:`apply_removal_batch`
+    — tombstone appends + exact post-delete query results, compaction
+    deferred to an operator-scheduled ``compact()``. Delivery is
+    at-least-once with content-idempotent replays (see
+    apply_removal_batch)."""
+    if kind not in ("bm25", "ivf"):
+        raise ValueError(f"kind must be bm25|ivf, got {kind!r}")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        apply_removal_batch(batch.sparkSession, index_path, batch, kind=kind)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", os.path.join(checkpoint_dir, f"{kind}_removal")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -686,3 +686,100 @@ def test_concurrent_staging_dirs_do_not_collide(spark, tmp_path):
 
     delete_path(spark, pa)
     delete_path(spark, pb)
+
+
+def test_streaming_removal_sink_parity_with_batch_remove(spark, tmp_path):
+    """A deletion-request stream == the same ids removed batch-wise:
+    identical post-remove query results and manifest accounting, with
+    content-idempotent replays (no watermark needed — re-removing is a
+    no-op by construction). Covers both index kinds through the one
+    sink entry."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.streaming.index import (
+        apply_removal_batch,
+        start_index_removal_sink,
+    )
+
+    docs = _docs(spark)
+    victims = [3, 13, 23, 33]
+
+    # reference: batch remove
+    ref_path = str(tmp_path / "bm25_ref")
+    ref = Bm25Index(spark, ref_path).build(docs)
+    ref.remove(victims)
+    want = _rows(ref.query(TERMS, k=20))
+
+    # streamed: same build, ids arrive as two micro-batches
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    src = str(tmp_path / "drop")
+    os.makedirs(src)
+    for fname, ids in [("a.json", victims[:2]), ("zz.json", victims[2:])]:
+        with open(os.path.join(src, fname), "w") as f:
+            for i in ids:
+                f.write(_json.dumps({"doc_id": i}) + "\n")
+    first = os.path.join(src, "a.json")
+    os.utime(os.path.join(src, "zz.json"),
+             (os.path.getmtime(first) + 10, os.path.getmtime(first) + 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_index_removal_sink(
+        stream, path, str(tmp_path / "ckpt"), kind="bm25",
+        available_now=True,
+    )
+    assert q.awaitTermination(180)
+
+    assert _rows(idx.query(TERMS, k=20)) == want
+    man = idx._manifest()
+    assert man["n_removed"] == len(victims)
+    assert man["n_docs"] == docs.count() - len(victims)
+
+    # content-idempotent replay: same ids again remove nothing
+    again = spark.createDataFrame([(i,) for i in victims], "doc_id long")
+    assert apply_removal_batch(spark, path, again, kind="bm25") == 0
+    assert _rows(idx.query(TERMS, k=20)) == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bm25|ivf"):
+        apply_removal_batch(spark, path, again, kind="nope")
+
+
+def test_should_compact_threshold_both_indexes(spark, tmp_path):
+    """should_compact(): False with no removals, flips past the
+    tombstone-fraction threshold, resets after compact() — on BOTH
+    index kinds."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+    from tests.conftest import SF_DIR
+
+    docs = _docs(spark).filter(F.col("doc_id") < 100)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    assert not idx.should_compact()
+    idx.remove(list(range(0, 100, 3)))  # 34 of 100 > 20%
+    assert idx.should_compact()
+    assert not idx.should_compact(max_removed_frac=0.5)
+    idx.compact()
+    assert not idx.should_compact()
+
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    ipath = str(tmp_path / "ivf")
+    ivf = IvfIndex(spark, ipath).build(
+        emb.filter(F.col("vec_id") < 100), n_clusters=4, seed=7
+    )
+    assert not ivf.should_compact()
+    ivf.remove(list(range(0, 100, 3)))
+    assert ivf.should_compact()
+    ivf.compact()
+    assert not ivf.should_compact()
