@@ -877,3 +877,158 @@ def test_token_budget_sample_matches_python_reference(spark, docs, budget):
         ).collect()
     }
     assert got == want
+
+
+# -------------------------------------- round-14 operators (property)
+
+@settings(max_examples=6, deadline=None)
+@given(
+    digits=st.lists(
+        st.text(alphabet="0123456789", min_size=13, max_size=19),
+        min_size=1, max_size=12,
+    ),
+)
+def test_luhn_matches_python_reference(spark, digits):
+    """luhn_valid == a direct Python Luhn on arbitrary 13-19-digit
+    strings (one createDataFrame per example, all rows checked)."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.functions.text import luhn_valid
+
+    def py_luhn(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    df = spark.createDataFrame([(s,) for s in digits], "s string")
+    got = {r.s: r.ok for r in df.select("s", luhn_valid("s").alias("ok")).collect()}
+    for s in digits:
+        assert got[s] == py_luhn(s), s
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii",
+                                   exclude_categories=("Cc", "Cs")),
+            max_size=60,
+        ),
+        min_size=1, max_size=10,
+    ),
+)
+def test_char_entropy_matches_python_reference(spark, texts):
+    """char_entropy == a Counter-based Python Shannon entropy on
+    arbitrary ASCII strings (lowercased, 6-dp rounding on both
+    sides)."""
+    import math
+    from collections import Counter
+
+    from rusty_timeseries_db_spark.operators.profile import char_entropy
+
+    def py_entropy(t: str) -> tuple[int, float]:
+        t = (t or "").lower()
+        if not t:
+            return 0, 0.0
+        n = len(t)
+        clogc = sum(c * math.log2(c) for c in Counter(t).values())
+        return n, round(math.log2(n) - clogc / n, 6)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.n_chars, r.entropy_bits)
+           for r in char_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        n, h = py_entropy(t)
+        gn, gh = got[i]
+        assert gn == n, (t, gn, n)
+        assert abs(gh - h) <= 1e-6, (t, gh, h)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz ,.!?0123456789",
+                max_size=80),
+        min_size=1, max_size=8,
+    ),
+)
+def test_language_id_matches_python_reference(spark, docs):
+    """language_id == a direct Python implementation of the pinned
+    trigram scoring (same normalization, same profiles, same
+    argmax/tie-break) on arbitrary texts."""
+    import re
+
+    from rusty_timeseries_db_spark.operators.langid import (
+        LANGID_SEED_WORDS,
+        langid_profiles,
+        language_id,
+    )
+
+    profs = langid_profiles()
+    langs = sorted(LANGID_SEED_WORDS)
+
+    def py_classify(t: str) -> tuple[str, int]:
+        s = " " + re.sub(r"[^a-z]+", " ", (t or "").lower()).strip() + " "
+        scores = dict.fromkeys(langs, 0)
+        for i in range(max(len(s) - 2, 0)):
+            tg = s[i:i + 3]
+            for lang in langs:
+                w = profs[lang].get(tg)
+                if w:
+                    scores[lang] += w
+        best = max(langs, key=lambda lang: (scores[lang], ) + (tuple(
+            -ord(c) for c in lang),))
+        if scores[best] == 0:
+            return "und", 0
+        return best, scores[best]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.lang_id, r.lang_score)
+           for r in language_id(df).collect()}
+    for i, t in enumerate(docs):
+        assert got[i] == py_classify(t), (t, got[i], py_classify(t))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(1, 4000), h=st.integers(1, 3000),
+    dur=st.integers(0, 10**7), ts=st.integers(1, 90000),
+    version=st.integers(0, 1),
+)
+def test_mp4_meta_roundtrip(w, h, dur, ts, version):
+    """decode_mp4_meta inverts a synthesized box tree for arbitrary
+    dims/duration/timescale in both mvhd/tkhd versions."""
+    from rusty_timeseries_db_spark.operators.multimodal import decode_mp4_meta
+
+    def box(t, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + t + payload
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4))
+    if version == 0:
+        mvhd = box(b"mvhd", bytes(12) + ts.to_bytes(4, "big")
+                   + dur.to_bytes(4, "big"))
+        tk = bytearray(84)
+        tk[76:80] = (w << 16).to_bytes(4, "big")
+        tk[80:84] = (h << 16).to_bytes(4, "big")
+    else:
+        mvhd = box(b"mvhd", b"\x01" + bytes(19) + ts.to_bytes(4, "big")
+                   + dur.to_bytes(8, "big"))
+        tk = bytearray(96)
+        tk[0] = 1
+        tk[88:92] = (w << 16).to_bytes(4, "big")
+        tk[92:96] = (h << 16).to_bytes(4, "big")
+    data = ftyp + box(b"moov", mvhd + box(b"trak", box(b"tkhd", bytes(tk))))
+    brand, got_dur, got_w, got_h = decode_mp4_meta(data)
+    assert brand == "isom"
+    assert got_dur == dur * 1000 // ts
+    assert (got_w, got_h) == (w, h)
