@@ -629,16 +629,26 @@ class Bm25Index:
         finally:
             delete_path(self.spark, staging)
         # manifest DERIVED from authoritative state (docs minus
-        # tombstones): self-healing under interrupted earlier calls
-        live_docs = self.spark.read.parquet(self.docs_path)
+        # tombstones): self-healing under interrupted earlier calls.
+        # ONE docs-sidecar scan computes live count, live length sum
+        # AND the tombstoned count (round 14 — the anti-join + count
+        # pair scanned the sidecar twice)
+        docs_all = self.spark.read.parquet(self.docs_path)
         tomb_now = self._tombstones()
-        n_removed = 0
-        if tomb_now is not None:
-            live_docs = live_docs.join(tomb_now, "doc", "left_anti")
-            n_removed = tomb_now.count()
-        n_live, dl_live = live_docs.select(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
+        if tomb_now is None:
+            flagged = docs_all.withColumn("_t", F.lit(None).cast("int"))
+        else:
+            flagged = docs_all.join(
+                tomb_now.select("doc", F.lit(1).alias("_t")).distinct(),
+                "doc",
+                "left",
+            )
+        n_live, dl_live, n_removed = flagged.select(
+            F.count(F.when(F.col("_t").isNull(), 1)).alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("_t").isNull(), F.col("dl"))), F.lit(0.0)
+            ).alias("s"),
+            F.count("_t").alias("r"),
         ).first()
         write_json_manifest(self.spark, self.manifest_path, {
             **man,

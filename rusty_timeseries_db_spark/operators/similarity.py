@@ -848,16 +848,26 @@ class IvfIndex:
         finally:
             delete_path(self.spark, staging)
         # manifest DERIVED from authoritative state (index minus
-        # tombstones): self-healing under interrupted earlier calls
-        live_rows = self.spark.read.parquet(self.index_path)
+        # tombstones): self-healing under interrupted earlier calls.
+        # ONE index scan computes live AND tombstoned counts (round 14
+        # — the anti-join + count pair scanned the cell tree twice)
+        rows_all = self.spark.read.parquet(self.index_path).select("_cid")
         tomb_now = self._tombstones()
-        n_removed = 0
-        if tomb_now is not None:
-            live_rows = live_rows.join(tomb_now, "_cid", "left_anti")
-            n_removed = tomb_now.count()
+        if tomb_now is None:
+            flagged = rows_all.withColumn("_t", F.lit(None).cast("int"))
+        else:
+            flagged = rows_all.join(
+                tomb_now.select("_cid", F.lit(1).alias("_t")).distinct(),
+                "_cid",
+                "left",
+            )
+        n_live, n_removed = flagged.select(
+            F.count(F.when(F.col("_t").isNull(), 1)).alias("n"),
+            F.count("_t").alias("r"),
+        ).first()
         write_json_manifest(self.spark, self.manifest_path, {
             **man,
-            "n_rows": int(live_rows.count()),
+            "n_rows": int(n_live),
             "n_removed": int(n_removed),
         })
         return int(k)
