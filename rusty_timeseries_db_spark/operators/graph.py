@@ -115,14 +115,22 @@ def pagerank(
     if normalized:
         # one extra 1-row aggregate riding a constant-key broadcast
         # join (the attach-scalar shape); integer floor rescale keeps
-        # the cross-engine determinism contract
-        total = out.select(F.sum("rank_micro").alias("_total"))
+        # the cross-engine determinism contract. The multiply runs in
+        # DECIMAL(38,0): a hub node on a large graph can hold rank
+        # ~0.85·N·SCALE, and rank_micro * SCALE in bigint wraps
+        # negative past ~9.2e18 (review round 14) — exactly for the
+        # top-ranked node, inverting the order the flag promises to
+        # preserve. The total is summed in decimal for the same reason.
+        total = out.select(
+            F.sum(F.col("rank_micro").cast("decimal(38,0)")).alias("_total")
+        )
         from ..queries import attach_scalar
 
         out = attach_scalar(out, total).select(
             "node",
-            F.expr(f"rank_micro * {SCALE} div _total")
-            .cast("bigint")
-            .alias("rank_micro"),
+            F.expr(
+                f"CAST(CAST(rank_micro AS DECIMAL(38,0)) * {SCALE} "
+                "div _total AS BIGINT)"
+            ).alias("rank_micro"),
         )
     return out

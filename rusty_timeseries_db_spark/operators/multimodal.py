@@ -318,20 +318,28 @@ def decode_mp4_meta(data: bytes) -> tuple[str, int | None, int | None, int | Non
             for ctype, cs, ce in _mp4_boxes(data, s, e):
                 if ctype == b"mvhd" and ce - cs >= 4:
                     ver = data[cs]
-                    if ver == 1 and ce - cs >= 28 + 4:
+                    # branch on the DECLARED version first: a v1 box
+                    # with a truncated payload must raise, not be
+                    # silently misread at v0 offsets (its bytes there
+                    # are the middle of creation/modification time)
+                    if ver == 1:
+                        if ce - cs < 32:
+                            raise ValueError("truncated MP4 mvhd box")
                         timescale = int.from_bytes(data[cs + 20:cs + 24], "big")
                         duration = int.from_bytes(data[cs + 24:cs + 32], "big")
-                    elif ce - cs >= 20:
+                    else:
+                        if ce - cs < 20:
+                            raise ValueError("truncated MP4 mvhd box")
                         timescale = int.from_bytes(data[cs + 12:cs + 16], "big")
                         duration = int.from_bytes(data[cs + 16:cs + 20], "big")
-                    else:
-                        raise ValueError("truncated MP4 mvhd box")
                     if timescale > 0:
                         duration_ms = int(duration * 1000 // timescale)
                 elif ctype == b"trak":
                     for ttype, ts, te in _mp4_boxes(data, cs, ce):
                         if ttype != b"tkhd":
                             continue
+                        if te - ts < 4:  # empty/headerless payload
+                            raise ValueError("truncated MP4 tkhd box")
                         ver = data[ts]
                         off = ts + (88 if ver == 1 else 76)
                         if off + 8 > te:
@@ -388,10 +396,14 @@ def probe_asset_meta(assets: DataFrame) -> DataFrame:
                             out["duration_ms"] = dur
                         if w is not None:
                             out["width"], out["height"] = w, h
-                except (ValueError, struct.error, ZeroDivisionError):
+                except (ValueError, struct.error, ZeroDivisionError,
+                        IndexError):
                     # enrichment probe: an unparseable/degenerate
                     # payload keeps its incoming meta — one bad asset
                     # must never fail a 100 TB metadata sweep's task
+                    # (IndexError belt-and-braces: a decoder bound the
+                    # guards missed must degrade to meta-kept, not to
+                    # a task abort — review round 14)
                     pass
                 metas.append(out)
             pdf = pdf.copy()

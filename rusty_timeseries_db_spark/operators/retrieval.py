@@ -144,7 +144,10 @@ def _term_shard_py(term: str, n_shards: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_shards
 
 
-class Bm25Index:
+from .index_common import IndexLifecycleMixin
+
+
+class Bm25Index(IndexLifecycleMixin):
     """Persisted BM25 postings index (round 13 — VERDICT r12
     next-round #3; the :class:`..similarity.IvfIndex` precedent):
     :func:`bm25_topk` recomputes N/avgdl/df and re-tokenizes the whole
@@ -206,6 +209,9 @@ class Bm25Index:
       when a clash is actually present (no clash → no compaction).
     """
 
+    #: manifest key of the live doc count (IndexLifecycleMixin)
+    _ROWS_FIELD = "n_docs"
+
     def __init__(self, spark, index_path: str):
         self.spark = spark
         self.index_path = index_path.rstrip("/")
@@ -242,18 +248,6 @@ class Bm25Index:
         ).write.mode("overwrite").parquet(staging)
         return self.spark.read.parquet(staging), staging
 
-    def _check_not_compacting(self, verb: str) -> None:
-        """query()/add()/remove() all refuse while a ``_compacting``
-        marker exists — the intermediate states are internally
-        inconsistent, and an add() mid-compact could write postings
-        that the in-flight rewrite never saw, to be swapped away
-        silently by the compact re-run (ADVICE r13 #1)."""
-        if self._dir_exists(self.marker_path):
-            raise RuntimeError(
-                f"an interrupted compact() left this index mid-swap — "
-                f"re-run compact() (it converges from any interruption "
-                f"point) before {verb}"
-            )
 
     @staticmethod
     def _postings_from_staged(staged: DataFrame, n_shards: int) -> DataFrame:
@@ -338,6 +332,10 @@ class Bm25Index:
 
         delete_path(self.spark, self.tombstones_path)  # fresh build
         delete_path(self.spark, self.marker_path)
+        # reclaim staging orphans from hard-crashed earlier calls
+        # (each call's try/finally cleans its OWN dir, but kill -9
+        # between write and finally strands one — review round 14)
+        delete_path(self.spark, self.index_path + "/_staging")
         write_json_manifest(self.spark, self.manifest_path, {
             "n_docs": n,
             "sum_dl": sum_dl,
@@ -516,8 +514,11 @@ class Bm25Index:
                 if n_clash and removed_ids == "readmit":
                     # compaction-gated re-admission: tombstones become
                     # physical deletions, then the batch adds cleanly;
-                    # the manifest re-read picks up compact()'s state
-                    self.compact()
+                    # the manifest re-read picks up compact()'s state.
+                    # _sweep_staging=False: THIS call's staged batch
+                    # lives under _staging/ and must survive the
+                    # maintenance sweep (review round 14)
+                    self.compact(_sweep_staging=False)
                     man = self._manifest()
             n, sum_dl = self._staged_stats(staged)
             if n == 0:
@@ -554,15 +555,9 @@ class Bm25Index:
         return n
 
     # -- delete ------------------------------------------------------
-    def _dir_exists(self, path: str) -> bool:
-        from ..fsutil import fs_for, hpath
-
-        return fs_for(self.spark, path).exists(hpath(self.spark, path))
-
-    def _tombstones(self) -> DataFrame | None:
-        if not self._dir_exists(self.tombstones_path):
-            return None
-        return self.spark.read.parquet(self.tombstones_path)
+    # (_dir_exists / _tombstones / _check_not_compacting /
+    # should_compact come from IndexLifecycleMixin — one
+    # implementation for both persisted indexes, review round 14)
 
     def remove(self, doc_ids) -> int:
         """Delete documents from the SERVING index without a rebuild
@@ -658,28 +653,7 @@ class Bm25Index:
         })
         return int(k)
 
-    #: default tombstone fraction past which compact() is advised
-    DEFAULT_MAX_REMOVED_FRAC = 0.2
-
-    def should_compact(self, max_removed_frac: float | None = None) -> bool:
-        """True when the tombstoned fraction ``n_removed / (n_docs +
-        n_removed)`` exceeds the threshold — time to schedule
-        :meth:`compact` (the deletion-side twin of
-        ``IvfIndex.should_rebuild``). An index with no removals never
-        needs one."""
-        man = self._manifest()
-        n_docs = int(man.get("n_docs", 0))
-        n_removed = int(man.get("n_removed", 0))
-        total = n_docs + n_removed
-        frac = (n_removed / total) if total > 0 else 0.0
-        limit = (
-            max_removed_frac
-            if max_removed_frac is not None
-            else self.DEFAULT_MAX_REMOVED_FRAC
-        )
-        return frac > limit
-
-    def compact(self) -> int:
+    def compact(self, _sweep_staging: bool = True) -> int:
         """Apply the tombstones physically: rewrite ``postings/`` and
         ``docs/`` without the removed docs, recompute ``terms/`` from
         the rewritten postings (exact df, folding every add()-era
@@ -718,6 +692,14 @@ class Bm25Index:
         # state: a crash mid-swap leaves a directory renamed aside
         for p in (self.postings_path, self.terms_path, self.docs_path):
             recover_dir_swap(self.spark, p)
+        # compact() is the maintenance pass: reclaim staging orphans
+        # from hard-crashed add()/remove() calls (mutators refuse
+        # while the marker exists, and the writer contract forbids a
+        # concurrent add anyway). _sweep_staging=False only when
+        # add()'s readmit path invokes compact() mid-call — ITS OWN
+        # staged batch lives here and must survive.
+        if _sweep_staging:
+            delete_path(self.spark, self.index_path + "/_staging")
         tomb = self._tombstones()
         if tomb is None:
             if self._dir_exists(self.marker_path):
@@ -725,6 +707,15 @@ class Bm25Index:
                 # tombstones — every swap is complete; finish the
                 # cleanup so query() serves again
                 delete_path(self.spark, self.marker_path)
+            man0 = self._manifest()
+            if int(man0.get("n_removed", 0)) != 0:
+                # crash landed between the tombstone drop and the
+                # manifest reset: without this heal, should_compact()
+                # stays True forever while compact() is a permanent
+                # no-op (review round 14 — the convergence claim must
+                # cover the bookkeeping too)
+                man0["n_removed"] = 0
+                write_json_manifest(self.spark, self.manifest_path, man0)
             return 0
         n_tomb = tomb.count()
         man = self._manifest()

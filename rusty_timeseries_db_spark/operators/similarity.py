@@ -405,7 +405,10 @@ def _probe_cells(queries: DataFrame, query_id: str, query_vec: str,
     ).select("_qid", "_qvec", F.col("_p.cell").alias("_cell"))
 
 
-class IvfIndex:
+from .index_common import IndexLifecycleMixin
+
+
+class IvfIndex(IndexLifecycleMixin):
     """Persisted IVF index: build ONCE (k-means fit + cell-assigned
     corpus written as parquet PARTITIONED BY cell, centroids in a JSON
     manifest beside it), then serve any number of query batches without
@@ -440,27 +443,10 @@ class IvfIndex:
         self.tombstones_path = index_path + ".tombstones"
         self.marker_path = index_path + ".compacting.json"
 
-    def _dir_exists(self, path: str) -> bool:
-        from ..fsutil import fs_for, hpath
-
-        return fs_for(self.spark, path).exists(hpath(self.spark, path))
-
-    def _tombstones(self) -> DataFrame | None:
-        if not self._dir_exists(self.tombstones_path):
-            return None
-        return self.spark.read.parquet(self.tombstones_path)
-
-    def _check_not_compacting(self, verb: str) -> None:
-        """query()/add()/remove() refuse while a compacting marker
-        exists — mid-swap state is internally inconsistent, and an
-        add() racing the rewrite could append vectors the in-flight
-        compact never saw, to be swapped away silently."""
-        if self._dir_exists(self.marker_path):
-            raise RuntimeError(
-                f"an interrupted compact() left this index mid-swap — "
-                f"re-run compact() (it converges from any interruption "
-                f"point) before {verb}"
-            )
+    # (_dir_exists / _tombstones / _check_not_compacting /
+    # should_compact come from IndexLifecycleMixin — one
+    # implementation for both persisted indexes, review round 14;
+    # _ROWS_FIELD defaults to "n_rows", which is this class's key)
 
     def build(
         self,
@@ -520,6 +506,8 @@ class IvfIndex:
 
         delete_path(self.spark, self.tombstones_path)  # fresh build
         delete_path(self.spark, self.marker_path)
+        # reclaim staging orphans from hard-crashed remove() calls
+        delete_path(self.spark, self.index_path + ".staging")
         write_json_manifest(self.spark, self.manifest_path, {
             "centroids": centroids,
             "n_clusters": n_clusters,
@@ -872,28 +860,6 @@ class IvfIndex:
         })
         return int(k)
 
-    #: default tombstone fraction past which compact() is advised —
-    #: below it, the per-query anti-join and the dead bytes are noise;
-    #: above it, a rewrite pays for itself in scan savings
-    DEFAULT_MAX_REMOVED_FRAC = 0.2
-
-    def should_compact(self, max_removed_frac: float | None = None) -> bool:
-        """True when the tombstoned fraction ``n_removed / (n_rows +
-        n_removed)`` exceeds the threshold (the :meth:`should_rebuild`
-        contract, for the deletion side): time to schedule
-        :meth:`compact`. An index with no removals never needs one."""
-        man = self._manifest()
-        n_rows = int(man.get("n_rows", 0))
-        n_removed = int(man.get("n_removed", 0))
-        total = n_rows + n_removed
-        frac = (n_removed / total) if total > 0 else 0.0
-        limit = (
-            max_removed_frac
-            if max_removed_frac is not None
-            else self.DEFAULT_MAX_REMOVED_FRAC
-        )
-        return frac > limit
-
     def compact(self) -> int:
         """Apply the tombstones physically: rewrite the cell tree
         without the removed vectors and drop the tombstone sidecar.
@@ -919,12 +885,22 @@ class IvfIndex:
         )
 
         recover_dir_swap(self.spark, self.index_path)
+        # maintenance pass: reclaim staging orphans from hard-crashed
+        # remove() calls (mutators refuse while the marker exists)
+        delete_path(self.spark, self.index_path + ".staging")
         tomb = self._tombstones()
         if tomb is None:
             if self._dir_exists(self.marker_path):
                 # crashed AFTER dropping tombstones: swap complete —
                 # finish the cleanup so the index serves again
                 delete_path(self.spark, self.marker_path)
+            man0 = self._manifest()
+            if int(man0.get("n_removed", 0)) != 0:
+                # heal the bookkeeping too (review round 14): a crash
+                # between the tombstone drop and the manifest reset
+                # would otherwise pin should_compact() True forever
+                man0["n_removed"] = 0
+                write_json_manifest(self.spark, self.manifest_path, man0)
             return 0
         n_tomb = tomb.count()
         man = self._manifest()
