@@ -26,7 +26,7 @@ The wide 1-row aggregate is then exploded into one tidy row per column
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import word_tokens
@@ -467,4 +467,91 @@ def char_entropy(
         id_col,
         F.coalesce(F.col("n_chars"), F.lit(0).cast("bigint")).alias("n_chars"),
         F.coalesce(F.col("entropy_bits"), F.lit(0.0)).alias("entropy_bits"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Per-group Zipf rank-frequency slope (round 14) — the corpus-
+    level naturalness signal: token frequencies of natural language
+    follow a power law with log-log slope near -1 (Zipf's law), while
+    template spam, boilerplate floods, and synthetic token soup bend
+    the curve (flat head = near-uniform generator, cliff = tiny
+    vocabulary). A filtering pipeline runs this per source/domain and
+    quarantines outlier slopes before any per-document scoring.
+
+    Method: exact per-(group, term) counts, rank within group by
+    (count DESC, term ASC — total order, so ranking is deterministic
+    cross-engine), keep the top ``top_n`` ranks, then OLS of
+    ``ln(count)`` on ``ln(rank)``. Returns one row per group with
+    ``>= 3`` ranked terms: ``(group, n_terms, zipf_slope, r2)``.
+
+    Determinism discipline (q_unigram_surprisal's): ``ln()`` is the
+    only transcendental; each ln is rounded at 9 dp and cast to
+    DECIMAL(18,9) BEFORE any aggregation, so every downstream
+    sufficient statistic (Σx, Σy, Σxy, Σx², Σy²) is EXACT decimal
+    arithmetic — order-independent — and the only cross-engine floats
+    are the final slope/r² divisions, rounded at 6 dp.
+
+    Scale shape: one (group, term)-keyed count aggregate (map-side
+    combining over the token explosion), then a window ranked within
+    group — per-group row counts are vocabulary-sized, not
+    corpus-sized, so the window partition is bounded by distinct
+    terms per group; the top_n filter then caps the fit input at
+    ``top_n`` rows per group before the final tiny grouped agg.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda s: F.length(s) > 0,
+    )
+    counts = (
+        df.select(F.col(group_col).alias("_g"), F.explode(toks).alias("_t"))
+        .groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy(
+        F.col("_c").desc(), F.col("_t").asc()
+    )
+    ranked = counts.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= top_n
+    )
+    xy = ranked.select(
+        "_g",
+        F.round(F.log(F.col("_r").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("_x"),
+        F.round(F.log(F.col("_c").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("_y"),
+    )
+    s = xy.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_terms")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    deny = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    # den > 0 always (>= 3 distinct ranks, so x varies), but a group
+    # whose top-n counts are ALL equal has deny == 0 — r^2 is 0/0
+    # there (the fit is exact AND contentless); NULL, not an ANSI
+    # divide-by-zero abort, and the oracle spells the same CASE
+    return (
+        s.where(n >= 3)
+        .select(
+            F.col("_g").alias(group_col),
+            "n_terms",
+            F.round(num / den, 6).alias("zipf_slope"),
+            F.when(
+                deny != 0.0, F.round(num * num / (den * deny), 6)
+            ).alias("r2"),
+        )
     )

@@ -11581,3 +11581,69 @@ def q_qualify_in_exists(spark, sf_dir):
         )
         """,
     ).select("c_custkey", "c_name")
+
+
+@declare(
+    "q_zipf_slope",
+    """
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> len(x) > 0)) AS term
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, term
+    ),
+    rk AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY c DESC, term ASC
+             ) AS r
+      FROM cnt
+    ),
+    xy AS (
+      SELECT source,
+             CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+             CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      FROM rk WHERE r <= 100
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM xy GROUP BY source
+    )
+    SELECT source, n_terms,
+           ROUND(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           CASE WHEN n_terms * syy - sy * sy <> 0 THEN
+             ROUND(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                   * CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n_terms * sxx - sx * sx AS DOUBLE)
+                      * CAST(n_terms * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM s WHERE n_terms >= 3
+    """,
+    doc="per-source Zipf rank-frequency slope (round 14 — the SCALE.md "
+    "r15 candidate, pulled forward): OLS of ln(count) on ln(rank) over "
+    "each source's top-100 terms, the corpus-naturalness signal "
+    "(natural language ~ -1; template spam bends it). Ranks are a "
+    "TOTAL order (count DESC, term ASC) so ranking is deterministic "
+    "cross-engine; every ln is rounded at 9 dp into DECIMAL(18,9) "
+    "before aggregation so all five sufficient statistics are exact "
+    "decimal sums (order-independent), with only the final slope/r2 "
+    "divisions in floats, rounded at 6 dp. Declared AFTER the round-14 "
+    "window froze (9 modified + all 41 r09-tier = exactly 50): "
+    "judge-swept this round, heads the r15 driver window as new",
+)
+def q_zipf_slope(spark, sf_dir):
+    from .operators.profile import zipf_slope
+
+    return zipf_slope(
+        T(spark, sf_dir, "documents"),
+        group_col="source",
+        text_col="text",
+        top_n=100,
+    )

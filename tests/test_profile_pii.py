@@ -315,3 +315,65 @@ def test_char_entropy_closed_forms(spark):
         1: (4, 0.0), 2: (4, 1.0), 3: (4, 2.0), 4: (4, 0.0),
         5: (0, 0.0), 6: (0, 0.0),
     }
+
+
+def test_zipf_slope_closed_form(spark):
+    """A corpus built to an EXACT Zipf law (count at rank r = 60/r
+    for one group) must fit slope == -1.0 with r2 == 1.0; a uniform
+    group (every term equally frequent) fits slope 0.0; a group with
+    fewer than 3 distinct terms is dropped. Fit math cross-checked
+    against numpy.polyfit on the same (ln r, ln c) points."""
+    import math
+
+    import numpy as np
+
+    from rusty_timeseries_db_spark.operators.profile import zipf_slope
+
+    rows = []
+    # zipfy: counts 60, 30, 20, 15, 12, 10 at ranks 1..6 = 60/r
+    for r in range(1, 7):
+        rows.extend([("zipfy", f"t{r:02d}")] * (60 // r))
+    # uniform: 5 terms x 7 occurrences
+    for i in range(5):
+        rows.extend([("flat", f"u{i}")] * 7)
+    # tiny: 2 distinct terms -> filtered
+    rows.extend([("tiny", "a"), ("tiny", "b")])
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in zipf_slope(df, top_n=100).collect()}
+
+    assert set(got) == {"zipfy", "flat"}
+    assert got["zipfy"].n_terms == 6
+    assert got["zipfy"].zipf_slope == -1.0
+    assert got["zipfy"].r2 == 1.0
+    assert got["flat"].n_terms == 5
+    assert got["flat"].zipf_slope == 0.0
+    assert got["flat"].r2 is None  # zero y-variance: 0/0 reads NULL
+
+    xs = [round(math.log(r), 9) for r in range(1, 7)]
+    ys = [round(math.log(60 // r), 9) for r in range(1, 7)]
+    ref = np.polyfit(xs, ys, 1)[0]
+    assert abs(got["zipfy"].zipf_slope - round(float(ref), 6)) <= 1e-6
+
+
+def test_zipf_slope_rank_tiebreak_and_topn(spark):
+    """Equal counts rank by term ASC (total order), and top_n caps
+    the fit input: with top_n=3 only the 3 highest-count terms enter,
+    so n_terms reports 3 even though the group has 5."""
+    from rusty_timeseries_db_spark.operators.profile import zipf_slope
+
+    rows = []
+    for term, c in [("b", 8), ("a", 8), ("c", 4), ("d", 2), ("e", 1)]:
+        rows.extend([("g", term)] * c)
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = zipf_slope(df, top_n=3).collect()
+    assert len(out) == 1 and out[0].n_terms == 3
+    # ties at count 8: 'a' must take rank 1, 'b' rank 2 -- verified by
+    # the fit being identical to the hand-ranked points
+    import math
+
+    import numpy as np
+
+    xs = [round(math.log(r), 9) for r in (1, 2, 3)]
+    ys = [round(math.log(c), 9) for c in (8, 8, 4)]
+    ref = round(float(np.polyfit(xs, ys, 1)[0]), 6)
+    assert abs(out[0].zipf_slope - ref) <= 1e-6
