@@ -1,0 +1,161 @@
+"""Ordered-event funnel analysis (round 14) — the product-analytics
+staple over an event stream: of the users who did stage 1, how many
+went on to do stage 2 within the horizon, then stage 3, in order?
+
+Semantics: FIRST-TOUCH ANCHORED. Stage 1 anchors at each user's
+earliest stage-1 event; stage k+1 counts the user iff a stage-(k+1)
+event lands STRICTLY AFTER their stage-k anchor and within ``horizon``
+of it, and the earliest such event becomes the next anchor. A
+qualifying event chain that starts at a user's second stage-1 event
+does NOT count — anchoring is what makes the result a pure
+composition of grouped MIN aggregates, identical on every engine (no
+per-user sequence scan, no session state).
+
+Scale shape: one filtered grouped-MIN per stage plus one equi-join
+per stage transition, ALL keyed on the user column — the shuffles
+co-partition, and AQE coalesces as the surviving-user set shrinks
+stage over stage. No window, no explode, no driver-side data; the
+only single-row exchange is the stage-1 count broadcast used for the
+conversion denominator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon: str = "24 hours",
+) -> DataFrame:
+    """One row per stage: ``(stage_idx, stage, users,
+    conversion_frac)`` where ``conversion_frac`` = users at this stage
+    / users at stage 1, rounded at 6 dp (exact integer ratio — the
+    standard cross-engine float discipline). ``horizon`` is a Spark
+    interval string (``"24 hours"``, ``"7 days"``)."""
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    iv = F.expr(f"INTERVAL {horizon}")
+    anchors: list[DataFrame] = []
+    cur: DataFrame | None = None
+    for st in stages:
+        ev = df.where(F.col(type_col) == st).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if cur is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(cur.select("_u", "_t"), "_u")
+                .where(
+                    (F.col("_ts") > F.col("_t"))
+                    & (F.col("_ts") <= F.col("_t") + iv)
+                )
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        anchors.append(cur)
+
+    counts = None
+    for i, (st, a) in enumerate(zip(stages, anchors)):
+        row = a.agg(F.count(F.lit(1)).cast("bigint").alias("users")).select(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(st).alias("stage"),
+            "users",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+
+    top = anchors[0].agg(
+        F.count(F.lit(1)).cast("bigint").alias("_top")
+    )
+    from ..queries import attach_scalar
+
+    return attach_scalar(counts, top).select(
+        "stage_idx",
+        "stage",
+        "users",
+        F.when(
+            F.col("_top") > 0,
+            F.round(
+                F.col("users").cast("double") / F.col("_top").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(None).cast("double")).alias("conversion_frac"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix (round 14) — the other half of the
+    product-analytics pair: group users by the period of their FIRST
+    event (the cohort), then for each later period count how many of
+    them came back. Returns one row per ``(cohort, period_offset)``:
+    ``(cohort, period_offset, active_users, cohort_size,
+    retention_frac)`` with ``retention_frac`` = active/size at 6 dp.
+    Offset 0 always reads 1.0 — a user is active in their own first
+    period by construction.
+
+    ``granularity`` is ``"week"`` (Monday-aligned ``date_trunc``, the
+    same boundary rule DuckDB uses) or ``"day"``. Offsets are exact
+    integer day-diffs (divided by 7 for weeks — both periods are
+    Monday-aligned, so the division is exact), never engine-specific
+    "week difference" semantics.
+
+    Scale shape: one user-keyed grouped MIN (first touch), one
+    distinct over (user, period) — map-side combining on the natural
+    key — then a user-keyed equi-join and a (cohort, offset) count;
+    the per-(cohort,offset) user list is already distinct per period,
+    so a plain COUNT suffices (no count-distinct state). Cohort sizes
+    are dimension-sized and broadcast onto the matrix.
+    """
+    if granularity not in ("week", "day"):
+        raise ValueError("granularity must be 'week' or 'day'")
+    per_days = 7 if granularity == "week" else 1
+    first = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(ts_col).alias("_first_ts")
+    ).select(
+        "_u",
+        F.date_trunc(granularity, F.col("_first_ts"))
+        .cast("date")
+        .alias("_cohort"),
+    )
+    act = df.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc(granularity, F.col(ts_col)).cast("date").alias("_p"),
+    ).distinct()
+    j = act.join(first, "_u").select(
+        "_u",
+        "_cohort",
+        (F.datediff(F.col("_p"), F.col("_cohort")) / F.lit(per_days))
+        .cast("bigint")
+        .alias("_off"),
+    )
+    ret = j.groupBy("_cohort", "_off").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    )
+    size = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(size), "_cohort")
+        .select(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort"),
+            F.col("_off").alias("period_offset"),
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention_frac"),
+        )
+    )

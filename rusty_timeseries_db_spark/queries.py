@@ -11647,3 +11647,112 @@ def q_zipf_slope(spark, sf_dir):
         text_col="text",
         top_n=100,
     )
+
+
+@declare(
+    "q_funnel_stages",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS users FROM s1
+      UNION ALL
+      SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    ),
+    top AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s1)
+    SELECT stage_idx, stage, users,
+           CASE WHEN top.n > 0 THEN
+             ROUND(CAST(users AS DOUBLE) / CAST(top.n AS DOUBLE), 6)
+           END AS conversion_frac
+    FROM c CROSS JOIN top
+    """,
+    doc="first-touch anchored funnel view -> click -> purchase, each "
+    "within 24h of the previous anchor (round 14 — operators/funnel.py): "
+    "stage k+1 counts a user iff an event lands strictly after their "
+    "stage-k anchor and within the horizon, earliest such event "
+    "becoming the next anchor. Pure composition of grouped MINs and "
+    "user-keyed equi-joins — no window, no sequence scan — so both "
+    "engines compute the identical exact timestamps; the only float "
+    "is the conversion ratio of two exact counts, rounded at 6 dp. "
+    "Declared after the round-14 window froze: judge-swept this "
+    "round, heads the r15 driver window as new",
+)
+def q_funnel_stages(spark, sf_dir):
+    from .operators.funnel import funnel
+
+    return funnel(
+        T(spark, sf_dir, "events"),
+        stages=["view", "click", "purchase"],
+        horizon="24 hours",
+    )
+
+
+@declare(
+    "q_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS p
+      FROM events
+    ),
+    j AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort, a.p) // 7 AS BIGINT)
+               AS period_offset,
+             a.user_id
+      FROM a JOIN f USING (user_id)
+    ),
+    r AS (
+      SELECT cohort, period_offset,
+             CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM j GROUP BY cohort, period_offset
+    ),
+    s AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM f GROUP BY cohort
+    )
+    SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort,
+           r.period_offset, r.active_users, s.cohort_size,
+           ROUND(CAST(r.active_users AS DOUBLE)
+                 / CAST(s.cohort_size AS DOUBLE), 6) AS retention_frac
+    FROM r JOIN s USING (cohort)
+    """,
+    doc="weekly cohort retention matrix (round 14 — operators/funnel.py "
+    "cohort_retention): users cohorted by the Monday-aligned week of "
+    "their FIRST event, then per (cohort, week-offset) the count who "
+    "came back. Offsets are exact integer day-diffs / 7 (both periods "
+    "Monday-aligned, division exact) — never engine-specific 'week "
+    "difference' semantics; the only float is active/size, rounded at "
+    "6 dp. The (user, period) distinct and the per-cohort sizes each "
+    "reuse one natural-key shuffle; cohort sizes broadcast onto the "
+    "matrix. Declared after the round-14 window froze: judge-swept "
+    "this round, heads the r15 driver window as new",
+)
+def q_cohort_retention(spark, sf_dir):
+    from .operators.funnel import cohort_retention
+
+    return cohort_retention(T(spark, sf_dir, "events"), granularity="week")
