@@ -259,3 +259,138 @@ def start_index_removal_sink(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# ------------------------- combined add+remove (one-topic) sinks
+
+def apply_index_ops_batch(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    kind: str = "bm25",
+    op_col: str = "op",
+    id_col: str | None = None,
+    text_col: str = "text",
+    corpus_vec: str = "embedding",
+    removed_ids: str = "skip",
+) -> tuple[int, int]:
+    """Apply ONE micro-batch that mixes document ADDS and erasure
+    REMOVES (round 14 — SCALE.md r15 candidate #4: ingest and erasure
+    sharing one topic): rows are routed by ``op_col`` (values ``add``
+    / ``remove``; anything else raises — an unknown op on an index-
+    mutation topic is corruption, not data). Returns
+    ``(n_added, n_removed)``.
+
+    Ordering contract: within a micro-batch, REMOVES APPLY LAST —
+    when one batch carries both an add and a remove for the same id,
+    the id ends tombstoned (erasure wins; the conservative right-to-
+    erasure reading of an ambiguous interleave). Cross-batch order is
+    the stream's order, as usual.
+
+    Idempotence: the add leg rides the manifest
+    ``last_applied_batch`` watermark exactly like
+    :func:`apply_bm25_batch` (a replayed batch must not double-count
+    docs); the remove leg is idempotent BY CONTENT
+    (:func:`apply_removal_batch`), so it re-applies unconditionally on
+    replay — a no-op that re-converges the manifest. A replayed batch
+    therefore skips its adds and re-runs its (free) removes.
+
+    Poison-pill contract: inherited per leg — adds follow
+    ``removed_ids`` (streaming default ``skip``), removes follow the
+    strict erasure contract (a mid-swap index raises and the batch
+    retries until an operator re-runs ``compact()``; an erasure
+    request is never silently dropped)."""
+    from pyspark.sql import functions as F
+
+    if kind == "bm25":
+        idx = Bm25Index(spark, index_path)
+    elif kind == "ivf":
+        from ..operators.similarity import IvfIndex
+
+        idx = IvfIndex(spark, index_path)
+    else:
+        raise ValueError(f"kind must be bm25|ivf, got {kind!r}")
+    man = idx._manifest()  # raises FileNotFoundError before build()
+    # the id column the INDEX was built on, not a guess — remove()
+    # routes on it, and the manifest is the authoritative record
+    the_id = id_col or man.get(
+        "id_col" if kind == "bm25" else "corpus_id",
+        "doc_id" if kind == "bm25" else "vec_id",
+    )
+
+    bad = (
+        batch.select(F.col(op_col).alias("_op"))
+        .where(~F.col("_op").isin("add", "remove"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"unknown op {bad[0]._op!r} in {op_col!r} — an index "
+            "mutation topic carries only add|remove"
+        )
+    adds = batch.where(F.col(op_col) == "add").drop(op_col)
+    removes = batch.where(F.col(op_col) == "remove").select(
+        F.col(the_id)
+    )
+
+    n_added = 0
+    if batch_id > int(man.get("last_applied_batch", -1)):
+        if kind == "bm25":
+            n_added = idx.add(
+                adds, id_col=id_col, text_col=text_col,
+                removed_ids=removed_ids,
+            )
+        else:
+            n_added = idx.add(
+                adds, corpus_id=id_col, corpus_vec=corpus_vec,
+                removed_ids=removed_ids,
+            )
+        man2 = idx._manifest()
+        man2["last_applied_batch"] = int(batch_id)
+        write_json_manifest(spark, idx.manifest_path, man2)
+    n_removed = idx.remove(removes)
+    return n_added, n_removed
+
+
+def start_index_ops_sink(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    kind: str = "bm25",
+    op_col: str = "op",
+    id_col: str | None = None,
+    text_col: str = "text",
+    corpus_vec: str = "embedding",
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+    removed_ids: str = "skip",
+) -> StreamingQuery:
+    """Consume ONE stream carrying both document adds and erasure
+    requests (an ``op_col`` routes each row) into a persisted index:
+    each micro-batch runs :func:`apply_index_ops_batch` — adds
+    batch-watermarked, removes content-idempotent, removes applied
+    last within a batch. Use the single-purpose sinks
+    (:func:`start_bm25_index_sink` / :func:`start_index_removal_sink`)
+    when ingest and erasure are separate topics — the combined sink
+    exists for the shared-topic deployment, where a single writer is
+    the only way to keep the mutation order the topic promised."""
+    if kind not in ("bm25", "ivf"):
+        raise ValueError(f"kind must be bm25|ivf, got {kind!r}")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        apply_index_ops_batch(
+            batch.sparkSession, index_path, batch, batch_id,
+            kind=kind, op_col=op_col, id_col=id_col, text_col=text_col,
+            corpus_vec=corpus_vec, removed_ids=removed_ids,
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", os.path.join(checkpoint_dir, f"{kind}_ops")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

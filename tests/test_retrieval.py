@@ -783,3 +783,164 @@ def test_should_compact_threshold_both_indexes(spark, tmp_path):
     assert ivf.should_compact()
     ivf.compact()
     assert not ivf.should_compact()
+
+
+# ----------------------- combined add+remove (one-topic) sink (r14)
+
+def test_apply_index_ops_batch_bm25(spark, tmp_path):
+    """One micro-batch mixing adds and removes: the survivors must
+    score EXACTLY like a fresh build on the live set; an add and a
+    remove for the SAME id in one batch leaves the id tombstoned
+    (removes apply last); a replayed batch skips its adds (watermark)
+    while its removes re-apply as content-idempotent no-ops."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.streaming.index import (
+        apply_index_ops_batch,
+    )
+
+    docs = _docs(spark).filter(F.col("doc_id") < 60)
+    base = docs.filter(F.col("doc_id") < 40)
+    newdocs = docs.filter(F.col("doc_id") >= 40)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(base)
+
+    # batch: add docs 40-59, remove docs 0-9, AND both add and
+    # remove doc 50 (the same-batch interleave -> must end removed)
+    ops = (
+        newdocs.select("doc_id", "text").withColumn("op", F.lit("add"))
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") < 10) | (F.col("doc_id") == 50)
+            ).select("doc_id", "text").withColumn("op", F.lit("remove"))
+        )
+    )
+    n_added, n_removed = apply_index_ops_batch(
+        spark, path, ops, batch_id=0, kind="bm25"
+    )
+    assert n_added == 20 and n_removed == 11
+
+    live = docs.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") != 50)
+    )
+    want = _rows(Bm25Index(spark, str(tmp_path / "ref")).build(live)
+                 .query(TERMS, k=30))
+    got = _rows(Bm25Index(spark, path).query(TERMS, k=30))
+    assert got == want
+
+    # replay: adds skipped, removes no-op, results unchanged
+    n_added2, n_removed2 = apply_index_ops_batch(
+        spark, path, ops, batch_id=0, kind="bm25"
+    )
+    assert n_added2 == 0 and n_removed2 == 0
+    assert _rows(Bm25Index(spark, path).query(TERMS, k=30)) == want
+
+    # unknown op is corruption, not data
+    import pytest
+
+    bad = newdocs.limit(1).select("doc_id", "text").withColumn(
+        "op", F.lit("upsert")
+    )
+    with pytest.raises(ValueError, match="upsert"):
+        apply_index_ops_batch(spark, path, bad, batch_id=1, kind="bm25")
+
+
+def test_apply_index_ops_batch_ivf(spark, tmp_path):
+    """The IVF leg of the combined sink: adds route to frozen
+    nearest cells, removes tombstone, and the post-batch query equals
+    add-then-remove applied through the single-purpose doors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+    from rusty_timeseries_db_spark.streaming.index import (
+        apply_index_ops_batch,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    base = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 120))
+    newv = emb.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 140))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    path = str(tmp_path / "ivf")
+    IvfIndex(spark, path).build(base, n_clusters=4, seed=7)
+    ops = (
+        newv.withColumn("op", F.lit("add"))
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") >= 20) & (F.col("vec_id") < 30)
+            ).withColumn("op", F.lit("remove"))
+        )
+    )
+    n_added, n_removed = apply_index_ops_batch(
+        spark, path, ops, batch_id=0, kind="ivf"
+    )
+    assert n_added == 20 and n_removed == 10
+
+    ref_path = str(tmp_path / "ref")
+    ref = IvfIndex(spark, ref_path).build(base, n_clusters=4, seed=7)
+    ref.add(newv)
+    ref.remove(list(range(20, 30)))
+    want = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ref.query(queries, k=5, n_probe=2).collect()
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in IvfIndex(spark, path).query(
+            queries, k=5, n_probe=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_ops_sink_end_to_end(spark, tmp_path):
+    """The combined add+remove sink through the REAL writeStream:
+    one JSON-dir topic carries adds (with text) and removes (id +
+    op only), drained availableNow — the served index must equal a
+    fresh build on the live set."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.streaming.index import (
+        start_index_ops_sink,
+    )
+
+    docs = _docs(spark).select("doc_id", "text").filter(
+        F.col("doc_id") < 80
+    )
+    base = docs.filter(F.col("doc_id") < 50)
+    path = str(tmp_path / "bm25")
+    Bm25Index(spark, path).build(base)
+
+    src = str(tmp_path / "topic")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in docs.filter(F.col("doc_id") >= 50).collect():
+            f.write(_json.dumps(
+                {"doc_id": r.doc_id, "text": r.text, "op": "add"}) + "\n")
+        for i in range(0, 10):
+            f.write(_json.dumps(
+                {"doc_id": i, "text": None, "op": "remove"}) + "\n")
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, op string"
+    ).json(src)
+    q = start_index_ops_sink(
+        stream, path, str(tmp_path / "ckpt"), kind="bm25",
+        available_now=True,
+    )
+    assert q.awaitTermination(180)
+
+    live = docs.filter(F.col("doc_id") >= 10)
+    want = _rows(Bm25Index(spark, str(tmp_path / "ref")).build(live)
+                 .query(TERMS, k=25))
+    assert _rows(Bm25Index(spark, path).query(TERMS, k=25)) == want
