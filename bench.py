@@ -120,6 +120,13 @@ HEADLINE = [
     # explode + broadcast profile join + struct-max argmax, the new
     # widest text expression pipeline
     "q_language_id",
+    # added round 14, second half: state residence durations (full
+    # events scan through lead-window + two co-keyed aggs — the
+    # categorical sibling of the TWA shape) and the Mann-Kendall
+    # trend test (the guarded per-series pair join over the daily
+    # resample)
+    "q_state_durations",
+    "q_mann_kendall",
 ]
 
 

@@ -536,3 +536,57 @@ def gauge_changes(
         F.count(F.lit(1)).cast("long").alias("n_samples"),
         F.sum("_chg").cast("long").alias("n_changes"),
     )
+
+
+def state_durations(
+    df: DataFrame,
+    key: str,
+    state: str,
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-(series, state) residence time for a state-change stream —
+    TimescaleDB ``state_agg``'s duration query generalized to any
+    categorical column (round 14; the categorical sibling of
+    time_weighted_avg above, which answers the same "what held, for
+    how long" question for numeric levels). Each observation pins the
+    series to its ``state`` from its own timestamp until the NEXT
+    observation on the same series (LOCF); the final observation
+    carries no duration, exactly the time_weighted_avg convention, so
+    twa and state fractions computed from one stream agree on what
+    the covered span is.
+
+    Emits ``(key, state, state_us, n_intervals, frac)``: total integer
+    microseconds in the state, how many intervals contributed, and the
+    state's share of the series' covered span (6-dp double; NULL for a
+    series whose observations all share one timestamp — zero covered
+    span, no defensible share).
+
+    Scale shape: one ``lead`` window + a (key, state) aggregate + a
+    key-partitioned share window — every step keyed on the series (the
+    share window's partition count is bounded by states-per-series,
+    i.e. the categorical cardinality, not the row count). Durations
+    are exact integer microseconds end-to-end: oracle-checkable
+    (q_state_durations).
+    """
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    dt_us = F.unix_micros(F.lead(F.col(ts)).over(w)) - F.unix_micros(F.col(ts))
+    stepped = df.select(
+        F.col(key), F.col(state).alias("state"), dt_us.alias("_dt_us")
+    ).filter(F.col("_dt_us").isNotNull())
+    agg = stepped.groupBy(key, "state").agg(
+        F.sum("_dt_us").cast("long").alias("state_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+    total = F.sum("state_us").over(Window.partitionBy(key))
+    return agg.select(
+        F.col(key),
+        F.col("state"),
+        F.col("state_us"),
+        F.col("n_intervals"),
+        F.when(
+            total > 0,
+            F.round(F.col("state_us").cast("double") / total.cast("double"), 6),
+        ).alias("frac"),
+    )

@@ -11707,7 +11707,7 @@ def q_funnel_stages(spark, sf_dir):
 
 
 @declare(
-    "q_cohort_retention",
+    "q_cohort_retention_matrix",
     """
     WITH f AS (
       SELECT user_id,
@@ -11742,7 +11742,10 @@ def q_funnel_stages(spark, sf_dir):
     FROM r JOIN s USING (cohort)
     """,
     doc="weekly cohort retention matrix (round 14 — operators/funnel.py "
-    "cohort_retention): users cohorted by the Monday-aligned week of "
+    "cohort_retention; the richer sibling of q_cohort_retention (r02), "
+    "adding cohort sizes and 6-dp retention fractions — renamed from "
+    "its original declaration, which silently collided with that r02 "
+    "name in the driver manifest): users cohorted by the Monday-aligned week of "
     "their FIRST event, then per (cohort, week-offset) the count who "
     "came back. Offsets are exact integer day-diffs / 7 (both periods "
     "Monday-aligned, division exact) — never engine-specific 'week "
@@ -11756,3 +11759,170 @@ def q_cohort_retention(spark, sf_dir):
     from .operators.funnel import cohort_retention
 
     return cohort_retention(T(spark, sf_dir, "events"), granularity="week")
+
+
+@declare(
+    "q_state_durations",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             event_type AS state,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, state,
+             CAST(SUM(dt_us) AS BIGINT) AS state_us,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM seq WHERE dt_us IS NOT NULL
+      GROUP BY user_id, state
+    )
+    SELECT user_id, state, state_us, n_intervals,
+           CASE WHEN SUM(state_us) OVER (PARTITION BY user_id) > 0 THEN
+             ROUND(CAST(state_us AS DOUBLE)
+                   / CAST(SUM(state_us) OVER (PARTITION BY user_id)
+                          AS DOUBLE), 6)
+           END AS frac
+    FROM agg
+    """,
+    doc="per-(user, state) residence time — TimescaleDB state_agg's "
+    "duration query (round 14 — operators/resample.py "
+    "state_durations): each event pins the user to its event_type "
+    "until their NEXT event (LOCF; the last event carries no "
+    "duration, the time_weighted_avg convention). Durations are "
+    "exact integer microseconds; the only float is the per-user "
+    "share, a ratio of exact integers rounded 6 dp (NULL on a "
+    "zero-span series). One lead window + one (user,state) agg + one "
+    "user-keyed share window, all co-keyed on the series. Declared "
+    "after the round-14 window froze: judge-swept this round, heads "
+    "the r15 driver window as new",
+)
+def q_state_durations(spark, sf_dir):
+    from .operators.resample import state_durations
+
+    return state_durations(
+        T(spark, sf_dir, "events"),
+        key="user_id",
+        state="event_type",
+        ts="ts",
+        order_tiebreak="event_id",
+    )
+
+
+@declare(
+    "q_mann_kendall",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY a.event_type
+    ),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, v)
+      GROUP BY event_type
+    )
+    SELECT n.event_type, n.n, s.s_stat,
+           ROUND(CAST(n.n*(n.n-1)*(2*n.n+5) - ties.tie_term AS DOUBLE)
+                 / 18.0, 6) AS var_s,
+           ROUND(CASE
+             WHEN n.n*(n.n-1)*(2*n.n+5) - ties.tie_term <= 0 THEN NULL
+             WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+               / sqrt(CAST(n.n*(n.n-1)*(2*n.n+5) - ties.tie_term
+                           AS DOUBLE) / 18.0)
+             WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+               / sqrt(CAST(n.n*(n.n-1)*(2*n.n+5) - ties.tie_term
+                           AS DOUBLE) / 18.0)
+             ELSE 0.0 END, 6) AS z_score
+    FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+    """,
+    doc="Mann-Kendall trend test per event_type over DAILY value sums "
+    "(round 14 — operators/trend.py): S = sum of pairwise signs, "
+    "tie-corrected variance, continuity-corrected z. Run on the "
+    "bucketed series (30 points/series here), never raw ticks — the "
+    "pair join is keyed per series and bounded by the resample "
+    "granularity (max_points guard available). Daily sums are exact "
+    "decimals, so S / n / tie-term are exact integers on both "
+    "engines; var_s and z are identical IEEE doubles rounded 6 dp. "
+    "Declared after the round-14 window froze: judge-swept this "
+    "round, heads the r15 driver window as new",
+)
+def q_mann_kendall(spark, sf_dir):
+    from .operators.trend import mann_kendall
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    return mann_kendall(daily, key="event_type", order="day", value="v")
+
+
+@declare(
+    "q_theil_sen",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.v - a.v AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+               AS slope,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs
+    )
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           ROUND(slope, 6) AS slope
+    FROM ranked WHERE rn = (np + 1) // 2
+    """,
+    doc="Theil-Sen robust slope per event_type over daily value sums "
+    "(round 14 — operators/trend.py): the LOWER MEDIAN of all "
+    "pairwise slopes — immune to ~29% outliers where "
+    "q_linear_regression's OLS is not. Median selection is fully "
+    "deterministic: slopes are identical IEEE doubles on both "
+    "engines (exact-decimal numerator / integer day denominator) and "
+    "the rank order ties-breaks on the pair's day indexes, so both "
+    "engines pick the IDENTICAL pair. Same per-series pair-join "
+    "contract as q_mann_kendall. Declared after the round-14 window "
+    "froze: judge-swept this round, heads the r15 driver window as "
+    "new",
+)
+def q_theil_sen(spark, sf_dir):
+    from .operators.trend import theil_sen
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.unix_date(F.to_date("ts")).alias("d")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    return theil_sen(daily, key="event_type", order="d", value="v")
