@@ -11926,3 +11926,44 @@ def q_theil_sen(spark, sf_dir):
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
     )
     return theil_sen(daily, key="event_type", order="d", value="v")
+
+
+@declare(
+    "q_fuzzy_vocab_match",
+    """
+    WITH vocab AS (SELECT DISTINCT p_name AS name FROM part),
+    probes AS (
+      SELECT DISTINCT substr(name, 1, length(name) - 1) AS probe
+      FROM vocab
+    )
+    SELECT p.probe, v.name,
+           CAST(levenshtein(p.probe, v.name) AS INT) AS edit_dist
+    FROM probes p JOIN vocab v
+      ON split_part(p.probe, ' ', 1) = split_part(v.name, ' ', 1)
+     AND levenshtein(p.probe, v.name) <= 1
+    """,
+    doc="blocked fuzzy string join (round 14 — operators/linkage.py "
+    "fuzzy_join): dirty probes (part-name vocabulary with the last "
+    "char dropped) resolved against the clean vocabulary at edit "
+    "distance <= 1. Candidates come from conjunctive blocking "
+    "(first-token key) composed with a LOSSLESS length band (edit "
+    "distance >= |len diff|, so width-(k+1) buckets exploded to "
+    "adjacent bands can never drop a true match) — never all-pairs; "
+    "verification is Spark's thresholded levenshtein. The band is "
+    "invisible in the result, so DuckDB recomputes it as plain "
+    "blocker-equality + levenshtein <= k. Declared after the "
+    "round-14 window froze: judge-swept this round, heads the r15 "
+    "driver window as new",
+)
+def q_fuzzy_vocab_match(spark, sf_dir):
+    from .operators.linkage import fuzzy_join
+
+    vocab = (
+        T(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    probes = vocab.select(
+        F.expr("substr(name, 1, length(name) - 1)").alias("probe")
+    ).distinct()
+    return fuzzy_join(probes, vocab, "probe", "name", max_dist=1)
