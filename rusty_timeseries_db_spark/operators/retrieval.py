@@ -259,11 +259,25 @@ class Bm25Index(IndexLifecycleMixin):
             )
             .groupBy("term", "_doc", "dl")
             .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+            # per-doc cosine norm² for nnc TF-IDF scoring (round 14 —
+            # query_tfidf): Σ tf² over ALL the doc's terms, duplicated
+            # per posting exactly like dl. Raw-tf (nnc) on purpose: it
+            # is an EXACT INTEGER (engine-reproducible, no ln() ulp
+            # drift) and df-independent, so incremental add() can
+            # never stale it the way an idf-weighted (lnc/ltc) doc
+            # norm would go stale when df moves.
+            .withColumn(
+                "tfn2",
+                F.sum(F.col("tf") * F.col("tf")).over(
+                    Window.partitionBy("_doc")
+                ),
+            )
             .select(
                 "term",
                 F.col("_doc").alias("doc"),
                 "tf",
                 "dl",
+                "tfn2",
                 _term_shard_col(F.col("term"), n_shards).alias("_shard"),
             )
         )
@@ -346,6 +360,10 @@ class Bm25Index(IndexLifecycleMixin):
             # feature flag: remove() requires the per-doc sidecar this
             # build wrote — a pre-r13 index must rebuild to delete
             "docs_sidecar": True,
+            # feature flag: query_tfidf() requires the per-doc tfn2
+            # norms in postings (round 14) — a pre-r14 index must
+            # rebuild to serve cosine scoring
+            "tfn2": True,
         })
         return self
 
@@ -360,6 +378,129 @@ class Bm25Index(IndexLifecycleMixin):
         return man
 
     # -- serve -------------------------------------------------------
+    def _pruned(self, terms: list[str], man: dict):
+        """The shared serving scan (query / query_tfidf): shard-pruned
+        postings + live per-term df for ``terms``. ≤|terms| of
+        ``n_shards`` partitions are listed at all, ``term IN`` pushes
+        into the parquet scans inside them; tombstoned docs (remove())
+        are anti-joined out of the candidates AND their df
+        contribution subtracted — both from the SAME pruned scan, so
+        deletion costs no extra shards and scores stay EXACT for the
+        live corpus (compact() later makes it physical without
+        changing results)."""
+        n_shards = int(man["n_shards"])
+        shards = sorted({_term_shard_py(t, n_shards) for t in terms})
+        post = (
+            self.spark.read.parquet(self.postings_path)
+            .filter(F.col("_shard").isin(shards) & F.col("term").isin(terms))
+        )
+        dfreq = (
+            self.spark.read.parquet(self.terms_path)
+            .filter(F.col("_shard").isin(shards) & F.col("term").isin(terms))
+            # add() appends df DELTA rows — a term's df is the sum
+            .groupBy("term")
+            .agg(F.sum("df").alias("_df"))
+        )
+        tomb = self._tombstones()
+        if tomb is not None:
+            dead_df = (
+                post.join(tomb, "doc", "left_semi")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("double").alias("_df_dead"))
+            )
+            dfreq = (
+                dfreq.join(dead_df, "term", "left")
+                .select(
+                    "term",
+                    (
+                        F.col("_df")
+                        - F.coalesce(F.col("_df_dead"), F.lit(0.0))
+                    ).alias("_df"),
+                )
+            )
+            post = post.join(tomb, "doc", "left_anti")
+        return post, dfreq
+
+    def query_tfidf(
+        self,
+        query_terms: list[str],
+        k: int = 50,
+        score_decimals: int = 6,
+    ) -> DataFrame:
+        """TF-IDF COSINE top-``k`` over the same persisted index —
+        SMART ``nnc.ltc`` (Salton & Buckley): the doc vector is raw
+        term frequency with a cosine norm over ALL the doc's terms;
+        the query vector is the (deduplicated) terms weighted by the
+        Lucene idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — the exact
+        idf :meth:`query` uses, so the two scorers share df
+        bookkeeping, tombstone handling, and shard pruning
+        (``_pruned``).
+
+        Returns ``(<id_col>, n_terms_hit, cosine)`` with cosine in
+        [0, 1], 6-dp rounded, ties broken on the id.
+
+        Why nnc on the doc side (and not lnc): the norm must be
+        STORED per doc (recomputing it would read the whole postings
+        set per query). Raw-tf norms are exact integers — engine-
+        reproducible with no ``ln()`` last-ulp drift — and
+        df-INDEPENDENT, so :meth:`add`'s incremental appends and
+        :meth:`remove`'s df adjustments can never stale them; an
+        idf-weighted doc norm would go stale on every df change.
+        The stored ``tfn2`` rides in the postings rows like ``dl``
+        (round 14; pre-r14 indexes must rebuild — manifest flag).
+
+        Same serving cost model as :meth:`query`: work bounded by the
+        probed shards' bytes. The query-side norm is a ≤|terms|-row
+        aggregate over the broadcast idf table, attached via the
+        1-row crossJoin (attach-scalar shape) — no extra scan.
+        """
+        if not query_terms:
+            raise ValueError("query_terms must be non-empty")
+        self._check_not_compacting("serving queries")
+        man = self._manifest()
+        if not man.get("tfn2"):
+            raise ValueError(
+                "this index predates the per-doc tfn2 norms (round "
+                "14) — query_tfidf needs them; rebuild with build()"
+            )
+        n_docs = float(man["n_docs"])
+        terms = sorted({t.lower() for t in query_terms})
+        post, dfreq = self._pruned(terms, man)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("_df") + F.lit(0.5))
+            / (F.col("_df") + F.lit(0.5))
+        )
+        # df can hit 0 after deletes — such a term matches no live doc
+        # and must not poison the query norm
+        weights = dfreq.filter(F.col("_df") > 0).select(
+            "term", idf.alias("_wq")
+        )
+        qnorm = weights.agg(
+            F.sqrt(F.sum(F.col("_wq") * F.col("_wq"))).alias("_qn")
+        )
+        scored = (
+            post.join(F.broadcast(weights), "term")
+            .crossJoin(F.broadcast(qnorm))
+            .withColumn(
+                "_s",
+                F.col("tf")
+                * F.col("_wq")
+                / (F.sqrt(F.col("tfn2")) * F.col("_qn")),
+            )
+            .groupBy("doc")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+                F.round(F.sum("_s"), score_decimals).alias("cosine"),
+            )
+        )
+        id_col = man.get("id_col", "doc_id")
+        return (
+            scored.orderBy(F.col("cosine").desc(), F.col("doc"))
+            .limit(k)
+            .select(F.col("doc").alias(id_col), "n_terms_hit", "cosine")
+        )
+
     def query(
         self,
         query_terms: list[str],
@@ -378,47 +519,10 @@ class Bm25Index(IndexLifecycleMixin):
             raise ValueError("query_terms must be non-empty")
         self._check_not_compacting("serving queries")
         man = self._manifest()
-        n_shards = int(man["n_shards"])
         n_docs = float(man["n_docs"])
         avgdl = man["sum_dl"] / n_docs if n_docs > 0 else 0.0
         terms = sorted({t.lower() for t in query_terms})
-        shards = sorted({_term_shard_py(t, n_shards) for t in terms})
-
-        post = (
-            self.spark.read.parquet(self.postings_path)
-            .filter(F.col("_shard").isin(shards) & F.col("term").isin(terms))
-        )
-        dfreq = (
-            self.spark.read.parquet(self.terms_path)
-            .filter(F.col("_shard").isin(shards) & F.col("term").isin(terms))
-            # add() appends df DELTA rows — a term's df is the sum
-            .groupBy("term")
-            .agg(F.sum("df").alias("_df"))
-        )
-        tomb = self._tombstones()
-        if tomb is not None:
-            # logical deletes (remove()): drop tombstoned candidates
-            # AND subtract their df contribution — both computed from
-            # the SAME pruned scan, so deletion costs no extra shards.
-            # N/avgdl were already decremented by remove(); scores are
-            # therefore EXACT for the live corpus (compact() later
-            # makes it physical without changing results).
-            dead_df = (
-                post.join(tomb, "doc", "left_semi")
-                .groupBy("term")
-                .agg(F.count(F.lit(1)).cast("double").alias("_df_dead"))
-            )
-            dfreq = (
-                dfreq.join(dead_df, "term", "left")
-                .select(
-                    "term",
-                    (
-                        F.col("_df")
-                        - F.coalesce(F.col("_df_dead"), F.lit(0.0))
-                    ).alias("_df"),
-                )
-            )
-            post = post.join(tomb, "doc", "left_anti")
+        post, dfreq = self._pruned(terms, man)
         scored = (
             post.join(F.broadcast(dfreq), "term")
             .withColumn(

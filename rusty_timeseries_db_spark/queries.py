@@ -11967,3 +11967,106 @@ def q_fuzzy_vocab_match(spark, sf_dir):
         F.expr("substr(name, 1, length(name) - 1)").alias("probe")
     ).distinct()
     return fuzzy_join(probes, vocab, "probe", "name", max_dist=1)
+
+
+_FROM_FIRST_STMT = (
+    "FROM lineitem "
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "WHERE l_shipdate >= TIMESTAMP '1998-06-01' "
+    "GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag, l_linestatus"
+)
+
+
+@declare(
+    "q_sql_from_first",
+    _FROM_FIRST_STMT,
+    doc="DuckDB's FROM-first statement syntax through the dialect "
+    "(round 14 — sql_ext.py _rewrite_from_first): the statement LEADS "
+    "with its FROM clause, the select list follows, the remaining "
+    "clauses keep their usual order; a missing SELECT means SELECT *. "
+    "The dialect canonicalizes to SELECT-first textually (depth-0 "
+    "keyword scan on a comment/string-masked copy) BEFORE any other "
+    "pass, so ASOF/QUALIFY/star-modifiers all compose. DuckDB runs "
+    "the ORIGINAL FROM-first spelling natively — the strongest "
+    "possible oracle pairing (the q_sql_pivot pattern). Declared "
+    "after the round-14 window froze: judge-swept this round, heads "
+    "the r15 driver window as new",
+)
+def q_sql_from_first(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return dialect_sql(spark, _FROM_FIRST_STMT)
+
+
+@declare(
+    "q_tfidf_index",
+    """
+    WITH live AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 13
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM live
+    ),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM toks),
+    tf_all AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS t FROM toks)
+      GROUP BY doc_id, t
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(tf * tf)) AS dnorm
+      FROM tf_all GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT doc_id, t, tf FROM tf_all
+      WHERE list_contains(['hash', 'merge', 'scan', 'slow'], t)
+    ),
+    dfq AS (
+      SELECT t, CAST(COUNT(*) AS DOUBLE) AS dft FROM hits GROUP BY t
+    ),
+    w AS (
+      SELECT t, ln(1 + (n_docs - dft + 0.5) / (dft + 0.5)) AS wq
+      FROM dfq CROSS JOIN stats
+    ),
+    qn AS (SELECT sqrt(SUM(wq * wq)) AS qnorm FROM w),
+    scored AS (
+      SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             ROUND(SUM(h.tf * w.wq / (n.dnorm * qn.qnorm)), 6) AS cosine
+      FROM hits h
+      JOIN w USING (t)
+      JOIN norms n USING (doc_id)
+      CROSS JOIN qn
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, n_terms_hit, cosine
+    FROM scored ORDER BY cosine DESC, doc_id LIMIT 50
+    """,
+    doc="TF-IDF cosine retrieval over the PERSISTED BM25 index "
+    "(round 14 — retrieval.py Bm25Index.query_tfidf): the SAME "
+    "term-sharded postings serve a second scorer, SMART nnc.ltc — "
+    "doc side raw-tf with a stored cosine norm over ALL doc terms "
+    "(tfn2 rides in the postings like dl; exact integers, no ln() "
+    "ulp drift, df-independent so add()/remove() never stale it), "
+    "query side Lucene idf on deduped terms. The query exercises the "
+    "lifecycle: build on doc_id%4!=1, add the rest, remove "
+    "doc_id%50==13 — the oracle recomputes nnc.ltc over exactly the "
+    "LIVE corpus in DuckDB, certifying the tombstone df-subtraction "
+    "leg under the second scorer too. Declared after the round-14 "
+    "window froze: judge-swept this round, heads the r15 driver "
+    "window as new",
+)
+def q_tfidf_index(spark, sf_dir):
+    from .operators.retrieval import Bm25Index
+
+    d = T(spark, sf_dir, "documents")
+    path = os.path.join(_fixture_dir("q_tfidf_index"), "bm25")
+    idx = Bm25Index(spark, path).build(d.filter(F.col("doc_id") % 4 != 1))
+    idx.add(d.filter(F.col("doc_id") % 4 == 1))
+    idx.remove(d.filter(F.col("doc_id") % 50 == 13).select("doc_id"))
+    return idx.query_tfidf(["hash", "merge", "scan", "slow"], k=50)

@@ -713,6 +713,12 @@ def is_query_statement(query: str) -> bool:
     # UNPIVOT <table> ON ... (r13): same admission rule
     if _UNPIVOT_HEAD_RE.match(head):
         return not _has_top_level_write_kw(head)
+    # FROM-first syntax (round 14): a leading FROM is a read — the
+    # dialect rewrites it to SELECT-first before spark.sql ever runs
+    # it — but, like WITH, the tail could still smuggle DML keywords,
+    # so the depth-0 write scan below stays in force
+    if re.match(r"\s*FROM\b", head, re.IGNORECASE):
+        return not _has_top_level_write_kw(head)
     if not _QUERY_START.match(head):
         return False
     # Spark's grammar allows a CTE prologue before DML ("WITH t AS
@@ -1567,6 +1573,68 @@ def _maybe_unpivot(spark: SparkSession, query: str):
     return out.filter(F.col(value_col).isNotNull())
 
 
+_FROM_FIRST_RE = re.compile(r"\s*FROM\b", re.IGNORECASE)
+_SELECT_KW_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_FF_CLAUSE_RE = re.compile(
+    r"\b(?:WHERE|GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT"
+    r"|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_from_first(query: str) -> str:
+    """DuckDB's FROM-first syntax (round 14): a statement may LEAD with
+    its FROM clause — ``FROM t``, ``FROM t WHERE ...``, and
+    ``FROM t [JOIN ...] SELECT cols WHERE ... ORDER BY ...`` are all
+    admitted, with DuckDB's exact semantics (a missing SELECT clause
+    means ``SELECT *``; when present, the select list sits between the
+    FROM clause and the remaining clauses in their usual order).
+
+    Pure textual reorder on a comment/string-masked copy (depth-0
+    keyword scan, original never sliced at masked-only offsets):
+
+    - no depth-0 SELECT -> splice ``SELECT * `` before the FROM
+      keyword (every following clause is already in standard order);
+    - otherwise ``FROM <f> SELECT <list> <rest>`` ->
+      ``SELECT <list> FROM <f> <rest>``, where ``<rest>`` starts at
+      the first depth-0 clause keyword after the select list.
+
+    Scope: the statement HEAD only — FROM-first inside subqueries or
+    set-operation branches (``... UNION ALL FROM b``) is not
+    rewritten (spell those SELECT-first); a WITH prologue is likewise
+    out of scope. Statements not starting with FROM pass through
+    untouched.
+    """
+    masked = _blank_comments_preserving(_mask_string_literals(query))
+    m = _FROM_FIRST_RE.match(masked)
+    if m is None:
+        return query
+    from_kw_start = m.end() - 4
+    sel = None
+    for sm in _SELECT_KW_RE.finditer(masked, m.end()):
+        if _depth_at(masked, sm.start()) == 0:
+            sel = sm
+            break
+    if sel is None:
+        return query[:from_kw_start] + "SELECT * " + query[from_kw_start:]
+    from_part = query[m.end():sel.start()]
+    clause = None
+    for cm in _FF_CLAUSE_RE.finditer(masked, sel.end()):
+        if _depth_at(masked, cm.start()) == 0:
+            clause = cm
+            break
+    select_list = query[sel.end(): clause.start() if clause else len(query)]
+    trailing = query[clause.start():] if clause else ""
+    return (
+        query[:from_kw_start]
+        + "SELECT "
+        + select_list.strip()
+        + " FROM "
+        + from_part.strip()
+        + (" " + trailing if trailing else "")
+    )
+
+
 def sql(spark: SparkSession, query: str, right_order: str | None = None) -> DataFrame:
     """DuckDB-dialect entry point: applies the ``* REPLACE`` and
     ``* EXCLUDE`` spelling rewrites, then the DISTINCT ON rewrite
@@ -1579,7 +1647,10 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
     (VERDICT r7 gap #3). Statements using none pass through unchanged
     (GROUP BY ALL / ORDER BY ALL / ``* EXCEPT`` need no rewrite —
     Spark parses those natively). ``SUMMARIZE <table>`` routes to the
-    column profiler (r12 — see ``_maybe_summarize``).
+    column profiler (r12 — see ``_maybe_summarize``). FROM-first
+    statements (``FROM t [SELECT ...] ...``, r14 — see
+    ``_rewrite_from_first``) are canonicalized to SELECT-first before
+    any other pass runs, so every dialect feature composes with them.
 
     ``EXPLAIN [EXTENDED|CODEGEN|COST|FORMATTED] <stmt>`` (r13): the
     prefix is peeled, the inner statement goes through THIS function
@@ -1620,6 +1691,10 @@ def sql(spark: SparkSession, query: str, right_order: str | None = None) -> Data
             inner_df._jdf.queryExecution(), mode
         )
         return spark.createDataFrame([(text,)], "plan string")
+    # FROM-first syntax (round 14, DuckDB parity): reorder before any
+    # verb/rewrite looks at the statement — downstream passes only
+    # ever see the canonical SELECT-first spelling
+    query = _rewrite_from_first(query)
     summarized = _maybe_summarize(spark, query)
     if summarized is not None:
         return summarized

@@ -1657,3 +1657,71 @@ def test_pivot_in_list(spark):
         _maybe_pivot(
             spark, "PIVOT _t_pvt_in ON c IN () USING sum(x) AS s GROUP BY g"
         )
+
+
+def test_from_first_statement_forms(spark):
+    """Round 14: DuckDB's FROM-first syntax — bare FROM, FROM+clauses
+    without SELECT, FROM ... SELECT ... with trailing clauses (DuckDB
+    semantics verified against native DuckDB in the oracle-paired
+    q_sql_from_first), composition with the dialect's own QUALIFY, and
+    the read-only gate."""
+    from rusty_timeseries_db_spark.sql_ext import (
+        _rewrite_from_first,
+        is_query_statement,
+    )
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0), ("b", 2, 5.0)],
+        "g string, i int, v double",
+    ).createOrReplaceTempView("_t_ff")
+
+    # bare FROM == SELECT *
+    assert dialect_sql(spark, "FROM _t_ff").count() == 4
+    # clauses without SELECT keep standard order
+    got = dialect_sql(
+        spark, "FROM _t_ff WHERE v > 10 ORDER BY v DESC"
+    ).collect()
+    assert [r.v for r in got] == [30.0, 20.0]
+    # FROM ... SELECT list ... trailing clauses reorder correctly
+    got = dialect_sql(
+        spark,
+        "FROM _t_ff SELECT g, SUM(v) AS s GROUP BY g ORDER BY g LIMIT 2",
+    ).collect()
+    assert [(r.g, r.s) for r in got] == [("a", 30.0), ("b", 35.0)]
+    # JOIN in the FROM part, subquery SELECT not mistaken for the
+    # statement's select clause
+    got = dialect_sql(
+        spark,
+        "FROM (SELECT g, v FROM _t_ff) t1 JOIN _t_ff t2 "
+        "ON t1.g = t2.g AND t1.v = t2.v "
+        "SELECT t1.g AS g, COUNT(*) AS n GROUP BY t1.g ORDER BY g",
+    ).collect()
+    assert [(r.g, r.n) for r in got] == [("a", 2), ("b", 2)]
+    # composes with the dialect's QUALIFY (runs after the reorder)
+    got = dialect_sql(
+        spark,
+        "FROM _t_ff SELECT g, v "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1 "
+        "ORDER BY g",
+    ).collect()
+    assert [(r.g, r.v) for r in got] == [("a", 20.0), ("b", 30.0)]
+    # string/comment masking: keywords inside literals don't split
+    one = dialect_sql(
+        spark,
+        "FROM _t_ff /* SELECT nope */ SELECT g, ' WHERE ' AS w "
+        "WHERE v = 30.0",
+    ).collect()
+    assert [(r.g, r.w) for r in one] == [("b", " WHERE ")]
+    # non-FROM statements pass through the rewriter untouched
+    s = "SELECT 1 FROM _t_ff"
+    assert _rewrite_from_first(s) == s
+    # gate: FROM-first admits as a read; write keywords still reject
+    assert is_query_statement("FROM _t_ff WHERE v > 1")
+    assert is_query_statement("EXPLAIN FROM _t_ff")
+    assert not is_query_statement("FROM _t_ff; DROP TABLE _t_ff")
+    # EXPLAIN composes (recursion canonicalizes the inner statement)
+    plan = dialect_sql(spark, "EXPLAIN FROM _t_ff WHERE v > 10").collect()[
+        0
+    ][0]
+    assert "Filter" in plan or "filter" in plan.lower()

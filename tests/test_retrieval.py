@@ -944,3 +944,97 @@ def test_streaming_ops_sink_end_to_end(spark, tmp_path):
     want = _rows(Bm25Index(spark, str(tmp_path / "ref")).build(live)
                  .query(TERMS, k=25))
     assert _rows(Bm25Index(spark, path).query(TERMS, k=25)) == want
+
+
+# ---------------------------------------------- TF-IDF cosine scorer
+
+
+def _tfidf_reference(spark, docs, terms, k):
+    """nnc.ltc recomputed from the corpus with plain DataFrame ops —
+    independent of the index machinery."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = docs.select("doc_id", F.lower("text").alias("t")).collect()
+    tf_all = {}
+    for r in rows:
+        ws = [w for w in r.t.split(" ") if w]
+        d = {}
+        for w in ws:
+            d[w] = d.get(w, 0) + 1
+        tf_all[r.doc_id] = d
+    n_docs = float(len(rows))
+    qts = sorted(set(terms))
+    dfq = {
+        t: float(sum(1 for d in tf_all.values() if t in d)) for t in qts
+    }
+    w = {
+        t: math.log(1 + (n_docs - dfq[t] + 0.5) / (dfq[t] + 0.5))
+        for t in qts
+        if dfq[t] > 0
+    }
+    qn = math.sqrt(sum(x * x for x in w.values()))
+    out = []
+    for doc, d in tf_all.items():
+        dn = math.sqrt(sum(v * v for v in d.values()))
+        hit = [t for t in w if t in d]
+        if not hit:
+            continue
+        s = sum(d[t] * w[t] / (dn * qn) for t in hit)
+        out.append((doc, len(hit), round(s, 6)))
+    out.sort(key=lambda x: (-x[2], x[0]))
+    # top-k set, then the _rows() comparison order (score asc, id asc)
+    return sorted(out[:k], key=lambda x: (x[2], x[0]))
+
+
+def test_query_tfidf_matches_reference(spark, tmp_path):
+    docs = _docs(spark)
+    idx = Bm25Index(spark, str(tmp_path / "bm25")).build(docs)
+    got = _rows(idx.query_tfidf(TERMS, k=20))
+    want = _tfidf_reference(spark, docs, TERMS, 20)
+    assert got == want
+    assert len(got) == 20
+    # cosine is a true cosine: bounded (0, 1]
+    assert all(0 < c <= 1 for _, _, c in got)
+
+
+def test_query_tfidf_exact_through_lifecycle(spark, tmp_path):
+    """add() writes batch-local norms, remove() adjusts df — cosine
+    results must equal a fresh reference over the LIVE corpus at
+    every stage, and compact() must not change them."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs.filter(F.col("doc_id") % 3 != 0))
+    idx.add(docs.filter(F.col("doc_id") % 3 == 0))
+    want_full = _tfidf_reference(spark, docs, TERMS, 15)
+    assert _rows(idx.query_tfidf(TERMS, k=15)) == want_full
+
+    removed = docs.filter(F.col("doc_id") % 7 == 2)
+    idx.remove(removed.select("doc_id"))
+    live = docs.filter(F.col("doc_id") % 7 != 2)
+    want_live = _tfidf_reference(spark, live, TERMS, 15)
+    assert _rows(idx.query_tfidf(TERMS, k=15)) == want_live
+
+    idx.compact()
+    assert _rows(idx.query_tfidf(TERMS, k=15)) == want_live
+
+
+def test_query_tfidf_requires_tfn2_manifest_flag(spark, tmp_path):
+    from rusty_timeseries_db_spark.fsutil import (
+        read_json_manifest,
+        write_json_manifest,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(docs)
+    man = read_json_manifest(spark, idx.manifest_path)
+    man.pop("tfn2")
+    write_json_manifest(spark, idx.manifest_path, man)
+    with pytest.raises(ValueError, match="tfn2"):
+        idx.query_tfidf(TERMS)
+    # bm25 scoring is unaffected by the missing flag
+    assert idx.query(TERMS, k=5).count() == 5
