@@ -74,6 +74,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "documented scale contract, retrieval.py rrf_fuse) — the "
         "distributed work happened inside the retrievers",
     },
+    "q_tfidf_index": {
+        "cartesian": "the 1-row query-norm aggregate (sqrt of <= "
+        "|terms| idf squares) attaches to the pruned candidates via "
+        "a single-row broadcast crossJoin — the attach-scalar shape; "
+        "the data-scale work is the shard-pruned postings scan"
+    },
     "q_running_distinct": {
         "global_window": "the running distinct-count series is ONE "
         "row per day by construction (the window input is the "
