@@ -68,3 +68,137 @@ def merge_rollup(
         )
         .withColumn("distinct_est", sketch_estimate("sketch").cast("bigint"))
     )
+
+
+# ------------------------------------------- mergeable top-k sketch
+#
+# Heavy hitters with the same decomposition story as the HLL rollup
+# above (round 14): exact per-cell top-k truncation IS a mergeable
+# summary with deterministic error bounds (the SpaceSaving/Misra-Gries
+# merge, Agarwal et al. "Mergeable Summaries", PODS'12) — and because
+# every number in it is an exact integer count, it is fully
+# DuckDB-oracle-pairable, unlike the hash-seeded sketch families.
+#
+# Per cell keep the k most frequent values with their EXACT in-cell
+# counts, plus `dropped_max` — the (k+1)-th count, the largest mass
+# any single dropped value can hide. Merging cells sums the surviving
+# counts (a LOWER bound on the true merged count) and bounds the
+# underestimate per value by the sum of `dropped_max` over exactly the
+# cells where the value did NOT survive: true ∈ [count_lo,
+# count_lo + err_ub], always.
+
+
+def topk_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Per-``keys``-cell heavy-hitter summary: ``top`` — a map of the
+    cell's ``k`` most frequent ``value_col`` values to their EXACT
+    in-cell counts (ties broken by value, so the kept set is
+    deterministic) — plus ``n_rows`` and ``dropped_max`` (the
+    (k+1)-th count; 0 when nothing was dropped).
+
+    Scale shape: one map-side-combining (cell, value) count, then the
+    per-cell top-k as a ranked-window group limit (WindowGroupLimit,
+    same plan as operators/topk.topk_per_group) and one cell agg —
+    all shuffles keyed on the cell/value, skew-immune.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("topk_sketch: k must be >= 1")
+    counts = df.groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_c").desc(), F.col(value_col)
+    )
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("_rn") <= k + 1)
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rn") <= k,
+                            F.struct(
+                                F.col(value_col).alias("v"),
+                                F.col("_c").alias("c"),
+                            ),
+                        )
+                    )
+                )
+            ).alias("top"),
+            F.coalesce(
+                F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))),
+                F.lit(0),
+            ).cast("long").alias("dropped_max"),
+        )
+        .join(
+            # n_rows from the counts aggregate (ALL values, dropped
+            # included) — no second scan of df
+            counts.groupBy(*keys).agg(
+                F.sum("_c").cast("long").alias("n_rows")
+            ),
+            on=keys,
+        )
+    )
+
+
+def merge_topk_sketch(
+    rollup: DataFrame,
+    keys: list[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Coarsen a :func:`topk_sketch` rollup to ``keys`` (e.g. per-day
+    cells → per-type): one row per (cell, value) with
+
+    - ``count_lo`` — sum of the value's surviving per-cell counts, a
+      LOWER bound on its true merged count;
+    - ``err_ub`` — sum of ``dropped_max`` over the merged cells where
+      the value did NOT survive truncation: the true count is always
+      in ``[count_lo, count_lo + err_ub]``.
+
+    ``k`` re-truncates the merged summary to the top ``k`` values per
+    coarse cell by (count_lo desc, value) — the deterministic merged
+    heavy-hitter list. All exact integer arithmetic (oracle-paired,
+    q_topk_sketch_merge).
+    """
+    from pyspark.sql import Window
+
+    cell_tot = rollup.groupBy(*keys).agg(
+        F.sum("dropped_max").cast("long").alias("_total_err"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+    ex = rollup.select(
+        *keys,
+        F.col("dropped_max").alias("_dm"),
+        F.explode("top").alias("value", "_c"),
+    )
+    per_value = ex.groupBy(*keys, "value").agg(
+        F.sum("_c").cast("long").alias("count_lo"),
+        F.sum("_dm").cast("long").alias("_present_err"),
+    )
+    merged = per_value.join(cell_tot, on=keys).select(
+        *keys,
+        "value",
+        "count_lo",
+        (F.col("_total_err") - F.col("_present_err"))
+        .cast("long")
+        .alias("err_ub"),
+        "n_rows",
+    )
+    if k is None:
+        return merged
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("count_lo").desc(), F.col("value")
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -12070,3 +12070,82 @@ def q_tfidf_index(spark, sf_dir):
     idx.add(d.filter(F.col("doc_id") % 4 == 1))
     idx.remove(d.filter(F.col("doc_id") % 50 == 13).select("doc_id"))
     return idx.query_tfidf(["hash", "merge", "scan", "slow"], k=50)
+
+
+@declare(
+    "q_topk_sketch_merge",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, user_id % 97 AS value
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, day, value, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                   ORDER BY c DESC, value) AS rn
+      FROM counts
+    ),
+    cells AS (
+      SELECT event_type, day,
+             COALESCE(MAX(CASE WHEN rn = 6 THEN c END), 0) AS dropped_max,
+             CAST(SUM(c) AS BIGINT) AS cell_rows
+      FROM ranked GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(dropped_max) AS BIGINT) AS total_err,
+             CAST(SUM(cell_rows) AS BIGINT) AS n_rows
+      FROM cells GROUP BY 1
+    ),
+    pv AS (
+      SELECT k.event_type, k.value,
+             CAST(SUM(k.c) AS BIGINT) AS count_lo,
+             CAST(SUM(cl.dropped_max) AS BIGINT) AS present_err
+      FROM (SELECT * FROM ranked WHERE rn <= 5) k
+      JOIN cells cl ON k.event_type = cl.event_type AND k.day = cl.day
+      GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT pv.event_type, pv.value, pv.count_lo,
+             CAST(tot.total_err - pv.present_err AS BIGINT) AS err_ub,
+             tot.n_rows
+      FROM pv JOIN tot USING (event_type)
+    ),
+    final AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY count_lo DESC, value) AS rn
+      FROM merged
+    )
+    SELECT event_type, value, count_lo, err_ub, n_rows
+    FROM final WHERE rn <= 10
+    """,
+    doc="mergeable heavy-hitter sketch rollup (round 14 — functions/"
+    "sketches.py topk_sketch / merge_topk_sketch; the SpaceSaving/"
+    "Misra-Gries merge, Agarwal et al. PODS'12): per (event_type, "
+    "day) cell keep the exact top-5 user buckets + the (k+1)-th "
+    "count as dropped_max, then merge the per-day summaries to "
+    "per-type top-10 WITHOUT revisiting the data — count_lo is a "
+    "lower bound, err_ub (sum of dropped_max over cells where the "
+    "value did not survive) bounds the truth: true IN [count_lo, "
+    "count_lo+err_ub] always. Unlike the hash-seeded sketch "
+    "families every number is an exact integer, so DuckDB replays "
+    "the whole decomposition and hash-matches. Scale: map-side "
+    "combining counts, WindowGroupLimit per-cell top-k, value-keyed "
+    "merge — the decomposable answer to 'top users per type over "
+    "any date range' at 100 TB. Declared after the round-14 window "
+    "froze: judge-swept this round, heads the r15 driver window as "
+    "new",
+)
+def q_topk_sketch_merge(spark, sf_dir):
+    from .functions.sketches import merge_topk_sketch, topk_sketch
+
+    base = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 97).alias("value"),
+    )
+    cells = topk_sketch(base, ["event_type", "day"], "value", k=5)
+    return merge_topk_sketch(cells, ["event_type"], k=10)
