@@ -472,6 +472,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DIRECTIONAL n-gram containment of eval docs in train docs
+    (round 14; the asymmetric cousin of :func:`ngram_jaccard_pairs`
+    above): containment = |grams(eval) ∩ grams(train)| / |grams(eval)|
+    — the metric decontamination actually wants. Jaccard UNDER-FLAGS
+    a short eval doc buried verbatim inside a long train doc (the
+    union is dominated by the train doc's grams); containment reads
+    1.0 there, because the denominator is the eval doc's gram set
+    alone (cf. the GPT-3/PaLM eval-overlap methodology).
+
+    Same inverted-index shape as the Jaccard operator — candidates
+    from a gram-keyed posting join (never all-pairs), eval-side gram
+    counts broadcast back — and all counts are exact integers, so the
+    ratio is oracle-checkable (q_ngram_containment). Returns
+    (eval_id, train_id, containment) for pairs sharing >= 1 gram and
+    containment >= threshold.
+    """
+    def grams_of(df, alias):
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.explode(
+                word_shingles(word_tokens(text_col), n)
+            ).alias("gram"),
+        ).distinct()
+
+    ev = grams_of(eval_df, "eval_id")
+    tr = grams_of(train_df, "train_id")
+    sizes = ev.groupBy("eval_id").agg(F.count("*").alias("_ne"))
+    inter = (
+        ev.join(tr, "gram")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes), "eval_id")
+        .withColumn(
+            "containment", F.round(F.col("_inter") / F.col("_ne"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("eval_id", "train_id", "containment")
+    )
+
+
 # --------------------------------------------------- duplicate clusters
 
 def dedup_clusters(

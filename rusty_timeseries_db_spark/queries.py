@@ -12149,3 +12149,60 @@ def q_topk_sketch_merge(spark, sf_dir):
     )
     cells = topk_sketch(base, ["event_type", "day"], "value", k=5)
     return merge_topk_sketch(cells, ["event_type"], k=10)
+
+
+@declare(
+    "q_ngram_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               array_to_string(ws[i:i+2], ' ') AS gram
+        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+        WHERE i <= greatest(len(ws) - 2, 1)
+      )
+    ),
+    ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 20 = 3),
+    tr AS (SELECT doc_id AS train_id, gram FROM grams WHERE doc_id % 20 <> 3),
+    sizes AS (
+      SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS ne FROM ev GROUP BY eval_id
+    ),
+    inter AS (
+      SELECT ev.eval_id, tr.train_id, CAST(COUNT(*) AS BIGINT) AS i
+      FROM ev JOIN tr USING (gram)
+      GROUP BY ev.eval_id, tr.train_id
+    )
+    SELECT eval_id, train_id,
+           ROUND(CAST(i AS DOUBLE) / ne, 6) AS containment
+    FROM inter JOIN sizes USING (eval_id)
+    WHERE ROUND(CAST(i AS DOUBLE) / ne, 6) >= 0.4
+    """,
+    doc="directional n-gram containment of held-out eval docs in "
+    "train docs (round 14 — operators/dedup.py "
+    "ngram_containment_pairs; the asymmetric cousin of "
+    "q_ngram_jaccard): containment = |grams(eval) AND grams(train)| "
+    "/ |grams(eval)| — the GPT-3/PaLM eval-overlap metric. Jaccard "
+    "UNDER-FLAGS a short eval doc buried verbatim in a long train "
+    "doc (union dominated by the train side); containment reads 1.0 "
+    "there. Same inverted-index posting join (never all-pairs), "
+    "eval-side sizes broadcast; exact integer counts, ratio rounded "
+    "6 dp. Declared after the round-14 window froze: judge-swept "
+    "this round, heads the r15 driver window as new",
+)
+def q_ngram_containment(spark, sf_dir):
+    from .operators.dedup import ngram_containment_pairs
+
+    d = T(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d.filter(F.col("doc_id") % 20 == 3),
+        d.filter(F.col("doc_id") % 20 != 3),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.4,
+    )

@@ -748,3 +748,37 @@ def test_ivf_marker_refuses_and_compact_recovers(spark, tmp_path):
         for r in idx.query(queries, k=5, n_probe=3).collect()
     )
     assert physical == logical
+
+
+def test_ngram_containment_directional(spark):
+    """A short eval doc verbatim inside a long train doc: containment
+    1.0 even though Jaccard is tiny — the decontamination case the
+    asymmetric metric exists for. Direction matters: the long doc is
+    NOT contained in the short one."""
+    from rusty_timeseries_db_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(60))
+    ev = spark.createDataFrame([(1, short)], "doc_id long, text string")
+    tr = spark.createDataFrame([(2, long)], "doc_id long, text string")
+
+    got = ngram_containment_pairs(
+        ev, tr, "doc_id", "text", n=3, threshold=0.0
+    ).collect()
+    assert [(r.eval_id, r.train_id, r.containment) for r in got] == [
+        (1, 2, 1.0)
+    ]
+    # reverse direction: only 2 of the long doc's 62 grams hit
+    rev = ngram_containment_pairs(
+        tr, ev, "doc_id", "text", n=3, threshold=0.0
+    ).collect()
+    assert rev[0].containment < 0.05
+    # Jaccard on the union of both docs under-flags the same pair
+    both = ev.union(tr)
+    j = ngram_jaccard_pairs(
+        both, "doc_id", "text", n=3, threshold=0.0
+    ).collect()
+    assert j[0].jaccard < 0.05
