@@ -942,3 +942,127 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------- ranking-quality metrics
+
+def ranking_metrics(
+    results: DataFrame,
+    labels: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Offline ranking evaluation — the metrics a retrieval deployment
+    regresses on (round 14; closes the loop the bm25/tfidf/hybrid
+    retrievers opened: generate → fuse → EVALUATE):
+
+    - ``ndcg`` — NDCG@k with graded gains (2^rel - 1) and the standard
+      log2(rank+1) discount, normalized by the ideal ordering of that
+      query's OWN labels (ties in the ideal order break on the doc id,
+      so both engines build the identical ideal list);
+    - ``mrr`` — 1 / rank of the first relevant (rel > 0) hit in the
+      top k; 0 when none;
+    - ``recall_k`` — relevant docs retrieved in the top k / relevant
+      docs in total;
+    - ``n_rel`` — the recall denominator, for aggregation downstream.
+
+    ``results`` is one row per (query, doc) with a 1-based ``rank_col``;
+    ``labels`` one row per (query, doc) with integer ``rel_col`` >= 0
+    (missing pairs read rel 0). One row out per query.
+
+    Determinism (the q_bigram_surprisal discipline): each position's
+    gain/discount term is rounded at 9 dp and summed as EXACT decimal,
+    so per-query DCG and IDCG are order-independent and cross-engine
+    reproducible despite log2's engine-specific last ulp; every other
+    number is an exact integer or a ratio of such sums, rounded 6 dp.
+
+    Scale shape: everything is keyed on the query id — one results ⟕
+    labels equi-join on (query, doc), one ranked window over the
+    labels for the ideal ordering (bounded by each query's label
+    count), and per-query aggregates. Evaluation sets are
+    tiny-per-query by construction; nothing here touches the corpus.
+    """
+    if k < 1:
+        raise ValueError("ranking_metrics: k must be >= 1")
+    q = F.col(query_col)
+    gain = lambda rel: (F.pow(F.lit(2.0), rel) - F.lit(1.0))  # noqa: E731
+    disc = lambda rank: F.log2(rank.cast("double") + F.lit(1.0))  # noqa: E731
+    quant = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+
+    hits = (
+        results.filter(F.col(rank_col) <= k)
+        .join(
+            labels.select(
+                q.alias("_q"), F.col(id_col).alias("_d"),
+                F.col(rel_col).alias("_rel"),
+            ),
+            on=[
+                results[query_col] == F.col("_q"),
+                results[id_col] == F.col("_d"),
+            ],
+            how="left",
+        )
+        .select(
+            q,
+            F.col(rank_col).alias("_rank"),
+            F.coalesce(F.col("_rel"), F.lit(0)).alias("_rel"),
+        )
+    )
+    per_q_dcg = hits.groupBy(query_col).agg(
+        F.coalesce(
+            F.sum(quant(gain(F.col("_rel")) / disc(F.col("_rank")))),
+            F.lit(0).cast("decimal(38,9)"),
+        ).alias("_dcg"),
+        F.coalesce(
+            F.min(F.when(F.col("_rel") > 0, F.col("_rank"))), F.lit(0)
+        ).alias("_first_rel"),
+        F.count(F.when(F.col("_rel") > 0, 1)).cast("long").alias("_n_hit"),
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col)
+    )
+    ideal = (
+        labels.filter(F.col(rel_col) > 0)
+        .withColumn("_irank", F.row_number().over(w_ideal))
+        .groupBy(query_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_irank") <= k,
+                    quant(gain(F.col(rel_col)) / disc(F.col("_irank"))),
+                )
+            ).alias("_idcg"),
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+        )
+    )
+    return (
+        per_q_dcg.join(ideal, on=query_col, how="left")
+        .select(
+            F.col(query_col),
+            F.when(
+                F.coalesce(F.col("_idcg"), F.lit(0).cast("decimal(38,9)"))
+                > 0,
+                F.round(
+                    F.col("_dcg").cast("double")
+                    / F.col("_idcg").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("ndcg"),
+            F.when(
+                F.col("_first_rel") > 0,
+                F.round(F.lit(1.0) / F.col("_first_rel"), 6),
+            ).otherwise(F.lit(0.0)).alias("mrr"),
+            F.when(
+                F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                F.round(
+                    F.col("_n_hit").cast("double")
+                    / F.col("n_rel").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("recall_k"),
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        )
+    )

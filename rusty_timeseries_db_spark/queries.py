@@ -12206,3 +12206,137 @@ def q_ngram_containment(spark, sf_dir):
         n=3,
         threshold=0.4,
     )
+
+
+@declare(
+    "q_ranking_eval",
+    """
+    WITH qt AS (
+      SELECT * FROM (VALUES
+        ('q1','hash'),('q1','merge'),('q1','scan'),('q1','slow'),
+        ('q2','dup'),('q2','filter'),('q2','sort'),('q2','stream')
+      ) v(q, t)
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len(ws)) AS avgdl
+      FROM toks
+    ),
+    doc_t AS (SELECT DISTINCT doc_id, unnest(ws) AS t FROM toks),
+    labels AS (
+      SELECT qt.q, doc_t.doc_id, CAST(COUNT(*) AS INT) AS rel
+      FROM doc_t JOIN qt USING (t) GROUP BY 1, 2
+    ),
+    tf AS (
+      SELECT qt.q, x.doc_id, x.dl, x.t, x.tf FROM (
+        SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, t,
+               CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, ws, unnest(ws) AS t FROM toks)
+        GROUP BY 1, 2, 3
+      ) x JOIN qt ON x.t = qt.t
+    ),
+    dfq AS (SELECT q, t, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY 1, 2),
+    scored AS (
+      SELECT tf.q, tf.doc_id,
+             SUM(ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS bm25
+      FROM tf CROSS JOIN stats JOIN dfq USING (q, t)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT q, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q
+                                ORDER BY ROUND(bm25, 6) DESC, doc_id) AS rank
+      FROM scored
+    ),
+    hits AS (
+      SELECT r.q, r.rank, COALESCE(l.rel, 0) AS rel
+      FROM (SELECT * FROM ranked WHERE rank <= 20) r
+      LEFT JOIN labels l ON r.q = l.q AND r.doc_id = l.doc_id
+      WHERE r.rank <= 10
+    ),
+    dcg AS (
+      SELECT q,
+             SUM(CAST(ROUND((POW(2.0, rel) - 1) / log2(rank + 1.0), 9)
+                      AS DECIMAL(38,9))) AS dcg_q,
+             COALESCE(MIN(CASE WHEN rel > 0 THEN rank END), 0) AS first_rel,
+             CAST(COUNT(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS n_hit
+      FROM hits GROUP BY q
+    ),
+    ideal AS (
+      SELECT q,
+             SUM(CASE WHEN irank <= 10 THEN
+               CAST(ROUND((POW(2.0, rel) - 1) / log2(irank + 1.0), 9)
+                    AS DECIMAL(38,9)) END) AS idcg_q,
+             CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM (SELECT q, rel, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                                      ORDER BY rel DESC, doc_id) AS irank
+            FROM labels WHERE rel > 0)
+      GROUP BY q
+    )
+    SELECT d.q AS query_id,
+           CASE WHEN COALESCE(i.idcg_q, 0) > 0 THEN
+             ROUND(CAST(d.dcg_q AS DOUBLE) / CAST(i.idcg_q AS DOUBLE), 6)
+           ELSE 0.0 END AS ndcg,
+           CASE WHEN d.first_rel > 0 THEN ROUND(1.0 / d.first_rel, 6)
+           ELSE 0.0 END AS mrr,
+           CASE WHEN COALESCE(i.n_rel, 0) > 0 THEN
+             ROUND(CAST(d.n_hit AS DOUBLE) / i.n_rel, 6)
+           ELSE 0.0 END AS recall_k,
+           COALESCE(i.n_rel, 0) AS n_rel
+    FROM dcg d LEFT JOIN ideal i USING (q)
+    """,
+    doc="offline ranking evaluation — NDCG@10 / MRR / recall@10 of "
+    "the BM25 retriever against graded term-coverage labels, two "
+    "query sets in one table-driven pass (round 14 — retrieval.py "
+    "ranking_metrics; closes the retrieve->fuse->EVALUATE loop). "
+    "Gains (2^rel - 1) with log2(rank+1) discounts; each position's "
+    "term is 9-dp-quantized and summed as exact decimal (the "
+    "q_bigram_surprisal discipline) so DCG/IDCG are order-"
+    "independent despite log2's engine ulp; the ideal ordering "
+    "tie-breaks on doc id, so both engines build the identical "
+    "ideal list. Everything is keyed on the query id — eval sets "
+    "are tiny per query; the corpus-sized work stays in the "
+    "retriever. Declared after the round-14 window froze: judge-"
+    "swept this round, heads the r15 driver window as new",
+)
+def q_ranking_eval(spark, sf_dir):
+    from .operators.dedup import word_tokens
+    from .operators.retrieval import bm25_topk, ranking_metrics
+
+    d = T(spark, sf_dir, "documents")
+    term_sets = {
+        "q1": ["hash", "merge", "scan", "slow"],
+        "q2": ["dup", "filter", "sort", "stream"],
+    }
+    res = None
+    for qid, ts in term_sets.items():
+        r = bm25_topk(d, ts, k=20).select(
+            F.lit(qid).alias("query_id"), "doc_id", "bm25"
+        )
+        res = r if res is None else res.unionByName(r)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    results = res.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "doc_id", "rank"
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in term_sets.items() for t in ts],
+        "query_id string, t string",
+    )
+    doc_t = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_tokens("text"))).alias("t"),
+    )
+    labels = (
+        doc_t.join(F.broadcast(qt), "t")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("rel"))
+    )
+    return ranking_metrics(results, labels, k=10)

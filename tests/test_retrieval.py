@@ -1038,3 +1038,74 @@ def test_query_tfidf_requires_tfn2_manifest_flag(spark, tmp_path):
         idx.query_tfidf(TERMS)
     # bm25 scoring is unaffected by the missing flag
     assert idx.query(TERMS, k=5).count() == 5
+
+
+# --------------------------------------------- ranking-quality metrics
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from rusty_timeseries_db_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    # qa: ranked docs 1..4; rels 0,2,1,0  (doc5 rel 3 NOT retrieved)
+    # qb: nothing relevant anywhere
+    results = spark.createDataFrame(
+        [("qa", d, r) for r, d in enumerate([1, 2, 3, 4], start=1)]
+        + [("qb", 9, 1), ("qb", 8, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    labels = spark.createDataFrame(
+        [("qa", 2, 2), ("qa", 3, 1), ("qa", 5, 3)],
+        "query_id string, doc_id long, rel int",
+    )
+    got = {
+        r.query_id: r
+        for r in ranking_metrics(results, labels, k=3).collect()
+    }
+
+    def q9(x):
+        return round(x, 9)
+
+    dcg = q9((2**2 - 1) / math.log2(3)) + q9((2**1 - 1) / math.log2(4))
+    # ideal order: doc5(3), doc2(2), doc3(1)
+    idcg = (
+        q9((2**3 - 1) / math.log2(2))
+        + q9((2**2 - 1) / math.log2(3))
+        + q9((2**1 - 1) / math.log2(4))
+    )
+    assert got["qa"].ndcg == round(dcg / idcg, 6)
+    assert got["qa"].mrr == 0.5          # first relevant at rank 2
+    assert got["qa"].recall_k == round(2 / 3, 6)
+    assert got["qa"].n_rel == 3
+    # no relevant labels at all -> all-zero row, not a missing row
+    assert (got["qb"].ndcg, got["qb"].mrr, got["qb"].recall_k,
+            got["qb"].n_rel) == (0.0, 0.0, 0.0, 0)
+
+
+def test_ranking_metrics_k_cut_and_perfect(spark):
+    from rusty_timeseries_db_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    # perfect ranking at k=2: the two relevant docs first, in ideal
+    # order -> ndcg 1.0; a rank-3 relevant doc is outside k
+    results = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    labels = spark.createDataFrame(
+        [("q", 1, 2), ("q", 2, 1), ("q", 3, 1)],
+        "query_id string, doc_id long, rel int",
+    )
+    row = ranking_metrics(results, labels, k=2).collect()[0]
+    assert row.ndcg == 1.0
+    assert row.mrr == 1.0
+    assert row.recall_k == round(2 / 3, 6)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        ranking_metrics(results, labels, k=0)
