@@ -555,3 +555,57 @@ def zipf_slope(
             ).alias("r2"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization (round 14): clip ``value_col`` to its
+    group's [``lower``, ``upper``] percentile bounds — the standard
+    robust pre-treatment before means/OLS when MAD flagging
+    (q_outlier_mad) is too blunt to *remove* rows but tails would
+    otherwise dominate the estimate.
+
+    Bounds use exact PERCENTILE_DISC semantics (rank selection at
+    ``ceil(p·n)``, floored at rank 1): each bound is an ACTUAL data
+    value, so a 2-dp input stays exactly 2-dp after clipping — exact
+    decimal aggregation downstream still works, and both engines pick
+    the identical bound (ties in value share the value, so the picked
+    VALUE needs no tiebreak). NULL values pass through as NULL.
+
+    Returns the input plus ``p_lo`` / ``p_hi`` / ``<value_col>_w``.
+    Scale shape: one ranked window + a conditional agg per group for
+    the bounds (rows never leave their group's partition), then the
+    per-group bounds join back — one row per group, broadcast-sized
+    at any corpus scale.
+    """
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError("winsorize: need 0 <= lower <= upper <= 1")
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    wc = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_n"),
+    )
+
+    def pick(p: float) -> Column:
+        rank = F.greatest(
+            F.ceil(F.lit(p) * F.col("_n")).cast("bigint"), F.lit(1)
+        )
+        return F.max(F.when(F.col("_rn") == rank, F.col(value_col)))
+
+    bounds = ranked.groupBy(*keys).agg(
+        pick(lower).alias("p_lo"), pick(upper).alias("p_hi")
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")
+    )
+    return df.join(F.broadcast(bounds), on=keys).withColumn(
+        f"{value_col}_w", clipped
+    )

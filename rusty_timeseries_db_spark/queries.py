@@ -12340,3 +12340,72 @@ def q_ranking_eval(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("int").alias("rel"))
     )
     return ranking_metrics(results, labels, k=10)
+
+
+@declare(
+    "q_winsorized_stats",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = greatest(CAST(CEIL(0.05e0 * n) AS BIGINT), 1)
+                 THEN value END) AS p_lo,
+             MAX(CASE WHEN rn = greatest(CAST(CEIL(0.95e0 * n) AS BIGINT), 1)
+                 THEN value END) AS p_hi
+      FROM ranked GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type,
+             CAST(least(greatest(e.value, b.p_lo), b.p_hi)
+                  AS DECIMAL(18,2)) AS vw,
+             CASE WHEN e.value < b.p_lo THEN 1 ELSE 0 END AS lo,
+             CASE WHEN e.value > b.p_hi THEN 1 ELSE 0 END AS hi,
+             b.p_lo, b.p_hi
+      FROM events e JOIN bounds b USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(lo) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(hi) AS BIGINT) AS n_clip_hi,
+           MIN(p_lo) AS p_lo, MIN(p_hi) AS p_hi,
+           ROUND(CAST(SUM(vw) AS DOUBLE) / COUNT(*), 6) AS mean_w
+    FROM clipped GROUP BY event_type
+    """,
+    doc="per-type winsorized mean (round 14 — operators/profile.py "
+    "winsorize): values clipped to the exact PERCENTILE_DISC "
+    "[p05, p95] bounds (rank selection, floored at rank 1 — actual "
+    "data values, so the clipped column stays exactly 2-dp and the "
+    "mean numerator sums as exact decimal), plus clip counts. The "
+    "robust-mean companion to q_outlier_mad (flagging) and "
+    "q_moving_median (despiking). One ranked window per group + a "
+    "broadcast bounds join. Declared after the round-14 window "
+    "froze: judge-swept this round, heads the r15 driver window as "
+    "new",
+)
+def q_winsorized_stats(spark, sf_dir):
+    from .operators.profile import winsorize
+
+    e = T(spark, sf_dir, "events")
+    wz = winsorize(e, ["event_type"], "value", 0.05, 0.95)
+    return wz.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("value") < F.col("p_lo"), 1).otherwise(0)
+        ).cast("long").alias("n_clip_lo"),
+        F.sum(
+            F.when(F.col("value") > F.col("p_hi"), 1).otherwise(0)
+        ).cast("long").alias("n_clip_hi"),
+        F.min("p_lo").alias("p_lo"),
+        F.min("p_hi").alias("p_hi"),
+        F.round(
+            F.sum(F.col("value_w").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_w"),
+    )

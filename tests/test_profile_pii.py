@@ -377,3 +377,34 @@ def test_zipf_slope_rank_tiebreak_and_topn(spark):
     ys = [round(math.log(c), 9) for c in (8, 8, 4)]
     ref = round(float(np.polyfit(xs, ys, 1)[0]), 6)
     assert abs(out[0].zipf_slope - ref) <= 1e-6
+
+
+def test_winsorize_hand_computed(spark):
+    from rusty_timeseries_db_spark.operators.profile import winsorize
+
+    # group g: 1..10 -> p_lo = ceil(.2*10)=rank2 -> 2; p_hi = rank 9 -> 9
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 11)], "k string, value double"
+    )
+    out = winsorize(df, ["k"], "value", 0.2, 0.9).collect()
+    assert all(r.p_lo == 2.0 and r.p_hi == 9.0 for r in out)
+    got = sorted(r.value_w for r in out)
+    assert got == [2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.0]
+
+
+def test_winsorize_bounds_are_data_values_and_edges(spark):
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [1.25, 7.5, 100.0]], "k string, value double"
+    )
+    # lower=0 floors at rank 1 (the min), upper=1 is the max: no-op
+    out = winsorize(df, ["k"], "value", 0.0, 1.0).collect()
+    assert sorted(r.value_w for r in out) == [1.25, 7.5, 100.0]
+    # a clipped value equals an ACTUAL data value, not an interpolation
+    out = winsorize(df, ["k"], "value", 0.0, 0.5).collect()
+    assert sorted(r.value_w for r in out) == [1.25, 7.5, 7.5]
+    with pytest.raises(ValueError, match="lower"):
+        winsorize(df, ["k"], "value", 0.9, 0.1)
