@@ -159,3 +159,75 @@ def cohort_retention(
             ).alias("retention_frac"),
         )
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Last-touch conversion attribution (round 14; the revenue-facing
+    companion of :func:`funnel`): every ``conversion`` event is
+    attributed to the user's most recent STRICTLY-PRECEDING
+    non-conversion event type — ``last(..., ignorenulls) OVER (ROWS
+    UNBOUNDED PRECEDING .. 1 PRECEDING)`` on the per-user timeline, so
+    a conversion at the same timestamp as its source still attributes
+    (the tiebreak column orders same-ts events deterministically).
+    Conversions with no preceding touch attribute to ``(direct)``.
+
+    Emits per source: ``n_conversions``, ``attributed_value`` (exact
+    decimal sum of the conversion events' values, cast to double at
+    the end) and ``share`` of all conversions (6 dp).
+
+    Scale shape: ONE user-keyed window (the same partitioning the
+    funnel uses) + one tiny per-source agg; the attach-total share
+    join is one row. No self-join, no sequence collect.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    src = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        df.withColumn("_src", src)
+        .filter(F.col(type_col) == conversion)
+        .select(
+            F.coalesce(F.col("_src"), F.lit("(direct)")).alias("source"),
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        )
+    )
+    agg = conv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum("_v").alias("_sv"),
+    )
+    # attach-scalar (constant-key broadcast equi-join), NOT an
+    # unpartitioned window — keeps the plan free of global-window /
+    # nested-loop nodes the audit hunts
+    from ..queries import attach_scalar
+
+    total = agg.agg(
+        F.sum("n_conversions").cast("long").alias("_total")
+    )
+    return attach_scalar(agg, total).select(
+        "source",
+        "n_conversions",
+        F.col("_sv").cast("double").alias("attributed_value"),
+        F.round(
+            F.col("n_conversions").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("share"),
+    )

@@ -12409,3 +12409,52 @@ def q_winsorized_stats(spark, sf_dir):
             6,
         ).alias("mean_w"),
     )
+
+
+@declare(
+    "q_attribution_last_touch",
+    """
+    WITH touched AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS src
+      FROM events
+    ),
+    conv AS (
+      SELECT COALESCE(src, '(direct)') AS source,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM touched WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+             SUM(v) AS sv
+      FROM conv GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_conversions) AS BIGINT) AS t FROM agg)
+    SELECT source, n_conversions,
+           CAST(sv AS DOUBLE) AS attributed_value,
+           ROUND(CAST(n_conversions AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+             AS share
+    FROM agg CROSS JOIN tot
+    """,
+    doc="last-touch conversion attribution (round 14 — operators/"
+    "funnel.py attribute_conversions; the revenue-facing companion "
+    "of q_funnel_stages): each purchase attributes to the user's "
+    "most recent strictly-preceding non-purchase event type via "
+    "last(..., ignorenulls) over ROWS UNBOUNDED PRECEDING..1 "
+    "PRECEDING (same-ts events ordered by event_id on both engines); "
+    "no preceding touch -> '(direct)'. Value sums are exact decimal; "
+    "the share denominator attaches via the constant-key broadcast "
+    "equi-join, not a global window. One user-keyed window + one "
+    "tiny per-source agg. Declared after the round-14 window froze: "
+    "judge-swept this round, heads the r15 driver window as new",
+)
+def q_attribution_last_touch(spark, sf_dir):
+    from .operators.funnel import attribute_conversions
+
+    return attribute_conversions(
+        T(spark, sf_dir, "events"), order_tiebreak="event_id"
+    )

@@ -125,3 +125,45 @@ def test_cohort_retention_day_granularity(spark):
 
     with pytest.raises(ValueError, match="granularity"):
         cohort_retention(df, granularity="hour")
+
+
+def test_attribution_last_touch_hand_computed(spark):
+    """u1: view->click->purchase attributes to click (last touch);
+    u2: purchase with no preceding touch -> (direct); u3: same-ts
+    click+purchase ordered by event_id -> click still attributes;
+    later events never attribute backwards."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.funnel import (
+        attribute_conversions,
+    )
+
+    rows = [
+        (1, 1, "view", 0.0, 0),
+        (1, 2, "click", 0.0, 1),
+        (1, 3, "purchase", 10.0, 2),
+        (2, 1, "purchase", 4.0, 0),
+        (2, 2, "view", 0.0, 1),      # AFTER the purchase: must not count
+        (3, 1, "click", 0.0, 0),     # same ts as the purchase
+        (3, 2, "purchase", 6.0, 0),  # event_id orders them
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, v, h) for u, e, t, v, h in rows],
+        "user_id long, event_id long, event_type string, value double, h long",
+    ).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+        F.make_interval(hours=F.col("h")),
+    )
+    got = {
+        r.source: r
+        for r in attribute_conversions(
+            df, order_tiebreak="event_id"
+        ).collect()
+    }
+    assert set(got) == {"click", "(direct)"}
+    assert got["click"].n_conversions == 2
+    assert got["click"].attributed_value == 16.0
+    assert got["(direct)"].n_conversions == 1
+    assert got["(direct)"].attributed_value == 4.0
+    assert got["click"].share == round(2 / 3, 6)
