@@ -1620,9 +1620,17 @@ def _rewrite_from_first(query: str) -> str:
     from_part = query[m.end():sel.start()]
     clause = None
     for cm in _FF_CLAUSE_RE.finditer(masked, sel.end()):
-        if _depth_at(masked, cm.start()) == 0:
-            clause = cm
-            break
+        if _depth_at(masked, cm.start()) != 0:
+            continue
+        # `* EXCEPT (a, b)` is a star MODIFIER inside the select list
+        # (Spark parses it natively), not the set operation — don't
+        # split the statement there
+        if cm.group(0).upper() == "EXCEPT":
+            before = masked[sel.end(): cm.start()].rstrip()
+            if before.endswith("*"):
+                continue
+        clause = cm
+        break
     select_list = query[sel.end(): clause.start() if clause else len(query)]
     trailing = query[clause.start():] if clause else ""
     return (

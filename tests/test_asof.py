@@ -1725,3 +1725,25 @@ def test_from_first_statement_forms(spark):
         0
     ][0]
     assert "Filter" in plan or "filter" in plan.lower()
+
+
+def test_from_first_star_except_modifier(spark):
+    """`FROM t SELECT * EXCEPT (col) WHERE ...`: the star-modifier
+    EXCEPT must not be mistaken for the set operation when locating
+    the end of the select list (round-14 self-review)."""
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 30.0)], "g string, i int, v double"
+    ).createOrReplaceTempView("_t_ffx")
+    got = dialect_sql(
+        spark, "FROM _t_ffx SELECT * EXCEPT (i) WHERE v > 10 ORDER BY g"
+    )
+    assert got.columns == ["g", "v"]
+    assert [(r.g, r.v) for r in got.collect()] == [("b", 30.0)]
+    # the actual set operation still splits correctly
+    got = dialect_sql(
+        spark,
+        "FROM _t_ffx SELECT g EXCEPT SELECT 'a' AS g",
+    ).collect()
+    assert [r.g for r in got] == ["b"]
