@@ -89,8 +89,24 @@ def serve_topk(
     :func:`merge_topk_sketch` over the stored per-(cell, batch)
     summaries, coarsened to ``keys`` (any subset of the stored cell
     keys — the batch split just adds summary rows, the bound
-    machinery is identical). O(stored summaries), never O(events)."""
-    return merge_topk_sketch(spark.read.parquet(store_path), keys, k=k)
+    machinery is identical). O(stored summaries), never O(events).
+    Raises with the honest state when the sink has not landed any
+    summaries yet (manifest missing, or only empty batches so far)."""
+    man = read_json_manifest(spark, _manifest_path(store_path))
+    if man is None:
+        raise FileNotFoundError(
+            f"no topk-sketch store at {store_path} — start the sink (or "
+            "apply_topk_sketch_batch) first"
+        )
+    try:
+        stored = spark.read.parquet(store_path)
+    except Exception as e:  # only empty batches have been applied
+        raise ValueError(
+            f"topk-sketch store at {store_path} has a manifest "
+            f"(last_applied_batch={man.get('last_applied_batch')}) but no "
+            "summaries yet — every applied batch was empty"
+        ) from e
+    return merge_topk_sketch(stored, keys, k=k)
 
 
 def start_topk_sketch_sink(

@@ -129,3 +129,15 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert served == want
+
+
+def test_serve_before_any_summary_raises_honestly(spark, tmp_path):
+    store = str(tmp_path / "hh")
+    with pytest.raises(FileNotFoundError, match="start the sink"):
+        serve_topk(spark, store, ["g"])
+    # manifest exists but only an empty batch was applied
+    apply_topk_sketch_batch(
+        spark, store, _df(spark, ROWS).limit(0), 0, ["g"], "v", k=2
+    )
+    with pytest.raises(ValueError, match="every applied batch was empty"):
+        serve_topk(spark, store, ["g"])
