@@ -98,7 +98,11 @@ def topk_sketch(
     cell's ``k`` most frequent ``value_col`` values to their EXACT
     in-cell counts (ties broken by value, so the kept set is
     deterministic) — plus ``n_rows`` and ``dropped_max`` (the
-    (k+1)-th count; 0 when nothing was dropped).
+    (k+1)-th count; 0 when nothing was dropped). NULL values are
+    IGNORED entirely (a NULL map key is unrepresentable, and "most
+    frequent missing value" is not a heavy hitter) — they count
+    neither as a value nor in ``n_rows``; a cell whose values are all
+    NULL emits no summary row.
 
     Scale shape: one map-side-combining (cell, value) count, then the
     per-cell top-k as a ranked-window group limit (WindowGroupLimit,
@@ -109,8 +113,10 @@ def topk_sketch(
 
     if k < 1:
         raise ValueError("topk_sketch: k must be >= 1")
-    counts = df.groupBy(*keys, value_col).agg(
-        F.count(F.lit(1)).cast("long").alias("_c")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
     w = Window.partitionBy(*keys).orderBy(
         F.col("_c").desc(), F.col(value_col)

@@ -85,8 +85,10 @@ def fuzzy_join(
     dist = F.levenshtein(F.col(left_col), F.col(right_col), k)
     return (
         l.join(r, on=cond, how="inner")
-        .filter(dist >= 0)
         .drop(l["_bkt"])
         .drop(r["_bkt"])
+        # materialize the distance ONCE, filter on the column — the
+        # O(len^2) verification is the dominant per-candidate cost
         .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") >= 0)
     )

@@ -575,7 +575,10 @@ def winsorize(
     value, so a 2-dp input stays exactly 2-dp after clipping — exact
     decimal aggregation downstream still works, and both engines pick
     the identical bound (ties in value share the value, so the picked
-    VALUE needs no tiebreak). NULL values pass through as NULL.
+    VALUE needs no tiebreak). NULL values are EXCLUDED from the rank
+    universe (they would otherwise sort first and shift every bound —
+    review round 14) and pass through with ``<value_col>_w`` NULL; a
+    group whose values are all NULL keeps its rows, bounds NULL.
 
     Returns the input plus ``p_lo`` / ``p_hi`` / ``<value_col>_w``.
     Scale shape: one ranked window + a conditional agg per group for
@@ -587,7 +590,7 @@ def winsorize(
         raise ValueError("winsorize: need 0 <= lower <= upper <= 1")
     w = Window.partitionBy(*keys).orderBy(value_col)
     wc = Window.partitionBy(*keys)
-    ranked = df.select(
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
         *keys,
         F.col(value_col),
         F.row_number().over(w).alias("_rn"),
@@ -603,9 +606,16 @@ def winsorize(
     bounds = ranked.groupBy(*keys).agg(
         pick(lower).alias("p_lo"), pick(upper).alias("p_hi")
     )
-    clipped = F.least(
-        F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")
+    # guard NULL values explicitly: Spark's greatest/least SKIP nulls
+    # (greatest(NULL, p_lo) = p_lo), which would silently clip a NULL
+    # value to the lower bound instead of passing it through
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(
+            F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")
+        ),
     )
-    return df.join(F.broadcast(bounds), on=keys).withColumn(
+    # LEFT join: rows of an all-NULL group (no bounds row) survive
+    return df.join(F.broadcast(bounds), on=keys, how="left").withColumn(
         f"{value_col}_w", clipped
     )

@@ -971,7 +971,11 @@ def ranking_metrics(
 
     ``results`` is one row per (query, doc) with a 1-based ``rank_col``;
     ``labels`` one row per (query, doc) with integer ``rel_col`` >= 0
-    (missing pairs read rel 0). One row out per query.
+    (missing pairs read rel 0). One row out per query appearing in
+    ``results`` OR in ``labels`` with rel > 0 — a query whose
+    retriever returned NOTHING still emits its all-zero row (review
+    round 14: dropping it would overstate every downstream mean by
+    skipping exactly the queries that scored worst).
 
     Determinism (the q_bigram_surprisal discipline): each position's
     gain/discount term is rounded at 9 dp and summed as EXACT decimal,
@@ -1039,12 +1043,17 @@ def ranking_metrics(
         )
     )
     return (
-        per_q_dcg.join(ideal, on=query_col, how="left")
+        per_q_dcg.join(ideal, on=query_col, how="full_outer")
         .select(
             F.col(query_col),
             F.when(
-                F.coalesce(F.col("_idcg"), F.lit(0).cast("decimal(38,9)"))
-                > 0,
+                (
+                    F.coalesce(
+                        F.col("_idcg"), F.lit(0).cast("decimal(38,9)")
+                    )
+                    > 0
+                )
+                & F.col("_dcg").isNotNull(),
                 F.round(
                     F.col("_dcg").cast("double")
                     / F.col("_idcg").cast("double"),
@@ -1052,13 +1061,13 @@ def ranking_metrics(
                 ),
             ).otherwise(F.lit(0.0)).alias("ndcg"),
             F.when(
-                F.col("_first_rel") > 0,
+                F.coalesce(F.col("_first_rel"), F.lit(0)) > 0,
                 F.round(F.lit(1.0) / F.col("_first_rel"), 6),
             ).otherwise(F.lit(0.0)).alias("mrr"),
             F.when(
                 F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
                 F.round(
-                    F.col("_n_hit").cast("double")
+                    F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
                     / F.col("n_rel").cast("double"),
                     6,
                 ),

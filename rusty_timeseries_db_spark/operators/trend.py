@@ -129,7 +129,12 @@ def mann_kendall(
         .otherwise(F.lit(0.0))
     )
     return (
-        n.join(s, on=key)
+        # LEFT join + coalesce: a single-point series has no pair rows
+        # (no s row) but must still emit n=1, S=0, var 0, z NULL — the
+        # documented contract (review round 14; previously the inner
+        # join silently dropped the series)
+        n.join(s, on=key, how="left")
+        .withColumn("s_stat", F.coalesce(F.col("s_stat"), F.lit(0)))
         .join(ties, on=key)
         .select(
             F.col(key),

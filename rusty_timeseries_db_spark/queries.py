@@ -11755,7 +11755,7 @@ def q_funnel_stages(spark, sf_dir):
     "matrix. Declared after the round-14 window froze: judge-swept "
     "this round, heads the r15 driver window as new",
 )
-def q_cohort_retention(spark, sf_dir):
+def q_cohort_retention_matrix(spark, sf_dir):
     from .operators.funnel import cohort_retention
 
     return cohort_retention(T(spark, sf_dir, "events"), granularity="week")
@@ -11839,19 +11839,22 @@ def q_state_durations(spark, sf_dir):
             FROM daily GROUP BY event_type, v)
       GROUP BY event_type
     )
-    SELECT n.event_type, n.n, s.s_stat,
+    SELECT n.event_type, n.n,
+           COALESCE(s.s_stat, 0) AS s_stat,
            ROUND(CAST(n.n*(n.n-1)*(2*n.n+5) - ties.tie_term AS DOUBLE)
                  / 18.0, 6) AS var_s,
            ROUND(CASE
              WHEN n.n*(n.n-1)*(2*n.n+5) - ties.tie_term <= 0 THEN NULL
-             WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+             WHEN COALESCE(s.s_stat, 0) > 0
+               THEN CAST(s.s_stat - 1 AS DOUBLE)
                / sqrt(CAST(n.n*(n.n-1)*(2*n.n+5) - ties.tie_term
                            AS DOUBLE) / 18.0)
-             WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+             WHEN COALESCE(s.s_stat, 0) < 0
+               THEN CAST(s.s_stat + 1 AS DOUBLE)
                / sqrt(CAST(n.n*(n.n-1)*(2*n.n+5) - ties.tie_term
                            AS DOUBLE) / 18.0)
              ELSE 0.0 END, 6) AS z_score
-    FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+    FROM n LEFT JOIN s USING (event_type) JOIN ties USING (event_type)
     """,
     doc="Mann-Kendall trend test per event_type over DAILY value sums "
     "(round 14 — operators/trend.py): S = sum of pairwise signs, "

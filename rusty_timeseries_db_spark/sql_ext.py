@@ -1617,6 +1617,20 @@ def _rewrite_from_first(query: str) -> str:
             break
     if sel is None:
         return query[:from_kw_start] + "SELECT * " + query[from_kw_start:]
+    # a set-operation keyword BETWEEN the FROM head and the first
+    # depth-0 SELECT means that SELECT belongs to the second branch
+    # ('FROM a UNION ALL SELECT ...') — reordering would corrupt the
+    # statement, so reject it honestly instead (review round 14)
+    for sm in re.finditer(
+        r"\b(?:UNION|INTERSECT|EXCEPT)\b", masked[m.end():sel.start()],
+        re.IGNORECASE,
+    ):
+        if _depth_at(masked, m.end() + sm.start()) == 0:
+            raise ValueError(
+                "FROM-first with a set operation before the SELECT "
+                "clause is not supported — spell every set-operation "
+                "branch SELECT-first"
+            )
     from_part = query[m.end():sel.start()]
     clause = None
     for cm in _FF_CLAUSE_RE.finditer(masked, sel.end()):

@@ -98,9 +98,16 @@ def serve_topk(
             f"no topk-sketch store at {store_path} — start the sink (or "
             "apply_topk_sketch_batch) first"
         )
+    from pyspark.errors import AnalysisException
+
     try:
         stored = spark.read.parquet(store_path)
-    except Exception as e:  # only empty batches have been applied
+    except AnalysisException as e:
+        # only PATH_NOT_FOUND means "no summaries yet"; a corrupt
+        # footer / permission fault must surface as itself, not as a
+        # misleading empty-store message
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         raise ValueError(
             f"topk-sketch store at {store_path} has a manifest "
             f"(last_applied_batch={man.get('last_applied_batch')}) but no "

@@ -408,3 +408,26 @@ def test_winsorize_bounds_are_data_values_and_edges(spark):
     assert sorted(r.value_w for r in out) == [1.25, 7.5, 7.5]
     with pytest.raises(ValueError, match="lower"):
         winsorize(df, ["k"], "value", 0.9, 0.1)
+
+
+def test_winsorize_null_values_excluded_from_bounds(spark):
+    """Review round 14: NULLs must not shift the rank universe (they
+    sort first in Spark), must pass through unclipped, and an all-NULL
+    group must keep its rows."""
+    from rusty_timeseries_db_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", None)] + [("g", float(i)) for i in range(1, 11)]
+        + [("nulls", None)],
+        "k string, value double",
+    )
+    out = winsorize(df, ["k"], "value", 0.2, 0.9).collect()
+    g = [r for r in out if r.k == "g"]
+    # bounds computed over the 10 NON-NULL values only
+    assert all(r.p_lo == 2.0 and r.p_hi == 9.0 for r in g)
+    assert sorted(r.value_w for r in g if r.value_w is not None) == [
+        2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.0
+    ]
+    assert sum(1 for r in g if r.value_w is None) == 2
+    nul = [r for r in out if r.k == "nulls"]
+    assert len(nul) == 1 and nul[0].value_w is None

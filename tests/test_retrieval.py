@@ -1109,3 +1109,24 @@ def test_ranking_metrics_k_cut_and_perfect(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         ranking_metrics(results, labels, k=0)
+
+
+def test_ranking_metrics_zero_result_query_emits_zero_row(spark):
+    """Review round 14: a query with labels but NO retrieved rows must
+    emit its all-zero row (n_rel intact), not vanish."""
+    from rusty_timeseries_db_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [("qa", 1, 1)], "query_id string, doc_id long, rank int"
+    )
+    labels = spark.createDataFrame(
+        [("qa", 1, 1), ("missing", 5, 2), ("missing", 6, 1)],
+        "query_id string, doc_id long, rel int",
+    )
+    got = {r.query_id: r for r in ranking_metrics(results, labels, k=3).collect()}
+    assert set(got) == {"qa", "missing"}
+    m = got["missing"]
+    assert (m.ndcg, m.mrr, m.recall_k, m.n_rel) == (0.0, 0.0, 0.0, 2)
+    assert got["qa"].ndcg == 1.0

@@ -139,3 +139,18 @@ def test_topk_sketch_merge_bound_always_holds(spark, data, k):
     for v, c in truth.items():
         if v not in kept:
             assert c <= total_err
+
+
+def test_topk_sketch_null_values_ignored(spark):
+    from rusty_timeseries_db_spark.functions.sketches import topk_sketch
+
+    df = spark.createDataFrame(
+        [("c", "a"), ("c", None), ("c", None), ("c", None), ("c", "b"),
+         ("empty", None)],
+        "cell string, v string",
+    )
+    got = {r.cell: r for r in topk_sketch(df, ["cell"], "v", k=2).collect()}
+    # NULLs neither rank nor count; the all-NULL cell emits nothing
+    assert set(got) == {"c"}
+    assert got["c"].top == {"a": 1, "b": 1}
+    assert got["c"].n_rows == 2

@@ -171,3 +171,13 @@ def test_state_durations_fracs_sum_to_one(spark):
     }
     for v in sums.values():
         assert abs(v - 1.0) < 1e-5
+
+
+def test_mann_kendall_single_point_series_emits(spark):
+    """Review round 14: a 1-point series must emit (n=1, S=0, var 0,
+    z NULL), not silently vanish from the output."""
+    df = _daily(spark, [("solo", 0, 7), ("pair", 0, 1), ("pair", 1, 2)])
+    got = {r.k: r for r in mann_kendall(df, "k", "d", "v").collect()}
+    assert set(got) == {"solo", "pair"}
+    assert (got["solo"].n, got["solo"].s_stat, got["solo"].var_s,
+            got["solo"].z_score) == (1, 0, 0.0, None)
