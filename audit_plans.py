@@ -74,6 +74,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "documented scale contract, retrieval.py rrf_fuse) — the "
         "distributed work happened inside the retrievers",
     },
+    "q_hybrid_index_rrf": {
+        "cartesian": "query_tfidf's 1-row query-norm broadcast "
+        "crossJoin (the q_tfidf_index attach-scalar allowance)",
+        "global_window": "rrf_fuse's per-list rank runs over TOP-K "
+        "CANDIDATE LISTS only (<= |rankings|*k rows, the documented "
+        "q_hybrid_rrf allowance) — the distributed work happened "
+        "inside the two index scorers",
+    },
     "q_tfidf_index": {
         "cartesian": "the 1-row query-norm aggregate (sqrt of <= "
         "|terms| idf squares) attaches to the pruned candidates via "

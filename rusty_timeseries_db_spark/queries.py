@@ -12461,3 +12461,98 @@ def q_attribution_last_touch(spark, sf_dir):
     return attribute_conversions(
         T(spark, sf_dir, "events"), order_tiebreak="event_id"
     )
+
+
+@declare(
+    "q_hybrid_index_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(ws)) AS avgdl
+      FROM toks
+    ),
+    tf_all AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS t FROM toks)
+      GROUP BY doc_id, t
+    ),
+    dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(tf * tf)) AS dnorm
+      FROM tf_all GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT doc_id, t, tf FROM tf_all
+      WHERE list_contains(['hash', 'merge', 'scan', 'slow'], t)
+    ),
+    dfq AS (
+      SELECT t, CAST(COUNT(*) AS DOUBLE) AS dft FROM hits GROUP BY t
+    ),
+    bm AS (
+      SELECT h.doc_id,
+             ROUND(SUM(
+               ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+               * h.tf * 2.2
+               / (h.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+             ), 6) AS s
+      FROM hits h
+      CROSS JOIN stats JOIN dfq USING (t) JOIN dl USING (doc_id)
+      GROUP BY h.doc_id
+      ORDER BY s DESC, doc_id LIMIT 40
+    ),
+    w AS (
+      SELECT t, ln(1 + (n_docs - dft + 0.5) / (dft + 0.5)) AS wq
+      FROM dfq CROSS JOIN stats
+    ),
+    qn AS (SELECT sqrt(SUM(wq * wq)) AS qnorm FROM w),
+    ti AS (
+      SELECT h.doc_id,
+             ROUND(SUM(h.tf * w.wq / (n.dnorm * qn.qnorm)), 6) AS s
+      FROM hits h
+      JOIN w USING (t) JOIN norms n USING (doc_id) CROSS JOIN qn
+      GROUP BY h.doc_id
+      ORDER BY s DESC, doc_id LIMIT 40
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bm
+      UNION ALL
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM ti
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           ROUND(SUM(1.0 / (60 + r)), 6) AS rrf
+    FROM ranked GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    doc="one persisted index, two scorers, one fused list (round 14): "
+    "Bm25Index.query (Okapi BM25) and Bm25Index.query_tfidf (SMART "
+    "nnc.ltc cosine) rank the SAME term-sharded postings — both "
+    "shard-pruned, zero extra index bytes — and rrf_fuse combines "
+    "the two top-40 lists by 1/(60+rank) into the top 20. The "
+    "lexical-score disagreement between the two weighting schemes is "
+    "exactly what RRF's rank-only fusion absorbs. Oracle recomputes "
+    "both scorers from the raw corpus and replays the fusion. "
+    "Declared after the round-14 window froze: judge-swept this "
+    "round, heads the r15 driver window as new",
+)
+def q_hybrid_index_rrf(spark, sf_dir):
+    from .operators.retrieval import Bm25Index, rrf_fuse
+
+    d = T(spark, sf_dir, "documents")
+    path = os.path.join(_fixture_dir("q_hybrid_index_rrf"), "bm25")
+    idx = Bm25Index(spark, path).build(d)
+    terms = ["hash", "merge", "scan", "slow"]
+    return rrf_fuse(
+        {
+            "bm25": (idx.query(terms, k=40), "bm25"),
+            "tfidf": (idx.query_tfidf(terms, k=40), "cosine"),
+        },
+        id_col="doc_id",
+        k=20,
+    )
