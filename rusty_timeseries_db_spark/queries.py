@@ -96,6 +96,16 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_bm25_stream_indexed", "q_sql_pivot", "q_pagerank",
 })
 
+#: Queries declared AFTER the round-14 window froze (judge-swept this
+#: round; never driver-checked). The r15 session MUST move these into
+#: _ROUND_MODIFIED (rule (a): never-checked code heads the window)
+#: before filling remaining slots with the r10 tier:
+#:   q_zipf_slope, q_funnel_stages, q_cohort_retention_matrix,
+#:   q_state_durations, q_mann_kendall, q_theil_sen,
+#:   q_fuzzy_vocab_match, q_sql_from_first, q_tfidf_index,
+#:   q_topk_sketch_merge, q_ngram_containment, q_ranking_eval,
+#:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf
+
 #: most recent driver-checked round per query (gen_rotation.py output,
 #: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
 #: r12, 50 in r13; the remaining 50 ran in r11 and form the dict
