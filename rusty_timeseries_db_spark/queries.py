@@ -104,7 +104,8 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
 #:   q_state_durations, q_mann_kendall, q_theil_sen,
 #:   q_fuzzy_vocab_match, q_sql_from_first, q_tfidf_index,
 #:   q_topk_sketch_merge, q_ngram_containment, q_ranking_eval,
-#:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf
+#:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf,
+#:   q_sql_pivot_multi
 
 #: most recent driver-checked round per query (gen_rotation.py output,
 #: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
@@ -12565,4 +12566,54 @@ def q_hybrid_index_rrf(spark, sf_dir):
         },
         id_col="doc_id",
         k=20,
+    )
+
+
+@declare(
+    "q_sql_pivot_multi",
+    """
+    WITH base AS (
+      SELECT user_id % 10 AS cohort, event_type,
+             CASE WHEN day(ts) % 2 = 0 THEN 'even' ELSE 'odd' END AS half,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT cohort,
+           CAST(SUM(CASE WHEN event_type = 'click' AND half = 'even'
+               THEN v END) AS BIGINT) AS click_even_s,
+           CAST(SUM(CASE WHEN event_type = 'click' AND half = 'odd'
+               THEN v END) AS BIGINT) AS click_odd_s,
+           CAST(SUM(CASE WHEN event_type = 'view' AND half = 'even'
+               THEN v END) AS BIGINT) AS view_even_s,
+           CAST(SUM(CASE WHEN event_type = 'view' AND half = 'odd'
+               THEN v END) AS BIGINT) AS view_odd_s
+    FROM base GROUP BY cohort
+    """,
+    doc="multi-column PIVOT statement (round 14 second wave — "
+    "sql_ext._maybe_pivot): ON event_type IN ('click','view'), half "
+    "pivots the CROSS PRODUCT of the two value sets into "
+    "<v1>_<v2>_<alias> columns, DuckDB's naming and order (IN order "
+    "for the pinned column, sorted discovery for the other). "
+    "Implemented by pivoting a NULL-propagating combo column whose "
+    "values map through typed CASE chains — no raw casts, so literal "
+    "spelling can't drift; rows with unlisted/NULL ON values drop on "
+    "both engines. The oracle is the equivalent conditional "
+    "aggregation. Declared after the round-14 window froze: "
+    "judge-swept this round, heads the r15 driver window as new",
+)
+def q_sql_pivot_multi(spark, sf_dir):
+    from .sql_ext import sql as dialect_sql
+
+    T(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("cohort"),
+        "event_type",
+        F.when(F.dayofmonth("ts") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("half"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    ).createOrReplaceTempView("events_mp")
+    return dialect_sql(
+        spark,
+        "PIVOT events_mp ON event_type IN ('click', 'view'), half "
+        "USING sum(v) AS s GROUP BY cohort",
     )

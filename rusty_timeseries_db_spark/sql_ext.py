@@ -1278,9 +1278,11 @@ def _blank_comments_preserving(masked: str) -> str:
 
 
 _PIVOT_HEAD_RE = re.compile(
-    r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)"
-    r"\s*(?:IN\s*\(([^)]*)\))?\s+USING\s+",
-    re.IGNORECASE,
+    r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+", re.IGNORECASE
+)
+_PIVOT_ON_ITEM_RE = re.compile(
+    r"([A-Za-z_]\w*)\s*(?:IN\s*\((.*)\))?",
+    re.IGNORECASE | re.DOTALL,
 )
 _GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
 
@@ -1336,8 +1338,15 @@ def _maybe_pivot(spark: SparkSession, query: str):
     columns follow the list's order, rows with other values drop
     (both engines agree), and EXPLAIN PIVOT becomes genuinely
     plan-only. IN items must be literals (strings/numbers/booleans).
-    Multi-column ON, expression ON, and derived-table PIVOT raise
-    honestly. Returns None when the statement is not a PIVOT."""
+
+    Multi-column ``ON c1[, c2 ...]`` (round 14, second wave): DuckDB
+    pivots on the CROSS PRODUCT of the columns' value sets, columns
+    named ``<v1>_<v2>[_<alias>]`` in per-column (sorted / IN) order —
+    implemented by pivoting a NULL-propagating combo column whose
+    per-column values map through typed CASE chains (no raw casts, so
+    literal spelling can't drift); per-column IN lists compose.
+    Expression ON and derived-table PIVOT raise honestly. Returns
+    None when the statement is not a PIVOT."""
     head = _blank_comments_preserving(_mask_string_literals(query))
     if not re.match(r"\s*PIVOT\b", head, re.IGNORECASE):
         return None
@@ -1345,31 +1354,58 @@ def _maybe_pivot(spark: SparkSession, query: str):
     if m is None:
         raise ValueError(
             "unsupported PIVOT spelling — the rewrite handles "
-            "PIVOT <table> ON <column> USING <agg> [AS <name>][, ...] "
-            "[GROUP BY <cols>] (single plain ON column; derived "
-            "tables and multi-column/expression ON raise)"
+            "PIVOT <table> ON <column>[ IN (...)][, <column> ...] "
+            "USING <agg> [AS <name>][, ...] [GROUP BY <cols>] (plain "
+            "ON columns; derived tables and expression ON raise)"
         )
-    table_name, pivot_col = m.group(1), m.group(2)
-    in_values = None
-    if m.group(3) is not None:
-        # explicit IN list (round 14): parse literals from the ORIGINAL
-        # text at the masked positions (masking is length-preserving)
-        in_masked = m.group(3)
-        in_orig = query[m.start(3):m.end(3)]
-        if not in_masked.strip():
-            raise ValueError("PIVOT IN (...) list must be non-empty")
-        in_values = [
-            _parse_pivot_literal(item.strip())
-            for item in _split_top_level_commas(in_masked, in_orig)
-        ]
+    table_name = m.group(1)
+    # the ON segment runs to the first depth-0 USING (round 14:
+    # multi-column ON — DuckDB pivots on the CROSS PRODUCT of the
+    # columns' value sets, naming columns <v1>_<v2>[_<alias>])
+    us = None
+    for um in re.finditer(r"\bUSING\b", head, re.IGNORECASE):
+        if um.start() >= m.end() and _depth_at(head, um.start()) == 0:
+            us = um
+            break
+    if us is None:
+        raise ValueError("PIVOT needs a USING <agg> clause")
+    on_masked_seg = head[m.end():us.start()]
+    on_orig_seg = query[m.end():us.start()]
+    on_specs: list[tuple[str, list | None]] = []
+    for im, item in zip(
+        _split_top_level_commas(on_masked_seg, on_masked_seg),
+        _split_top_level_commas(on_masked_seg, on_orig_seg),
+    ):
+        lead = len(im) - len(im.lstrip())
+        im_s = im.strip()
+        item_aligned = item[lead: lead + len(im_s)]
+        mm = _PIVOT_ON_ITEM_RE.fullmatch(im_s)
+        if mm is None:
+            raise ValueError(
+                f"PIVOT ON item {item.strip()!r} must be a plain "
+                "column, optionally with IN (literal, ...)"
+            )
+        vals = None
+        if mm.group(2) is not None:
+            inner_masked = mm.group(2)
+            inner_orig = item_aligned[mm.start(2): mm.end(2)]
+            if not inner_masked.strip():
+                raise ValueError("PIVOT IN (...) list must be non-empty")
+            vals = [
+                _parse_pivot_literal(x.strip())
+                for x in _split_top_level_commas(inner_masked, inner_orig)
+            ]
+        on_specs.append((mm.group(1), vals))
+    if not on_specs:
+        raise ValueError("PIVOT ON list is empty")
     # strip trailing whitespace/';' by MASKED length so the original
     # slice stays aligned (the original may end in a blanked comment)
-    tail = head[m.end():]
+    tail = head[us.end():]
     cut = len(tail.rstrip())
     if cut and tail[cut - 1] == ";":
         cut = len(tail[: cut - 1].rstrip())
     rest_masked = tail[:cut]
-    rest_orig = query[m.end():][:cut]
+    rest_orig = query[us.end():][:cut]
     gb = None
     for gm in _GROUP_BY_RE.finditer(rest_masked):
         if _depth_at(rest_masked, gm.start()) == 0:
@@ -1420,28 +1456,69 @@ def _maybe_pivot(spark: SparkSession, query: str):
     from pyspark.sql import functions as F
 
     t = spark.table(table_name)
-    if pivot_col not in t.columns:
-        raise ValueError(
-            f"PIVOT column {pivot_col!r} not in {table_name!r}"
-        )
-    if in_values is not None:
-        values = in_values  # pinned: no discovery scan, list order kept
-    else:
+    vname = lambda v: (  # noqa: E731 — DuckDB's value spelling
+        str(v).lower() if isinstance(v, bool) else str(v)
+    )
+    per_col_values: list[list] = []
+    for col, vals in on_specs:
+        if col not in t.columns:
+            raise ValueError(
+                f"PIVOT column {col!r} not in {table_name!r}"
+            )
+        if vals is not None:
+            per_col_values.append(vals)  # pinned: no scan, order kept
+            continue
         vrows = (
-            t.select(pivot_col).filter(F.col(pivot_col).isNotNull())
+            t.select(col).filter(F.col(col).isNotNull())
             .distinct().limit(_PIVOT_MAX_VALUES + 1).collect()
         )
         if len(vrows) > _PIVOT_MAX_VALUES:
             raise ValueError(
-                f"PIVOT ON {pivot_col!r} exceeds {_PIVOT_MAX_VALUES} "
+                f"PIVOT ON {col!r} exceeds {_PIVOT_MAX_VALUES} "
                 "distinct values — that is a join key, not a pivot axis"
             )
-        values = sorted(r[0] for r in vrows)
+        per_col_values.append(sorted(r[0] for r in vrows))
+
+    if len(on_specs) == 1:
+        # single-column ON: pivot directly on the column (typed value
+        # matching, the r13 path)
+        pivot_col = on_specs[0][0]
+        values = per_col_values[0]
+        src = t
+    else:
+        # multi-column ON (round 14, DuckDB parity): pivot on a combo
+        # column — each ON column maps its LISTED values to their
+        # DuckDB name spelling via a typed CASE chain (never a raw
+        # cast, so literal spelling can't drift), joined with '_' by
+        # NULL-PROPAGATING concat: a row with any unlisted/NULL ON
+        # value gets a NULL combo and drops, exactly DuckDB. The
+        # values list is the columns' CROSS PRODUCT in per-column
+        # order (sorted discovery / IN order), matching DuckDB's
+        # column order.
+        import itertools
+
+        mapped = []
+        for (col, _), vals in zip(on_specs, per_col_values):
+            c = F.when(
+                F.col(col) == F.lit(vals[0]), F.lit(vname(vals[0]))
+            )
+            for v in vals[1:]:
+                c = c.when(F.col(col) == F.lit(v), F.lit(vname(v)))
+            mapped.append(c)
+        combo = mapped[0]
+        for mc in mapped[1:]:
+            combo = F.concat(combo, F.lit("_"), mc)
+        pivot_col = "_pvt_combo"
+        values = [
+            "_".join(vname(v) for v in vs)
+            for vs in itertools.product(*per_col_values)
+        ]
+        src = t.withColumn(pivot_col, combo)
 
     if group_cols is None:
         # DuckDB's implicit rule: group by every column not otherwise
         # referenced in the PIVOT statement
-        used = {pivot_col}
+        used = {col for col, _ in on_specs} | {pivot_col}
         # scan the MASKED expr text: a column name inside a string
         # literal is not a reference (review round 13 — DuckDB keeps
         # grouping by a column that only a literal mentions)
@@ -1460,7 +1537,7 @@ def _maybe_pivot(spark: SparkSession, query: str):
         F.expr(e).alias(a) if a is not None else F.expr(e)
         for e, a in aggs
     ]
-    out = t.groupBy(*group_cols).pivot(pivot_col, values).agg(*agg_exprs)
+    out = src.groupBy(*group_cols).pivot(pivot_col, values).agg(*agg_exprs)
     if len(aggs) == 1 and aggs[0][1] is not None:
         # Spark names single-aggregate pivot columns by value alone,
         # even when aliased; DuckDB appends _<alias>. Rename
@@ -1470,9 +1547,6 @@ def _maybe_pivot(spark: SparkSession, query: str):
         # collides with a pivot value. Column order out of pivot is
         # group cols then one column per value, so toDF is exact.
         alias = aggs[0][1]
-        vname = lambda v: (  # noqa: E731 — DuckDB's value spelling
-            str(v).lower() if isinstance(v, bool) else str(v)
-        )
         assert len(out.columns) == len(group_cols) + len(values)
         out = out.toDF(
             *group_cols, *[f"{vname(v)}_{alias}" for v in values]

@@ -1747,3 +1747,40 @@ def test_from_first_star_except_modifier(spark):
         "FROM _t_ffx SELECT g EXCEPT SELECT 'a' AS g",
     ).collect()
     assert [r.g for r in got] == ["b"]
+
+
+def test_pivot_multi_on(spark):
+    """Round 14 second wave: multi-column ON pivots the CROSS PRODUCT
+    of the value sets with <v1>_<v2>[_<alias>] names — pinned against
+    native DuckDB on the identical data, incl. per-column IN lists."""
+    import duckdb
+
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    rows = [
+        ("g1", "a", "x", 1.0), ("g1", "a", "y", 2.0),
+        ("g1", "b", "x", 4.0), ("g2", "b", "y", 8.0),
+        ("g2", None, "x", 99.0),  # NULL ON value: row drops
+    ]
+    spark.createDataFrame(
+        rows, "g string, c1 string, c2 string, x double"
+    ).createOrReplaceTempView("_t_mpvt")
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE _t_mpvt (g VARCHAR, c1 VARCHAR, c2 VARCHAR, "
+        "x DOUBLE)"
+    )
+    duck.executemany("INSERT INTO _t_mpvt VALUES (?,?,?,?)", rows)
+
+    for stmt in [
+        "PIVOT _t_mpvt ON c1, c2 USING sum(x) GROUP BY g",
+        "PIVOT _t_mpvt ON c1, c2 USING sum(x) AS s, min(x) AS mn "
+        "GROUP BY g",
+        "PIVOT _t_mpvt ON c1 IN ('a'), c2 USING sum(x) AS s GROUP BY g",
+    ]:
+        ours = dialect_sql(spark, stmt)
+        want = duck.sql(stmt)
+        assert ours.columns == want.columns, stmt
+        got_rows = sorted(tuple(r) for r in ours.collect())
+        want_rows = sorted(tuple(r) for r in want.fetchall())
+        assert got_rows == want_rows, stmt
