@@ -19,6 +19,12 @@ with the input agg) and bounded by the resample granularity, not the
 row count; the optional ``max_points`` guard makes the bound explicit
 by raising before the join if any series exceeds it.
 
+Both operators reference the input frame more than once (the pair
+join's two sides, the length count, the tie count) and Spark
+recomputes the input's lineage per reference — persist the bucketed
+frame upstream when its own plan is expensive (the bucketing agg
+usually is not: one map-side-combining shuffle).
+
 Determinism: callers pass an exact-typed value column (decimal sums —
 the engine's money/2-dp discipline). Every comparison, the S statistic,
 the tie correction, and the variance numerator are then exact integer
