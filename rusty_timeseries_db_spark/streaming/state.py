@@ -1,0 +1,218 @@
+"""Streaming state-residence durations — the streaming face of
+:func:`..operators.resample.state_durations` (round 14; TimescaleDB
+``state_agg`` over a live event stream).
+
+Why this is not just another per-batch summary sink: a state interval
+can SPAN a micro-batch boundary (the user's last event of batch N pins
+their state until their first event of batch N+1), so batches are not
+independent. The sink keeps a tiny per-key carryover — each key's
+LAST observation — and computes every interval exactly once: batch
+N+1's input is ``carryover ∪ batch``, whose consecutive pairs are
+precisely the bridge interval plus the batch's own intervals.
+
+Exactly-once EFFECTIVE application (stronger than the other sinks'
+at-least-once-with-skip): both per-batch outputs are written to
+VERSIONED locations keyed by the batch id —
+
+- ``deltas/batch=<id>/`` — the batch's (key, state, state_us,
+  n_intervals) increments, mode=overwrite;
+- ``last_obs/batch=<id>/`` — the carryover AFTER this batch,
+  mode=overwrite;
+
+and the manifest's ``last_applied_batch`` advances LAST. A crash at
+any point before the manifest bump replays the batch against the
+UNCHANGED previous carryover version and overwrites both outputs with
+identical content — replays converge instead of double-counting, with
+no CAS ledger needed. (Out-of-order arrival ACROSS batches is the
+honest limitation: an event older than its key's carryover timestamp
+would build a negative interval, so the apply step drops such rows
+and counts them in the returned stats — the same contract as any
+incremental interval builder; use the batch operator for backfills.)
+
+Serving (:func:`serve_state_durations`) reads only deltas at or below
+the manifest watermark — versioned dirs a crashed half-applied batch
+left behind are invisible until their manifest bump — sums them per
+(key, state), and attaches the per-key share exactly like the batch
+operator. O(stored deltas), never O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..fsutil import read_json_manifest, write_json_manifest
+
+
+def _manifest_path(store_path: str) -> str:
+    return store_path.rstrip("/") + ".state.json"
+
+
+def apply_state_durations_batch(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    key: str,
+    state: str,
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+) -> dict:
+    """Apply ONE micro-batch; returns ``{"intervals": n, "late": m}``
+    (0/0 for a replayed or empty batch). Factored out of the sink so
+    the replay-convergence contract is unit-testable."""
+    store = store_path.rstrip("/")
+    man = read_json_manifest(spark, _manifest_path(store)) or {
+        "key": key, "state": state, "ts": ts,
+        "last_applied_batch": -1,
+    }
+    if [man["key"], man["state"], man["ts"]] != [key, state, ts]:
+        raise ValueError(
+            "state-duration store schema mismatch: built for "
+            f"({man['key']}, {man['state']}, {man['ts']}), got "
+            f"({key}, {state}, {ts})"
+        )
+    prev = int(man.get("last_applied_batch", -1))
+    if batch_id <= prev:
+        return {"intervals": 0, "late": 0}
+
+    cols = [F.col(key), F.col(state).alias("_st"), F.col(ts).alias("_ts")]
+    tb = order_tiebreak
+    if tb is not None:
+        cols.append(F.col(tb).cast("long").alias("_tb"))
+    else:
+        cols.append(F.lit(0).alias("_tb"))
+    rows = batch.select(*cols)
+
+    carry = None
+    if prev >= 0:
+        carry = spark.read.parquet(f"{store}/last_obs/batch={prev}")
+        # late rows: older than (or tied below) the key's carryover —
+        # they would build negative intervals; drop and count
+        bounds = carry.select(
+            F.col(key),
+            F.col("_ts").alias("_c_ts"),
+            F.col("_tb").alias("_c_tb"),
+        )
+        flagged = rows.join(F.broadcast(bounds), on=key, how="left")
+        late_cond = F.col("_c_ts").isNotNull() & (
+            (F.col("_ts") < F.col("_c_ts"))
+            | (
+                (F.col("_ts") == F.col("_c_ts"))
+                & (F.col("_tb") <= F.col("_c_tb"))
+            )
+        )
+        n_late = flagged.filter(late_cond).count()
+        rows = flagged.filter(~late_cond).drop("_c_ts", "_c_tb")
+    else:
+        n_late = 0
+
+    inp = rows if carry is None else carry.unionByName(rows)
+    # consecutive intervals over carryover ∪ batch: the batch's own
+    # pairs plus the boundary bridge, each counted exactly once
+    w = Window.partitionBy(key).orderBy("_ts", "_tb")
+    dt_us = F.unix_micros(F.lead("_ts").over(w)) - F.unix_micros(
+        F.col("_ts")
+    )
+    deltas = (
+        inp.select(F.col(key), F.col("_st"), dt_us.alias("_dt"))
+        .filter(F.col("_dt").isNotNull())
+        .groupBy(key, "_st")
+        .agg(
+            F.sum("_dt").cast("long").alias("state_us"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .select(
+            F.col(key), F.col("_st").alias("state"),
+            "state_us", "n_intervals",
+        )
+    )
+    n_intervals = deltas.agg(
+        F.coalesce(F.sum("n_intervals"), F.lit(0))
+    ).first()[0]
+    # versioned, overwrite-idempotent outputs; manifest bump LAST
+    deltas.write.mode("overwrite").parquet(
+        f"{store}/deltas/batch={batch_id}"
+    )
+    last_w = Window.partitionBy(key).orderBy(
+        F.col("_ts").desc(), F.col("_tb").desc()
+    )
+    new_last = (
+        inp.withColumn("_rn", F.row_number().over(last_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    new_last.write.mode("overwrite").parquet(
+        f"{store}/last_obs/batch={batch_id}"
+    )
+    man["last_applied_batch"] = int(batch_id)
+    write_json_manifest(spark, _manifest_path(store), man)
+    return {"intervals": int(n_intervals), "late": int(n_late)}
+
+
+def serve_state_durations(spark, store_path: str) -> DataFrame:
+    """Current per-(key, state) totals + per-key share — the batch
+    operator's output shape, recomputed from the landed deltas only.
+    Deltas above the manifest watermark (a crashed, not-yet-committed
+    batch) are excluded, so reads never see half-applied state."""
+    store = store_path.rstrip("/")
+    man = read_json_manifest(spark, _manifest_path(store))
+    if man is None or int(man.get("last_applied_batch", -1)) < 0:
+        raise FileNotFoundError(
+            f"no state-duration store at {store} — start the sink (or "
+            "apply_state_durations_batch) first"
+        )
+    key = man["key"]
+    agg = (
+        spark.read.option("basePath", f"{store}/deltas")
+        .parquet(f"{store}/deltas")
+        .filter(F.col("batch") <= int(man["last_applied_batch"]))
+        .groupBy(key, "state")
+        .agg(
+            F.sum("state_us").cast("long").alias("state_us"),
+            F.sum("n_intervals").cast("long").alias("n_intervals"),
+        )
+    )
+    total = F.sum("state_us").over(Window.partitionBy(key))
+    return agg.select(
+        F.col(key), "state", "state_us", "n_intervals",
+        F.when(
+            total > 0,
+            F.round(
+                F.col("state_us").cast("double") / total.cast("double"), 6
+            ),
+        ).alias("frac"),
+    )
+
+
+def start_state_durations_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key: str,
+    state: str,
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Maintain the duration store from an event stream: each
+    micro-batch runs :func:`apply_state_durations_batch`; query
+    current totals any time with :func:`serve_state_durations`."""
+    spark = stream.sparkSession
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_state_durations_batch(
+            spark, store_path, batch, batch_id, key, state, ts,
+            order_tiebreak=order_tiebreak,
+        )
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
