@@ -619,3 +619,117 @@ def winsorize(
     return df.join(F.broadcast(bounds), on=keys, how="left").withColumn(
         f"{value_col}_w", clipped
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    thresholds: list[int] = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (round 14 —
+    the privacy face of the data-quality suite): rows whose
+    quasi-identifier equivalence class holds fewer than k records are
+    re-identifiable at that k. Emits one row per threshold:
+    ``(k, n_classes_below, n_rows_below, frac_rows_below)`` plus the
+    dataset-level ``n_rows`` / ``n_classes`` — the numbers a release
+    review actually asks for ("what fraction of rows sit in classes
+    smaller than 5?").
+
+    NULL quasi-values group as their own class (SQL GROUP BY
+    semantics on both engines): NULL is a value an attacker can
+    observe, so it joins classes rather than escaping the audit.
+
+    Scale shape: ONE map-side-combining groupBy on the quasi tuple,
+    then threshold aggregates over the (tiny) class-size table —
+    every threshold reuses the same class counts, no second scan.
+    Exact integer counts; the fraction is a ratio of exact integers
+    rounded 6 dp (oracle-paired, q_k_anonymity).
+    """
+    ks = sorted({int(k) for k in thresholds})
+    if not ks or ks[0] < 2:
+        raise ValueError("k_anonymity_report: thresholds must be >= 2")
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    rows = []
+    aggs = [
+        F.sum("_sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.count(F.when(F.col("_sz") < k, 1))
+            .cast("long").alias(f"_cb_{k}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("_sz") < k, F.col("_sz"))), F.lit(0)
+            ).cast("long").alias(f"_rb_{k}")
+        )
+    stats = classes.agg(*aggs)
+    per_k = None
+    for k in ks:
+        row = stats.select(
+            F.lit(k).cast("int").alias("k"),
+            F.col(f"_cb_{k}").alias("n_classes_below"),
+            F.col(f"_rb_{k}").alias("n_rows_below"),
+            F.round(
+                F.col(f"_rb_{k}").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("frac_rows_below"),
+            "n_rows",
+            "n_classes",
+        )
+        per_k = row if per_k is None else per_k.unionByName(row)
+    return per_k
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law (round
+    14 — the forensic data-quality check for fabricated or truncated
+    numeric feeds): per digit 1-9, the observed count/share and
+    Benford's expected share log10(1 + 1/d), plus the per-digit
+    chi-square contribution ((obs - exp)^2 / exp over counts) so the
+    caller can sum a fit statistic.
+
+    Digit extraction is TEXTUAL over the ``decimal(18,2)`` rendering
+    (fixed notation on both engines — a raw double-to-string cast
+    drifts into scientific notation on one engine and not the other),
+    first ``[1-9]`` wins; zero/NULL values carry no significant digit
+    and are excluded. Exact integer counts; shares/chi terms are
+    ratios of exact integers (and 9 log10 constants) rounded 6 dp —
+    oracle-paired (q_benford_profile).
+    """
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col).cast("decimal(18,2)")).cast("string"),
+        "[1-9]",
+        0,
+    )
+    counts = (
+        df.select(digit.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from ..queries import attach_scalar
+
+    total = counts.agg(F.sum("n").cast("long").alias("_total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    obs_share = F.col("n").cast("double") / F.col("_total").cast("double")
+    exp_n = expected * F.col("_total").cast("double")
+    return attach_scalar(counts, total).select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n"),
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(
+            (F.col("n").cast("double") - exp_n) * (
+                F.col("n").cast("double") - exp_n
+            ) / exp_n,
+            6,
+        ).alias("chi2_term"),
+    )

@@ -105,7 +105,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
 #:   q_fuzzy_vocab_match, q_sql_from_first, q_tfidf_index,
 #:   q_topk_sketch_merge, q_ngram_containment, q_ranking_eval,
 #:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf,
-#:   q_sql_pivot_multi
+#:   q_sql_pivot_multi, q_k_anonymity, q_benford_profile
 
 #: most recent driver-checked round per query (gen_rotation.py output,
 #: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
@@ -12616,4 +12616,99 @@ def q_sql_pivot_multi(spark, sf_dir):
         spark,
         "PIVOT events_mp ON event_type IN ('click', 'view'), half "
         "USING sum(v) AS s GROUP BY cohort",
+    )
+
+
+@declare(
+    "q_k_anonymity",
+    """
+    WITH q AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket
+      FROM documents
+    ),
+    classes AS (
+      SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM q GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_classes
+      FROM classes
+    ),
+    ks AS (SELECT CAST(unnest([2, 5, 10]) AS INT) AS k)
+    SELECT ks.k,
+           CAST(COUNT(CASE WHEN c.sz < ks.k THEN 1 END) AS BIGINT)
+             AS n_classes_below,
+           CAST(COALESCE(SUM(CASE WHEN c.sz < ks.k THEN c.sz END), 0)
+                AS BIGINT) AS n_rows_below,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN c.sz < ks.k THEN c.sz END),
+                               0) AS DOUBLE)
+                 / CAST(s.n_rows AS DOUBLE), 6) AS frac_rows_below,
+           s.n_rows, s.n_classes
+    FROM ks CROSS JOIN classes c CROSS JOIN stats s
+    GROUP BY ks.k, s.n_rows, s.n_classes
+    """,
+    doc="k-anonymity audit over the (lang, source, length-bucket) "
+    "quasi-identifier tuple (round 14 — operators/profile.py "
+    "k_anonymity_report, the privacy face of the data-quality "
+    "suite): per threshold k in {2,5,10}, how many equivalence "
+    "classes and rows fall below k — the release-review question "
+    "'what fraction of rows are re-identifiable at k=5'. NULL "
+    "quasi-values form their own class on both engines. One "
+    "map-side-combining groupBy on the quasi tuple; every threshold "
+    "reuses the same class-size table. Exact integers, one 6-dp "
+    "ratio. Declared after the round-14 window froze: judge-swept "
+    "this round, heads the r15 driver window as new",
+)
+def q_k_anonymity(spark, sf_dir):
+    from .operators.profile import k_anonymity_report
+
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    )
+    return k_anonymity_report(
+        d, ["lang", "source", "len_bucket"], thresholds=[2, 5, 10]
+    )
+
+
+@declare(
+    "q_benford_profile",
+    """
+    WITH d AS (
+      SELECT regexp_extract(
+               CAST(CAST(abs(l_extendedprice) AS DECIMAL(18,2))
+                    AS VARCHAR), '[1-9]', 0) AS digit
+      FROM lineitem
+    ),
+    counts AS (
+      SELECT CAST(digit AS INT) AS digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d WHERE digit <> '' GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+           ROUND(log10(1 + 1.0 / digit), 6) AS benford_share,
+           ROUND(pow(n - log10(1 + 1.0 / digit) * total, 2)
+                 / (log10(1 + 1.0 / digit) * total), 6) AS chi2_term
+    FROM counts CROSS JOIN tot
+    """,
+    doc="Benford first-significant-digit profile of l_extendedprice "
+    "(round 14 — operators/profile.py benford_profile, the forensic "
+    "data-quality check for fabricated/truncated numeric feeds): "
+    "per digit, observed count/share vs Benford's log10(1+1/d) and "
+    "the per-digit chi-square contribution. Digit extraction is "
+    "TEXTUAL over the decimal(18,2) rendering — fixed notation on "
+    "both engines, where a raw double cast drifts into scientific "
+    "notation — first [1-9] wins; zero/NULL carry no digit. Exact "
+    "counts; shares round 6 dp. Declared after the round-14 window "
+    "froze: judge-swept this round, heads the r15 driver window as "
+    "new",
+)
+def q_benford_profile(spark, sf_dir):
+    from .operators.profile import benford_profile
+
+    return benford_profile(
+        T(spark, sf_dir, "lineitem"), value_col="l_extendedprice"
     )

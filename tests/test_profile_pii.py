@@ -431,3 +431,50 @@ def test_winsorize_null_values_excluded_from_bounds(spark):
     assert sum(1 for r in g if r.value_w is None) == 2
     nul = [r for r in out if r.k == "nulls"]
     assert len(nul) == 1 and nul[0].value_w is None
+
+
+def test_k_anonymity_hand_computed(spark):
+    from rusty_timeseries_db_spark.operators.profile import (
+        k_anonymity_report,
+    )
+
+    # classes: (a,1)x1, (a,2)x3, (b,1)x5, (NULL,1)x2
+    rows = (
+        [("a", 1)] + [("a", 2)] * 3 + [("b", 1)] * 5 + [(None, 1)] * 2
+    )
+    df = spark.createDataFrame(rows, "qa string, qb int")
+    got = {
+        r.k: r
+        for r in k_anonymity_report(df, ["qa", "qb"], [2, 4]).collect()
+    }
+    assert got[2].n_rows == 11 and got[2].n_classes == 4
+    # k=2: only the singleton class (a,1) is below
+    assert (got[2].n_classes_below, got[2].n_rows_below) == (1, 1)
+    assert got[2].frac_rows_below == round(1 / 11, 6)
+    # k=4: (a,1), (a,2) and the NULL class are below — NULL is a class
+    assert (got[4].n_classes_below, got[4].n_rows_below) == (3, 6)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="thresholds"):
+        k_anonymity_report(df, ["qa"], [1])
+
+
+def test_benford_digit_extraction_and_terms(spark):
+    import math
+
+    from rusty_timeseries_db_spark.operators.profile import (
+        benford_profile,
+    )
+
+    # first significant digits: 1 (x2: 123.4, 0.19), 2 (0.02 -> 2),
+    # 9 (-9.5 -> abs); 0.0 and NULL excluded
+    df = spark.createDataFrame(
+        [(123.4,), (0.19,), (0.02,), (-9.5,), (0.0,), (None,)],
+        "value double",
+    )
+    got = {r.digit: r for r in benford_profile(df).collect()}
+    assert {d: r.n for d, r in got.items()} == {1: 2, 2: 1, 9: 1}
+    assert got[1].obs_share == 0.5
+    assert got[1].benford_share == round(math.log10(2), 6)
+    exp_n = math.log10(2) * 4
+    assert got[1].chi2_term == round((2 - exp_n) ** 2 / exp_n, 6)
