@@ -105,7 +105,8 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
 #:   q_fuzzy_vocab_match, q_sql_from_first, q_tfidf_index,
 #:   q_topk_sketch_merge, q_ngram_containment, q_ranking_eval,
 #:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf,
-#:   q_sql_pivot_multi, q_k_anonymity, q_benford_profile
+#:   q_sql_pivot_multi, q_k_anonymity, q_benford_profile,
+#:   q_session_stats
 
 #: most recent driver-checked round per query (gen_rotation.py output,
 #: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
@@ -12711,4 +12712,93 @@ def q_benford_profile(spark, sf_dir):
 
     return benford_profile(
         T(spark, sf_dir, "lineitem"), value_col="l_extendedprice"
+    )
+
+
+@declare(
+    "q_session_stats",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS dur_us,
+             CAST(MIN(ts) AS DATE) AS day
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+             AS avg_events,
+           ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1e6, 6)
+             AS avg_duration_s,
+           ROUND(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS bounce_rate
+    FROM per_session GROUP BY day
+    """,
+    doc="daily session statistics (round 14): sessions split on 30-min "
+    "inactivity per user (lag + cumulative-flag-sum — the "
+    "gaps-and-islands sessionizer), then per-day session count, "
+    "events/session, average duration and bounce rate (1-event "
+    "share), the product-analytics KPI row. Durations are exact "
+    "integer microseconds; every ratio is exact-int/exact-int at 6 "
+    "dp. Two co-keyed user windows + one (user, session) agg + one "
+    "day agg — no self-join, no collect. Declared after the "
+    "round-14 window froze: judge-swept this round, heads the r15 "
+    "driver window as new",
+)
+def q_session_stats(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    seq = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = seq.select(
+        "user_id", "ts",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).cast("long").alias("dur_us"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events"),
+        F.round(
+            F.sum("dur_us").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("avg_duration_s"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
     )
