@@ -733,3 +733,74 @@ def benford_profile(
             6,
         ).alias("chi2_term"),
     )
+
+
+def pmi_cells(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 10_000,
+) -> DataFrame:
+    """Pointwise mutual information per observed (a, b) cell — the
+    information-theoretic sibling of :func:`chi_square_cells` (round
+    14): chi-square answers "are the columns dependent AT ALL"; PMI
+    says WHICH value pairs co-occur more (positive) or less
+    (negative) than independence predicts, and summing the
+    contribution column yields the columns' mutual information in
+    bits — the association-mining / feature-redundancy readout.
+
+    One row per OBSERVED cell (a zero cell has pmi -inf and zero MI
+    contribution — it is omitted, unlike chi-square's grid, where
+    zero cells still carry expected mass):
+
+    - ``n_ab`` exact joint count;
+    - ``pmi_bits`` = log2(n_ab * N / (n_a * n_b)), rounded 6 dp;
+    - ``mi_contrib_r9`` = (n_ab/N) * pmi, rounded 9 dp — per-cell
+      quantization BEFORE any cross-cell sum (the engine's float
+      discipline), so sum(mi_contrib_r9) is order-independent.
+
+    Scale shape: the same three map-side-combining aggregates as
+    chi-square (joint + two marginals, marginals derived FROM the
+    joint counts — one data scan total) joined back on the dimension
+    keys; the ``max_cells`` guard bounds the dims-only work. NULL
+    categories participate as their own level."""
+    counts = (
+        df.groupBy(
+            F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+        ).agg(F.count(F.lit(1)).alias("_o"))
+    )
+    ma = counts.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    mb = counts.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    n_a = ma.count()
+    n_b = mb.count()
+    if n_a * n_b > max_cells:
+        raise ValueError(
+            f"{n_a} x {n_b} cells exceed max_cells={max_cells} — "
+            "bucket the columns first"
+        )
+    total = counts.agg(F.sum("_o").alias("_n"))
+    from ..queries import attach_scalar
+
+    joined = (
+        counts.join(
+            ma.select(F.col("_a").alias("_ja"), "_na"),
+            F.col("_a").eqNullSafe(F.col("_ja")),
+        )
+        .join(
+            mb.select(F.col("_b").alias("_jb"), "_nb"),
+            F.col("_b").eqNullSafe(F.col("_jb")),
+        )
+        .drop("_ja", "_jb")
+    )
+    o = F.col("_o").cast("double")
+    n = F.col("_n").cast("double")
+    pmi = F.log2(
+        o * n / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+    )
+    return attach_scalar(joined, total).select(
+        F.col("_a").alias("a_value"),
+        F.col("_b").alias("b_value"),
+        F.col("_o").cast("bigint").alias("n_ab"),
+        F.round(pmi, 6).alias("pmi_bits"),
+        F.round((o / n) * pmi, 9).alias("mi_contrib_r9"),
+    )

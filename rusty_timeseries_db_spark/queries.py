@@ -106,7 +106,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
 #:   q_topk_sketch_merge, q_ngram_containment, q_ranking_eval,
 #:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf,
 #:   q_sql_pivot_multi, q_k_anonymity, q_benford_profile,
-#:   q_session_stats
+#:   q_session_stats, q_pmi_scan
 
 #: most recent driver-checked round per query (gen_rotation.py output,
 #: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
@@ -12801,4 +12801,49 @@ def q_session_stats(spark, sf_dir):
             / F.count(F.lit(1)),
             6,
         ).alias("bounce_rate"),
+    )
+
+
+@declare(
+    "q_pmi_scan",
+    """
+    WITH counts AS (
+      SELECT lang AS a_value, source AS b_value,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM documents GROUP BY lang, source
+    ),
+    ma AS (SELECT a_value, CAST(SUM(n_ab) AS BIGINT) AS na
+           FROM counts GROUP BY a_value),
+    mb AS (SELECT b_value, CAST(SUM(n_ab) AS BIGINT) AS nb
+           FROM counts GROUP BY b_value),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM counts)
+    SELECT c.a_value, c.b_value, c.n_ab,
+           ROUND(log2(CAST(c.n_ab AS DOUBLE) * n
+                      / (CAST(ma.na AS DOUBLE) * mb.nb)), 6)
+             AS pmi_bits,
+           ROUND((CAST(c.n_ab AS DOUBLE) / n)
+                 * log2(CAST(c.n_ab AS DOUBLE) * n
+                        / (CAST(ma.na AS DOUBLE) * mb.nb)), 9)
+             AS mi_contrib_r9
+    FROM counts c
+    JOIN ma ON c.a_value IS NOT DISTINCT FROM ma.a_value
+    JOIN mb ON c.b_value IS NOT DISTINCT FROM mb.b_value
+    CROSS JOIN tot
+    """,
+    doc="pointwise mutual information per (lang, source) cell (round "
+    "14 — operators/profile.py pmi_cells, the information-theoretic "
+    "sibling of q_chi_square_scan): which value pairs co-occur more "
+    "or less than independence predicts, with per-cell MI "
+    "contributions (n_ab/N * pmi, 9-dp quantized before any sum) "
+    "whose total is the columns' mutual information in bits. One "
+    "data scan (marginals derive from the joint counts); max_cells "
+    "guards the dims-only work. Declared after the round-14 window "
+    "froze: judge-swept this round, heads the r15 driver window as "
+    "new",
+)
+def q_pmi_scan(spark, sf_dir):
+    from .operators.profile import pmi_cells
+
+    return pmi_cells(
+        T(spark, sf_dir, "documents"), "lang", "source"
     )

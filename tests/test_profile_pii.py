@@ -478,3 +478,40 @@ def test_benford_digit_extraction_and_terms(spark):
     assert got[1].benford_share == round(math.log10(2), 6)
     exp_n = math.log10(2) * 4
     assert got[1].chi2_term == round((2 - exp_n) ** 2 / exp_n, 6)
+
+
+def test_pmi_cells_hand_computed(spark):
+    import math
+
+    from rusty_timeseries_db_spark.operators.profile import pmi_cells
+
+    # perfect association: a1<->b1 (2x), a2<->b2 (2x)
+    rows = [("a1", "b1")] * 2 + [("a2", "b2")] * 2
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = {(r.a_value, r.b_value): r for r in pmi_cells(df, "x", "y").collect()}
+    # pmi = log2(2*4 / (2*2)) = 1 bit for both observed cells
+    assert set(got) == {("a1", "b1"), ("a2", "b2")}
+    for r in got.values():
+        assert r.pmi_bits == 1.0
+        assert r.mi_contrib_r9 == 0.5
+    # total MI = 1 bit (perfectly dependent binary pair)
+    assert sum(r.mi_contrib_r9 for r in got.values()) == 1.0
+
+    # independence: pmi 0 everywhere
+    rows = [(a, b) for a in ("a1", "a2") for b in ("b1", "b2")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    for r in pmi_cells(df, "x", "y").collect():
+        assert r.pmi_bits == 0.0 and r.mi_contrib_r9 == 0.0
+
+    # NULL participates as its own level
+    df = spark.createDataFrame(
+        [("a1", None), ("a1", None), ("a2", "b1")], "x string, y string"
+    )
+    got = {(r.a_value, r.b_value): r for r in pmi_cells(df, "x", "y").collect()}
+    assert (("a1", None) in got) and got[("a1", None)].n_ab == 2
+    assert got[("a1", None)].pmi_bits == round(math.log2(2*3/(2*2)), 6)
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="max_cells"):
+        pmi_cells(df, "x", "y", max_cells=1)
