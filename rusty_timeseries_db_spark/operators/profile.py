@@ -329,6 +329,37 @@ def data_quality_report(
     )
 
 
+def _joint_and_marginals(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int,
+    what: str,
+):
+    """Shared scaffolding of the two-column dependence scans
+    (chi_square_cells / pmi_cells — review round 14, deduplicated):
+    the (a,b) joint counts, the marginals DERIVED from them (one data
+    scan total), the 1-row grand total, and the eager dims-only
+    ``max_cells`` guard. Returns (counts, ma, mb, total)."""
+    counts = (
+        df.groupBy(
+            F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+        ).agg(F.count(F.lit(1)).alias("_o"))
+    )
+    ma = counts.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    mb = counts.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    n_a = ma.count()
+    n_b = mb.count()
+    if n_a * n_b > max_cells:
+        raise ValueError(
+            f"{n_a} x {n_b} cells exceed max_cells={max_cells} — "
+            f"{what} over that many levels is a modeling error; "
+            "bucket the columns first"
+        )
+    total = counts.agg(F.sum("_o").alias("_n"))
+    return counts, ma, mb, total
+
+
 def chi_square_cells(
     df: DataFrame,
     col_a: str,
@@ -356,22 +387,9 @@ def chi_square_cells(
     over more cells than that is a modeling error, not a profile) —
     left-joined to the observed counts. NULL categories participate
     as their own level (NULL-safe grouping)."""
-    counts = (
-        df.groupBy(
-            F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
-        ).agg(F.count(F.lit(1)).alias("_o"))
+    counts, ma, mb, total = _joint_and_marginals(
+        df, col_a, col_b, max_cells, "chi-square"
     )
-    ma = counts.groupBy("_a").agg(F.sum("_o").alias("_na"))
-    mb = counts.groupBy("_b").agg(F.sum("_o").alias("_nb"))
-    n_a = ma.count()
-    n_b = mb.count()
-    if n_a * n_b > max_cells:
-        raise ValueError(
-            f"{n_a} x {n_b} contingency cells exceed max_cells="
-            f"{max_cells} — chi-square over that many levels is a "
-            "modeling error; bucket the columns first"
-        )
-    total = counts.agg(F.sum("_o").alias("_n"))
     from ..queries import attach_scalar
 
     # distinct alias names: ma/mb/counts share lineage, and a join
@@ -667,22 +685,28 @@ def k_anonymity_report(
             ).cast("long").alias(f"_rb_{k}")
         )
     stats = classes.agg(*aggs)
-    per_k = None
-    for k in ks:
-        row = stats.select(
-            F.lit(k).cast("int").alias("k"),
-            F.col(f"_cb_{k}").alias("n_classes_below"),
-            F.col(f"_rb_{k}").alias("n_rows_below"),
-            F.round(
-                F.col(f"_rb_{k}").cast("double")
-                / F.col("n_rows").cast("double"),
-                6,
-            ).alias("frac_rows_below"),
-            "n_rows",
-            "n_classes",
-        )
-        per_k = row if per_k is None else per_k.unionByName(row)
-    return per_k
+    # one explode over per-threshold structs, not a |thresholds|-branch
+    # union of selects: the class-size aggregate is computed exactly
+    # once by construction (review round 14), not by hoping the
+    # optimizer reuses the exchange
+    rows_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("k"),
+                F.col(f"_cb_{k}").alias("n_classes_below"),
+                F.col(f"_rb_{k}").alias("n_rows_below"),
+                F.round(
+                    F.col(f"_rb_{k}").cast("double")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("frac_rows_below"),
+                F.col("n_rows"),
+                F.col("n_classes"),
+            )
+            for k in ks
+        ]
+    )
+    return stats.select(F.explode(rows_arr).alias("r")).select("r.*")
 
 
 def benford_profile(
@@ -764,21 +788,9 @@ def pmi_cells(
     joint counts — one data scan total) joined back on the dimension
     keys; the ``max_cells`` guard bounds the dims-only work. NULL
     categories participate as their own level."""
-    counts = (
-        df.groupBy(
-            F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
-        ).agg(F.count(F.lit(1)).alias("_o"))
+    counts, ma, mb, total = _joint_and_marginals(
+        df, col_a, col_b, max_cells, "PMI"
     )
-    ma = counts.groupBy("_a").agg(F.sum("_o").alias("_na"))
-    mb = counts.groupBy("_b").agg(F.sum("_o").alias("_nb"))
-    n_a = ma.count()
-    n_b = mb.count()
-    if n_a * n_b > max_cells:
-        raise ValueError(
-            f"{n_a} x {n_b} cells exceed max_cells={max_cells} — "
-            "bucket the columns first"
-        )
-    total = counts.agg(F.sum("_o").alias("_n"))
     from ..queries import attach_scalar
 
     joined = (

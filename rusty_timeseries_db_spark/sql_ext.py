@@ -1487,32 +1487,49 @@ def _maybe_pivot(spark: SparkSession, query: str):
         src = t
     else:
         # multi-column ON (round 14, DuckDB parity): pivot on a combo
-        # column — each ON column maps its LISTED values to their
-        # DuckDB name spelling via a typed CASE chain (never a raw
-        # cast, so literal spelling can't drift), joined with '_' by
-        # NULL-PROPAGATING concat: a row with any unlisted/NULL ON
-        # value gets a NULL combo and drops, exactly DuckDB. The
+        # column — each ON column maps its LISTED values to a
+        # LENGTH-PREFIXED encoding of their DuckDB name spelling via
+        # a typed CASE chain (never a raw cast, so literal spelling
+        # can't drift), joined by NULL-PROPAGATING concat: a row with
+        # any unlisted/NULL ON value gets a NULL combo and drops,
+        # exactly DuckDB. The cell IDENTITY is the encoded tuple —
+        # the length prefix makes it collision-free even when values
+        # contain '_' (review round 14: 'a'+'b_c' vs 'a_b'+'c' must
+        # stay SEPARATE cells; their display names collide and are
+        # deduplicated with _1/_2 suffixes, exactly DuckDB). The
         # values list is the columns' CROSS PRODUCT in per-column
         # order (sorted discovery / IN order), matching DuckDB's
-        # column order.
+        # column order; display names are renamed in positionally at
+        # the end.
         import itertools
+
+        for (col, _), vals in zip(on_specs, per_col_values):
+            if not vals:
+                raise ValueError(
+                    f"PIVOT ON column {col!r} has no non-NULL values "
+                    "— nothing to pivot on; pin an IN (...) list or "
+                    "drop the column from ON"
+                )
+
+        def _enc(v) -> str:
+            n = vname(v)
+            return f"{len(n)}:{n}"
 
         mapped = []
         for (col, _), vals in zip(on_specs, per_col_values):
             c = F.when(
-                F.col(col) == F.lit(vals[0]), F.lit(vname(vals[0]))
+                F.col(col) == F.lit(vals[0]), F.lit(_enc(vals[0]))
             )
             for v in vals[1:]:
-                c = c.when(F.col(col) == F.lit(v), F.lit(vname(v)))
+                c = c.when(F.col(col) == F.lit(v), F.lit(_enc(v)))
             mapped.append(c)
         combo = mapped[0]
         for mc in mapped[1:]:
-            combo = F.concat(combo, F.lit("_"), mc)
+            combo = F.concat(combo, F.lit("|"), mc)
         pivot_col = "_pvt_combo"
-        values = [
-            "_".join(vname(v) for v in vs)
-            for vs in itertools.product(*per_col_values)
-        ]
+        combos = list(itertools.product(*per_col_values))
+        values = ["|".join(_enc(v) for v in vs) for vs in combos]
+        display = ["_".join(vname(v) for v in vs) for vs in combos]
         src = t.withColumn(pivot_col, combo)
 
     if group_cols is None:
@@ -1538,6 +1555,32 @@ def _maybe_pivot(spark: SparkSession, query: str):
         for e, a in aggs
     ]
     out = src.groupBy(*group_cols).pivot(pivot_col, values).agg(*agg_exprs)
+    if len(on_specs) > 1:
+        # multi-ON: Spark named the columns by the ENCODED combo —
+        # rename positionally to the DuckDB display names. Column
+        # order out of pivot is group cols, then per value
+        # (values-major) one column per aggregate.
+        raw: list[str] = []
+        for disp in display:
+            if len(aggs) == 1 and aggs[0][1] is None:
+                raw.append(disp)
+            elif len(aggs) == 1:
+                raw.append(f"{disp}_{aggs[0][1]}")
+            else:
+                raw.extend(f"{disp}_{a}" for _, a in aggs)
+        # DuckDB deduplicates colliding final names with _1, _2, ...
+        # in order of appearance — mirror it
+        seen: dict[str, int] = {}
+        names: list[str] = []
+        for nm in raw:
+            if nm in seen:
+                seen[nm] += 1
+                names.append(f"{nm}_{seen[nm]}")
+            else:
+                seen[nm] = 0
+                names.append(nm)
+        assert len(out.columns) == len(group_cols) + len(names)
+        return out.toDF(*group_cols, *names)
     if len(aggs) == 1 and aggs[0][1] is not None:
         # Spark names single-aggregate pivot columns by value alone,
         # even when aliased; DuckDB appends _<alias>. Rename

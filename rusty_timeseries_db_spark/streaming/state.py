@@ -23,11 +23,16 @@ and the manifest's ``last_applied_batch`` advances LAST. A crash at
 any point before the manifest bump replays the batch against the
 UNCHANGED previous carryover version and overwrites both outputs with
 identical content — replays converge instead of double-counting, with
-no CAS ledger needed. (Out-of-order arrival ACROSS batches is the
-honest limitation: an event older than its key's carryover timestamp
-would build a negative interval, so the apply step drops such rows
-and counts them in the returned stats — the same contract as any
-incremental interval builder; use the batch operator for backfills.)
+no CAS ledger needed. Carryover versions older than the replay window
+(current + predecessor) are pruned after each commit, so ``last_obs``
+holds at most two key-table snapshots. (Out-of-order arrival ACROSS
+batches is the honest limitation: an event STRICTLY older than its
+key's carryover timestamp would build a negative interval, so the
+apply step drops such rows and counts them in the returned stats —
+the same contract as any incremental interval builder; use the batch
+operator for backfills. A tied-timestamp event is kept — it is new
+data with a zero-length interval — unless a tiebreak column exists
+and also ties at-or-below, which marks an exact replay duplicate.)
 
 Serving (:func:`serve_state_durations`) reads only deltas at or below
 the manifest watermark — versioned dirs a crashed half-applied batch
@@ -86,29 +91,44 @@ def apply_state_durations_batch(
     rows = batch.select(*cols)
 
     carry = None
+    flagged = None
     if prev >= 0:
         carry = spark.read.parquet(f"{store}/last_obs/batch={prev}")
-        # late rows: older than (or tied below) the key's carryover —
-        # they would build negative intervals; drop and count
+        # late rows would build negative intervals — drop and count.
+        # STRICTLY older only when no tiebreak exists: a new event
+        # tied with the carryover timestamp is genuinely new data (a
+        # zero-length interval, not a negative one) and dropping it
+        # would break stream==batch parity (review round 14). With a
+        # tiebreak the tied-below comparison additionally drops exact
+        # duplicates of the carryover row.
         bounds = carry.select(
             F.col(key),
             F.col("_ts").alias("_c_ts"),
             F.col("_tb").alias("_c_tb"),
         )
-        flagged = rows.join(F.broadcast(bounds), on=key, how="left")
-        late_cond = F.col("_c_ts").isNotNull() & (
-            (F.col("_ts") < F.col("_c_ts"))
-            | (
-                (F.col("_ts") == F.col("_c_ts"))
-                & (F.col("_tb") <= F.col("_c_tb"))
+        flagged = rows.join(
+            F.broadcast(bounds), on=key, how="left"
+        ).persist()
+        if tb is not None:
+            late_cond = F.col("_c_ts").isNotNull() & (
+                (F.col("_ts") < F.col("_c_ts"))
+                | (
+                    (F.col("_ts") == F.col("_c_ts"))
+                    & (F.col("_tb") <= F.col("_c_tb"))
+                )
             )
-        )
+        else:
+            late_cond = F.col("_c_ts").isNotNull() & (
+                F.col("_ts") < F.col("_c_ts")
+            )
         n_late = flagged.filter(late_cond).count()
         rows = flagged.filter(~late_cond).drop("_c_ts", "_c_tb")
     else:
         n_late = 0
 
-    inp = rows if carry is None else carry.unionByName(rows)
+    # several actions read this lineage (delta write, carryover
+    # write); persist once instead of recomputing the join per action
+    inp = (rows if carry is None else carry.unionByName(rows)).persist()
     # consecutive intervals over carryover ∪ batch: the batch's own
     # pairs plus the boundary bridge, each counted exactly once
     w = Window.partitionBy(key).orderBy("_ts", "_tb")
@@ -128,26 +148,46 @@ def apply_state_durations_batch(
             "state_us", "n_intervals",
         )
     )
-    n_intervals = deltas.agg(
-        F.coalesce(F.sum("n_intervals"), F.lit(0))
-    ).first()[0]
-    # versioned, overwrite-idempotent outputs; manifest bump LAST
-    deltas.write.mode("overwrite").parquet(
-        f"{store}/deltas/batch={batch_id}"
-    )
-    last_w = Window.partitionBy(key).orderBy(
-        F.col("_ts").desc(), F.col("_tb").desc()
-    )
-    new_last = (
-        inp.withColumn("_rn", F.row_number().over(last_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    new_last.write.mode("overwrite").parquet(
-        f"{store}/last_obs/batch={batch_id}"
-    )
-    man["last_applied_batch"] = int(batch_id)
-    write_json_manifest(spark, _manifest_path(store), man)
+    try:
+        # versioned, overwrite-idempotent outputs; manifest bump LAST
+        deltas.write.mode("overwrite").parquet(
+            f"{store}/deltas/batch={batch_id}"
+        )
+        # interval count from the WRITTEN output — no extra pass over
+        # the input lineage
+        n_intervals = (
+            spark.read.parquet(f"{store}/deltas/batch={batch_id}")
+            .agg(F.coalesce(F.sum("n_intervals"), F.lit(0)))
+            .first()[0]
+        )
+        last_w = Window.partitionBy(key).orderBy(
+            F.col("_ts").desc(), F.col("_tb").desc()
+        )
+        new_last = (
+            inp.withColumn("_rn", F.row_number().over(last_w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_last.write.mode("overwrite").parquet(
+            f"{store}/last_obs/batch={batch_id}"
+        )
+        man["last_applied_batch"] = int(batch_id)
+        # prune carryover versions no longer reachable: keep the one
+        # just written and its predecessor (the replay window — a
+        # crash BEFORE this bump still reads `prev`; anything older
+        # is dead weight that would otherwise grow O(batches x keys))
+        from ..fsutil import delete_path
+
+        keep = {int(batch_id), prev}
+        for v in man.get("last_obs_versions", []):
+            if int(v) not in keep:
+                delete_path(spark, f"{store}/last_obs/batch={v}")
+        man["last_obs_versions"] = sorted(v for v in keep if v >= 0)
+        write_json_manifest(spark, _manifest_path(store), man)
+    finally:
+        inp.unpersist()
+        if flagged is not None:
+            flagged.unpersist()
     return {"intervals": int(n_intervals), "late": int(n_late)}
 
 

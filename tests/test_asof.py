@@ -1784,3 +1784,42 @@ def test_pivot_multi_on(spark):
         got_rows = sorted(tuple(r) for r in ours.collect())
         want_rows = sorted(tuple(r) for r in want.fetchall())
         assert got_rows == want_rows, stmt
+
+
+def test_pivot_multi_on_underscore_values_stay_separate(spark):
+    """Review round 14: values containing '_' must keep their cells
+    SEPARATE ('a'+'b_c' vs 'a_b'+'c') even though the display names
+    collide — DuckDB behavior (duplicate column names, distinct
+    numbers)."""
+    import duckdb
+
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    rows = [
+        ("g", "a", "b_c", 1.0), ("g", "a_b", "c", 10.0),
+        ("g", "a", "c", 100.0),
+    ]
+    spark.createDataFrame(
+        rows, "g string, c1 string, c2 string, x double"
+    ).createOrReplaceTempView("_t_upvt")
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE _t_upvt (g VARCHAR, c1 VARCHAR, c2 VARCHAR, "
+        "x DOUBLE)"
+    )
+    duck.executemany("INSERT INTO _t_upvt VALUES (?,?,?,?)", rows)
+    stmt = "PIVOT _t_upvt ON c1, c2 USING sum(x) GROUP BY g"
+    ours = dialect_sql(spark, stmt)
+    want = duck.sql(stmt)
+    assert ours.columns == want.columns  # incl. the duplicated name
+    assert sorted(
+        tuple(r) for r in ours.collect()
+    ) == sorted(tuple(r) for r in want.fetchall())
+    # empty discovered ON column raises honestly
+    spark.createDataFrame(
+        [("g", "a", None, 1.0)], "g string, c1 string, c2 string, x double"
+    ).createOrReplaceTempView("_t_epvt")
+    import pytest as _p
+
+    with _p.raises(ValueError, match="no non-NULL values"):
+        dialect_sql(spark, "PIVOT _t_epvt ON c1, c2 USING sum(x) GROUP BY g")

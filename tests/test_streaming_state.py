@@ -199,3 +199,47 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
     )
     assert q.awaitTermination(180)
     assert _served(spark, store) == _batch_ref(spark, ROWS)
+
+
+def test_tied_timestamp_without_tiebreak_is_kept(spark, tmp_path):
+    """Review round 14: with no tiebreak column, a new event tied with
+    the carryover timestamp is KEPT (zero-length interval), preserving
+    stream==batch parity."""
+    store = str(tmp_path / "sd")
+
+    def _nt(rows):
+        return _df(spark, rows).drop("event_id")
+
+    b0 = [(1, "A", 0, 0), (1, "B", 100, 0)]
+    b1 = [(1, "C", 100, 0), (1, "D", 160, 0)]  # C ties B's timestamp
+    apply_state_durations_batch(
+        spark, store, _nt(b0), 0, "user_id", "state"
+    )
+    out = apply_state_durations_batch(
+        spark, store, _nt(b1), 1, "user_id", "state"
+    )
+    assert out["late"] == 0
+    got = _served(spark, store)
+    # A 100s; B->C zero-length; C holds 100->160
+    assert got[(1, "A")][0] == 100_000_000
+    assert got[(1, "C")][0] == 60_000_000
+    assert (1, "B") in got and got[(1, "B")][0] == 0
+
+
+def test_last_obs_versions_pruned(spark, tmp_path):
+    import os
+
+    store = str(tmp_path / "sd")
+    for i, sec in enumerate([0, 50, 100]):
+        apply_state_durations_batch(
+            spark, store,
+            _df(spark, [(1, "A", sec, i)]), i, "user_id", "state",
+            order_tiebreak="event_id",
+        )
+    vers = sorted(os.listdir(f"{store}/last_obs"))
+    # only the replay window (current + predecessor) survives
+    assert vers == ["batch=1", "batch=2"]
+    # deltas (the serving model) are all retained
+    assert sorted(os.listdir(f"{store}/deltas")) == [
+        "batch=0", "batch=1", "batch=2"
+    ]
