@@ -74,6 +74,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "documented scale contract, retrieval.py rrf_fuse) — the "
         "distributed work happened inside the retrievers",
     },
+    "q_word_dispersion": {
+        "cartesian": "the DP grid is top-20 words x distinct sources "
+        "— two DIMENSION-sized sets (the q_chi_square_scan grid "
+        "allowance); the data-scale work is the (source, word) count"
+    },
     "q_hybrid_index_rrf": {
         "cartesian": "query_tfidf's 1-row query-norm broadcast "
         "crossJoin (the q_tfidf_index attach-scalar allowance)",

@@ -106,7 +106,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
 #:   q_topk_sketch_merge, q_ngram_containment, q_ranking_eval,
 #:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf,
 #:   q_sql_pivot_multi, q_k_anonymity, q_benford_profile,
-#:   q_session_stats, q_pmi_scan
+#:   q_session_stats, q_pmi_scan, q_word_dispersion
 
 #: most recent driver-checked round per query (gen_rotation.py output,
 #: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
@@ -12846,4 +12846,96 @@ def q_pmi_scan(spark, sf_dir):
 
     return pmi_cells(
         T(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@declare(
+    "q_word_dispersion",
+    """
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> len(t) > 0)) AS w
+      FROM documents
+    ),
+    per_sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, w
+    ),
+    word_tot AS (
+      SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM per_sw GROUP BY w
+    ),
+    src_tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS cs
+      FROM per_sw GROUP BY source
+    ),
+    corpus AS (SELECT CAST(SUM(cs) AS BIGINT) AS n FROM src_tot),
+    top AS (
+      SELECT w, cw FROM word_tot
+      ORDER BY cw DESC, w LIMIT 20
+    ),
+    grid AS (
+      SELECT t.w, t.cw, s.source, s.cs,
+             COALESCE(p.c, 0) AS c
+      FROM top t CROSS JOIN src_tot s
+      LEFT JOIN per_sw p ON p.w = t.w AND p.source = s.source
+    )
+    SELECT w AS word, MIN(cw) AS n_total,
+           ROUND(0.5 * SUM(ABS(
+             CAST(c AS DOUBLE) / cw
+             - CAST(cs AS DOUBLE) / corpus.n
+           )), 6) AS dp
+    FROM grid CROSS JOIN corpus
+    GROUP BY w
+    """,
+    doc="Gries' DP dispersion of the top-20 corpus words across "
+    "sources (round 14): DP = 0.5 * sum_s |share of the word's "
+    "occurrences in s - s's share of the corpus| — 0 means the word "
+    "spreads exactly like the corpus (a true stopword), near 1 means "
+    "it clumps in one source (boilerplate / template leakage; "
+    "complements q_boilerplate_profile, which needs the doc-level "
+    "signal). Every term is a ratio of exact integer counts; the "
+    "<=|sources| summands per word are summed after identical IEEE "
+    "arithmetic, rounded 6 dp. The grid is top-20 x sources — "
+    "dims-only; the data-scale work is the one (source, word) count. "
+    "Declared after the round-14 window froze: judge-swept this "
+    "round, heads the r15 driver window as new",
+)
+def q_word_dispersion(spark, sf_dir):
+    from .operators.dedup import word_tokens
+    from .operators.topk import topk
+
+    toks = T(spark, sf_dir, "documents").select(
+        "source", F.explode(word_tokens("text")).alias("w")
+    )
+    per_sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    word_tot = per_sw.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    src_tot = per_sw.groupBy("source").agg(
+        F.sum("c").cast("long").alias("cs")
+    )
+    corpus = src_tot.agg(F.sum("cs").cast("long").alias("n"))
+    top = topk(word_tot, order=[F.col("cw").desc(), F.col("w")], k=20)
+    grid = (
+        top.crossJoin(src_tot)
+        .join(per_sw, on=["w", "source"], how="left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    return (
+        attach_scalar(grid, corpus)
+        .groupBy("w")
+        .agg(
+            F.min("cw").cast("long").alias("n_total"),
+            F.round(
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.col("c").cast("double") / F.col("cw")
+                        - F.col("cs").cast("double") / F.col("n")
+                    )
+                ),
+                6,
+            ).alias("dp"),
+        )
+        .withColumnRenamed("w", "word")
     )

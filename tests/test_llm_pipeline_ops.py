@@ -852,3 +852,60 @@ def test_bigram_surprisal_semantics(spark):
     assert out[0].rare_bigram_frac == 0.0
     # the rare-transition doc ("the dog", "dog sat") flags partially
     assert out[102].rare_bigram_frac == round(2 / 5, 6)
+
+
+def test_word_dispersion_extremes(spark):
+    """Gries' DP: a word spread exactly like the corpus scores 0; a
+    word clumped in one source scores 1 - that source's share."""
+    from rusty_timeseries_db_spark.queries import (
+        all_queries,  # noqa: F401 — ensures registry imports cleanly
+    )
+    from pyspark.sql import functions as F
+    from rusty_timeseries_db_spark.operators.dedup import word_tokens
+    from rusty_timeseries_db_spark.queries import attach_scalar
+    from rusty_timeseries_db_spark.operators.topk import topk
+
+    # two sources, equal sizes; "even" appears once per source,
+    # "clump" twice in s1 only; filler balances sizes
+    docs = spark.createDataFrame(
+        [
+            ("s1", "even clump clump f1"),
+            ("s2", "even f2 f3 f4"),
+        ],
+        "source string, text string",
+    )
+    toks = docs.select("source", F.explode(word_tokens("text")).alias("w"))
+    per_sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    word_tot = per_sw.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    src_tot = per_sw.groupBy("source").agg(
+        F.sum("c").cast("long").alias("cs")
+    )
+    corpus = src_tot.agg(F.sum("cs").cast("long").alias("n"))
+    top = topk(word_tot, order=[F.col("cw").desc(), F.col("w")], k=10)
+    grid = (
+        top.crossJoin(src_tot)
+        .join(per_sw, on=["w", "source"], how="left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    got = {
+        r.w: r.dp
+        for r in attach_scalar(grid, corpus)
+        .groupBy("w")
+        .agg(
+            F.round(
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.col("c").cast("double") / F.col("cw")
+                        - F.col("cs").cast("double") / F.col("n")
+                    )
+                ),
+                6,
+            ).alias("dp")
+        )
+        .collect()
+    }
+    assert got["even"] == 0.0          # spread exactly like the corpus
+    assert got["clump"] == 0.5         # all mass in s1, which is 1/2
