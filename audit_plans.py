@@ -74,6 +74,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "documented scale contract, retrieval.py rrf_fuse) — the "
         "distributed work happened inside the retrievers",
     },
+    "q_psi_drift": {
+        "cartesian": "the bin grid is event-types x 10 fixed bands x "
+        "2 periods — dims-only (the q_chi_square_scan grid "
+        "allowance); the data-scale work is the banded count"
+    },
     "q_word_dispersion": {
         "cartesian": "the DP grid is top-20 words x distinct sources "
         "— two DIMENSION-sized sets (the q_chi_square_scan grid "

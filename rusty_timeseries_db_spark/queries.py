@@ -106,7 +106,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
 #:   q_topk_sketch_merge, q_ngram_containment, q_ranking_eval,
 #:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf,
 #:   q_sql_pivot_multi, q_k_anonymity, q_benford_profile,
-#:   q_session_stats, q_pmi_scan, q_word_dispersion
+#:   q_session_stats, q_pmi_scan, q_word_dispersion, q_psi_drift
 
 #: most recent driver-checked round per query (gen_rotation.py output,
 #: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
@@ -12938,4 +12938,113 @@ def q_word_dispersion(spark, sf_dir):
             ).alias("dp"),
         )
         .withColumnRenamed("w", "word")
+    )
+
+
+@declare(
+    "q_psi_drift",
+    """
+    WITH banded AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 'ref' ELSE 'cur' END AS period,
+             least(CAST(floor(value / 50) AS BIGINT), 9) AS band
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, period, band,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM banded GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT DISTINCT et.event_type, b.band, p.period
+      FROM (SELECT DISTINCT event_type FROM counts) et
+      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS band) b
+      CROSS JOIN (SELECT unnest(['ref', 'cur']) AS period) p
+    ),
+    filled AS (
+      SELECT g.event_type, g.band, g.period,
+             COALESCE(c.c, 0) + 0.5 AS cs
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.band = c.band
+       AND g.period = c.period
+    ),
+    tot AS (
+      SELECT event_type, period, SUM(cs) AS t
+      FROM filled GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT f.event_type, f.band,
+             MAX(CASE WHEN f.period = 'ref' THEN f.cs / tot.t END) AS p_ref,
+             MAX(CASE WHEN f.period = 'cur' THEN f.cs / tot.t END) AS p_cur
+      FROM filled f JOIN tot
+        ON f.event_type = tot.event_type AND f.period = tot.period
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           ROUND(SUM(CAST(ROUND((p_ref - p_cur) * ln(p_ref / p_cur), 9)
+                          AS DECIMAL(38,9))), 6) AS psi
+    FROM shares GROUP BY event_type
+    """,
+    doc="population stability index per event_type (round 14): the "
+    "standard ML-monitoring drift metric between the first half-month "
+    "(ref) and the rest (cur) over 10 closed-form value bands "
+    "(floor(value/50) clamped; the q_value_heatmap_2d banding "
+    "discipline, so bins are engine-exact), Laplace-smoothed +0.5 so "
+    "empty bins are defined. PSI = sum (p_ref - p_cur) * "
+    "ln(p_ref/p_cur) with per-band terms 9-dp-quantized and summed "
+    "as exact decimal (<= 10 ln() summands, the bm25-idf exposure "
+    "class). One banded count + dims-only grid fill. Declared after "
+    "the round-14 window froze: judge-swept this round, heads the "
+    "r15 driver window as new",
+)
+def q_psi_drift(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    banded = e.select(
+        "event_type",
+        F.when(
+            F.to_date("ts") < F.lit("2024-01-16").cast("date"), "ref"
+        ).otherwise("cur").alias("period"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9))
+        .cast("long").alias("band"),
+    )
+    counts = banded.groupBy("event_type", "period", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ets = counts.select("event_type").distinct()
+    bands = spark.range(10).select(F.col("id").cast("long").alias("band"))
+    periods = spark.createDataFrame(
+        [("ref",), ("cur",)], "period string"
+    )
+    grid = ets.crossJoin(F.broadcast(bands)).crossJoin(
+        F.broadcast(periods)
+    )
+    filled = grid.join(
+        counts, on=["event_type", "band", "period"], how="left"
+    ).select(
+        "event_type", "band", "period",
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(0.5)).alias("cs"),
+    )
+    tot = filled.groupBy("event_type", "period").agg(
+        F.sum("cs").alias("t")
+    )
+    shares = (
+        filled.join(tot, on=["event_type", "period"])
+        .groupBy("event_type", "band")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "ref", F.col("cs") / F.col("t"))
+            ).alias("p_ref"),
+            F.max(
+                F.when(F.col("period") == "cur", F.col("cs") / F.col("t"))
+            ).alias("p_cur"),
+        )
+    )
+    term = (F.col("p_ref") - F.col("p_cur")) * F.log(
+        F.col("p_ref") / F.col("p_cur")
+    )
+    return shares.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.round(term, 9).cast("decimal(38,9)")), 6
+        ).cast("double").alias("psi")
     )

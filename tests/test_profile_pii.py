@@ -515,3 +515,24 @@ def test_pmi_cells_hand_computed(spark):
 
     with _p.raises(ValueError, match="max_cells"):
         pmi_cells(df, "x", "y", max_cells=1)
+
+
+def test_psi_drift_identical_halves_is_zero(spark):
+    """PSI of two identical distributions is 0 exactly (smoothing
+    included); a full mass shift produces a large positive PSI."""
+    from rusty_timeseries_db_spark.queries import _REGISTRY
+    import math
+
+    # direct formula check with the same smoothing discipline
+    def psi(c_ref, c_cur):
+        t_ref = sum(c_ref) + 0.5 * len(c_ref)
+        t_cur = sum(c_cur) + 0.5 * len(c_cur)
+        s = 0.0
+        for a, b in zip(c_ref, c_cur):
+            pr = (a + 0.5) / t_ref
+            pc = (b + 0.5) / t_cur
+            s += round((pr - pc) * math.log(pr / pc), 9)
+        return round(s, 6)
+
+    assert psi([10, 20, 30], [10, 20, 30]) == 0.0
+    assert psi([100, 0, 0], [0, 0, 100]) > 1.0  # textbook 'major shift'
