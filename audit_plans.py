@@ -74,6 +74,15 @@ ALLOW: dict[str, dict[str, str]] = {
         "documented scale contract, retrieval.py rrf_fuse) — the "
         "distributed work happened inside the retrievers",
     },
+    "q_rbo_lexical_dense": {
+        "cartesian": "two bounded shapes: cosine_topk's broadcast "
+        "brute-force baseline (the q_similarity_bruteforce "
+        "allowance) and the depth-spine range join over the <=k "
+        "joined ranks",
+        "global_window": "the rank windows run over the two TOP-K "
+        "CANDIDATE LISTS only (<= k rows each — the q_hybrid_rrf "
+        "allowance); the corpus-scale work is inside the retrievers",
+    },
     "q_psi_drift": {
         "cartesian": "the bin grid is event-types x 10 fixed bands x "
         "2 periods — dims-only (the q_chi_square_scan grid "

@@ -106,7 +106,8 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
 #:   q_topk_sketch_merge, q_ngram_containment, q_ranking_eval,
 #:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf,
 #:   q_sql_pivot_multi, q_k_anonymity, q_benford_profile,
-#:   q_session_stats, q_pmi_scan, q_word_dispersion, q_psi_drift
+#:   q_session_stats, q_pmi_scan, q_word_dispersion, q_psi_drift,
+#:   q_rbo_lexical_dense
 
 #: most recent driver-checked round per query (gen_rotation.py output,
 #: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
@@ -13047,4 +13048,141 @@ def q_psi_drift(spark, sf_dir):
         F.round(
             F.sum(F.round(term, 9).cast("decimal(38,9)")), 6
         ).cast("double").alias("psi")
+    )
+
+
+@declare(
+    "q_rbo_lexical_dense",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(ws)) AS avgdl
+      FROM toks
+    ),
+    hits AS (
+      SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+             unnest(list_filter(ws,
+               x -> list_contains(['hash', 'merge', 'scan', 'slow'], x)
+             )) AS t
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY 1, 2, 3
+    ),
+    dfq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY t),
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 6) AS s
+      FROM tf CROSS JOIN stats JOIN dfq USING (t)
+      GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 30
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND(
+               list_aggregate(list_transform(list_zip(c.embedding, qv.v),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(qv.v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+               6) AS s
+      FROM embeddings c, qv
+      ORDER BY s DESC, doc_id LIMIT 30
+    ),
+    ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bm
+    ),
+    rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM cos
+    ),
+    m AS (
+      SELECT greatest(ra.r, rb.r) AS mx
+      FROM ra JOIN rb USING (doc_id)
+    ),
+    depths AS (SELECT unnest(generate_series(1, 30)) AS d),
+    terms AS (
+      SELECT d,
+             CAST((SELECT COUNT(*) FROM m WHERE mx <= d) AS BIGINT)
+               AS overlap,
+             CAST(ROUND(0.1 * pow(0.9, d - 1)
+                        * (SELECT COUNT(*) FROM m WHERE mx <= d) / d, 9)
+                  AS DECIMAL(38,9)) AS term
+      FROM depths
+    )
+    SELECT CAST(30 AS INT) AS depth_k,
+           CAST(MAX(CASE WHEN d = 30 THEN overlap END) AS BIGINT)
+             AS overlap_k,
+           CAST(ROUND(SUM(term), 6) AS DOUBLE) AS rbo
+    FROM terms
+    """,
+    doc="truncated rank-biased overlap (Webber et al. 2010, p=0.9, "
+    "prefix form without extrapolation) between the lexical BM25 "
+    "top-30 and the dense exact-cosine top-30 (query = embedding 0) "
+    "— the retriever-AGREEMENT readout that tells a hybrid-retrieval "
+    "deployment whether its two legs are redundant (rbo near 1) or "
+    "complementary (near 0); completes the ranking toolkit next to "
+    "q_ranking_eval (quality) and q_hybrid_index_rrf (fusion). "
+    "Per-depth overlap counts are exact integers (docs whose "
+    "max(rank_a, rank_b) <= d); each p^(d-1)-weighted term is "
+    "9-dp-quantized and summed as exact decimal. All work is over "
+    "two top-k lists; the retrievers carry the corpus-scale plans. "
+    "Declared after the round-14 window froze: judge-swept this "
+    "round, heads the r15 driver window as new",
+)
+def q_rbo_lexical_dense(spark, sf_dir):
+    from .operators.retrieval import bm25_topk
+    from .operators.similarity import cosine_topk
+
+    d = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    k = 30
+    lex = bm25_topk(d, ["hash", "merge", "scan", "slow"], k=k)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    dense = cosine_topk(emb, qv, k=k)
+    wa = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    ra = lex.select("doc_id", F.row_number().over(wa).alias("ra"))
+    # cosine_topk rounds cos_sim internally only at output decimals?
+    # rank deterministically on the 6-dp-rounded score like the oracle
+    wb = Window.orderBy(
+        F.round(F.col("cos_sim"), 6).desc(), F.col("vec_id")
+    )
+    rb = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    m = ra.join(rb, "doc_id").select(
+        F.greatest("ra", "rb").alias("mx")
+    )
+    depths = spark.range(1, k + 1).select(F.col("id").alias("d"))
+    counted = depths.join(
+        F.broadcast(m), F.col("mx") <= F.col("d"), "left"
+    ).groupBy("d").agg(
+        F.count("mx").cast("long").alias("overlap")
+    )
+    term = F.round(
+        F.lit(0.1)
+        * F.pow(F.lit(0.9), F.col("d") - 1)
+        * F.col("overlap")
+        / F.col("d"),
+        9,
+    ).cast("decimal(38,9)")
+    return counted.agg(
+        F.lit(k).cast("int").alias("depth_k"),
+        F.max(F.when(F.col("d") == k, F.col("overlap")))
+        .cast("long").alias("overlap_k"),
+        F.round(F.sum(term), 6).cast("double").alias("rbo"),
     )

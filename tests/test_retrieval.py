@@ -1130,3 +1130,35 @@ def test_ranking_metrics_zero_result_query_emits_zero_row(spark):
     m = got["missing"]
     assert (m.ndcg, m.mrr, m.recall_k, m.n_rel) == (0.0, 0.0, 0.0, 2)
     assert got["qa"].ndcg == 1.0
+
+
+def test_rbo_identical_and_disjoint_lists(spark):
+    """Truncated RBO sanity on the same machinery the declared query
+    uses: identical lists -> sum_{d<=k} (1-p) p^(d-1) (the truncated
+    maximum, < 1 by design); disjoint lists -> 0."""
+    from pyspark.sql import Window, functions as F
+
+    def rbo(pairs, k=5, p=0.9):
+        m = spark.createDataFrame(pairs, "mx int")
+        depths = spark.range(1, k + 1).select(F.col("id").alias("d"))
+        counted = depths.join(
+            F.broadcast(m), F.col("mx") <= F.col("d"), "left"
+        ).groupBy("d").agg(F.count("mx").alias("overlap"))
+        term = F.round(
+            F.lit(1 - p) * F.pow(F.lit(p), F.col("d") - 1)
+            * F.col("overlap") / F.col("d"), 9,
+        ).cast("decimal(38,9)")
+        return float(
+            counted.agg(F.round(F.sum(term), 6)).first()[0]
+        )
+
+    k, p = 5, 0.9
+    # identical lists: every doc's max rank = its rank -> overlap(d)=d
+    ident = [(i,) for i in range(1, k + 1)]
+    want = round(sum(
+        round((1 - p) * p ** (d - 1) * 1.0, 9) for d in range(1, k + 1)
+    ), 6)
+    assert rbo(ident) == want
+    assert 0 < want < 1
+    # disjoint lists: no shared docs -> no m rows -> rbo 0
+    assert rbo([]) == 0.0
