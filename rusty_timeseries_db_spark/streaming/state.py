@@ -191,11 +191,55 @@ def apply_state_durations_batch(
     return {"intervals": int(n_intervals), "late": int(n_late)}
 
 
+def _committed_increments(spark, store: str, man: dict) -> DataFrame:
+    """The committed (key, state, state_us, n_intervals) increment
+    rows: the BASE snapshot (if a compaction has folded one) plus the
+    delta versions in (base_upto, watermark]. Versions above the
+    watermark (a crashed, not-yet-committed batch) and at-or-below
+    base_upto (already folded; the dirs may or may not still exist —
+    a crash between the manifest bump and the cleanup leaves some)
+    are both excluded, so reads never double-count or see
+    half-applied state."""
+    key = man["key"]
+    base_upto = int(man.get("base_upto", -1))
+    parts = []
+    if base_upto >= 0:
+        parts.append(
+            spark.read.parquet(f"{store}/base/upto={base_upto}").select(
+                key, "state", "state_us", "n_intervals"
+            )
+        )
+    try:
+        deltas = (
+            spark.read.option("basePath", f"{store}/deltas")
+            .parquet(f"{store}/deltas")
+            .filter(
+                (F.col("batch") > base_upto)
+                & (F.col("batch") <= int(man["last_applied_batch"]))
+            )
+            .select(key, "state", "state_us", "n_intervals")
+        )
+        parts.append(deltas)
+    except Exception as e:
+        # a fully-folded store legitimately has no deltas dir (or an
+        # empty one after the compaction cleanup — schema inference
+        # then fails rather than PATH_NOT_FOUND)
+        legit = (
+            "PATH_NOT_FOUND" in str(e)
+            or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        )
+        if not legit or base_upto < 0:
+            raise
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def serve_state_durations(spark, store_path: str) -> DataFrame:
     """Current per-(key, state) totals + per-key share — the batch
-    operator's output shape, recomputed from the landed deltas only.
-    Deltas above the manifest watermark (a crashed, not-yet-committed
-    batch) are excluded, so reads never see half-applied state."""
+    operator's output shape, recomputed from the committed base +
+    delta increments (see ``_committed_increments``)."""
     store = store_path.rstrip("/")
     man = read_json_manifest(spark, _manifest_path(store))
     if man is None or int(man.get("last_applied_batch", -1)) < 0:
@@ -205,9 +249,7 @@ def serve_state_durations(spark, store_path: str) -> DataFrame:
         )
     key = man["key"]
     agg = (
-        spark.read.option("basePath", f"{store}/deltas")
-        .parquet(f"{store}/deltas")
-        .filter(F.col("batch") <= int(man["last_applied_batch"]))
+        _committed_increments(spark, store, man)
         .groupBy(key, "state")
         .agg(
             F.sum("state_us").cast("long").alias("state_us"),
@@ -256,3 +298,75 @@ def start_state_durations_sink(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def compact_state_durations(spark, store_path: str) -> int:
+    """Fold every committed increment into ONE base snapshot (round
+    14; the delta-store answer to the serving cost growing
+    O(applied batches) — the Bm25Index/IvfIndex compact() stance
+    applied to the duration store): serving afterwards reads base +
+    the deltas landed since, with IDENTICAL totals (pinned).
+
+    Protocol, crash-safe at every step:
+
+    1. write the folded totals to ``base/upto=<watermark>`` —
+       overwrite-idempotent, invisible until the manifest points at
+       it;
+    2. bump the manifest's ``base_upto`` (the commit point: serving
+       switches to base + post-watermark deltas atomically, and
+       already-folded delta versions are EXCLUDED by the read filter
+       even while their dirs still exist);
+    3. cleanup — delete folded delta dirs and the previous base.
+       A crash mid-cleanup leaves dead dirs the read filter ignores;
+       the next compact() sweeps them.
+
+    Returns the number of delta versions folded. Concurrent with the
+    sink: do not run while a micro-batch is mid-apply (the same
+    single-writer contract every index maintenance call has) — the
+    sink's own outputs land at versions above the watermark this
+    compaction freezes, so a batch committed AFTER step 2 is never
+    folded or dropped.
+    """
+    from ..fsutil import delete_path, list_dir_names
+
+    store = store_path.rstrip("/")
+    man = read_json_manifest(spark, _manifest_path(store))
+    if man is None or int(man.get("last_applied_batch", -1)) < 0:
+        raise FileNotFoundError(
+            f"no state-duration store at {store} — nothing to compact"
+        )
+    key = man["key"]
+    wm = int(man["last_applied_batch"])
+    old_base = int(man.get("base_upto", -1))
+    if wm > old_base:
+        folded = (
+            _committed_increments(spark, store, man)
+            .groupBy(key, "state")
+            .agg(
+                F.sum("state_us").cast("long").alias("state_us"),
+                F.sum("n_intervals").cast("long").alias("n_intervals"),
+            )
+        )
+        folded.write.mode("overwrite").parquet(f"{store}/base/upto={wm}")
+        n_folded = wm - old_base
+        man["base_upto"] = wm
+        write_json_manifest(spark, _manifest_path(store), man)
+    else:
+        # nothing new to fold — still run the cleanup sweep below (a
+        # crash in an earlier compaction's step 3 leaves dead dirs)
+        n_folded = 0
+        wm = old_base
+    # cleanup (idempotent; a crash here is healed by the read filter
+    # and swept by the next compact)
+    for name in list_dir_names(spark, f"{store}/deltas"):
+        if name.startswith("batch="):
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b <= wm:
+                delete_path(spark, f"{store}/deltas/{name}")
+    for name in list_dir_names(spark, f"{store}/base"):
+        if name.startswith("upto=") and name != f"upto={wm}":
+            delete_path(spark, f"{store}/base/{name}")
+    return int(n_folded)

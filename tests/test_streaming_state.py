@@ -243,3 +243,81 @@ def test_last_obs_versions_pruned(spark, tmp_path):
     assert sorted(os.listdir(f"{store}/deltas")) == [
         "batch=0", "batch=1", "batch=2"
     ]
+
+
+def test_compact_preserves_served_totals_and_prunes(spark, tmp_path):
+    import os
+
+    from rusty_timeseries_db_spark.streaming.state import (
+        compact_state_durations,
+    )
+
+    store = str(tmp_path / "sd")
+    b0 = [r for r in ROWS if r[2] <= 10]
+    b1 = [r for r in ROWS if 10 < r[2] <= 50]
+    b2 = [r for r in ROWS if r[2] > 50]
+    for i, b in enumerate([b0, b1, b2]):
+        apply_state_durations_batch(
+            spark, store, _df(spark, b), i, "user_id", "state",
+            order_tiebreak="event_id",
+        )
+    want = _served(spark, store)
+    assert compact_state_durations(spark, store) == 3
+    assert _served(spark, store) == want
+    # folded delta dirs gone, one base snapshot
+    assert os.listdir(f"{store}/deltas") == [] or not os.path.exists(
+        f"{store}/deltas/batch=0"
+    )
+    assert sorted(os.listdir(f"{store}/base")) == ["upto=2"]
+    # nothing new: compact is a no-op
+    assert compact_state_durations(spark, store) == 0
+    # the sink keeps working after compaction, serving base + new
+    apply_state_durations_batch(
+        spark, store,
+        _df(spark, [(1, "Z", 200, 9)]), 3, "user_id", "state",
+        order_tiebreak="event_id",
+    )
+    got = _served(spark, store)
+    # user 1's last pre-compact obs (A at 100s) now holds 100s more
+    assert got[(1, "A")][0] == want[(1, "A")][0] + 100_000_000
+    # recompact folds the new delta into a fresh base
+    assert compact_state_durations(spark, store) == 1
+    assert _served(spark, store) == got
+    assert sorted(os.listdir(f"{store}/base")) == ["upto=3"]
+
+
+def test_compact_crash_between_base_and_cleanup_is_invisible(
+    spark, tmp_path
+):
+    """Folded delta dirs left behind by a crash mid-cleanup are
+    excluded by the read filter and swept by the next compact."""
+    import shutil
+
+    from rusty_timeseries_db_spark.fsutil import (
+        read_json_manifest,
+        write_json_manifest,
+    )
+    from rusty_timeseries_db_spark.streaming.state import (
+        compact_state_durations,
+    )
+
+    store = str(tmp_path / "sd")
+    b0 = [r for r in ROWS if r[2] <= 30]
+    b1 = [r for r in ROWS if r[2] > 30]
+    for i, b in enumerate([b0, b1]):
+        apply_state_durations_batch(
+            spark, store, _df(spark, b), i, "user_id", "state",
+            order_tiebreak="event_id",
+        )
+    want = _served(spark, store)
+    compact_state_durations(spark, store)
+    # resurrect a folded delta dir (= crash before its deletion)
+    src = f"{store}/base/upto=1"
+    shutil.copytree(src, f"{store}/deltas/batch=0")
+    # double-count would show immediately if the filter were wrong
+    assert _served(spark, store) == want
+    # the next compact sweeps it (nothing new to fold -> 0)
+    assert compact_state_durations(spark, store) == 0
+    import os
+
+    assert not os.path.exists(f"{store}/deltas/batch=0")
