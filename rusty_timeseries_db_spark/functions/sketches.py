@@ -155,29 +155,29 @@ def topk_sketch(
     )
 
 
-def merge_topk_sketch(
-    rollup: DataFrame,
-    keys: list[str],
-    k: int | None = None,
-) -> DataFrame:
-    """Coarsen a :func:`topk_sketch` rollup to ``keys`` (e.g. per-day
-    cells → per-type): one row per (cell, value) with
+def decompose_topk_sketch(
+    rollup: DataFrame, keys: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """The merge's two intermediate aggregates at ``keys`` granularity:
 
-    - ``count_lo`` — sum of the value's surviving per-cell counts, a
-      LOWER bound on its true merged count;
-    - ``err_ub`` — sum of ``dropped_max`` over the merged cells where
-      the value did NOT survive truncation: the true count is always
-      in ``[count_lo, count_lo + err_ub]``.
+    - per-(cell, value): ``count_lo`` (sum of surviving counts) and
+      ``present_err`` (sum of ``dropped_max`` over the summary rows
+      where the value survived);
+    - per-cell: ``total_err`` (sum of ALL ``dropped_max``) and
+      ``n_rows``.
 
-    ``k`` re-truncates the merged summary to the top ``k`` values per
-    coarse cell by (count_lo desc, value) — the deterministic merged
-    heavy-hitter list. All exact integer arithmetic (oracle-paired,
-    q_topk_sketch_merge).
+    Exposed (round 15) because these four quantities — unlike the
+    finished summary's per-cell ``dropped_max``, which is a MAX-shaped
+    bound and NOT plain-summable — are all sums over disjoint summary
+    rows, so they commute with any further coarsening: decompose per
+    fine cell, sum to a coarser cell, and the result is bit-identical
+    to decomposing the coarse cell directly. The streaming sketch
+    store's compactor folds committed summaries into exactly this
+    shape (streaming/sketch.py), keeping served results identical
+    before and after the fold.
     """
-    from pyspark.sql import Window
-
-    cell_tot = rollup.groupBy(*keys).agg(
-        F.sum("dropped_max").cast("long").alias("_total_err"),
+    cells = rollup.groupBy(*keys).agg(
+        F.sum("dropped_max").cast("long").alias("total_err"),
         F.sum("n_rows").cast("long").alias("n_rows"),
     )
     ex = rollup.select(
@@ -187,9 +187,33 @@ def merge_topk_sketch(
     )
     per_value = ex.groupBy(*keys, "value").agg(
         F.sum("_c").cast("long").alias("count_lo"),
-        F.sum("_dm").cast("long").alias("_present_err"),
+        F.sum("_dm").cast("long").alias("present_err"),
     )
-    merged = per_value.join(cell_tot, on=keys).select(
+    return per_value, cells
+
+
+def combine_topk_decomposition(
+    per_value: DataFrame,
+    cells: DataFrame,
+    keys: list[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Finish a merge from decomposed parts — possibly a union of a
+    folded base and freshly-decomposed deltas: coarsen both parts to
+    ``keys`` by summing, join, ``err_ub = total_err - present_err``
+    (the dropped-mass bound over exactly the cells where the value did
+    not survive), then the optional deterministic top-``k``."""
+    from pyspark.sql import Window
+
+    pv = per_value.groupBy(*keys, "value").agg(
+        F.sum("count_lo").cast("long").alias("count_lo"),
+        F.sum("present_err").cast("long").alias("_present_err"),
+    )
+    ct = cells.groupBy(*keys).agg(
+        F.sum("total_err").cast("long").alias("_total_err"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+    merged = pv.join(ct, on=keys).select(
         *keys,
         "value",
         "count_lo",
@@ -208,3 +232,28 @@ def merge_topk_sketch(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def merge_topk_sketch(
+    rollup: DataFrame,
+    keys: list[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Coarsen a :func:`topk_sketch` rollup to ``keys`` (e.g. per-day
+    cells → per-type): one row per (cell, value) with
+
+    - ``count_lo`` — sum of the value's surviving per-cell counts, a
+      LOWER bound on its true merged count;
+    - ``err_ub`` — sum of ``dropped_max`` over the merged cells where
+      the value did NOT survive truncation: the true count is always
+      in ``[count_lo, count_lo + err_ub]``.
+
+    ``k`` re-truncates the merged summary to the top ``k`` values per
+    coarse cell by (count_lo desc, value) — the deterministic merged
+    heavy-hitter list. All exact integer arithmetic (oracle-paired,
+    q_topk_sketch_merge). Implemented as decompose → combine; the
+    split is public so delta stores can persist the decomposition
+    (see :func:`decompose_topk_sketch`).
+    """
+    per_value, cells = decompose_topk_sketch(rollup, keys)
+    return combine_topk_decomposition(per_value, cells, keys, k=k)

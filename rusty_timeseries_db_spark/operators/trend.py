@@ -16,8 +16,12 @@ chi-square scan's guarded-grid stance (profile.py): you run these on
 never raw ticks. At 100 TB the shape holds because the pair explosion
 is keyed per series (shuffle on the series key only, co-partitioned
 with the input agg) and bounded by the resample granularity, not the
-row count; the optional ``max_points`` guard makes the bound explicit
-by raising before the join if any series exceeds it.
+row count; the ``max_points`` guard makes the bound explicit by
+raising before the join if any series exceeds it. The guard is ON by
+default (5000 points ≈ 12.5M pairs/series — review round 15: opt-in
+guards don't get used, and a caller who passes raw ticks instead of
+bucketed series would otherwise get a silent per-series quadratic
+explosion); pass ``max_points=None`` to opt out deliberately.
 
 Both operators reference the input frame more than once (the pair
 join's two sides, the length count, the tie count) and Spark
@@ -75,7 +79,7 @@ def mann_kendall(
     key: str,
     order: str,
     value: str,
-    max_points: int | None = None,
+    max_points: int | None = 5000,
 ) -> DataFrame:
     """Mann-Kendall trend test per series.
 
@@ -157,7 +161,7 @@ def theil_sen(
     key: str,
     order: str,
     value: str,
-    max_points: int | None = None,
+    max_points: int | None = 5000,
 ) -> DataFrame:
     """Theil-Sen slope per series: the LOWER MEDIAN of all pairwise
     slopes (x_j - x_i) / (o_j - o_i) over i<j — the robust alternative

@@ -12362,11 +12362,16 @@ def q_ranking_eval(spark, sf_dir):
     "q_winsorized_stats",
     """
     WITH ranked AS (
+      -- NULL values are excluded from the rank universe, matching the
+      -- engine operator (profile.winsorize) — without this filter the
+      -- two engines would disagree on every bound the moment testdata
+      -- regenerates with NULLs (DuckDB also orders NULLs last vs
+      -- Spark's nulls-first; review round 15)
       SELECT event_type, value,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value) AS rn,
              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     bounds AS (
       SELECT event_type,
@@ -12377,13 +12382,18 @@ def q_ranking_eval(spark, sf_dir):
       FROM ranked GROUP BY event_type
     ),
     clipped AS (
+      -- guard the clip: a NULL value passes through as NULL vw (the
+      -- engine's contract) regardless of DuckDB's greatest/least NULL
+      -- semantics; LEFT JOIN keeps rows of an all-NULL group (no
+      -- bounds row) alive, mirroring the operator's left bounds join
       SELECT e.event_type,
-             CAST(least(greatest(e.value, b.p_lo), b.p_hi)
-                  AS DECIMAL(18,2)) AS vw,
+             CASE WHEN e.value IS NOT NULL THEN
+               CAST(least(greatest(e.value, b.p_lo), b.p_hi)
+                    AS DECIMAL(18,2)) END AS vw,
              CASE WHEN e.value < b.p_lo THEN 1 ELSE 0 END AS lo,
              CASE WHEN e.value > b.p_hi THEN 1 ELSE 0 END AS hi,
              b.p_lo, b.p_hi
-      FROM events e JOIN bounds b USING (event_type)
+      FROM events e LEFT JOIN bounds b USING (event_type)
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -1448,6 +1448,10 @@ def _maybe_pivot(spark: SparkSession, query: str):
             aggs.append((item.strip(), None))
             aggs_masked.append(im)
     if len(aggs) > 1 and any(a is None for _, a in aggs):
+        # covers every ON form, incl. multi-column ON where the
+        # display-name rule would otherwise interpolate None into the
+        # per-combo column name (ADVICE r14 — pinned by
+        # test_pivot_multi_on_unaliased_multi_agg_raises)
         raise ValueError(
             "several PIVOT aggregates need an AS <name> each (Spark "
             "and DuckDB disagree on unaliased fallback names)"

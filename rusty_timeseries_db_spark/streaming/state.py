@@ -171,6 +171,12 @@ def apply_state_durations_batch(
         new_last.write.mode("overwrite").parquet(
             f"{store}/last_obs/batch={batch_id}"
         )
+        # re-read the manifest immediately before the commit write and
+        # update only THIS writer's fields — a compact() committing
+        # ``base_upto`` between our opening read and this write must
+        # not be rolled back by a stale read-modify-write (review
+        # round 15; the symmetric fix lives in compact_state_durations)
+        man = read_json_manifest(spark, _manifest_path(store)) or man
         man["last_applied_batch"] = int(batch_id)
         # prune carryover versions no longer reachable: keep the one
         # just written and its predecessor (the replay window — a
@@ -349,6 +355,15 @@ def compact_state_durations(spark, store_path: str) -> int:
         )
         folded.write.mode("overwrite").parquet(f"{store}/base/upto={wm}")
         n_folded = wm - old_base
+        # re-read immediately before the commit write and merge ONLY
+        # base_upto into the fresh copy: a sink micro-batch committing
+        # between this function's opening read and here would otherwise
+        # get its last_applied_batch/last_obs_versions silently rolled
+        # back — and since the stream checkpoint has already advanced,
+        # the batch would never be replayed (ADVICE r14). The fold
+        # itself only covered deltas ≤ wm, so a concurrently-committed
+        # newer batch stays above base_upto and keeps serving.
+        man = read_json_manifest(spark, _manifest_path(store)) or man
         man["base_upto"] = wm
         write_json_manifest(spark, _manifest_path(store), man)
     else:

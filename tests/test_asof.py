@@ -1823,3 +1823,29 @@ def test_pivot_multi_on_underscore_values_stay_separate(spark):
 
     with _p.raises(ValueError, match="no non-NULL values"):
         dialect_sql(spark, "PIVOT _t_epvt ON c1, c2 USING sum(x) GROUP BY g")
+
+
+def test_pivot_multi_on_unaliased_multi_agg_raises(spark):
+    """ADVICE r14: multi-ON + multiple USING aggregates where one lacks
+    an AS alias must not interpolate Python None into the display
+    name. The parse-time every-aggregate-needs-an-alias guard covers
+    the multi-ON form too — pinned here so it stays that way."""
+    import pytest as _p
+
+    from rusty_timeseries_db_spark.sql_ext import sql as dialect_sql
+
+    spark.createDataFrame(
+        [("g", "a", "x", 1.0)], "g string, c1 string, c2 string, x double"
+    ).createOrReplaceTempView("_t_napvt")
+    with _p.raises(ValueError, match="AS <name> each"):
+        dialect_sql(
+            spark,
+            "PIVOT _t_napvt ON c1, c2 USING sum(x) AS s, min(x) "
+            "GROUP BY g",
+        )
+    # single unaliased aggregate with multi-ON stays legal (combo name
+    # alone, no suffix — DuckDB's rule)
+    out = dialect_sql(
+        spark, "PIVOT _t_napvt ON c1, c2 USING sum(x) GROUP BY g"
+    )
+    assert out.columns == ["g", "a_x"]

@@ -321,3 +321,52 @@ def test_compact_crash_between_base_and_cleanup_is_invisible(
     import os
 
     assert not os.path.exists(f"{store}/deltas/batch=0")
+
+
+def test_compact_interleaved_sink_commit_not_rolled_back(spark, tmp_path):
+    """ADVICE r14 low: a sink micro-batch committing between compact's
+    opening manifest read and its commit write must not get its
+    last_applied_batch rolled back (the checkpoint has advanced — the
+    batch would be lost forever). compact now merges base_upto into a
+    FRESH manifest re-read."""
+    import rusty_timeseries_db_spark.streaming.state as state_mod
+    from rusty_timeseries_db_spark.streaming.state import (
+        compact_state_durations,
+    )
+
+    store = str(tmp_path / "sd")
+    b0 = [r for r in ROWS if r[2] <= 30]
+    b1 = [r for r in ROWS if r[2] > 30]
+    apply_state_durations_batch(
+        spark, store, _df(spark, b0), 0, "user_id", "state",
+        order_tiebreak="event_id",
+    )
+
+    real_read = state_mod.read_json_manifest
+    fired = {"done": False}
+
+    def hooked_read(spark_, path):
+        man = real_read(spark_, path)
+        if not fired["done"] and man is not None:
+            fired["done"] = True
+            # interleave batch 1's commit between compact's opening
+            # read and its manifest write (real read/write inside)
+            state_mod.read_json_manifest = real_read
+            apply_state_durations_batch(
+                spark, store, _df(spark, b1), 1, "user_id", "state",
+                order_tiebreak="event_id",
+            )
+        return man
+
+    state_mod.read_json_manifest = hooked_read
+    try:
+        compact_state_durations(spark, store)
+    finally:
+        state_mod.read_json_manifest = real_read
+
+    man = real_read(spark, state_mod._manifest_path(store))
+    # batch 1's commit survived compact's write; only batch 0 folded
+    assert man["last_applied_batch"] == 1
+    assert man["base_upto"] == 0
+    # served = base(batch 0) + delta(batch 1) = the exact batch truth
+    assert _served(spark, store) == _batch_ref(spark, ROWS)

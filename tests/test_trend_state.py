@@ -104,6 +104,20 @@ def test_max_points_guard_raises(spark):
     assert mann_kendall(df, "k", "d", "v", max_points=12).count() == 1
 
 
+def test_max_points_guard_is_on_by_default(spark):
+    """Round 15 (VERDICT r14): the guard defaults ON (5000) — a caller
+    who passes raw ticks instead of bucketed series raises instead of
+    silently exploding quadratically; ``max_points=None`` opts out."""
+    df = _daily(spark, [("a", i, i % 7) for i in range(5001)])
+    with pytest.raises(ValueError, match="max_points"):
+        mann_kendall(df, "k", "d", "v")
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen(df, "k", "d", "v")
+    # explicit opt-out still runs (bounded here to keep the test fast)
+    small = _daily(spark, [("a", i, i) for i in range(5)])
+    assert mann_kendall(small, "k", "d", "v", max_points=None).count() == 1
+
+
 @settings(max_examples=6, deadline=None)
 @given(values=st.lists(st.integers(-5, 5), min_size=2, max_size=20))
 def test_mann_kendall_matches_python_reference(spark, values):
