@@ -9,10 +9,24 @@ probe, and the compact-advice threshold. ``remove()``/``compact()``
 stay per-index — postings/terms/docs vs a cell tree are different
 enough that sharing them would mean parameterizing every line.
 
-Host-class contract: ``self.spark``, ``self.tombstones_path``,
-``self.marker_path``, ``self._manifest()``, and ``_ROWS_FIELD`` (the
-manifest key holding the LIVE row/doc count — ``"n_docs"`` for BM25,
-``"n_rows"`` for IVF).
+Host-class contract: ``self.spark``, ``self.index_path``,
+``self.tombstones_path``, ``self.marker_path``, ``self.manifest_path``
+(the LEGACY flat-file location, still read as a fallback),
+``self._manifest()``, and ``_ROWS_FIELD`` (the manifest key holding
+the LIVE row/doc count — ``"n_docs"`` for BM25, ``"n_rows"`` for IVF).
+
+Manifest writes are compare-and-swap (round 15 — VERDICT r14
+next-round #5): every mutator reads a CAS token with its manifest
+snapshot and commits through :meth:`_commit_manifest`, which raises
+``fsutil.ManifestVersionConflict`` when another writer committed in
+between — the single-writer contract is now ENFORCED (serialize or
+raise), not just documented: two interleaved ``add()``s can no longer
+each bump N/sum_dl from its own stale snapshot with one bump silently
+lost. Versions live in a SIBLING directory ``<index>.manifest/``
+(never inside the index root — the IVF cell tree IS a parquet root);
+a legacy flat ``<index>.<kind>.json`` file reads as token ``None``,
+so even two concurrent first-writers on a legacy index conflict on
+the v1 commit.
 """
 
 from __future__ import annotations
@@ -23,6 +37,69 @@ from pyspark.sql import DataFrame
 class IndexLifecycleMixin:
     #: manifest key of the live row/doc count (host class overrides)
     _ROWS_FIELD = "n_rows"
+
+    #: stem of the versioned manifest files inside the sibling dir
+    _MANIFEST_STEM = "manifest"
+
+    @property
+    def _manifest_dir(self) -> str:
+        """Sibling directory holding the versioned manifest commits —
+        ``<index>.manifest/manifest.v<N>.json``."""
+        return self.index_path.rstrip("/") + ".manifest"
+
+    def _read_manifest_cas(self) -> "tuple[int | None, dict | None]":
+        """(CAS token, payload): the highest committed versioned
+        manifest when one exists; else the legacy flat file's payload
+        with token ``None`` (the first CAS write then expects
+        'no version yet', so two concurrent migrators still
+        conflict); (None, None) on a never-built index."""
+        from ..fsutil import (
+            read_json_manifest,
+            read_versioned_manifest_versioned,
+        )
+
+        got = read_versioned_manifest_versioned(
+            self.spark, self._manifest_dir, self._MANIFEST_STEM
+        )
+        if got is not None:
+            return got
+        return None, read_json_manifest(self.spark, self.manifest_path)
+
+    def _commit_manifest(self, payload: dict, expected: "int | None") -> int:
+        """CAS manifest commit: raises
+        :class:`..fsutil.ManifestVersionConflict` when the committed
+        version moved past ``expected`` — another writer interleaved;
+        the caller's whole operation must be retried against fresh
+        state (its appends may still be physically present — the
+        conflict means the ACCOUNTING was not applied, the same
+        at-least-once posture as a crash before the manifest bump).
+        Retires the legacy flat file after a successful commit
+        (readers prefer the versioned manifest from then on)."""
+        from ..fsutil import (
+            ManifestVersionConflict,
+            delete_path,
+            write_versioned_manifest,
+        )
+
+        try:
+            n = write_versioned_manifest(
+                self.spark,
+                self._manifest_dir,
+                self._MANIFEST_STEM,
+                payload,
+                expected_version=expected,
+            )
+        except ManifestVersionConflict as e:
+            raise ManifestVersionConflict(
+                f"concurrent writer detected on index {self.index_path}: "
+                "another build()/add()/remove()/compact() (or the "
+                "streaming sink) committed between this operation's "
+                "manifest read and its commit — the ONE-writer-at-a-"
+                "time contract is enforced; re-read and retry against "
+                f"the fresh state ({e})"
+            ) from e
+        delete_path(self.spark, self.manifest_path)
+        return n
 
     #: default tombstone fraction past which compact() is advised —
     #: below it, the per-query anti-join and the dead bytes are noise;

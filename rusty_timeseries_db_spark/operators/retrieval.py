@@ -179,12 +179,15 @@ class Bm25Index(IndexLifecycleMixin):
     no rewrite of existing shards, exact results after (BM25 has no
     quantizer, so unlike IVF there is no recall drift to watch).
 
-    Writer contract: ONE writer at a time per index. Staging dirs are
-    per-call (a concurrent build/add can no longer interleave staged
-    batches — review round 14), but the manifest commit is
-    last-writer-wins: two concurrent ``add()``s would each bump
-    N/sum_dl from its own read snapshot and one bump would be lost.
-    The streaming sink (streaming/index.py) is the supported
+    Writer contract: ONE writer at a time per index — now ENFORCED
+    (round 15 — VERDICT r14 next-round #5): staging dirs are per-call
+    (a concurrent build/add cannot interleave staged batches — review
+    round 14), and the manifest commit is a compare-and-swap
+    (``IndexLifecycleMixin._commit_manifest``): a mutator whose
+    manifest snapshot was overtaken by another writer raises
+    ``fsutil.ManifestVersionConflict`` instead of silently losing the
+    other's N/sum_dl bump (pinned by the concurrent-add test). The
+    streaming sink (streaming/index.py) is the supported
     concurrent-ingest path — it serializes adds per micro-batch.
 
     Removed-id re-admission (the two doors, documented in ONE place —
@@ -299,8 +302,11 @@ class Bm25Index(IndexLifecycleMixin):
         text_col: str = "text",
         n_shards: int = 32,
     ) -> "Bm25Index":
-        from ..fsutil import delete_path, write_json_manifest
+        from ..fsutil import delete_path
 
+        # CAS token from BEFORE any work: a writer interleaving with
+        # this build conflicts at the commit instead of being clobbered
+        ver = self._read_manifest_cas()[0]
         staged, staging = self._stage_docs(corpus, id_col, text_col)
         try:
             # corpus stats count EVERY doc (a token-less doc has no
@@ -350,7 +356,7 @@ class Bm25Index(IndexLifecycleMixin):
         # (each call's try/finally cleans its OWN dir, but kill -9
         # between write and finally strands one — review round 14)
         delete_path(self.spark, self.index_path + "/_staging")
-        write_json_manifest(self.spark, self.manifest_path, {
+        self._commit_manifest({
             "n_docs": n,
             "sum_dl": sum_dl,
             "n_shards": n_shards,
@@ -364,18 +370,26 @@ class Bm25Index(IndexLifecycleMixin):
             # norms in postings (round 14) — a pre-r14 index must
             # rebuild to serve cosine scoring
             "tfn2": True,
-        })
+        }, expected=ver)
         return self
 
     def _manifest(self) -> dict:
-        from ..fsutil import read_json_manifest
-
-        man = read_json_manifest(self.spark, self.manifest_path)
+        man = self._read_manifest_cas()[1]
         if man is None:
             raise FileNotFoundError(
-                f"no BM25 manifest at {self.manifest_path} — build() first"
+                f"no BM25 manifest for {self.index_path} — build() first"
             )
         return man
+
+    def _manifest_cas(self) -> tuple[int | None, dict]:
+        """(CAS token, manifest) for mutators — same not-built error
+        as :meth:`_manifest`."""
+        ver, man = self._read_manifest_cas()
+        if man is None:
+            raise FileNotFoundError(
+                f"no BM25 manifest for {self.index_path} — build() first"
+            )
+        return ver, man
 
     # -- serve -------------------------------------------------------
     def _pruned(self, terms: list[str], man: dict):
@@ -583,14 +597,14 @@ class Bm25Index(IndexLifecycleMixin):
         the rest, ``"readmit"`` runs :meth:`compact` first (making the
         deletion physical so re-insertion is clean) and then adds the
         whole batch."""
-        from ..fsutil import delete_path, write_json_manifest
+        from ..fsutil import delete_path
 
         if removed_ids not in ("error", "skip", "readmit"):
             raise ValueError(
                 f"removed_ids must be error|skip|readmit, got {removed_ids!r}"
             )
         self._check_not_compacting("add()")
-        man = self._manifest()
+        ver, man = self._manifest_cas()
         id_col = id_col or man.get("id_col", "doc_id")
         n_shards = int(man["n_shards"])
         staged, staging = self._stage_docs(corpus, id_col, text_col)
@@ -623,7 +637,7 @@ class Bm25Index(IndexLifecycleMixin):
                     # lives under _staging/ and must survive the
                     # maintenance sweep (review round 14)
                     self.compact(_sweep_staging=False)
-                    man = self._manifest()
+                    ver, man = self._manifest_cas()
             n, sum_dl = self._staged_stats(staged)
             if n == 0:
                 return 0
@@ -650,12 +664,12 @@ class Bm25Index(IndexLifecycleMixin):
             # PARTIAL sidecar would let remove() silently miss old docs)
         finally:
             delete_path(self.spark, staging)
-        write_json_manifest(self.spark, self.manifest_path, {
+        self._commit_manifest({
             **man,
             "n_docs": int(man["n_docs"]) + n,
             "sum_dl": float(man["sum_dl"]) + sum_dl,
             "n_added": int(man.get("n_added", 0)) + n,
-        })
+        }, expected=ver)
         return n
 
     # -- delete ------------------------------------------------------
@@ -689,10 +703,10 @@ class Bm25Index(IndexLifecycleMixin):
         the r13 ``docs/`` sidecar (raises on an index built by an
         older build() — rebuild to enable deletion; a partial sidecar
         would silently miss pre-upgrade docs)."""
-        from ..fsutil import delete_path, write_json_manifest
+        from ..fsutil import delete_path
 
         self._check_not_compacting("remove()")
-        man = self._manifest()
+        ver, man = self._manifest_cas()
         if not man.get("docs_sidecar"):
             raise ValueError(
                 "this index predates the per-doc docs/ sidecar "
@@ -749,12 +763,12 @@ class Bm25Index(IndexLifecycleMixin):
             ).alias("s"),
             F.count("_t").alias("r"),
         ).first()
-        write_json_manifest(self.spark, self.manifest_path, {
+        self._commit_manifest({
             **man,
             "n_docs": int(n_live),
             "sum_dl": float(dl_live),
             "n_removed": int(n_removed),
-        })
+        }, expected=ver)
         return int(k)
 
     def compact(self, _sweep_staging: bool = True) -> int:
@@ -791,6 +805,8 @@ class Bm25Index(IndexLifecycleMixin):
             swap_dir_into_place,
             write_json_manifest,
         )
+        # (write_json_manifest is still used for the UNVERSIONED
+        # _compacting marker file — only the index manifest is CAS)
 
         # converge any interrupted earlier compact() BEFORE reading
         # state: a crash mid-swap leaves a directory renamed aside
@@ -811,7 +827,7 @@ class Bm25Index(IndexLifecycleMixin):
                 # tombstones — every swap is complete; finish the
                 # cleanup so query() serves again
                 delete_path(self.spark, self.marker_path)
-            man0 = self._manifest()
+            ver0, man0 = self._manifest_cas()
             if int(man0.get("n_removed", 0)) != 0:
                 # crash landed between the tombstone drop and the
                 # manifest reset: without this heal, should_compact()
@@ -819,7 +835,7 @@ class Bm25Index(IndexLifecycleMixin):
                 # no-op (review round 14 — the convergence claim must
                 # cover the bookkeeping too)
                 man0["n_removed"] = 0
-                write_json_manifest(self.spark, self.manifest_path, man0)
+                self._commit_manifest(man0, expected=ver0)
             return 0
         n_tomb = tomb.count()
         man = self._manifest()
@@ -882,9 +898,9 @@ class Bm25Index(IndexLifecycleMixin):
             partitioned=False,
         )
         delete_path(self.spark, self.tombstones_path)
-        man2 = self._manifest()
+        ver2, man2 = self._manifest_cas()
         man2["n_removed"] = 0  # tombstones are now physical deletions
-        write_json_manifest(self.spark, self.manifest_path, man2)
+        self._commit_manifest(man2, expected=ver2)
         delete_path(self.spark, self.marker_path)
         return int(n_tomb)
 

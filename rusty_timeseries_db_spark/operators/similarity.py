@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..fsutil import read_json_manifest, write_json_manifest
+from ..fsutil import write_json_manifest
 from ..functions.vectors import cosine, dot, norm
 
 
@@ -428,8 +428,12 @@ class IvfIndex(IndexLifecycleMixin):
     makes the deletion physical with identical results, and
     :meth:`add`'s ``removed_ids`` policy (error|skip|readmit) governs
     re-publication of a removed id. Writer contract: ONE writer at a
-    time per index (the manifest commit is last-writer-wins); the
-    streaming sink serializes adds per micro-batch.
+    time per index — ENFORCED since round 15 (the ``Bm25Index``
+    stance): the manifest commit is a compare-and-swap
+    (``IndexLifecycleMixin._commit_manifest``), so an interleaved
+    writer raises ``fsutil.ManifestVersionConflict`` instead of
+    silently losing the other's accounting; the streaming sink
+    serializes adds per micro-batch.
     """
 
     def __init__(self, spark, index_path: str):
@@ -471,6 +475,9 @@ class IvfIndex(IndexLifecycleMixin):
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        # CAS token from BEFORE any work: a writer interleaving with
+        # this build conflicts at the commit instead of being clobbered
+        ver = self._read_manifest_cas()[0]
         c = corpus.select(
             F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec")
         ).withColumn(
@@ -508,7 +515,7 @@ class IvfIndex(IndexLifecycleMixin):
         delete_path(self.spark, self.marker_path)
         # reclaim staging orphans from hard-crashed remove() calls
         delete_path(self.spark, self.index_path + ".staging")
-        write_json_manifest(self.spark, self.manifest_path, {
+        self._commit_manifest({
             "centroids": centroids,
             "n_clusters": n_clusters,
             "seed": seed,
@@ -519,16 +526,26 @@ class IvfIndex(IndexLifecycleMixin):
             "n_rows": self.spark.read.parquet(self.index_path).count(),
             "n_added": 0,
             "n_removed": 0,
-        })
+        }, expected=ver)
         return self
 
     def _manifest(self) -> dict:
-        man = read_json_manifest(self.spark, self.manifest_path)
+        man = self._read_manifest_cas()[1]
         if man is None:
             raise FileNotFoundError(
-                f"no IVF manifest at {self.manifest_path} — build() first"
+                f"no IVF manifest for {self.index_path} — build() first"
             )
         return man
+
+    def _manifest_cas(self) -> tuple[int | None, dict]:
+        """(CAS token, manifest) for mutators — same not-built error
+        as :meth:`_manifest`."""
+        ver, man = self._read_manifest_cas()
+        if man is None:
+            raise FileNotFoundError(
+                f"no IVF manifest for {self.index_path} — build() first"
+            )
+        return ver, man
 
     def centroids_df(self) -> DataFrame:
         """The index's frozen centroids as a ``(cluster_id, centroid)``
@@ -694,7 +711,7 @@ class IvfIndex(IndexLifecycleMixin):
                 f"removed_ids must be error|skip|readmit, got {removed_ids!r}"
             )
         self._check_not_compacting("add()")
-        man = self._manifest()
+        ver, man = self._manifest_cas()
         corpus_id = corpus_id or man["corpus_id"]
         stored = self.spark.read.parquet(self.index_path).schema
         tomb = self._tombstones()
@@ -724,7 +741,7 @@ class IvfIndex(IndexLifecycleMixin):
                 )
             if n_clash and removed_ids == "readmit":
                 self.compact()
-                man = self._manifest()
+                ver, man = self._manifest_cas()
         routed = _probe_cells(
             corpus, corpus_id, corpus_vec, man["centroids"], n_probe=1
         )
@@ -776,7 +793,7 @@ class IvfIndex(IndexLifecycleMixin):
             )
         man["n_rows"] = int(man["n_rows"]) + n
         man["n_added"] = int(man.get("n_added", 0)) + n
-        write_json_manifest(self.spark, self.manifest_path, man)
+        self._commit_manifest(man, expected=ver)
         return n
 
     # -- delete (round 14 — the Bm25Index lifecycle, ported) ---------
@@ -806,10 +823,10 @@ class IvfIndex(IndexLifecycleMixin):
         ignored. Returns the number of vectors newly removed."""
         import uuid
 
-        from ..fsutil import delete_path, write_json_manifest
+        from ..fsutil import delete_path
 
         self._check_not_compacting("remove()")
-        man = self._manifest()
+        ver, man = self._manifest_cas()
         stored = self.spark.read.parquet(self.index_path)
         if not isinstance(vec_ids, DataFrame):
             ids = self.spark.createDataFrame(
@@ -853,11 +870,11 @@ class IvfIndex(IndexLifecycleMixin):
             F.count(F.when(F.col("_t").isNull(), 1)).alias("n"),
             F.count("_t").alias("r"),
         ).first()
-        write_json_manifest(self.spark, self.manifest_path, {
+        self._commit_manifest({
             **man,
             "n_rows": int(n_live),
             "n_removed": int(n_removed),
-        })
+        }, expected=ver)
         return int(k)
 
     def compact(self) -> int:
@@ -894,16 +911,16 @@ class IvfIndex(IndexLifecycleMixin):
                 # crashed AFTER dropping tombstones: swap complete —
                 # finish the cleanup so the index serves again
                 delete_path(self.spark, self.marker_path)
-            man0 = self._manifest()
+            ver0, man0 = self._manifest_cas()
             if int(man0.get("n_removed", 0)) != 0:
                 # heal the bookkeeping too (review round 14): a crash
                 # between the tombstone drop and the manifest reset
                 # would otherwise pin should_compact() True forever
                 man0["n_removed"] = 0
-                write_json_manifest(self.spark, self.manifest_path, man0)
+                self._commit_manifest(man0, expected=ver0)
             return 0
         n_tomb = tomb.count()
-        man = self._manifest()
+        ver, man = self._manifest_cas()
         live = self.spark.read.parquet(self.index_path).join(
             tomb, "_cid", "left_anti"
         )
@@ -924,9 +941,9 @@ class IvfIndex(IndexLifecycleMixin):
         )
         swap_dir_into_place(self.spark, self.index_path)
         delete_path(self.spark, self.tombstones_path)
-        write_json_manifest(self.spark, self.manifest_path, {
+        self._commit_manifest({
             **man,
             "n_removed": 0,  # tombstones are now physical deletions
-        })
+        }, expected=ver)
         delete_path(self.spark, self.marker_path)
         return int(n_tomb)

@@ -11825,6 +11825,165 @@ def q_state_durations(spark, sf_dir):
 
 
 @declare(
+    "q_state_durations_served",
+    """
+    WITH src AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL
+    ),
+    seq AS (
+      SELECT user_id,
+             event_type AS state,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM src
+    ),
+    agg AS (
+      SELECT user_id, state,
+             CAST(SUM(dt_us) AS BIGINT) AS state_us,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM seq WHERE dt_us IS NOT NULL
+      GROUP BY user_id, state
+    )
+    SELECT user_id, state, state_us, n_intervals,
+           CASE WHEN SUM(state_us) OVER (PARTITION BY user_id) > 0 THEN
+             ROUND(CAST(state_us AS DOUBLE)
+                   / CAST(SUM(state_us) OVER (PARTITION BY user_id)
+                          AS DOUBLE), 6)
+           END AS frac
+    FROM agg
+    """,
+    doc="streaming state-residence durations, oracle-certified "
+    "end-to-end (round 15 — VERDICT r14 next-round #3; "
+    "streaming/state.py, the q_corpus_stream_served pattern): events "
+    "become a JSON drop-dir split at the midpoint timestamp into TWO "
+    "real micro-batches (every user's state interval across the cut "
+    "is a boundary-spanner the sink must bridge via its carryover), "
+    "plus an injected LATE row — strictly older than its user's "
+    "batch-0 carryover, with a sentinel state that would surface as "
+    "a brand-new served row if the drop policy missed it. The sink "
+    "drains with availableNow, the store is then COMPACTED (base "
+    "fold + delta cleanup on the served path), and DuckDB certifies "
+    "the SERVED per-(user, state) totals/interval counts/shares "
+    "against the source definition: any double-counted bridge "
+    "interval, replay duplication, late-row leak, or compaction "
+    "loss diverges the hash. Timestamps travel as exact epoch "
+    "microseconds (no format round-trip). The only r14 streaming "
+    "store previously certified by pytest alone",
+)
+def q_state_durations_served(spark, sf_dir):
+    import glob
+    import json
+    import shutil
+
+    from .streaming.state import (
+        compact_state_durations,
+        serve_state_durations,
+        start_state_durations_sink,
+    )
+
+    root = _fixture_dir("q_state_durations_served")
+    src = os.path.join(root, "drop")
+    store = os.path.join(root, "store")
+
+    feed = (
+        T(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+        )
+    )
+    lo, hi = feed.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cut = (int(lo) + int(hi)) // 2
+    a = feed.filter(F.col("ts_us") < cut)
+    b = feed.filter(F.col("ts_us") >= cut)
+    # the late probe needs a user whose carryover exists after batch 0
+    probe = (
+        a.groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_us"))
+        .orderBy("user_id")
+        .first()
+    )
+    if probe is None:
+        raise RuntimeError(
+            "state-served fixture: batch 0 is empty — the midpoint "
+            "split degenerated; inspect the testdata time span"
+        )
+    a.coalesce(1).write.mode("overwrite").json(src)
+    b_tmp = os.path.join(root, "b_tmp")
+    b.coalesce(1).write.mode("overwrite").json(b_tmp)
+    b_part = glob.glob(os.path.join(b_tmp, "part-*.json"))
+    if len(b_part) != 1:
+        raise RuntimeError(f"expected one batch-1 file, got {b_part}")
+    b_dst = os.path.join(src, "zz_batch1.json")
+    shutil.move(b_part[0], b_dst)
+    with open(b_dst, "a") as f:
+        # strictly older than the probe user's whole batch-0 history;
+        # the sentinel state would be a NEW served row if not dropped
+        f.write(
+            json.dumps(
+                {
+                    "user_id": probe["user_id"],
+                    "event_type": "late_probe",
+                    "ts_us": int(probe["first_us"]) - 3_600_000_000,
+                    "event_id": 9_000_001,
+                }
+            )
+            + "\n"
+        )
+    latest = max(
+        os.path.getmtime(p) for p in glob.glob(os.path.join(src, "part-*"))
+    )
+    os.utime(b_dst, (latest + 10, latest + 10))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_type string, ts_us bigint, "
+            "event_id bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_state_durations_sink(
+        stream.select(
+            "user_id",
+            "event_type",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "event_id",
+        ),
+        store,
+        os.path.join(root, "ckpt"),
+        key="user_id",
+        state="event_type",
+        ts="ts",
+        order_tiebreak="event_id",
+        available_now=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("state stream fixture did not drain in 300s")
+    from .fsutil import read_json_manifest
+
+    man = read_json_manifest(spark, store.rstrip("/") + ".state.json")
+    if man is None or int(man["last_applied_batch"]) != 1:
+        raise RuntimeError(
+            f"expected exactly 2 applied micro-batches, manifest: {man}"
+        )
+    # fold the store — the oracle certifies the post-compaction serve
+    compact_state_durations(spark, store)
+    return serve_state_durations(spark, store)
+
+
+@declare(
     "q_mann_kendall",
     """
     WITH daily AS (

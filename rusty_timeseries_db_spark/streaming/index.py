@@ -32,7 +32,6 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..fsutil import write_json_manifest
 from ..operators.retrieval import Bm25Index
 
 
@@ -75,9 +74,9 @@ def apply_bm25_batch(
     n = idx.add(
         batch, id_col=id_col, text_col=text_col, removed_ids=removed_ids
     )
-    man2 = idx._manifest()
+    ver2, man2 = idx._manifest_cas()
     man2["last_applied_batch"] = int(batch_id)
-    write_json_manifest(spark, idx.manifest_path, man2)
+    idx._commit_manifest(man2, expected=ver2)
     return n
 
 
@@ -154,9 +153,9 @@ def apply_ivf_batch(
         batch, corpus_id=corpus_id, corpus_vec=corpus_vec,
         removed_ids=removed_ids,
     )
-    man2 = idx._manifest()
+    ver2, man2 = idx._manifest_cas()
     man2["last_applied_batch"] = int(batch_id)
-    write_json_manifest(spark, idx.manifest_path, man2)
+    idx._commit_manifest(man2, expected=ver2)
     return n
 
 
@@ -347,9 +346,9 @@ def apply_index_ops_batch(
                 adds, corpus_id=id_col, corpus_vec=corpus_vec,
                 removed_ids=removed_ids,
             )
-        man2 = idx._manifest()
+        ver2, man2 = idx._manifest_cas()
         man2["last_applied_batch"] = int(batch_id)
-        write_json_manifest(spark, idx.manifest_path, man2)
+        idx._commit_manifest(man2, expected=ver2)
     n_removed = idx.remove(removes)
     return n_added, n_removed
 

@@ -340,7 +340,7 @@ def test_ivf_index_incremental_add(spark, tmp_path):
     idx = IvfIndex(spark, idx_path).build(A, n_clusters=8, seed=7)
     n_b = B.count()
     assert idx.add(B) == n_b
-    man = read_json_manifest(spark, idx.manifest_path)
+    man = idx._manifest()
     assert man["n_added"] == n_b
     assert man["n_rows"] == A.count() + n_b
     # dtype contract: one uniform element type across all files
@@ -599,12 +599,12 @@ def test_ivf_remove_exact_and_compact_equality(spark, tmp_path):
     idx_path = str(tmp_path / "ivf")
     idx = IvfIndex(spark, idx_path).build(corpus, n_clusters=8, seed=7)
     n_corpus = corpus.count()
-    assert read_json_manifest(spark, idx.manifest_path)["n_rows"] == n_corpus
+    assert idx._manifest()["n_rows"] == n_corpus
 
     before = idx.query(queries, k=5, n_probe=3).collect()
     victims = sorted({r.vec_id for r in before})[:3]  # ids that WERE served
     assert idx.remove(victims) == 3
-    man = read_json_manifest(spark, idx.manifest_path)
+    man = idx._manifest()
     assert man["n_rows"] == n_corpus - 3 and man["n_removed"] == 3
     assert idx.remove(victims) == 0  # idempotent
     assert idx.remove([99999999]) == 0  # unknown id ignored
@@ -624,7 +624,7 @@ def test_ivf_remove_exact_and_compact_equality(spark, tmp_path):
     assert not any("tombstone" in d for d in os.listdir(idx_path))
 
     assert idx.compact() == 3
-    man2 = read_json_manifest(spark, idx.manifest_path)
+    man2 = idx._manifest()
     assert man2["n_rows"] == n_corpus - 3 and man2["n_removed"] == 0
     assert not idx._dir_exists(idx.tombstones_path)
     rows_physical = sorted(

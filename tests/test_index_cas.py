@@ -1,0 +1,158 @@
+"""Enforced single-writer contract on the persisted indexes (round 15
+— VERDICT r14 next-round #5): the manifest commit is a compare-and-
+swap, so two interleaved mutators SERIALIZE OR RAISE — the second
+writer gets ``ManifestVersionConflict`` instead of silently clobbering
+the first's N/sum_dl/n_rows accounting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from rusty_timeseries_db_spark.fsutil import ManifestVersionConflict
+from rusty_timeseries_db_spark.operators.retrieval import Bm25Index
+from rusty_timeseries_db_spark.operators.similarity import IvfIndex
+
+DOCS = [
+    (1, "the quick brown fox jumps"),
+    (2, "pack my box with five dozen jugs"),
+    (3, "sphinx of black quartz judge my vow"),
+    (4, "how vexingly quick daft zebras jump"),
+]
+
+
+def _docs(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_bm25_concurrent_add_conflicts_not_clobbers(spark, tmp_path):
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(_docs(spark))
+    man0 = idx._manifest()
+
+    real_cas = Bm25Index._manifest_cas
+    fired = {"done": False}
+
+    def hooked(self):
+        got = real_cas(self)  # the outer add's (stale-to-be) snapshot
+        if not fired["done"]:
+            fired["done"] = True
+            Bm25Index._manifest_cas = real_cas  # unhook for inner add
+            # a SECOND writer's add() runs to completion between the
+            # outer add's manifest read and its commit
+            Bm25Index(spark, path).add(
+                _docs(spark, [(10, "interleaved writer lands first")])
+            )
+        return got
+
+    Bm25Index._manifest_cas = hooked
+    try:
+        with pytest.raises(ManifestVersionConflict, match="concurrent"):
+            idx.add(_docs(spark, [(20, "loser writer must not clobber")]))
+    finally:
+        Bm25Index._manifest_cas = real_cas
+
+    # the interleaved writer's accounting SURVIVED; the loser's was
+    # never applied (its physical appends are the documented crash-
+    # equivalent at-least-once residue — accounting stays consistent
+    # with the winner's commit)
+    man = idx._manifest()
+    assert man["n_docs"] == man0["n_docs"] + 1
+    assert man["n_added"] == 1
+    # the index still serves
+    assert idx.query(["quick"], k=5).count() > 0
+
+
+def test_bm25_concurrent_remove_conflicts(spark, tmp_path):
+    """remove() carries the same CAS token through its derive-and-
+    commit, so an interleaved add() makes it raise instead of writing
+    stats from a stale snapshot."""
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(_docs(spark))
+
+    real_cas = Bm25Index._manifest_cas
+    fired = {"done": False}
+
+    def hooked(self):
+        got = real_cas(self)
+        if not fired["done"]:
+            fired["done"] = True
+            Bm25Index._manifest_cas = real_cas
+            Bm25Index(spark, path).add(
+                _docs(spark, [(10, "interleaved add during remove")])
+            )
+        return got
+
+    Bm25Index._manifest_cas = hooked
+    try:
+        with pytest.raises(ManifestVersionConflict, match="concurrent"):
+            idx.remove([1])
+    finally:
+        Bm25Index._manifest_cas = real_cas
+    # winner's accounting intact
+    assert idx._manifest()["n_docs"] == len(DOCS) + 1
+
+
+def test_ivf_concurrent_add_conflicts_not_clobbers(spark, tmp_path):
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, path).build(
+        emb.filter("vec_id >= 20"), n_clusters=4, seed=7
+    )
+    n0 = idx._manifest()["n_rows"]
+
+    real_cas = IvfIndex._manifest_cas
+    fired = {"done": False}
+
+    def hooked(self):
+        got = real_cas(self)
+        if not fired["done"]:
+            fired["done"] = True
+            IvfIndex._manifest_cas = real_cas
+            IvfIndex(spark, path).add(emb.filter("vec_id == 10"))
+        return got
+
+    IvfIndex._manifest_cas = hooked
+    try:
+        with pytest.raises(ManifestVersionConflict, match="concurrent"):
+            idx.add(emb.filter("vec_id == 11"))
+    finally:
+        IvfIndex._manifest_cas = real_cas
+
+    man = idx._manifest()
+    assert man["n_rows"] == n0 + 1  # winner only
+    assert man["n_added"] == 1
+
+
+def test_legacy_flat_manifest_migrates_on_first_commit(spark, tmp_path):
+    """A pre-r15 index (flat ``<index>.bm25.json`` file) reads fine,
+    and the first mutation migrates it to the versioned sibling dir —
+    retiring the flat file so no reader can see stale state."""
+    import os
+
+    from rusty_timeseries_db_spark.fsutil import (
+        read_json_manifest,
+        write_json_manifest,
+    )
+
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(_docs(spark))
+    # simulate the legacy layout: move the committed manifest back to
+    # the flat file and drop the versioned dir
+    import shutil
+
+    man = idx._manifest()
+    shutil.rmtree(idx._manifest_dir)
+    write_json_manifest(spark, idx.manifest_path, man)
+    assert idx._read_manifest_cas() == (None, man)  # legacy fallback
+    assert idx._manifest() == man  # reads keep working
+
+    idx.add(_docs(spark, [(10, "first post-migration write")]))
+    # versioned dir now holds the commit; the flat file is retired
+    assert os.path.isdir(idx._manifest_dir)
+    assert read_json_manifest(spark, idx.manifest_path) is None
+    assert not os.path.exists(idx.manifest_path)
+    assert idx._manifest()["n_docs"] == len(DOCS) + 1

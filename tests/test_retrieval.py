@@ -480,9 +480,9 @@ def test_remove_requires_docs_sidecar(spark, tmp_path):
     docs = _docs(spark)
     path = str(tmp_path / "bm25")
     idx = Bm25Index(spark, path).build(docs)
-    man = read_json_manifest(spark, idx.manifest_path)
+    ver, man = idx._manifest_cas()
     del man["docs_sidecar"]
-    write_json_manifest(spark, idx.manifest_path, man)
+    idx._commit_manifest(man, expected=ver)
     with pytest.raises(ValueError, match="sidecar"):
         idx.remove([1])
     # and add() on the old format does NOT create a partial sidecar
@@ -1031,9 +1031,9 @@ def test_query_tfidf_requires_tfn2_manifest_flag(spark, tmp_path):
     docs = _docs(spark)
     path = str(tmp_path / "bm25")
     idx = Bm25Index(spark, path).build(docs)
-    man = read_json_manifest(spark, idx.manifest_path)
+    ver, man = idx._manifest_cas()
     man.pop("tfn2")
-    write_json_manifest(spark, idx.manifest_path, man)
+    idx._commit_manifest(man, expected=ver)
     with pytest.raises(ValueError, match="tfn2"):
         idx.query_tfidf(TERMS)
     # bm25 scoring is unaffected by the missing flag
