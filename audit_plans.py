@@ -93,6 +93,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "— two DIMENSION-sized sets (the q_chi_square_scan grid "
         "allowance); the data-scale work is the (source, word) count"
     },
+    "q_theta_audience_overlap": {
+        "cartesian": "the segment-pair grid is distinct(event_type) "
+        "x distinct(event_type) over one-sketch-per-SEGMENT rows — "
+        "dims-only (the q_chi_square_scan grid allowance); the "
+        "data-scale work is the theta_sketch_agg, and every overlap "
+        "is computed from sketch bytes, never from raw events"
+    },
     "q_hybrid_index_rrf": {
         "cartesian": "query_tfidf's 1-row query-norm broadcast "
         "crossJoin (the q_tfidf_index attach-scalar allowance)",

@@ -127,6 +127,13 @@ HEADLINE = [
     # resample)
     "q_state_durations",
     "q_mann_kendall",
+    # added round 15 (subtract for apples-to-apples vs r14): the
+    # mergeable KLL quantile rollup (per-day sketch agg + merge —
+    # the decomposable-percentile cell every 100 TB rollup needs)
+    # and the series-catalog fuzzy linkage through the engine
+    # surface (warehouse build + blocked edit-distance join)
+    "q_kll_quantile_rollup",
+    "q_catalog_fuzzy_link",
 ]
 
 

@@ -610,6 +610,45 @@ class TimeseriesEngine:
             )
         )
 
+    def link_external_names(
+        self,
+        external: DataFrame,
+        name_col: str = "name",
+        max_dist: int = 1,
+        blocker=None,
+    ) -> DataFrame:
+        """Resolve DIRTY external sensor names onto the series catalog
+        (round 15 — VERDICT r14 next-round #7; the natural home of
+        :func:`..operators.linkage.fuzzy_join`): the reference keys
+        every series by a free-text ``sensor_name`` and offers only
+        exact-match lookup (main.rs:92-140), but real external feeds
+        arrive with truncated/misspelled names. Inner-joins
+        ``external`` against :meth:`build_series_catalog` on
+        approximate equality — blocker-key agreement + Levenshtein
+        distance <= ``max_dist`` — returning the external columns plus
+        the matched (timeseries_id, sensor_name, edit_dist).
+
+        Default ``blocker`` is a 4-char prefix: catalog names are
+        compact identifiers, not prose, so the linkage module's
+        first-whitespace-token default would put most names in one
+        block. Candidates stay blocked + length-banded (never
+        all-pairs — linkage.py's lossless-band contract); the catalog
+        side is one row per series, broadcast-sized by construction.
+        ``name_col`` must not be named ``sensor_name`` (fuzzy_join's
+        honest-schema rule — rename upstream)."""
+        from .operators.linkage import fuzzy_join
+
+        if blocker is None:
+            def blocker(c):
+                return F.substring(c, 1, 4)
+        cat = self.build_series_catalog().select(
+            "timeseries_id", "sensor_name"
+        )
+        return fuzzy_join(
+            external, cat, name_col, "sensor_name",
+            max_dist=max_dist, blocker=blocker,
+        )
+
     def compact(self) -> int:
         """Fold the overlay into the base files (periodic maintenance,
         SURVEY §7.4): rewrites the telemetry table with overlay rows

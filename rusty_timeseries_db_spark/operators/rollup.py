@@ -115,6 +115,8 @@ class ContinuousRollup:
         window: str = "5 minutes",
         distinct_col: str | None = None,
         lg_k: int = 12,
+        quantile_col: str | None = None,
+        kll_k: int = 200,
     ) -> None:
         self.spark = spark
         self.base = base
@@ -133,6 +135,16 @@ class ContinuousRollup:
         #: numeric columns and value-level idempotency for the sketch.
         self.distinct_col = distinct_col
         self.lg_k = lg_k
+        #: optional mergeable PERCENTILES (round 15 — the KLL twin of
+        #: distinct_col): each cell also stores a KLL quantile sketch
+        #: of ``quantile_col``, so ``quantile_estimate`` can merge
+        #: across materialized days AND the live tail — the operation
+        #: per-cell percentile_approx cannot do (quantiles don't sum).
+        #: Same idempotency stance as the HLL cells: estimates are
+        #: input-set-deterministic, sketch BYTES may differ across
+        #: refresh orders.
+        self.quantile_col = quantile_col
+        self.kll_k = kll_k
         self.manifest_path = rollup_path + ".hwm.json"
         # Day boundaries must be window boundaries: otherwise a window
         # spanning midnight could be half-materialized and half-tail
@@ -194,6 +206,14 @@ class ContinuousRollup:
                 .alias("distinct_sketch")
             )
             extra = ["distinct_sketch"]
+        if self.quantile_col is not None:
+            from ..functions.sketches import quantile_sketch
+
+            aggs.append(
+                quantile_sketch(self.quantile_col, self.kll_k)
+                .alias("quantile_sketch")
+            )
+            extra = [*extra, "quantile_sketch"]
         return (
             df.groupBy(*self.key_cols, w.alias("w"))
             .agg(*aggs)
@@ -236,6 +256,33 @@ class ContinuousRollup:
                 .alias("distinct_est"),
             )
         )
+
+    def quantile_estimate(
+        self,
+        quantiles: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+        group_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Percentile estimates of ``quantile_col`` per ``group_cols``
+        (default: the rollup keys) over the COMPLETE view — KLL
+        sketches from materialized days and the live tail MERGE
+        losslessly within the sketch's rank-error bound, which
+        per-cell percentile_approx cannot do (round 15; the quantile
+        twin of :meth:`distinct_estimate`). Returns (group_cols,
+        n_rows, p<q> per requested quantile, rounded 6 dp)."""
+        if self.quantile_col is None:
+            raise ValueError(
+                "rollup was built without quantile_col — no KLL "
+                "sketches stored"
+            )
+        from ..functions.sketches import merge_quantile_rollup
+
+        gc = self.key_cols if group_cols is None else list(group_cols)
+        cells = self.read().select(
+            *gc,
+            F.col("quantile_sketch").alias("q_sketch"),
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+        return merge_quantile_rollup(cells, gc, quantiles=list(quantiles))
 
     # -- manifest + probe I/O through the shared Hadoop-FS helpers
     # (fsutil.py): an hdfs:// or s3a:// rollup_path behaves exactly

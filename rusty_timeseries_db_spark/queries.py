@@ -66,97 +66,54 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r{01..13}.json (rebuilt
-# with gen_rotation.py entering round 14): 41 queries were last
-# driver-checked in r09, 48 in r10, 50 in r11 (the dict-default
-# tier), 48 in r12, 50 in r13. Round-14 window (VERDICT r13
-# next-round #1): _ROUND_MODIFIED (3 new + 6 re-certified = 9)
-# first, then ALL 41 r09-tier queries — exactly the 50 slots, so no
-# r10-tier fills this round (declaration order breaks ties) — after
-# this round no query's latest driver row is older than r10.
+# the per-query max round over CORRECTNESS_r{01..14}.json (rebuilt
+# with gen_rotation.py entering round 15): 48 queries were last
+# driver-checked in r10, 50 in r11 (the dict-default tier), 48 in
+# r12, 44 in r13, 50 in r14. Round-15 window (VERDICT r14 next-round
+# #1): _ROUND_MODIFIED (23 post-freeze never-driver-checked + 4 new
+# + 4 re-certified = 31) first, then the 19 STALEST r10-tier queries
+# (declaration order breaks ties) — the other 29 r10-tier queries
+# head the r16 fill.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 14, new queries (each enters this set in the same commit
-    # that declares it): char-trigram language identification,
-    # Luhn-validated card-number PII detection, char-level Shannon
-    # entropy quality signal
-    "q_language_id", "q_pii_luhn_cards", "q_char_entropy",
-    # round 14, re-certified after behavior-relevant changes:
-    # q_similarity_ivf_index now exercises the full lifecycle
-    # (build + add + remove with the new tombstone path);
-    # q_multimodal_probe gained the MP4 leg (schema + synthesis rule
-    # changed); q_bm25_index / q_bm25_stream_indexed ride the
-    # reworked staging/compaction/removed_ids code; q_sql_pivot rides
-    # the PIVOT rewrite extended with IN lists; q_pagerank rides
-    # graph.py's normalized-flag refactor (default path unchanged,
-    # re-pinned anyway)
-    "q_similarity_ivf_index", "q_multimodal_probe", "q_bm25_index",
-    "q_bm25_stream_indexed", "q_sql_pivot", "q_pagerank",
+    # round 15 rule (a), part 1 — the 23 queries declared AFTER the
+    # round-14 window froze (judge-swept in r14, never
+    # driver-checked; VERDICT r14 next-round #1 pins this list):
+    "q_zipf_slope", "q_funnel_stages", "q_cohort_retention_matrix",
+    "q_state_durations", "q_mann_kendall", "q_theil_sen",
+    "q_fuzzy_vocab_match", "q_sql_from_first", "q_tfidf_index",
+    "q_topk_sketch_merge", "q_ngram_containment", "q_ranking_eval",
+    "q_winsorized_stats", "q_attribution_last_touch",
+    "q_hybrid_index_rrf", "q_sql_pivot_multi", "q_k_anonymity",
+    "q_benford_profile", "q_session_stats", "q_pmi_scan",
+    "q_word_dispersion", "q_psi_drift", "q_rbo_lexical_dense",
+    # round 15, new queries: the streaming state-durations sink
+    # oracle-certified end-to-end (VERDICT r14 #3), the mergeable KLL
+    # quantile rollup (VERDICT r14 #6), the series-catalog fuzzy
+    # linkage through the engine surface (VERDICT r14 #7), and the
+    # Theta-sketch audience overlap (the set-operation member of the
+    # DataSketches family)
+    "q_state_durations_served", "q_kll_quantile_rollup",
+    "q_catalog_fuzzy_link", "q_theta_audience_overlap",
+    # round 15, re-certified after behavior-relevant changes: the
+    # persisted-index manifest commits moved to the CAS
+    # single-writer protocol (q_bm25_index, q_bm25_stream_indexed,
+    # q_similarity_ivf_index ride every index read/write path);
+    # ContinuousRollup._aggregate was reworked for the KLL cells
+    # (q_continuous_rollup). Several more touched operators —
+    # trend-guard default, winsorize oracle, topk-sketch merge
+    # refactor, PIVOT — are already inside the 23 above.
+    "q_bm25_index", "q_bm25_stream_indexed", "q_similarity_ivf_index",
+    "q_continuous_rollup",
 })
 
-#: Queries declared AFTER the round-14 window froze (judge-swept this
-#: round; never driver-checked). The r15 session MUST move these into
-#: _ROUND_MODIFIED (rule (a): never-checked code heads the window)
-#: before filling remaining slots with the r10 tier:
-#:   q_zipf_slope, q_funnel_stages, q_cohort_retention_matrix,
-#:   q_state_durations, q_mann_kendall, q_theil_sen,
-#:   q_fuzzy_vocab_match, q_sql_from_first, q_tfidf_index,
-#:   q_topk_sketch_merge, q_ngram_containment, q_ranking_eval,
-#:   q_winsorized_stats, q_attribution_last_touch, q_hybrid_index_rrf,
-#:   q_sql_pivot_multi, q_k_anonymity, q_benford_profile,
-#:   q_session_stats, q_pmi_scan, q_word_dispersion, q_psi_drift,
-#:   q_rbo_lexical_dense
-
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r{01..13}.json): 41 last ran in r09, 48 in r10, 48 in
-#: r12, 50 in r13; the remaining 50 ran in r11 and form the dict
+#: CORRECTNESS_r{01..14}.json): 48 last ran in r10, 48 in r12, 44 in
+#: r13, 50 in r14; the remaining 50 ran in r11 and form the dict
 #: default (`.get(name, 11)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
-    **dict.fromkeys([
-        "q_array_ops",
-        "q_compaction_stats",
-        "q_dedup_exact",
-        "q_deterministic_sample",
-        "q_embedding_neardup_exact",
-        "q_except_all",
-        "q_fdd_rules_join",
-        "q_from_json_struct",
-        "q_gaps_islands_runs",
-        "q_global_sort_multi",
-        "q_hash_functions",
-        "q_hash_split",
-        "q_langid",
-        "q_latest_values",
-        "q_levenshtein",
-        "q_locf_gapfill",
-        "q_multimodal_features",
-        "q_ngram_jaccard",
-        "q_posexplode",
-        "q_quality_filter_pipeline",
-        "q_quality_score",
-        "q_resample_1d",
-        "q_scalar_conditional",
-        "q_scalar_datetime",
-        "q_scalar_datetime_parts",
-        "q_scalar_json",
-        "q_scalar_math",
-        "q_scalar_string",
-        "q_session_window",
-        "q_similarity_bruteforce",
-        "q_stratified_sample",
-        "q_to_json",
-        "q_token_stats",
-        "q_tpch_q18_large_volume",
-        "q_tpch_q21_suppliers_who_wait",
-        "q_tumbling_window",
-        "q_udf_grouped_agg_median",
-        "q_udf_mapinpandas_clip",
-        "q_udf_sql_registered",
-        "q_udf_zscore_per_group",
-        "q_window_nth_cume",
-    ], 9),
     **dict.fromkeys([
         "q_agg_pricing_summary",
         "q_agg_stats",
@@ -261,8 +218,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_audience_jaccard",
         "q_autocorr_lag1",
         "q_bigram_surprisal",
-        "q_bm25_index",
-        "q_bm25_stream_indexed",
         "q_chi_square_scan",
         "q_column_profile",
         "q_corpus_pipeline_chunked",
@@ -279,10 +234,8 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_kmeans_step",
         "q_merge_upsert",
         "q_moving_median",
-        "q_multimodal_probe",
         "q_ohlc_bars",
         "q_outlier_mad",
-        "q_pagerank",
         "q_pii_scrub",
         "q_promql_changes",
         "q_promql_irate",
@@ -291,10 +244,8 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_seasonal_backtest",
         "q_series_align_ratio",
         "q_series_gap_report",
-        "q_similarity_ivf_index",
         "q_spearman_corr",
         "q_sql_columns_join",
-        "q_sql_pivot",
         "q_sql_unpivot",
         "q_table_diff",
         "q_token_budget_sample",
@@ -309,12 +260,64 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_window_rolling_time",
         "q_zorder_stats",
     ], 13),
+    **dict.fromkeys([
+        "q_array_ops",
+        "q_bm25_index",
+        "q_bm25_stream_indexed",
+        "q_char_entropy",
+        "q_compaction_stats",
+        "q_dedup_exact",
+        "q_deterministic_sample",
+        "q_embedding_neardup_exact",
+        "q_except_all",
+        "q_fdd_rules_join",
+        "q_from_json_struct",
+        "q_gaps_islands_runs",
+        "q_global_sort_multi",
+        "q_hash_functions",
+        "q_hash_split",
+        "q_langid",
+        "q_language_id",
+        "q_latest_values",
+        "q_levenshtein",
+        "q_locf_gapfill",
+        "q_multimodal_features",
+        "q_multimodal_probe",
+        "q_ngram_jaccard",
+        "q_pagerank",
+        "q_pii_luhn_cards",
+        "q_posexplode",
+        "q_quality_filter_pipeline",
+        "q_quality_score",
+        "q_resample_1d",
+        "q_scalar_conditional",
+        "q_scalar_datetime",
+        "q_scalar_datetime_parts",
+        "q_scalar_json",
+        "q_scalar_math",
+        "q_scalar_string",
+        "q_session_window",
+        "q_similarity_bruteforce",
+        "q_similarity_ivf_index",
+        "q_sql_pivot",
+        "q_stratified_sample",
+        "q_to_json",
+        "q_token_stats",
+        "q_tpch_q18_large_volume",
+        "q_tpch_q21_suppliers_who_wait",
+        "q_tumbling_window",
+        "q_udf_grouped_agg_median",
+        "q_udf_mapinpandas_clip",
+        "q_udf_sql_registered",
+        "q_udf_zscore_per_group",
+        "q_window_nth_cume",
+    ], 14),
 }
 
 
 def _ordered_registry() -> list[QuerySpec]:
     """This round's new/modified queries first, then stalest-driver-row
-    first (r08-last, then the r09 dict-default, then r10/r11/r12);
+    first (r10-last, then the r11 dict-default, then r12/r13/r14);
     declaration order breaks ties (Python sort is stable)."""
     names = {q.name for q in _REGISTRY}
     assert _ROUND_MODIFIED <= names, (
@@ -8749,6 +8752,57 @@ def q_hll_distinct_rollup(spark, sf_dir):
 
 
 @declare(
+    "q_theta_audience_overlap",
+    None,
+    doc="mergeable Theta-sketch audience overlap (round 15 — "
+    "functions/sketches.py theta_rollup/theta_overlap, Spark-native "
+    "DataSketches Theta): one sketch per event_type segment over its "
+    "user ids, then every pairwise intersection/union distinct "
+    "estimate and Jaccard ratio served from SKETCH BYTES — the set "
+    "algebra HLL cells cannot do (union-only), and the scale path "
+    "for q_audience_jaccard's exact per-pair distinct-user join, "
+    "which at 100 TB cannot afford re-scanning raw events per "
+    "segment pair. The pair join is a dims-only segment grid (the "
+    "chi-square-scan stance). Rows-only (estimates are "
+    "engine-specific); tests/test_sketches.py pins <5% error vs the "
+    "exact overlap and the intersection<=min/union>=max set "
+    "invariants",
+)
+def q_theta_audience_overlap(spark, sf_dir):
+    from .functions.sketches import theta_overlap, theta_rollup
+
+    e = T(spark, sf_dir, "events")
+    segs = theta_rollup(e, ["event_type"], "user_id")
+    return theta_overlap(segs, "event_type")
+
+
+@declare(
+    "q_kll_quantile_rollup",
+    None,
+    doc="mergeable KLL quantile rollup (round 15 — VERDICT r14 "
+    "next-round #6; functions/sketches.py quantile_rollup/"
+    "merge_quantile_rollup, Spark-native DataSketches KLL): "
+    "per-(event_type, day) quantile sketches MERGED up to "
+    "per-event_type cells and queried for p50/p95/p99 — the "
+    "re-aggregation per-cell percentile_approx cannot do (quantiles "
+    "don't sum), completing the decomposable-aggregate family beside "
+    "the HLL distinct cells; ContinuousRollup.quantile_estimate "
+    "serves the same merge over materialized days ∪ live tail. "
+    "Rows-only (the sketch binary and its rank-error estimates are "
+    "engine-specific); tests/test_sketches.py pins the "
+    "normalized-rank-error bound vs exact percentiles, "
+    "merge==whole-range consistency, and the rollup-path "
+    "days-∪-tail estimate",
+)
+def q_kll_quantile_rollup(spark, sf_dir):
+    from .functions.sketches import merge_quantile_rollup, quantile_rollup
+
+    e = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = quantile_rollup(e, ["event_type", "day"], "value")
+    return merge_quantile_rollup(daily, ["event_type"])
+
+
+@declare(
     "q_json_roundtrip",
     """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -12142,6 +12196,96 @@ def q_fuzzy_vocab_match(spark, sf_dir):
         F.expr("substr(name, 1, length(name) - 1)").alias("probe")
     ).distinct()
     return fuzzy_join(probes, vocab, "probe", "name", max_dist=1)
+
+
+@declare(
+    "q_catalog_fuzzy_link",
+    """
+    WITH src AS (
+      SELECT user_id, event_type, event_id,
+             strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_raw
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL
+    ),
+    named AS (
+      SELECT 'series-' || CAST(user_id AS VARCHAR) AS timeseries_id,
+             event_type || '-' || CAST(user_id % 10 AS VARCHAR) AS nm,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_raw, event_id) AS rn
+      FROM src
+    ),
+    cat AS (
+      SELECT timeseries_id, nm AS sensor_name FROM named WHERE rn = 1
+    ),
+    probes AS (
+      SELECT DISTINCT
+             substr(sensor_name, 1, length(sensor_name) - 1) AS probe
+      FROM cat
+    )
+    SELECT p.probe, c.timeseries_id, c.sensor_name,
+           CAST(levenshtein(p.probe, c.sensor_name) AS INT) AS edit_dist
+    FROM probes p JOIN cat c
+      ON substr(p.probe, 1, 4) = substr(c.sensor_name, 1, 4)
+     AND levenshtein(p.probe, c.sensor_name) <= 1
+    """,
+    doc="series-catalog fuzzy linkage through the ENGINE surface "
+    "(round 15 — VERDICT r14 next-round #7; api.py "
+    "link_external_names over build_series_catalog): a real warehouse "
+    "is built in-fixture (the q_latest_values dense-seq discipline, "
+    "so the catalog's min_by-ingest_seq sensor_name is the oracle's "
+    "first-row-by-(ts_raw, event_id) pick), then dirty external "
+    "probes — every catalog name with its last char dropped — are "
+    "resolved at edit distance <= 1 with a 4-char-prefix blocker "
+    "(catalog names are compact identifiers; the linkage module's "
+    "first-token default would collapse them into one block). "
+    "Candidates stay blocked + length-banded (linkage.py's lossless "
+    "band), never all-pairs; DuckDB recomputes catalog, probes, "
+    "blocker equality and levenshtein directly from the source "
+    "definition",
+)
+def q_catalog_fuzzy_link(spark, sf_dir):
+    from .api import TimeseriesEngine
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    raw = e.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("-"),
+            (F.col("user_id") % 10).cast("string"),
+        ).alias("sensor_name"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(None).cast("tinyint").alias("fc1_flag"),
+        F.concat(F.lit("series-"), F.col("user_id").cast("string")).alias(
+            "timeseries_id"
+        ),
+        "event_id",
+    )
+    # dense-seq ingest over the oracle's total order (q_latest_values)
+    raw = (
+        raw.repartition(1)
+        .sortWithinPartitions("timestamp", "event_id")
+        .drop("event_id")
+    )
+    eng = TimeseriesEngine(spark, _fixture_dir("q_catalog_fuzzy_link"))
+    eng.ingest_df(raw)
+    probes = (
+        eng.build_series_catalog()
+        .select(
+            F.expr(
+                "substr(sensor_name, 1, length(sensor_name) - 1)"
+            ).alias("probe")
+        )
+        .distinct()
+    )
+    return eng.link_external_names(probes, name_col="probe").select(
+        "probe", "timeseries_id", "sensor_name", "edit_dist"
+    )
 
 
 _FROM_FIRST_STMT = (

@@ -154,3 +154,173 @@ def test_topk_sketch_null_values_ignored(spark):
     assert set(got) == {"c"}
     assert got["c"].top == {"a": 1, "b": 1}
     assert got["c"].n_rows == 2
+
+
+# ------------------------------------------- mergeable KLL quantiles
+
+
+def test_kll_rank_error_vs_exact(spark):
+    """Round 15: a merged per-day KLL rollup's quantile estimates must
+    sit within the sketch's normalized rank-error bound of the exact
+    percentiles — checked in RANK space (the KLL guarantee is on
+    ranks, not values): the exact rank of each estimated value must be
+    within ~3x the k=200 epsilon (~1.65%) of the target quantile."""
+    from rusty_timeseries_db_spark.functions.sketches import (
+        merge_quantile_rollup,
+        quantile_rollup,
+    )
+
+    e = T(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    daily = quantile_rollup(
+        e.withColumn("day", F.to_date("ts")), ["event_type", "day"], "value"
+    )
+    merged = merge_quantile_rollup(
+        daily, ["event_type"], quantiles=[0.5, 0.95]
+    )
+    est = {r.event_type: r for r in merged.collect()}
+    for et, row in est.items():
+        vals = sorted(
+            x.value
+            for x in e.filter(F.col("event_type") == et)
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        assert row.n_rows == n
+        import bisect
+
+        for q, v in ((0.5, row.p50), (0.95, row.p95)):
+            # rank of the estimated value among the exact data
+            rank = bisect.bisect_right(vals, v) / n
+            assert abs(rank - q) <= 0.05, (et, q, v, rank)
+
+
+def test_kll_merge_consistent_with_whole_range(spark):
+    """Merged per-day sketches and one whole-range sketch are both
+    within the rank bound of the same truth — and carry identical
+    n_rows accounting."""
+    from rusty_timeseries_db_spark.functions.sketches import (
+        merge_quantile_rollup,
+        quantile_rollup,
+    )
+
+    e = T(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    daily = quantile_rollup(e, ["event_type", "day"], "value")
+    merged = merge_quantile_rollup(daily, ["event_type"], quantiles=[0.5])
+    whole = merge_quantile_rollup(
+        quantile_rollup(e, ["event_type"], "value"),
+        ["event_type"],
+        quantiles=[0.5],
+    )
+    m = {r.event_type: r for r in merged.collect()}
+    w = {r.event_type: r for r in whole.collect()}
+    assert set(m) == set(w)
+    for et in m:
+        assert m[et].n_rows == w[et].n_rows
+        # both estimates sit within the combined rank bound of each
+        # other: translate to rank space via the exact data
+        vals = sorted(
+            x.value
+            for x in e.filter(
+                F.col("event_type") == et
+            ).select("value").collect()
+            if x.value is not None
+        )
+        import bisect
+
+        rm = bisect.bisect_right(vals, m[et].p50) / len(vals)
+        rw = bisect.bisect_right(vals, w[et].p50) / len(vals)
+        assert abs(rm - rw) <= 0.07, (et, rm, rw)
+
+
+def test_kll_rollup_cells_roundtrip_and_continuous_rollup(spark, tmp_path):
+    """The sketch column survives parquet, and the ContinuousRollup
+    integration serves days-∪-tail percentile estimates within the
+    rank bound of the exact whole-range percentiles."""
+    import bisect
+
+    from rusty_timeseries_db_spark.operators.rollup import ContinuousRollup
+
+    e = T(spark, SF_DIR, "events").select("event_type", "ts", "value")
+    base = str(tmp_path / "base")
+    e.write.mode("overwrite").parquet(base)
+    roll = ContinuousRollup(
+        spark,
+        base,
+        str(tmp_path / "roll"),
+        key_cols=["event_type"],
+        window="1 hour",
+        quantile_col="value",
+    )
+    roll.refresh()
+    est = {r.event_type: r for r in roll.quantile_estimate([0.5]).collect()}
+    for et, row in est.items():
+        vals = sorted(
+            x.value
+            for x in e.filter(F.col("event_type") == et)
+            .select("value")
+            .collect()
+            if x.value is not None
+        )
+        rank = bisect.bisect_right(vals, row.p50) / len(vals)
+        assert abs(rank - 0.5) <= 0.05, (et, row.p50, rank)
+        assert row.n_rows == len(vals)
+
+
+# ------------------------------------------- mergeable theta sketches
+
+
+def test_theta_overlap_accuracy_and_invariants(spark):
+    """Round 15: pairwise segment overlap from theta sketches must sit
+    within ~5% of the exact distinct intersection/union, and respect
+    the set invariants (inter <= min cardinality, union >= max,
+    |A|+|B| == inter + union within sketch error)."""
+    from rusty_timeseries_db_spark.functions.sketches import (
+        theta_overlap,
+        theta_rollup,
+    )
+
+    e = T(spark, SF_DIR, "events").filter(F.col("user_id").isNotNull())
+    segs = theta_rollup(e, ["event_type"], "user_id")
+    got = {
+        (r.seg_a, r.seg_b): r
+        for r in theta_overlap(segs, "event_type").collect()
+    }
+    # exact truth per segment pair
+    users = {
+        r.event_type: set(
+            x.user_id
+            for x in e.filter(F.col("event_type") == r.event_type)
+            .select("user_id")
+            .distinct()
+            .collect()
+        )
+        for r in e.select("event_type").distinct().collect()
+    }
+    import itertools
+
+    for a, b in itertools.combinations(sorted(users), 2):
+        row = got[(a, b)]
+        inter = len(users[a] & users[b])
+        union = len(users[a] | users[b])
+        assert abs(row.inter_est - inter) <= max(2, 0.05 * inter), (a, b)
+        assert abs(row.union_est - union) <= max(2, 0.05 * union), (a, b)
+        assert abs(
+            row.jaccard_est - (inter / union if union else 0)
+        ) <= 0.05
+        # set invariants on the estimates themselves
+        assert row.inter_est <= row.union_est
+    assert len(got) == len(users) * (len(users) - 1) // 2
+
+
+def test_theta_rollup_ignores_nulls_and_counts_rows(spark):
+    from rusty_timeseries_db_spark.functions.sketches import theta_rollup
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", 2)],
+        "seg string, u int",
+    )
+    got = {r.seg: r for r in theta_rollup(df, ["seg"], "u").collect()}
+    # NULL member rows are excluded from both the sketch and n_rows
+    assert got["a"].n_rows == 2
+    assert got["b"].n_rows == 1
