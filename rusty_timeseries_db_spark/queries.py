@@ -70,9 +70,9 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 15): 48 queries were last
 # driver-checked in r10, 50 in r11 (the dict-default tier), 48 in
 # r12, 44 in r13, 50 in r14. Round-15 window (VERDICT r14 next-round
-# #1): _ROUND_MODIFIED (23 post-freeze never-driver-checked + 4 new
-# + 4 re-certified = 31) first, then the 19 STALEST r10-tier queries
-# (declaration order breaks ties) — the other 29 r10-tier queries
+# #1): _ROUND_MODIFIED (23 post-freeze never-driver-checked + 5 new
+# + 4 re-certified = 32) first, then the 18 STALEST r10-tier queries
+# (declaration order breaks ties) — the other 30 r10-tier queries
 # head the r16 fill.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
@@ -97,6 +97,9 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # DataSketches family)
     "q_state_durations_served", "q_kll_quantile_rollup",
     "q_catalog_fuzzy_link", "q_theta_audience_overlap",
+    # ...and the streaming KLL quantile store served end-to-end
+    # (exact accounting oracle-paired, estimates invariant-pinned)
+    "q_quantile_stream_served",
     # round 15, re-certified after behavior-relevant changes: the
     # persisted-index manifest commits moved to the CAS
     # single-writer protocol (q_bm25_index, q_bm25_stream_indexed,
@@ -8749,6 +8752,113 @@ def q_hll_distinct_rollup(spark, sf_dir):
     return merge_rollup(daily, ["event_type"]).select(
         "event_type", "n_rows", "distinct_est"
     )
+
+
+@declare(
+    "q_quantile_stream_served",
+    """
+    -- event_id IS NOT NULL mirrors the fixture's parity split (a
+    -- NULL id matches neither parity leg); HAVING mirrors the
+    -- sink's all-NULL-value-cell drop (no sketch row ever lands)
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n_rows
+    FROM events
+    WHERE event_id IS NOT NULL
+    GROUP BY event_type
+    HAVING COUNT(value) > 0
+    """,
+    doc="streaming KLL quantile store, served accounting "
+    "oracle-certified end-to-end (round 15 — streaming/quantile.py, "
+    "the percentile member of the streaming sketch-store family): "
+    "events become a JSON drop-dir split by event-id parity into TWO "
+    "real micro-batches through the REAL sink (versioned "
+    "summaries/batch=<id> dirs, manifest-last), the store is "
+    "COMPACTED (per-cell kll_merge fold + delta cleanup), and the "
+    "SERVED per-event_type row accounting — which flows through the "
+    "same base ∪ deltas merge that evaluates the quantiles — is "
+    "hash-matched against DuckDB's count from the source definition: "
+    "any replay double-count, half-applied batch visibility, or "
+    "compaction loss diverges it. The p50/p95/p99 estimates "
+    "themselves are engine-specific (DataSketches KLL rank-error "
+    "contract) and are pinned by tests/test_streaming_quantile.py's "
+    "rank-containment suite; the fixture hard-fails if the served "
+    "p50 leaves the group's [min, max] envelope",
+)
+def q_quantile_stream_served(spark, sf_dir):
+    import glob
+    import json
+    import shutil
+
+    from .streaming.quantile import (
+        compact_quantile_sketch,
+        serve_quantiles,
+        start_quantile_sketch_sink,
+    )
+
+    root = _fixture_dir("q_quantile_stream_served")
+    src = os.path.join(root, "drop")
+    store = os.path.join(root, "store")
+
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    e.filter(F.col("event_id") % 2 == 0).select(
+        "event_type", "value"
+    ).coalesce(1).write.mode("overwrite").json(src)
+    b_tmp = os.path.join(root, "b_tmp")
+    e.filter(F.col("event_id") % 2 != 0).select(
+        "event_type", "value"
+    ).coalesce(1).write.mode("overwrite").json(b_tmp)
+    b_part = glob.glob(os.path.join(b_tmp, "part-*.json"))
+    if len(b_part) != 1:
+        raise RuntimeError(f"expected one batch-1 file, got {b_part}")
+    b_dst = os.path.join(src, "zz_batch1.json")
+    shutil.move(b_part[0], b_dst)
+    latest = max(
+        os.path.getmtime(p) for p in glob.glob(os.path.join(src, "part-*"))
+    )
+    os.utime(b_dst, (latest + 10, latest + 10))
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_quantile_sketch_sink(
+        stream, store, os.path.join(root, "ckpt"),
+        ["event_type"], "value", available_now=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("quantile stream fixture did not drain in 300s")
+    from .fsutil import read_json_manifest
+
+    man = read_json_manifest(spark, store.rstrip("/") + ".quantile.json")
+    if man is None or int(man["last_applied_batch"]) != 1:
+        raise RuntimeError(
+            f"expected exactly 2 applied micro-batches, manifest: {man}"
+        )
+    compact_quantile_sketch(spark, store)
+    served = serve_quantiles(spark, store, ["event_type"], (0.5,))
+    # estimate sanity envelope (values are engine-specific, the
+    # envelope is not): served p50 must lie inside the group's
+    # [min, max]
+    env = e.groupBy("event_type").agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    bad = (
+        served.join(env, "event_type")
+        .filter(
+            F.col("p50").isNotNull()
+            & ((F.col("p50") < F.col("_lo")) | (F.col("p50") > F.col("_hi")))
+        )
+        .count()
+    )
+    if bad:
+        raise RuntimeError(f"{bad} served p50 values left the [min,max] envelope")
+    return served.select("event_type", "n_rows")
 
 
 @declare(
