@@ -71,8 +71,18 @@ def minmax_decimate(
     ).alias("bucket_start")
     b = df.withColumn("bucket_start", bucket)
     part = Window.partitionBy(*key_cols, "bucket_start")
-    lo = F.row_number().over(part.orderBy(F.col(value_col).asc(), *tiebreak))
-    hi = F.row_number().over(part.orderBy(F.col(value_col).desc(), *tiebreak))
+    # nulls LAST on both directions (round 15): Spark's default asc is
+    # nulls-first, which would crown a NULL reading as the bucket
+    # "min" — a NULL is a missing measurement, not an extreme. With
+    # nulls-last a NULL row can only survive in an all-NULL bucket
+    # (degenerate but honest), and the ordering matches DuckDB's
+    # default null placement on both legs.
+    lo = F.row_number().over(
+        part.orderBy(F.col(value_col).asc_nulls_last(), *tiebreak)
+    )
+    hi = F.row_number().over(
+        part.orderBy(F.col(value_col).desc_nulls_last(), *tiebreak)
+    )
     return (
         b.withColumn("_lo", lo)
         .withColumn("_hi", hi)

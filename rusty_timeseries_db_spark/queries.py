@@ -71,9 +71,9 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # driver-checked in r10, 50 in r11 (the dict-default tier), 48 in
 # r12, 44 in r13, 50 in r14. Round-15 window (VERDICT r14 next-round
 # #1): _ROUND_MODIFIED (23 post-freeze never-driver-checked + 5 new
-# + 4 re-certified = 32) first, then the 18 STALEST r10-tier queries
-# (declaration order breaks ties) — the other 30 r10-tier queries
-# head the r16 fill.
+# + 4 re-certified + 4 NULL-drift-hardened = 36) first, then the 14
+# STALEST r10-tier queries (declaration order breaks ties) — the
+# other 34 r10-tier queries head the r16 fill.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
@@ -110,6 +110,14 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # refactor, PIVOT — are already inside the 23 above.
     "q_bm25_index", "q_bm25_stream_indexed", "q_similarity_ivf_index",
     "q_continuous_rollup",
+    # round 15, NULL-drift hardening (the ADVICE r14 winsorize class,
+    # swept proactively): rank/order universes over nullable
+    # events.value/ts now exclude NULLs on BOTH sides (result-neutral
+    # today — testdata carries no NULLs — drift-proof tomorrow), and
+    # minmax_decimate orders nulls-last so a NULL reading can never
+    # be crowned a bucket extreme
+    "q_quantile_buckets", "q_percentile_disc", "q_spearman_corr",
+    "q_minmax_decimate",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
@@ -7334,11 +7342,15 @@ def q_corpus_pipeline_dsir(spark, sf_dir):
     "q_quantile_buckets",
     """
     WITH b AS (
+      -- NULL values are excluded from the decile universe on BOTH
+      -- sides (round 15 NULL-drift hardening: Spark orders NULLs
+      -- first, DuckDB last — unguarded, the first NULL in testdata
+      -- would shift every bucket boundary differently per engine)
       SELECT event_type, value,
              ntile(10) OVER (
                PARTITION BY event_type ORDER BY value, event_id
              ) AS decile
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type, decile,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -7353,7 +7365,7 @@ def q_corpus_pipeline_dsir(spark, sf_dir):
     "is total-ordered and engine-identical",
 )
 def q_quantile_buckets(spark, sf_dir):
-    e = T(spark, sf_dir, "events")
+    e = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     b = e.withColumn("decile", F.ntile(10).over(w))
     return b.groupBy("event_type", "decile").agg(
@@ -7683,12 +7695,15 @@ def q_dense_grid(spark, sf_dir):
     "q_percentile_disc",
     """
     WITH ranked AS (
+      -- NULLs excluded from the rank universe on BOTH sides
+      -- (PERCENTILE_DISC's standard contract; round 15 NULL-drift
+      -- hardening — engines disagree on NULL sort placement)
       SELECT event_type, value,
              row_number() OVER (
                PARTITION BY event_type ORDER BY value, event_id
              ) AS rn,
              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            MAX(CASE WHEN rn = CAST(CEIL(0.5e0 * n) AS BIGINT) THEN value END) AS p50_disc,
@@ -7702,7 +7717,7 @@ def q_dense_grid(spark, sf_dir):
     "is engine-identical; complements the interpolated q_percentiles",
 )
 def q_percentile_disc(spark, sf_dir):
-    e = T(spark, sf_dir, "events")
+    e = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wc = Window.partitionBy("event_type")
     ranked = e.select(
@@ -10268,10 +10283,13 @@ def q_outlier_mad(spark, sf_dir):
     "q_spearman_corr",
     """
     WITH r AS (
+      -- NULL ts/value rows excluded from the rank universe on BOTH
+      -- sides (round 15 NULL-drift hardening — engines disagree on
+      -- NULL sort placement, which would scramble every rank)
       SELECT event_type,
              RANK() OVER (PARTITION BY event_type ORDER BY ts) AS rx,
              RANK() OVER (PARTITION BY event_type ORDER BY value) AS ry
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     s AS (
       SELECT event_type,
@@ -10302,7 +10320,11 @@ def q_outlier_mad(spark, sf_dir):
     "event_type serves both rank sorts AND the grouped moment agg",
 )
 def q_spearman_corr(spark, sf_dir):
-    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "ts", "value")
+    )
     wx = Window.partitionBy("event_type").orderBy("ts")
     wy = Window.partitionBy("event_type").orderBy("value")
     r = e.select(

@@ -139,3 +139,36 @@ def test_lttb_guard_end_to_end_and_noop_on_small(spark):
 
     with pytest.raises(ValueError, match="2\\*n_out"):
         lttb(big, ["k"], n_out=50, max_group_rows=60)
+
+
+def test_minmax_decimate_null_values_never_win(spark):
+    """Round 15: a NULL reading is a missing measurement, not an
+    extreme — nulls order LAST on both legs, so the picked min/max
+    rows are always real values; an all-NULL bucket degenerates to
+    one (honest) NULL row."""
+    from datetime import datetime
+
+    from rusty_timeseries_db_spark.operators.downsample import (
+        minmax_decimate,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # bucket 1: NULL beside real values — NULL must not be picked
+        ("a", t0.replace(minute=1), None, 1),
+        ("a", t0.replace(minute=2), 5.0, 2),
+        ("a", t0.replace(minute=3), 1.0, 3),
+        # bucket 2 (next hour): all NULL — one degenerate row kept
+        ("a", t0.replace(hour=1, minute=1), None, 4),
+        ("a", t0.replace(hour=1, minute=2), None, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, value double, id int"
+    )
+    got = minmax_decimate(
+        df, ["k"], id_col="id", bucket_seconds=3600
+    ).collect()
+    b1 = sorted(r.id for r in got if r.ts.hour == 0)
+    assert b1 == [2, 3]  # the real min and max rows, never the NULL
+    b2 = [r for r in got if r.ts.hour == 1]
+    assert len(b2) == 1 and b2[0].value is None and b2[0].id == 4
