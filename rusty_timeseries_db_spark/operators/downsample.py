@@ -91,6 +91,69 @@ def minmax_decimate(
     )
 
 
+def m4_decimate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col=_REQUIRED,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """M4 visualization aggregation (round 15; Jugel et al., VLDB'14
+    "M4: A Visualization-Oriented Time Series Data Aggregation"): keep
+    per (keys, bucket) the FOUR pixel-defining rows — min-valued,
+    max-valued, FIRST (earliest ts) and LAST (latest ts) — the
+    smallest row set whose line rendering is pixel-identical to the
+    full series at the chosen bucket width. Strictly dominates
+    :func:`minmax_decimate` for line charts (min/max alone misplace
+    the bucket's entry/exit strokes).
+
+    Same determinism contract as minmax_decimate: ``id_col`` breaks
+    ties (value ties AND duplicate timestamps), NULL values order
+    LAST on the value legs (a missing measurement is never an
+    extreme), and a row winning several roles appears once. Output =
+    input columns + ``bucket_start``. Scale shape: ONE hash partition
+    per (keys, bucket) serves all four intra-bucket sorts — rows
+    never leave their bucket's partition, no shuffle beyond the
+    window's own.
+    """
+    if id_col is _REQUIRED:
+        raise TypeError(
+            "m4_decimate: id_col is required for a deterministic "
+            "tie-break; pass a unique row id, or id_col=None explicitly "
+            "to accept nondeterministic picks on ties"
+        )
+    if id_col is None:
+        warnings.warn(
+            "m4_decimate(id_col=None): picks are nondeterministic "
+            "whenever a bucket holds duplicate values or timestamps",
+            stacklevel=2,
+        )
+    tiebreak = [F.col(id_col)] if id_col else []
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(ts_col) / bucket_seconds).cast("bigint")
+        * bucket_seconds
+    ).alias("bucket_start")
+    b = df.withColumn("bucket_start", bucket)
+    part = Window.partitionBy(*key_cols, "bucket_start")
+    legs = {
+        "_lo": part.orderBy(F.col(value_col).asc_nulls_last(), *tiebreak),
+        "_hi": part.orderBy(F.col(value_col).desc_nulls_last(), *tiebreak),
+        # nulls-last on the ts legs too: a NULL-timestamp row is
+        # neither the bucket's entry nor its exit stroke (and matches
+        # DuckDB's default placement on both directions)
+        "_first": part.orderBy(F.col(ts_col).asc_nulls_last(), *tiebreak),
+        "_last": part.orderBy(F.col(ts_col).desc_nulls_last(), *tiebreak),
+    }
+    for name, w in legs.items():
+        b = b.withColumn(name, F.row_number().over(w))
+    keep = (
+        (F.col("_lo") == 1) | (F.col("_hi") == 1)
+        | (F.col("_first") == 1) | (F.col("_last") == 1)
+    )
+    return b.filter(keep).drop("_lo", "_hi", "_first", "_last")
+
+
 def _bound_series_rows(
     df: DataFrame,
     key_cols: list[str],

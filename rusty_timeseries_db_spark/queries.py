@@ -70,10 +70,10 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 15): 48 queries were last
 # driver-checked in r10, 50 in r11 (the dict-default tier), 48 in
 # r12, 44 in r13, 50 in r14. Round-15 window (VERDICT r14 next-round
-# #1): _ROUND_MODIFIED (23 post-freeze never-driver-checked + 5 new
-# + 4 re-certified + 4 NULL-drift-hardened = 36) first, then the 14
+# #1): _ROUND_MODIFIED (23 post-freeze never-driver-checked + 6 new
+# + 4 re-certified + 4 NULL-drift-hardened = 37) first, then the 13
 # STALEST r10-tier queries (declaration order breaks ties) — the
-# other 34 r10-tier queries head the r16 fill.
+# other 35 r10-tier queries head the r16 fill.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
@@ -98,8 +98,9 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_state_durations_served", "q_kll_quantile_rollup",
     "q_catalog_fuzzy_link", "q_theta_audience_overlap",
     # ...and the streaming KLL quantile store served end-to-end
-    # (exact accounting oracle-paired, estimates invariant-pinned)
-    "q_quantile_stream_served",
+    # (exact accounting oracle-paired, estimates invariant-pinned),
+    # and M4 visualization aggregation (Jugel et al. VLDB'14)
+    "q_quantile_stream_served", "q_m4_decimate",
     # round 15, re-certified after behavior-relevant changes: the
     # persisted-index manifest commits moved to the CAS
     # single-writer protocol (q_bm25_index, q_bm25_stream_indexed,
@@ -8724,6 +8725,56 @@ def q_minmax_decimate(spark, sf_dir):
         "event_id", "event_type", "ts", "value"
     )
     return minmax_decimate(
+        e, ["event_type"], id_col="event_id", bucket_seconds=3600
+    ).select("event_id", "event_type", "bucket_start", "value")
+
+
+@declare(
+    "q_m4_decimate",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, ts, value,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600
+                  AS BIGINT)) AS TIMESTAMP) AS bucket_start,
+             row_number() OVER (
+               PARTITION BY event_type, floor(epoch(ts) / 3600)
+               ORDER BY value ASC, event_id
+             ) AS lo,
+             row_number() OVER (
+               PARTITION BY event_type, floor(epoch(ts) / 3600)
+               ORDER BY value DESC, event_id
+             ) AS hi,
+             row_number() OVER (
+               PARTITION BY event_type, floor(epoch(ts) / 3600)
+               ORDER BY ts ASC, event_id
+             ) AS fi,
+             row_number() OVER (
+               PARTITION BY event_type, floor(epoch(ts) / 3600)
+               ORDER BY ts DESC, event_id
+             ) AS la
+      FROM events
+    )
+    SELECT event_id, event_type, bucket_start, value
+    FROM b WHERE lo = 1 OR hi = 1 OR fi = 1 OR la = 1
+    """,
+    doc="M4 visualization aggregation (round 15 — "
+    "operators/downsample.py m4_decimate; Jugel et al. VLDB'14): per "
+    "(series, pixel-bucket) the FOUR pixel-defining rows — "
+    "min/max-valued plus FIRST/LAST by timestamp — the smallest row "
+    "set whose line rendering is pixel-identical to the full series; "
+    "strictly dominates min-max decimation for line charts (entry/"
+    "exit strokes). One hash partition per bucket serves all four "
+    "intra-bucket sorts (rows never leave their bucket's partition); "
+    "ties total-ordered by event_id and NULLs last on every leg, so "
+    "the picked rows are engine-identical",
+)
+def q_m4_decimate(spark, sf_dir):
+    from .operators.downsample import m4_decimate
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return m4_decimate(
         e, ["event_type"], id_col="event_id", bucket_seconds=3600
     ).select("event_id", "event_type", "bucket_start", "value")
 

@@ -172,3 +172,37 @@ def test_minmax_decimate_null_values_never_win(spark):
     assert b1 == [2, 3]  # the real min and max rows, never the NULL
     b2 = [r for r in got if r.ts.hour == 1]
     assert len(b2) == 1 and b2[0].value is None and b2[0].id == 4
+
+
+def test_m4_decimate_pixel_contract(spark):
+    """Round 15: every bucket keeps its min, max, first and last rows
+    (<= 4 rows, multi-role rows once); NULL values never win a value
+    leg."""
+    from datetime import datetime
+
+    from rusty_timeseries_db_spark.operators.downsample import m4_decimate
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # one bucket: first(id 1), max(id 2), min(id 3), last(id 5);
+        # id 4 is interior and must be dropped; a NULL value rides in
+        # the middle and must never win min/max
+        ("a", t0.replace(minute=1), 5.0, 1),
+        ("a", t0.replace(minute=2), 9.0, 2),
+        ("a", t0.replace(minute=3), 1.0, 3),
+        ("a", t0.replace(minute=4), 6.0, 4),
+        ("a", t0.replace(minute=5), None, 6),
+        ("a", t0.replace(minute=6), 5.5, 5),
+        # single-row bucket: the row fills all four roles, appears once
+        ("a", t0.replace(hour=1, minute=1), 7.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, value double, id int"
+    )
+    got = m4_decimate(df, ["k"], id_col="id", bucket_seconds=3600).collect()
+    b1 = sorted(r.id for r in got if r.ts.hour == 0)
+    # note id 6 (NULL value, minute 5) is neither first nor last nor
+    # an extreme — dropped; id 5 (minute 6) is the last row
+    assert b1 == [1, 2, 3, 5]
+    b2 = [r.id for r in got if r.ts.hour == 1]
+    assert b2 == [7]
