@@ -346,6 +346,51 @@ class ContinuousRollup:
         self._write_hwm(new_hwm)
         return int(obs.get["n"])
 
+    def invalidate_days(self, days) -> int:
+        """Writer-driven late-data repair (round 15; the role
+        TimescaleDB's invalidation log plays): re-aggregate exactly
+        the named ALREADY-MATERIALIZED window-days from base and
+        dynamically overwrite their partitions. The WRITER knows which
+        days its batch touched — the streaming sinks call this with
+        their batch's below-hwm days automatically — so a late row no
+        longer needs the ``refresh(full=True)`` whole-rollup rebuild.
+
+        ``days``: ISO date strings (or dates). Days at/after the
+        high-water mark are ignored (the real-time tail already
+        serves them). Cost: one base scan FILTERED to the named days
+        + a dynamic overwrite of just those partitions — O(late
+        days), never O(rollup). Returns rows written. Idempotent
+        (same days → same bytes); day boundaries are window
+        boundaries by the constructor's contract, so a day's
+        re-aggregation is self-contained. Scope: repairs late
+        ARRIVALS — dynamic overwrite cannot delete a partition, so a
+        day whose base rows vanished entirely keeps its stale cells
+        (deletions need ``refresh(full=True)``, the documented
+        rebuild hatch)."""
+        hwm = self._read_hwm()
+        if hwm is None:
+            return 0
+        todo = sorted({str(d) for d in days if str(d) < hwm})
+        if not todo:
+            return 0
+        base = self._base().filter(
+            F.to_date(F.col(self.ts_col)).cast("string").isin(todo)
+        )
+        out = self._aggregate(base).filter(
+            F.col("window_day").cast("string").isin(todo)
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            out.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_day")
+            .parquet(self.rollup_path)
+        )
+        return int(obs.get["n"])
+
     def read(self) -> DataFrame:
         """The always-complete view: materialized days ∪ an on-the-fly
         aggregation of the base tail (ts at/after the high-water mark).

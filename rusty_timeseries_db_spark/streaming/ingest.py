@@ -119,6 +119,39 @@ def normalize_batch(batch: DataFrame, batch_id: int) -> DataFrame:
     ).withColumn("series_bucket", series_bucket(F.col("timeseries_id")))
 
 
+def _repair_late_rollup_days(rollup, norm) -> None:
+    """Writer-side late-data invalidation (round 15): the sink KNOWS
+    which days its batch touched — any day strictly below the
+    rollup's high-water mark was already materialized, and
+    ``refresh()`` deliberately never revisits it (its filter starts
+    at the hwm), so a late row would otherwise be invisible until a
+    ``refresh(full=True)`` rebuild. One batch-sized distinct-days agg
+    finds the late days; ``rollup.invalidate_days`` re-aggregates
+    exactly those partitions — O(late days), and a batch with no late
+    rows (the common case) costs one batch-sized aggregate. Tolerant
+    of the documented "anything with a refresh()" duck type: objects
+    without the invalidation surface are left alone."""
+    if not (
+        hasattr(rollup, "invalidate_days") and hasattr(rollup, "_read_hwm")
+    ):
+        return
+    hwm = rollup._read_hwm()
+    if hwm is None:
+        return
+    ts_col = getattr(rollup, "ts_col", "ts")
+    if ts_col not in norm.columns:
+        return
+    late = [
+        str(r.d)
+        for r in norm.select(F.to_date(F.col(ts_col)).alias("d"))
+        .filter(F.col("d") < F.lit(hwm).cast("date"))
+        .distinct()
+        .collect()
+    ]
+    if late:
+        rollup.invalidate_days(late)
+
+
 def start_telemetry_sink(
     stream: DataFrame,
     warehouse_dir: str,
@@ -191,8 +224,9 @@ def start_telemetry_sink(
             batch = batch.filter(
                 F.col("_corrupt_record").isNull()
             ).drop("_corrupt_record")
+        norm = normalize_batch(batch, batch_id)
         (
-            normalize_batch(batch, batch_id)
+            norm
             .sortWithinPartitions("timeseries_id", "ts")
             .write.mode("append")
             .partitionBy("series_bucket")
@@ -202,6 +236,7 @@ def start_telemetry_sink(
             cached.unpersist()
         if rollup is not None:
             rollup.refresh()
+            _repair_late_rollup_days(rollup, norm)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", os.path.join(warehouse_dir, "_checkpoints/ingest")
@@ -791,14 +826,16 @@ def start_telemetry_sink_exactly_once(
             batch = batch.filter(
                 F.col("_corrupt_record").isNull()
             ).drop("_corrupt_record")
+        norm = normalize_batch(batch, batch_id)
         wrote = commit_batch_exactly_once(
-            normalize_batch(batch, batch_id), batch_id, path,
+            norm, batch_id, path,
             warn_state=warn_state,
         )
         if cached is not None:
             cached.unpersist()
         if rollup is not None and wrote:
             rollup.refresh()
+            _repair_late_rollup_days(rollup, norm)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation",

@@ -563,3 +563,115 @@ def test_distinct_sketch_value_idempotent_across_refresh_orders(
     before = _est(roll_b)
     roll_b.refresh()
     assert _est(roll_b) == before
+
+
+def test_invalidate_days_repairs_late_rows(spark, paths):
+    """Round 15: the targeted late-data repair — invalidate exactly
+    the touched day instead of refresh(full=True)'s whole-rollup
+    rebuild; other materialized days' files are not rewritten."""
+    base, rollup = paths
+    _write_batch(spark, base, _rows(1, "a", [(0, 1.0)]) +
+                 _rows(2, "a", [(0, 7.0)]) +
+                 _rows(5, "a", [(0, 2.0)]))
+    roll = ContinuousRollup(spark, base, rollup, ["series"])
+    roll.refresh()
+
+    import glob
+    import os
+
+    d2_files_before = set(
+        glob.glob(os.path.join(rollup, "window_day=2024-03-02", "*"))
+    )
+    # late row into materialized day 1
+    _write_batch(spark, base, _rows(1, "a", [(1, 100.0)]))
+    full = _as_set(_full_recompute(roll))
+    assert _as_set(roll.read()) != full  # stale (documented)
+    assert roll.invalidate_days(["2024-03-01"]) > 0
+    assert _as_set(roll.read()) == full  # repaired, no full rebuild
+    # the untouched day's partition was NOT rewritten
+    assert set(
+        glob.glob(os.path.join(rollup, "window_day=2024-03-02", "*"))
+    ) == d2_files_before
+    # idempotent; days >= hwm and unknown days are no-ops
+    assert roll.invalidate_days(["2024-03-01"]) > 0
+    assert _as_set(roll.read()) == full
+    assert roll.invalidate_days(["2024-03-05"]) == 0  # hwm day (tail)
+    assert roll.invalidate_days(["2030-01-01"]) == 0
+    assert roll.invalidate_days([]) == 0
+
+
+def test_streaming_sink_repairs_late_days(spark, tmp_path):
+    """Round 15: the sink's writer-side invalidation — a micro-batch
+    carrying a row for an already-materialized day triggers
+    invalidate_days automatically; rollup.read() equals the batch
+    recompute with no manual full refresh."""
+    import glob
+    import json as _json
+    import os
+
+    from rusty_timeseries_db_spark.streaming.ingest import (
+        read_telemetry_stream,
+        start_telemetry_sink,
+    )
+
+    src = str(tmp_path / "drop")
+    os.makedirs(src)
+    wh = str(tmp_path / "wh")
+
+    def _line(ts, v, sid="s1"):
+        return _json.dumps({
+            "sensor_name": sid, "timestamp": ts, "value": v,
+            "fc1_flag": None, "timeseries_id": sid,
+        }) + "\n"
+
+    # batch 0: days 1 and 3 -> refresh materializes day 1 + day 2(empty)
+    with open(os.path.join(src, "a_batch0.json"), "w") as f:
+        f.write(_line("2024-03-01 12:00:00", 1.0))
+        f.write(_line("2024-03-03 12:00:00", 2.0))
+    # batch 1: a LATE row into materialized day 1, plus a fresh day-3 row
+    with open(os.path.join(src, "b_batch1.json"), "w") as f:
+        f.write(_line("2024-03-01 12:30:00", 100.0))
+        f.write(_line("2024-03-03 13:00:00", 3.0))
+    os.utime(
+        os.path.join(src, "b_batch1.json"),
+        (os.path.getmtime(os.path.join(src, "a_batch0.json")) + 10,) * 2,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "sensor_name string, timestamp string, value double, "
+            "fc1_flag tinyint, timeseries_id string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    from rusty_timeseries_db_spark.operators.rollup import ContinuousRollup
+
+    tele = os.path.join(wh, "telemetry")
+    roll = ContinuousRollup(
+        spark, tele, str(tmp_path / "roll"), ["timeseries_id"],
+        window="1 hour",
+    )
+    q = start_telemetry_sink(
+        stream, wh, rollup=roll, available_now=True
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        (r.timeseries_id, str(r.window_start), r.n, r.sum_value)
+        for r in roll.read().collect()
+    }
+    want = {
+        (r.timeseries_id, str(r.window_start), r.n, r.sum_value)
+        for r in roll._aggregate(roll._base()).collect()
+    }
+    assert got == want
+    # the late day really is served from the MATERIALIZED side (it is
+    # below the hwm), proving the repair rewrote the partition rather
+    # than the tail covering for it
+    hwm = roll._read_hwm()
+    assert hwm is not None and "2024-03-01" < hwm
+    mat = spark.read.parquet(str(tmp_path / "roll")).filter(
+        "window_day = '2024-03-01'"
+    )
+    assert mat.agg(F.sum("n")).first()[0] == 2  # both day-1 rows folded
