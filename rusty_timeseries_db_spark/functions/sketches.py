@@ -356,8 +356,17 @@ def theta_rollup(
 ) -> DataFrame:
     """Per-cell Theta sketch of ``value_col`` (one row per ``keys``
     cell, with the cell's exact row count): the segment-membership
-    summary every overlap/retention question reads from."""
-    return df.filter(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+    summary every overlap/retention question reads from. Rows with a
+    NULL in any key column are EXCLUDED (ADVICE r15 low: a NULL-key
+    sketch row would appear in the rollup yet silently vanish from
+    every :func:`theta_overlap` pair — the ``seg_a < seg_b`` predicate
+    is NULL for it — so excluding it here keeps rollup and overlap
+    consistent; filter/COALESCE the key upstream to keep those
+    rows)."""
+    out = df.filter(F.col(value_col).isNotNull())
+    for k in keys:
+        out = out.filter(F.col(k).isNotNull())
+    return out.groupBy(*keys).agg(
         F.theta_sketch_agg(F.col(value_col)).alias("theta_sketch"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )

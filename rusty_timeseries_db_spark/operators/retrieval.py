@@ -838,7 +838,13 @@ class Bm25Index(IndexLifecycleMixin):
                 self._commit_manifest(man0, expected=ver0)
             return 0
         n_tomb = tomb.count()
-        man = self._manifest()
+        # CAS token taken BEFORE the rewrite (ADVICE r15 — matching
+        # IvfIndex.compact): an add() interleaving during the
+        # postings/terms/docs rewrite would otherwise CAS-commit its
+        # accounting while the swapped-in directories silently drop
+        # its rows; with the token pinned here, compact's final commit
+        # raises ManifestVersionConflict instead of passing.
+        ver, man = self._manifest_cas()
         n_shards = int(man["n_shards"])
         # guard BEFORE any destructive step: an all-removed index
         # would leave an empty partitioned postings dir that cannot
@@ -898,9 +904,8 @@ class Bm25Index(IndexLifecycleMixin):
             partitioned=False,
         )
         delete_path(self.spark, self.tombstones_path)
-        ver2, man2 = self._manifest_cas()
-        man2["n_removed"] = 0  # tombstones are now physical deletions
-        self._commit_manifest(man2, expected=ver2)
+        man["n_removed"] = 0  # tombstones are now physical deletions
+        self._commit_manifest(man, expected=ver)
         delete_path(self.spark, self.marker_path)
         return int(n_tomb)
 

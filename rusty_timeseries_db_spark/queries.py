@@ -8899,9 +8899,9 @@ def q_quantile_stream_served(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("quantile stream fixture did not drain in 300s")
-    from .fsutil import read_json_manifest
+    from .streaming.store_common import read_store_manifest
 
-    man = read_json_manifest(spark, store.rstrip("/") + ".quantile.json")
+    man = read_store_manifest(spark, store, "quantile")
     if man is None or int(man["last_applied_batch"]) != 1:
         raise RuntimeError(
             f"expected exactly 2 applied micro-batches, manifest: {man}"
@@ -12208,9 +12208,9 @@ def q_state_durations_served(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("state stream fixture did not drain in 300s")
-    from .fsutil import read_json_manifest
+    from .streaming.store_common import read_store_manifest
 
-    man = read_json_manifest(spark, store.rstrip("/") + ".state.json")
+    man = read_store_manifest(spark, store, "state")
     if man is None or int(man["last_applied_batch"]) != 1:
         raise RuntimeError(
             f"expected exactly 2 applied micro-batches, manifest: {man}"

@@ -8,7 +8,10 @@ Shape: every micro-batch aggregates its OWN per-cell KLL sketches
 (batch-sized work) and lands them under a VERSIONED directory keyed
 by the batch id — ``summaries/batch=<id>/``, mode=overwrite — with
 the manifest's ``last_applied_batch`` watermark advanced LAST (the
-streaming/state.py protocol). A crash between the summary write and
+streaming/state.py protocol) through the versioned CAS commit of
+streaming/store_common.py (round 16: old-or-new atomic, no vanish
+window; sink-vs-compact conflicts retry against the fresh snapshot,
+each writer mutating only its own fields). A crash between the summary write and
 the manifest bump replays the batch and OVERWRITES the directory —
 replays are idempotent in EFFECT: exactly one summary row per (cell,
 batch) ever serves, and the exact ``n_rows`` accounting is identical
@@ -33,12 +36,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..fsutil import read_json_manifest, write_json_manifest
 from ..functions.sketches import merge_quantile_rollup, quantile_rollup
+from .store_common import (
+    is_missing_summaries_error,
+    read_store_manifest,
+    update_store_manifest,
+)
 
-
-def _manifest_path(store_path: str) -> str:
-    return store_path.rstrip("/") + ".quantile.json"
+_KIND = "quantile"
 
 
 def apply_quantile_sketch_batch(
@@ -57,13 +62,14 @@ def apply_quantile_sketch_batch(
     already applied or the batch is empty. Factored out of the sink
     so the replay contract is unit-testable."""
     store = store_path.rstrip("/")
-    man = read_json_manifest(spark, _manifest_path(store)) or {
+    default = {
         "keys": keys,
         "value_col": value_col,
         "k": int(k),
         "last_applied_batch": -1,
         "base_upto": -1,
     }
+    man = read_store_manifest(spark, store, _KIND) or default
     if list(man["keys"]) != list(keys) or man["value_col"] != value_col:
         raise ValueError(
             "quantile store schema mismatch: built for "
@@ -85,12 +91,14 @@ def apply_quantile_sketch_batch(
         sk.write.mode("overwrite").parquet(
             f"{store}/summaries/batch={batch_id}"
         )
-    # fresh re-read before the commit write; update only THIS
-    # writer's field (the round-15 stale-RMW discipline — a compact()
-    # committing base_upto in between must not be rolled back)
-    man = read_json_manifest(spark, _manifest_path(store)) or man
-    man["last_applied_batch"] = int(batch_id)
-    write_json_manifest(spark, _manifest_path(store), man)
+    # CAS commit updating only THIS writer's field (round 16 — ADVICE
+    # r15: the flat fresh-re-read narrowed but did not close the
+    # sink-vs-compact race; a compact() committing base_upto in
+    # between now conflicts and this commit replays fresh)
+    def _bump(m: dict) -> None:
+        m["last_applied_batch"] = int(batch_id)
+
+    update_store_manifest(spark, store, _KIND, _bump, default=default)
     return int(n)
 
 
@@ -121,11 +129,9 @@ def _committed_cells(spark, store: str, man: dict) -> DataFrame | None:
         )
         parts.append(deltas)
     except Exception as e:
-        legit = (
-            "PATH_NOT_FOUND" in str(e)
-            or "UNABLE_TO_INFER_SCHEMA" in str(e)
-        )
-        if not legit:
+        # matched on the AnalysisException error class, not message
+        # substrings (ADVICE r15 low) — anything else propagates
+        if not is_missing_summaries_error(e):
             raise
         if base_upto < 0:
             return None
@@ -146,7 +152,7 @@ def serve_quantiles(
     to ``keys`` (any subset of the stored cell keys) and evaluate the
     requested quantiles. O(stored sketches), never O(events)."""
     store = store_path.rstrip("/")
-    man = read_json_manifest(spark, _manifest_path(store))
+    man = read_store_manifest(spark, store, _KIND)
     if man is None:
         raise FileNotFoundError(
             f"no quantile store at {store} — start the sink (or "
@@ -180,7 +186,7 @@ def compact_quantile_sketch(spark, store_path: str) -> int:
     from ..fsutil import delete_path, list_dir_names
 
     store = store_path.rstrip("/")
-    man = read_json_manifest(spark, _manifest_path(store))
+    man = read_store_manifest(spark, store, _KIND)
     if man is None or int(man.get("last_applied_batch", -1)) < 0:
         raise FileNotFoundError(
             f"no quantile store at {store} — nothing to compact"
@@ -200,9 +206,13 @@ def compact_quantile_sketch(spark, store_path: str) -> int:
             )
             folded.write.mode("overwrite").parquet(f"{store}/base/upto={wm}")
             n_folded = wm - old_base
-            man = read_json_manifest(spark, _manifest_path(store)) or man
-            man["base_upto"] = wm
-            write_json_manifest(spark, _manifest_path(store), man)
+
+            # CAS commit updating only THIS writer's field — a sink
+            # batch committing during the fold keeps its watermark
+            def _switch(m: dict) -> None:
+                m["base_upto"] = wm
+
+            update_store_manifest(spark, store, _KIND, _switch)
     else:
         n_folded = 0
         wm = old_base

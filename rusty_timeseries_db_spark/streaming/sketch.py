@@ -8,7 +8,12 @@ Shape: every micro-batch computes its OWN per-cell top-k summaries
 (batch-sized work, exact within the batch) and lands them under a
 VERSIONED directory keyed by the batch id —
 ``summaries/batch=<id>/``, mode=overwrite — and the manifest's
-``last_applied_batch`` watermark advances LAST. :func:`topk_sketch`
+``last_applied_batch`` watermark advances LAST through the versioned
+CAS protocol (round 16 — streaming/store_common.py: commits are
+old-or-new atomic with no vanish window, and the sink-vs-compact
+manifest race is CLOSED, not just narrowed — a conflicting commit
+retries against the fresh snapshot, each writer mutating only its own
+fields). :func:`topk_sketch`
 is deterministic (ties broken by value), so a crash between the
 summary write and the manifest bump replays the batch and OVERWRITES
 the directory with identical content — replays converge instead of
@@ -50,16 +55,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..fsutil import read_json_manifest, write_json_manifest
 from ..functions.sketches import (
     combine_topk_decomposition,
     decompose_topk_sketch,
     topk_sketch,
 )
+from .store_common import (
+    is_missing_summaries_error,
+    read_store_manifest,
+    update_store_manifest,
+)
 
-
-def _manifest_path(store_path: str) -> str:
-    return store_path.rstrip("/") + ".sketch.json"
+_KIND = "sketch"
 
 
 def apply_topk_sketch_batch(
@@ -79,13 +86,14 @@ def apply_topk_sketch_batch(
     sink so the replay contract is unit-testable without a streaming
     harness."""
     store = store_path.rstrip("/")
-    man = read_json_manifest(spark, _manifest_path(store)) or {
+    default = {
         "keys": keys,
         "value_col": value_col,
         "k": int(k),
         "last_applied_batch": -1,
         "base_upto": -1,
     }
+    man = read_store_manifest(spark, store, _KIND) or default
     if list(man["keys"]) != list(keys) or man["value_col"] != value_col:
         raise ValueError(
             "topk-sketch store schema mismatch: built for "
@@ -105,13 +113,15 @@ def apply_topk_sketch_batch(
         sk.write.mode("overwrite").parquet(
             f"{store}/summaries/batch={batch_id}"
         )
-    # re-read the manifest immediately before the commit write and
-    # update only THIS writer's field — a compact() committing
-    # ``base_upto`` between our opening read and this write must not
-    # be rolled back by a stale read-modify-write (review round 15)
-    man = read_json_manifest(spark, _manifest_path(store)) or man
-    man["last_applied_batch"] = int(batch_id)
-    write_json_manifest(spark, _manifest_path(store), man)
+    # CAS commit updating only THIS writer's field (round 16 — ADVICE
+    # r15: the previous fresh-re-read-then-flat-write narrowed but did
+    # not close the sink-vs-compact race; the CAS retry loop does — a
+    # compact() committing ``base_upto`` in between now surfaces as a
+    # version conflict and this commit replays against the fresh copy)
+    def _bump(m: dict) -> None:
+        m["last_applied_batch"] = int(batch_id)
+
+    update_store_manifest(spark, store, _KIND, _bump, default=default)
     return int(n)
 
 
@@ -158,12 +168,10 @@ def _committed_parts(
     except Exception as e:
         # a fully-folded store legitimately has no summaries dir (or
         # an empty one after the compaction cleanup — schema inference
-        # then fails rather than PATH_NOT_FOUND)
-        legit = (
-            "PATH_NOT_FOUND" in str(e)
-            or "UNABLE_TO_INFER_SCHEMA" in str(e)
-        )
-        if not legit:
+        # then fails rather than PATH_NOT_FOUND); matched on the
+        # AnalysisException error class, not message substrings
+        # (ADVICE r15 low) — anything else propagates as itself
+        if not is_missing_summaries_error(e):
             raise
         if base_upto < 0:
             return None
@@ -191,7 +199,7 @@ def serve_topk(
     when the sink has not landed any summaries yet (manifest missing,
     or only empty batches so far)."""
     store = store_path.rstrip("/")
-    man = read_json_manifest(spark, _manifest_path(store))
+    man = read_store_manifest(spark, store, _KIND)
     if man is None:
         raise FileNotFoundError(
             f"no topk-sketch store at {store} — start the sink (or "
@@ -241,7 +249,7 @@ def compact_topk_sketch(spark, store_path: str) -> int:
     from ..fsutil import delete_path, list_dir_names
 
     store = store_path.rstrip("/")
-    man = read_json_manifest(spark, _manifest_path(store))
+    man = read_store_manifest(spark, store, _KIND)
     if man is None or int(man.get("last_applied_batch", -1)) < 0:
         raise FileNotFoundError(
             f"no topk-sketch store at {store} — nothing to compact"
@@ -270,10 +278,13 @@ def compact_topk_sketch(spark, store_path: str) -> int:
             folded_pv.write.mode("overwrite").parquet(f"{base}/values")
             folded_cells.write.mode("overwrite").parquet(f"{base}/cells")
             n_folded = wm - old_base
-            # fresh re-read + merge ONLY base_upto (see docstring)
-            man = read_json_manifest(spark, _manifest_path(store)) or man
-            man["base_upto"] = wm
-            write_json_manifest(spark, _manifest_path(store), man)
+
+            # CAS commit updating only THIS writer's field — a sink
+            # batch committing during the fold keeps its watermark
+            def _switch(m: dict) -> None:
+                m["base_upto"] = wm
+
+            update_store_manifest(spark, store, _KIND, _switch)
     else:
         # nothing new to fold — still run the cleanup sweep below (a
         # crash in an earlier compaction's step 3 leaves dead dirs)

@@ -19,8 +19,12 @@ VERSIONED locations keyed by the batch id —
 - ``last_obs/batch=<id>/`` — the carryover AFTER this batch,
   mode=overwrite;
 
-and the manifest's ``last_applied_batch`` advances LAST. A crash at
-any point before the manifest bump replays the batch against the
+and the manifest's ``last_applied_batch`` advances LAST, through the
+versioned CAS commit of streaming/store_common.py (round 16:
+old-or-new atomic, no vanish window; sink-vs-compact conflicts retry
+against the fresh snapshot, each writer mutating only its own
+fields). A crash at any point before the manifest bump replays the
+batch against the
 UNCHANGED previous carryover version and overwrites both outputs with
 identical content — replays converge instead of double-counting, with
 no CAS ledger needed. Carryover versions older than the replay window
@@ -47,11 +51,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..fsutil import read_json_manifest, write_json_manifest
+from .store_common import (
+    is_missing_summaries_error,
+    read_store_manifest,
+    update_store_manifest,
+)
 
-
-def _manifest_path(store_path: str) -> str:
-    return store_path.rstrip("/") + ".state.json"
+_KIND = "state"
 
 
 def apply_state_durations_batch(
@@ -68,10 +74,11 @@ def apply_state_durations_batch(
     (0/0 for a replayed or empty batch). Factored out of the sink so
     the replay-convergence contract is unit-testable."""
     store = store_path.rstrip("/")
-    man = read_json_manifest(spark, _manifest_path(store)) or {
+    default = {
         "key": key, "state": state, "ts": ts,
         "last_applied_batch": -1,
     }
+    man = read_store_manifest(spark, store, _KIND) or default
     if [man["key"], man["state"], man["ts"]] != [key, state, ts]:
         raise ValueError(
             "state-duration store schema mismatch: built for "
@@ -171,25 +178,28 @@ def apply_state_durations_batch(
         new_last.write.mode("overwrite").parquet(
             f"{store}/last_obs/batch={batch_id}"
         )
-        # re-read the manifest immediately before the commit write and
-        # update only THIS writer's fields — a compact() committing
-        # ``base_upto`` between our opening read and this write must
-        # not be rolled back by a stale read-modify-write (review
-        # round 15; the symmetric fix lives in compact_state_durations)
-        man = read_json_manifest(spark, _manifest_path(store)) or man
-        man["last_applied_batch"] = int(batch_id)
         # prune carryover versions no longer reachable: keep the one
         # just written and its predecessor (the replay window — a
-        # crash BEFORE this bump still reads `prev`; anything older
-        # is dead weight that would otherwise grow O(batches x keys))
+        # crash BEFORE the manifest bump still reads `prev`; anything
+        # older is dead weight that would otherwise grow
+        # O(batches x keys))
         from ..fsutil import delete_path
 
         keep = {int(batch_id), prev}
         for v in man.get("last_obs_versions", []):
             if int(v) not in keep:
                 delete_path(spark, f"{store}/last_obs/batch={v}")
-        man["last_obs_versions"] = sorted(v for v in keep if v >= 0)
-        write_json_manifest(spark, _manifest_path(store), man)
+
+        # CAS commit updating only THIS writer's fields (round 16 —
+        # ADVICE r15: the flat fresh-re-read narrowed but did not
+        # close the sink-vs-compact race; a compact() committing
+        # ``base_upto`` in between now conflicts and this commit
+        # replays against the fresh copy)
+        def _bump(m: dict) -> None:
+            m["last_applied_batch"] = int(batch_id)
+            m["last_obs_versions"] = sorted(v for v in keep if v >= 0)
+
+        update_store_manifest(spark, store, _KIND, _bump, default=default)
     finally:
         inp.unpersist()
         if flagged is not None:
@@ -229,12 +239,10 @@ def _committed_increments(spark, store: str, man: dict) -> DataFrame:
     except Exception as e:
         # a fully-folded store legitimately has no deltas dir (or an
         # empty one after the compaction cleanup — schema inference
-        # then fails rather than PATH_NOT_FOUND)
-        legit = (
-            "PATH_NOT_FOUND" in str(e)
-            or "UNABLE_TO_INFER_SCHEMA" in str(e)
-        )
-        if not legit or base_upto < 0:
+        # then fails rather than PATH_NOT_FOUND); matched on the
+        # AnalysisException error class, not message substrings
+        # (ADVICE r15 low) — anything else propagates as itself
+        if not is_missing_summaries_error(e) or base_upto < 0:
             raise
     out = parts[0]
     for p in parts[1:]:
@@ -247,7 +255,7 @@ def serve_state_durations(spark, store_path: str) -> DataFrame:
     operator's output shape, recomputed from the committed base +
     delta increments (see ``_committed_increments``)."""
     store = store_path.rstrip("/")
-    man = read_json_manifest(spark, _manifest_path(store))
+    man = read_store_manifest(spark, store, _KIND)
     if man is None or int(man.get("last_applied_batch", -1)) < 0:
         raise FileNotFoundError(
             f"no state-duration store at {store} — start the sink (or "
@@ -336,7 +344,7 @@ def compact_state_durations(spark, store_path: str) -> int:
     from ..fsutil import delete_path, list_dir_names
 
     store = store_path.rstrip("/")
-    man = read_json_manifest(spark, _manifest_path(store))
+    man = read_store_manifest(spark, store, _KIND)
     if man is None or int(man.get("last_applied_batch", -1)) < 0:
         raise FileNotFoundError(
             f"no state-duration store at {store} — nothing to compact"
@@ -355,17 +363,20 @@ def compact_state_durations(spark, store_path: str) -> int:
         )
         folded.write.mode("overwrite").parquet(f"{store}/base/upto={wm}")
         n_folded = wm - old_base
-        # re-read immediately before the commit write and merge ONLY
-        # base_upto into the fresh copy: a sink micro-batch committing
-        # between this function's opening read and here would otherwise
-        # get its last_applied_batch/last_obs_versions silently rolled
-        # back — and since the stream checkpoint has already advanced,
-        # the batch would never be replayed (ADVICE r14). The fold
-        # itself only covered deltas ≤ wm, so a concurrently-committed
-        # newer batch stays above base_upto and keeps serving.
-        man = read_json_manifest(spark, _manifest_path(store)) or man
-        man["base_upto"] = wm
-        write_json_manifest(spark, _manifest_path(store), man)
+
+        # CAS commit updating ONLY base_upto: a sink micro-batch
+        # committing between this function's opening read and here
+        # would otherwise get its last_applied_batch/last_obs_versions
+        # silently rolled back — and since the stream checkpoint has
+        # already advanced, the batch would never be replayed (ADVICE
+        # r14; the r15 flat fresh-re-read narrowed the window, the r16
+        # CAS retry loop closes it). The fold itself only covered
+        # deltas ≤ wm, so a concurrently-committed newer batch stays
+        # above base_upto and keeps serving.
+        def _switch(m: dict) -> None:
+            m["base_upto"] = wm
+
+        update_store_manifest(spark, store, _KIND, _switch)
     else:
         # nothing new to fold — still run the cleanup sweep below (a
         # crash in an earlier compaction's step 3 leaves dead dirs)

@@ -93,6 +93,51 @@ def test_bm25_concurrent_remove_conflicts(spark, tmp_path):
     assert idx._manifest()["n_docs"] == len(DOCS) + 1
 
 
+def test_bm25_compact_vs_add_conflicts(spark, tmp_path):
+    """compact() pins its CAS token at the OPENING manifest read
+    (ADVICE r15 — matching IvfIndex.compact), so an add() landing
+    during the postings/terms/docs rewrite makes the final commit
+    raise instead of silently keeping the interleaved add's n_docs
+    bump while the swapped-in directories drop its rows."""
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(_docs(spark))
+    idx.remove([1])
+    man_after_remove = idx._manifest()
+
+    real_cas = Bm25Index._manifest_cas
+    fired = {"done": False}
+
+    def hooked(self):
+        got = real_cas(self)  # compact's opening (to-be-stale) snapshot
+        if not fired["done"]:
+            fired["done"] = True
+            Bm25Index._manifest_cas = real_cas  # unhook for inner add
+            Bm25Index(spark, path).add(
+                _docs(spark, [(10, "interleaved add during compact")])
+            )
+        return got
+
+    Bm25Index._manifest_cas = hooked
+    try:
+        with pytest.raises(ManifestVersionConflict, match="concurrent"):
+            idx.compact()
+    finally:
+        Bm25Index._manifest_cas = real_cas
+
+    # the interleaved add's accounting survived — compact's stale
+    # snapshot (n_docs from before the add) was never applied over it
+    man = idx._manifest()
+    assert man["n_docs"] == man_after_remove["n_docs"] + 1
+    assert man["n_added"] == man_after_remove.get("n_added", 0) + 1
+    # the conflict left the compacting marker in place (the raise fires
+    # before the marker cleanup) — a re-run converges from that state
+    # (tombstones already applied → heal bookkeeping, drop the marker)
+    assert idx.compact() == 0
+    assert idx._manifest()["n_removed"] == 0
+    # the index serves again, with the interleaved add's doc present
+    assert idx.query(["interleaved"], k=5).count() == 1
+
+
 def test_ivf_concurrent_add_conflicts_not_clobbers(spark, tmp_path):
     from rusty_timeseries_db_spark.queries import T
     from tests.conftest import SF_DIR

@@ -600,6 +600,51 @@ def test_invalidate_days_repairs_late_rows(spark, paths):
     assert roll.invalidate_days([]) == 0
 
 
+def test_invalidate_days_prunes_ds_partitions(spark, tmp_path):
+    """Round 16 — VERDICT r15 #4: on a date-partitioned warehouse the
+    late-day repair's base scan carries the named days as PARTITION
+    filters (``ds IN (...)`` reaches PartitionFilters, pruning whole
+    ``ds=<day>`` directories) instead of leaning on row-group ts
+    stats — and the repair itself stays correct end-to-end."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from rusty_timeseries_db_spark.plans.explain import formatted_plan
+
+    eng = TimeseriesEngine(
+        spark, str(tmp_path / "wh"), partition_by_date=True
+    )
+
+    def _r(dd, hh, v):
+        return {
+            "sensor_name": "x", "timestamp": f"2024-03-{dd:02d}T{hh:02d}:00:00Z",
+            "value": v, "fc1_flag": None, "timeseries_id": "s1",
+        }
+
+    eng.ingest_rows([_r(1, 12, 1.0), _r(2, 12, 7.0), _r(5, 12, 2.0)])
+    roll = eng.continuous_rollup(window="1 hour", name="r16")
+    assert roll.partition_day_col == "ds"  # facade wired it
+    roll.refresh()
+
+    # the repair scan's plan: the ds partition column carries the
+    # day list (partition pruning), alongside the row-level ts filter
+    plan = formatted_plan(roll._invalidation_base(["2024-03-01"]))
+    assert "PartitionFilters" in plan
+    assert "ds" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+    # late row into materialized day 1 → targeted repair still works
+    eng.ingest_rows([_r(1, 13, 100.0)])
+    assert roll.invalidate_days(["2024-03-01"]) > 0
+    got = {
+        (str(r.window_start), r.n, r.sum_value)
+        for r in roll.read().filter(
+            F.col("window_day") == "2024-03-01"
+        ).collect()
+    }
+    assert got == {
+        ("2024-03-01 12:00:00", 1, 1.0),
+        ("2024-03-01 13:00:00", 1, 100.0),
+    }
+
+
 def test_streaming_sink_repairs_late_days(spark, tmp_path):
     """Round 15: the sink's writer-side invalidation — a micro-batch
     carrying a row for an already-materialized day triggers

@@ -62,17 +62,17 @@ def test_crash_window_replay_converges_in_effect(spark, tmp_path):
     df = _df(spark, ROWS)
     apply_quantile_sketch_batch(spark, store, df, 0, ["g"], "v")
 
-    real_write = q_mod.write_json_manifest
+    real_write = q_mod.update_store_manifest
 
-    def dying(spark_, path, payload):
+    def dying(*args, **kwargs):
         raise RuntimeError("injected crash")
 
-    q_mod.write_json_manifest = dying
+    q_mod.update_store_manifest = dying
     try:
         with pytest.raises(RuntimeError, match="injected"):
             apply_quantile_sketch_batch(spark, store, df, 1, ["g"], "v")
     finally:
-        q_mod.write_json_manifest = real_write
+        q_mod.update_store_manifest = real_write
     # half-applied batch invisible
     assert serve_quantiles(spark, store, ["g"], (0.5,)).collect()[0].n_rows \
         == len(ROWS)
@@ -126,26 +126,26 @@ def test_compact_interleaved_sink_commit_not_rolled_back(spark, tmp_path):
     b0, b1 = ROWS[::2], ROWS[1::2]
     apply_quantile_sketch_batch(spark, store, _df(spark, b0), 0, ["g"], "v")
 
-    real_read = q_mod.read_json_manifest
+    real_read = q_mod.read_store_manifest
     fired = {"done": False}
 
-    def hooked(spark_, path):
-        man = real_read(spark_, path)
+    def hooked(spark_, store_, kind_):
+        man = real_read(spark_, store_, kind_)
         if not fired["done"] and man is not None:
             fired["done"] = True
-            q_mod.read_json_manifest = real_read
+            q_mod.read_store_manifest = real_read
             apply_quantile_sketch_batch(
                 spark, store, _df(spark, b1), 1, ["g"], "v"
             )
         return man
 
-    q_mod.read_json_manifest = hooked
+    q_mod.read_store_manifest = hooked
     try:
         compact_quantile_sketch(spark, store)
     finally:
-        q_mod.read_json_manifest = real_read
+        q_mod.read_store_manifest = real_read
 
-    man = real_read(spark, q_mod._manifest_path(store))
+    man = real_read(spark, store, "quantile")
     assert man["last_applied_batch"] == 1  # survived compact's write
     assert man["base_upto"] == 0
     row = serve_quantiles(spark, store, ["g"], (0.5,)).collect()[0]

@@ -85,20 +85,20 @@ def test_crash_between_summary_write_and_manifest_bump(spark, tmp_path):
     apply_topk_sketch_batch(spark, store, df, 0, ["g", "day"], "v", k=2)
     before = _served(spark, store)
 
-    # crash window: batch 1's summaries land, manifest write dies
-    real_write = sketch_mod.write_json_manifest
+    # crash window: batch 1's summaries land, manifest commit dies
+    real_write = sketch_mod.update_store_manifest
 
-    def dying_write(spark_, path, payload):
+    def dying_write(*args, **kwargs):
         raise RuntimeError("injected crash before manifest bump")
 
-    sketch_mod.write_json_manifest = dying_write
+    sketch_mod.update_store_manifest = dying_write
     try:
         with pytest.raises(RuntimeError, match="injected"):
             apply_topk_sketch_batch(
                 spark, store, df, 1, ["g", "day"], "v", k=2
             )
     finally:
-        sketch_mod.write_json_manifest = real_write
+        sketch_mod.update_store_manifest = real_write
 
     # the half-applied batch is invisible to serving (watermark filter)
     assert _served(spark, store) == before
@@ -202,18 +202,18 @@ def test_compact_crash_points_recover(spark, tmp_path):
     apply_topk_sketch_batch(spark, store, _df(spark, b1), 1, ["g"], "v", k=2)
     before = _served(spark, store)
 
-    # (a) die on the manifest write: base/upto=1 is on disk, invisible
-    real_write = sketch_mod.write_json_manifest
+    # (a) die on the manifest commit: base/upto=1 is on disk, invisible
+    real_write = sketch_mod.update_store_manifest
 
-    def dying_write(spark_, path, payload):
+    def dying_write(*args, **kwargs):
         raise RuntimeError("injected crash before base commit")
 
-    sketch_mod.write_json_manifest = dying_write
+    sketch_mod.update_store_manifest = dying_write
     try:
         with pytest.raises(RuntimeError, match="injected"):
             compact_topk_sketch(spark, store)
     finally:
-        sketch_mod.write_json_manifest = real_write
+        sketch_mod.update_store_manifest = real_write
     import os
 
     assert os.path.isdir(store + "/base/upto=1")
@@ -261,28 +261,28 @@ def test_compact_interleaved_sink_commit_not_rolled_back(spark, tmp_path):
     b0, b1 = ROWS[::2], ROWS[1::2]
     apply_topk_sketch_batch(spark, store, _df(spark, b0), 0, ["g"], "v", k=2)
 
-    real_read = sketch_mod.read_json_manifest
+    real_read = sketch_mod.read_store_manifest
     fired = {"done": False}
 
-    def hooked_read(spark_, path):
-        man = real_read(spark_, path)
+    def hooked_read(spark_, store_, kind_):
+        man = real_read(spark_, store_, kind_)
         if not fired["done"] and man is not None:
             fired["done"] = True
             # interleave a sink commit between compact's opening read
             # and everything after (runs with the real read/write)
-            sketch_mod.read_json_manifest = real_read
+            sketch_mod.read_store_manifest = real_read
             apply_topk_sketch_batch(
                 spark, store, _df(spark, b1), 1, ["g"], "v", k=2
             )
         return man
 
-    sketch_mod.read_json_manifest = hooked_read
+    sketch_mod.read_store_manifest = hooked_read
     try:
         compact_topk_sketch(spark, store)
     finally:
-        sketch_mod.read_json_manifest = real_read
+        sketch_mod.read_store_manifest = real_read
 
-    man = real_read(spark, sketch_mod._manifest_path(store))
+    man = real_read(spark, store, "sketch")
     # batch 1's commit survived compact's manifest write...
     assert man["last_applied_batch"] == 1
     # ...and only batch 0 was folded (the fold snapshot predates it)

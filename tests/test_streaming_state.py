@@ -76,10 +76,12 @@ def test_replay_converges_from_every_crash_point(spark, tmp_path):
     same served totals — the versioned-overwrite contract."""
     import shutil
 
-    from rusty_timeseries_db_spark.fsutil import (
-        read_json_manifest,
-        write_json_manifest,
+    from rusty_timeseries_db_spark.streaming.store_common import (
+        update_store_manifest,
     )
+
+    def _rollback_to_batch0(m):
+        m["last_applied_batch"] = 0
 
     store = str(tmp_path / "sd")
     b0 = [r for r in ROWS if r[2] <= 30]
@@ -95,9 +97,7 @@ def test_replay_converges_from_every_crash_point(spark, tmp_path):
     want = _served(spark, store)
     # crash simulation: roll the manifest back to batch 0 (outputs of
     # batch 1 remain on disk = crash after writes, before the bump)
-    man = read_json_manifest(spark, store + ".state.json")
-    man["last_applied_batch"] = 0
-    write_json_manifest(spark, store + ".state.json", man)
+    update_store_manifest(spark, store, "state", _rollback_to_batch0)
     # serving now excludes the uncommitted batch-1 deltas
     assert _served(spark, store) == _batch_ref(spark, b0)
     # replay converges to identical totals
@@ -116,9 +116,7 @@ def test_replay_converges_from_every_crash_point(spark, tmp_path):
     # crash before ANY output: delete batch-1 dirs, roll back, replay
     shutil.rmtree(f"{store}/deltas/batch=1")
     shutil.rmtree(f"{store}/last_obs/batch=1")
-    man = read_json_manifest(spark, store + ".state.json")
-    man["last_applied_batch"] = 0
-    write_json_manifest(spark, store + ".state.json", man)
+    update_store_manifest(spark, store, "state", _rollback_to_batch0)
     apply_state_durations_batch(
         spark, store, _df(spark, b1), 1, "user_id", "state",
         order_tiebreak="event_id",
@@ -342,29 +340,29 @@ def test_compact_interleaved_sink_commit_not_rolled_back(spark, tmp_path):
         order_tiebreak="event_id",
     )
 
-    real_read = state_mod.read_json_manifest
+    real_read = state_mod.read_store_manifest
     fired = {"done": False}
 
-    def hooked_read(spark_, path):
-        man = real_read(spark_, path)
+    def hooked_read(spark_, store_, kind_):
+        man = real_read(spark_, store_, kind_)
         if not fired["done"] and man is not None:
             fired["done"] = True
             # interleave batch 1's commit between compact's opening
             # read and its manifest write (real read/write inside)
-            state_mod.read_json_manifest = real_read
+            state_mod.read_store_manifest = real_read
             apply_state_durations_batch(
                 spark, store, _df(spark, b1), 1, "user_id", "state",
                 order_tiebreak="event_id",
             )
         return man
 
-    state_mod.read_json_manifest = hooked_read
+    state_mod.read_store_manifest = hooked_read
     try:
         compact_state_durations(spark, store)
     finally:
-        state_mod.read_json_manifest = real_read
+        state_mod.read_store_manifest = real_read
 
-    man = real_read(spark, state_mod._manifest_path(store))
+    man = real_read(spark, store, "state")
     # batch 1's commit survived compact's write; only batch 0 folded
     assert man["last_applied_batch"] == 1
     assert man["base_upto"] == 0
