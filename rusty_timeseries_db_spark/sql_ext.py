@@ -46,12 +46,39 @@ from __future__ import annotations
 import itertools
 import re
 
+from contextlib import contextmanager
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators.asof import asof_join
 
 _VIEW_SEQ = itertools.count()
+
+
+@contextmanager
+def _quiet_probe_errors(spark: SparkSession):
+    """Silence PySpark's ``SQLQueryContextLogger`` for the duration of
+    a PROBE ``spark.sql`` call — one whose AnalysisException is an
+    EXPECTED routing signal with a working fallback (the nested-
+    QUALIFY standalone probe and the nested-vs-inline first attempt),
+    not a user error. Without this, every correlated nested-QUALIFY
+    statement dumps two full ERROR stack traces into otherwise-clean
+    parity/audit logs, burying real failures (VERDICT r15 next-round
+    #5). The logger is the PYTHON-side structured logger Spark 4's
+    error capture emits through (pyspark.logger machinery — the JSON
+    lines carry the Py4J exception), so suppression is plain
+    ``logging`` disabling, restored on exit; the raised
+    AnalysisException still carries the full message either way."""
+    import logging
+
+    logger = logging.getLogger("SQLQueryContextLogger")
+    prev = logger.disabled
+    logger.disabled = True
+    try:
+        yield
+    finally:
+        logger.disabled = prev
 
 _KEYWORDS = (
     r"WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|QUALIFY"
@@ -361,7 +388,11 @@ def _extract_nested_qualify(spark: SparkSession, query: str) -> str:
             )
             continue
         try:
-            df = sql_with_qualify(spark, block)
+            # probe: a correlated block's failure here is an expected
+            # routing signal (the textual rewrite below handles it) —
+            # keep its stack traces out of the logs
+            with _quiet_probe_errors(spark):
+                df = sql_with_qualify(spark, block)
         except AnalysisException:
             # scope-dependent block (correlated outer refs, ...):
             # rewrite in place, textually
@@ -479,12 +510,20 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
         else (outer, inlined)
     )
     try:
+        # when a second form exists, the first attempt is a probe —
+        # its failure routes to the other form, so suppress the ERROR
+        # trace Spark would log for it (a real failure raises below
+        # with the full message either way)
+        if second is not None:
+            with _quiet_probe_errors(spark):
+                return spark.sql(first).drop("__qualify")
         return spark.sql(first).drop("__qualify")
     except AnalysisException as first_err:
         if second is None:
             raise
         try:
-            return spark.sql(second).drop("__qualify")
+            with _quiet_probe_errors(spark):
+                return spark.sql(second).drop("__qualify")
         except AnalysisException:
             raise first_err from None
 
