@@ -100,6 +100,21 @@ ALLOW: dict[str, dict[str, str]] = {
         "data-scale work is the theta_sketch_agg, and every overlap "
         "is computed from sketch bytes, never from raw events"
     },
+    "q_theta_overlap_kway": {
+        "cartesian": "the k-way combination grid is C(segments, 3) "
+        "over one-sketch-per-SEGMENT rows — dims-only (the "
+        "q_theta_audience_overlap allowance, one more chained "
+        "theta_intersection); the data-scale work is the "
+        "theta_sketch_agg, every intersection from sketch bytes"
+    },
+    "q_rfm_segmentation": {
+        "global_window": "the three NTILE(5) windows run over the "
+        "REDUCED per-user aggregate (one row per user, the "
+        "q_running_distinct stance), never raw events; exact global "
+        "quintiles are the oracle-checkable form — the documented "
+        "100 TB swap is approx-percentile thresholds certified "
+        "against this query (doc string)"
+    },
     "q_hybrid_index_rrf": {
         "cartesian": "query_tfidf's 1-row query-norm broadcast "
         "crossJoin (the q_tfidf_index attach-scalar allowance)",

@@ -66,69 +66,47 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r{01..14}.json (rebuilt
-# with gen_rotation.py entering round 15): 48 queries were last
-# driver-checked in r10, 50 in r11 (the dict-default tier), 48 in
-# r12, 44 in r13, 50 in r14. Round-15 window (VERDICT r14 next-round
-# #1): _ROUND_MODIFIED (23 post-freeze never-driver-checked + 6 new
-# + 4 re-certified + 4 NULL-drift-hardened = 37) first, then the 13
-# STALEST r10-tier queries (declaration order breaks ties) — the
-# other 35 r10-tier queries head the r16 fill.
+# the per-query max round over CORRECTNESS_r{01..15}.json (rebuilt
+# with gen_rotation.py entering round 16): 33 queries were last
+# driver-checked in r10, 50 in r11 (the dict-default tier), 46 in
+# r12, 43 in r13, 47 in r14, 50 in r15. Round-16 window (VERDICT r15
+# next-round #1): _ROUND_MODIFIED (4 new + 7 re-certified = 11)
+# first, then the 33 r10-tier queries (clearing that tier entirely)
+# and the 6 STALEST r11-tier queries in declaration order.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 15 rule (a), part 1 — the 23 queries declared AFTER the
-    # round-14 window froze (judge-swept in r14, never
-    # driver-checked; VERDICT r14 next-round #1 pins this list):
-    "q_zipf_slope", "q_funnel_stages", "q_cohort_retention_matrix",
-    "q_state_durations", "q_mann_kendall", "q_theil_sen",
-    "q_fuzzy_vocab_match", "q_sql_from_first", "q_tfidf_index",
-    "q_topk_sketch_merge", "q_ngram_containment", "q_ranking_eval",
-    "q_winsorized_stats", "q_attribution_last_touch",
-    "q_hybrid_index_rrf", "q_sql_pivot_multi", "q_k_anonymity",
-    "q_benford_profile", "q_session_stats", "q_pmi_scan",
-    "q_word_dispersion", "q_psi_drift", "q_rbo_lexical_dense",
-    # round 15, new queries: the streaming state-durations sink
-    # oracle-certified end-to-end (VERDICT r14 #3), the mergeable KLL
-    # quantile rollup (VERDICT r14 #6), the series-catalog fuzzy
-    # linkage through the engine surface (VERDICT r14 #7), and the
-    # Theta-sketch audience overlap (the set-operation member of the
-    # DataSketches family)
-    "q_state_durations_served", "q_kll_quantile_rollup",
-    "q_catalog_fuzzy_link", "q_theta_audience_overlap",
-    # ...and the streaming KLL quantile store served end-to-end
-    # (exact accounting oracle-paired, estimates invariant-pinned),
-    # and M4 visualization aggregation (Jugel et al. VLDB'14)
-    "q_quantile_stream_served", "q_m4_decimate",
-    # round 15, re-certified after behavior-relevant changes: the
-    # persisted-index manifest commits moved to the CAS
-    # single-writer protocol (q_bm25_index, q_bm25_stream_indexed,
-    # q_similarity_ivf_index ride every index read/write path);
-    # ContinuousRollup._aggregate was reworked for the KLL cells
-    # (q_continuous_rollup). Several more touched operators —
-    # trend-guard default, winsorize oracle, topk-sketch merge
-    # refactor, PIVOT — are already inside the 23 above.
-    "q_bm25_index", "q_bm25_stream_indexed", "q_similarity_ivf_index",
-    "q_continuous_rollup",
-    # round 15, NULL-drift hardening (the ADVICE r14 winsorize class,
-    # swept proactively): rank/order universes over nullable
-    # events.value/ts now exclude NULLs on BOTH sides (result-neutral
-    # today — testdata carries no NULLs — drift-proof tomorrow), and
-    # minmax_decimate orders nulls-last so a NULL reading can never
-    # be crowned a bucket extreme
-    "q_quantile_buckets", "q_percentile_disc", "q_spearman_corr",
-    "q_minmax_decimate",
+    # round 16, new queries: the streaming Theta segment store served
+    # end-to-end (VERDICT r15 #2), the streaming top-k store's
+    # exact-integer served table oracle-certified end-to-end (VERDICT
+    # r15 #3), k-way Theta intersections (VERDICT r15 #6), and RFM
+    # quintile segmentation (VERDICT r15 #7)
+    "q_theta_stream_served", "q_topk_stream_served",
+    "q_theta_overlap_kway", "q_rfm_segmentation",
+    # round 16, re-certified after behavior-relevant changes: the
+    # three streaming summary stores moved their manifests to the
+    # versioned CAS protocol (ADVICE r15 medium — the served queries
+    # ride every read/commit path), Bm25Index.compact now pins its
+    # CAS token at the opening read (ADVICE r15 medium; q_bm25_index
+    # runs the full lifecycle), the engine rollup facade grew
+    # ds-partition pruning for invalidate_days (VERDICT r15 #4;
+    # q_continuous_rollup rides the facade base view), the
+    # nested-QUALIFY probe path gained log suppression (VERDICT r15
+    # #5 — behavior-neutral, re-certified anyway), and theta_rollup
+    # now excludes NULL-key segments (ADVICE r15 low)
+    "q_quantile_stream_served", "q_state_durations_served",
+    "q_bm25_index", "q_continuous_rollup",
+    "q_qualify_nested", "q_qualify_in_exists",
+    "q_theta_audience_overlap",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r{01..14}.json): 48 last ran in r10, 48 in r12, 44 in
-#: r13, 50 in r14; the remaining 50 ran in r11 and form the dict
-#: default (`.get(name, 11)` in _ordered_registry).
+#: CORRECTNESS_r{01..15}.json): 33 last ran in r10, 46 in r12, 43 in
+#: r13, 47 in r14, 50 in r15; the remaining 50 ran in r11 and form the
+#: dict default (`.get(name, 11)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
     **dict.fromkeys([
-        "q_agg_pricing_summary",
-        "q_agg_stats",
         "q_asof_nearest",
         "q_bigram_vocab",
         "q_bool_aggs",
@@ -136,13 +114,9 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_contamination_check",
         "q_correlated_subquery",
         "q_correlation",
-        "q_count_distinct",
-        "q_cube",
         "q_dense_grid",
         "q_event_transitions",
         "q_ewma",
-        "q_filter_compound",
-        "q_filter_range",
         "q_filter_rlike",
         "q_funnel",
         "q_join_right_outer",
@@ -151,18 +125,9 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_mode_per_group",
         "q_multi_count_distinct",
         "q_null_safe_join",
-        "q_percentile_disc",
-        "q_percentiles",
-        "q_pivot",
-        "q_project_compute",
         "q_qualify_nested",
         "q_qualify_sql",
-        "q_quantile_buckets",
-        "q_r11_fault_count",
-        "q_r3_query_by_id",
-        "q_r4_fdd_overlay",
         "q_rolling_corr",
-        "q_rollup",
         "q_running_distinct",
         "q_scalar_subquery",
         "q_seasonal_residuals",
@@ -184,7 +149,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_bm25_topk",
         "q_boilerplate_profile",
         "q_chunk_documents",
-        "q_continuous_rollup",
         "q_corpus_pipeline_dsir",
         "q_corpus_stream_served",
         "q_counter_increase",
@@ -200,7 +164,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_histogram_quantile",
         "q_linear_interp",
         "q_lttb_downsample",
-        "q_minmax_decimate",
         "q_paragraph_dedup",
         "q_pit_features",
         "q_predict_linear",
@@ -256,7 +219,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_seasonal_backtest",
         "q_series_align_ratio",
         "q_series_gap_report",
-        "q_spearman_corr",
         "q_sql_columns_join",
         "q_sql_unpivot",
         "q_table_diff",
@@ -274,8 +236,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
     ], 13),
     **dict.fromkeys([
         "q_array_ops",
-        "q_bm25_index",
-        "q_bm25_stream_indexed",
         "q_char_entropy",
         "q_compaction_stats",
         "q_dedup_exact",
@@ -310,7 +270,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_scalar_string",
         "q_session_window",
         "q_similarity_bruteforce",
-        "q_similarity_ivf_index",
         "q_sql_pivot",
         "q_stratified_sample",
         "q_to_json",
@@ -324,6 +283,58 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_udf_zscore_per_group",
         "q_window_nth_cume",
     ], 14),
+    **dict.fromkeys([
+        "q_agg_pricing_summary",
+        "q_agg_stats",
+        "q_attribution_last_touch",
+        "q_benford_profile",
+        "q_bm25_index",
+        "q_bm25_stream_indexed",
+        "q_catalog_fuzzy_link",
+        "q_cohort_retention_matrix",
+        "q_continuous_rollup",
+        "q_count_distinct",
+        "q_cube",
+        "q_filter_compound",
+        "q_filter_range",
+        "q_funnel_stages",
+        "q_fuzzy_vocab_match",
+        "q_hybrid_index_rrf",
+        "q_k_anonymity",
+        "q_kll_quantile_rollup",
+        "q_m4_decimate",
+        "q_mann_kendall",
+        "q_minmax_decimate",
+        "q_ngram_containment",
+        "q_percentile_disc",
+        "q_percentiles",
+        "q_pivot",
+        "q_pmi_scan",
+        "q_project_compute",
+        "q_psi_drift",
+        "q_quantile_buckets",
+        "q_quantile_stream_served",
+        "q_r11_fault_count",
+        "q_r3_query_by_id",
+        "q_r4_fdd_overlay",
+        "q_ranking_eval",
+        "q_rbo_lexical_dense",
+        "q_rollup",
+        "q_session_stats",
+        "q_similarity_ivf_index",
+        "q_spearman_corr",
+        "q_sql_from_first",
+        "q_sql_pivot_multi",
+        "q_state_durations",
+        "q_state_durations_served",
+        "q_tfidf_index",
+        "q_theil_sen",
+        "q_theta_audience_overlap",
+        "q_topk_sketch_merge",
+        "q_winsorized_stats",
+        "q_word_dispersion",
+        "q_zipf_slope",
+    ], 15),
 }
 
 
@@ -13681,4 +13692,368 @@ def q_rbo_lexical_dense(spark, sf_dir):
         F.max(F.when(F.col("d") == k, F.col("overlap")))
         .cast("long").alias("overlap_k"),
         F.round(F.sum(term), 6).cast("double").alias("rbo"),
+    )
+
+
+@declare(
+    "q_theta_stream_served",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="streaming Theta segment store served END-TO-END (round 16 — "
+    "VERDICT r15 next-round #2; streaming/theta.py, the set-operation "
+    "face completing the streaming sketch family beside topk/"
+    "durations/KLL): two real micro-batches (even/odd event_id) "
+    "through the real foreachBatch sink maintain per-event_type "
+    "Theta sketches of the user population at versioned "
+    "summaries/batch=<id> dirs with a CAS manifest; serving merges "
+    "base ∪ deltas via theta_union_agg. The served per-cell "
+    "ACCOUNTING (n_rows) hash-matches the oracle through the real "
+    "sink AND a compaction fold (accounting re-asserted identical "
+    "post-compact in-fixture); the distinct estimates are "
+    "engine-specific, so the fixture hard-fails if they leave the "
+    "5%-vs-exact envelope and tests/test_streaming_theta.py pins "
+    "them across crash/replay points. The 100 TB path for "
+    "continuously-maintained audience overlap: segments stay "
+    "current per micro-batch, every overlap answered from sketch "
+    "bytes without re-scanning raw events",
+)
+def q_theta_stream_served(spark, sf_dir):
+    import glob
+    import shutil
+
+    from .streaming.theta import (
+        compact_theta_sketch,
+        serve_theta,
+        start_theta_sketch_sink,
+    )
+
+    root = _fixture_dir("q_theta_stream_served")
+    src = os.path.join(root, "drop")
+
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(
+            F.col("event_id").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_type", "user_id", "event_id")
+    )
+    e.filter(F.col("event_id") % 2 == 0).select(
+        "event_type", "user_id"
+    ).coalesce(1).write.mode("overwrite").json(src)
+    b_tmp = os.path.join(root, "b_tmp")
+    e.filter(F.col("event_id") % 2 != 0).select(
+        "event_type", "user_id"
+    ).coalesce(1).write.mode("overwrite").json(b_tmp)
+    b_part = glob.glob(os.path.join(b_tmp, "part-*.json"))
+    if len(b_part) != 1:
+        raise RuntimeError(f"expected one batch-1 file, got {b_part}")
+    b_dst = os.path.join(src, "zz_batch1.json")
+    shutil.move(b_part[0], b_dst)
+    latest = max(
+        os.path.getmtime(p) for p in glob.glob(os.path.join(src, "part-*"))
+    )
+    os.utime(b_dst, (latest + 10, latest + 10))
+
+    store = os.path.join(root, "store")
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_theta_sketch_sink(
+        stream, store, os.path.join(root, "ckpt"),
+        ["event_type"], "user_id", available_now=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("theta stream fixture did not drain in 300s")
+    from .streaming.store_common import read_store_manifest
+
+    man = read_store_manifest(spark, store, "theta")
+    if man is None or int(man["last_applied_batch"]) != 1:
+        raise RuntimeError(
+            f"expected exactly 2 applied micro-batches, manifest: {man}"
+        )
+    served = {
+        r.event_type: r for r in serve_theta(spark, store, ["event_type"]).collect()
+    }
+    # estimate envelope (values are engine-specific, the envelope is
+    # not): served distinct_est must sit within 5% of the exact
+    # per-segment distinct-user count
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for g, truth in exact.items():
+        est = served[g].distinct_est
+        if abs(est - truth) > max(2, 0.05 * truth):
+            raise RuntimeError(
+                f"theta estimate for {g} left the 5% envelope: "
+                f"{est} vs exact {truth}"
+            )
+    # compaction must preserve the exact accounting bit-for-bit
+    compact_theta_sketch(spark, store)
+    after = serve_theta(spark, store, ["event_type"])
+    if {(r.event_type, r.n_rows) for r in after.collect()} != {
+        (g, r.n_rows) for g, r in served.items()
+    }:
+        raise RuntimeError("compaction changed the served accounting")
+    return after.select("event_type", "n_rows")
+
+
+@declare(
+    "q_topk_stream_served",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(event_id % 2 AS INT) AS b,
+             user_id % 97 AS value
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    counts AS (
+      SELECT event_type, b, value, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, b
+                                   ORDER BY c DESC, value) AS rn
+      FROM counts
+    ),
+    cells AS (
+      SELECT event_type, b,
+             COALESCE(MAX(CASE WHEN rn = 6 THEN c END), 0) AS dropped_max,
+             CAST(SUM(c) AS BIGINT) AS cell_rows
+      FROM ranked GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(dropped_max) AS BIGINT) AS total_err,
+             CAST(SUM(cell_rows) AS BIGINT) AS n_rows
+      FROM cells GROUP BY 1
+    ),
+    pv AS (
+      SELECT k.event_type, k.value,
+             CAST(SUM(k.c) AS BIGINT) AS count_lo,
+             CAST(SUM(cl.dropped_max) AS BIGINT) AS present_err
+      FROM (SELECT * FROM ranked WHERE rn <= 5) k
+      JOIN cells cl ON k.event_type = cl.event_type AND k.b = cl.b
+      GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT pv.event_type, pv.value, pv.count_lo,
+             CAST(tot.total_err - pv.present_err AS BIGINT) AS err_ub,
+             tot.n_rows
+      FROM pv JOIN tot USING (event_type)
+    ),
+    final AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY count_lo DESC, value) AS rn
+      FROM merged
+    )
+    SELECT event_type, value, count_lo, err_ub, n_rows
+    FROM final WHERE rn <= 10
+    """,
+    doc="streaming top-k heavy-hitter store served END-TO-END (round "
+    "16 — VERDICT r15 next-round #3): unlike the KLL/Theta stores, "
+    "the top-k store's served values are EXACT INTEGERS "
+    "(functions/sketches.py topk_sketch decomposition), so the FULL "
+    "served [count_lo, err_ub, n_rows] table hash-matches an oracle "
+    "that replays the same per-(cell, micro-batch) decomposition in "
+    "SQL — a strictly stronger external check than the store's "
+    "pytest-only coverage had. Two real micro-batches (even/odd "
+    "event_id) through the real foreachBatch sink "
+    "(streaming/sketch.py, k=5 per batch-cell), served merged top-10 "
+    "per event_type; the fixture also runs the compaction fold and "
+    "hard-fails unless the served table is BIT-IDENTICAL before and "
+    "after (the exact-fold guarantee the decomposition base exists "
+    "to provide)",
+)
+def q_topk_stream_served(spark, sf_dir):
+    import glob
+    import shutil
+
+    from .streaming.sketch import (
+        compact_topk_sketch,
+        serve_topk,
+        start_topk_sketch_sink,
+    )
+
+    root = _fixture_dir("q_topk_stream_served")
+    src = os.path.join(root, "drop")
+
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(
+            F.col("event_id").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.col("user_id") % 97).cast("long").alias("value"),
+            "event_id",
+        )
+    )
+    e.filter(F.col("event_id") % 2 == 0).select(
+        "event_type", "value"
+    ).coalesce(1).write.mode("overwrite").json(src)
+    b_tmp = os.path.join(root, "b_tmp")
+    e.filter(F.col("event_id") % 2 != 0).select(
+        "event_type", "value"
+    ).coalesce(1).write.mode("overwrite").json(b_tmp)
+    b_part = glob.glob(os.path.join(b_tmp, "part-*.json"))
+    if len(b_part) != 1:
+        raise RuntimeError(f"expected one batch-1 file, got {b_part}")
+    b_dst = os.path.join(src, "zz_batch1.json")
+    shutil.move(b_part[0], b_dst)
+    latest = max(
+        os.path.getmtime(p) for p in glob.glob(os.path.join(src, "part-*"))
+    )
+    os.utime(b_dst, (latest + 10, latest + 10))
+
+    store = os.path.join(root, "store")
+    stream = (
+        spark.readStream.schema("event_type string, value long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = start_topk_sketch_sink(
+        stream, store, os.path.join(root, "ckpt"),
+        ["event_type"], "value", k=5, available_now=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("topk stream fixture did not drain in 300s")
+    from .streaming.store_common import read_store_manifest
+
+    man = read_store_manifest(spark, store, "sketch")
+    if man is None or int(man["last_applied_batch"]) != 1:
+        raise RuntimeError(
+            f"expected exactly 2 applied micro-batches, manifest: {man}"
+        )
+    served = serve_topk(spark, store, ["event_type"], k=10)
+    before = {tuple(r) for r in served.collect()}
+    # the exact-fold guarantee, asserted in the served surface itself:
+    # compaction must not move a single integer
+    compact_topk_sketch(spark, store)
+    after = serve_topk(spark, store, ["event_type"], k=10)
+    if {tuple(r) for r in after.collect()} != before:
+        raise RuntimeError("compaction changed the served top-k table")
+    return after.select(
+        "event_type",
+        F.col("value").cast("bigint").alias("value"),
+        "count_lo",
+        "err_ub",
+        "n_rows",
+    )
+
+
+@declare(
+    "q_theta_overlap_kway",
+    None,
+    doc="k-way Theta segment intersections (round 16 — VERDICT r15 "
+    "next-round #6; functions/sketches.py theta_overlap_kway): for "
+    "every event_type triple, the distinct-user estimate of members "
+    "in ALL THREE segments, chained theta_intersection over the "
+    "dims-only segment grid — the question pairwise Jaccard cannot "
+    "answer (A∩B and B∩C large says nothing about A∩B∩C), served "
+    "entirely from sketch bytes with no second pass over events. "
+    "Rows-only (Theta estimates are engine-specific); "
+    "tests/test_sketches.py::test_theta_overlap_kway_vs_exact_3way "
+    "pins <=5%-vs-exact against the exact 3-way distinct-user "
+    "intersection for every triple at sf0.001, and the streaming "
+    "store serves the same grid via serve_theta_overlap(k=3)",
+)
+def q_theta_overlap_kway(spark, sf_dir):
+    from .functions.sketches import theta_overlap_kway, theta_rollup
+
+    e = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    segs = theta_rollup(e, ["event_type"], "user_id")
+    return theta_overlap_kway(segs, "event_type", k=3)
+
+
+@declare(
+    "q_rfm_segmentation",
+    """
+    WITH agg AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, frequency, monetary,
+             CAST(NTILE(5) OVER (ORDER BY last_ts DESC, user_id)
+                  AS INT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id)
+                  AS INT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id)
+                  AS INT) AS m_score
+      FROM agg
+    )
+    SELECT user_id, frequency, monetary, r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN f_score <= 2 THEN 'loyal'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM customer segmentation (round 16 — VERDICT r15 next-round "
+    "#7; the classic recency/frequency/monetary quintile scoring): "
+    "one grouped aggregate reduces events to a per-user (last_ts, "
+    "count, exact-decimal spend) table, then three NTILE(5) windows "
+    "score each axis — every ORDER BY carries user_id as the "
+    "tiebreak so bucket membership is total-ordered and "
+    "engine-identical, and the NULL-rank-universe discipline "
+    "(queries.py:73 notes) excludes NULL user/ts/value rows on BOTH "
+    "sides. Scale shape: the windows run over the REDUCED per-user "
+    "aggregate, never raw events (the q_running_distinct stance); "
+    "the global sort is the price of EXACT oracle-checkable "
+    "quintiles — a production 100 TB scorer would swap in "
+    "approx-percentile thresholds once certified against this exact "
+    "form",
+)
+def q_rfm_segmentation(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    agg = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("bigint").alias("frequency"),
+        dsum(F.col("value")).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_ts").desc(), F.col("user_id"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    scored = agg.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when(F.col("r_score") <= 2, "recent")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular"),
     )

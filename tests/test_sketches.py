@@ -324,3 +324,58 @@ def test_theta_rollup_ignores_nulls_and_counts_rows(spark):
     # NULL member rows are excluded from both the sketch and n_rows
     assert got["a"].n_rows == 2
     assert got["b"].n_rows == 1
+
+
+def test_theta_rollup_excludes_null_key_segments(spark):
+    """ADVICE r15 low: a NULL-key segment would appear in the rollup
+    yet vanish from every overlap pair (seg_a < seg_b is NULL for it)
+    — theta_rollup excludes it so rollup and overlap stay
+    consistent."""
+    from rusty_timeseries_db_spark.functions.sketches import theta_rollup
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "seg string, u int"
+    )
+    segs = {r.seg for r in theta_rollup(df, ["seg"], "u").collect()}
+    assert segs == {"a", "b"}
+
+
+def test_theta_overlap_kway_vs_exact_3way(spark):
+    """Round 16 — VERDICT r15 next-round #6: k-way Theta intersections
+    over the events segment grid must sit within ~5% of the exact
+    3-way distinct-user intersection (the question pairwise Jaccard
+    cannot answer), for EVERY segment triple at sf0.001."""
+    import itertools
+
+    from rusty_timeseries_db_spark.functions.sketches import (
+        theta_overlap_kway,
+        theta_rollup,
+    )
+
+    e = T(spark, SF_DIR, "events").filter(F.col("user_id").isNotNull())
+    segs = theta_rollup(e, ["event_type"], "user_id")
+    got = {
+        (r.seg_1, r.seg_2, r.seg_3): r.inter_est
+        for r in theta_overlap_kway(segs, "event_type", k=3).collect()
+    }
+    users = {
+        r.event_type: set(
+            x.user_id
+            for x in e.filter(F.col("event_type") == r.event_type)
+            .select("user_id")
+            .distinct()
+            .collect()
+        )
+        for r in e.select("event_type").distinct().collect()
+    }
+    names = sorted(users)
+    triples = list(itertools.combinations(names, 3))
+    assert set(got) == set(triples)
+    for a, b, c in triples:
+        truth = len(users[a] & users[b] & users[c])
+        assert abs(got[(a, b, c)] - truth) <= max(2, 0.05 * truth), (
+            a, b, c, got[(a, b, c)], truth,
+        )
+    # a 2-way call must equal the pairwise grid's combination count
+    pairs = theta_overlap_kway(segs, "event_type", k=2).collect()
+    assert len(pairs) == len(names) * (len(names) - 1) // 2
