@@ -100,6 +100,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "data-scale work is the theta_sketch_agg, and every overlap "
         "is computed from sketch bytes, never from raw events"
     },
+    "q_rollup_theta_overlap": {
+        "cartesian": "segment_overlap_estimate's pair grid is "
+        "dims-only over one-merged-sketch-per-SEGMENT rows (the "
+        "q_theta_audience_overlap allowance); the data-scale work is "
+        "the rollup's theta_sketch_agg cells"
+    },
     "q_theta_overlap_kway": {
         "cartesian": "the k-way combination grid is C(segments, 3) "
         "over one-sketch-per-SEGMENT rows — dims-only (the "

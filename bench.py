@@ -134,6 +134,13 @@ HEADLINE = [
     # surface (warehouse build + blocked edit-distance join)
     "q_kll_quantile_rollup",
     "q_catalog_fuzzy_link",
+    # added round 16 (subtract for apples-to-apples vs r15): RFM
+    # quintile segmentation (grouped reduce + three ntile windows over
+    # the per-user aggregate — the window-over-reduced-table shape)
+    # and the k-way Theta overlap (per-segment sketch agg + chained
+    # intersections over the dims-only combination grid)
+    "q_rfm_segmentation",
+    "q_theta_overlap_kway",
 ]
 
 

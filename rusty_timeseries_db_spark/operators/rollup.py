@@ -118,6 +118,7 @@ class ContinuousRollup:
         quantile_col: str | None = None,
         kll_k: int = 200,
         partition_day_col: str | None = None,
+        theta_col: str | None = None,
     ) -> None:
         self.spark = spark
         self.base = base
@@ -146,6 +147,16 @@ class ContinuousRollup:
         #: refresh orders.
         self.quantile_col = quantile_col
         self.kll_k = kll_k
+        #: optional mergeable SET ALGEBRA (round 16 — the Theta member
+        #: completing the sketch-cell family beside HLL count-distinct
+        #: and KLL quantiles): each cell also stores a Theta sketch of
+        #: ``theta_col``, so ``segment_overlap_estimate`` can
+        #: intersect segment populations across materialized days AND
+        #: the live tail — the operation HLL cells cannot do
+        #: (union-only). Same idempotency stance as the other sketch
+        #: cells: estimates are input-set-deterministic, sketch BYTES
+        #: may differ across refresh orders.
+        self.theta_col = theta_col
         #: optional name of a DAY PARTITION column in the base view
         #: (round 16 — VERDICT r15 #4): when the base is stored
         #: day-partitioned (the engine warehouse's
@@ -227,6 +238,12 @@ class ContinuousRollup:
                 .alias("quantile_sketch")
             )
             extra = [*extra, "quantile_sketch"]
+        if self.theta_col is not None:
+            aggs.append(
+                F.theta_sketch_agg(F.col(self.theta_col))
+                .alias("theta_sketch")
+            )
+            extra = [*extra, "theta_sketch"]
         return (
             df.groupBy(*self.key_cols, w.alias("w"))
             .agg(*aggs)
@@ -296,6 +313,53 @@ class ContinuousRollup:
             F.col("n").cast("bigint").alias("n_rows"),
         )
         return merge_quantile_rollup(cells, gc, quantiles=list(quantiles))
+
+    def segment_overlap_estimate(
+        self, group_col: str, k: int = 2
+    ) -> DataFrame:
+        """Segment-overlap estimates of ``theta_col`` members between
+        values of ``group_col`` (one of the rollup keys) over the
+        COMPLETE view — Theta sketches from materialized days and the
+        live tail UNION losslessly per segment, then every pairwise
+        (``k=2``: intersection/union/Jaccard) or k-way (``k>=3``:
+        members in ALL k segments) overlap is computed from sketch
+        bytes (round 16; the set-algebra member of the sketch-cell
+        family — the question :meth:`distinct_estimate`'s HLL cells
+        cannot answer). Never re-scans raw events: O(cells) merge +
+        a dims-only segment grid. NULL segments are excluded (the
+        theta_rollup contract)."""
+        if self.theta_col is None:
+            raise ValueError(
+                "rollup was built without theta_col — no Theta "
+                "sketches stored"
+            )
+        if group_col not in self.key_cols:
+            raise ValueError(
+                f"segment_overlap_estimate group_col {group_col!r} "
+                f"must be one of the rollup keys {self.key_cols}"
+            )
+        from ..functions.sketches import (
+            merge_theta_cells,
+            theta_overlap,
+            theta_overlap_kway,
+        )
+
+        cells = (
+            self.read()
+            .filter(F.col(group_col).isNotNull())
+            .select(
+                group_col,
+                "theta_sketch",
+                # accounting only (merge_theta_cells carries it
+                # through); cell n counts ALL rows, the sketch holds
+                # the non-NULL theta_col members
+                F.col("n").cast("bigint").alias("n_rows"),
+            )
+        )
+        merged = merge_theta_cells(cells, [group_col])
+        if k == 2:
+            return theta_overlap(merged, group_col)
+        return theta_overlap_kway(merged, group_col, k=k)
 
     # -- manifest + probe I/O through the shared Hadoop-FS helpers
     # (fsutil.py): an hdfs:// or s3a:// rollup_path behaves exactly

@@ -70,9 +70,10 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 16): 33 queries were last
 # driver-checked in r10, 50 in r11 (the dict-default tier), 46 in
 # r12, 43 in r13, 47 in r14, 50 in r15. Round-16 window (VERDICT r15
-# next-round #1): _ROUND_MODIFIED (4 new + 7 re-certified = 11)
-# first, then the 33 r10-tier queries (clearing that tier entirely)
-# and the 6 STALEST r11-tier queries in declaration order.
+# next-round #1): _ROUND_MODIFIED (5 new + 7 re-certified = 12)
+# first, then the r10 tier (32 in the fill + q_qualify_nested already
+# among the modified = all 33, clearing that tier entirely) and the 6
+# STALEST r11-tier queries in declaration order.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
@@ -84,6 +85,9 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # quintile segmentation (VERDICT r15 #7)
     "q_theta_stream_served", "q_topk_stream_served",
     "q_theta_overlap_kway", "q_rfm_segmentation",
+    # ...and the continuous-aggregate Theta segment cells
+    # (rollup theta_col + segment_overlap_estimate)
+    "q_rollup_theta_overlap",
     # round 16, re-certified after behavior-relevant changes: the
     # three streaming summary stores moved their manifests to the
     # versioned CAS protocol (ADVICE r15 medium — the served queries
@@ -14057,3 +14061,39 @@ def q_rfm_segmentation(spark, sf_dir):
         .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
         .otherwise("regular"),
     )
+
+
+@declare(
+    "q_rollup_theta_overlap",
+    None,
+    doc="continuous-aggregate Theta segment cells (round 16 — "
+    "operators/rollup.py theta_col, completing the sketch-cell "
+    "family beside the HLL distinct and KLL quantile cells): the "
+    "rollup stores one Theta sketch of the user population per "
+    "(event_type, window) cell, and segment_overlap_estimate unions "
+    "them per segment ACROSS materialized days AND the live tail, "
+    "then serves every pairwise intersection/union/Jaccard from "
+    "sketch bytes — the set operation HLL cells cannot do, and the "
+    "materialized-view answer to audience overlap at 100 TB (the "
+    "streaming store q_theta_stream_served is the push-based twin). "
+    "Rows-only (Theta estimates are engine-specific); "
+    "tests/test_rollup.py::test_theta_cells_segment_overlap_estimate "
+    "pins <=5%-vs-exact incl. a tail-only segment pair, 3-way grids, "
+    "and one-shot==incremental value idempotency",
+)
+def q_rollup_theta_overlap(spark, sf_dir):
+    from .operators.rollup import ContinuousRollup
+
+    root = _fixture_dir("q_rollup_theta_overlap")
+    roll = ContinuousRollup(
+        spark,
+        lambda: T(spark, sf_dir, "events").select(
+            "event_type", "ts", "value", "user_id"
+        ),
+        os.path.join(root, "roll"),
+        key_cols=["event_type"],
+        window="1 hour",
+        theta_col="user_id",
+    )
+    roll.refresh()
+    return roll.segment_overlap_estimate("event_type")

@@ -600,6 +600,88 @@ def test_invalidate_days_repairs_late_rows(spark, paths):
     assert roll.invalidate_days([]) == 0
 
 
+def test_theta_cells_segment_overlap_estimate(spark, tmp_path):
+    """Round 16: Theta sketch cells complete the sketch-cell family —
+    segment_overlap_estimate intersects segment member populations
+    across MATERIALIZED days and the LIVE tail (the set operation HLL
+    cells cannot do), within ~5% of the exact overlap, for pairwise
+    and 3-way grids; estimates identical whether the rollup was built
+    in one refresh or incrementally."""
+    def _write(path, rows):
+        spark.createDataFrame(
+            rows, "series string, ts_raw string, user_id int"
+        ).select(
+            "series", F.to_timestamp("ts_raw").alias("ts"),
+            F.lit(1.0).alias("value"), "user_id",
+        ).write.mode("append").parquet(path)
+
+    def _mk(day, series, users):
+        return [
+            (series, f"2024-03-{day:02d} 12:{mm:02d}:00", u)
+            for mm, u in enumerate(users)
+        ]
+
+    # segments: a = {1..6}, b = {4..9}, c = {1,2,8,9}; a∩b = {4,5,6},
+    # a∩c = {1,2}, b∩c = {8,9}, a∩b∩c = {} — split across days so the
+    # final day stays in the live tail
+    rows = (
+        _mk(1, "a", [1, 2, 3]) + _mk(2, "a", [4, 5]) + _mk(5, "a", [6])
+        + _mk(1, "b", [4, 5, 6]) + _mk(2, "b", [7]) + _mk(5, "b", [8, 9])
+        + _mk(1, "c", [1, 2]) + _mk(5, "c", [8, 9])
+    )
+    exact = {}
+    for s, _, u in rows:
+        exact.setdefault(s, set()).add(u)
+
+    base, rollup = str(tmp_path / "base"), str(tmp_path / "roll")
+    _write(base, rows)
+    roll = ContinuousRollup(
+        spark, base, rollup, ["series"], theta_col="user_id"
+    )
+    roll.refresh()  # day 5 (hwm day) stays in the live tail
+
+    pairs = {
+        (r.seg_a, r.seg_b): r
+        for r in roll.segment_overlap_estimate("series").collect()
+    }
+    assert set(pairs) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (x, y), r in pairs.items():
+        ti, tu = len(exact[x] & exact[y]), len(exact[x] | exact[y])
+        assert abs(r.inter_est - ti) <= max(1, 0.05 * ti), (x, y)
+        assert abs(r.union_est - tu) <= max(1, 0.05 * tu), (x, y)
+    # the tail contributed: b∩c = {8, 9} lives ENTIRELY on the
+    # unmaterialized hwm day
+    assert pairs[("b", "c")].inter_est == 2
+
+    triple = roll.segment_overlap_estimate("series", k=3).collect()
+    assert len(triple) == 1 and triple[0].inter_est == 0  # a∩b∩c = {}
+
+    # incremental build serves identical estimates (value idempotency)
+    base2, rollup2 = str(tmp_path / "base2"), str(tmp_path / "roll2")
+    roll2 = ContinuousRollup(
+        spark, base2, rollup2, ["series"], theta_col="user_id"
+    )
+    for day in (1, 2, 5):
+        _write(base2, [r for r in rows if f"2024-03-{day:02d}" in r[1]])
+        roll2.refresh()
+    pairs2 = {
+        (r.seg_a, r.seg_b): (r.inter_est, r.union_est)
+        for r in roll2.segment_overlap_estimate("series").collect()
+    }
+    assert pairs2 == {
+        k: (r.inter_est, r.union_est) for k, r in pairs.items()
+    }
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="theta_col"):
+        ContinuousRollup(
+            spark, base, str(tmp_path / "r3"), ["series"]
+        ).segment_overlap_estimate("series")
+    with _pytest.raises(ValueError, match="rollup keys"):
+        roll.segment_overlap_estimate("user_id")
+
+
 def test_invalidate_days_prunes_ds_partitions(spark, tmp_path):
     """Round 16 — VERDICT r15 #4: on a date-partitioned warehouse the
     late-day repair's base scan carries the named days as PARTITION
