@@ -70,9 +70,9 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 16): 33 queries were last
 # driver-checked in r10, 50 in r11 (the dict-default tier), 46 in
 # r12, 43 in r13, 47 in r14, 50 in r15. Round-16 window (VERDICT r15
-# next-round #1): _ROUND_MODIFIED (5 new + 7 re-certified = 12)
+# next-round #1): _ROUND_MODIFIED (9 new + 7 re-certified = 16)
 # first, then the r10 tier (32 in the fill + q_qualify_nested already
-# among the modified = all 33, clearing that tier entirely) and the 6
+# among the modified = all 33, clearing that tier entirely) and the 2
 # STALEST r11-tier queries in declaration order.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
@@ -88,6 +88,12 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # ...and the continuous-aggregate Theta segment cells
     # (rollup theta_col + segment_overlap_estimate)
     "q_rollup_theta_overlap",
+    # ...and the classic-analytics quartet (all oracle-paired at 3
+    # SFs, exact-arithmetic boundary discipline): Pareto/ABC
+    # classification, Gini concentration, Mann-Whitney U (exact
+    # doubled tied-rank sums), weighted median
+    "q_pareto_abc", "q_gini_concentration", "q_mann_whitney",
+    "q_weighted_median",
     # round 16, re-certified after behavior-relevant changes: the
     # three streaming summary stores moved their manifests to the
     # versioned CAS protocol (ADVICE r15 medium — the served queries
@@ -14097,3 +14103,339 @@ def q_rollup_theta_overlap(spark, sf_dir):
     )
     roll.refresh()
     return roll.segment_overlap_estimate("event_type")
+
+
+@declare(
+    "q_pareto_abc",
+    """
+    WITH spend AS (
+      SELECT event_type, user_id,
+             SUM(CAST(value AS DECIMAL(18,2))) AS spend
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, user_id, spend,
+             SUM(spend) OVER (
+               PARTITION BY event_type ORDER BY spend DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(spend) OVER (PARTITION BY event_type) AS total
+      FROM spend
+    ),
+    classed AS (
+      -- class boundaries decided in EXACT decimal arithmetic
+      -- (cum*5 <= total*4 is cum/total <= 0.8): a double division
+      -- could ulp-flip a boundary user between engines
+      SELECT event_type, spend,
+             CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             total
+      FROM ranked
+    )
+    SELECT event_type, abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(spend) AS DOUBLE) AS class_value,
+           ROUND(CAST(SUM(spend) AS DOUBLE) / CAST(MAX(total) AS DOUBLE),
+                 6) AS value_share
+    FROM classed
+    GROUP BY event_type, abc_class
+    """,
+    doc="Pareto / ABC inventory classification (round 16): per "
+    "event_type, users ranked by exact-decimal total spend; class A "
+    "holds the top spenders up to 80% of cumulative value, B to 95%, "
+    "C the tail — the classic concentration rollup behind 'which 20% "
+    "of customers drive 80% of revenue'. Class boundaries are decided "
+    "in EXACT decimal arithmetic (cum*5 <= total*4), never a double "
+    "division whose last ulp could flip a boundary user between "
+    "engines; the cumulative window is an exact decimal sum ordered "
+    "(spend DESC, user_id) so membership is total-ordered. Scale "
+    "shape: grouped reduce to per-user spend, then per-segment "
+    "windows over the REDUCED table",
+)
+def q_pareto_abc(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    spend = e.groupBy("event_type", "user_id").agg(
+        F.sum(dec(F.col("value"))).alias("spend")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("spend").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    ranked = spend.select(
+        "event_type",
+        "spend",
+        F.sum("spend").over(wcum).alias("cum"),
+        F.sum("spend").over(wtot).alias("total"),
+    )
+    classed = ranked.select(
+        "event_type",
+        "spend",
+        "total",
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("event_type", "abc_class").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("spend").cast("double").alias("class_value"),
+        F.round(
+            F.sum("spend").cast("double") / F.max("total").cast("double"), 6
+        ).alias("value_share"),
+    )
+
+
+@declare(
+    "q_gini_concentration",
+    """
+    WITH spend AS (
+      SELECT event_type, user_id,
+             SUM(CAST(value AS DECIMAL(18,2))) AS spend
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, spend,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY spend, user_id
+             ) AS i
+      FROM spend
+    ),
+    terms AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(spend) AS s,
+             SUM(i * spend) AS s1
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(s AS DOUBLE) AS total_value,
+           ROUND(
+             2.0 * CAST(s1 AS DOUBLE) / (n * CAST(s AS DOUBLE))
+             - (n + 1.0) / n,
+             6
+           ) AS gini
+    FROM terms
+    """,
+    doc="Gini concentration coefficient (round 16): per event_type, "
+    "the inequality of per-user spend via the rank formula "
+    "G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n over ascending-sorted "
+    "exact-decimal spends — 0 = perfectly even, ->1 = one user "
+    "carries everything; the standard revenue/token-count "
+    "concentration readout next to q_heavy_hitter_share's top-k "
+    "view. Both sums are EXACT decimals (i is a bigint rank, spend "
+    "a decimal sum), so the one double division computes from "
+    "identical inputs on both engines (ties contribute the same "
+    "SUM(i*x_i) under any permutation — equal x collapse); scale "
+    "shape: grouped reduce, one per-segment window, 3-term agg",
+)
+def q_gini_concentration(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    spend = e.groupBy("event_type", "user_id").agg(
+        F.sum(dec(F.col("value"))).alias("spend")
+    )
+    w = Window.partitionBy("event_type").orderBy("spend", "user_id")
+    ranked = spend.select(
+        "event_type", "spend", F.row_number().over(w).alias("i")
+    )
+    terms = ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("spend").alias("s"),
+        F.sum(F.col("i") * F.col("spend")).alias("s1"),
+    )
+    return terms.select(
+        "event_type",
+        "n",
+        F.col("s").cast("double").alias("total_value"),
+        F.round(
+            F.lit(2.0) * F.col("s1").cast("double")
+            / (F.col("n") * F.col("s").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@declare(
+    "q_mann_whitney",
+    """
+    WITH pop AS (
+      SELECT event_type, value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    per_value AS (
+      SELECT event_type, value,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(in_a) AS BIGINT) AS cnt_a
+      FROM pop GROUP BY event_type, value
+    ),
+    spans AS (
+      SELECT event_type, cnt, cnt_a,
+             COALESCE(SUM(cnt) OVER (
+               PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM per_value
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(cnt_a) AS BIGINT) AS n1,
+             CAST(SUM(cnt - cnt_a) AS BIGINT) AS n2,
+             -- 2*R1: each tie block's members share the average rank
+             -- (2*cum_before + cnt + 1)/2, so doubling keeps every
+             -- term an exact integer
+             CAST(SUM(cnt_a * (2 * cum_before + cnt + 1)) AS BIGINT)
+               AS r1_x2
+      FROM spans GROUP BY event_type
+    )
+    SELECT event_type, n1, n2,
+           CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS BIGINT) AS u1_x2,
+           -- U1 + U2 = n1*n2, so u2_x2 = 2*n1*n2 - u1_x2
+           CAST(2 * n1 * n2
+                - (2 * n1 * n2 + n1 * (n1 + 1) - r1_x2)
+                AS BIGINT) AS u2_x2,
+           ROUND(
+             CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS DOUBLE)
+             / (2.0 * n1 * n2),
+             6
+           ) AS effect_u1
+    FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test statistic (round 16): per "
+    "event_type, compares the value distributions of two user "
+    "populations (even vs odd user_id — the A/B-experiment split "
+    "shape) via exact tied-rank sums. Per distinct value the tie "
+    "block spans ranks [cum_before+1, cum_before+cnt] and every "
+    "member takes the average rank — DOUBLING the rank sum "
+    "(cnt_a*(2*cum_before+cnt+1)) keeps all arithmetic exact "
+    "integers, so U1/U2 (x2) hash-match with no float anywhere; the "
+    "common-language effect size U1/(n1*n2) is the one rounded "
+    "double. Complements q_spearman_corr/q_mann_kendall in the "
+    "nonparametric family. Scale shape: value-keyed count agg (tie "
+    "blocks), one per-segment cumulative window over DISTINCT "
+    "values, 3-term agg — never a per-row global rank",
+)
+def q_mann_whitney(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    pop = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    per_value = pop.groupBy("event_type", "value").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("in_a").cast("bigint").alias("cnt_a"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = per_value.select(
+        "event_type",
+        "cnt",
+        "cnt_a",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("cum_before"),
+    )
+    agg = spans.groupBy("event_type").agg(
+        F.sum("cnt_a").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).cast("bigint").alias("r1_x2"),
+    )
+    u1_x2 = (
+        2 * F.col("n1") * F.col("n2")
+        + F.col("n1") * (F.col("n1") + 1)
+        - F.col("r1_x2")
+    )
+    # U1 + U2 = n1*n2, so u2_x2 = 2*n1*n2 - u1_x2 (same identity as
+    # the oracle)
+    u2_x2 = 2 * F.col("n1") * F.col("n2") - u1_x2
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        u1_x2.cast("bigint").alias("u1_x2"),
+        u2_x2.cast("bigint").alias("u2_x2"),
+        F.round(
+            u1_x2.cast("double") / (F.lit(2.0) * F.col("n1") * F.col("n2")),
+            6,
+        ).alias("effect_u1"),
+    )
+
+
+@declare(
+    "q_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS wt
+      FROM lineitem
+      GROUP BY l_returnflag, l_extendedprice
+    ),
+    cum AS (
+      SELECT flag, price, wt,
+             SUM(wt) OVER (
+               PARTITION BY flag ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cw,
+             SUM(wt) OVER (PARTITION BY flag) AS total
+      FROM w
+    )
+    SELECT flag,
+           CAST(MIN(CASE WHEN cw * 2 >= total THEN price END)
+                AS DOUBLE) AS weighted_median,
+           CAST(MAX(total) AS DOUBLE) AS total_weight
+    FROM cum
+    GROUP BY flag
+    """,
+    doc="weighted median (round 16): per returnflag, the smallest "
+    "l_extendedprice whose cumulative l_quantity weight reaches half "
+    "the total — the PERCENTILE_DISC-style lower weighted median "
+    "(an ACTUAL data value, so it hash-matches; interpolated "
+    "variants are engine-arithmetic). The half-total comparison is "
+    "cw*2 >= total in EXACT decimal — a double-ratio comparison "
+    "could ulp-flip the selected row between engines. The shape "
+    "behind 'median price paid per unit sold' and any "
+    "frequency-weighted percentile at 100 TB: value-keyed weight "
+    "agg, one per-segment cumulative window over DISTINCT values",
+)
+def q_weighted_median(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(dec(F.col("l_quantity"))).alias("wt"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("flag")
+    cum = w.select(
+        "flag",
+        "price",
+        F.sum("wt").over(wcum).alias("cw"),
+        F.sum("wt").over(wtot).alias("total"),
+    )
+    return cum.groupBy("flag").agg(
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("total"), F.col("price"))
+        ).cast("double").alias("weighted_median"),
+        F.max("total").cast("double").alias("total_weight"),
+    )
