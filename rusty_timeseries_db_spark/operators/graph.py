@@ -113,24 +113,98 @@ def pagerank(
         )
     out = ranks.select("node", F.col("_r").alias("rank_micro"))
     if normalized:
-        # one extra 1-row aggregate riding a constant-key broadcast
-        # join (the attach-scalar shape); integer floor rescale keeps
-        # the cross-engine determinism contract. The multiply runs in
-        # DECIMAL(38,0): a hub node on a large graph can hold rank
-        # ~0.85·N·SCALE, and rank_micro * SCALE in bigint wraps
-        # negative past ~9.2e18 (review round 14) — exactly for the
-        # top-ranked node, inverting the order the flag promises to
-        # preserve. The total is summed in decimal for the same reason.
-        total = out.select(
-            F.sum(F.col("rank_micro").cast("decimal(38,0)")).alias("_total")
-        )
-        from ..queries import attach_scalar
-
-        out = attach_scalar(out, total).select(
-            "node",
-            F.expr(
-                f"CAST(CAST(rank_micro AS DECIMAL(38,0)) * {SCALE} "
-                "div _total AS BIGINT)"
-            ).alias("rank_micro"),
-        )
+        out = _normalize_micro(out, "rank_micro")
     return out
+
+
+def markov_stationary(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 3,
+    normalized: bool = True,
+) -> DataFrame:
+    """Integer-exact power iteration toward the stationary
+    distribution of the WEIGHTED random walk on a transition-count
+    edge list (round 16) — "where does user behavior settle": feed it
+    the consecutive-event transition counts (q_event_transitions'
+    shape) and read the equilibrium share of attention per state,
+    the Markov-chain summary a raw transition matrix cannot give.
+
+    Same determinism contract as :func:`pagerank` (this IS PageRank
+    with damping 1000‰ and edge weights): mass in integer micro-units,
+    each step ``p'(j) = Σ_i p(i) * w_ij div out_i`` with PER-TERM
+    floor division — order-independent, so results are bit-identical
+    on any engine or partitioning, and a DuckDB oracle can replay the
+    unrolled iterations exactly. Every state starts at full mass
+    ``SCALE``; ABSORBING states (no outgoing edges) drop their mass
+    each step (the pagerank dangling simplification — for
+    equilibrium-share ranking of the recurrent states this preserves
+    the ordering; a chain that is mostly absorbing wants an absorbing-
+    state analysis, not a stationary one). ``normalized=True``
+    (default) rescales so the masses sum to ``SCALE`` within n-1
+    floor units. Returns ``(state, mass_micro)``.
+
+    Scale shape: one iteration = one co-keyed edge⋈mass join + one
+    dst-keyed integer aggregate (the two-shuffle PageRank step);
+    iterations unroll into one lazy plan — checkpoint past ~8 like
+    :func:`pagerank`.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("bigint").alias("_w"),
+    ).filter(F.col("_w") > 0)
+    nodes = (
+        e.select(F.col("_src").alias("state"))
+        .unionByName(e.select(F.col("_dst").alias("state")))
+        .distinct()
+    )
+    out_w = e.groupBy("_src").agg(F.sum("_w").cast("bigint").alias("_out"))
+    masses = nodes.select("state", F.lit(SCALE).cast("bigint").alias("_p"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(masses, e["_src"] == masses["state"])
+            .join(out_w, "_src")
+            .select(
+                F.col("_dst").alias("state"),
+                F.expr("_p * _w div _out").alias("_c"),
+            )
+            .groupBy("state")
+            .agg(F.sum("_c").cast("bigint").alias("_sc"))
+        )
+        masses = nodes.join(contrib, "state", "left").select(
+            "state", F.coalesce("_sc", F.lit(0)).cast("bigint").alias("_p")
+        )
+    out = masses.select("state", F.col("_p").alias("mass_micro"))
+    if normalized:
+        out = _normalize_micro(out, "mass_micro")
+    return out
+
+
+def _normalize_micro(out: DataFrame, col: str) -> DataFrame:
+    """Integer floor rescale so ``col`` sums to ``SCALE`` (within n-1
+    floor units): one extra 1-row aggregate riding a constant-key
+    broadcast join (the attach-scalar shape) — keeps the cross-engine
+    determinism contract. The multiply runs in DECIMAL(38,0): a hub
+    node on a large graph can hold rank ~0.85·N·SCALE, and
+    ``col * SCALE`` in bigint wraps negative past ~9.2e18 (review
+    round 14) — exactly for the top-ranked node, inverting the order
+    the flag promises to preserve. The total is summed in decimal for
+    the same reason."""
+    key = [c for c in out.columns if c != col]
+    total = out.select(
+        F.sum(F.col(col).cast("decimal(38,0)")).alias("_total")
+    )
+    from ..queries import attach_scalar
+
+    return attach_scalar(out, total).select(
+        *key,
+        F.expr(
+            f"CAST(CAST({col} AS DECIMAL(38,0)) * {SCALE} "
+            f"div _total AS BIGINT)"
+        ).alias(col),
+    )

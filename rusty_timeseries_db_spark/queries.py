@@ -70,10 +70,9 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 16): 33 queries were last
 # driver-checked in r10, 50 in r11 (the dict-default tier), 46 in
 # r12, 43 in r13, 47 in r14, 50 in r15. Round-16 window (VERDICT r15
-# next-round #1): _ROUND_MODIFIED (9 new + 7 re-certified = 16)
+# next-round #1): _ROUND_MODIFIED (10 new + 8 re-certified = 18)
 # first, then the r10 tier (32 in the fill + q_qualify_nested already
-# among the modified = all 33, clearing that tier entirely) and the 2
-# STALEST r11-tier queries in declaration order.
+# among the modified = all 33, clearing that tier entirely).
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
@@ -94,6 +93,11 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # doubled tied-rank sums), weighted median
     "q_pareto_abc", "q_gini_concentration", "q_mann_whitney",
     "q_weighted_median",
+    # ...and the Markov stationary distribution (integer-exact power
+    # iteration, the q_pagerank discipline); q_pagerank itself is
+    # re-certified — its normalization moved into the shared
+    # _normalize_micro helper
+    "q_markov_stationary", "q_pagerank",
     # round 16, re-certified after behavior-relevant changes: the
     # three streaming summary stores moved their manifests to the
     # versioned CAS protocol (ADVICE r15 medium — the served queries
@@ -14439,3 +14443,98 @@ def q_weighted_median(spark, sf_dir):
         ).cast("double").alias("weighted_median"),
         F.max("total").cast("double").alias("total_weight"),
     )
+
+
+@declare(
+    "q_markov_stationary",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT event_type AS s,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS d
+      FROM seq
+    ),
+    e AS (
+      SELECT s, d, CAST(COUNT(*) AS BIGINT) AS w
+      FROM pairs WHERE d IS NOT NULL GROUP BY s, d
+    ),
+    states AS (
+      SELECT DISTINCT s FROM (
+        SELECT s FROM e UNION ALL SELECT d AS s FROM e
+      )
+    ),
+    outw AS (SELECT s, CAST(SUM(w) AS BIGINT) AS o FROM e GROUP BY s),
+    p0 AS (SELECT s, CAST(1000000 AS BIGINT) AS p FROM states),
+    c1 AS (
+      SELECT e.d AS s, CAST(SUM(p0.p * e.w // outw.o) AS BIGINT) AS p
+      FROM e JOIN p0 ON e.s = p0.s JOIN outw ON e.s = outw.s
+      GROUP BY e.d
+    ),
+    p1 AS (
+      SELECT st.s, CAST(COALESCE(c1.p, 0) AS BIGINT) AS p
+      FROM states st LEFT JOIN c1 ON st.s = c1.s
+    ),
+    c2 AS (
+      SELECT e.d AS s, CAST(SUM(p1.p * e.w // outw.o) AS BIGINT) AS p
+      FROM e JOIN p1 ON e.s = p1.s JOIN outw ON e.s = outw.s
+      GROUP BY e.d
+    ),
+    p2 AS (
+      SELECT st.s, CAST(COALESCE(c2.p, 0) AS BIGINT) AS p
+      FROM states st LEFT JOIN c2 ON st.s = c2.s
+    ),
+    c3 AS (
+      SELECT e.d AS s, CAST(SUM(p2.p * e.w // outw.o) AS BIGINT) AS p
+      FROM e JOIN p2 ON e.s = p2.s JOIN outw ON e.s = outw.s
+      GROUP BY e.d
+    ),
+    p3 AS (
+      SELECT st.s, CAST(COALESCE(c3.p, 0) AS BIGINT) AS p
+      FROM states st LEFT JOIN c3 ON st.s = c3.s
+    ),
+    tot AS (SELECT CAST(SUM(p) AS BIGINT) AS t FROM p3)
+    SELECT p3.s AS state,
+           CAST(p3.p * 1000000 // tot.t AS BIGINT) AS mass_micro
+    FROM p3, tot
+    """,
+    doc="Markov-chain stationary distribution of user behavior (round "
+    "16 — operators/graph.py markov_stationary): consecutive-event "
+    "transition counts per user (the q_event_transitions shape) feed "
+    "an integer-exact power iteration — each step "
+    "p'(j) = SUM_i p(i)*w_ij div out_i with PER-TERM floor division, "
+    "order-independent and therefore bit-identical on any engine or "
+    "partitioning (the q_pagerank micro-unit discipline; this IS "
+    "weighted PageRank at damping 1.0) — answering 'where does user "
+    "attention settle at equilibrium', the summary a raw transition "
+    "matrix cannot give. 3 iterations unrolled identically in the "
+    "DuckDB oracle; final masses floor-normalized to sum to 1e6. "
+    "Scale: one co-keyed join + one dst-keyed integer agg per "
+    "iteration, all JVM-side",
+)
+def q_markov_stationary(spark, sf_dir):
+    from .operators.graph import markov_stationary
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    edges = pairs.groupBy("s", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    return markov_stationary(
+        edges, src="s", dst="d", weight="w", iterations=3
+    ).select(F.col("state"), "mass_micro")

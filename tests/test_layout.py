@@ -230,3 +230,46 @@ def test_pagerank_normalized_flag(spark):
     assert SCALE - (len(norm) - 1) <= sum(norm.values()) <= SCALE
     order = lambda d: sorted(d, key=lambda n: (-d[n], n))  # noqa: E731
     assert order(raw) == order(norm)
+
+
+def test_markov_stationary_hand_computed(spark):
+    """Round 16: weighted random-walk power iteration in integer
+    micro-units — hand-computed on a 2-state chain with asymmetric
+    weights, plus the convergence/normalization invariants."""
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.graph import (
+        SCALE,
+        markov_stationary,
+    )
+
+    # a->b w=3, a->a w=1; b->a w=1: P(a->b)=3/4, stationary ~ (4/7, 3/7)
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "a", 1), ("b", "a", 1)],
+        "s string, d string, w int",
+    )
+    # raw iter 1 from p=1e6 each, per-term floor:
+    #   a <- a(1e6*1//4) + b(1e6*1//1) = 250000 + 1000000 = 1_250_000
+    #   b <- a(1e6*3//4)               =                     750_000
+    raw1 = {
+        r.state: r.mass_micro
+        for r in markov_stationary(
+            edges, "s", "d", "w", iterations=1, normalized=False
+        ).collect()
+    }
+    assert raw1 == {"a": 1_250_000, "b": 750_000}
+    # normalized masses approach the exact stationary (4/7, 3/7)
+    norm = {
+        r.state: r.mass_micro
+        for r in markov_stationary(edges, "s", "d", "w", iterations=6).collect()
+    }
+    assert SCALE - 1 <= sum(norm.values()) <= SCALE
+    assert abs(norm["a"] - 4 * SCALE // 7) < 25_000
+    assert abs(norm["b"] - 3 * SCALE // 7) < 25_000
+    # determinism across runs
+    assert norm == {
+        r.state: r.mass_micro
+        for r in markov_stationary(edges, "s", "d", "w", iterations=6).collect()
+    }
+    with pytest.raises(ValueError):
+        markov_stationary(edges, "s", "d", "w", iterations=0)
