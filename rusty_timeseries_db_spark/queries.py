@@ -70,9 +70,11 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 16): 33 queries were last
 # driver-checked in r10, 50 in r11 (the dict-default tier), 46 in
 # r12, 43 in r13, 47 in r14, 50 in r15. Round-16 window (VERDICT r15
-# next-round #1): _ROUND_MODIFIED (10 new + 8 re-certified = 18)
-# first, then the r10 tier (32 in the fill + q_qualify_nested already
-# among the modified = all 33, clearing that tier entirely).
+# next-round #1): _ROUND_MODIFIED (11 new + 9 re-certified = 20)
+# first, then 30 of the remaining 31 r10-tier queries
+# (q_qualify_nested/q_qualify_sql are already among the modified; the
+# one r10 query last in declaration order spills to head the r17
+# fill).
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
@@ -98,6 +100,9 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # re-certified — its normalization moved into the shared
     # _normalize_micro helper
     "q_markov_stationary", "q_pagerank",
+    # ...and the 10% trimmed mean (rank-exact tail drop, the
+    # winsorize sibling)
+    "q_trimmed_mean",
     # round 16, re-certified after behavior-relevant changes: the
     # three streaming summary stores moved their manifests to the
     # versioned CAS protocol (ADVICE r15 medium — the served queries
@@ -111,7 +116,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # now excludes NULL-key segments (ADVICE r15 low)
     "q_quantile_stream_served", "q_state_durations_served",
     "q_bm25_index", "q_continuous_rollup",
-    "q_qualify_nested", "q_qualify_in_exists",
+    "q_qualify_nested", "q_qualify_in_exists", "q_qualify_sql",
     "q_theta_audience_overlap",
 })
 
@@ -14538,3 +14543,71 @@ def q_markov_stationary(spark, sf_dir):
     return markov_stationary(
         edges, src="s", dst="d", weight="w", iterations=3
     ).select(F.col("state"), "mass_micro")
+
+
+@declare(
+    "q_trimmed_mean",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(n) - 2 * (MAX(n) // 10) AS BIGINT) AS n_kept,
+           ROUND(
+             CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                           THEN CAST(value AS DECIMAL(18,2)) END)
+                  AS DOUBLE)
+             / (MAX(n) - 2 * (MAX(n) // 10)),
+             6
+           ) AS trimmed_mean,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / MAX(n), 6) AS raw_mean
+    FROM ranked
+    GROUP BY event_type
+    """,
+    doc="10% trimmed mean (round 16): per event_type, drop exactly "
+    "floor(n/10) rows from EACH tail by total-ordered rank (value, "
+    "event_id — engine-identical membership, the same discipline as "
+    "q_quantile_buckets) and average the exact-decimal middle — the "
+    "robust-location sibling of winsorize (which CLIPS the tails to "
+    "the fence values; trimming DROPS them). Trim membership is an "
+    "integer rank comparison (rn > n div 10), never a percentile "
+    "float; reported next to the raw mean so the tail influence is "
+    "the visible delta. Scale shape: one per-segment rank window + "
+    "one agg",
+)
+def q_trimmed_mean(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    k = F.expr("n div 10")
+    kept = F.when(
+        (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k),
+        dec(F.col("value")),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (F.max("n") - 2 * F.expr("max(n) div 10")).cast("bigint")
+        .alias("n_kept"),
+        F.round(
+            F.sum(kept).cast("double")
+            / (F.max("n") - 2 * F.expr("max(n) div 10")),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(dsum(F.col("value")) / F.max("n"), 6).alias("raw_mean"),
+    )
