@@ -70,10 +70,10 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # with gen_rotation.py entering round 16): 33 queries were last
 # driver-checked in r10, 50 in r11 (the dict-default tier), 46 in
 # r12, 43 in r13, 47 in r14, 50 in r15. Round-16 window (VERDICT r15
-# next-round #1): _ROUND_MODIFIED (11 new + 9 re-certified = 20)
-# first, then 30 of the remaining 31 r10-tier queries
+# next-round #1): _ROUND_MODIFIED (12 new + 9 re-certified = 21)
+# first, then 29 of the remaining 31 r10-tier queries
 # (q_qualify_nested/q_qualify_sql are already among the modified; the
-# one r10 query last in declaration order spills to head the r17
+# two r10 queries last in declaration order spill to head the r17
 # fill).
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
@@ -101,8 +101,9 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # _normalize_micro helper
     "q_markov_stationary", "q_pagerank",
     # ...and the 10% trimmed mean (rank-exact tail drop, the
-    # winsorize sibling)
-    "q_trimmed_mean",
+    # winsorize sibling), and the correlated LATERAL top-k (native
+    # Spark 4 decorrelation with LIMIT under correlation)
+    "q_trimmed_mean", "q_lateral_topk",
     # round 16, re-certified after behavior-relevant changes: the
     # three streaming summary stores moved their manifests to the
     # versioned CAS protocol (ADVICE r15 medium — the served queries
@@ -14610,4 +14611,41 @@ def q_trimmed_mean(spark, sf_dir):
             6,
         ).alias("trimmed_mean"),
         F.round(dsum(F.col("value")) / F.max("n"), 6).alias("raw_mean"),
+    )
+
+
+@declare(
+    "q_lateral_topk",
+    """
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+    """,
+    doc="correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+    "(round 16): for each nation the top-2 customers by balance via "
+    "a LATERAL derived table — the SQL-standard spelling of "
+    "per-group top-k that both engines now parse NATIVELY (Spark 4 "
+    "decorrelates the lateral into a ranked window under the hood — "
+    "same physical plan family as q_window_topk_per_group, arrived "
+    "at from the correlated form); exercises Spark's "
+    "DecorrelateInnerQuery path with a LIMIT under correlation, "
+    "which older Sparks rejected outright. Ties broken by name so "
+    "the kept set is total-ordered; raw stored values, no "
+    "arithmetic — exact hash match",
+)
+def q_lateral_topk(spark, sf_dir):
+    T(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    T(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM _lat_nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM _lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) c
+        """
     )

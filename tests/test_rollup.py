@@ -727,6 +727,50 @@ def test_invalidate_days_prunes_ds_partitions(spark, tmp_path):
     }
 
 
+def test_keep_ds_survives_overlay_and_repair_stays_correct(spark, tmp_path):
+    """Round 16 gap-closer: the facade rollup's keep_ds base view must
+    retain the ds partition column THROUGH the overlay merge
+    (apply_overlay passes non-payload base columns), and
+    invalidate_days on that view must fold an overlay point-update
+    into the repaired day."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+
+    eng = TimeseriesEngine(
+        spark, str(tmp_path / "wh"), partition_by_date=True
+    )
+
+    def _r(dd, hh, v):
+        return {
+            "sensor_name": "x",
+            "timestamp": f"2024-03-{dd:02d}T{hh:02d}:00:00Z",
+            "value": v, "fc1_flag": None, "timeseries_id": "s1",
+        }
+
+    eng.ingest_rows([_r(1, 12, 1.0), _r(2, 12, 7.0), _r(5, 12, 2.0)])
+    roll = eng.continuous_rollup(window="1 hour", name="r16ov")
+    roll.refresh()
+    # overlay point-update on the materialized day 1 (same-day ts, so
+    # the write-time ds still equals the merged to_date(ts) — the
+    # documented partition_day_col contract)
+    assert eng.update_rows([_r(1, 12, 50.0)]) == 1
+    # the keep_ds view carries ds for every row incl. the updated one
+    t = eng.telemetry(keep_ds=True)
+    assert "ds" in t.columns
+    got = {
+        (str(r.ds), r.value) for r in t.select("ds", "value").collect()
+    }
+    assert ("2024-03-01", 50.0) in got and ("2024-03-01", 1.0) not in got
+    # targeted repair folds the overlay value into the rollup
+    assert roll.invalidate_days(["2024-03-01"]) > 0
+    day1 = {
+        (str(r.window_start), r.sum_value)
+        for r in roll.read()
+        .filter(F.col("window_day") == "2024-03-01")
+        .collect()
+    }
+    assert day1 == {("2024-03-01 12:00:00", 50.0)}
+
+
 def test_streaming_sink_repairs_late_days(spark, tmp_path):
     """Round 15: the sink's writer-side invalidation — a micro-batch
     carrying a row for an already-materialized day triggers
