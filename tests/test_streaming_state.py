@@ -291,10 +291,6 @@ def test_compact_crash_between_base_and_cleanup_is_invisible(
     excluded by the read filter and swept by the next compact."""
     import shutil
 
-    from rusty_timeseries_db_spark.fsutil import (
-        read_json_manifest,
-        write_json_manifest,
-    )
     from rusty_timeseries_db_spark.streaming.state import (
         compact_state_durations,
     )
