@@ -137,7 +137,11 @@ def markov_stationary(
     each step ``p'(j) = Σ_i p(i) * w_ij div out_i`` with PER-TERM
     floor division — order-independent, so results are bit-identical
     on any engine or partitioning, and a DuckDB oracle can replay the
-    unrolled iterations exactly. Every state starts at full mass
+    unrolled iterations exactly. The per-term product ``p(i) * w_ij``
+    runs in DECIMAL(38,0) (round 17, the ``_normalize_micro``
+    overflow class): mass can reach ``~N_states*SCALE`` and the
+    transition count is unbounded, so a bigint product wraps past
+    2^63 on large weighted graphs; the oracle mirrors with HUGEINT. Every state starts at full mass
     ``SCALE``; ABSORBING states (no outgoing edges) drop their mass
     each step (the pagerank dangling simplification — for
     equilibrium-share ranking of the recurrent states this preserves
@@ -171,7 +175,16 @@ def markov_stationary(
             .join(out_w, "_src")
             .select(
                 F.col("_dst").alias("state"),
-                F.expr("_p * _w div _out").alias("_c"),
+                # Per-term product in DECIMAL(38,0) (review round 16,
+                # the _normalize_micro class): mass _p can reach
+                # ~N_states*SCALE and _w is an unbounded transition
+                # count, so the bigint product wraps past 2^63 on
+                # large weighted graphs while the DuckDB oracle
+                # (HUGEINT) raises — decimal keeps both engines exact.
+                F.expr(
+                    "CAST(CAST(_p AS DECIMAL(38,0)) * _w div _out"
+                    " AS BIGINT)"
+                ).alias("_c"),
             )
             .groupBy("state")
             .agg(F.sum("_c").cast("bigint").alias("_sc"))

@@ -128,6 +128,60 @@ class IndexLifecycleMixin:
                 f"point) before {verb}"
             )
 
+    def _verify_manifest_unmoved(self, expected: "int | None") -> None:
+        """Pre-destruction CAS re-check (review round 16): re-read the
+        committed token and raise
+        :class:`..fsutil.ManifestVersionConflict` if another writer
+        committed since ``expected`` was pinned at compact()'s opening
+        read. Called immediately BEFORE the first destructive swap,
+        while the index is still fully intact — a conflict here is
+        cheap (drop the marker, retry compact() against fresh state;
+        nothing was lost). Not a lock: a writer that read its token
+        before the compacting marker landed can still commit between
+        this check and the swaps — that residue is caught by the
+        post-swap :meth:`_commit_compact_manifest`, whose conflict is
+        the expensive kind (rows may already be physically dropped),
+        which is exactly why this check shrinks the window first."""
+        from ..fsutil import ManifestVersionConflict, delete_path
+
+        now, _ = self._read_manifest_cas()
+        if now != expected:
+            delete_path(self.spark, self.marker_path)
+            raise ManifestVersionConflict(
+                f"concurrent writer detected on index {self.index_path} "
+                "before compact() touched any data: another "
+                "build()/add()/remove() committed between compact()'s "
+                f"manifest read (v{expected}) and its first swap "
+                f"(v{now}) — the index is intact; re-run compact() "
+                "against the fresh state"
+            )
+
+    def _commit_compact_manifest(
+        self, payload: dict, expected: "int | None"
+    ) -> int:
+        """compact()'s FINAL manifest commit — runs after the swaps
+        and the tombstone drop, so a CAS conflict here means an
+        interleaved writer's rows may have been PHYSICALLY DROPPED by
+        the just-completed rewrite (it committed accounting for rows
+        the swap never saw). Re-raises with that wording instead of
+        the generic 're-read and retry' (review round 16): retrying
+        compact() would silently converge over the lost rows via the
+        tomb-is-None healing path, so the honest fix is a rebuild."""
+        from ..fsutil import ManifestVersionConflict
+
+        try:
+            return self._commit_manifest(payload, expected=expected)
+        except ManifestVersionConflict as e:
+            raise ManifestVersionConflict(
+                f"concurrent writer detected on index {self.index_path} "
+                "AFTER compact() already swapped the rewritten data "
+                "into place: the interleaved write's rows may have "
+                "been physically dropped by the rewrite. Do NOT just "
+                "retry — verify the interleaved operation's rows are "
+                "present and rebuild the index with build() if they "
+                f"are not ({e})"
+            ) from e
+
     def should_compact(self, max_removed_frac: float | None = None) -> bool:
         """True when the tombstoned fraction ``n_removed / (live +
         n_removed)`` exceeds the threshold — time to schedule

@@ -865,6 +865,12 @@ class Bm25Index(IndexLifecycleMixin):
         write_json_manifest(self.spark, self.marker_path, {
             "n_tombstones": int(n_tomb),
         })
+        # last cheap exit (review round 16): re-verify the pinned CAS
+        # token now that the marker blocks new mutators — a writer
+        # that committed during the n_live_postings count above is
+        # detected HERE, while the index is untouched, instead of by
+        # the final commit after its rows were already swapped away
+        self._verify_manifest_unmoved(ver)
 
         from ..fsutil import SWAP_NEW
 
@@ -905,7 +911,7 @@ class Bm25Index(IndexLifecycleMixin):
         )
         delete_path(self.spark, self.tombstones_path)
         man["n_removed"] = 0  # tombstones are now physical deletions
-        self._commit_manifest(man, expected=ver)
+        self._commit_compact_manifest(man, expected=ver)
         delete_path(self.spark, self.marker_path)
         return int(n_tomb)
 

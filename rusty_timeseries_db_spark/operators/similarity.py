@@ -936,12 +936,16 @@ class IvfIndex(IndexLifecycleMixin):
         write_json_manifest(self.spark, self.marker_path, {
             "n_tombstones": int(n_tomb),
         })
+        # last cheap exit before the destructive swap (review round
+        # 16, mirroring Bm25Index.compact): a writer that committed
+        # during the live-count above raises HERE, index untouched
+        self._verify_manifest_unmoved(ver)
         live.write.mode("overwrite").partitionBy("_cell").parquet(
             self.index_path + SWAP_NEW
         )
         swap_dir_into_place(self.spark, self.index_path)
         delete_path(self.spark, self.tombstones_path)
-        self._commit_manifest({
+        self._commit_compact_manifest({
             **man,
             "n_removed": 0,  # tombstones are now physical deletions
         }, expected=ver)

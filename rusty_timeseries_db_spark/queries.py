@@ -14479,7 +14479,7 @@ def q_weighted_median(spark, sf_dir):
     outw AS (SELECT s, CAST(SUM(w) AS BIGINT) AS o FROM e GROUP BY s),
     p0 AS (SELECT s, CAST(1000000 AS BIGINT) AS p FROM states),
     c1 AS (
-      SELECT e.d AS s, CAST(SUM(p0.p * e.w // outw.o) AS BIGINT) AS p
+      SELECT e.d AS s, CAST(SUM(CAST(p0.p AS HUGEINT) * e.w // outw.o) AS BIGINT) AS p
       FROM e JOIN p0 ON e.s = p0.s JOIN outw ON e.s = outw.s
       GROUP BY e.d
     ),
@@ -14488,7 +14488,7 @@ def q_weighted_median(spark, sf_dir):
       FROM states st LEFT JOIN c1 ON st.s = c1.s
     ),
     c2 AS (
-      SELECT e.d AS s, CAST(SUM(p1.p * e.w // outw.o) AS BIGINT) AS p
+      SELECT e.d AS s, CAST(SUM(CAST(p1.p AS HUGEINT) * e.w // outw.o) AS BIGINT) AS p
       FROM e JOIN p1 ON e.s = p1.s JOIN outw ON e.s = outw.s
       GROUP BY e.d
     ),
@@ -14497,7 +14497,7 @@ def q_weighted_median(spark, sf_dir):
       FROM states st LEFT JOIN c2 ON st.s = c2.s
     ),
     c3 AS (
-      SELECT e.d AS s, CAST(SUM(p2.p * e.w // outw.o) AS BIGINT) AS p
+      SELECT e.d AS s, CAST(SUM(CAST(p2.p AS HUGEINT) * e.w // outw.o) AS BIGINT) AS p
       FROM e JOIN p2 ON e.s = p2.s JOIN outw ON e.s = outw.s
       GROUP BY e.d
     ),
@@ -14507,7 +14507,7 @@ def q_weighted_median(spark, sf_dir):
     ),
     tot AS (SELECT CAST(SUM(p) AS BIGINT) AS t FROM p3)
     SELECT p3.s AS state,
-           CAST(p3.p * 1000000 // tot.t AS BIGINT) AS mass_micro
+           CAST(CAST(p3.p AS HUGEINT) * 1000000 // tot.t AS BIGINT) AS mass_micro
     FROM p3, tot
     """,
     doc="Markov-chain stationary distribution of user behavior (round "
@@ -14517,7 +14517,10 @@ def q_weighted_median(spark, sf_dir):
     "p'(j) = SUM_i p(i)*w_ij div out_i with PER-TERM floor division, "
     "order-independent and therefore bit-identical on any engine or "
     "partitioning (the q_pagerank micro-unit discipline; this IS "
-    "weighted PageRank at damping 1.0) — answering 'where does user "
+    "weighted PageRank at damping 1.0); the per-term product runs in "
+    "DECIMAL(38,0) on Spark / HUGEINT in the oracle so hub-mass x "
+    "unbounded-count cannot wrap 2^63 (round 17) — answering 'where "
+    "does user "
     "attention settle at equilibrium', the summary a raw transition "
     "matrix cannot give. 3 iterations unrolled identically in the "
     "DuckDB oracle; final masses floor-normalized to sum to 1e6. "

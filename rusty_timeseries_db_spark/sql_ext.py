@@ -67,18 +67,39 @@ def _quiet_probe_errors(spark: SparkSession):
     parity/audit logs, burying real failures (VERDICT r15 next-round
     #5). The logger is the PYTHON-side structured logger Spark 4's
     error capture emits through (pyspark.logger machinery — the JSON
-    lines carry the Py4J exception), so suppression is plain
-    ``logging`` disabling, restored on exit; the raised
-    AnalysisException still carries the full message either way."""
+    lines carry the Py4J exception), and it logs in the thread whose
+    ``spark.sql`` call raised, so suppression is a ``logging.Filter``
+    keyed on THIS thread's ident (review round 16: disabling the
+    process-global logger swallowed a concurrent thread's genuine
+    AnalysisException traces for the probe's duration) — restored on
+    exit; the raised AnalysisException still carries the full message
+    either way."""
     import logging
+    import threading
 
-    logger = logging.getLogger("SQLQueryContextLogger")
-    prev = logger.disabled
-    logger.disabled = True
+    # acquire through PySparkLogger.getLogger: the class is bound at
+    # CREATION, so a plain logging.getLogger here (if it ran first)
+    # would pin a vanilla Logger whose _log rejects the errorClass=
+    # kwarg pyspark passes — a TypeError the old disabled=True
+    # suppression masked by short-circuiting before _log (round 17)
+    try:
+        from pyspark.logger import PySparkLogger
+
+        logger = PySparkLogger.getLogger("SQLQueryContextLogger")
+    except ImportError:  # pragma: no cover - older pyspark layouts
+        logger = logging.getLogger("SQLQueryContextLogger")
+    ident = threading.get_ident()
+
+    class _NotProbeThread(logging.Filter):
+        def filter(self, record):  # noqa: A003 - logging API name
+            return threading.get_ident() != ident
+
+    flt = _NotProbeThread()
+    logger.addFilter(flt)
     try:
         yield
     finally:
-        logger.disabled = prev
+        logger.removeFilter(flt)
 
 _KEYWORDS = (
     r"WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|QUALIFY"
@@ -521,9 +542,12 @@ def sql_with_qualify(spark: SparkSession, query: str) -> DataFrame:
     except AnalysisException as first_err:
         if second is None:
             raise
+        # the SECOND form is the final fallback, not a probe — when it
+        # fails too, that failure is the user-facing one, so its ERROR
+        # trace stays LOUD in the logs (review round 16; only the
+        # first attempt's expected routing failure is suppressed)
         try:
-            with _quiet_probe_errors(spark):
-                return spark.sql(second).drop("__qualify")
+            return spark.sql(second).drop("__qualify")
         except AnalysisException:
             raise first_err from None
 

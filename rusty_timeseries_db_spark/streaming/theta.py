@@ -67,7 +67,16 @@ def apply_theta_sketch_batch(
     in effect), advancing the manifest watermark LAST via the CAS
     commit: returns the number of summary rows written, or 0 when
     ``batch_id`` was already applied or the batch is empty. Factored
-    out of the sink so the replay contract is unit-testable."""
+    out of the sink so the replay contract is unit-testable.
+
+    Late-row contract (round 17 — stated so the four stores' lateness
+    contracts read uniformly, the streaming/state.py paragraph being
+    the model): there is NO watermark and no late-data bound — a row
+    for any cell may arrive in any batch at any time, because Theta
+    sketch unions are lossless and order-independent (a late member
+    unions into the cell's merged sketch identically wherever it
+    lands), so unlike the state-duration store nothing is ever
+    dropped or reordered-away."""
     store = store_path.rstrip("/")
     default = {
         "keys": keys,

@@ -95,10 +95,12 @@ def test_bm25_concurrent_remove_conflicts(spark, tmp_path):
 
 def test_bm25_compact_vs_add_conflicts(spark, tmp_path):
     """compact() pins its CAS token at the OPENING manifest read
-    (ADVICE r15 — matching IvfIndex.compact), so an add() landing
-    during the postings/terms/docs rewrite makes the final commit
-    raise instead of silently keeping the interleaved add's n_docs
-    bump while the swapped-in directories drop its rows."""
+    (ADVICE r15 — matching IvfIndex.compact) and re-verifies it
+    immediately before the first destructive swap (ADVICE r16), so an
+    add() landing during the pre-swap bookkeeping raises BEFORE any
+    data is touched: the marker is dropped, the tombstones survive,
+    and a plain re-run of compact() performs the full compaction
+    against fresh state with the interleaved add's rows intact."""
     path = str(tmp_path / "bm25")
     idx = Bm25Index(spark, path).build(_docs(spark))
     idx.remove([1])
@@ -119,7 +121,9 @@ def test_bm25_compact_vs_add_conflicts(spark, tmp_path):
 
     Bm25Index._manifest_cas = hooked
     try:
-        with pytest.raises(ManifestVersionConflict, match="concurrent"):
+        with pytest.raises(
+            ManifestVersionConflict, match="index is intact"
+        ):
             idx.compact()
     finally:
         Bm25Index._manifest_cas = real_cas
@@ -129,13 +133,55 @@ def test_bm25_compact_vs_add_conflicts(spark, tmp_path):
     man = idx._manifest()
     assert man["n_docs"] == man_after_remove["n_docs"] + 1
     assert man["n_added"] == man_after_remove.get("n_added", 0) + 1
-    # the conflict left the compacting marker in place (the raise fires
-    # before the marker cleanup) — a re-run converges from that state
-    # (tombstones already applied → heal bookkeeping, drop the marker)
+    # the pre-swap conflict dropped the marker and left the index
+    # UNTOUCHED (tombstones still pending) — the index serves
+    # tombstone-filtered in the meantime, and a plain re-run applies
+    # the pending tombstone for real, including the interleaved doc
+    assert man["n_removed"] == 1
+    assert idx.compact() == 1
+    assert idx._manifest()["n_removed"] == 0
+    assert idx.query(["interleaved"], k=5).count() == 1
+    assert idx.query(["fox"], k=5).count() == 0  # doc 1 physically gone
+
+
+def test_bm25_compact_post_swap_conflict_names_data_loss(spark, tmp_path):
+    """A writer that slips in AFTER compact()'s pre-swap re-check (its
+    token was read before the marker landed) is caught by the FINAL
+    CAS commit — and that conflict must say rows may have been
+    physically dropped and advise a rebuild, not the generic
+    're-read and retry' wording (ADVICE r16)."""
+    path = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, path).build(_docs(spark))
+    idx.remove([1])
+
+    real_verify = Bm25Index._verify_manifest_unmoved
+
+    def verify_then_interleave(self, expected):
+        real_verify(self, expected)  # passes — writer lands after it
+        Bm25Index._verify_manifest_unmoved = real_verify
+        # simulate the racing writer's commit landing mid-rewrite: it
+        # pinned its token before the marker, so only the version bump
+        # is visible to compact (its rows went to the pre-swap dirs)
+        ver, man = self._manifest_cas()
+        man["n_docs"] = int(man["n_docs"]) + 1
+        man["n_added"] = int(man.get("n_added", 0)) + 1
+        self._commit_manifest(man, expected=ver)
+
+    Bm25Index._verify_manifest_unmoved = verify_then_interleave
+    try:
+        with pytest.raises(
+            ManifestVersionConflict, match="physically dropped"
+        ):
+            idx.compact()
+    finally:
+        Bm25Index._verify_manifest_unmoved = real_verify
+
+    # the interleaved accounting was NOT clobbered by compact's stale
+    # snapshot, and the marker stays (the swap DID happen) — a re-run
+    # converges the bookkeeping per the documented crash protocol
+    assert idx._manifest()["n_added"] == 1
     assert idx.compact() == 0
     assert idx._manifest()["n_removed"] == 0
-    # the index serves again, with the interleaved add's doc present
-    assert idx.query(["interleaved"], k=5).count() == 1
 
 
 def test_ivf_concurrent_add_conflicts_not_clobbers(spark, tmp_path):
