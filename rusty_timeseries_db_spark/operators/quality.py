@@ -1,0 +1,166 @@
+"""Model-based text-quality scoring: a pretrained LINEAR classifier
+gate over hashed bag-of-n-grams features — the fastText-style quality
+face (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+Classification") that CCNet/LLaMA-style pipelines run BESIDE the
+heuristic family the engine already has (surprisal, repetition,
+entropy, langid, Zipf/dispersion/KL). Round 17 — VERDICT r16
+next-round #4.
+
+The reference (main.rs) has no model-scoring surface at all; this is
+part of the mandated LLM-data-pipeline extension. The design follows
+the house discipline end-to-end so the gate is ORACLE-CHECKABLE
+cross-engine, which no float-weight fastText binary could be:
+
+- features are md5-hashed word unigrams + bigrams
+  (``hash_bucket``'s recipe — engine-agnostic, unlike xxhash64);
+- the "model" is a broadcast ``n_buckets``-row weight table with
+  INTEGER micro-unit weights (the dsir_weights log-ratio-table
+  shape: O(n_buckets) regardless of corpus size — the model travels
+  to the data);
+- the dot product is exact integer arithmetic; the only
+  transcendental (one sigmoid per document) evaluates on a ratio of
+  exact bigints and is quantized at ``score_decimals`` — the
+  established single-call ln()/exp() posture (never in a
+  many-summand path);
+- the keep decision compares the QUANTIZED score, so both engines
+  gate identically.
+
+Scale shape: one explode → per-(doc, bucket) counts with map-side
+combine → broadcast join against the weight table → one doc-keyed
+integer aggregate. No join wider than ``n_buckets`` rows; no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: micro-unit scale for integer weights (1e6 = the graph family's
+#: SCALE — a weight of 1.0 is 1_000_000 micro).
+WEIGHT_SCALE = 1_000_000
+
+
+def hashed_linear_weights(
+    spark: SparkSession,
+    n_buckets: int = 4096,
+    salt: str = "qw",
+    max_abs_micro: int = WEIGHT_SCALE,
+) -> DataFrame:
+    """A deterministic stand-in for a PRETRAINED weight table:
+    ``(bucket, weight_micro)`` with ``weight_micro`` drawn
+    engine-reproducibly from the md5 of ``salt || bucket`` into
+    ``[-max_abs_micro, +max_abs_micro]``. Real deployments load their
+    trained weights (any source that lands as this two-column frame);
+    fixtures and the oracle derive THIS table identically in SQL, so
+    the full gate hash-matches cross-engine. O(n_buckets) rows —
+    generated distributed via ``spark.range``, broadcast at use."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % F.lit(2 * max_abs_micro + 1)
+            - F.lit(max_abs_micro)
+        ).cast("bigint").alias("weight_micro"),
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    bias_micro: int = 0,
+    threshold: float = 0.5,
+    score_decimals: int = 9,
+) -> DataFrame:
+    """Score every document with the linear quality gate and decide
+    keep/drop: ``score = sigmoid(bias + mean_f w[f])`` over the
+    document's hashed unigram+bigram feature multiset (fastText's
+    mean-of-feature-embeddings collapsed to the 1-D classifier head),
+    ``keep = score >= threshold`` on the QUANTIZED score.
+
+    ``weights`` is the pretrained ``(bucket, weight_micro)`` table
+    (:func:`hashed_linear_weights` for the deterministic stand-in);
+    buckets absent from the table weigh 0. A document with no tokens
+    has no features: its logit is the bias alone — scored, not
+    dropped silently.
+
+    Exactness contract: ``dot_micro = Σ_f c_f * w_micro[f]`` and
+    ``n_feats`` are exact bigints (order-independent), the logit is
+    ONE double division of exact integers
+    (``(dot + bias*n) / (n * SCALE)``), and the sigmoid is quantized
+    at ``score_decimals`` — so a DuckDB oracle replaying the same
+    arithmetic hash-matches, and the keep boundary (a comparison on
+    the quantized score) cannot split between engines.
+
+    Returns ``(id_col, n_feats, quality_score, keep)``.
+
+    Scale: the explode never crosses an exchange un-combined
+    (per-(doc,bucket) counts aggregate map-side), the weight table
+    BROADCASTS, and the final per-doc sum is one id-keyed integer
+    aggregate — the dsir_weights plan with the log-ratio table
+    swapped for pretrained weights."""
+    from .dedup import word_grams, word_tokens
+
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    feats = F.concat(
+        toks,
+        F.when(n >= 2, word_grams(toks, 2)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    buckets = df.select(
+        F.col(id_col),
+        F.explode(feats).alias("_feat"),
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5("_feat"), 1, 8), 16, 10).cast("bigint")
+            % F.lit(n_buckets)
+        ).alias("bucket"),
+    )
+    counts = buckets.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    dots = (
+        counts.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("_n_feats"),
+            F.sum(
+                F.col("_c") * F.coalesce("weight_micro", F.lit(0))
+            ).cast("bigint").alias("_dot"),
+        )
+    )
+    logit = F.when(
+        F.col("n_feats") > 0,
+        (
+            F.col("_dot") + F.lit(int(bias_micro)) * F.col("n_feats")
+        ).cast("double")
+        / (F.col("n_feats") * F.lit(WEIGHT_SCALE)).cast("double"),
+    ).otherwise(F.lit(float(bias_micro) / WEIGHT_SCALE))
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), score_decimals
+    )
+    return (
+        df.select(id_col)
+        .join(dots, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.col("_dot"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            score.alias("quality_score"),
+        )
+        .withColumn("keep", F.col("quality_score") >= F.lit(threshold))
+    )

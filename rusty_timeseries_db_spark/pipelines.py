@@ -116,6 +116,22 @@ class CorpusPipelineConfig:
     #: documented 7-stage output and its end-to-end oracle are
     #: unchanged.
     langid_keep: tuple[str, ...] | None = None
+    #: opt-in model-based quality gate (round 17 — VERDICT r16 #4,
+    #: the fastText-style linear classifier CCNet/LLaMA pipelines run
+    #: right after language ID): when ``quality_weights`` is set (a
+    #: pretrained ``(bucket, weight_micro)`` table —
+    #: operators/quality.py; ``hashed_linear_weights`` for the
+    #: deterministic stand-in), documents are scored with
+    #: ``quality_classifier_score`` and only docs whose quantized
+    #: sigmoid score reaches ``quality_threshold`` survive into
+    #: stage 1. Runs right AFTER the language gate (the CCNet
+    #: ordering — LM quality only pays for in-scope languages), as a
+    #: semi-join on the (id, score) classification so the text column
+    #: never widens the join. Default off: the documented 7-stage
+    #: output and its end-to-end oracle are unchanged.
+    quality_weights: "DataFrame | None" = None
+    quality_threshold: float = 0.5
+    quality_n_buckets: int = 1024
     #: persist the quality-gated, exact-deduped corpus
     #: (MEMORY_AND_DISK) before the branching stages. Five downstream
     #: consumers re-derive it otherwise (near-dup grams, contamination
@@ -170,6 +186,21 @@ def build_training_corpus(
             F.col("lang_id").isin(*cfg.langid_keep)
         ).select(id_col)
         docs = docs.join(keep, id_col, "left_semi")
+
+    # 0b (opt-in). model-based quality gate — score once with the
+    # pretrained linear classifier, keep docs at/above threshold; a
+    # semi-join like the language gate (CCNet ordering: LM quality
+    # right after langid, before any content rewriting)
+    if cfg.quality_weights is not None:
+        from .operators.quality import quality_classifier_score
+
+        qkeep = quality_classifier_score(
+            docs, id_col=id_col, text_col=text_col,
+            weights=cfg.quality_weights,
+            n_buckets=cfg.quality_n_buckets,
+            threshold=cfg.quality_threshold,
+        ).filter(F.col("keep")).select(id_col)
+        docs = docs.join(qkeep, id_col, "left_semi")
 
     # 0 (opt-in). paragraph dedup — rewrite text first so every later
     # stage (including the quality gate's token count) sees the
