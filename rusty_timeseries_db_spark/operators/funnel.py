@@ -231,3 +231,135 @@ def attribute_conversions(
             6,
         ).alias("share"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+    unit_days: int = 1,
+    survival_decimals: int = 9,
+    logstep_decimals: int = 12,
+) -> DataFrame:
+    """Kaplan-Meier survival / churn curve per cohort (round 17 —
+    VERDICT r16 next-round #5): the classic-analytics face beside
+    :func:`cohort_retention` — instead of "how many came back in
+    period k", the KM estimator answers "what fraction of the cohort
+    SURVIVES past duration t", correctly crediting users the
+    observation window cannot have seen churn yet (right-censoring),
+    which a naive retention ratio silently undercounts.
+
+    Definitions (all exact integer day arithmetic):
+
+    - a user's LIFETIME runs from their first event day to their last
+      event day; ``duration t = datediff(last, first) div unit_days``;
+    - the observation boundary is the corpus-wide max event day; a
+      user whose maximum OBSERVABLE duration
+      (``datediff(obs_end, first) div unit_days``) equals their
+      duration is CENSORED at t (they may still be active); anyone
+      else CHURNED at t (an event);
+    - cohorts group by the ``granularity`` period (``"week"``
+      Monday-aligned / ``"day"``) of the first event — the
+      :func:`cohort_retention` convention.
+
+    Estimator: ``S(t) = prod_{s<=t, d_s>0} (n_s - d_s) / n_s`` with
+    ``d_s`` churns at s and ``n_s`` the at-risk count just before s
+    (churns and censorings at s both count as at risk — the standard
+    censor-after-event tie convention). Cross-engine exactness: the
+    risk sets are exact bigints (cohort total minus a cumulative sum
+    of earlier exits), each step's ``ln((n-d)/n)`` evaluates on ONE
+    double division of exact integers and is quantized at
+    ``logstep_decimals`` into an exact decimal, the cumulative
+    product is the exp of the exact-decimal cumulative log sum
+    (quantized once more at ``survival_decimals``) — the established
+    single-call ln()/exp() discipline, so a DuckDB oracle replays the
+    identical arithmetic. A step that extinguishes the cohort
+    (``d == n``) pins ``survival = 0`` from there on (the log form
+    cannot represent it).
+
+    Returns one row per observed ``(cohort, t)`` step:
+    ``(cohort, t, n_at_risk, churned, censored, survival)``.
+
+    Scale shape: one user-keyed grouped MIN/MAX (the only
+    events-sized shuffle, map-side combining), the global boundary
+    via a 1-row attach-scalar broadcast, then every window runs over
+    the REDUCED per-(cohort, step) table — cohorts x duration
+    buckets, dimension-sized by construction (the RFM
+    reduced-aggregate discipline)."""
+    if granularity not in ("week", "day"):
+        raise ValueError("granularity must be 'week' or 'day'")
+    if unit_days < 1:
+        raise ValueError("unit_days must be >= 1")
+    from pyspark.sql import Window
+
+    from ..queries import attach_scalar
+
+    users = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(F.col(ts_col).cast("date")).alias("_first"),
+        F.max(F.col(ts_col).cast("date")).alias("_last"),
+    )
+    obs = df.agg(F.max(F.col(ts_col).cast("date")).alias("_obs_end"))
+    users = attach_scalar(users, obs).select(
+        "_u",
+        F.date_format(
+            F.date_trunc(granularity, F.col("_first")).cast("date"),
+            "yyyy-MM-dd",
+        ).alias("cohort"),
+        F.expr(f"datediff(_last, _first) div {unit_days}")
+        .cast("bigint").alias("_t"),
+        F.expr(f"datediff(_obs_end, _first) div {unit_days}")
+        .cast("bigint").alias("_horizon"),
+    )
+    steps = users.groupBy("cohort", F.col("_t").alias("t")).agg(
+        F.sum(F.when(F.col("_t") < F.col("_horizon"), 1).otherwise(0))
+        .cast("bigint").alias("churned"),
+        F.sum(F.when(F.col("_t") >= F.col("_horizon"), 1).otherwise(0))
+        .cast("bigint").alias("censored"),
+    )
+    wc = Window.partitionBy("cohort")
+    wt = Window.partitionBy("cohort").orderBy("t")
+    wrun = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_at_risk = (
+        F.sum(F.col("churned") + F.col("censored")).over(wc)
+        - F.coalesce(
+            F.sum(F.col("churned") + F.col("censored")).over(
+                wt.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    ).cast("bigint")
+    stepped = steps.withColumn("n_at_risk", n_at_risk).withColumn(
+        "_logstep",
+        F.when(
+            (F.col("churned") > 0) & (F.col("churned") < F.col("n_at_risk")),
+            F.round(
+                F.log(
+                    (F.col("n_at_risk") - F.col("churned")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                ),
+                logstep_decimals,
+            ),
+        ).otherwise(F.lit(0.0))
+        .cast(f"decimal(24,{logstep_decimals})"),
+    ).withColumn(
+        "_extinct",
+        F.max(
+            F.when(F.col("churned") == F.col("n_at_risk"), 1).otherwise(0)
+        ).over(wrun),
+    )
+    return stepped.select(
+        "cohort",
+        "t",
+        "n_at_risk",
+        "churned",
+        "censored",
+        F.when(F.col("_extinct") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.sum("_logstep").over(wrun).cast("double")),
+                survival_decimals,
+            )
+        )
+        .alias("survival"),
+    )

@@ -167,3 +167,88 @@ def test_attribution_last_touch_hand_computed(spark):
     assert got["(direct)"].n_conversions == 1
     assert got["(direct)"].attributed_value == 4.0
     assert got["click"].share == round(2 / 3, 6)
+
+
+# ---------------------------------------------------------- Kaplan-Meier
+
+def _km(spark, rows, **kw):
+    from rusty_timeseries_db_spark.operators.funnel import kaplan_meier
+
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    return {
+        (r.cohort, r.t): r
+        for r in kaplan_meier(df, "user_id", "ts", **kw).collect()
+    }
+
+
+def test_kaplan_meier_hand_computed(spark):
+    import math
+
+    def s(logs):
+        return round(math.exp(sum(round(math.log(x), 12) for x in logs)), 9)
+
+    rows = [
+        # cohort of Mon 2024-01-01: churns at t=0, 2, 9; censor at 9
+        ("u1", "2024-01-01 08:00:00"), ("u1", "2024-01-03 08:00:00"),
+        ("u2", "2024-01-02 08:00:00"),
+        ("u3", "2024-01-01 09:00:00"), ("u3", "2024-01-10 09:00:00"),
+        ("u4", "2024-01-03 10:00:00"), ("u4", "2024-01-12 10:00:00"),
+        # cohort of Mon 2024-01-08: single user, censored (defines
+        # the global observation boundary 2024-01-12)
+        ("u5", "2024-01-08 07:00:00"), ("u5", "2024-01-12 23:00:00"),
+    ]
+    rows = [(u, __import__("datetime").datetime.fromisoformat(t))
+            for u, t in rows]
+    got = _km(spark, rows)
+    a = "2024-01-01"
+    # risk sets and exits: t=0 d=1 n=4; t=2 d=1 n=3; t=9 d=1 c=1 n=2
+    assert (got[(a, 0)].n_at_risk, got[(a, 0)].churned,
+            got[(a, 0)].censored) == (4, 1, 0)
+    assert (got[(a, 2)].n_at_risk, got[(a, 2)].churned) == (3, 1)
+    assert (got[(a, 9)].n_at_risk, got[(a, 9)].churned,
+            got[(a, 9)].censored) == (2, 1, 1)
+    assert got[(a, 0)].survival == s([3 / 4])
+    assert got[(a, 2)].survival == s([3 / 4, 2 / 3])
+    assert got[(a, 9)].survival == s([3 / 4, 2 / 3, 1 / 2])
+    # censoring-only step: survival stays 1.0 (no churn observed)
+    b = "2024-01-08"
+    assert (got[(b, 4)].churned, got[(b, 4)].censored) == (0, 1)
+    assert got[(b, 4)].survival == 1.0
+
+
+def test_kaplan_meier_extinct_cohort_pins_zero(spark):
+    import datetime as dt
+
+    rows = [
+        ("ua", dt.datetime(2024, 1, 1, 8)), ("ua", dt.datetime(2024, 1, 2, 8)),
+        ("ub", dt.datetime(2024, 1, 1, 9)), ("ub", dt.datetime(2024, 1, 2, 9)),
+        # later cohort pushes the observation boundary past cohort A
+        ("uc", dt.datetime(2024, 1, 8, 7)), ("uc", dt.datetime(2024, 1, 12, 7)),
+    ]
+    got = _km(spark, rows)
+    row = got[("2024-01-01", 1)]
+    # everyone remaining churns at t=1: d == n -> survival exactly 0
+    assert (row.n_at_risk, row.churned, row.survival) == (2, 2, 0.0)
+
+
+def test_kaplan_meier_unit_and_guards(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from rusty_timeseries_db_spark.operators.funnel import kaplan_meier
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 8)), ("u1", dt.datetime(2024, 1, 9, 8)),
+        ("u2", dt.datetime(2024, 1, 1, 8)), ("u2", dt.datetime(2024, 1, 20, 8)),
+    ]
+    got = _km(spark, rows, unit_days=7)
+    # u1: 8 days -> t=1 of horizon 2 (churn); u2: 19 days -> t=2 ==
+    # horizon (censored)
+    assert (got[("2024-01-01", 1)].churned,
+            got[("2024-01-01", 2)].censored) == (1, 1)
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    with _pytest.raises(ValueError, match="granularity"):
+        kaplan_meier(df, granularity="month")
+    with _pytest.raises(ValueError, match="unit_days"):
+        kaplan_meier(df, unit_days=0)
