@@ -66,101 +66,95 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r{01..15}.json (rebuilt
-# with gen_rotation.py entering round 16): 33 queries were last
-# driver-checked in r10, 50 in r11 (the dict-default tier), 46 in
-# r12, 43 in r13, 47 in r14, 50 in r15. Round-16 window (VERDICT r15
-# next-round #1): _ROUND_MODIFIED (12 new + 9 re-certified = 21)
-# first, then 29 of the remaining 31 r10-tier queries
-# (q_qualify_nested/q_qualify_sql are already among the modified; the
-# two r10 queries last in declaration order spill to head the r17
-# fill).
+# the per-query max round over CORRECTNESS_r{01..16}.json (rebuilt
+# with gen_rotation.py entering round 17): 2 queries were last
+# driver-checked in r10 (the r16 window spill), 49 in r11, 46 in r12,
+# 43 in r13, 46 in r14, 45 in r15, 50 in r16 (the dict default).
+# Round-17 window (VERDICT r16 next-round #1): _ROUND_MODIFIED
+# (2 new + 4 re-certified = 6) first, then q_null_safe_join and
+# q_asof_nearest (the two spilled r10-tier queries — the stalest rows
+# in the registry), then 42 of the 49 r11-tier queries in declaration
+# order (7 spill to head the r18 fill).
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 16, new queries: the streaming Theta segment store served
-    # end-to-end (VERDICT r15 #2), the streaming top-k store's
-    # exact-integer served table oracle-certified end-to-end (VERDICT
-    # r15 #3), k-way Theta intersections (VERDICT r15 #6), and RFM
-    # quintile segmentation (VERDICT r15 #7)
-    "q_theta_stream_served", "q_topk_stream_served",
-    "q_theta_overlap_kway", "q_rfm_segmentation",
-    # ...and the continuous-aggregate Theta segment cells
-    # (rollup theta_col + segment_overlap_estimate)
-    "q_rollup_theta_overlap",
-    # ...and the classic-analytics quartet (all oracle-paired at 3
-    # SFs, exact-arithmetic boundary discipline): Pareto/ABC
-    # classification, Gini concentration, Mann-Whitney U (exact
-    # doubled tied-rank sums), weighted median
-    "q_pareto_abc", "q_gini_concentration", "q_mann_whitney",
-    "q_weighted_median",
-    # ...and the Markov stationary distribution (integer-exact power
-    # iteration, the q_pagerank discipline); q_pagerank itself is
-    # re-certified — its normalization moved into the shared
-    # _normalize_micro helper
-    "q_markov_stationary", "q_pagerank",
-    # ...and the 10% trimmed mean (rank-exact tail drop, the
-    # winsorize sibling), and the correlated LATERAL top-k (native
-    # Spark 4 decorrelation with LIMIT under correlation)
-    "q_trimmed_mean", "q_lateral_topk",
-    # round 16, re-certified after behavior-relevant changes: the
-    # three streaming summary stores moved their manifests to the
-    # versioned CAS protocol (ADVICE r15 medium — the served queries
-    # ride every read/commit path), Bm25Index.compact now pins its
-    # CAS token at the opening read (ADVICE r15 medium; q_bm25_index
-    # runs the full lifecycle), the engine rollup facade grew
-    # ds-partition pruning for invalidate_days (VERDICT r15 #4;
-    # q_continuous_rollup rides the facade base view), the
-    # nested-QUALIFY probe path gained log suppression (VERDICT r15
-    # #5 — behavior-neutral, re-certified anyway), and theta_rollup
-    # now excludes NULL-key segments (ADVICE r15 low)
-    "q_quantile_stream_served", "q_state_durations_served",
-    "q_bm25_index", "q_continuous_rollup",
-    "q_qualify_nested", "q_qualify_in_exists", "q_qualify_sql",
-    "q_theta_audience_overlap",
+    # round 17, new queries: the fastText-style pretrained linear
+    # quality gate (VERDICT r16 #4) and the Kaplan-Meier survival /
+    # churn curve (VERDICT r16 #5) — both oracle-paired at 3 SFs
+    "q_quality_classifier", "q_kaplan_meier",
+    # round 17, re-certified after behavior-relevant changes:
+    # markov_stationary's per-term product moved into DECIMAL(38,0)
+    # with the oracle unrolled in HUGEINT (ADVICE r16 medium), and
+    # the QUALIFY probe-suppression path was rebuilt — thread-scoped
+    # logging.Filter, loud final fallback, PySparkLogger acquisition
+    # (ADVICE r16 low; the old suppression masked a TypeError that
+    # broke q_qualify_in_exists outright when the logger was created
+    # plain)
+    "q_markov_stationary",
+    "q_qualify_sql", "q_qualify_nested", "q_qualify_in_exists",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r{01..15}.json): 33 last ran in r10, 46 in r12, 43 in
-#: r13, 47 in r14, 50 in r15; the remaining 50 ran in r11 and form the
-#: dict default (`.get(name, 11)` in _ordered_registry).
+#: CORRECTNESS_r{01..16}.json): 2 last ran in r10, 49 in r11, 46 in
+#: r12, 43 in r13, 46 in r14, 45 in r15; the remaining 50 ran in r16
+#: and form the dict default (`.get(name, 16)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
     **dict.fromkeys([
         "q_asof_nearest",
-        "q_bigram_vocab",
-        "q_bool_aggs",
-        "q_cohort_retention",
-        "q_contamination_check",
-        "q_correlated_subquery",
-        "q_correlation",
-        "q_dense_grid",
-        "q_event_transitions",
-        "q_ewma",
-        "q_filter_rlike",
-        "q_funnel",
-        "q_join_right_outer",
-        "q_linear_regression",
-        "q_merge_intervals",
-        "q_mode_per_group",
-        "q_multi_count_distinct",
         "q_null_safe_join",
-        "q_qualify_nested",
-        "q_qualify_sql",
-        "q_rolling_corr",
-        "q_running_distinct",
-        "q_scalar_subquery",
-        "q_seasonal_residuals",
-        "q_sequence_packing",
-        "q_sliding_window_batch",
-        "q_string_agg_ordered",
-        "q_tpch_q14_promo_revenue",
-        "q_tpch_q19_disjunctive_join",
-        "q_tpch_q6_forecast_revenue",
-        "q_tpch_q7_volume_shipping",
-        "q_unpivot",
-        "q_weighted_domain_sample",
     ], 10),
+    **dict.fromkeys([
+        "q_approx_aggregates",
+        "q_arrow_transform",
+        "q_asof_join",
+        "q_asof_tolerance",
+        "q_collect_set",
+        "q_contamination_ngram",
+        "q_csv_roundtrip",
+        "q_dedup_clusters",
+        "q_dedup_keep_canonical",
+        "q_embedding_knn_classify",
+        "q_exactly_once_asof",
+        "q_exactly_once_served",
+        "q_grouping_sets",
+        "q_having",
+        "q_higher_order_fns",
+        "q_hll_distinct_rollup",
+        "q_interval_overlap_join",
+        "q_join_anti",
+        "q_join_cross",
+        "q_join_full_outer",
+        "q_join_inner_broadcast",
+        "q_join_left_outer",
+        "q_join_range_bands",
+        "q_join_semi",
+        "q_json_roundtrip",
+        "q_map_ops",
+        "q_minhash_pairs",
+        "q_orc_roundtrip",
+        "q_repetition_profile",
+        "q_schema_evolution",
+        "q_semantic_dedup",
+        "q_simhash_pairs",
+        "q_similarity_lsh",
+        "q_tfidf_top_terms",
+        "q_tpch_q11_important_stock",
+        "q_tpch_q12_priority_class",
+        "q_tpch_q13_custdist",
+        "q_tpch_q15_top_supplier",
+        "q_tpch_q16_supplier_count",
+        "q_tpch_q17_small_qty_revenue",
+        "q_tpch_q20_excess_stock",
+        "q_tpch_q22_global_sales_opportunity",
+        "q_tpch_q4_order_priority",
+        "q_tpch_q8_market_share",
+        "q_tpch_q9_product_profit",
+        "q_unigram_surprisal",
+        "q_window_cumulative",
+        "q_window_lag_lead",
+        "q_window_topk_per_group",
+    ], 11),
     **dict.fromkeys([
         "q_approx_top_k",
         "q_asof_inner_sql",
@@ -276,7 +270,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_multimodal_features",
         "q_multimodal_probe",
         "q_ngram_jaccard",
-        "q_pagerank",
         "q_pii_luhn_cards",
         "q_posexplode",
         "q_quality_filter_pipeline",
@@ -308,11 +301,9 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_agg_stats",
         "q_attribution_last_touch",
         "q_benford_profile",
-        "q_bm25_index",
         "q_bm25_stream_indexed",
         "q_catalog_fuzzy_link",
         "q_cohort_retention_matrix",
-        "q_continuous_rollup",
         "q_count_distinct",
         "q_cube",
         "q_filter_compound",
@@ -333,7 +324,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_project_compute",
         "q_psi_drift",
         "q_quantile_buckets",
-        "q_quantile_stream_served",
         "q_r11_fault_count",
         "q_r3_query_by_id",
         "q_r4_fdd_overlay",
@@ -346,10 +336,8 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_sql_from_first",
         "q_sql_pivot_multi",
         "q_state_durations",
-        "q_state_durations_served",
         "q_tfidf_index",
         "q_theil_sen",
-        "q_theta_audience_overlap",
         "q_topk_sketch_merge",
         "q_winsorized_stats",
         "q_word_dispersion",
@@ -360,8 +348,9 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
 
 def _ordered_registry() -> list[QuerySpec]:
     """This round's new/modified queries first, then stalest-driver-row
-    first (r10-last, then the r11 dict-default, then r12/r13/r14);
-    declaration order breaks ties (Python sort is stable)."""
+    first (r10-last, then r11/r12/r13/r14/r15, with the r16 dict
+    default freshest); declaration order breaks ties (Python sort is
+    stable)."""
     names = {q.name for q in _REGISTRY}
     assert _ROUND_MODIFIED <= names, (
         f"stale name in _ROUND_MODIFIED: {_ROUND_MODIFIED - names}"
@@ -373,7 +362,7 @@ def _ordered_registry() -> list[QuerySpec]:
         _REGISTRY,
         key=lambda q: (
             q.name not in _ROUND_MODIFIED,
-            _LAST_DRIVER_ROUND.get(q.name, 11),
+            _LAST_DRIVER_ROUND.get(q.name, 16),
         ),
     )
 
