@@ -255,6 +255,32 @@ def list_dir_names(spark: SparkSession, path: str) -> list[str]:
     ]
 
 
+def parquet_data_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and holds at least one DATA file
+    (recursive; ``_``/``.``-prefixed bookkeeping files don't count) —
+    the FS-level stand-in for "``spark.read.parquet(path)`` would
+    succeed" that lets an expected-missing read short-circuit WITHOUT
+    a probing read (round 17 — VERDICT r16 next-round #2). Probing
+    with the reader posts a failed-execution event on analysis
+    failure, and once any ``Observation`` has run in the session,
+    Spark 4's ObservationManager listener re-analyzes the failed plan
+    inside ``onFailure`` and throws — every expected
+    PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA probe then spams an
+    ``ExecutionListenerBus: Listener threw an exception`` ERROR trace
+    into otherwise-clean parity/audit logs, burying real failures.
+    One FS existence walk costs less than the failed analysis did."""
+    fs = fs_for(spark, path)
+    p = hpath(spark, path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
 def delete_path(spark: SparkSession, path: str) -> bool:
     """Recursive delete (scheme-agnostic shutil.rmtree); False if absent."""
     fs = fs_for(spark, path)

@@ -117,6 +117,20 @@ def _committed_cells(spark, store: str, man: dict) -> DataFrame | None:
                 *keys, "q_sketch", "n_rows"
             )
         )
+    # FS pre-check before the read (round 17 — VERDICT r16 #2): a
+    # fully-folded store legitimately has no summaries dir (or an empty
+    # one after the compaction sweep), and PROBING it with the reader
+    # posts a failed-execution event that any registered
+    # QueryExecutionListener (the ObservationManager's, once any
+    # Observation has run) re-raises as ERROR spam — so the expected
+    # no-summaries case short-circuits on fsutil.parquet_data_exists
+    # and the reader only runs against data known present; the
+    # error-class classification stays as the residual-race fallback
+    # (a compaction sweep between check and read).
+    from ..fsutil import parquet_data_exists
+
+    if not parquet_data_exists(spark, f"{store}/summaries"):
+        return parts[0] if parts else None
     try:
         deltas = (
             spark.read.option("basePath", f"{store}/summaries")

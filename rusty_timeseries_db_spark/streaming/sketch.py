@@ -152,6 +152,21 @@ def _committed_parts(
                 *keys, "total_err", "n_rows"
             )
         )
+    # FS pre-check before the read (round 17 — VERDICT r16 #2): a
+    # fully-folded store legitimately has no summaries dir (or an
+    # empty one after the compaction sweep), and PROBING it with the
+    # reader posts a failed-execution event that any registered
+    # QueryExecutionListener (the ObservationManager's, once any
+    # Observation has run in the session) re-raises as
+    # 'ExecutionListenerBus: Listener threw an exception' ERROR spam —
+    # the expected no-summaries case short-circuits on an FS walk and
+    # the reader only runs against data known present; the error-class
+    # classification stays as the residual-race fallback (a compaction
+    # sweep landing between the check and the read).
+    from ..fsutil import parquet_data_exists
+
+    if not parquet_data_exists(spark, f"{store}/summaries"):
+        return (pv_parts[0], cell_parts[0]) if pv_parts else None
     try:
         deltas = (
             spark.read.option("basePath", f"{store}/summaries")
@@ -166,11 +181,8 @@ def _committed_parts(
         pv_parts.append(dpv.select(*keys, "value", "count_lo", "present_err"))
         cell_parts.append(dcells.select(*keys, "total_err", "n_rows"))
     except Exception as e:
-        # a fully-folded store legitimately has no summaries dir (or
-        # an empty one after the compaction cleanup — schema inference
-        # then fails rather than PATH_NOT_FOUND); matched on the
-        # AnalysisException error class, not message substrings
-        # (ADVICE r15 low) — anything else propagates as itself
+        # matched on the AnalysisException error class, not message
+        # substrings (ADVICE r15 low) — anything else propagates
         if not is_missing_summaries_error(e):
             raise
         if base_upto < 0:

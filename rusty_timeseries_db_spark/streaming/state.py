@@ -225,6 +225,25 @@ def _committed_increments(spark, store: str, man: dict) -> DataFrame:
                 key, "state", "state_us", "n_intervals"
             )
         )
+    # FS pre-check before the read (round 17 — VERDICT r16 #2): a
+    # fully-folded store legitimately has no deltas dir (or an empty
+    # one after the compaction sweep), and PROBING it with the reader
+    # posts a failed-execution event that any registered
+    # QueryExecutionListener (the ObservationManager's, once any
+    # Observation has run) re-raises as ERROR spam — so the expected
+    # no-deltas case short-circuits on fsutil.parquet_data_exists
+    # and the reader only runs against data known present; the
+    # error-class classification stays as the residual-race fallback
+    # (a compaction sweep between check and read).
+    from ..fsutil import parquet_data_exists
+
+    if not parquet_data_exists(spark, f"{store}/deltas"):
+        if base_upto < 0:
+            raise FileNotFoundError(
+                f"state-duration store at {store} has a manifest but "
+                "no delta data yet — every applied batch was empty"
+            )
+        return parts[0]
     try:
         deltas = (
             spark.read.option("basePath", f"{store}/deltas")
