@@ -846,3 +846,26 @@ def test_streaming_sink_repairs_late_days(spark, tmp_path):
         "window_day = '2024-03-01'"
     )
     assert mat.agg(F.sum("n")).first()[0] == 2  # both day-1 rows folded
+
+
+def test_engine_rollup_forwards_theta_col(spark, tmp_path):
+    """ADVICE r16 low: continuous_rollup(theta_col=...) must include
+    the sketch column in the facade's base-view selection — before the
+    fix the ContinuousRollup's base view lacked the column and
+    refresh() failed with AnalysisException for any theta_col outside
+    (timeseries_id, ts, value)."""
+    from rusty_timeseries_db_spark.api import TimeseriesEngine
+    from tests.conftest import CANONICAL_ROWS
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    eng.ingest_rows(CANONICAL_ROWS)
+    roll = eng.continuous_rollup(
+        window="1 minute", theta_col="sensor_name"
+    )
+    roll.refresh()
+    ov = roll.segment_overlap_estimate("timeseries_id").collect()
+    # CANONICAL_ROWS is a single series: no pair rows, but the serve
+    # path proves the sketch column flowed through the facade view
+    est = roll.read().collect()
+    assert est and all(r["theta_sketch"] is not None for r in est)
+    assert ov == []
