@@ -141,6 +141,14 @@ HEADLINE = [
     # intersections over the dims-only combination grid)
     "q_rfm_segmentation",
     "q_theta_overlap_kway",
+    # added round 17 (subtract for apples-to-apples vs r16): the
+    # fastText-style linear quality gate (corpus-wide unigram+bigram
+    # explode + broadcast weight join — the hashed-feature scoring
+    # shape every model-based curation pass pays) and the per-cohort
+    # Kaplan-Meier churn curve (user-keyed reduce + attach-scalar +
+    # windows over the cohort x duration table)
+    "q_quality_classifier",
+    "q_kaplan_meier",
 ]
 
 

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import itertools
 import re
+import threading
 
 from contextlib import contextmanager
 
@@ -60,7 +61,7 @@ _VIEW_SEQ = itertools.count()
 #: nested probes (the block probe runs sql_with_qualify, which probes
 #: again) must not restore the log level while an outer probe is
 #: still in flight.
-_PROBE_DEPTH_LOCK = __import__("threading").Lock()
+_PROBE_DEPTH_LOCK = threading.Lock()
 _probe_depth = 0
 
 _LISTENER_BUS_LOGGER = "org.apache.spark.sql.util.ExecutionListenerBus"
@@ -123,7 +124,6 @@ def _quiet_probe_errors(spark: SparkSession):
     exit; the raised AnalysisException still carries the full message
     either way."""
     import logging
-    import threading
 
     # acquire through PySparkLogger.getLogger: the class is bound at
     # CREATION, so a plain logging.getLogger here (if it ran first)
