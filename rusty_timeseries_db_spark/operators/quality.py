@@ -164,3 +164,103 @@ def quality_classifier_score(
         )
         .withColumn("keep", F.col("quality_score") >= F.lit(threshold))
     )
+
+
+def train_quality_weights(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train the linear gate's weight table from a LABELED split —
+    the Naive-Bayes log-odds initialization fastText-style pipelines
+    use (CCNet trains its quality classifier on wiki-vs-crawl):
+    ``weight[b] = ln p(b | positive) - ln p(b | negative)`` over the
+    same md5-hashed unigram+bigram buckets the scorer reads,
+    add-``alpha`` smoothed so unseen buckets carry the finite prior
+    log-odds, materialized as the REUSABLE ``(bucket, weight_micro)``
+    model :func:`quality_classifier_score` consumes. (This is exactly
+    DSIR's bucket log-ratio — operators/sampling.py dsir_weights —
+    re-materialized as a persistent model instead of folded into
+    per-document importance weights, with the scorer's richer
+    unigram+bigram featurization.)
+
+    ``label_col`` names a boolean column: True rows are the positive
+    (high-quality) sample, False rows the negative pool. Weights land
+    in integer MICRO units — ``round(logratio * 1e6)`` — the single
+    quantization both engines compute identically (one multiply of
+    the shared double, one half-up round to an integer-valued double,
+    exact below 2^53), so train→gate composes into an oracle-checkable
+    end-to-end pipeline.
+
+    Scale shape: the dsir_weights plan — one explode with map-side
+    combine into per-(label, bucket) counts, then an O(n_buckets)
+    aggregate joined against the full ``spark.range(n_buckets)``
+    spine (every bucket gets a row — absent buckets carry the prior
+    log-odds, matching what the smoothed model says about
+    never-seen features). The result is model-sized, broadcast at
+    scoring time."""
+    from .dedup import word_grams, word_tokens
+
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    feats = F.concat(
+        toks,
+        F.when(n >= 2, word_grams(toks, 2)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    counts = (
+        df.select(
+            F.col(label_col).alias("_pos"), F.explode(feats).alias("_feat")
+        )
+        .select(
+            "_pos",
+            (
+                F.conv(F.substring(F.md5("_feat"), 1, 8), 16, 10)
+                .cast("bigint") % F.lit(n_buckets)
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0))
+            .cast("bigint").alias("_cp"),
+            F.sum(F.when(~F.col("_pos"), 1).otherwise(0))
+            .cast("bigint").alias("_cn"),
+        )
+    )
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    filled = spine.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("_cp", F.lit(0)).alias("_cp"),
+        F.coalesce("_cn", F.lit(0)).alias("_cn"),
+    )
+    # totals via the attach-scalar broadcast (never an unpartitioned
+    # window); smoothing uses the standard add-alpha denominator
+    from ..queries import attach_scalar
+
+    totals = filled.agg(
+        F.sum("_cp").cast("bigint").alias("_np"),
+        F.sum("_cn").cast("bigint").alias("_nn"),
+    )
+    a = float(alpha)
+    return attach_scalar(filled, totals).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("_cp") + F.lit(a))
+                    / (F.col("_np") + F.lit(a * n_buckets))
+                )
+                - F.log(
+                    (F.col("_cn") + F.lit(a))
+                    / (F.col("_nn") + F.lit(a * n_buckets))
+                )
+            )
+            * F.lit(float(WEIGHT_SCALE)),
+            0,
+        ).cast("bigint").alias("weight_micro"),
+    )

@@ -71,18 +71,21 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # driver-checked in r10 (the r16 window spill), 49 in r11, 46 in r12,
 # 43 in r13, 46 in r14, 45 in r15, 50 in r16 (the dict default).
 # Round-17 window (VERDICT r16 next-round #1): _ROUND_MODIFIED
-# (2 new + 4 re-certified = 6) first, then q_null_safe_join and
+# (3 new + 4 re-certified = 7) first, then q_null_safe_join and
 # q_asof_nearest (the two spilled r10-tier queries — the stalest rows
-# in the registry), then 42 of the 49 r11-tier queries in declaration
-# order (7 spill to head the r18 fill).
+# in the registry), then 41 of the 49 r11-tier queries in declaration
+# order (8 spill to head the r18 fill).
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
     # round 17, new queries: the fastText-style pretrained linear
-    # quality gate (VERDICT r16 #4) and the Kaplan-Meier survival /
-    # churn curve (VERDICT r16 #5) — both oracle-paired at 3 SFs
-    "q_quality_classifier", "q_kaplan_meier",
+    # quality gate (VERDICT r16 #4), its TRAINED end-to-end complement
+    # (Naive-Bayes log-odds weights from the labeled split feeding the
+    # same scorer), and the Kaplan-Meier survival / churn curve
+    # (VERDICT r16 #5) — all oracle-paired at 3 SFs
+    "q_quality_classifier", "q_quality_classifier_trained",
+    "q_kaplan_meier",
     # round 17, re-certified after behavior-relevant changes:
     # markov_stationary's per-term product moved into DECIMAL(38,0)
     # with the oracle unrolled in HUGEINT (ADVICE r16 medium), and
@@ -14813,4 +14816,104 @@ def q_kaplan_meier(spark, sf_dir):
     return kaplan_meier(
         e, user_col="user_id", ts_col="ts",
         granularity="week", unit_days=1,
+    )
+
+
+@declare(
+    "q_quality_classifier_trained",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '),
+                         t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, feat FROM (
+        SELECT doc_id, source, unnest(ws) AS feat FROM toks
+        UNION ALL
+        SELECT doc_id, source, array_to_string(ws[i:i+1], ' ') AS feat
+        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+        WHERE len(ws) >= 2 AND i <= len(ws) - 1
+      )
+    ),
+    fb AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM feats
+    ),
+    cnt AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cn
+      FROM fb GROUP BY b
+    ),
+    spine AS (SELECT unnest(generate_series(0, 1023)) AS b),
+    filled AS (
+      SELECT spine.b, COALESCE(cp, 0) AS cp, COALESCE(cn, 0) AS cn
+      FROM spine LEFT JOIN cnt ON spine.b = cnt.b
+    ),
+    tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn FROM filled),
+    wt AS (
+      SELECT b,
+             CAST(ROUND((ln((cp + 1.0) / (np + 1.0 * 1024))
+                       - ln((cn + 1.0) / (nn + 1.0 * 1024)))
+                  * 1000000, 0) AS BIGINT) AS w
+      FROM filled, tot
+    ),
+    dc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM fb GROUP BY doc_id, b
+    ),
+    dots AS (
+      SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+             CAST(SUM(c * w) AS BIGINT) AS dot
+      FROM dc JOIN wt USING (b) GROUP BY dc.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+             CASE WHEN COALESCE(n_feats, 0) > 0 THEN
+               ROUND(1.0 / (1.0 + exp(-(CAST(dot AS DOUBLE)
+                 / CAST(n_feats * 1000000 AS DOUBLE)))), 9)
+             ELSE 0.5 END AS quality_score
+      FROM documents d LEFT JOIN dots ON d.doc_id = dots.doc_id
+    )
+    SELECT doc_id, n_feats, quality_score,
+           quality_score >= 0.5 AS keep
+    FROM scored
+    """,
+    doc="TRAINED quality gate, end-to-end (round 17; operators/"
+    "quality.py train_quality_weights + quality_classifier_score): "
+    "the CCNet flow in one composed plan — Naive-Bayes log-odds "
+    "weights trained over the labeled split (positive = source="
+    "'src0', the wiki-vs-crawl stand-in), add-1 smoothed per bucket "
+    "over the FULL 1024-bucket spine (absent buckets carry the prior "
+    "log-odds), quantized ONCE to integer micro units "
+    "(round(logratio*1e6) — one shared-double multiply + half-up "
+    "round, exact below 2^53), then the same md5 unigram+bigram "
+    "featurization scores every document through the broadcast model "
+    "and gates at the 9dp-quantized sigmoid 0.5. Training docs score "
+    "high, out-of-distribution docs low — the trained complement of "
+    "q_quality_classifier's stand-in weights. Scale: two explode "
+    "passes with map-side combine (train counts, doc counts), an "
+    "O(1024) model aggregate that BROADCASTS, one doc-keyed integer "
+    "aggregate — the model never outgrows its bucket count no matter "
+    "the corpus",
+)
+def q_quality_classifier_trained(spark, sf_dir):
+    from .operators.quality import (
+        quality_classifier_score,
+        train_quality_weights,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = train_quality_weights(
+        d.withColumn("_pos", F.col("source") == "src0"),
+        text_col="text", label_col="_pos", n_buckets=1024, alpha=1.0,
+    )
+    return quality_classifier_score(
+        d, id_col="doc_id", text_col="text", weights=w,
+        n_buckets=1024, threshold=0.5,
     )

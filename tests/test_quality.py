@@ -156,3 +156,44 @@ def test_pipeline_quality_gate_optional_stage(spark):
         r.doc_id
         for r in build_training_corpus(docs, base_cfg).collect()
     }
+
+
+def test_trained_weights_separate_the_classes(spark):
+    """Naive-Bayes log-odds training on a toy labeled corpus: docs
+    from the positive vocabulary score > 0.5, negative-vocabulary
+    docs < 0.5, and a vocabulary-disjoint doc sits at the smoothed
+    prior; the trained table is model-sized (one row per bucket)."""
+    from rusty_timeseries_db_spark.operators.quality import (
+        train_quality_weights,
+    )
+
+    rows = [
+        (1, "good clean prose flows here", True),
+        (2, "good clean text reads well", True),
+        (3, "spam junk noise garbage spam", False),
+        (4, "junk noise spam garbage junk", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, pos boolean")
+    w = train_quality_weights(
+        df, text_col="text", label_col="pos", n_buckets=512,
+    )
+    assert w.count() == 512  # full spine, absent buckets included
+    wmap = {r.bucket: r.weight_micro for r in w.collect()}
+    # positive-vocab features weigh positive, negative-vocab negative
+    assert wmap[_feat_bucket("good", 512)] > 0
+    assert wmap[_feat_bucket("spam", 512)] < 0
+
+    scored = {
+        r.doc_id: r
+        for r in quality_classifier_score(
+            df, "doc_id", "text", w, n_buckets=512,
+        ).collect()
+    }
+    assert scored[1].quality_score > 0.5 and scored[1].keep
+    assert scored[2].quality_score > 0.5 and scored[2].keep
+    assert scored[3].quality_score < 0.5 and not scored[3].keep
+    assert scored[4].quality_score < 0.5 and not scored[4].keep
+
+
+def _feat_bucket(feat: str, n_buckets: int) -> int:
+    return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % n_buckets
