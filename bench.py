@@ -149,6 +149,9 @@ HEADLINE = [
     # windows over the cohort x duration table)
     "q_quality_classifier",
     "q_kaplan_meier",
+    # the trained complement: adds the second explode pass (training
+    # counts) + the O(1024) model aggregate on top of the scoring shape
+    "q_quality_classifier_trained",
 ]
 
 

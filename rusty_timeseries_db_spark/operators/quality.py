@@ -264,3 +264,91 @@ def train_quality_weights(
             0,
         ).cast("bigint").alias("weight_micro"),
     )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    auc_decimals: int = 9,
+) -> DataFrame:
+    """Exact ROC-AUC of a binary classifier's scores — the evaluation
+    face that closes the quality-gate loop (train →
+    :func:`quality_classifier_score` → evaluate), and the
+    classifier-side sibling of the retrieval family's NDCG/MRR
+    (operators/retrieval.py ranking_eval).
+
+    AUC is computed through its rank identity ``AUC = (R1 -
+    n1(n1+1)/2) / (n1·n0)`` with R1 the positive class's rank sum
+    under ascending score order and TIES taking the average rank
+    (equivalently ``P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)`` — the trapezoidal
+    ROC area). The q_mann_whitney exact-integer discipline applies
+    verbatim: per distinct score the tie block spans ranks
+    ``[cum_before+1, cum_before+cnt]`` and DOUBLING the rank sum
+    (``cnt_pos·(2·cum_before+cnt+1)``) keeps every term an exact
+    bigint, so the one rounded double is the final division — a
+    DuckDB oracle replays it identically, no float anywhere else.
+
+    Returns ``(group_col?, n_pos, n_neg, auc)``; groups with an empty
+    class yield NULL auc (0/0 — undefined, not an ANSI abort).
+
+    Scale shape: a score-keyed count aggregate (tie blocks — bounded
+    by DISTINCT scores, which a ``score_decimals``-quantized sigmoid
+    bounds far below row count), one cumulative window per group over
+    those distinct scores, a 3-term aggregate. Pass ``group_col`` at
+    scale: the ungrouped form's cumulative window is a single global
+    sort over the distinct-score table — fine at quantized-sigmoid
+    cardinality, wrong for raw continuous scores."""
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    per_score = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(*gcols, F.col(score_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+            F.sum(F.when(F.col(label_col), 1).otherwise(0))
+            .cast("bigint").alias("_cnt_pos"),
+        )
+    )
+    w = (
+        Window.partitionBy(*gcols).orderBy("_s")
+        if gcols
+        else Window.orderBy("_s")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    spans = per_score.withColumn(
+        "_cum_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+    )
+    # the doubled rank-sum terms run in DECIMAL(38,0): cnt_pos x
+    # (2*cum_before + cnt + 1) is ~2n^2 at the group tail, which wraps
+    # bigint past ~2.1e9 rows per group (the markov per-term overflow
+    # class, ADVICE r16) — decimal keeps the identity exact at any
+    # group size; the oracle mirrors with HUGEINT
+    agg = spans.groupBy(*gcols).agg(
+        F.sum("_cnt_pos").cast("bigint").alias("n_pos"),
+        (F.sum("_cnt") - F.sum("_cnt_pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("_cnt_pos").cast("decimal(38,0)")
+            * (2 * F.col("_cum_before") + F.col("_cnt") + 1)
+        ).cast("decimal(38,0)").alias("_r1_x2"),
+    )
+    return agg.select(
+        *gcols,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (
+                    F.col("_r1_x2")
+                    - F.col("n_pos").cast("decimal(38,0)")
+                    * (F.col("n_pos") + 1)
+                ).cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                auc_decimals,
+            ),
+        ).alias("auc"),
+    )

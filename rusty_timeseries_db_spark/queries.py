@@ -71,10 +71,10 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # driver-checked in r10 (the r16 window spill), 49 in r11, 46 in r12,
 # 43 in r13, 46 in r14, 45 in r15, 50 in r16 (the dict default).
 # Round-17 window (VERDICT r16 next-round #1): _ROUND_MODIFIED
-# (3 new + 4 re-certified = 7) first, then q_null_safe_join and
+# (4 new + 4 re-certified = 8) first, then q_null_safe_join and
 # q_asof_nearest (the two spilled r10-tier queries — the stalest rows
-# in the registry), then 41 of the 49 r11-tier queries in declaration
-# order (8 spill to head the r18 fill).
+# in the registry), then 40 of the 49 r11-tier queries in declaration
+# order (9 spill to head the r18 fill).
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
@@ -85,7 +85,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     # same scorer), and the Kaplan-Meier survival / churn curve
     # (VERDICT r16 #5) — all oracle-paired at 3 SFs
     "q_quality_classifier", "q_quality_classifier_trained",
-    "q_kaplan_meier",
+    "q_classifier_auc", "q_kaplan_meier",
     # round 17, re-certified after behavior-relevant changes:
     # markov_stationary's per-term product moved into DECIMAL(38,0)
     # with the oracle unrolled in HUGEINT (ADVICE r16 medium), and
@@ -14916,4 +14916,136 @@ def q_quality_classifier_trained(spark, sf_dir):
     return quality_classifier_score(
         d, id_col="doc_id", text_col="text", weights=w,
         n_buckets=1024, threshold=0.5,
+    )
+
+
+@declare(
+    "q_classifier_auc",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '),
+                         t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, feat FROM (
+        SELECT doc_id, source, unnest(ws) AS feat FROM toks
+        UNION ALL
+        SELECT doc_id, source, array_to_string(ws[i:i+1], ' ') AS feat
+        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+        WHERE len(ws) >= 2 AND i <= len(ws) - 1
+      )
+    ),
+    fb AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM feats
+    ),
+    cnt AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cn
+      FROM fb GROUP BY b
+    ),
+    spine AS (SELECT unnest(generate_series(0, 1023)) AS b),
+    filled AS (
+      SELECT spine.b, COALESCE(cp, 0) AS cp, COALESCE(cn, 0) AS cn
+      FROM spine LEFT JOIN cnt ON spine.b = cnt.b
+    ),
+    tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn FROM filled),
+    wt AS (
+      SELECT b,
+             CAST(ROUND((ln((cp + 1.0) / (np + 1.0 * 1024))
+                       - ln((cn + 1.0) / (nn + 1.0 * 1024)))
+                  * 1000000, 0) AS BIGINT) AS w
+      FROM filled, tot
+    ),
+    dc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM fb GROUP BY doc_id, b
+    ),
+    dots AS (
+      SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+             CAST(SUM(c * w) AS BIGINT) AS dot
+      FROM dc JOIN wt USING (b) GROUP BY dc.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, (d.source = 'src0') AS pos,
+             CASE WHEN COALESCE(n_feats, 0) > 0 THEN
+               ROUND(1.0 / (1.0 + exp(-(CAST(dot AS DOUBLE)
+                 / CAST(n_feats * 1000000 AS DOUBLE)))), 9)
+             ELSE 0.5 END AS sc
+      FROM documents d LEFT JOIN dots ON d.doc_id = dots.doc_id
+    ),
+    per_score AS (
+      SELECT lang, sc,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_pos
+      FROM scored GROUP BY lang, sc
+    ),
+    spans AS (
+      SELECT lang, cnt, cnt_pos,
+             COALESCE(SUM(cnt) OVER (
+               PARTITION BY lang ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM per_score
+    ),
+    agg2 AS (
+      SELECT lang,
+             CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - cnt_pos) AS BIGINT) AS n_neg,
+             SUM(CAST(cnt_pos AS HUGEINT)
+                 * (2 * cum_before + cnt + 1)) AS r1_x2
+      FROM spans GROUP BY lang
+    )
+    SELECT lang, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             ROUND(CAST(r1_x2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                        AS DOUBLE)
+                   / (2.0 * n_pos * n_neg), 9)
+           END AS auc
+    FROM agg2
+    """,
+    doc="per-language ROC-AUC of the TRAINED quality classifier "
+    "(round 17; operators/quality.py binary_auc) — the evaluation "
+    "face closing the model-based-curation loop (train_quality_"
+    "weights -> quality_classifier_score -> evaluate), the "
+    "classifier-side sibling of retrieval's NDCG/MRR. AUC via the "
+    "rank identity (R1 - n1(n1+1)/2)/(n1*n0) with average-rank tie "
+    "blocks — the q_mann_whitney doubled-integer discipline, per-term "
+    "products in DECIMAL(38,0)/HUGEINT (the markov overflow class "
+    "pre-empted) — so the only float is the final rounded division. "
+    "Scores quantized at 9dp bound the distinct-score tie-block "
+    "table far below row count; grouping by lang keeps the "
+    "cumulative window partitioned (the ungrouped form would be a "
+    "global sort — documented in the operator). Training docs rank "
+    "above the pool, so per-lang AUC >> 0.5 — the signal a curation "
+    "pipeline monitors for classifier drift",
+)
+def q_classifier_auc(spark, sf_dir):
+    from .operators.quality import (
+        binary_auc,
+        quality_classifier_score,
+        train_quality_weights,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    w = train_quality_weights(
+        d.withColumn("_pos", F.col("source") == "src0"),
+        text_col="text", label_col="_pos", n_buckets=1024, alpha=1.0,
+    )
+    scored = quality_classifier_score(
+        d, id_col="doc_id", text_col="text", weights=w, n_buckets=1024,
+    ).select("doc_id", "quality_score")
+    lab = d.select(
+        "doc_id", "lang", (F.col("source") == "src0").alias("pos")
+    ).join(scored, "doc_id")
+    return binary_auc(
+        lab, score_col="quality_score", label_col="pos", group_col="lang"
     )

@@ -197,3 +197,30 @@ def test_trained_weights_separate_the_classes(spark):
 
 def _feat_bucket(feat: str, n_buckets: int) -> int:
     return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def test_binary_auc_hand_computed_with_ties(spark):
+    from rusty_timeseries_db_spark.operators.quality import binary_auc
+
+    rows = [
+        ("g", 0.9, True), ("g", 0.7, True), ("g", 0.5, True),
+        ("g", 0.5, False), ("g", 0.3, False),
+        # a second group, perfectly separated -> AUC exactly 1.0
+        ("h", 0.8, True), ("h", 0.2, False),
+        # degenerate: one class only -> NULL auc, not a 0/0 abort
+        ("k", 0.6, True), ("k", 0.4, True),
+    ]
+    df = spark.createDataFrame(rows, "lang string, s double, pos boolean")
+    got = {
+        r.lang: r
+        for r in binary_auc(df, "s", "pos", group_col="lang").collect()
+    }
+    # pairs: 0.9 and 0.7 beat both negs; 0.5 beats 0.3 and ties 0.5
+    # -> (2 + 2 + 1.5) / 6
+    assert got["g"].auc == round(5.5 / 6, 9)
+    assert (got["g"].n_pos, got["g"].n_neg) == (3, 2)
+    assert got["h"].auc == 1.0
+    assert got["k"].auc is None
+    # ungrouped form over the same rows (documented global-sort shape)
+    whole = binary_auc(df, "s", "pos").collect()[0]
+    assert (whole.n_pos, whole.n_neg) == (6, 3)
