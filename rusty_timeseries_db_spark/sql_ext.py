@@ -87,7 +87,11 @@ def _drain_listener_bus(spark: SparkSession) -> None:
     exception already propagated, so suppression must outlive the
     probe until the event is processed."""
     try:
-        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        # bounded: a busy background stream keeps posting events; two
+        # seconds is plenty for the probe's own failure event and a
+        # TimeoutException here just means the (rare) residual trace
+        # may slip through — hygiene, not correctness
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(2000)
     except Exception:
         pass
 
