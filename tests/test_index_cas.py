@@ -247,3 +247,53 @@ def test_legacy_flat_manifest_migrates_on_first_commit(spark, tmp_path):
     assert read_json_manifest(spark, idx.manifest_path) is None
     assert not os.path.exists(idx.manifest_path)
     assert idx._manifest()["n_docs"] == len(DOCS) + 1
+
+
+def test_ivf_compact_vs_add_raises_before_touching_data(spark, tmp_path):
+    """IvfIndex.compact mirrors the Bm25 pre-swap CAS re-check
+    (ADVICE r16): an add() landing during compact's pre-swap
+    bookkeeping raises with the cell tree UNTOUCHED — tombstones
+    still pending, marker dropped, and a plain re-run performs the
+    full compaction including the interleaved rows."""
+    from rusty_timeseries_db_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, path).build(
+        emb.filter("vec_id >= 20"), n_clusters=4, seed=7
+    )
+    n_removed = idx.remove(
+        emb.filter("vec_id >= 20 and vec_id % 10 == 3").select("vec_id")
+    )
+    assert n_removed > 0
+
+    real_cas = IvfIndex._manifest_cas
+    fired = {"done": False}
+
+    def hooked(self):
+        got = real_cas(self)  # compact's opening (to-be-stale) snapshot
+        if not fired["done"]:
+            fired["done"] = True
+            IvfIndex._manifest_cas = real_cas
+            IvfIndex(spark, path).add(emb.filter("vec_id == 10"))
+        return got
+
+    IvfIndex._manifest_cas = hooked
+    try:
+        with pytest.raises(ManifestVersionConflict, match="index is intact"):
+            idx.compact()
+    finally:
+        IvfIndex._manifest_cas = real_cas
+
+    man = idx._manifest()
+    assert man["n_added"] == 1  # interleaved add's accounting survived
+    assert man["n_removed"] == n_removed  # tombstones still pending
+    # re-run compacts for real; the interleaved vector serves after
+    assert idx.compact() == n_removed
+    assert idx._manifest()["n_removed"] == 0
+    q = emb.filter("vec_id == 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = idx.query(q, k=1, n_probe=4).collect()
+    assert got and got[0].vec_id == 10  # nearest to itself
