@@ -1032,3 +1032,102 @@ def test_mp4_meta_roundtrip(w, h, dur, ts, version):
     assert brand == "isom"
     assert got_dur == dur * 1000 // ts
     assert (got_w, got_h) == (w, h)
+
+
+# ------------------------------------------------- round 17: AUC / KM
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0.1, 0.25, 0.5, 0.5, 0.75, 0.9]),  # ties likely
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_binary_auc_matches_pairwise_bruteforce(spark, rows):
+    """binary_auc's rank identity must equal the O(n^2) pairwise
+    definition P(s+ > s-) + 0.5*P(s+ = s-) on random tied data."""
+    from rusty_timeseries_db_spark.operators.quality import binary_auc
+
+    df = spark.createDataFrame(
+        [(s, p) for s, p in rows], "s double, pos boolean"
+    )
+    got = binary_auc(df, "s", "pos").collect()[0]
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    if not pos or not neg:
+        assert got.auc is None
+        return
+    wins = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        for sp in pos
+        for sn in neg
+    )
+    assert got.auc == round(wins / (len(pos) * len(neg)), 9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(0, 6),   # first-activity day offset
+            st.integers(0, 20),  # lifetime span in days
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_kaplan_meier_matches_reference_estimator(spark, users):
+    """kaplan_meier vs a direct python KM over random lifetimes with a
+    single cohort (granularity='day' pins every user to their first
+    day; unit_days=1): risk sets, exits, censoring, and the quantized
+    survival product all match."""
+    import datetime as dt
+    import math
+
+    from rusty_timeseries_db_spark.operators.funnel import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1, 8)
+    rows = []
+    for i, (start, span) in enumerate(users):
+        rows.append((f"u{i}", base + dt.timedelta(days=start)))
+        rows.append((f"u{i}", base + dt.timedelta(days=start + span)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (r.cohort, r.t): r
+        for r in kaplan_meier(
+            df, "user_id", "ts", granularity="day", unit_days=1
+        ).collect()
+    }
+
+    obs_end = max(start + span for start, span in users)
+    # python reference per cohort (= first day)
+    from collections import defaultdict
+
+    cohorts = defaultdict(list)
+    for start, span in users:
+        cohorts[start].append((span, span < obs_end - start))
+    for start, members in cohorts.items():
+        cohort = (base + dt.timedelta(days=start)).strftime("%Y-%m-%d")
+        steps = sorted({t for t, _ in members})
+        at_risk = len(members)
+        logsum = 0.0
+        extinct = False
+        for t in steps:
+            d = sum(1 for tt, ev in members if tt == t and ev)
+            c = sum(1 for tt, ev in members if tt == t and not ev)
+            row = got[(cohort, t)]
+            assert (row.n_at_risk, row.churned, row.censored) == (
+                at_risk, d, c,
+            )
+            if d == at_risk:
+                extinct = True
+            elif d > 0:
+                logsum += round(math.log((at_risk - d) / at_risk), 12)
+            want = 0.0 if extinct else round(math.exp(logsum), 9)
+            assert row.survival == want, (cohort, t)
+            at_risk -= d + c
