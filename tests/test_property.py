@@ -1131,3 +1131,68 @@ def test_kaplan_meier_matches_reference_estimator(spark, users):
             want = 0.0 if extinct else round(math.exp(logsum), 9)
             assert row.survival == want, (cohort, t)
             at_risk -= d + c
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.sampled_from([
+            "good clean prose", "spam spam spam", "a", "",
+            "mixed good spam text", "one two three four five",
+        ]),
+        min_size=1,
+        max_size=12,
+    ),
+    weights=st.dictionaries(
+        st.integers(0, 255), st.integers(-1_000_000, 1_000_000),
+        max_size=20,
+    ),
+    bias=st.integers(-500_000, 500_000),
+)
+def test_quality_score_matches_reference(spark, docs, weights, bias):
+    """quality_classifier_score vs the direct python computation on
+    random weight maps, biases, and degenerate docs."""
+    import hashlib
+    import math
+
+    from rusty_timeseries_db_spark.operators.quality import (
+        WEIGHT_SCALE,
+        quality_classifier_score,
+    )
+
+    n_buckets = 256
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id int, text string"
+    )
+    wdf = spark.createDataFrame(
+        list(weights.items()) or [(0, 0)],
+        "bucket long, weight_micro long",
+    )
+    got = {
+        r.doc_id: r
+        for r in quality_classifier_score(
+            df, "doc_id", "text", wdf, n_buckets=n_buckets,
+            bias_micro=bias,
+        ).collect()
+    }
+    wmap = dict(weights.items()) or {0: 0}
+    for i, text in enumerate(docs):
+        ws = [t for t in text.lower().split(" ") if t]
+        feats = ws + (
+            [f"{a} {b}" for a, b in zip(ws, ws[1:])] if len(ws) >= 2 else []
+        )
+        if not feats:
+            want = round(1 / (1 + math.exp(-bias / WEIGHT_SCALE)), 9)
+        else:
+            dot = sum(
+                wmap.get(
+                    int(hashlib.md5(f.encode()).hexdigest()[:8], 16)
+                    % n_buckets,
+                    0,
+                )
+                for f in feats
+            )
+            logit = (dot + bias * len(feats)) / (len(feats) * WEIGHT_SCALE)
+            want = round(1 / (1 + math.exp(-logit)), 9)
+        assert got[i].quality_score == want, (i, text)
+        assert got[i].keep == (want >= 0.5)
