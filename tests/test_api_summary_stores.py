@@ -178,3 +178,41 @@ def test_facade_guards(spark, tmp_path):
         eng.serve_summary("topk")
     # named stores land at the documented module-reachable path
     assert eng.summary_store_path("topk", "foo").endswith("summary_foo")
+
+
+def test_named_store_reachable_from_module_api(spark, tmp_path):
+    """The docstring's interop claim: a facade-started NAMED store is
+    the same on-disk layout the raw streaming-module functions accept,
+    so module-level serve/compact work on the facade's path (and the
+    facade can serve stores the module created there)."""
+    from rusty_timeseries_db_spark.streaming.sketch import (
+        compact_topk_sketch,
+        serve_topk,
+    )
+
+    eng = _engine(spark, tmp_path)
+    src = _drop_dir(tmp_path)
+    _run(
+        eng.start_summary_store(src, "topk", name="hot", available_now=True)
+    )
+    path = eng.summary_store_path("topk", "hot")
+    via_module = {
+        (r.timeseries_id, r.value): r.count_lo
+        for r in serve_topk(spark, path, ["timeseries_id"]).collect()
+    }
+    via_facade = {
+        (r.timeseries_id, r.value): r.count_lo
+        for r in eng.serve_summary("topk", name="hot").collect()
+    }
+    assert via_module == via_facade and via_module
+    # module-level compact on the facade path, facade serve unchanged
+    assert compact_topk_sketch(spark, path) >= 1
+    assert {
+        (r.timeseries_id, r.value): r.count_lo
+        for r in eng.serve_summary("topk", name="hot").collect()
+    } == via_facade
+    # the default-name store was never created — honest error
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="start the sink"):
+        eng.serve_summary("topk")
