@@ -14322,7 +14322,10 @@ def q_gini_concentration(spark, sf_dir):
     "block spans ranks [cum_before+1, cum_before+cnt] and every "
     "member takes the average rank — DOUBLING the rank sum "
     "(cnt_a*(2*cum_before+cnt+1)) keeps all arithmetic exact "
-    "integers, so U1/U2 (x2) hash-match with no float anywhere; the "
+    "integers, so U1/U2 (x2) hash-match with no float anywhere "
+    "(the x2 statistics are Theta(n^2) and exact to ~2.1e9 rows "
+    "per group — the int64 domain; past that serve effect_u1, "
+    "whose double survives any n — round 17 envelope note); the "
     "common-language effect size U1/(n1*n2) is the one rounded "
     "double. Complements q_spearman_corr/q_mann_kendall in the "
     "nonparametric family. Scale shape: value-keyed count agg (tie "
