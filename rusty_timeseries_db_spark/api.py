@@ -993,16 +993,26 @@ class TimeseriesEngine:
 
     def summary_store_path(self, kind: str, name: str | None = None) -> str:
         """Warehouse-relative location of a facade-managed summary
-        store: ``<warehouse>/summary_<name or kind>``. The raw
+        store: ``<warehouse>/summary_<kind>[_<name>]``. The raw
         streaming-module functions accept this path directly, so
         facade-started stores stay reachable from the module API
-        (and vice versa — point ``name`` at an existing layout)."""
+        (and vice versa — derive the module-side path with this
+        method).
+
+        The kind is ALWAYS part of the layout (ADVICE r17): keying on
+        ``name or kind`` alone let a topk store and a quantile store
+        that shared a ``name`` collide on one directory — and, worse,
+        one streaming CHECKPOINT, so the second sink resumed the
+        first's source offsets and silently skipped every
+        already-processed file (surfacing only as a baffling
+        'every applied batch was empty' serve error)."""
         if kind not in self._SUMMARY_KINDS:
             raise ValueError(
                 f"unknown summary-store kind {kind!r} — one of "
                 f"{sorted(self._SUMMARY_KINDS)}"
             )
-        return os.path.join(self.warehouse_dir, f"summary_{name or kind}")
+        suffix = f"{kind}_{name}" if name else kind
+        return os.path.join(self.warehouse_dir, f"summary_{suffix}")
 
     def start_summary_store(
         self,
@@ -1061,8 +1071,13 @@ class TimeseriesEngine:
                 "kind='state' tracks durations per ONE key column "
                 f"— got keys={keys}"
             )
+        # checkpoint mirrors the store layout (kind always included —
+        # ADVICE r17: a shared name across kinds must not share source
+        # offsets, or the second sink silently skips every file the
+        # first already processed)
         checkpoint = os.path.join(
-            self.warehouse_dir, "_checkpoints", f"summary_{name or kind}"
+            self.warehouse_dir, "_checkpoints",
+            os.path.basename(path),
         )
         stream = read_telemetry_stream(self.spark, source_dir)
         stream = normalize_payload(stream)
@@ -1101,15 +1116,27 @@ class TimeseriesEngine:
             f"{sorted(self._SUMMARY_KINDS)}"
         )
 
+    #: serve_summary knobs each kind can honor (ADVICE r17): an
+    #: explicitly-passed knob outside the kind's set raises instead
+    #: of being silently dropped — a caller passing ``keys`` to a
+    #: 'state' store expects key-subset coarsening, and full-
+    #: granularity output with no signal is a wrong answer.
+    _SERVE_KNOBS = {
+        "topk": frozenset({"keys", "k"}),
+        "quantile": frozenset({"keys", "quantiles"}),
+        "state": frozenset(),
+        "theta": frozenset({"keys", "overlap_key", "overlap_k"}),
+    }
+
     def serve_summary(
         self,
         kind: str,
         keys: "list[str] | None" = None,
         name: Optional[str] = None,
-        quantiles: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+        quantiles: "tuple[float, ...] | None" = None,
         k: Optional[int] = None,
         overlap_key: Optional[str] = None,
-        overlap_k: int = 2,
+        overlap_k: Optional[int] = None,
     ) -> DataFrame:
         """Serve a facade-managed summary store (round 17): merged
         estimates over everything the sink has committed — O(stored
@@ -1120,7 +1147,42 @@ class TimeseriesEngine:
         ``overlap_key`` switches ``"theta"`` to segment-overlap
         serving (pairwise at ``overlap_k=2``, k-way intersection
         grids above). Raises the store's own honest errors when the
-        sink has not committed anything yet."""
+        sink has not committed anything yet.
+
+        A knob the selected kind cannot honor RAISES when explicitly
+        passed (ADVICE r17) — previously ``keys`` on a ``'state'``
+        store (or ``quantiles``/``k``/``overlap_key`` on the wrong
+        kind) was silently dropped, so a caller expecting key-subset
+        coarsening got full-granularity output with no signal. Every
+        knob defaults to None so "explicitly passed" is detectable;
+        ``quantiles`` falls back to ``(0.5, 0.95, 0.99)`` and
+        ``overlap_k`` to 2 when applicable-but-unset."""
+        if kind not in self._SUMMARY_KINDS:
+            raise ValueError(
+                f"unknown summary-store kind {kind!r} — one of "
+                f"{sorted(self._SUMMARY_KINDS)}"
+            )
+        passed = {
+            knob
+            for knob, val in (
+                ("keys", keys), ("quantiles", quantiles), ("k", k),
+                ("overlap_key", overlap_key), ("overlap_k", overlap_k),
+            )
+            if val is not None
+        }
+        bad = passed - self._SERVE_KNOBS[kind]
+        if bad:
+            raise ValueError(
+                f"serve_summary(kind={kind!r}) cannot honor "
+                f"{sorted(bad)} — kind {kind!r} accepts "
+                f"{sorted(self._SERVE_KNOBS[kind]) or 'no knobs'}"
+            )
+        if kind == "theta" and overlap_key is not None and keys is not None:
+            raise ValueError(
+                "serve_summary(kind='theta'): overlap_key switches to "
+                "segment-overlap serving, which ignores keys — pass "
+                "one or the other"
+            )
         path = self.summary_store_path(kind, name)
         if kind == "state":
             from .streaming.state import serve_state_durations
@@ -1146,14 +1208,15 @@ class TimeseriesEngine:
             from .streaming.quantile import serve_quantiles
 
             return serve_quantiles(
-                self.spark, path, keys, quantiles=quantiles
+                self.spark, path, keys,
+                quantiles=quantiles or (0.5, 0.95, 0.99),
             )
         if kind == "theta":
             from .streaming.theta import serve_theta, serve_theta_overlap
 
             if overlap_key is not None:
                 return serve_theta_overlap(
-                    self.spark, path, overlap_key, k=overlap_k
+                    self.spark, path, overlap_key, k=overlap_k or 2
                 )
             return serve_theta(self.spark, path, keys)
         raise ValueError(

@@ -268,15 +268,29 @@ def parquet_data_exists(spark: SparkSession, path: str) -> bool:
     PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA probe then spams an
     ``ExecutionListenerBus: Listener threw an exception`` ERROR trace
     into otherwise-clean parity/audit logs, burying real failures.
-    One FS existence walk costs less than the failed analysis did."""
+    One FS existence walk costs less than the failed analysis did.
+
+    Bookkeeping filtering applies to every path component BELOW
+    ``path``, not just the file's own basename (ADVICE r17): a
+    data-named file inside ``_spark_metadata/`` or a leftover
+    ``_tmp/`` staging dir is invisible to ``spark.read.parquet`` too
+    (the reader's InMemoryFileIndex prunes hidden DIRECTORIES), so
+    counting it here would pass the pre-check and reintroduce the
+    failed-read ERROR spam this function exists to prevent."""
     fs = fs_for(spark, path)
     p = hpath(spark, path)
     if not fs.exists(p):
         return False
+    # fully-qualified base so the relative split below is exact
+    base = fs.getFileStatus(p).getPath().toString().rstrip("/")
     it = fs.listFiles(p, True)
     while it.hasNext():
-        name = it.next().getPath().getName()
-        if not name.startswith("_") and not name.startswith("."):
+        fpath = it.next().getPath().toString()
+        rel = fpath[len(base):].lstrip("/") if fpath.startswith(base) \
+            else fpath.rsplit("/", 1)[-1]
+        if not any(
+            part.startswith(("_", ".")) for part in rel.split("/")
+        ):
             return True
     return False
 

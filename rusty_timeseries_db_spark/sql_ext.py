@@ -60,9 +60,12 @@ _VIEW_SEQ = itertools.count()
 #: reentrancy guard for the JVM-side listener-bus suppression below —
 #: nested probes (the block probe runs sql_with_qualify, which probes
 #: again) must not restore the log level while an outer probe is
-#: still in flight.
+#: still in flight. `_probe_prior_level` holds the level captured
+#: when the OUTERMOST probe turned the logger OFF, restored when the
+#: depth returns to 0 (ADVICE r17 — no hardcoded ERROR restore).
 _PROBE_DEPTH_LOCK = threading.Lock()
 _probe_depth = 0
+_probe_prior_level: str | None = None
 
 _LISTENER_BUS_LOGGER = "org.apache.spark.sql.util.ExecutionListenerBus"
 
@@ -79,6 +82,25 @@ def _set_listener_bus_level(spark: SparkSession, level_name: str) -> None:
         )
     except Exception:
         pass
+
+
+def _get_listener_bus_level(spark: SparkSession) -> str | None:
+    """The ExecutionListenerBus logger's EFFECTIVE log4j2 level name
+    (inherited from an ancestor config when not explicitly set), or
+    None where the JVM gateway is unavailable — captured before the
+    probe window turns the logger OFF so restore puts back what the
+    deployment actually configured, not a hardcoded ERROR (ADVICE
+    r17: a user running this logger at WARN/DEBUG for their own
+    diagnostics would otherwise come out of every probe at ERROR)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        return str(
+            jvm.org.apache.logging.log4j.LogManager.getLogger(
+                _LISTENER_BUS_LOGGER
+            ).getLevel().toString()
+        )
+    except Exception:
+        return None
 
 
 def _drain_listener_bus(spark: SparkSession) -> None:
@@ -114,8 +136,24 @@ def _quiet_probe_errors(spark: SparkSession):
     expected probe failure. The suppression is scoped to the probe
     window + drain (a genuine listener failure elsewhere logs again
     the moment the level restores), reentrancy-counted so nested
-    probes don't un-suppress an outer window, and restores to ERROR —
-    the only level this logger ever emits at. Without this, every correlated nested-QUALIFY
+    probes don't un-suppress an outer window, and restores the level
+    that was configured BEFORE the window (captured at the outermost
+    entry — ADVICE r17; previously a hardcoded ERROR, wrong for a
+    deployment running this logger at WARN/DEBUG).
+
+    Known blind spot, accepted: the log4j OFF is PROCESS-GLOBAL for
+    the window (log4j levels cannot be thread-scoped the way the
+    Python-side Filter below is), so a *concurrent* thread's genuine
+    listener failure that fires inside a probe window is dropped
+    entirely rather than logged late. The window is the analysis of
+    one doomed statement plus a bounded 2 s bus drain, the listener
+    in question only ever logs rethrown listener exceptions (never
+    data corruption), and a genuine recurring failure re-logs on its
+    next occurrence outside the window — narrowing further would
+    need a log4j filter keyed on the probe's execution id, which the
+    bus's message layout does not expose stably.
+
+    Without this, every correlated nested-QUALIFY
     statement dumps two full ERROR stack traces into otherwise-clean
     parity/audit logs, burying real failures (VERDICT r15 next-round
     #5). The logger is the PYTHON-side structured logger Spark 4's
@@ -148,9 +186,10 @@ def _quiet_probe_errors(spark: SparkSession):
 
     flt = _NotProbeThread()
     logger.addFilter(flt)
-    global _probe_depth
+    global _probe_depth, _probe_prior_level
     with _PROBE_DEPTH_LOCK:
         if _probe_depth == 0:
+            _probe_prior_level = _get_listener_bus_level(spark)
             _set_listener_bus_level(spark, "OFF")
         _probe_depth += 1
     try:
@@ -161,7 +200,13 @@ def _quiet_probe_errors(spark: SparkSession):
             _probe_depth -= 1
             if _probe_depth == 0:
                 _drain_listener_bus(spark)
-                _set_listener_bus_level(spark, "ERROR")
+                # restore what was configured before the window;
+                # ERROR only as the capture-failed fallback (it is
+                # log4j2's default root level)
+                _set_listener_bus_level(
+                    spark, _probe_prior_level or "ERROR"
+                )
+                _probe_prior_level = None
 
 _KEYWORDS = (
     r"WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|QUALIFY"

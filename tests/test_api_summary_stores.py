@@ -177,7 +177,7 @@ def test_facade_guards(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="start the sink"):
         eng.serve_summary("topk")
     # named stores land at the documented module-reachable path
-    assert eng.summary_store_path("topk", "foo").endswith("summary_foo")
+    assert eng.summary_store_path("topk", "foo").endswith("summary_topk_foo")
 
 
 def test_named_store_reachable_from_module_api(spark, tmp_path):
@@ -216,3 +216,58 @@ def test_named_store_reachable_from_module_api(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="start the sink"):
         eng.serve_summary("topk")
+
+
+def test_same_name_across_kinds_no_collision(spark, tmp_path):
+    """ADVICE r17: the store path and the streaming checkpoint both
+    key on kind + name, so a topk store and a quantile store sharing
+    a name neither share a directory nor — the silent killer — a
+    checkpoint whose source offsets would make the second sink skip
+    every file the first already processed (serving then fails with
+    'every applied batch was empty' despite a healthy-looking run)."""
+    eng = _engine(spark, tmp_path)
+    src = _drop_dir(tmp_path)
+    assert eng.summary_store_path("topk", "x") != eng.summary_store_path(
+        "quantile", "x"
+    )
+    _run(eng.start_summary_store(src, "topk", name="x", available_now=True))
+    # second kind, same name, same source files: must process them all
+    _run(
+        eng.start_summary_store(
+            src, "quantile", name="x", available_now=True
+        )
+    )
+    topk = {
+        (r.timeseries_id, r.value): r.count_lo
+        for r in eng.serve_summary("topk", name="x").collect()
+    }
+    quant = {
+        r.timeseries_id: r.n_rows
+        for r in eng.serve_summary(
+            "quantile", name="x", quantiles=(0.5,)
+        ).collect()
+    }
+    assert topk and quant[SERIES] == 3 and quant[OTHER] == 2
+
+
+def test_serve_summary_rejects_inapplicable_knobs(spark, tmp_path):
+    """ADVICE r17: a knob the selected kind cannot honor raises
+    instead of silently returning differently-shaped output."""
+    eng = _engine(spark, tmp_path)
+    for kind, kwargs in [
+        ("state", {"keys": ["timeseries_id"]}),
+        ("state", {"quantiles": (0.5,)}),
+        ("topk", {"quantiles": (0.5,)}),
+        ("topk", {"overlap_key": "timeseries_id"}),
+        ("quantile", {"k": 4}),
+        ("quantile", {"overlap_k": 3}),
+        ("theta", {"quantiles": (0.5,)}),
+        ("theta", {"k": 4}),
+    ]:
+        with pytest.raises(ValueError, match="cannot honor"):
+            eng.serve_summary(kind, **kwargs)
+    # keys + overlap_key together on theta: overlap mode ignores keys
+    with pytest.raises(ValueError, match="one or the other"):
+        eng.serve_summary(
+            "theta", keys=["timeseries_id"], overlap_key="timeseries_id"
+        )

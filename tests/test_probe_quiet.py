@@ -2,7 +2,7 @@
 expected-missing store reads never issue a probing ``spark.read``
 (FS pre-check instead), and the inherent QUALIFY analysis probes
 suppress the JVM ExecutionListenerBus logger only for their own
-window (reentrancy-counted, drained, restored to ERROR)."""
+window (reentrancy-counted, drained, restored to the prior level)."""
 
 from __future__ import annotations
 
@@ -33,6 +33,20 @@ def test_parquet_data_exists(spark, tmp_path):
     with open(os.path.join(d, "_SUCCESS"), "w"):
         pass
     assert not parquet_data_exists(spark, d)  # bookkeeping only
+    # a data-named file inside a '_'-prefixed bookkeeping DIRECTORY
+    # does not count either (ADVICE r17): the reader's file index
+    # prunes hidden directories, so counting it here would pass the
+    # pre-check and then fail the read this check exists to avoid
+    os.makedirs(os.path.join(d, "_tmp"))
+    with open(os.path.join(d, "_tmp", "part-0.parquet"), "w") as f:
+        f.write("x")
+    assert not parquet_data_exists(spark, d)
+    os.makedirs(os.path.join(d, "_spark_metadata", "deep"))
+    with open(
+        os.path.join(d, "_spark_metadata", "deep", "data.parquet"), "w"
+    ) as f:
+        f.write("x")
+    assert not parquet_data_exists(spark, d)
     spark.range(3).write.mode("overwrite").parquet(d + "/batch=0")
     assert parquet_data_exists(spark, d)  # recursive data hit
 
@@ -45,6 +59,8 @@ def test_probe_window_scoped_and_restored(spark):
     assert obs.get["n"] == 5
 
     assert sx._probe_depth == 0
+    prior = _bus_level(spark)
+    assert prior != "OFF"
     with sx._quiet_probe_errors(spark):
         assert sx._probe_depth == 1
         assert _bus_level(spark) == "OFF"
@@ -56,9 +72,31 @@ def test_probe_window_scoped_and_restored(spark):
         with pytest.raises(Exception):
             spark.sql("SELECT definitely_not_a_column FROM range(1)")
     assert sx._probe_depth == 0
-    # restored to ERROR — the only level this logger emits at, so a
-    # genuine listener failure outside the window logs again
-    assert _bus_level(spark) == "ERROR"
+    # restored to the PRIOR configured level (ADVICE r17 — no longer
+    # a hardcoded ERROR), so a genuine listener failure outside the
+    # window logs again exactly as the deployment configured
+    assert _bus_level(spark) == prior
+
+
+def test_probe_restores_prior_configured_level(spark):
+    """ADVICE r17: restore puts back the level configured BEFORE the
+    window — a deployment running the bus logger at WARN for its own
+    diagnostics must not come out of every probe at ERROR."""
+    jvm = spark.sparkContext._jvm
+    Configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel(
+        sx._LISTENER_BUS_LOGGER, jvm.org.apache.logging.log4j.Level.WARN
+    )
+    try:
+        assert _bus_level(spark) == "WARN"
+        with sx._quiet_probe_errors(spark):
+            assert _bus_level(spark) == "OFF"
+        assert _bus_level(spark) == "WARN"
+    finally:
+        Configurator.setLevel(
+            sx._LISTENER_BUS_LOGGER,
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
 
 
 def test_qualify_probe_path_still_routes(spark):
