@@ -14297,23 +14297,30 @@ def q_gini_concentration(spark, sf_dir):
              CAST(SUM(cnt - cnt_a) AS BIGINT) AS n2,
              -- 2*R1: each tie block's members share the average rank
              -- (2*cum_before + cnt + 1)/2, so doubling keeps every
-             -- term an exact integer
-             CAST(SUM(cnt_a * (2 * cum_before + cnt + 1)) AS BIGINT)
+             -- term an exact integer; the accumulation runs in
+             -- HUGEINT (DECIMAL(38,0) on the Spark side) because the
+             -- doubled sum is Theta(n^2) and wraps int64 past ~2.1e9
+             -- rows per group (the markov/binary_auc overflow class)
+             SUM(CAST(cnt_a AS HUGEINT) * (2 * cum_before + cnt + 1))
                AS r1_x2
       FROM spans GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, n1, n2,
+             2 * CAST(n1 AS HUGEINT) * n2 + CAST(n1 AS HUGEINT)
+               * (n1 + 1) - r1_x2 AS u1_x2h
+      FROM agg
     )
     SELECT event_type, n1, n2,
-           CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS BIGINT) AS u1_x2,
+           CAST(u1_x2h AS BIGINT) AS u1_x2,
            -- U1 + U2 = n1*n2, so u2_x2 = 2*n1*n2 - u1_x2
-           CAST(2 * n1 * n2
-                - (2 * n1 * n2 + n1 * (n1 + 1) - r1_x2)
-                AS BIGINT) AS u2_x2,
+           CAST(2 * CAST(n1 AS HUGEINT) * n2 - u1_x2h AS BIGINT)
+             AS u2_x2,
            ROUND(
-             CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS DOUBLE)
-             / (2.0 * n1 * n2),
+             CAST(u1_x2h AS DOUBLE) / (2.0 * n1 * n2),
              6
            ) AS effect_u1
-    FROM agg
+    FROM u
     """,
     doc="Mann-Whitney U rank-sum test statistic (round 16): per "
     "event_type, compares the value distributions of two user "
@@ -14322,10 +14329,13 @@ def q_gini_concentration(spark, sf_dir):
     "block spans ranks [cum_before+1, cum_before+cnt] and every "
     "member takes the average rank — DOUBLING the rank sum "
     "(cnt_a*(2*cum_before+cnt+1)) keeps all arithmetic exact "
-    "integers, so U1/U2 (x2) hash-match with no float anywhere "
-    "(the x2 statistics are Theta(n^2) and exact to ~2.1e9 rows "
-    "per group — the int64 domain; past that serve effect_u1, "
-    "whose double survives any n — round 17 envelope note); the "
+    "integers, accumulated in DECIMAL(38,0)/HUGEINT (round 18 — "
+    "VERDICT r17 #4, the markov/binary_auc overflow class: the "
+    "doubled sums are Theta(n^2), wrapping int64 past ~2.1e9 rows "
+    "per group; decimal keeps both engines exact at any group "
+    "size, and effect_u1 divides from the decimal form so its "
+    "double survives any n — only the raw x2 OUTPUT columns stay "
+    "bigint, serve effect_u1 past that envelope); the "
     "common-language effect size U1/(n1*n2) is the one rounded "
     "double. Complements q_spearman_corr/q_mann_kendall in the "
     "nonparametric family. Scale shape: value-keyed count agg (tie "
@@ -14356,21 +14366,35 @@ def q_mann_whitney(spark, sf_dir):
         "cnt_a",
         F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("cum_before"),
     )
+    # doubled rank sums accumulate in DECIMAL(38,0) (round 18 —
+    # VERDICT r17 next-round #4, the markov/binary_auc overflow
+    # class): each term and the per-group sum are Theta(n^2), which
+    # wraps bigint past ~2.1e9 rows per group while the DuckDB
+    # oracle (HUGEINT) raises — decimal keeps both engines exact at
+    # any group size; effect_u1 divides from the decimal form, so
+    # the one rounded double survives any n. Only the raw x2
+    # OUTPUT columns stay bigint-casted (their values themselves
+    # outgrow int64 at that scale; serve effect_u1 there).
     agg = spans.groupBy("event_type").agg(
         F.sum("cnt_a").cast("bigint").alias("n1"),
         F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n2"),
         F.sum(
-            F.col("cnt_a") * (2 * F.col("cum_before") + F.col("cnt") + 1)
-        ).cast("bigint").alias("r1_x2"),
+            F.col("cnt_a").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).cast("decimal(38,0)").alias("r1_x2"),
     )
     u1_x2 = (
-        2 * F.col("n1") * F.col("n2")
-        + F.col("n1") * (F.col("n1") + 1)
-        - F.col("r1_x2")
-    )
+        (
+            2 * F.col("n1").cast("decimal(38,0)") * F.col("n2")
+            + F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+            - F.col("r1_x2")
+        )
+    ).cast("decimal(38,0)")
     # U1 + U2 = n1*n2, so u2_x2 = 2*n1*n2 - u1_x2 (same identity as
     # the oracle)
-    u2_x2 = 2 * F.col("n1") * F.col("n2") - u1_x2
+    u2_x2 = (
+        2 * F.col("n1").cast("decimal(38,0)") * F.col("n2") - u1_x2
+    ).cast("decimal(38,0)")
     return agg.select(
         "event_type",
         "n1",
@@ -15051,4 +15075,141 @@ def q_classifier_auc(spark, sf_dir):
     ).join(scored, "doc_id")
     return binary_auc(
         lab, score_col="quality_score", label_col="pos", group_col="lang"
+    )
+
+
+@declare(
+    "q_logrank_cohorts",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type = 'purchase'
+    ),
+    u AS (
+      SELECT user_id, MIN(d) AS first_d, MAX(d) AS last_d
+      FROM ev GROUP BY user_id
+    ),
+    obs AS (SELECT MAX(d) AS obs_end FROM ev),
+    lab AS (
+      SELECT strftime(CAST(date_trunc('week', first_d) AS DATE),
+                      '%Y-%m-%d') AS g,
+             CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t,
+             CASE WHEN date_diff('day', first_d, obs_end)
+                       > date_diff('day', first_d, last_d)
+                  THEN 1 ELSE 0 END AS churned
+      FROM u, obs
+    ),
+    steps AS (
+      SELECT g, t, CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM lab GROUP BY g, t
+    ),
+    ct AS (
+      SELECT t, CAST(SUM(d) AS BIGINT) AS d_all
+      FROM steps GROUP BY t HAVING SUM(d) > 0
+    ),
+    grid AS (
+      SELECT gs.g, ct.t FROM (SELECT DISTINCT g FROM steps) gs, ct
+    ),
+    ru AS (
+      SELECT g, t, CAST(SUM(d) AS BIGINT) AS d,
+             CAST(SUM(x) AS BIGINT) AS x, MAX(is_grid) AS is_grid
+      FROM (
+        SELECT g, t, d, x, 0 AS is_grid FROM steps
+        UNION ALL
+        SELECT g, t, CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS x,
+               1 AS is_grid
+        FROM grid
+      ) GROUP BY g, t
+    ),
+    risk AS (
+      SELECT g, t, d, is_grid,
+             CAST(SUM(x) OVER (PARTITION BY g)
+                  - COALESCE(SUM(x) OVER (
+                      PARTITION BY g ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS BIGINT) AS n1,
+             CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS n_g
+      FROM ru
+    ),
+    pooled AS (
+      SELECT r.g, r.t, r.d, r.n1, r.n_g, ct.d_all,
+             CAST(SUM(r.n1) OVER (PARTITION BY r.t) AS BIGINT) AS n_all
+      FROM risk r JOIN ct ON r.t = ct.t
+      WHERE r.is_grid = 1
+    ),
+    terms AS (
+      SELECT g, n_g, d,
+             CAST(ROUND(
+               CAST(CAST(d_all AS HUGEINT) * n1 AS DOUBLE)
+               / CAST(n_all AS DOUBLE), 12) AS DECIMAL(38,12)) AS e_term,
+             CAST(CASE WHEN n_all > 1 THEN ROUND(
+               CAST(CAST(d_all AS HUGEINT) * n1 * (n_all - n1)
+                    * (n_all - d_all) AS DOUBLE)
+               / CAST(CAST(n_all AS HUGEINT) * n_all * (n_all - 1)
+                      AS DOUBLE), 12)
+             ELSE 0.0 END AS DECIMAL(38,12)) AS v_term
+      FROM pooled
+    ),
+    agg AS (
+      SELECT g, CAST(MAX(n_g) AS BIGINT) AS n_subjects,
+             CAST(SUM(d) AS BIGINT) AS observed,
+             SUM(e_term) AS e, SUM(v_term) AS v
+      FROM terms GROUP BY g
+    ),
+    final AS (
+      SELECT g, n_subjects, observed, e, v,
+             CASE WHEN v > 0 THEN ROUND(
+               CAST(CAST(observed AS DECIMAL(38,12)) - e AS DOUBLE)
+               * CAST(CAST(observed AS DECIMAL(38,12)) - e AS DOUBLE)
+               / CAST(v AS DOUBLE), 6) END AS chi2
+      FROM agg
+    )
+    SELECT g AS cohort, n_subjects, observed,
+           CAST(e AS DOUBLE) AS expected,
+           CAST(v AS DOUBLE) AS variance,
+           chi2,
+           CASE WHEN v <= 0 THEN 'undefined'
+                WHEN chi2 >= 6.634897 THEN 'p<0.01'
+                WHEN chi2 >= 3.841459 THEN 'p<0.05'
+                ELSE 'ns' END AS p_class
+    FROM final
+    """,
+    doc="log-rank (Mantel-Cox) cohort-survival test (round 18 — "
+    "VERDICT r17 next-round #2; operators/funnel.py logrank / "
+    "logrank_cohorts): the question q_kaplan_meier's curve alone "
+    "cannot answer — does THIS acquisition cohort's churn DIFFER "
+    "from everyone else's, or is the gap chance? Same purchase-"
+    "stream lifetimes as the KM curve (first to last purchase day, "
+    "censored at the observation boundary); per cohort a df=1 "
+    "group-vs-rest contrast: observed churns vs the hypergeometric "
+    "expectation/variance at every pooled churn time, chi2 = "
+    "(O-E)^2/V, significance classed on the ROUNDED statistic "
+    "against the df=1 critical values (3.841459/6.634897). "
+    "Exactness: all counts exact bigints; per-term numerator/"
+    "denominator products in DECIMAL(38,0)/HUGEINT (n^4 — past the "
+    "int64 envelope); each term ONE double division quantized at "
+    "12dp into exact decimal; sums exact decimal; the statistic one "
+    "double division rounded at 6dp (the q_mann_whitney/PSI "
+    "discipline — operator validated against the published "
+    "Freireich 6-MP trial worked example, chi2=16.79). Scale: one "
+    "user-keyed MIN/MAX shuffle, then everything runs over the "
+    "cohorts x churn-times grid (dimension-sized), built by a "
+    "BROADCAST HASH equi-join on a derived constant key — no "
+    "nested-loop shape; windows partition by cohort or by time, "
+    "never unpartitioned",
+)
+def q_logrank_cohorts(spark, sf_dir):
+    from .operators.funnel import logrank_cohorts
+
+    e = T(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("event_type") == "purchase")
+    )
+    return logrank_cohorts(
+        e, user_col="user_id", ts_col="ts",
+        granularity="week", unit_days=1,
     )

@@ -252,3 +252,159 @@ def test_kaplan_meier_unit_and_guards(spark):
         kaplan_meier(df, granularity="month")
     with _pytest.raises(ValueError, match="unit_days"):
         kaplan_meier(df, unit_days=0)
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (round 18 — VERDICT r17 next-round #2)
+# ---------------------------------------------------------------------------
+
+#: Freireich 1963 6-MP vs placebo leukemia trial — THE published
+#: log-rank worked example (reproduced in Kleinbaum & Klein,
+#: "Survival Analysis", ch. 2, and countless other texts): 21
+#: patients per arm, remission weeks below; log-rank chi2 = 16.79,
+#: expected events 19.25 / 10.75.
+_SIX_MP_EVENTS = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+_SIX_MP_CENSORED = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+_PLACEBO_EVENTS = [1, 1, 2, 2, 3, 4, 4, 5, 5, 8, 8, 8, 8, 11, 11, 12,
+                   12, 15, 17, 22, 23]
+
+
+def _six_mp_df(spark):
+    rows = (
+        [("6mp", t, 1) for t in _SIX_MP_EVENTS]
+        + [("6mp", t, 0) for t in _SIX_MP_CENSORED]
+        + [("placebo", t, 1) for t in _PLACEBO_EVENTS]
+    )
+    return spark.createDataFrame(rows, "grp string, t long, churned int")
+
+
+def test_logrank_published_worked_example(spark):
+    from rusty_timeseries_db_spark.operators.funnel import logrank
+
+    out = {
+        r.grp: r
+        for r in logrank(
+            _six_mp_df(spark), group_col="grp", t_col="t",
+            churned_col="churned",
+        ).collect()
+    }
+    assert set(out) == {"6mp", "placebo"}
+    mp, pl = out["6mp"], out["placebo"]
+    assert (mp.n_subjects, mp.observed) == (21, 9)
+    assert (pl.n_subjects, pl.observed) == (21, 21)
+    # published expected counts 19.25 / 10.75 and chi2 16.79
+    assert abs(mp.expected - 19.2505) < 1e-3
+    assert abs(pl.expected - 10.7495) < 1e-3
+    # two-group symmetry: both rows carry the SAME statistic
+    assert mp.chi2 == pl.chi2 == pytest.approx(16.79, abs=0.01)
+    assert mp.variance == pl.variance
+    assert mp.p_class == pl.p_class == "p<0.01"
+
+
+def _brute_logrank(rows, g1):
+    """Direct textbook log-rank over (group, t, churned) tuples."""
+    groups = sorted({g for g, _, _ in rows})
+    n0 = {g: sum(1 for gg, _, _ in rows if gg == g) for g in groups}
+    churn_times = sorted({t for _, t, c in rows if c == 1})
+    O = E = V = 0.0
+    for t in churn_times:
+        n = {
+            g: n0[g] - sum(1 for gg, tt, _ in rows if gg == g and tt < t)
+            for g in groups
+        }
+        d = {
+            g: sum(1 for gg, tt, c in rows if gg == g and tt == t and c)
+            for g in groups
+        }
+        n_all, d_all = sum(n.values()), sum(d.values())
+        n1 = n.get(g1, 0)
+        O += d.get(g1, 0)
+        E += d_all * n1 / n_all
+        if n_all > 1:
+            V += (
+                d_all * n1 * (n_all - n1) * (n_all - d_all)
+                / (n_all * n_all * (n_all - 1))
+            )
+    return O, E, V, ((O - E) ** 2 / V if V > 0 else None)
+
+
+def test_logrank_matches_brute_force_random(spark):
+    """Operator vs the direct textbook computation over deterministic
+    pseudo-random 3-group lifetimes (quantization at 12dp makes the
+    operator agree with raw float to ~1e-6 on these magnitudes)."""
+    import random
+
+    from rusty_timeseries_db_spark.operators.funnel import logrank
+
+    rng = random.Random(42)
+    rows = [
+        (f"g{i % 3}", rng.randrange(1, 40), rng.randrange(0, 2))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, churned int")
+    got = {
+        r.grp: r
+        for r in logrank(
+            df, group_col="grp", t_col="t", churned_col="churned"
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        O, E, V, chi2 = _brute_logrank(rows, g)
+        assert got[g].observed == O
+        assert got[g].expected == pytest.approx(E, abs=1e-6)
+        assert got[g].variance == pytest.approx(V, abs=1e-6)
+        assert got[g].chi2 == pytest.approx(chi2, abs=1e-4)
+
+
+def test_logrank_degenerate_cases(spark):
+    from rusty_timeseries_db_spark.operators.funnel import logrank
+
+    # single group: group-vs-rest has an empty rest — n2 = 0 at every
+    # step, so V = 0 and the statistic is honestly undefined
+    one = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 0)],
+        "grp string, t long, churned int",
+    )
+    row = logrank(one, "grp", "t", "churned").collect()[0]
+    assert row.chi2 is None and row.p_class == "undefined"
+    # no churn anywhere: no pooled churn times at all -> zero rows
+    # survive the grid (nothing to test a difference ON)
+    cens = spark.createDataFrame(
+        [("a", 5, 0), ("b", 7, 0)], "grp string, t long, churned int"
+    )
+    assert logrank(cens, "grp", "t", "churned").count() == 0
+
+
+def test_logrank_cohorts_from_event_stream(spark):
+    """The events wrapper derives the SAME lifetimes kaplan_meier
+    uses (shared user_lifetimes helper) — two cohorts with starkly
+    different churn profiles separate; observed churns match a hand
+    count of users who went quiet before the boundary."""
+    import datetime as dt
+
+    from rusty_timeseries_db_spark.operators.funnel import logrank_cohorts
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    # cohort A (week of Jan 1): 6 users, all churn fast (last event
+    # well before the boundary)
+    for u in range(6):
+        rows.append((f"a{u}", base + dt.timedelta(hours=u)))
+        rows.append((f"a{u}", base + dt.timedelta(days=1 + (u % 2))))
+    # cohort B (week of Jan 15): 6 users, active through the boundary
+    b = dt.datetime(2024, 1, 15)
+    for u in range(6):
+        rows.append((f"b{u}", b + dt.timedelta(hours=u)))
+        rows.append((f"b{u}", b + dt.timedelta(days=13)))  # = obs end
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        r.cohort: r
+        for r in logrank_cohorts(df, "user_id", "ts").collect()
+    }
+    assert set(out) == {"2024-01-01", "2024-01-15"}
+    # every A user churned (runway left), every B user is censored
+    # exactly at the boundary
+    assert out["2024-01-01"].observed == 6
+    assert out["2024-01-15"].observed == 0
+    assert out["2024-01-01"].chi2 == out["2024-01-15"].chi2
+    assert out["2024-01-01"].chi2 is not None
