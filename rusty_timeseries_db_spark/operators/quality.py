@@ -78,6 +78,7 @@ def quality_classifier_score(
     bias_micro: int = 0,
     threshold: float = 0.5,
     score_decimals: int = 9,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Score every document with the linear quality gate and decide
     keep/drop: ``score = sigmoid(bias + mean_f w[f])`` over the
@@ -101,13 +102,22 @@ def quality_classifier_score(
 
     Returns ``(id_col, n_feats, quality_score, keep)``.
 
+    ``group_col`` (round 18 — the CCNet per-language heads): when the
+    weight table came from ``train_quality_weights(group_col=...)``,
+    pass the same column here — each document's features join against
+    ITS group's head on ``(group, bucket)`` instead of the shared
+    table. Groups with no head weigh 0 everywhere (the absent-bucket
+    rule), so an unseen language scores at the bias.
+
     Scale: the explode never crosses an exchange un-combined
-    (per-(doc,bucket) counts aggregate map-side), the weight table
-    BROADCASTS, and the final per-doc sum is one id-keyed integer
-    aggregate — the dsir_weights plan with the log-ratio table
-    swapped for pretrained weights."""
+    (per-(doc[,group],bucket) counts aggregate map-side), the weight
+    table BROADCASTS (n_groups x n_buckets rows — still model-sized),
+    and the final per-doc sum is one id-keyed integer aggregate — the
+    dsir_weights plan with the log-ratio table swapped for pretrained
+    weights."""
     from .dedup import word_grams, word_tokens
 
+    gcols = [group_col] if group_col else []
     toks = word_tokens(text_col)
     n = F.size(toks)
     feats = F.concat(
@@ -118,19 +128,21 @@ def quality_classifier_score(
     )
     buckets = df.select(
         F.col(id_col),
+        *gcols,
         F.explode(feats).alias("_feat"),
     ).select(
         id_col,
+        *gcols,
         (
             F.conv(F.substring(F.md5("_feat"), 1, 8), 16, 10).cast("bigint")
             % F.lit(n_buckets)
         ).alias("bucket"),
     )
-    counts = buckets.groupBy(id_col, "bucket").agg(
+    counts = buckets.groupBy(id_col, *gcols, "bucket").agg(
         F.count(F.lit(1)).alias("_c")
     )
     dots = (
-        counts.join(F.broadcast(weights), "bucket", "left")
+        counts.join(F.broadcast(weights), [*gcols, "bucket"], "left")
         .groupBy(id_col)
         .agg(
             F.sum("_c").cast("bigint").alias("_n_feats"),
@@ -172,6 +184,7 @@ def train_quality_weights(
     label_col: str,
     n_buckets: int = 1024,
     alpha: float = 1.0,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Train the linear gate's weight table from a LABELED split —
     the Naive-Bayes log-odds initialization fastText-style pipelines
@@ -194,13 +207,26 @@ def train_quality_weights(
     exact below 2^53), so train→gate composes into an oracle-checkable
     end-to-end pipeline.
 
+    ``group_col`` (round 18 — VERDICT r17 next-round #3, the CCNet
+    per-language classifier heads) trains one INDEPENDENT head per
+    group value: counts, the full bucket spine, the smoothing totals,
+    and the log-odds all carry the group key, so each group's weight
+    table is exactly what the ungrouped form would have produced on
+    that group's rows alone (pytest-pinned). The result gains a
+    leading ``group_col`` column and :func:`quality_classifier_score`
+    joins on ``(group, bucket)`` when given the same ``group_col`` —
+    a slang-heavy bucket can gate positive for one language and
+    negative for another, which a single global table cannot express.
+
     Scale shape: the dsir_weights plan — one explode with map-side
-    combine into per-(label, bucket) counts, then an O(n_buckets)
-    aggregate joined against the full ``spark.range(n_buckets)``
-    spine (every bucket gets a row — absent buckets carry the prior
-    log-odds, matching what the smoothed model says about
-    never-seen features). The result is model-sized, broadcast at
-    scoring time."""
+    combine into per-([group,] label, bucket) counts, then an
+    O([n_groups x] n_buckets) aggregate joined against the full
+    bucket spine (every bucket gets a row — absent buckets carry the
+    prior log-odds, matching what the smoothed model says about
+    never-seen features; the grouped spine is distinct-groups x
+    ``spark.range`` via a broadcast hash equi-join on a derived
+    constant key, never a nested loop). The result is model-sized,
+    broadcast at scoring time."""
     from .dedup import word_grams, word_tokens
 
     toks = word_tokens(text_col)
@@ -211,18 +237,21 @@ def train_quality_weights(
             F.array().cast("array<string>")
         ),
     )
+    gcols = [group_col] if group_col else []
     counts = (
         df.select(
+            *gcols,
             F.col(label_col).alias("_pos"), F.explode(feats).alias("_feat")
         )
         .select(
+            *gcols,
             "_pos",
             (
                 F.conv(F.substring(F.md5("_feat"), 1, 8), 16, 10)
                 .cast("bigint") % F.lit(n_buckets)
             ).alias("bucket"),
         )
-        .groupBy("bucket")
+        .groupBy(*gcols, "bucket")
         .agg(
             F.sum(F.when(F.col("_pos"), 1).otherwise(0))
             .cast("bigint").alias("_cp"),
@@ -233,21 +262,46 @@ def train_quality_weights(
     spine = df.sparkSession.range(n_buckets).select(
         F.col("id").alias("bucket")
     )
-    filled = spine.join(counts, "bucket", "left").select(
+    if group_col:
+        # distinct-groups x bucket spine as a broadcast HASH
+        # equi-join on a derived constant key (the attach_scalar
+        # recipe, many-row form) — dims x n_buckets sized, and no
+        # nested-loop operator appears in the plan
+        one = lambda c: F.least(  # noqa: E731
+            F.lit(1),
+            F.greatest(F.lit(1), F.length(F.col(c).cast("string"))),
+        )
+        spine = (
+            df.select(group_col).distinct().withColumn("_k", one(group_col))
+            .join(F.broadcast(spine.withColumn("_k", one("bucket"))), "_k")
+            .drop("_k")
+        )
+    filled = spine.join(counts, [*gcols, "bucket"], "left").select(
+        *gcols,
         "bucket",
         F.coalesce("_cp", F.lit(0)).alias("_cp"),
         F.coalesce("_cn", F.lit(0)).alias("_cn"),
     )
-    # totals via the attach-scalar broadcast (never an unpartitioned
-    # window); smoothing uses the standard add-alpha denominator
-    from ..queries import attach_scalar
-
-    totals = filled.agg(
-        F.sum("_cp").cast("bigint").alias("_np"),
-        F.sum("_cn").cast("bigint").alias("_nn"),
-    )
+    # smoothing totals: attach-scalar broadcast when global (never an
+    # unpartitioned window); a group-keyed broadcast join when per
+    # group — each head smooths against ITS OWN corpus mass
     a = float(alpha)
-    return attach_scalar(filled, totals).select(
+    if group_col:
+        totals = filled.groupBy(group_col).agg(
+            F.sum("_cp").cast("bigint").alias("_np"),
+            F.sum("_cn").cast("bigint").alias("_nn"),
+        )
+        joined = filled.join(F.broadcast(totals), group_col)
+    else:
+        from ..queries import attach_scalar
+
+        totals = filled.agg(
+            F.sum("_cp").cast("bigint").alias("_np"),
+            F.sum("_cn").cast("bigint").alias("_nn"),
+        )
+        joined = attach_scalar(filled, totals)
+    return joined.select(
+        *gcols,
         "bucket",
         F.round(
             (

@@ -15213,3 +15213,123 @@ def q_logrank_cohorts(spark, sf_dir):
         e, user_col="user_id", ts_col="ts",
         granularity="week", unit_days=1,
     )
+
+
+@declare(
+    "q_quality_classifier_by_lang",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(lower(text), ' '),
+                         t -> len(t) > 0) AS ws
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, source, feat FROM (
+        SELECT doc_id, lang, source, unnest(ws) AS feat FROM toks
+        UNION ALL
+        SELECT doc_id, lang, source,
+               array_to_string(ws[i:i+1], ' ') AS feat
+        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) idx
+        WHERE len(ws) >= 2 AND i <= len(ws) - 1
+      )
+    ),
+    fb AS (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM feats
+    ),
+    cnt AS (
+      SELECT lang, b,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cn
+      FROM fb GROUP BY lang, b
+    ),
+    spine AS (
+      SELECT l.lang, s.b
+      FROM (SELECT DISTINCT lang FROM documents) l,
+           (SELECT unnest(generate_series(0, 1023)) AS b) s
+    ),
+    filled AS (
+      SELECT spine.lang, spine.b,
+             COALESCE(cp, 0) AS cp, COALESCE(cn, 0) AS cn
+      FROM spine LEFT JOIN cnt
+        ON spine.lang = cnt.lang AND spine.b = cnt.b
+    ),
+    tot AS (
+      SELECT lang, SUM(cp) AS np, SUM(cn) AS nn
+      FROM filled GROUP BY lang
+    ),
+    wt AS (
+      SELECT f.lang, f.b,
+             CAST(ROUND((ln((cp + 1.0) / (np + 1.0 * 1024))
+                       - ln((cn + 1.0) / (nn + 1.0 * 1024)))
+                  * 1000000, 0) AS BIGINT) AS w
+      FROM filled f JOIN tot USING (lang)
+    ),
+    dc AS (
+      SELECT doc_id, lang, b, COUNT(*) AS c
+      FROM fb GROUP BY doc_id, lang, b
+    ),
+    dots AS (
+      SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+             CAST(SUM(c * w) AS BIGINT) AS dot
+      FROM dc JOIN wt ON dc.lang = wt.lang AND dc.b = wt.b
+      GROUP BY dc.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+             CASE WHEN COALESCE(n_feats, 0) > 0 THEN
+               ROUND(1.0 / (1.0 + exp(-(CAST(dot AS DOUBLE)
+                 / CAST(n_feats * 1000000 AS DOUBLE)))), 9)
+             ELSE 0.5 END AS quality_score
+      FROM documents d LEFT JOIN dots ON d.doc_id = dots.doc_id
+    )
+    SELECT doc_id, lang, n_feats, quality_score,
+           quality_score >= 0.5 AS keep
+    FROM scored
+    """,
+    doc="per-language trained quality gates (round 18 — VERDICT r17 "
+    "next-round #3; operators/quality.py train_quality_weights("
+    "group_col=...) + quality_classifier_score(group_col=...)): the "
+    "CCNet production shape — one INDEPENDENT Naive-Bayes log-odds "
+    "head per lang (counts, the full 1024-bucket spine, smoothing "
+    "totals, and the single micro-quantization all carry the lang "
+    "key, so each head equals the ungrouped trainer run on that "
+    "language alone — pytest-pinned), and every document scores "
+    "through ITS language's head via a (lang, bucket) broadcast "
+    "join. A bucket that reads high-quality in one language can "
+    "read spam in another — the separation a single global table "
+    "cannot express (pytest: identical text, opposite per-lang "
+    "labels, opposite scores). Same exactness contract as "
+    "q_quality_classifier_trained: exact-bigint dot, one 9dp-"
+    "quantized sigmoid, keep decided on the quantized score. "
+    "Scale: two explodes with map-side combine, an O(n_langs x "
+    "1024) model that still BROADCASTS, one doc-keyed integer "
+    "aggregate; the grouped spine is distinct-langs x range via a "
+    "broadcast hash equi-join on a derived constant key",
+)
+def q_quality_classifier_by_lang(spark, sf_dir):
+    from .operators.quality import (
+        quality_classifier_score,
+        train_quality_weights,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    w = train_quality_weights(
+        d.withColumn("_pos", F.col("source") == "src0"),
+        text_col="text", label_col="_pos", n_buckets=1024, alpha=1.0,
+        group_col="lang",
+    )
+    scored = quality_classifier_score(
+        d, id_col="doc_id", text_col="text", weights=w,
+        n_buckets=1024, threshold=0.5, group_col="lang",
+    )
+    return scored.join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_feats", "quality_score", "keep")

@@ -224,3 +224,111 @@ def test_binary_auc_hand_computed_with_ties(spark):
     # ungrouped form over the same rows (documented global-sort shape)
     whole = binary_auc(df, "s", "pos").collect()[0]
     assert (whole.n_pos, whole.n_neg) == (6, 3)
+
+
+def test_per_group_heads_equal_solo_training(spark):
+    """Round 18 (VERDICT r17 #3): train_quality_weights(group_col=)
+    produces, for every group, EXACTLY the table the ungrouped
+    trainer produces on that group's rows alone — counts, spine,
+    smoothing totals, and quantization all carry the group key."""
+    from pyspark.sql import functions as F
+
+    from rusty_timeseries_db_spark.operators.quality import (
+        train_quality_weights,
+    )
+
+    rows = [
+        ("d1", "en", True, "good clean prose here"),
+        ("d2", "en", False, "spam spam buy now"),
+        ("d3", "fr", True, "spam spam buy now"),
+        ("d4", "fr", False, "good clean prose here and more"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, lang string, pos boolean, text string"
+    )
+    grouped = train_quality_weights(
+        df, "text", "pos", n_buckets=64, group_col="lang"
+    )
+    for lang in ("en", "fr"):
+        solo = {
+            r.bucket: r.weight_micro
+            for r in train_quality_weights(
+                df.filter(F.col("lang") == lang), "text", "pos",
+                n_buckets=64,
+            ).collect()
+        }
+        via_group = {
+            r.bucket: r.weight_micro
+            for r in grouped.filter(F.col("lang") == lang).collect()
+        }
+        assert solo == via_group and len(solo) == 64
+
+
+def test_per_group_heads_separate_where_global_cannot(spark):
+    """The same text carries OPPOSITE labels in two languages: the
+    per-lang heads score it on opposite sides of the gate, which one
+    global weight table provably cannot do (a single w[f] gives one
+    sign per bucket)."""
+    from rusty_timeseries_db_spark.operators.quality import (
+        quality_classifier_score,
+        train_quality_weights,
+    )
+
+    rows = [
+        ("d1", "en", True, "good clean prose here"),
+        ("d2", "en", False, "spam spam buy now"),
+        ("d3", "fr", True, "spam spam buy now"),
+        ("d4", "fr", False, "good clean prose here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, lang string, pos boolean, text string"
+    )
+    w = train_quality_weights(
+        df, "text", "pos", n_buckets=64, group_col="lang"
+    )
+    got = {
+        r.doc_id: r
+        for r in quality_classifier_score(
+            df, "doc_id", "text", w, n_buckets=64, group_col="lang"
+        ).collect()
+    }
+    # identical feature multiset, opposite per-lang verdicts — and
+    # exactly mirrored scores (the heads are label-swapped twins)
+    assert got["d2"].quality_score < 0.5 < got["d3"].quality_score
+    assert not got["d2"].keep and got["d3"].keep
+    assert got["d4"].quality_score < 0.5 < got["d1"].quality_score
+    # a global table scores equal text equally — pin the contrast
+    wg = train_quality_weights(df, "text", "pos", n_buckets=64)
+    flat = {
+        r.doc_id: r.quality_score
+        for r in quality_classifier_score(
+            df, "doc_id", "text", wg, n_buckets=64
+        ).collect()
+    }
+    assert flat["d2"] == flat["d3"]  # same text, same global score
+
+
+def test_unseen_group_scores_at_bias(spark):
+    """A document whose group has no trained head joins nothing:
+    every feature weighs 0, so the score lands at the bias sigmoid
+    (0.5) — the documented absent-bucket rule, not a crash."""
+    from rusty_timeseries_db_spark.operators.quality import (
+        quality_classifier_score,
+        train_quality_weights,
+    )
+
+    train = spark.createDataFrame(
+        [("d1", "en", True, "alpha beta"), ("d2", "en", False, "gamma")],
+        "doc_id string, lang string, pos boolean, text string",
+    )
+    w = train_quality_weights(
+        train, "text", "pos", n_buckets=32, group_col="lang"
+    )
+    score = spark.createDataFrame(
+        [("x1", "de", "alpha beta gamma")],
+        "doc_id string, lang string, text string",
+    )
+    row = quality_classifier_score(
+        score, "doc_id", "text", w, n_buckets=32, group_col="lang"
+    ).collect()[0]
+    assert row.quality_score == 0.5 and row.n_feats == 5
