@@ -66,97 +66,59 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r{01..16}.json (rebuilt
-# with gen_rotation.py entering round 17): 2 queries were last
-# driver-checked in r10 (the r16 window spill), 49 in r11, 46 in r12,
-# 43 in r13, 46 in r14, 45 in r15, 50 in r16 (the dict default).
-# Round-17 window (VERDICT r16 next-round #1): _ROUND_MODIFIED
-# (4 new + 4 re-certified = 8) first, then q_null_safe_join and
-# q_asof_nearest (the two spilled r10-tier queries — the stalest rows
-# in the registry), then 40 of the 49 r11-tier queries in declaration
-# order (9 spill to head the r18 fill).
+# the per-query max round over CORRECTNESS_r{01..17}.json (rebuilt
+# with gen_rotation.py entering round 18): 9 queries were last
+# driver-checked in r11 (the r17 window spill), 46 in r12, 43 in r13,
+# 46 in r14, 45 in r15, 46 in r16, 50 in r17 (the dict default).
+# Round-18 window (VERDICT r17 next-round #1): _ROUND_MODIFIED
+# (2 new + 5 re-certified = 7) first, then the 9 spilled r11-tier
+# queries (the registry's stalest rows), then 34 of the 46 r12-tier
+# queries in declaration order (12 spill to head the r19 fill).
+# Five of the seven modified entries are freshly-r17-certified
+# queries pulled back in by rule (a): the quality family flows
+# through the group_col generalization of quality.py and
+# kaplan_meier through the user_lifetimes extraction — shared-code
+# refactors count as modified, correctness risk over window budget.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 17, new queries: the fastText-style pretrained linear
-    # quality gate (VERDICT r16 #4), its TRAINED end-to-end complement
-    # (Naive-Bayes log-odds weights from the labeled split feeding the
-    # same scorer), and the Kaplan-Meier survival / churn curve
-    # (VERDICT r16 #5) — all oracle-paired at 3 SFs
+    # round 18, new queries: the log-rank (Mantel-Cox) cohort-survival
+    # test (VERDICT r17 #2 — the "do these churn curves actually
+    # differ" answer beside q_kaplan_meier, validated on the published
+    # Freireich 6-MP worked example) and the per-language trained
+    # quality-classifier heads (VERDICT r17 #3 — CCNet's per-lang
+    # gates; group-keyed spine/totals/quantization) — both
+    # oracle-paired at 3 SFs
+    "q_logrank_cohorts", "q_quality_classifier_by_lang",
+    # round 18, re-certified after behavior-relevant changes:
+    # q_mann_whitney's doubled rank sums moved into DECIMAL(38,0)
+    # with the oracle in HUGEINT (VERDICT r17 #4 — the
+    # markov/binary_auc overflow class); q_kaplan_meier flows through
+    # the extracted user_lifetimes helper logrank shares; the three
+    # quality queries flow through quality.py's group_col
+    # generalization (optional-arg refactor, ungrouped path
+    # re-verified)
+    "q_mann_whitney", "q_kaplan_meier",
     "q_quality_classifier", "q_quality_classifier_trained",
-    "q_classifier_auc", "q_kaplan_meier",
-    # round 17, re-certified after behavior-relevant changes:
-    # markov_stationary's per-term product moved into DECIMAL(38,0)
-    # with the oracle unrolled in HUGEINT (ADVICE r16 medium), and
-    # the QUALIFY probe-suppression path was rebuilt — thread-scoped
-    # logging.Filter, loud final fallback, PySparkLogger acquisition
-    # (ADVICE r16 low; the old suppression masked a TypeError that
-    # broke q_qualify_in_exists outright when the logger was created
-    # plain)
-    "q_markov_stationary",
-    "q_qualify_sql", "q_qualify_nested", "q_qualify_in_exists",
+    "q_classifier_auc",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r{01..16}.json): 2 last ran in r10, 49 in r11, 46 in
-#: r12, 43 in r13, 46 in r14, 45 in r15; the remaining 50 ran in r16
-#: and form the dict default (`.get(name, 16)` in _ordered_registry).
+#: CORRECTNESS_r{01..17}.json): 9 last ran in r11, 46 in r12, 43 in
+#: r13, 46 in r14, 45 in r15, 46 in r16; the remaining 50 ran in r17
+#: and form the dict default (`.get(name, 17)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
     **dict.fromkeys([
-        "q_asof_nearest",
-        "q_null_safe_join",
-    ], 10),
-    **dict.fromkeys([
-        "q_approx_aggregates",
-        "q_arrow_transform",
-        "q_asof_join",
-        "q_asof_tolerance",
-        "q_collect_set",
-        "q_contamination_ngram",
         "q_csv_roundtrip",
-        "q_dedup_clusters",
-        "q_dedup_keep_canonical",
-        "q_embedding_knn_classify",
         "q_exactly_once_asof",
         "q_exactly_once_served",
-        "q_grouping_sets",
-        "q_having",
-        "q_higher_order_fns",
         "q_hll_distinct_rollup",
-        "q_interval_overlap_join",
-        "q_join_anti",
-        "q_join_cross",
-        "q_join_full_outer",
-        "q_join_inner_broadcast",
-        "q_join_left_outer",
-        "q_join_range_bands",
-        "q_join_semi",
         "q_json_roundtrip",
-        "q_map_ops",
-        "q_minhash_pairs",
-        "q_orc_roundtrip",
-        "q_repetition_profile",
-        "q_schema_evolution",
-        "q_semantic_dedup",
-        "q_simhash_pairs",
-        "q_similarity_lsh",
-        "q_tfidf_top_terms",
         "q_tpch_q11_important_stock",
-        "q_tpch_q12_priority_class",
-        "q_tpch_q13_custdist",
         "q_tpch_q15_top_supplier",
         "q_tpch_q16_supplier_count",
-        "q_tpch_q17_small_qty_revenue",
         "q_tpch_q20_excess_stock",
-        "q_tpch_q22_global_sales_opportunity",
-        "q_tpch_q4_order_priority",
-        "q_tpch_q8_market_share",
-        "q_tpch_q9_product_profit",
-        "q_unigram_surprisal",
-        "q_window_cumulative",
-        "q_window_lag_lead",
-        "q_window_topk_per_group",
     ], 11),
     **dict.fromkeys([
         "q_approx_top_k",
@@ -346,12 +308,59 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_word_dispersion",
         "q_zipf_slope",
     ], 15),
+    **dict.fromkeys([
+        "q_bigram_vocab",
+        "q_bm25_index",
+        "q_bool_aggs",
+        "q_cohort_retention",
+        "q_contamination_check",
+        "q_continuous_rollup",
+        "q_correlated_subquery",
+        "q_correlation",
+        "q_dense_grid",
+        "q_event_transitions",
+        "q_ewma",
+        "q_filter_rlike",
+        "q_funnel",
+        "q_gini_concentration",
+        "q_join_right_outer",
+        "q_lateral_topk",
+        "q_linear_regression",
+        "q_mann_whitney",
+        "q_merge_intervals",
+        "q_mode_per_group",
+        "q_multi_count_distinct",
+        "q_pagerank",
+        "q_pareto_abc",
+        "q_quantile_stream_served",
+        "q_rfm_segmentation",
+        "q_rolling_corr",
+        "q_rollup_theta_overlap",
+        "q_running_distinct",
+        "q_scalar_subquery",
+        "q_seasonal_residuals",
+        "q_sequence_packing",
+        "q_sliding_window_batch",
+        "q_state_durations_served",
+        "q_string_agg_ordered",
+        "q_theta_audience_overlap",
+        "q_theta_overlap_kway",
+        "q_theta_stream_served",
+        "q_topk_stream_served",
+        "q_tpch_q14_promo_revenue",
+        "q_tpch_q19_disjunctive_join",
+        "q_tpch_q6_forecast_revenue",
+        "q_tpch_q7_volume_shipping",
+        "q_trimmed_mean",
+        "q_unpivot",
+        "q_weighted_domain_sample",
+        "q_weighted_median",
+    ], 16),
 }
-
 
 def _ordered_registry() -> list[QuerySpec]:
     """This round's new/modified queries first, then stalest-driver-row
-    first (r10-last, then r11/r12/r13/r14/r15, with the r16 dict
+    first (r11-last, then r12/r13/r14/r15/r16, with the r17 dict
     default freshest); declaration order breaks ties (Python sort is
     stable)."""
     names = {q.name for q in _REGISTRY}
@@ -365,7 +374,7 @@ def _ordered_registry() -> list[QuerySpec]:
         _REGISTRY,
         key=lambda q: (
             q.name not in _ROUND_MODIFIED,
-            _LAST_DRIVER_ROUND.get(q.name, 16),
+            _LAST_DRIVER_ROUND.get(q.name, 17),
         ),
     )
 
