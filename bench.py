@@ -151,7 +151,16 @@ HEADLINE = [
     "q_kaplan_meier",
     # the trained complement: adds the second explode pass (training
     # counts) + the O(1024) model aggregate on top of the scoring shape
+    # (NOTE: this entry deliberately pays the in-plan training
+    # recompute — read it as train+score+gate, not scoring cost)
     "q_quality_classifier_trained",
+    # added round 18 (subtract for apples-to-apples vs r17): the
+    # log-rank cohort-survival contrast (user-keyed reduce, then
+    # dimension-sized grid windows — the statistical-test-over-
+    # reduced-table shape) and the per-language trained quality heads
+    # (the r17 trained-gate shape with a lang-keyed model join)
+    "q_logrank_cohorts",
+    "q_quality_classifier_by_lang",
 ]
 
 
