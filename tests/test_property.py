@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -1196,3 +1197,129 @@ def test_quality_score_matches_reference(spark, docs, weights, bias):
             want = round(1 / (1 + math.exp(-logit)), 9)
         assert got[i].quality_score == want, (i, text)
         assert got[i].keep == (want >= 0.5)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    subjects=st.lists(
+        st.tuples(
+            st.integers(0, 2),    # group index
+            st.integers(1, 15),   # event/censor time
+            st.booleans(),        # churned?
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_logrank_matches_reference_statistic(spark, subjects):
+    """logrank vs the direct textbook computation (group-vs-rest,
+    hypergeometric E/V per pooled churn time) over random multi-group
+    lifetimes — observed exactly, expected/variance to the 12dp
+    quantization, chi2 to the rounding of the final division."""
+    from rusty_timeseries_db_spark.operators.funnel import logrank
+
+    rows = [(f"g{g}", t, int(c)) for g, t, c in subjects]
+    df = spark.createDataFrame(rows, "grp string, t long, churned int")
+    got = {
+        r.grp: r
+        for r in logrank(
+            df, group_col="grp", t_col="t", churned_col="churned"
+        ).collect()
+    }
+    groups = sorted({g for g, _, _ in rows})
+    n0 = {g: sum(1 for gg, _, _ in rows if gg == g) for g in groups}
+    churn_times = sorted({t for _, t, c in rows if c == 1})
+    if not churn_times:
+        # no churn anywhere: no pooled churn times survive the grid,
+        # so there is nothing to test a difference ON — zero rows
+        # (pinned in test_logrank_degenerate_cases)
+        assert got == {}
+        return
+    for g1 in groups:
+        O = 0
+        E = V = 0.0
+        for t in churn_times:
+            n = {
+                g: n0[g]
+                - sum(1 for gg, tt, _ in rows if gg == g and tt < t)
+                for g in groups
+            }
+            d = {
+                g: sum(
+                    1 for gg, tt, c in rows if gg == g and tt == t and c
+                )
+                for g in groups
+            }
+            n_all, d_all = sum(n.values()), sum(d.values())
+            n1 = n.get(g1, 0)
+            O += d.get(g1, 0)
+            E += round(d_all * n1 / n_all, 12)
+            if n_all > 1:
+                V += round(
+                    d_all * n1 * (n_all - n1) * (n_all - d_all)
+                    / (n_all * n_all * (n_all - 1)),
+                    12,
+                )
+        row = got[g1]
+        assert row.n_subjects == n0[g1] and row.observed == O
+        assert row.expected == pytest.approx(E, abs=1e-9)
+        assert row.variance == pytest.approx(V, abs=1e-9)
+        if V <= 0:
+            assert row.chi2 is None and row.p_class == "undefined"
+        else:
+            assert row.chi2 == pytest.approx(
+                (O - E) ** 2 / V, abs=1e-4
+            )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "de"]),
+            st.booleans(),
+            st.sampled_from([
+                "good clean prose", "spam spam spam", "alpha beta gamma",
+                "buy now cheap", "the quick brown fox", "x",
+            ]),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_grouped_weights_equal_solo_training_random(spark, docs):
+    """Property form of the per-group-head contract: for EVERY group
+    present, train_quality_weights(group_col=) equals the ungrouped
+    trainer on that group's rows alone — over random multi-lang
+    labeled corpora (including single-class groups, where both forms
+    smooth against the same empty side)."""
+    from rusty_timeseries_db_spark.operators.quality import (
+        train_quality_weights,
+    )
+
+    rows = [
+        (f"d{i}", lang, pos, text)
+        for i, (lang, pos, text) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, lang string, pos boolean, text string"
+    )
+    grouped = {
+        (r.lang, r.bucket): r.weight_micro
+        for r in train_quality_weights(
+            df, "text", "pos", n_buckets=16, group_col="lang"
+        ).collect()
+    }
+    langs = {lang for _, lang, _, _ in rows}
+    assert len(grouped) == 16 * len(langs)
+    for lang in langs:
+        solo = {
+            r.bucket: r.weight_micro
+            for r in train_quality_weights(
+                df.filter(F.col("lang") == lang), "text", "pos",
+                n_buckets=16,
+            ).collect()
+        }
+        assert solo == {
+            b: w for (lg, b), w in grouped.items() if lg == lang
+        }
