@@ -570,3 +570,40 @@ def test_get_summary_route(spark, tmp_path):
         assert code == 400 and "cannot honor" in body
     finally:
         srv.stop()
+
+
+def test_get_summary_route_quantile_params(spark, tmp_path):
+    """/summary param plumbing beyond topk: &quantiles= parses a float
+    list into per-cell percentile columns, and malformed numeric
+    params map to 400 rather than a dropped socket."""
+    import os
+
+    eng = TimeseriesEngine(spark, str(tmp_path / "wh"))
+    src = str(tmp_path / "drop")
+    os.makedirs(src)
+    rows = [
+        {"sensor_name": "s1", "timestamp": f"2024-08-28T12:00:{i:02d}Z",
+         "value": float(i), "fc1_flag": 1, "timeseries_id": "ahu1/sat"}
+        for i in range(5)
+    ]
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    eng.start_summary_store(
+        src, "quantile", available_now=True
+    ).awaitTermination(180)
+    srv = TelemetryHttpServer(eng, port=0).start()
+    try:
+        base = srv.base_url
+        code, body = _get(base, "/summary?kind=quantile&quantiles=0.5")
+        assert code == 200
+        cells = json.loads(body)
+        assert len(cells) == 1 and cells[0]["n_rows"] == 5
+        assert "p50" in cells[0]
+        # malformed float / int params -> 400, not a handler crash
+        code, _ = _get(base, "/summary?kind=quantile&quantiles=half")
+        assert code == 400
+        code, _ = _get(base, "/summary?kind=topk&k=abc")
+        assert code == 400
+    finally:
+        srv.stop()
