@@ -387,3 +387,21 @@ def test_counter_irate_plans_window_group_limit_shape(spark):
                       order_tiebreak="event_id")
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_logrank_grid_and_grouped_spine_plan_hash_joins(spark):
+    """Round 18: the two new many×many dims grids — logrank's
+    groups × churn-times at-risk grid and the grouped quality
+    trainer's langs × bucket spine — must plan as BroadcastHashJoin
+    on the derived constant key, never a nested-loop/cartesian node
+    (the attach_scalar contract generalized to many-row sides)."""
+    from rusty_timeseries_db_spark.queries import (
+        q_logrank_cohorts,
+        q_quality_classifier_by_lang,
+    )
+
+    for fn in (q_logrank_cohorts, q_quality_classifier_by_lang):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
