@@ -1156,7 +1156,13 @@ class TimeseriesEngine:
         coarsening got full-granularity output with no signal. Every
         knob defaults to None so "explicitly passed" is detectable;
         ``quantiles`` falls back to ``(0.5, 0.95, 0.99)`` and
-        ``overlap_k`` to 2 when applicable-but-unset."""
+        ``overlap_k`` to 2 when applicable-but-unset. Two follow-on
+        guards (ADVICE r18): ``overlap_k`` without ``overlap_key``
+        raises (it only means anything in overlap mode — accepting it
+        on a plain ``'theta'`` serve would be the same silent-drop
+        class), and a falsy-but-explicit value (``quantiles=()``,
+        ``overlap_k=0``/``1``) raises instead of silently becoming
+        the default through an ``or``-fallback."""
         if kind not in self._SUMMARY_KINDS:
             raise ValueError(
                 f"unknown summary-store kind {kind!r} — one of "
@@ -1182,6 +1188,29 @@ class TimeseriesEngine:
                 "serve_summary(kind='theta'): overlap_key switches to "
                 "segment-overlap serving, which ignores keys — pass "
                 "one or the other"
+            )
+        if overlap_k is not None and overlap_key is None:
+            # ADVICE r18: overlap_k only means anything in overlap
+            # mode — on a plain serve it would be silently ignored,
+            # the exact drop class the knob validation exists to stop
+            raise ValueError(
+                "serve_summary: overlap_k only applies with "
+                "overlap_key (theta segment-overlap serving) — pass "
+                "overlap_key as well"
+            )
+        if overlap_k is not None and overlap_k < 2:
+            raise ValueError(
+                f"serve_summary: overlap_k must be >= 2 (pairwise), "
+                f"got {overlap_k!r}"
+            )
+        if quantiles is not None and len(quantiles) == 0:
+            # ADVICE r18: an explicitly-passed empty tuple would fall
+            # through an `or`-default into (0.5, 0.95, 0.99) — the
+            # caller asked for nothing and would silently get the
+            # defaults instead of an answer-shaped error
+            raise ValueError(
+                "serve_summary: quantiles must be a non-empty tuple "
+                "of fractions in (0, 1)"
             )
         path = self.summary_store_path(kind, name)
         if kind == "state":
@@ -1209,14 +1238,18 @@ class TimeseriesEngine:
 
             return serve_quantiles(
                 self.spark, path, keys,
-                quantiles=quantiles or (0.5, 0.95, 0.99),
+                quantiles=(
+                    quantiles if quantiles is not None
+                    else (0.5, 0.95, 0.99)
+                ),
             )
         if kind == "theta":
             from .streaming.theta import serve_theta, serve_theta_overlap
 
             if overlap_key is not None:
                 return serve_theta_overlap(
-                    self.spark, path, overlap_key, k=overlap_k or 2
+                    self.spark, path, overlap_key,
+                    k=overlap_k if overlap_k is not None else 2,
                 )
             return serve_theta(self.spark, path, keys)
         raise ValueError(

@@ -276,7 +276,16 @@ def parquet_data_exists(spark: SparkSession, path: str) -> bool:
     ``_tmp/`` staging dir is invisible to ``spark.read.parquet`` too
     (the reader's InMemoryFileIndex prunes hidden DIRECTORIES), so
     counting it here would pass the pre-check and reintroduce the
-    failed-read ERROR spam this function exists to prevent."""
+    failed-read ERROR spam this function exists to prevent. A listed
+    file whose fully-qualified path does not prefix-match the base
+    (a URI-rendering mismatch that should be unreachable — both come
+    from the same FileSystem) is treated as UNKNOWN-HIDDEN and
+    skipped rather than judged by basename alone (ADVICE r18): the
+    basename fallback silently reverted to the pre-fix behavior of
+    counting data-named files inside bookkeeping directories, and a
+    false True here only re-admits the failed-read probe this
+    function short-circuits (fail closed costs one recoverable
+    ERROR trace; fail open reintroduces the spam class)."""
     fs = fs_for(spark, path)
     p = hpath(spark, path)
     if not fs.exists(p):
@@ -285,14 +294,25 @@ def parquet_data_exists(spark: SparkSession, path: str) -> bool:
     base = fs.getFileStatus(p).getPath().toString().rstrip("/")
     it = fs.listFiles(p, True)
     while it.hasNext():
-        fpath = it.next().getPath().toString()
-        rel = fpath[len(base):].lstrip("/") if fpath.startswith(base) \
-            else fpath.rsplit("/", 1)[-1]
-        if not any(
-            part.startswith(("_", ".")) for part in rel.split("/")
-        ):
+        if _is_visible_data_file(base, it.next().getPath().toString()):
             return True
     return False
+
+
+def _is_visible_data_file(base: str, fpath: str) -> bool:
+    """True iff ``fpath`` (fully qualified) sits under ``base`` with
+    no ``_``/``.``-prefixed component below it — the pure filter under
+    :func:`parquet_data_exists`, extracted so the unreachable-by-
+    construction mismatch branch is pinnable. Fail closed on a base
+    mismatch (ADVICE r18): the components cannot be verified, and
+    counting the file by basename alone would re-admit bookkeeping-
+    dir contents."""
+    if not fpath.startswith(base):
+        return False  # unknown-hidden: cannot verify the components
+    rel = fpath[len(base):].lstrip("/")
+    return not any(
+        part.startswith(("_", ".")) for part in rel.split("/")
+    )
 
 
 def delete_path(spark: SparkSession, path: str) -> bool:

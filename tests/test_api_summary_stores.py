@@ -271,3 +271,26 @@ def test_serve_summary_rejects_inapplicable_knobs(spark, tmp_path):
         eng.serve_summary(
             "theta", keys=["timeseries_id"], overlap_key="timeseries_id"
         )
+
+
+def test_serve_summary_rejects_degenerate_knob_values(spark, tmp_path):
+    """ADVICE r18: overlap_k without overlap_key is the same
+    silent-drop class the knob validation exists to stop (it only
+    means anything in overlap mode), and falsy-but-explicit values
+    (quantiles=(), overlap_k=0) must not silently fall through an
+    ``or``-default into the defaults the caller did not ask for."""
+    eng = _engine(spark, tmp_path)
+    # overlap_k alone on theta: would be silently ignored by the
+    # plain serve_theta branch
+    with pytest.raises(ValueError, match="only applies with"):
+        eng.serve_summary("theta", overlap_k=3)
+    # explicit empty quantiles: previously served (0.5, 0.95, 0.99)
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.serve_summary("quantile", quantiles=())
+    # overlap_k below the pairwise floor: previously became 2 via
+    # `overlap_k or 2`
+    for bad_k in (0, 1):
+        with pytest.raises(ValueError, match=">= 2"):
+            eng.serve_summary(
+                "theta", overlap_key="timeseries_id", overlap_k=bad_k
+            )

@@ -51,6 +51,29 @@ def test_parquet_data_exists(spark, tmp_path):
     assert parquet_data_exists(spark, d)  # recursive data hit
 
 
+def test_data_file_filter_fails_closed_on_base_mismatch():
+    """ADVICE r18: a listed path that does not prefix-match the base
+    (a URI-rendering mismatch — unreachable when both come from the
+    same FileSystem) must NOT fall back to basename-only filtering:
+    that silently reverted to counting data-named files inside
+    bookkeeping directories. Fail closed = skip the file."""
+    from rusty_timeseries_db_spark.fsutil import _is_visible_data_file
+
+    base = "file:/tmp/store"
+    assert _is_visible_data_file(base, "file:/tmp/store/p=1/d.parquet")
+    assert not _is_visible_data_file(
+        base, "file:/tmp/store/_tmp/d.parquet"
+    )
+    # mismatched rendering, data-named basename: the old fallback
+    # returned True here — now unknown-hidden, skipped
+    assert not _is_visible_data_file(
+        base, "hdfs://nn/tmp/store/_tmp/d.parquet"
+    )
+    assert not _is_visible_data_file(
+        base, "hdfs://nn/tmp/store/p=1/d.parquet"
+    )
+
+
 def test_probe_window_scoped_and_restored(spark):
     # register the ObservationManager listener — the trigger that
     # made every expected probe failure an ERROR trace pre-r17
