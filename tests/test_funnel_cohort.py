@@ -408,3 +408,304 @@ def test_logrank_cohorts_from_event_stream(spark):
     assert out["2024-01-15"].observed == 0
     assert out["2024-01-01"].chi2 == out["2024-01-15"].chi2
     assert out["2024-01-01"].chi2 is not None
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen + RMST (round 19 — VERDICT r18 next-round #2)
+# ---------------------------------------------------------------------------
+
+
+def _brute_nelson_aalen(rows):
+    """Direct textbook NA over (group, t, churned) tuples with the
+    operator's quantization: per-step d/n rounded at 12dp, exact
+    cumulative sum (Fraction-free via int-scaled decimals)."""
+    from decimal import Decimal
+
+    groups = sorted({g for g, _, _ in rows})
+    out = {}
+    for g in groups:
+        mine = [(t, c) for gg, t, c in rows if gg == g]
+        n = len(mine)
+        cum = Decimal(0)
+        for t in sorted({t for t, _ in mine}):
+            d = sum(1 for tt, c in mine if tt == t and c == 1)
+            x = sum(1 for tt, _ in mine if tt == t)
+            if d > 0:
+                cum += Decimal(str(round(d / n, 12)))
+            out[(g, t)] = (n, float(cum))
+            n -= x
+    return out
+
+
+def test_nelson_aalen_published_worked_example(spark):
+    """Freireich 6-MP arm: H(6) = 3/21, then +1/17, +1/15, +1/12,
+    +1/11, +1/7, +1/6 at the later churn weeks — the NA table
+    reproduced in the survival texts alongside the KM one."""
+    from rusty_timeseries_db_spark.operators.funnel import nelson_aalen
+
+    out = {
+        (r.grp, r.t): r
+        for r in nelson_aalen(
+            _six_mp_df(spark), group_col="grp", t_col="t",
+            churned_col="churned",
+        ).collect()
+    }
+    ref = _brute_nelson_aalen(
+        [("6mp", t, 1) for t in _SIX_MP_EVENTS]
+        + [("6mp", t, 0) for t in _SIX_MP_CENSORED]
+        + [("placebo", t, 1) for t in _PLACEBO_EVENTS]
+    )
+    for key, (n, h) in ref.items():
+        assert out[key].n_at_risk == n
+        assert out[key].cum_hazard == pytest.approx(h, abs=1e-12)
+    # spot-check the published first steps: 3 churns of 21 at week 6
+    mp6 = out[("6mp", 6)]
+    assert (mp6.n_at_risk, mp6.churned, mp6.censored) == (21, 3, 1)
+    assert mp6.cum_hazard == pytest.approx(3 / 21, abs=1e-9)
+    # H(10) = 3/21 + 1/17 + 1/15 ~ 0.26837 (the textbook table)
+    assert out[("6mp", 10)].cum_hazard == pytest.approx(
+        round(3 / 21, 12) + round(1 / 17, 12) + round(1 / 15, 12),
+        abs=1e-12,
+    )
+    # Fleming-Harrington survival sits just above KM everywhere
+    import math
+
+    for key, (_, h) in ref.items():
+        assert out[key].fh_survival == round(math.exp(-h), 9)
+    # censor-only steps carry the running hazard unchanged
+    mp9 = out[("6mp", 9)]
+    assert mp9.churned == 0
+    assert mp9.cum_hazard == out[("6mp", 7)].cum_hazard
+
+
+def test_nelson_aalen_cohorts_from_event_stream(spark):
+    """Stream wrapper derives the same lifetimes as kaplan_meier:
+    NA risk sets at each step equal the KM table's."""
+    import datetime as dt
+
+    from rusty_timeseries_db_spark.operators.funnel import (
+        nelson_aalen_cohorts,
+    )
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 8)),
+        ("u1", dt.datetime(2024, 1, 3, 8)),
+        ("u2", dt.datetime(2024, 1, 2, 8)),
+        ("u3", dt.datetime(2024, 1, 1, 9)),
+        ("u3", dt.datetime(2024, 1, 10, 9)),
+        ("u4", dt.datetime(2024, 1, 3, 10)),
+        ("u4", dt.datetime(2024, 1, 12, 10)),
+        ("u5", dt.datetime(2024, 1, 8, 7)),
+        ("u5", dt.datetime(2024, 1, 12, 23)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    km = _km(spark, rows)
+    na = {
+        (r.cohort, r.t): r
+        for r in nelson_aalen_cohorts(df, "user_id", "ts").collect()
+    }
+    assert set(na) == set(km)
+    for key in km:
+        assert (na[key].n_at_risk, na[key].churned, na[key].censored) == (
+            km[key].n_at_risk, km[key].churned, km[key].censored
+        )
+    # hand value: cohort 2024-01-01 at t=2 -> 1/4 + 1/3
+    assert na[("2024-01-01", 2)].cum_hazard == pytest.approx(
+        round(1 / 4, 12) + round(1 / 3, 12), abs=1e-12
+    )
+
+
+def _rmst_brute(steps, horizon):
+    """Direct right-continuous step integral over (t, survival)."""
+    from decimal import Decimal
+
+    steps = sorted(steps)
+    area = Decimal(min(steps[0][0], horizon))
+    for i, (t, s) in enumerate(steps):
+        nxt = steps[i + 1][0] if i + 1 < len(steps) else horizon
+        w = max(0, min(nxt, horizon) - min(t, horizon))
+        area += Decimal(str(round(s, 9))) * w
+    return float(area)
+
+
+def test_rmst_hand_computed(spark):
+    from rusty_timeseries_db_spark.operators.funnel import rmst
+
+    # two groups: a hand KM step table (post-step survival values)
+    rows = [
+        ("a", 2, 1, 0, 0.75), ("a", 5, 1, 0, 0.5), ("a", 9, 1, 1, 0.25),
+        # group b: single censor-only step inside the horizon
+        ("b", 4, 0, 1, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "cohort string, t long, churned long, censored long, "
+        "survival double"
+    )
+    got = {r.cohort: r for r in rmst(df, horizon=8).collect()}
+    # a: 1*[0,2) + 0.75*[2,5) + 0.5*[5,8) = 2 + 2.25 + 1.5 = 5.75
+    assert got["a"].rmst == pytest.approx(5.75, abs=1e-12)
+    assert got["a"].n_subjects == 4 and got["a"].horizon == 8
+    # b: survival 1 through the horizon -> exactly the horizon
+    assert got["b"].rmst == pytest.approx(8.0, abs=1e-12)
+    assert {r[0]: _rmst_brute([(t, s) for g, t, _, _, s in rows
+                               if g == r[0]], 8)
+            for r in rows} == {
+        g: got[g].rmst for g in ("a", "b")
+    }
+    # horizon inside the first segment: S=1 the whole way
+    got1 = {r.cohort: r for r in rmst(df, horizon=2).collect()}
+    assert got1["a"].rmst == pytest.approx(2.0, abs=1e-12)
+    # steps beyond the horizon contribute nothing
+    got6 = {r.cohort: r for r in rmst(df, horizon=6).collect()}
+    assert got6["a"].rmst == pytest.approx(
+        2 + 0.75 * 3 + 0.5 * 1, abs=1e-12
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="horizon"):
+        rmst(df, horizon=0)
+
+
+def test_rmst_published_six_mp_curve(spark):
+    """RMST over the PUBLISHED 6-MP Kaplan-Meier step table
+    (Kleinbaum & Klein): the literature's worked example reports the
+    restricted mean to 35 weeks at ~23.3 weeks. The step table is
+    derived here with a direct textbook KM pass (same quantization
+    as the operator) so the integral input is exact."""
+    import math
+
+    from rusty_timeseries_db_spark.operators.funnel import rmst
+
+    mine = sorted(
+        [(t, 1) for t in _SIX_MP_EVENTS]
+        + [(t, 0) for t in _SIX_MP_CENSORED]
+    )
+    n, logsum, rows = 21, 0.0, []
+    for t in sorted({t for t, _ in mine}):
+        d = sum(1 for tt, c in mine if tt == t and c == 1)
+        x = sum(1 for tt, _ in mine if tt == t)
+        if d:
+            logsum += round(math.log((n - d) / n), 12)
+        rows.append((
+            "6mp", t, d, x - d, round(math.exp(logsum), 9)
+        ))
+        n -= x
+    # published KM values: S(6) = .8571, S(7) = .8067, S(10) = .7529,
+    # S(23) = .4482
+    surv = {t: s for _, t, _, _, s in rows}
+    for t, s in [(6, 0.8571), (7, 0.8067), (10, 0.7529), (23, 0.4482)]:
+        assert surv[t] == pytest.approx(s, abs=5e-4)
+    df = spark.createDataFrame(
+        rows, "cohort string, t long, churned long, censored long, "
+        "survival double"
+    )
+    (row,) = rmst(df, horizon=35).collect()
+    assert row.n_subjects == 21
+    assert row.rmst == pytest.approx(
+        _rmst_brute([(t, s) for _, t, _, _, s in rows], 35), abs=1e-9
+    )
+    # the literature's number: ~23.3 weeks retained of the first 35
+    assert row.rmst == pytest.approx(23.29, abs=0.05)
+
+
+def test_rmst_end_to_end_from_event_stream(spark):
+    """kaplan_meier -> rmst composes: per cohort the integral equals
+    the brute-force area under the collected KM rows."""
+    import datetime as dt
+
+    from rusty_timeseries_db_spark.operators.funnel import (
+        kaplan_meier, rmst,
+    )
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 8)),
+        ("u1", dt.datetime(2024, 1, 3, 8)),
+        ("u2", dt.datetime(2024, 1, 2, 8)),
+        ("u3", dt.datetime(2024, 1, 1, 9)),
+        ("u3", dt.datetime(2024, 1, 10, 9)),
+        ("u4", dt.datetime(2024, 1, 3, 10)),
+        ("u4", dt.datetime(2024, 1, 12, 10)),
+        ("u5", dt.datetime(2024, 1, 8, 7)),
+        ("u5", dt.datetime(2024, 1, 12, 23)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    km = kaplan_meier(df, "user_id", "ts")
+    collected = km.collect()
+    got = {r.cohort: r for r in rmst(km, horizon=7).collect()}
+    for cohort in {r.cohort for r in collected}:
+        steps = [(r.t, r.survival) for r in collected
+                 if r.cohort == cohort]
+        assert got[cohort].rmst == pytest.approx(
+            _rmst_brute(steps, 7), abs=1e-9
+        ), cohort
+    # the later single-user cohort never churns inside the window
+    assert got["2024-01-08"].rmst == pytest.approx(7.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# k-sample omnibus log-rank (round 19 — VERDICT r18 next-round #4)
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_omnibus_published_worked_example(spark):
+    """Freireich 6-MP: the sum-of-squares approximation the survival
+    texts hand-compute is (9-19.25)^2/19.25 + (21-10.75)^2/10.75
+    ~ 15.23 (Kleinbaum & Klein ch. 2 — deliberately below the exact
+    variance-based 16.79; the approximation is conservative), df=1,
+    decisively significant."""
+    from rusty_timeseries_db_spark.operators.funnel import logrank_omnibus
+
+    (row,) = logrank_omnibus(
+        _six_mp_df(spark), group_col="grp", t_col="t",
+        churned_col="churned",
+    ).collect()
+    assert (row.k_groups, row.n_subjects, row.df) == (2, 42, 1)
+    assert row.chi2 == pytest.approx(15.23, abs=0.01)
+    assert row.p_class == "p<0.01"
+
+
+def test_logrank_omnibus_matches_brute_force(spark):
+    """chi2 equals the sum over groups of (O-E)^2/E computed by the
+    direct textbook pass, for a 4-group random fixture (df=3 routes
+    through the Wilson-Hilferty classing branch)."""
+    import random
+
+    from rusty_timeseries_db_spark.operators.funnel import logrank_omnibus
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{i % 4}", rng.randrange(1, 30), rng.randrange(0, 2))
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, churned int")
+    (row,) = logrank_omnibus(
+        df, group_col="grp", t_col="t", churned_col="churned"
+    ).collect()
+    ss = 0.0
+    for g in ("g0", "g1", "g2", "g3"):
+        O, E, _, _ = _brute_logrank(rows, g)
+        ss += (O - E) ** 2 / E
+    assert (row.k_groups, row.df) == (4, 3)
+    assert row.chi2 == pytest.approx(ss, abs=1e-4)
+    # Wilson-Hilferty df=3 critical value ~ 7.81 / 11.34 — classing
+    # follows the approximate boundary deterministically
+    if row.chi2 >= 11.4:
+        assert row.p_class == "p<0.01"
+
+
+def test_logrank_omnibus_degenerate(spark):
+    from rusty_timeseries_db_spark.operators.funnel import logrank_omnibus
+
+    one = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 0)], "grp string, t long, churned int"
+    )
+    (row,) = logrank_omnibus(one, "grp", "t", "churned").collect()
+    assert row.k_groups == 1
+    assert row.df is None and row.chi2 is None
+    assert row.p_class == "undefined"
+    # no churn anywhere: the grid is empty -> zero groups survive
+    cens = spark.createDataFrame(
+        [("a", 5, 0), ("b", 7, 0)], "grp string, t long, churned int"
+    )
+    (row,) = logrank_omnibus(cens, "grp", "t", "churned").collect()
+    assert row.k_groups == 0 and row.p_class == "undefined"

@@ -332,3 +332,205 @@ def test_unseen_group_scores_at_bias(spark):
         score, "doc_id", "text", w, n_buckets=32, group_col="lang"
     ).collect()[0]
     assert row.quality_score == 0.5 and row.n_feats == 5
+
+
+# ---------------------------------------------------------------------------
+# Multi-class head (round 19 — VERDICT r18 next-round #3)
+# ---------------------------------------------------------------------------
+
+
+def _mc_docs(spark):
+    rows = [
+        (0, "code", "def parse tokens into ast nodes"),
+        (1, "code", "parse ast nodes def tokens compile"),
+        (2, "code", "compile tokens ast def parse"),
+        (3, "news", "market rally lifts shares today"),
+        (4, "news", "shares slip as market rally fades"),
+        (5, "news", "market shares rally again today"),
+        (6, "chat", "lol ok brb see you soon"),
+        (7, "chat", "ok lol soon brb see you"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, cls string, text string")
+
+
+def test_multiclass_rows_equal_one_vs_rest_binary(spark):
+    """Each class's weight rows are EXACTLY train_quality_weights on
+    the binary label class==c — the one-vs-rest identity that makes
+    the k-pass and one-pass trainings interchangeable."""
+    from rusty_timeseries_db_spark.operators.quality import (
+        train_multiclass_weights, train_quality_weights,
+    )
+
+    d = _mc_docs(spark)
+    multi = train_multiclass_weights(
+        d, text_col="text", class_col="cls", n_buckets=64
+    )
+    got = {
+        (r.cls, r.bucket): r.weight_micro for r in multi.collect()
+    }
+    assert len(got) == 3 * 64
+    for c in ("code", "news", "chat"):
+        solo = {
+            r.bucket: r.weight_micro
+            for r in train_quality_weights(
+                d.withColumn("_pos", F.col("cls") == c),
+                text_col="text", label_col="_pos", n_buckets=64,
+            ).collect()
+        }
+        assert {b: got[(c, b)] for _, b in
+                [(c, b) for b in range(64)]} == solo, c
+
+
+def test_multiclass_routes_and_calibrates(spark):
+    """Held-in docs route to their own class; the probabilities are
+    a softmax (sum to ~1 across classes is implicit — the winner's
+    prob exceeds 1/k); ties in logit break to the smallest class
+    name."""
+    from rusty_timeseries_db_spark.operators.quality import (
+        multiclass_classify, train_multiclass_weights,
+    )
+
+    d = _mc_docs(spark)
+    w = train_multiclass_weights(
+        d, text_col="text", class_col="cls", n_buckets=64
+    )
+    out = {
+        r.doc_id: r
+        for r in multiclass_classify(
+            d, id_col="doc_id", text_col="text", weights=w,
+            class_col="cls", n_buckets=64,
+        ).collect()
+    }
+    truth = {0: "code", 1: "code", 2: "code", 3: "news", 4: "news",
+             5: "news", 6: "chat", 7: "chat"}
+    for doc, cls in truth.items():
+        assert out[doc].pred_class == cls, (doc, out[doc])
+        assert out[doc].prob > 1 / 3
+        assert out[doc].n_feats > 0
+
+
+def test_multiclass_separates_where_binary_cannot(spark):
+    """The VERDICT r18 acceptance example: a binary gate trained
+    positive='code' REJECTS both a news doc and a chat doc — it
+    cannot tell them apart — while the k-class head routes each to
+    its own class."""
+    from rusty_timeseries_db_spark.operators.quality import (
+        multiclass_classify, quality_classifier_score,
+        train_multiclass_weights, train_quality_weights,
+    )
+
+    d = _mc_docs(spark)
+    probe = spark.createDataFrame(
+        [(100, "market shares rally"), (101, "lol brb see you")],
+        "doc_id long, text string",
+    )
+    wb = train_quality_weights(
+        d.withColumn("_pos", F.col("cls") == "code"),
+        text_col="text", label_col="_pos", n_buckets=64,
+    )
+    binary = {
+        r.doc_id: r.keep
+        for r in quality_classifier_score(
+            probe, id_col="doc_id", text_col="text", weights=wb,
+            n_buckets=64,
+        ).collect()
+    }
+    # the binary gate's whole answer: both are 'not code'
+    assert binary == {100: False, 101: False}
+    wm = train_multiclass_weights(
+        d, text_col="text", class_col="cls", n_buckets=64
+    )
+    multi = {
+        r.doc_id: r.pred_class
+        for r in multiclass_classify(
+            probe, id_col="doc_id", text_col="text", weights=wm,
+            class_col="cls", n_buckets=64,
+        ).collect()
+    }
+    assert multi == {100: "news", 101: "chat"}
+
+
+def test_multiclass_empty_doc_routes_on_priors(spark):
+    """A featureless document classifies on the document-count
+    priors alone: the majority class wins; ties break to the
+    lexicographically smallest name."""
+    from rusty_timeseries_db_spark.operators.quality import (
+        multiclass_classify, train_multiclass_weights,
+    )
+
+    rows = [(i, "big", f"alpha beta w{i}") for i in range(4)] + [
+        (9, "small", "gamma delta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, cls string, text string")
+    w = train_multiclass_weights(
+        d, text_col="text", class_col="cls", n_buckets=32
+    )
+    probe = spark.createDataFrame([(50, "")], "doc_id long, text string")
+    (row,) = multiclass_classify(
+        probe, id_col="doc_id", text_col="text", weights=w,
+        class_col="cls", n_buckets=32,
+    ).collect()
+    assert row.pred_class == "big" and row.n_feats == 0
+    # equal priors: the smallest class name wins the tie
+    d2 = spark.createDataFrame(
+        [(0, "zz", "alpha"), (1, "aa", "beta")],
+        "doc_id long, cls string, text string",
+    )
+    w2 = train_multiclass_weights(
+        d2, text_col="text", class_col="cls", n_buckets=32
+    )
+    (row2,) = multiclass_classify(
+        probe, id_col="doc_id", text_col="text", weights=w2,
+        class_col="cls", n_buckets=32,
+    ).collect()
+    assert row2.pred_class == "aa"
+
+
+def test_multiclass_python_reference_probs(spark):
+    """Softmax probabilities match a pure-python replay of the exact
+    quantization pipeline (12dp logits, max-shift, 12dp exp, 9dp
+    ratio)."""
+    from rusty_timeseries_db_spark.operators.quality import (
+        multiclass_classify, train_multiclass_weights,
+    )
+
+    d = _mc_docs(spark)
+    nb = 64
+    w = train_multiclass_weights(
+        d, text_col="text", class_col="cls", n_buckets=nb
+    )
+    wrows = w.collect()
+    wmap = {(r.cls, r.bucket): r.weight_micro for r in wrows}
+    bias = {r.cls: r.bias_micro for r in wrows}
+    out = {
+        r.doc_id: r
+        for r in multiclass_classify(
+            d, id_col="doc_id", text_col="text", weights=w,
+            class_col="cls", n_buckets=nb,
+        ).collect()
+    }
+    from decimal import Decimal
+
+    for doc_id, _, text in _mc_docs(spark).collect():
+        fs = _feats(text)
+        buckets = [
+            int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % nb
+            for f in fs
+        ]
+        logits = {}
+        for c in ("chat", "code", "news"):
+            dot = sum(wmap[(c, b)] for b in buckets)
+            nf = len(fs)
+            logits[c] = round(
+                (bias[c] * nf + dot) / (nf * WEIGHT_SCALE), 12
+            )
+        m = max(logits.values())
+        z = {
+            c: Decimal(str(round(math.exp(v - m), 12)))
+            for c, v in logits.items()
+        }
+        zs = sum(z.values())
+        best = max(logits.values())
+        pred = sorted(c for c, v in logits.items() if v == best)[0]
+        assert out[doc_id].pred_class == pred
+        assert out[doc_id].prob == round(float(z[pred] / zs), 9)
