@@ -161,6 +161,17 @@ HEADLINE = [
     # (the r17 trained-gate shape with a lang-keyed model join)
     "q_logrank_cohorts",
     "q_quality_classifier_by_lang",
+    # added round 19 (subtract for apples-to-apples vs r18): the
+    # survival-family completion — Nelson-Aalen + RMST share the KM
+    # reduce-then-dims-windows shape; the omnibus adds one k-row
+    # aggregate over the logrank grid — and the k-class router head
+    # (the trained-gate shape with a k-way broadcast fan-out; like
+    # the trained entries this pays the in-plan training recompute —
+    # read it as train+route, not routing cost)
+    "q_nelson_aalen",
+    "q_rmst",
+    "q_logrank_omnibus",
+    "q_quality_multiclass",
 ]
 
 

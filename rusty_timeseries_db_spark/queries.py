@@ -66,106 +66,48 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r{01..17}.json (rebuilt
-# with gen_rotation.py entering round 18): 9 queries were last
-# driver-checked in r11 (the r17 window spill), 46 in r12, 43 in r13,
-# 46 in r14, 45 in r15, 46 in r16, 50 in r17 (the dict default).
-# Round-18 window (VERDICT r17 next-round #1): _ROUND_MODIFIED
-# (2 new + 5 re-certified = 7) first, then the 9 spilled r11-tier
-# queries (the registry's stalest rows), then 34 of the 46 r12-tier
-# queries in declaration order (12 spill to head the r19 fill).
-# Five of the seven modified entries are freshly-r17-certified
-# queries pulled back in by rule (a): the quality family flows
-# through the group_col generalization of quality.py and
-# kaplan_meier through the user_lifetimes extraction — shared-code
-# refactors count as modified, correctness risk over window budget.
+# the per-query max round over CORRECTNESS_r{01..18}.json (rebuilt
+# with gen_rotation.py entering round 19): 12 queries were last
+# driver-checked in r12 (the r18 window spill), 43 in r13, 46 in r14,
+# 45 in r15, 45 in r16, 46 in r17, 50 in r18 (the dict default).
+# Round-19 window (VERDICT r18 next-round #1): _ROUND_MODIFIED
+# (4 NEW queries, 0 re-certs — the new operators are pure additions
+# beside untouched kaplan_meier/logrank/binary-quality code, so rule
+# (a) pulls nothing back in; the VERDICT r18 #7 window-budget
+# discipline), then the 12 spilled r12-tier queries (the registry's
+# stalest rows), then 34 of the 43 r13-tier queries in declaration
+# order (9 spill to head the r20 fill).
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 18, new queries: the log-rank (Mantel-Cox) cohort-survival
-    # test (VERDICT r17 #2 — the "do these churn curves actually
-    # differ" answer beside q_kaplan_meier, validated on the published
-    # Freireich 6-MP worked example) and the per-language trained
-    # quality-classifier heads (VERDICT r17 #3 — CCNet's per-lang
-    # gates; group-keyed spine/totals/quantization) — both
+    # round 19, new queries: the survival-family completion (VERDICT
+    # r18 #2/#4 — Nelson-Aalen cumulative hazard, restricted mean
+    # survival time over the KM step table, and the k-sample omnibus
+    # log-rank beside the per-cohort contrasts) and the calibrated
+    # multi-class quality/router head (VERDICT r18 #3) — all four
     # oracle-paired at 3 SFs
-    "q_logrank_cohorts", "q_quality_classifier_by_lang",
-    # round 18, re-certified after behavior-relevant changes:
-    # q_mann_whitney's doubled rank sums moved into DECIMAL(38,0)
-    # with the oracle in HUGEINT (VERDICT r17 #4 — the
-    # markov/binary_auc overflow class); q_kaplan_meier flows through
-    # the extracted user_lifetimes helper logrank shares; the three
-    # quality queries flow through quality.py's group_col
-    # generalization (optional-arg refactor, ungrouped path
-    # re-verified)
-    "q_mann_whitney", "q_kaplan_meier",
-    "q_quality_classifier", "q_quality_classifier_trained",
-    "q_classifier_auc",
+    "q_nelson_aalen", "q_rmst", "q_logrank_omnibus",
+    "q_quality_multiclass",
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r{01..17}.json): 9 last ran in r11, 46 in r12, 43 in
-#: r13, 46 in r14, 45 in r15, 46 in r16; the remaining 50 ran in r17
-#: and form the dict default (`.get(name, 17)` in _ordered_registry).
+#: CORRECTNESS_r{01..18}.json): 12 last ran in r12, 43 in r13, 46 in
+#: r14, 45 in r15, 45 in r16, 46 in r17; the remaining 50 ran in r18
+#: and form the dict default (`.get(name, 18)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
     **dict.fromkeys([
-        "q_csv_roundtrip",
-        "q_exactly_once_asof",
-        "q_exactly_once_served",
-        "q_hll_distinct_rollup",
-        "q_json_roundtrip",
-        "q_tpch_q11_important_stock",
-        "q_tpch_q15_top_supplier",
-        "q_tpch_q16_supplier_count",
-        "q_tpch_q20_excess_stock",
-    ], 11),
-    **dict.fromkeys([
-        "q_approx_top_k",
-        "q_asof_inner_sql",
-        "q_asof_qualify_sql",
-        "q_asof_sql",
         "q_bm25_topk",
-        "q_boilerplate_profile",
         "q_chunk_documents",
         "q_corpus_pipeline_dsir",
         "q_corpus_stream_served",
-        "q_counter_increase",
-        "q_data_quality_report",
         "q_domain_kl_divergence",
-        "q_dsir_select",
-        "q_dsir_weights",
-        "q_duplicate_span_removal",
-        "q_duplicate_spans",
-        "q_embedding_neardup_lsh",
-        "q_embedding_quantization",
-        "q_histogram",
         "q_histogram_quantile",
-        "q_linear_interp",
         "q_lttb_downsample",
-        "q_paragraph_dedup",
-        "q_pit_features",
         "q_predict_linear",
-        "q_python_udtf",
         "q_rate_per_second",
-        "q_rolling_hash_fingerprint",
-        "q_scd2_merge",
-        "q_similarity_ivf",
-        "q_soft_dedup_weights",
-        "q_span_decontamination",
-        "q_sql_columns_expr",
-        "q_sql_distinct_on",
-        "q_sql_distinct_on_nested",
-        "q_sql_group_by_all",
-        "q_sql_star_exclude",
-        "q_sql_star_replace",
-        "q_temperature_sample",
-        "q_time_weighted_avg",
         "q_topn_with_others",
-        "q_tpch_q10_returned_items",
         "q_tpch_q2_min_cost_supplier",
-        "q_tpch_q3_shipping_priority",
-        "q_tpch_q5_local_supplier",
         "q_training_corpus_pipeline",
     ], 12),
     **dict.fromkeys([
@@ -326,7 +268,6 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_join_right_outer",
         "q_lateral_topk",
         "q_linear_regression",
-        "q_mann_whitney",
         "q_merge_intervals",
         "q_mode_per_group",
         "q_multi_count_distinct",
@@ -356,11 +297,59 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_weighted_domain_sample",
         "q_weighted_median",
     ], 16),
+    **dict.fromkeys([
+        "q_approx_aggregates",
+        "q_arrow_transform",
+        "q_asof_join",
+        "q_asof_nearest",
+        "q_asof_tolerance",
+        "q_collect_set",
+        "q_contamination_ngram",
+        "q_dedup_clusters",
+        "q_dedup_keep_canonical",
+        "q_embedding_knn_classify",
+        "q_grouping_sets",
+        "q_having",
+        "q_higher_order_fns",
+        "q_interval_overlap_join",
+        "q_join_anti",
+        "q_join_cross",
+        "q_join_full_outer",
+        "q_join_inner_broadcast",
+        "q_join_left_outer",
+        "q_join_range_bands",
+        "q_join_semi",
+        "q_map_ops",
+        "q_markov_stationary",
+        "q_minhash_pairs",
+        "q_null_safe_join",
+        "q_orc_roundtrip",
+        "q_qualify_in_exists",
+        "q_qualify_nested",
+        "q_qualify_sql",
+        "q_repetition_profile",
+        "q_schema_evolution",
+        "q_semantic_dedup",
+        "q_simhash_pairs",
+        "q_similarity_lsh",
+        "q_tfidf_top_terms",
+        "q_tpch_q12_priority_class",
+        "q_tpch_q13_custdist",
+        "q_tpch_q17_small_qty_revenue",
+        "q_tpch_q22_global_sales_opportunity",
+        "q_tpch_q4_order_priority",
+        "q_tpch_q8_market_share",
+        "q_tpch_q9_product_profit",
+        "q_unigram_surprisal",
+        "q_window_cumulative",
+        "q_window_lag_lead",
+        "q_window_topk_per_group",
+    ], 17),
 }
 
 def _ordered_registry() -> list[QuerySpec]:
     """This round's new/modified queries first, then stalest-driver-row
-    first (r11-last, then r12/r13/r14/r15/r16, with the r17 dict
+    first (r12-last, then r13/r14/r15/r16/r17, with the r18 dict
     default freshest); declaration order breaks ties (Python sort is
     stable)."""
     names = {q.name for q in _REGISTRY}
@@ -374,7 +363,7 @@ def _ordered_registry() -> list[QuerySpec]:
         _REGISTRY,
         key=lambda q: (
             q.name not in _ROUND_MODIFIED,
-            _LAST_DRIVER_ROUND.get(q.name, 17),
+            _LAST_DRIVER_ROUND.get(q.name, 18),
         ),
     )
 

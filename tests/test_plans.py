@@ -405,3 +405,28 @@ def test_logrank_grid_and_grouped_spine_plan_hash_joins(spark):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_survival_and_multiclass_plans_hash_joins(spark):
+    """Round 19: the new dims grids — the omnibus' reuse of the
+    logrank at-risk grid, multiclass training's classes × bucket
+    spine, and classification's doc × class spine — must all plan as
+    BroadcastHashJoin on the derived constant key, never a
+    nested-loop/cartesian node; RMST adds only windows over the KM
+    reduction (no join wider than the model)."""
+    from rusty_timeseries_db_spark.queries import (
+        q_logrank_omnibus,
+        q_nelson_aalen,
+        q_quality_multiclass,
+        q_rmst,
+    )
+
+    for fn in (q_logrank_omnibus, q_quality_multiclass):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+    for fn in (q_nelson_aalen, q_rmst):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
