@@ -568,6 +568,15 @@ def test_get_summary_route(spark, tmp_path):
             base, "/summary?kind=topk&name=hot&quantiles=0.5"
         )
         assert code == 400 and "cannot honor" in body
+        # degenerate knob values (ADVICE r18) surface as 400 too:
+        # overlap_k without overlap_key, and overlap_k below pairwise
+        code, body = _get(base, "/summary?kind=theta&overlap_k=3")
+        assert code == 400 and "only applies with" in body
+        code, body = _get(
+            base, "/summary?kind=theta&overlap_key=timeseries_id"
+            "&overlap_k=1"
+        )
+        assert code == 400 and ">= 2" in body
     finally:
         srv.stop()
 

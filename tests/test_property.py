@@ -1323,3 +1323,235 @@ def test_grouped_weights_equal_solo_training_random(spark, docs):
         assert solo == {
             b: w for (lg, b), w in grouped.items() if lg == lang
         }
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    subjects=st.lists(
+        st.tuples(
+            st.integers(0, 2),    # group index
+            st.integers(1, 15),   # event/censor time
+            st.booleans(),        # churned?
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_nelson_aalen_matches_reference(spark, subjects):
+    """nelson_aalen vs the direct textbook pass over random
+    multi-group lifetimes: exact risk sets, 12dp per-step d/n
+    quantization, exact-decimal cumulative hazard, 9dp exp(-H)."""
+    import math
+    from decimal import Decimal
+
+    from rusty_timeseries_db_spark.operators.funnel import nelson_aalen
+
+    rows = [(f"g{g}", t, int(c)) for g, t, c in subjects]
+    df = spark.createDataFrame(rows, "grp string, t long, churned int")
+    got = {
+        (r.grp, r.t): r
+        for r in nelson_aalen(
+            df, group_col="grp", t_col="t", churned_col="churned"
+        ).collect()
+    }
+    seen = set()
+    for g in sorted({g for g, _, _ in rows}):
+        mine = [(t, c) for gg, t, c in rows if gg == g]
+        n = len(mine)
+        cum = Decimal(0)
+        for t in sorted({t for t, _ in mine}):
+            d = sum(1 for tt, c in mine if tt == t and c)
+            x = sum(1 for tt, _ in mine if tt == t)
+            if d:
+                cum += Decimal(str(round(d / n, 12)))
+            row = got[(g, t)]
+            seen.add((g, t))
+            assert row.n_at_risk == n
+            assert (row.churned, row.censored) == (d, x - d)
+            assert row.cum_hazard == pytest.approx(float(cum), abs=1e-12)
+            assert row.fh_survival == round(math.exp(-float(cum)), 9)
+            n -= x
+    assert seen == set(got)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    groups=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 20),                    # step time
+                st.integers(0, 1000),                  # survival milli
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    horizon=st.integers(1, 25),
+)
+def test_rmst_matches_step_integral(spark, groups, horizon):
+    """rmst vs the direct right-continuous step integral over random
+    step tables (arbitrary survival values — the integral does not
+    assume monotonicity)."""
+    from decimal import Decimal
+
+    rows = []
+    ref = {}
+    for gi, steps in enumerate(groups):
+        g = f"g{gi}"
+        uniq = sorted({t for t, _ in steps})
+        vals = {t: s for t, s in steps}          # last wins per t
+        table = [(t, vals[t] / 1000.0) for t in uniq]
+        for t, s in table:
+            rows.append((g, t, 1, 0, s))
+        area = Decimal(min(table[0][0], horizon))
+        for i, (t, s) in enumerate(table):
+            nxt = table[i + 1][0] if i + 1 < len(table) else horizon
+            w = max(0, min(nxt, horizon) - min(t, horizon))
+            area += Decimal(str(round(s, 9))) * w
+        ref[g] = (float(area), len(table))
+    from rusty_timeseries_db_spark.operators.funnel import rmst
+
+    df = spark.createDataFrame(
+        rows, "cohort string, t long, churned long, censored long, "
+        "survival double"
+    )
+    got = {r.cohort: r for r in rmst(df, horizon=horizon).collect()}
+    for g, (area, n) in ref.items():
+        assert got[g].rmst == pytest.approx(area, abs=1e-9), g
+        assert got[g].n_subjects == n and got[g].horizon == horizon
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    subjects=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(1, 12),
+            st.booleans(),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_logrank_omnibus_matches_reference(spark, subjects):
+    """omnibus chi2 equals sum_g (O_g - E_g)^2 / E_g with E from the
+    quantized textbook pass; k/df/n bookkeeping exact."""
+    from rusty_timeseries_db_spark.operators.funnel import logrank_omnibus
+
+    rows = [(f"g{g}", t, int(c)) for g, t, c in subjects]
+    df = spark.createDataFrame(rows, "grp string, t long, churned int")
+    (row,) = logrank_omnibus(
+        df, group_col="grp", t_col="t", churned_col="churned"
+    ).collect()
+    groups = sorted({g for g, _, _ in rows})
+    n0 = {g: sum(1 for gg, _, _ in rows if gg == g) for g in groups}
+    churn_times = sorted({t for _, t, c in rows if c == 1})
+    if not churn_times:
+        assert row.k_groups == 0 and row.p_class == "undefined"
+        return
+    ss = 0.0
+    for g1 in groups:
+        O, E = 0, 0.0
+        for t in churn_times:
+            n = {
+                g: n0[g]
+                - sum(1 for gg, tt, _ in rows if gg == g and tt < t)
+                for g in groups
+            }
+            d = {
+                g: sum(
+                    1 for gg, tt, c in rows if gg == g and tt == t and c
+                )
+                for g in groups
+            }
+            n_all, d_all = sum(n.values()), sum(d.values())
+            O += d.get(g1, 0)
+            E += round(d_all * n.get(g1, 0) / n_all, 12)
+        if E > 0:
+            ss += round((O - E) ** 2 / E, 12)
+    assert row.k_groups == len(groups)
+    assert row.n_subjects == sum(n0.values())
+    if len(groups) < 2:
+        assert row.chi2 is None and row.p_class == "undefined"
+    else:
+        assert row.df == len(groups) - 1
+        assert row.chi2 == pytest.approx(ss, abs=1e-6)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from([
+                "alpha beta", "beta gamma delta", "spam spam",
+                "quick brown fox", "x", "",
+            ]),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_multiclass_classify_matches_reference(spark, docs):
+    """multiclass_classify vs a pure-python replay of the quantized
+    argmax + max-shift softmax over the Spark-trained weight table,
+    for random multi-class corpora (featureless docs included)."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from rusty_timeseries_db_spark.operators.quality import (
+        WEIGHT_SCALE,
+        multiclass_classify,
+        train_multiclass_weights,
+    )
+
+    nb = 32
+    rows = [(i, c, t) for i, (c, t) in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, cls string, text string")
+    w = train_multiclass_weights(
+        d, text_col="text", class_col="cls", n_buckets=nb
+    )
+    wrows = w.collect()
+    wmap = {(r.cls, r.bucket): r.weight_micro for r in wrows}
+    bias = {r.cls: r.bias_micro for r in wrows}
+    classes = sorted(bias)
+    got = {
+        r.doc_id: r
+        for r in multiclass_classify(
+            d, id_col="doc_id", text_col="text", weights=w,
+            class_col="cls", n_buckets=nb,
+        ).collect()
+    }
+    for i, _, text in rows:
+        ws = [t for t in text.lower().split(" ") if t]
+        grams = (
+            [f"{a} {b}" for a, b in zip(ws, ws[1:])] if len(ws) >= 2 else []
+        )
+        buckets = [
+            int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % nb
+            for f in ws + grams
+        ]
+        nf = len(buckets)
+        logits = {}
+        for c in classes:
+            if nf:
+                dot = sum(wmap[(c, b)] for b in buckets)
+                logits[c] = round(
+                    (bias[c] * nf + dot) / (nf * WEIGHT_SCALE), 12
+                )
+            else:
+                logits[c] = round(bias[c] / WEIGHT_SCALE, 12)
+        m = max(logits.values())
+        z = {
+            c: Decimal(str(round(math.exp(v - m), 12)))
+            for c, v in logits.items()
+        }
+        zs = sum(z.values())
+        best = max(logits.values())
+        pred = sorted(c for c, v in logits.items() if v == best)[0]
+        assert got[i].pred_class == pred, (i, text)
+        assert got[i].n_feats == nf
+        assert got[i].prob == round(float(z[pred] / zs), 9)
