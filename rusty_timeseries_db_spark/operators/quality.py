@@ -616,7 +616,14 @@ def multiclass_classify(
     class)-keyed integer aggregate, then all windows partition by
     document over exactly k rows each. The doc x class spine for
     featureless documents is a derived-constant-key broadcast hash
-    join against the k distinct classes — never a nested loop.
+    join against the k distinct classes — never a nested loop. The
+    ``weights`` subtree is referenced exactly TWICE (the scoring
+    join and one k-row classes-with-priors distinct): Spark shares
+    no subplans across references, so when the weight table is an
+    IN-PLAN training composition each reference re-runs the
+    training explode — the spine and the prior lookup deliberately
+    ride the same reference. Deployments score against a
+    MATERIALIZED table, where reference count is moot.
     """
     from .dedup import word_grams, word_tokens
 
@@ -660,7 +667,9 @@ def multiclass_classify(
         )
     )
     # doc x class spine so featureless documents still classify (on
-    # the priors alone): derived-constant-key broadcast hash join
+    # the priors alone): derived-constant-key broadcast hash join —
+    # against the k-row classes-WITH-priors table, so the prior
+    # lookup and the class list cost one weights reference together
     one = lambda c: F.least(  # noqa: E731
         F.lit(1),
         F.greatest(F.lit(1), F.length(F.col(c).cast("string"))),
@@ -668,16 +677,13 @@ def multiclass_classify(
     spine = (
         df.select(id_col).withColumn("_k", one(id_col))
         .join(
-            F.broadcast(
-                w.select(cls).distinct().withColumn("_k", one(cls))
-            ),
+            F.broadcast(priors.withColumn("_k", one(cls))),
             "_k",
         )
         .drop("_k")
     )
     full = (
         spine.join(dots, [id_col, cls], "left")
-        .join(F.broadcast(priors), cls)
         .select(
             id_col,
             cls,
