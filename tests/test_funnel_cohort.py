@@ -709,3 +709,30 @@ def test_logrank_omnibus_degenerate(spark):
     )
     (row,) = logrank_omnibus(cens, "grp", "t", "churned").collect()
     assert row.k_groups == 0 and row.p_class == "undefined"
+
+
+def test_logrank_omnibus_wilson_hilferty_branch_deterministic(spark):
+    """df=3 classing uses the Wilson-Hilferty critical values
+    (~7.81 / ~11.34): a 4-group fixture with identical churn
+    profiles lands at chi2 ~ 0 -> 'ns'; one starkly different group
+    pushes past the 0.01 boundary -> 'p<0.01'. Deterministic pins of
+    both sides of the approximate boundary."""
+    from rusty_timeseries_db_spark.operators.funnel import logrank_omnibus
+
+    # four identical groups: every O_g equals its E_g exactly
+    same = [(f"g{g}", t, 1) for g in range(4) for t in (2, 5, 9)]
+    df = spark.createDataFrame(same, "grp string, t long, churned int")
+    (row,) = logrank_omnibus(df, "grp", "t", "churned").collect()
+    assert (row.k_groups, row.df) == (4, 3)
+    assert row.chi2 == 0.0 and row.p_class == "ns"
+    # one group churns far earlier, with enough subjects to matter
+    skew = (
+        [(f"g{g}", t, 1) for g in range(3) for t in (20, 25, 30)] * 4
+        + [("g3", t, 1) for t in (1, 2, 3)] * 4
+    )
+    df2 = spark.createDataFrame(skew, "grp string, t long, churned int")
+    (row2,) = logrank_omnibus(df2, "grp", "t", "churned").collect()
+    assert row2.df == 3 and row2.chi2 is not None
+    # WH crit01(df=3) ~ 11.36; this fixture's separation is decisive
+    assert row2.chi2 > 12, row2.chi2
+    assert row2.p_class == "p<0.01"
