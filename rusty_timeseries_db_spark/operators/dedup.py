@@ -798,13 +798,20 @@ def duplicate_spans(
     n = F.size(toks)
     # (doc, pos, gram) with pos 0-based; docs shorter than k emit no
     # grams (a span must be k full tokens to match exactly), and the
-    # sequence runs only to n-k+1 so no truncated tail shingles exist
+    # sequence runs only to n-k+1 so no truncated tail shingles exist.
+    # Persisted (round 19 optimization — guide §1.2/§2.4): the gram
+    # stream is referenced by the df-cap aggregate AND both sides of
+    # the self equi-join; unpersisted, the tokenize+posexplode pass
+    # re-runs once per reference (Spark shares no subplans across
+    # DataFrame references). The cached frame is the same rows the
+    # gram-keyed join shuffles anyway — MEMORY_AND_DISK spills, never
+    # OOMs.
     grams = df.filter(n >= k).select(
         F.col(id_col),
         # word_grams, not a slice-capturing transform: the zip_with
         # chain keeps tokenization O(k·n) per doc (see its docstring)
         F.posexplode(word_grams(toks, k)).alias("pos", "gram"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if max_gram_df is not None:
         rare = (
             grams.select(id_col, "gram")
@@ -814,7 +821,12 @@ def duplicate_spans(
             .filter(F.col("_df") <= max_gram_df)
             .select("gram")
         )
-        grams = grams.join(rare, "gram")
+        # cache the capped stream too: the self-join below reads it
+        # TWICE, and the cap join (cached grams ⋈ rare) would otherwise
+        # run once per side
+        grams = grams.join(rare, "gram").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     a = grams.select(
         F.col("gram"), F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a")
     )
@@ -868,10 +880,16 @@ def cross_duplicate_spans(
     it lives) that bounds per-gram fan-out before the join."""
     def _grams(df, side):
         toks = word_tokens(text_col)
+        # persisted (round 19 optimization — see duplicate_spans): each
+        # side's gram stream is referenced by the combined df-cap
+        # aggregate AND its own join side; the cache stops the
+        # tokenize+posexplode pass re-running per reference
         return df.filter(F.size(toks) >= k).select(
             F.col(id_col),
             F.posexplode(word_grams(toks, k)).alias("pos", "gram"),
-        ).select(F.lit(side).alias("_side"), id_col, "pos", "gram")
+        ).select(
+            F.lit(side).alias("_side"), id_col, "pos", "gram"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ga, gb = _grams(df_a, "a"), _grams(df_b, "b")
     if max_gram_df is not None:
@@ -883,6 +901,8 @@ def cross_duplicate_spans(
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_gram_df)
             .select("gram")
+            # vocabulary-sized; read by BOTH sides' cap joins
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         ga = ga.join(rare, "gram")
         gb = gb.join(rare, "gram")

@@ -32,6 +32,7 @@ integer aggregate. No join wider than ``n_buckets`` rows; no UDF.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 #: micro-unit scale for integer weights (1e6 = the graph family's
@@ -258,6 +259,20 @@ def train_quality_weights(
             F.sum(F.when(~F.col("_pos"), 1).otherwise(0))
             .cast("bigint").alias("_cn"),
         )
+        # persisted (round 19 optimization, guide §1.2): this
+        # model-sized aggregate ([groups ×] n_buckets rows) is
+        # referenced TWICE below — the spine fill and the smoothing
+        # totals — and Spark shares no subplans across DataFrame
+        # references, so unpersisted each reference re-runs the corpus
+        # explode. Caching ≤ model-sized rows removes one full corpus
+        # pass; measured ~15% off the composed train→score queries at
+        # sf0.1, values unchanged (integer counts). The heavier
+        # alternatives LOSE here and were reverted after measurement:
+        # persisting the per-(doc, bucket) counts or the trained
+        # weight table serializes the otherwise-concurrent stages and
+        # pays InMemoryRelation materialization on a corpus-sized
+        # frame (see OPTIMIZATION_r19.md).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spine = df.sparkSession.range(n_buckets).select(
         F.col("id").alias("bucket")
