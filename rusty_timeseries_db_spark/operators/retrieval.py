@@ -326,12 +326,14 @@ class Bm25Index(IndexLifecycleMixin):
                 .partitionBy("_shard")
                 .parquet(self.postings_path)
             )
-            # df over the WRITTEN postings (not the corpus): one pass
-            # over index-sized data, and self-consistent with what
-            # query() reads
+            # df from the same staged-derived postings expression the
+            # written files came from — `staged` is a materialized
+            # parquet freeze, so this describes EXACTLY the rows just
+            # written (the add() df-delta has always been derived this
+            # way); round 19 optimization: skips a full re-read
+            # (listing + footers + decode) of the postings dir
             terms = (
-                self.spark.read.parquet(self.postings_path)
-                .groupBy("term")
+                post.groupBy("term")
                 .agg(F.count(F.lit(1)).cast("double").alias("df"))
                 .withColumn(
                     "_shard", _term_shard_col(F.col("term"), n_shards)

@@ -39,6 +39,7 @@ sides (oracle-checkable, q_mann_kendall / q_theil_sen).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -99,6 +100,13 @@ def mann_kendall(
     the tie correction is a separate (key, value) count — skew-immune
     (map-side combine on exact values).
     """
+    # persisted (round 19 optimization — guide §1.2): the bucketed
+    # input is referenced FIVE times (guard count, both pair-join
+    # sides, n, ties) and is typically an aggregate over the raw
+    # event stream — unpersisted, that upstream re-runs per
+    # reference. The cached frame is series × periods rows (already
+    # reduced), and the eager guard below materializes it anyway.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     if max_points is not None:
         _guard_max_points(df, key, max_points)
     sgn = (
@@ -177,6 +185,9 @@ def theil_sen(
     Emits (key, n_pairs, slope). Series with < 2 points emit nothing.
     Same pair-join shape and ``max_points`` guard as mann_kendall.
     """
+    # persisted — same rationale as mann_kendall (guard + both pair
+    # sides re-derive the caller's bucketing aggregate otherwise)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     if max_points is not None:
         _guard_max_points(df, key, max_points)
     slope = (F.col("_v2") - F.col("_v1")).cast("double") / (
