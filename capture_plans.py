@@ -12,13 +12,14 @@ from rusty_timeseries_db_spark.session import get_spark
 
 tag = sys.argv[1] if len(sys.argv) > 1 else "before"
 only = set(sys.argv[2:])
+names = list(HEADLINE) + [n for n in only if n not in HEADLINE]
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r19")
 os.makedirs(out_dir, exist_ok=True)
 spark = get_spark(app_name="rtsdb-plan-capture", master="local[8]")
 spark.sparkContext.setLogLevel("ERROR")
 fns = _q.all_queries()
-for name in HEADLINE:
+for name in names:
     if only and name not in only:
         continue
     try:

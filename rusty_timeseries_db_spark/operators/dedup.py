@@ -602,10 +602,17 @@ def dedup_clusters(
         .repartition("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # fused identity-init + first propagation round (round 19
+    # optimization — guide §1.2): with identity labels, round 1's
+    # "min label among self and neighbors" is simply
+    # least(id, min(neighbor)) — one aggregate over the cached edges
+    # instead of a distinct+checkpoint followed by a full join round.
+    # Every node appears as src (edges are symmetrized), so the node
+    # set is identical; the loop below then starts at round 2.
     labels = _ckpt(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
     )
     for _ in range(max_iter):
         neigh = (
