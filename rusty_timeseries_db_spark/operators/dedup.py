@@ -912,16 +912,17 @@ def cross_duplicate_spans(
     it lives) that bounds per-gram fan-out before the join."""
     def _grams(df, side):
         toks = word_tokens(text_col)
-        # persisted (round 19 optimization — see duplicate_spans): each
-        # side's gram stream is referenced by the combined df-cap
-        # aggregate AND its own join side; the cache stops the
-        # tokenize+posexplode pass re-running per reference
+        # NOT persisted, unlike duplicate_spans' single-corpus stream:
+        # a round-19 same-session A/B measured the three candidate
+        # persists here (per-side streams + the rare vocabulary) at
+        # 3.40 s -> 4.21 s on q_span_decontamination's shape — each
+        # side is referenced only twice with different downstream
+        # shapes, and the added materialization barriers cost more
+        # than the duplicate tokenize pass (see OPTIMIZATION_r19.md)
         return df.filter(F.size(toks) >= k).select(
             F.col(id_col),
             F.posexplode(word_grams(toks, k)).alias("pos", "gram"),
-        ).select(
-            F.lit(side).alias("_side"), id_col, "pos", "gram"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).select(F.lit(side).alias("_side"), id_col, "pos", "gram")
 
     ga, gb = _grams(df_a, "a"), _grams(df_b, "b")
     if max_gram_df is not None:
@@ -933,8 +934,6 @@ def cross_duplicate_spans(
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_gram_df)
             .select("gram")
-            # vocabulary-sized; read by BOTH sides' cap joins
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         ga = ga.join(rare, "gram")
         gb = gb.join(rare, "gram")
