@@ -1,5 +1,6 @@
 """Capture .explain('formatted') for headline bench queries into
-plans/r19/<name>_<tag>.txt (tag = before/after via argv[1])."""
+plans/$PLANS_ROUND/<name>_<tag>.txt (tag = before/after via argv[1];
+PLANS_ROUND defaults to r20)."""
 import os
 import sys
 
@@ -14,7 +15,11 @@ tag = sys.argv[1] if len(sys.argv) > 1 else "before"
 only = set(sys.argv[2:])
 names = list(HEADLINE) + [n for n in only if n not in HEADLINE]
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r19")
+out_dir = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r20"),
+)
 os.makedirs(out_dir, exist_ok=True)
 spark = get_spark(app_name="rtsdb-plan-capture", master="local[8]")
 spark.sparkContext.setLogLevel("ERROR")

