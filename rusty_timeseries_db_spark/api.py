@@ -390,9 +390,19 @@ class TimeseriesEngine:
         partition-prefixed monotonic id) while the write remains fully
         parallel — the 100 TB path, where global arrival order within a
         batch is not observable anyway."""
-        n = raw.count()
-        if self.max_rows is not None and self.count() + n > self.max_rows:
-            raise RuntimeError("Table Full")
+        # Round 20 (guide §1.4 — VERDICT r19 #6): when the quota guard
+        # is OFF the batch size rides the ingest write itself as an
+        # ``observe()`` metric — one pass over the ingest frame instead
+        # of count-then-write. With ``max_rows`` set, the count must
+        # stay a SEPARATE pass: the Table-Full contract rejects before
+        # any row lands.
+        observe_count = self.max_rows is None
+        if observe_count:
+            n = None
+        else:
+            n = raw.count()
+            if self.count() + n > self.max_rows:
+                raise RuntimeError("Table Full")
         # Write-time mixed-lineage signal (round 11 — VERDICT r10
         # next-round #4): a warehouse whose streaming lineage is
         # purely exactly-once gets its dual-lineage ambiguity CREATED
@@ -428,7 +438,8 @@ class TimeseriesEngine:
         # 2^53 stride keeps batches collision-free up to 2^20 partitions
         # and ~1000 bulk batches per engine instance (compaction can
         # re-densify); dense mode stays exactly sequential.
-        self._seq += n if dense_seq else (1 << 53)
+        if not (dense_seq and observe_count):
+            self._seq += n if dense_seq else (1 << 53)
         # set BEFORE the write, deliberately (code-review r9, 3rd
         # pass): a write that FAILS midway can still have committed
         # some rows on a non-atomic committer — rows a snapshot cannot
@@ -437,13 +448,34 @@ class TimeseriesEngine:
         # perf cost), never the other way (worst case: serving answers
         # that silently omit partially-committed rows).
         self._batch_ingested = True
-        (
-            normalized.withColumn("series_bucket", series_bucket(F.col("timeseries_id")))
-            .sortWithinPartitions("timeseries_id", "ts")
-            .write.mode("append")
-            .partitionBy(*self._partition_cols)
-            .parquet(self.telemetry_path)
-        )
+        out = normalized.withColumn(
+            "series_bucket", series_bucket(F.col("timeseries_id"))
+        ).sortWithinPartitions("timeseries_id", "ts")
+        if observe_count:
+            from pyspark.sql import Observation
+
+            obs = Observation("ingest_count")
+            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        try:
+            (
+                out.write.mode("append")
+                .partitionBy(*self._partition_cols)
+                .parquet(self.telemetry_path)
+            )
+        except Exception:
+            if dense_seq and observe_count:
+                # the batch size is unknown (the observation rides the
+                # failed write) but some rows may have committed with
+                # seqs from the old offset on a non-atomic committer —
+                # advance by the bulk stride so a retry can never
+                # collide with them. Dense-seq continuity is already
+                # broken by the partial commit itself.
+                self._seq += 1 << 53
+            raise
+        if observe_count:
+            n = int(obs.get["n"])
+            if dense_seq:
+                self._seq += n
         return n
 
     def update_rows(self, rows: Iterable[Mapping]) -> int:

@@ -228,7 +228,7 @@ class Bm25Index(IndexLifecycleMixin):
     # -- build -------------------------------------------------------
     def _stage_docs(
         self, corpus: DataFrame, id_col: str, text_col: str
-    ) -> tuple[DataFrame, str]:
+    ) -> tuple[DataFrame, str, int, float]:
         """Freeze the batch as ``(doc, token array)`` parquet under a
         PER-CALL dir ``<index>/_staging/<uuid>`` and read it back.
         Every downstream derivation — stats, postings, df deltas —
@@ -240,16 +240,64 @@ class Bm25Index(IndexLifecycleMixin):
         unique per call — a fixed path would let two concurrent
         writers silently interleave staged batches (ADVICE r13 #4) —
         and the CALLER deletes it after its last action over the
-        staged rows. Returns ``(staged df, staging path)``;
+        staged rows.
+
+        Round 20 (guide §1.4 — VERDICT r19 #1, lifecycle job cuts):
+        the batch stats (doc count, total token length) ride the
+        staging write itself as an ``observe()`` metric instead of a
+        separate ``_staged_stats`` pass — same rows by construction
+        (the observation is computed on exactly the frame written).
+        Returns ``(staged df, staging path, n, sum_dl)``;
         batch-sized, not corpus-sized."""
         import uuid
 
+        from pyspark.sql import Observation
+
         staging = f"{self.index_path}/_staging/{uuid.uuid4().hex}"
-        corpus.select(
-            F.col(id_col).alias("_doc"),
-            word_tokens(text_col).alias("_ws"),
-        ).write.mode("overwrite").parquet(staging)
-        return self.spark.read.parquet(staging), staging
+        obs = Observation("bm25_stage_stats")
+        (
+            corpus.select(
+                F.col(id_col).alias("_doc"),
+                word_tokens(text_col).alias("_ws"),
+            )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.size("_ws").cast("double")), F.lit(0.0)
+                ).alias("s"),
+            )
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        got = obs.get
+        return (
+            self.spark.read.parquet(staging),
+            staging,
+            int(got["n"]),
+            float(got["s"]),
+        )
+
+    @staticmethod
+    def _parallel_writes(*thunks) -> None:
+        """Run independent write jobs concurrently (guide §2.6 —
+        round 20, VERDICT r19 #1): the postings / terms / docs writes
+        all derive from the SAME frozen staging parquet and target
+        disjoint directories, so submitting them from a small thread
+        pool overlaps their per-job scheduling floors instead of
+        paying them sequentially. Exceptions propagate (first one
+        raised after all threads finish — no write is silently
+        dropped); the caller's try/finally staging cleanup semantics
+        are unchanged."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+            futures = [pool.submit(t) for t in thunks]
+            errs = [
+                f.exception() for f in futures if f.exception() is not None
+            ]
+        if errs:
+            raise errs[0]
 
 
     @staticmethod
@@ -307,13 +355,15 @@ class Bm25Index(IndexLifecycleMixin):
         # CAS token from BEFORE any work: a writer interleaving with
         # this build conflicts at the commit instead of being clobbered
         ver = self._read_manifest_cas()[0]
-        staged, staging = self._stage_docs(corpus, id_col, text_col)
+        staged, staging, n, sum_dl = self._stage_docs(
+            corpus, id_col, text_col
+        )
         try:
             # corpus stats count EVERY doc (a token-less doc has no
-            # posting but still dilutes avgdl); checked BEFORE the
-            # postings land (an all-empty partitioned write would leave
-            # nothing to re-read for df)
-            n, sum_dl = self._staged_stats(staged)
+            # posting but still dilutes avgdl); observed ON the staging
+            # write (round 20 — guide §1.4) and still checked BEFORE
+            # the postings land (an all-empty partitioned write would
+            # leave nothing to re-read for df)
             if n == 0 or sum_dl == 0.0:
                 raise ValueError(
                     "Bm25Index.build needs a corpus with at least one "
@@ -321,11 +371,6 @@ class Bm25Index(IndexLifecycleMixin):
                     "streaming index sink)"
                 )
             post = self._postings_from_staged(staged, n_shards)
-            (
-                post.write.mode("overwrite")
-                .partitionBy("_shard")
-                .parquet(self.postings_path)
-            )
             # df from the same staged-derived postings expression the
             # written files came from — `staged` is a materialized
             # parquet freeze, so this describes EXACTLY the rows just
@@ -339,16 +384,29 @@ class Bm25Index(IndexLifecycleMixin):
                     "_shard", _term_shard_col(F.col("term"), n_shards)
                 )
             )
-            terms.write.mode("overwrite").partitionBy("_shard").parquet(
-                self.terms_path
+            # the three writes are independent derivations of the
+            # frozen staging parquet into disjoint dirs — overlapped
+            # (round 20, guide §2.6; the docs/ sidecar is the round-13
+            # deletion story: remove() needs each doc's length to
+            # decrement sum_dl exactly, token-less docs included)
+            self._parallel_writes(
+                lambda: (
+                    post.write.mode("overwrite")
+                    .partitionBy("_shard")
+                    .parquet(self.postings_path)
+                ),
+                lambda: (
+                    terms.write.mode("overwrite")
+                    .partitionBy("_shard")
+                    .parquet(self.terms_path)
+                ),
+                lambda: (
+                    staged.select(
+                        F.col("_doc").alias("doc"),
+                        F.size("_ws").cast("double").alias("dl"),
+                    ).write.mode("overwrite").parquet(self.docs_path)
+                ),
             )
-            # per-doc (doc, dl) sidecar (round 13 — the deletion
-            # story): remove() needs each doc's length to decrement
-            # sum_dl exactly, including token-less docs with no posting
-            staged.select(
-                F.col("_doc").alias("doc"),
-                F.size("_ws").cast("double").alias("dl"),
-            ).write.mode("overwrite").parquet(self.docs_path)
         finally:
             delete_path(self.spark, staging)
 
@@ -609,7 +667,9 @@ class Bm25Index(IndexLifecycleMixin):
         ver, man = self._manifest_cas()
         id_col = id_col or man.get("id_col", "doc_id")
         n_shards = int(man["n_shards"])
-        staged, staging = self._stage_docs(corpus, id_col, text_col)
+        staged, staging, n, sum_dl = self._stage_docs(
+            corpus, id_col, text_col
+        )
         try:
             tomb = self._tombstones()
             if tomb is not None:
@@ -631,6 +691,10 @@ class Bm25Index(IndexLifecycleMixin):
                         "_doc",
                         "left_anti",
                     )
+                    # the skip filter changed the applied row set, so
+                    # the staging write's observed stats no longer
+                    # describe it — recompute on the filtered frame
+                    n, sum_dl = self._staged_stats(staged)
                 if n_clash and removed_ids == "readmit":
                     # compaction-gated re-admission: tombstones become
                     # physical deletions, then the batch adds cleanly;
@@ -640,13 +704,9 @@ class Bm25Index(IndexLifecycleMixin):
                     # maintenance sweep (review round 14)
                     self.compact(_sweep_staging=False)
                     ver, man = self._manifest_cas()
-            n, sum_dl = self._staged_stats(staged)
             if n == 0:
                 return 0
             post = self._postings_from_staged(staged, n_shards)
-            post.write.mode("append").partitionBy("_shard").parquet(
-                self.postings_path
-            )
             delta = (
                 post.groupBy("term")
                 .agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -654,16 +714,32 @@ class Bm25Index(IndexLifecycleMixin):
                     "_shard", _term_shard_col(F.col("term"), n_shards)
                 )
             )
-            delta.write.mode("append").partitionBy("_shard").parquet(
-                self.terms_path
-            )
+            # independent appends into disjoint dirs, overlapped
+            # (round 20, guide §2.6 — same shape as build()); no
+            # sidecar append on a pre-r13 index: a PARTIAL sidecar
+            # would let remove() silently miss old docs
+            writes = [
+                lambda: (
+                    post.write.mode("append")
+                    .partitionBy("_shard")
+                    .parquet(self.postings_path)
+                ),
+                lambda: (
+                    delta.write.mode("append")
+                    .partitionBy("_shard")
+                    .parquet(self.terms_path)
+                ),
+            ]
             if man.get("docs_sidecar"):
-                staged.select(
-                    F.col("_doc").alias("doc"),
-                    F.size("_ws").cast("double").alias("dl"),
-                ).write.mode("append").parquet(self.docs_path)
-            # (no sidecar: a pre-r13 index keeps its old layout — a
-            # PARTIAL sidecar would let remove() silently miss old docs)
+                writes.append(
+                    lambda: (
+                        staged.select(
+                            F.col("_doc").alias("doc"),
+                            F.size("_ws").cast("double").alias("dl"),
+                        ).write.mode("append").parquet(self.docs_path)
+                    )
+                )
+            self._parallel_writes(*writes)
         finally:
             delete_path(self.spark, staging)
         self._commit_manifest({
@@ -734,13 +810,25 @@ class Bm25Index(IndexLifecycleMixin):
         # realization tombstones AND accounts
         import uuid
 
+        from pyspark.sql import Observation
+
         staging = f"{self.index_path}/_staging/remove_{uuid.uuid4().hex}"
-        live.select("doc").write.mode("overwrite").parquet(staging)
+        # the newly-removed count rides the staging write (round 20 —
+        # guide §1.4): it counts exactly the frozen rows, one job
+        # instead of write + count
+        obs = Observation("bm25_remove_count")
+        (
+            live.select("doc")
+            .observe(obs, F.count(F.lit(1)).alias("k"))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
         try:
-            staged = self.spark.read.parquet(staging)
-            k = staged.count()
+            k = int(obs.get["k"])
             if k > 0:
-                staged.write.mode("append").parquet(self.tombstones_path)
+                self.spark.read.parquet(staging).write.mode(
+                    "append"
+                ).parquet(self.tombstones_path)
         finally:
             delete_path(self.spark, staging)
         # manifest DERIVED from authoritative state (docs minus

@@ -676,12 +676,13 @@ def test_concurrent_staging_dirs_do_not_collide(spark, tmp_path):
     docs = _docs(spark)
     path = str(tmp_path / "bm25")
     idx = Bm25Index(spark, path).build(docs.filter(F.col("doc_id") < 100))
-    a, pa = idx._stage_docs(
+    a, pa, na, _ = idx._stage_docs(
         docs.filter(F.col("doc_id").between(100, 109)), "doc_id", "text")
-    b, pb = idx._stage_docs(
+    b, pb, nb, _ = idx._stage_docs(
         docs.filter(F.col("doc_id").between(110, 124)), "doc_id", "text")
     assert pa != pb
     assert a.count() == 10 and b.count() == 15  # neither overwrote
+    assert na == 10 and nb == 15  # observed stats match the frozen rows
     from rusty_timeseries_db_spark.fsutil import delete_path
 
     delete_path(spark, pa)

@@ -90,6 +90,29 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert set(out.values()) == {0} and len(out) == 11
 
 
+def test_dedup_clusters_deep_chain_pointer_jump(spark):
+    """Round 20: pointer jumping converges in O(log diameter) rounds,
+    so a diameter-64 path graph now resolves WITHIN the default
+    max_iter=25 (the 1-hop loop needed ~64 rounds and silently
+    returned partial labels at the bound)."""
+    chain = [(i, i + 1) for i in range(64)]
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(
+        _pairs(spark, chain)
+    ).collect()}
+    assert set(out.values()) == {0} and len(out) == 65
+
+
+def test_dedup_clusters_max_iter_bounds_total_rounds(spark):
+    """Round 20 (ADVICE r19): max_iter bounds the TOTAL round count —
+    the fused init is round 1, so max_iter=1 returns exactly the
+    init labels (min over self and direct neighbors)."""
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4)]), max_iter=1
+    ).collect()}
+    # one round: each node has min(self, neighbors); 3 -> 2 not yet 1
+    assert out == {1: 1, 2: 1, 3: 2, 4: 3}
+
+
 def test_dedup_clusters_two_components_meet(spark):
     # two components merged by one bridging pair
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(
