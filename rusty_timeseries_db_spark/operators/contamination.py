@@ -58,10 +58,23 @@ def ngram_contamination(
         F.col(id_col),
         F.explode(word_shingles(word_tokens(text_col), k=n)).alias("gram"),
     )
+    # round 20 (guide §3.2 — reduce the big side before shuffling it):
+    # only train grams that ALSO occur in the test set can ever hit,
+    # so the train stream is semi-joined against the broadcast test
+    # gram set BEFORE the corpus-sized distinct aggregate —
+    # output-invariant (the left join below scores exactly the same
+    # test grams), and the train-side shuffle shrinks from |unique
+    # train shingles| to |matching shingles|. The broadcast is the
+    # operator's standing asymmetry: ``test`` is the eval set —
+    # benchmark-sized by definition — while ``train`` is the corpus.
+    test_gram_set = test.select(
+        F.explode(word_shingles(word_tokens(text_col), k=n)).alias("gram")
+    ).distinct()
     train_grams = (
         train.select(
             F.explode(word_shingles(word_tokens(text_col), k=n)).alias("gram")
         )
+        .join(F.broadcast(test_gram_set), "gram", "left_semi")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

@@ -503,11 +503,20 @@ class IvfIndex(IndexLifecycleMixin):
             )
         else:
             stored = assigned.select("_cid", "_cvec", "_cell")
+        # n_rows rides the index write as an observe() metric (round 20
+        # — guide §1.4, the Bm25Index lifecycle pattern): it counts
+        # exactly the rows written, and skips the full re-read count of
+        # the just-written cell tree
+        from pyspark.sql import Observation
+
+        obs = Observation("ivf_build_rows")
         (
-            stored.write.mode("overwrite")
+            stored.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
             .partitionBy("_cell")
             .parquet(self.index_path)
         )
+        n_rows = int(obs.get["n"])
         centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
         from ..fsutil import delete_path
 
@@ -523,7 +532,7 @@ class IvfIndex(IndexLifecycleMixin):
             "quantize_bits": quantize_bits,
             # seeded at build (round 14) so remove()'s accounting and
             # the drift ratio never need a lazy backfill count
-            "n_rows": self.spark.read.parquet(self.index_path).count(),
+            "n_rows": n_rows,
             "n_added": 0,
             "n_removed": 0,
         }, expected=ver)
@@ -770,20 +779,24 @@ class IvfIndex(IndexLifecycleMixin):
                 F.col("_qvec").cast(stored["_cvec"].dataType).alias("_cvec"),
                 "_cell",
             )
-        # count once, then append from the cached assignment (a
-        # recompute between count and write could double-assign under
-        # a nondeterministic source)
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            n = assigned.count()
-            if n:
-                (
-                    assigned.write.mode("append")
-                    .partitionBy("_cell")
-                    .parquet(self.index_path)
-                )
-        finally:
-            assigned.unpersist()
+        # ONE realization: the batch count rides the append itself as
+        # an observe() metric (round 20 — guide §1.4). This is strictly
+        # tighter than the previous persist+count+write: the write IS
+        # the only computation of the assignment, so a nondeterministic
+        # source cannot double-assign between a count and a write, and
+        # the cache materialization + count job are gone. An empty
+        # batch appends zero rows (no part files), which is a no-op for
+        # every reader.
+        from pyspark.sql import Observation
+
+        obs = Observation("ivf_add_rows")
+        (
+            assigned.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .partitionBy("_cell")
+            .parquet(self.index_path)
+        )
+        n = int(obs.get["n"])
         if "n_rows" not in man:
             # first add against a pre-add manifest: seed the base count
             # from the index itself (one metadata-cheap count job) so
@@ -845,11 +858,21 @@ class IvfIndex(IndexLifecycleMixin):
             live = live.join(tomb, "_cid", "left_anti")
         staging = f"{self.index_path}.staging/remove_{uuid.uuid4().hex}"
         try:
-            live.write.mode("overwrite").parquet(staging)
-            staged = self.spark.read.parquet(staging)
-            k = staged.count()
+            # the newly-removed count rides the staging write (round 20
+            # — guide §1.4): one job instead of write + count
+            from pyspark.sql import Observation
+
+            obs = Observation("ivf_remove_count")
+            (
+                live.observe(obs, F.count(F.lit(1)).alias("k"))
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            k = int(obs.get["k"])
             if k > 0:
-                staged.write.mode("append").parquet(self.tombstones_path)
+                self.spark.read.parquet(staging).write.mode(
+                    "append"
+                ).parquet(self.tombstones_path)
         finally:
             delete_path(self.spark, staging)
         # manifest DERIVED from authoritative state (index minus

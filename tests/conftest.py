@@ -15,7 +15,20 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="rtsdb-spark-tests", master="local[4]")
+    # Round 20 (VERDICT r19 #2 — get the suite's wall time back under
+    # the external verification window): TEST-SESSION-ONLY shuffle
+    # sizing. Test fixtures are tiny (tens-to-thousands of rows), so
+    # the default 32 shuffle partitions just multiply per-task
+    # scheduling overhead across ~20k test-suite Spark stages on a
+    # local[4] session. 8 partitions still exercises multi-partition
+    # shuffles (2 task waves) while cutting the per-stage floor.
+    # bench.py / the driver contract keep the production default —
+    # this is test infrastructure, not engine tuning.
+    s = get_spark(
+        app_name="rtsdb-spark-tests",
+        master="local[4]",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
     yield s
     s.stop()
 
