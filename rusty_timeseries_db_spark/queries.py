@@ -66,94 +66,54 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # checked window so a regression in just-modified code cannot escape
 # external verification; (b) the remaining slots go to the STALEST
 # queries — those whose most recent driver row is oldest. Staleness is
-# the per-query max round over CORRECTNESS_r{01..18}.json (rebuilt
-# with gen_rotation.py entering round 19): 12 queries were last
-# driver-checked in r12 (the r18 window spill), 43 in r13, 46 in r14,
-# 45 in r15, 45 in r16, 46 in r17, 50 in r18 (the dict default).
-# Round-19 window (VERDICT r18 next-round #1): _ROUND_MODIFIED
-# (4 NEW queries, 0 re-certs — the new operators are pure additions
-# beside untouched kaplan_meier/logrank/binary-quality code, so rule
-# (a) pulls nothing back in; the VERDICT r18 #7 window-budget
-# discipline), then the 12 spilled r12-tier queries (the registry's
-# stalest rows), then 34 of the 43 r13-tier queries in declaration
-# order (9 spill to head the r20 fill).
+# the per-query max round over CORRECTNESS_r{01..19}.json (rebuilt
+# with gen_rotation.py entering round 20): 9 queries were last
+# driver-checked in r13, 46 in r14, 45 in r15, 45 in r16, 46 in r17,
+# 50 in r18 (the dict default), 50 in r19.
+# Round-20 window (VERDICT r19 next-round #10): _ROUND_MODIFIED holds
+# the 18 queries over operators this OPTIMIZATION round touched —
+# span/cross-span join-input reductions + persist knob
+# (duplicate_spans family), pointer-jump label propagation
+# (dedup_clusters family + the corpus pipelines), Bm25Index lifecycle
+# job cuts, IvfIndex observe-on-write counts, ingest_df observe-fused
+# count (engine fixtures), trend persist hygiene, and the
+# contamination semi-join — so every behavior-adjacent change is
+# driver-verified this round (rule (a)). The remaining 32 slots fill
+# with the stalest rows: all 9 r13-tier queries, then 23 of the 46
+# r14-tier in declaration order.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
 _ROUND_MODIFIED: frozenset[str] = frozenset({
-    # round 19, new queries: the survival-family completion (VERDICT
-    # r18 #2/#4 — Nelson-Aalen cumulative hazard, restricted mean
-    # survival time over the KM step table, and the k-sample omnibus
-    # log-rank beside the per-cohort contrasts) and the calibrated
-    # multi-class quality/router head (VERDICT r18 #3) — all four
-    # oracle-paired at 3 SFs
-    "q_nelson_aalen", "q_rmst", "q_logrank_omnibus",
-    "q_quality_multiclass",
+    # round 20 (optimization): queries over touched operators
+    "q_bm25_index", "q_bm25_stream_indexed", "q_hybrid_index_rrf",
+    "q_tfidf_index",                           # retrieval.Bm25Index
+    "q_similarity_ivf_index",                  # similarity.IvfIndex
+    "q_catalog_fuzzy_link", "q_latest_values",  # api.ingest_df
+    "q_contamination_ngram",        # contamination.ngram_contamination
+    "q_dedup_clusters", "q_dedup_keep_canonical",  # dedup.dedup_clusters
+    "q_training_corpus_pipeline", "q_corpus_pipeline_dsir",
+    "q_corpus_pipeline_chunked",   # pipelines -> dedup_clusters
+    "q_duplicate_spans", "q_duplicate_span_removal",
+    "q_span_decontamination",      # dedup.duplicate_spans family
+    "q_mann_kendall", "q_theil_sen",           # trend persist hygiene
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
-#: CORRECTNESS_r{01..18}.json): 12 last ran in r12, 43 in r13, 46 in
-#: r14, 45 in r15, 45 in r16, 46 in r17; the remaining 50 ran in r18
+#: CORRECTNESS_r{01..19}.json): 9 last ran in r13, 46 in r14, 45 in
+#: r15, 45 in r16, 46 in r17, 50 in r19; the remaining 50 ran in r18
 #: and form the dict default (`.get(name, 18)` in _ordered_registry).
 _LAST_DRIVER_ROUND: dict[str, int] = {
     **dict.fromkeys([
-        "q_bm25_topk",
-        "q_chunk_documents",
-        "q_corpus_pipeline_dsir",
-        "q_corpus_stream_served",
-        "q_domain_kl_divergence",
-        "q_histogram_quantile",
-        "q_lttb_downsample",
-        "q_predict_linear",
-        "q_rate_per_second",
-        "q_topn_with_others",
-        "q_tpch_q2_min_cost_supplier",
-        "q_training_corpus_pipeline",
-    ], 12),
-    **dict.fromkeys([
         "q_audience_jaccard",
-        "q_autocorr_lag1",
-        "q_bigram_surprisal",
-        "q_chi_square_scan",
         "q_column_profile",
-        "q_corpus_pipeline_chunked",
-        "q_cusum_changepoints",
-        "q_daily_vs_trailing_week",
         "q_delta_compression_stats",
         "q_enriched_stream_served",
-        "q_except",
-        "q_heavy_hitter_share",
-        "q_hybrid_rrf",
-        "q_interarrival_burstiness",
-        "q_intersect",
-        "q_intersect_all",
         "q_kmeans_step",
-        "q_merge_upsert",
-        "q_moving_median",
-        "q_ohlc_bars",
-        "q_outlier_mad",
         "q_pii_scrub",
-        "q_promql_changes",
-        "q_promql_irate",
-        "q_sax_motifs",
-        "q_sax_symbols",
         "q_seasonal_backtest",
-        "q_series_align_ratio",
-        "q_series_gap_report",
-        "q_sql_columns_join",
-        "q_sql_unpivot",
-        "q_table_diff",
-        "q_token_budget_sample",
         "q_top_movers",
-        "q_topk_global",
-        "q_topk_with_ties",
-        "q_union_all",
-        "q_union_distinct",
         "q_value_heatmap_2d",
-        "q_window_first_last",
-        "q_window_rank_ntile",
-        "q_window_rolling_time",
-        "q_zorder_stats",
     ], 13),
     **dict.fromkeys([
         "q_array_ops",
@@ -345,6 +305,58 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
         "q_window_lag_lead",
         "q_window_topk_per_group",
     ], 17),
+    **dict.fromkeys([
+        "q_autocorr_lag1",
+        "q_bigram_surprisal",
+        "q_bm25_topk",
+        "q_chi_square_scan",
+        "q_chunk_documents",
+        "q_corpus_pipeline_chunked",
+        "q_corpus_pipeline_dsir",
+        "q_corpus_stream_served",
+        "q_cusum_changepoints",
+        "q_daily_vs_trailing_week",
+        "q_domain_kl_divergence",
+        "q_except",
+        "q_heavy_hitter_share",
+        "q_histogram_quantile",
+        "q_hybrid_rrf",
+        "q_interarrival_burstiness",
+        "q_intersect",
+        "q_intersect_all",
+        "q_logrank_omnibus",
+        "q_lttb_downsample",
+        "q_merge_upsert",
+        "q_moving_median",
+        "q_nelson_aalen",
+        "q_ohlc_bars",
+        "q_outlier_mad",
+        "q_predict_linear",
+        "q_promql_changes",
+        "q_promql_irate",
+        "q_quality_multiclass",
+        "q_rate_per_second",
+        "q_rmst",
+        "q_sax_motifs",
+        "q_sax_symbols",
+        "q_series_align_ratio",
+        "q_series_gap_report",
+        "q_sql_columns_join",
+        "q_sql_unpivot",
+        "q_table_diff",
+        "q_token_budget_sample",
+        "q_topk_global",
+        "q_topk_with_ties",
+        "q_topn_with_others",
+        "q_tpch_q2_min_cost_supplier",
+        "q_training_corpus_pipeline",
+        "q_union_all",
+        "q_union_distinct",
+        "q_window_first_last",
+        "q_window_rank_ntile",
+        "q_window_rolling_time",
+        "q_zorder_stats",
+    ], 19),
 }
 
 def _ordered_registry() -> list[QuerySpec]:
