@@ -518,9 +518,15 @@ class TimeseriesEngine:
         ).withColumn(
             "overlay_version", F.lit(self._next_overlay_version())
         )
-        n = overlay.count()
-        overlay.write.mode("append").parquet(self.overlay_path)
-        return n
+        # count rides the append (round 20 — guide §1.4): one job, and
+        # the write is the single realization of the overlay frame
+        from pyspark.sql import Observation
+
+        obs = Observation("update_rows_n")
+        overlay.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).parquet(self.overlay_path)
+        return int(obs.get["n"])
 
     def _next_overlay_version(self) -> int:
         """Monotonic last-write-wins version for overlay appends.
@@ -787,15 +793,24 @@ class TimeseriesEngine:
             merged = merged.withColumn(
                 "ds", F.coalesce(F.to_date("ts"), F.lit("9999-12-31").cast("date"))
             )
-        merged = merged.persist()
-        n = merged.count()
+        # the new-base row count rides the rewrite itself as an
+        # observe() metric (round 20 — guide §1.4/§5, the ingest_df
+        # pattern): previously the ENTIRE merged base was persist()ed
+        # just to keep a count job and the write consistent — at scale
+        # that doubles the rewrite's storage footprint. The write is a
+        # single pass (local sortWithinPartitions, no range sampling),
+        # so the observation counts exactly the rows written.
+        from pyspark.sql import Observation
+
+        obs = Observation("compact_rows")
         (
-            merged.sortWithinPartitions("timeseries_id", "ts")
+            merged.observe(obs, F.count(F.lit(1)).alias("n"))
+            .sortWithinPartitions("timeseries_id", "ts")
             .write.mode("overwrite")
             .partitionBy(*self._partition_cols)
             .parquet(new_path)
         )
-        merged.unpersist()
+        n = int(obs.get["n"])
         # -- the swap point: one atomic rename flips readers to the new
         # base; everything before this line leaves the old base intact
         tmp_ptr = self._version_file + ".tmp"
