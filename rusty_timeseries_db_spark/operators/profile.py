@@ -348,8 +348,18 @@ def _joint_and_marginals(
     )
     ma = counts.groupBy("_a").agg(F.sum("_o").alias("_na"))
     mb = counts.groupBy("_b").agg(F.sum("_o").alias("_nb"))
-    n_a = ma.count()
-    n_b = mb.count()
+    # ONE guard job instead of two (round 20 — guide §1.2): both level
+    # counts come from a single aggregate over the joint counts.
+    # count(DISTINCT) skips NULL while groupBy emits a NULL group, so
+    # a null-presence flag keeps n_a/n_b exactly ma.count()/mb.count()
+    null_grp = lambda c: F.max(  # noqa: E731
+        F.when(F.col(c).isNull(), 1).otherwise(0)
+    )
+    dims = counts.agg(
+        (F.countDistinct("_a") + null_grp("_a")).alias("_ka"),
+        (F.countDistinct("_b") + null_grp("_b")).alias("_kb"),
+    ).collect()[0]
+    n_a, n_b = int(dims["_ka"]), int(dims["_kb"])
     if n_a * n_b > max_cells:
         raise ValueError(
             f"{n_a} x {n_b} cells exceed max_cells={max_cells} — "

@@ -257,6 +257,24 @@ def test_chi_square_cells_hand_computed(spark):
         chi_square_cells(df, "a", "b", max_cells=3)
 
 
+def test_max_cells_guard_counts_null_levels(spark):
+    """Round 20: the fused one-job dims guard must count a NULL level
+    exactly like the old per-marginal ``count()`` did (count(DISTINCT)
+    alone would skip it): 3 a-levels (incl. NULL) x 2 b-levels = 6
+    cells — over a max_cells of 5, under 6."""
+    import pytest
+
+    from rusty_timeseries_db_spark.operators.profile import (
+        chi_square_cells,
+    )
+
+    rows = [("x", "p"), ("y", "q"), (None, "p"), ("x", "q"), (None, "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    with pytest.raises(ValueError, match="3 x 2 cells"):
+        chi_square_cells(df, "a", "b", max_cells=5)
+    assert chi_square_cells(df, "a", "b", max_cells=6).count() == 6
+
+
 # ---------------------------------------------------------------- round 14
 
 
