@@ -97,6 +97,7 @@ _ROUND_MODIFIED: frozenset[str] = frozenset({
     "q_duplicate_spans", "q_duplicate_span_removal",
     "q_span_decontamination",      # dedup.duplicate_spans family
     "q_mann_kendall", "q_theil_sen",           # trend persist hygiene
+    "q_chi_square_scan", "q_pmi_scan",  # profile fused dims guard
 })
 
 #: most recent driver-checked round per query (gen_rotation.py output,
