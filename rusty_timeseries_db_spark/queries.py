@@ -71,16 +71,16 @@ def declare(name: str, oracle: str | None, doc: str = ""):
 # driver-checked in r13, 46 in r14, 45 in r15, 45 in r16, 46 in r17,
 # 50 in r18 (the dict default), 50 in r19.
 # Round-20 window (VERDICT r19 next-round #10): _ROUND_MODIFIED holds
-# the 18 queries over operators this OPTIMIZATION round touched —
+# the 20 queries over operators this OPTIMIZATION round touched —
 # span/cross-span join-input reductions + persist knob
 # (duplicate_spans family), pointer-jump label propagation
 # (dedup_clusters family + the corpus pipelines), Bm25Index lifecycle
 # job cuts, IvfIndex observe-on-write counts, ingest_df observe-fused
 # count (engine fixtures), trend persist hygiene, and the
-# contamination semi-join — so every behavior-adjacent change is
-# driver-verified this round (rule (a)). The remaining 32 slots fill
-# with the stalest rows: all 9 r13-tier queries, then 23 of the 46
-# r14-tier in declaration order.
+# contamination semi-join, and the fused dependence-scan dims guard —
+# so every behavior-adjacent change is driver-verified this round
+# (rule (a)). The remaining 30 slots fill with the stalest rows: all
+# 9 r13-tier queries, then 21 of the 46 r14-tier in declaration order.
 # Every query not in the window is still covered by run_parity.py
 # locally (full sweep, re-run after each change on fresh testdata)
 # and the judge's own sweep.
